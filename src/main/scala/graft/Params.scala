@@ -1,0 +1,43 @@
+package graft
+
+/** Single source of truth for every tunable that BOTH the Spark queries and
+  * the DuckDB oracle SQL depend on — keeping them here makes drift between
+  * the two sides impossible.
+  */
+object Params {
+  // minhash / LSH over documents
+  val MinhashK = 16
+  val MinhashBands = 4
+  val MinhashRows: Int = MinhashK / MinhashBands
+  val JaccardMin = 0.5
+
+  // simhash
+  val SimhashBits = 32
+  val SimhashMaxDist = 3
+
+  // embedding LSH / ANN
+  val EmbPlanes = 32
+  val EmbBands = 8
+  val EmbRows: Int = EmbPlanes / EmbBands
+  val EmbDims = 64
+  val EmbMinCos = 0.45
+  val AnnK = 10
+  val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
+
+  // marts
+  val TopNPerGroup = 10
+  val TopThreshold = 400000.0
+  val TopThresholdN = 5
+  val HistWidth = 50000.0
+
+  // events
+  val SessionGapMs = 1800000L
+
+  // q1/q3/q5 date cuts
+  val Q1Cutoff = "1998-09-02 00:00:00"
+  val Q3Date = "1996-07-01 00:00:00"
+  val Q5Lo = "1996-01-01 00:00:00"
+  val Q5Hi = "1998-01-01 00:00:00"
+  val Q5Region = "AMERICA"
+  val Q3Segment = "BUILDING"
+}

@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Marts, Staging, Star}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, EventOps, Similarity}
+import Params._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each query key maps to, and [[Oracles]] for the DuckDB twin
+  * of every SQL-expressible query.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
+
+  /** money/metric doubles → exact integer cents (portable across engines). */
+  private def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("mart_kpi_year")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 ETL core ----
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_mktsegment STRING")
+        .csv(tmp)
+    }),
+    "stage_clean" -> ((s, dir) => {
+      val ev = Staging.castColumns(t(s, dir, "events"), Map.empty)
+      EventOps.extractIntField(ev, "props", "k")
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"),
+          expr("nullif(event_type, 'view')").as("event_type_clean"),
+          cents(col("value")).as("value_cents"), col("k"))
+    }),
+    "stage_dedup_key" -> ((s, dir) =>
+      Staging.dedupByKeyKeepFirst(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+    "dim_distinct" -> ((s, dir) =>
+      Star.dimFromColumn(t(s, dir, "customer"), col("c_mktsegment"), "segkey")),
+    "dim_explode_bridge" -> ((s, dir) =>
+      Star.explodeBridge(t(s, dir, "part"), col("p_partkey"), col("p_name"), " ",
+        "p_partkey", "word")._2),
+    "fact_join" -> ((s, dir) =>
+      Star.fact(t(s, dir, "orders"), broadcast(t(s, dir, "customer"))
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), Seq(
+          col("o_orderkey").as("factkey"), col("o_custkey").as("custkey"),
+          year(col("o_orderdate")).cast("long").as("yearkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          col("c_mktsegment").as("segment")))),
+    "mart_kpi_year" -> ((s, dir) =>
+      Marts.kpiByGroup(t(s, dir, "orders"),
+        year(col("o_orderdate")).cast("long"), "yearkey", Seq(
+          count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 4).as("mean_price"),
+          sum(cents(col("o_totalprice"))).as("total_cents")))),
+    "mart_top_per_group" -> ((s, dir) =>
+      Marts.topNPerGroup(
+          t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey")),
+          Seq(col("c_mktsegment")),
+          Seq(cents(col("o_totalprice")).desc, col("o_orderkey").asc), TopNPerGroup)
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey").as("factkey"),
+          cents(col("o_totalprice")).as("price_cents"), col("rk"))),
+    "mart_top_threshold" -> ((s, dir) =>
+      Marts.topNPerGroup(
+          t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey")),
+          Seq(col("c_mktsegment")),
+          Seq(cents(col("o_totalprice")).desc, col("o_orderkey").asc), TopThresholdN,
+          Some(col("o_totalprice") >= TopThreshold))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey").as("factkey"),
+          cents(col("o_totalprice")).as("price_cents"), col("rk"))),
+    "mart_histogram" -> ((s, dir) =>
+      Marts.histogram(t(s, dir, "orders"),
+          Seq(year(col("o_orderdate")).cast("long").as("yearkey")),
+          col("o_totalprice"), HistWidth)
+        .select(col("yearkey"), col("bucket"), col("n"))),
+    "sink_partitioned_write" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
+      queries("fact_join")(s, dir)
+        .write.mode("overwrite").partitionBy("yearkey").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("factkey"), col("custkey"), col("yearkey").cast("long").as("yearkey"),
+          col("price_cents"), col("segment"))
+    }),
+
+    // ---- §2.2 TPC-H style ----
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts(Q1Cutoff))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    "q3_shipping_priority" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === Q3Segment)
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts(Q3Date)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > ts(Q3Date)),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("orderkey").asc)
+        .limit(10)),
+    "q5_local_supplier" -> ((s, dir) => {
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region").filter(col("r_name") === Q5Region))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= ts(Q5Lo) && col("o_orderdate") < ts(Q5Hi)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+    }),
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("yearkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))),
+
+    // ---- §2.3 dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", MinhashK, MinhashBands)),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SimhashMaxDist)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", EmbMinCos,
+        EmbPlanes, EmbBands, EmbDims)),
+
+    // ---- §2.4 similarity search ----
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", AnnK)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", AnnK, EmbPlanes, EmbBands, EmbDims)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }),
+
+    // ---- §2.5 text analysis ----
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_ws"), T.bpeTokenCount(col("text")).as("n_bpe"))),
+    "text_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scores = T.langStopwords.map { case (l, ws) => T.stopwordHits(col("text"), ws).as(s"s_$l") }
+      d.select((col("doc_id") +: (T.langId(col("text")).as("lang_pred") +: scores)): _*)
+    }),
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"), T.qualityScore(col("text")).as("qscore"))),
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        T.fingerprint(col("text")).as("fp"), T.rollingHash(col("text")).as("roll"))),
+
+    // ---- §2.6 events ----
+    "events_window_agg" -> ((s, dir) =>
+      EventOps.hourlyAgg(t(s, dir, "events"), "ts", "event_type", "value")),
+    "events_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(t(s, dir, "events"), "user_id", "ts", SessionGapMs)),
+    "events_extract" -> ((s, dir) =>
+      EventOps.extractIntField(t(s, dir, "events"), "props", "k")
+        .select(col("event_id"), col("k"))),
+
+    // ---- §2.7 multimodal ----
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.featuresFromDocuments(s, t(s, dir, "documents"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (multimodal_features — stubbed
+    * codec) get the driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "src_csv_roundtrip" -> Oracles.srcCsvRoundtrip,
+    "stage_clean" -> Oracles.stageClean,
+    "stage_dedup_key" -> Oracles.stageDedupKey,
+    "dim_distinct" -> Oracles.dimDistinct,
+    "dim_explode_bridge" -> Oracles.dimExplodeBridge,
+    "fact_join" -> Oracles.factJoin,
+    "mart_kpi_year" -> Oracles.martKpiYear,
+    "mart_top_per_group" -> Oracles.martTopPerGroup,
+    "mart_top_threshold" -> Oracles.martTopThreshold,
+    "mart_histogram" -> Oracles.martHistogram,
+    "sink_partitioned_write" -> Oracles.factJoin,
+    "q1_pricing_summary" -> Oracles.q1PricingSummary,
+    "q3_shipping_priority" -> Oracles.q3ShippingPriority,
+    "q5_local_supplier" -> Oracles.q5LocalSupplier,
+    "q_anti_join" -> Oracles.qAntiJoin,
+    "q_rollup" -> Oracles.qRollup,
+    "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
+    "dedup_simhash" -> Oracles.dedupSimhash,
+    "dedup_embedding" -> Oracles.dedupEmbedding,
+    "ann_brute_topk" -> Oracles.annBruteTopK,
+    "ann_lsh_topk" -> Oracles.annLshTopK,
+    "text_token_count" -> Oracles.textTokenCount,
+    "text_langid" -> Oracles.textLangId,
+    "text_quality" -> Oracles.textQuality,
+    "text_fingerprint" -> Oracles.textFingerprint,
+    "events_window_agg" -> Oracles.eventsWindowAgg,
+    "events_sessionize" -> Oracles.eventsSessionize,
+    "events_extract" -> Oracles.eventsExtract,
+  )
 }

@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Staging-zone operators: the cleaning surface of the reference pipeline
+  * (reference: etl_imdb.py:125–149 — `\N`→NULL, numeric casts, row filter,
+  * business-key dedup), generalized to any table.
+  *
+  * All operators are narrow (no shuffle) except [[dedupByKeyKeepFirst]],
+  * whose single shuffle is on the business key — at 100 TB that is the
+  * minimum possible exchange for a key-dedup.
+  */
+object Staging {
+
+  /** Replace a sentinel null-marker (e.g. "\N") with real NULL on the given
+    * columns. (reference: etl_imdb.py:125 `replace_null_markers`)
+    */
+  def nullMarkers(df: DataFrame, cols: Seq[String], marker: String): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c) === lit(marker), lit(null)).otherwise(col(c)))
+    }
+
+  /** Cast named columns to target types (reference: etl_imdb.py:135-137). */
+  def castColumns(df: DataFrame, casts: Map[String, String]): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
+  /** Keep one row per key, arbitrary pick — the reference's
+    * `dropDuplicates(["tconst"])` (etl_imdb.py:139). Non-deterministic
+    * across runs/engines; prefer [[dedupByKeyKeepFirst]] when downstream
+    * results must be reproducible.
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Deterministic key-dedup: keep the first row per key under a total
+    * order. One shuffle on the key; rank evaluated stream-wise within each
+    * partition (no buffering beyond the window frame).
+    */
+  def dedupByKeyKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
+  }
+}

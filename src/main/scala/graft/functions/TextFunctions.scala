@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * Everything here is a pure `Column` expression built from Spark's
+  * codegen'd built-ins + higher-order functions — no UDFs — so whole-stage
+  * codegen stays intact and the functions are usable inside any plan
+  * (filter pushdown, partial aggregation, etc.) at 100 TB scale.
+  *
+  * Tokenization mirrors the reference's split-based multi-value handling
+  * (reference: etl_imdb.py:175 `explode(split(genres, ","))`), generalized
+  * to whitespace tokens for document text.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed (split keeps trailing ""). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Token count on the whitespace tokenizer. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap proxy for a real
+    * BPE vocab, computable inside codegen).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  /** Word n-gram shingles (n>=2) over the whitespace tokens; empty array
+    * when the document has fewer than n tokens. Built with slice+zip_with
+    * so no explode/shuffle is needed to form shingles.
+    */
+  def shingles(text: Column, n: Int = 2): Column = {
+    require(n == 2, "word-bigram shingles are the supported kernel")
+    val ts = tokens(text)
+    zip_with(
+      slice(ts, lit(1), size(ts) - 1),
+      slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Per-language stopword lists for the n-gram language-ID heuristic.
+    * Order is the deterministic tie-break priority.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu"),
+    "es" -> Seq("el", "los", "las", "y", "que", "por"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you"),
+  )
+
+  /** Stopword hits for one language list (a long, codegen-friendly). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Heuristic language-ID: argmax of stopword hits with a fixed
+    * priority-order tie break (first language wins ties).
+    */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    val maxAll = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(langStopwords.last._1)) { case ((l, s), rest) =>
+      when(s === maxAll, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword ratio + alpha
+    * ratio, the same shape of cheap heuristics used to pre-filter web text
+    * for training corpora. Deterministic double arithmetic, rounded to 4dp.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nChars = length(text).cast("double")
+    val lenScore = least(lit(1.0), nChars / lit(400.0))
+    val stopRatio = stopwordHits(text, langStopwords.flatMap(_._2).distinct).cast("double") /
+      greatest(nTok.cast("double"), lit(1.0))
+    val alphaRatio = length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      greatest(nChars, lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.3) * stopRatio + lit(0.2) * alphaRatio, 4)
+  }
+
+  /** Canonical content fingerprint: md5 of lowercase, whitespace-collapsed,
+    * trimmed text. Identical value in any engine with a standard md5.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash over per-token md5-derived values — an
+    * order-sensitive fingerprint (detects token reordering that the
+    * set-based hashes miss). acc = (acc*31 + v) mod 1e9+7.
+    */
+  def rollingHash(text: Column): Column = {
+    val hexv = (t: Column) =>
+      conv(substring(md5(t), 1, 2), 16, 10).cast("long")
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + hexv(t), lit(1000000007L)))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+
+/** Document deduplication for training-data pipelines.
+  *
+  * Four families, all designed so the ONLY shuffles are keyed on compact
+  * digests (16-byte md5 / 8-byte ints), never on document payloads, and no
+  * stage is ever all-pairs over the corpus:
+  *
+  *  - exact:      1 shuffle on md5(text)
+  *  - minhash+LSH: signatures map-side, 1 shuffle on (band, digest),
+  *                 pair join only inside buckets
+  *  - simhash:    1 explode+partial-agg shuffle on doc key, candidate
+  *                 pairs via byte-block pigeonhole
+  *  - embedding:  random-hyperplane bands, in-bucket cosine only
+  *
+  * At 100 TB the bucket joins are the hot spot: bucket sizes are bounded
+  * by construction (band digests spread uniformly), and AQE skew-join
+  * splits the rare hot bucket.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * canonical representative. The shuffle carries (16-byte digest,
+    * partial min/count) only.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-doc minhash signature + band digests (map-side only, no shuffle).
+    * Shingling is word-bigram via slice+zip_with (no explode).
+    */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    docs.select(
+      col(idCol),
+      H.bandDigests(H.minhashSignature(T.shingles(col(textCol)), k), bands, rows).as("bds"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band digest. The exchange is
+    * keyed on (band_id, digest); within a bucket the self-join emits
+    * ordered (a<b) pairs, deduped across bands.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashBands(docs, idCol, textCol, k, bands)
+    val exploded = sig.select(col(idCol), posexplode(col("bds")).as(Seq("band_id", "digest")))
+      .where(col("digest").isNotNull)
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col(s"a.band_id") === col(s"b.band_id") &&
+        col(s"a.digest") === col(s"b.digest") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification over the LSH candidates — the
+    * standard two-phase near-dup pipeline (cheap recall stage + exact
+    * verify on candidates only, never all-pairs).
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, k, bands)
+    val shA = docs.select(col(idCol).as("doc_a"), array_distinct(T.shingles(col(textCol))).as("a_sh"))
+    val shB = docs.select(col(idCol).as("doc_b"), array_distinct(T.shingles(col(textCol))).as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    cands
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(inter / uni, 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** 32-bit SimHash signatures: explode tokens → 32 partial sums in ONE
+    * hash aggregate (map-side combine ⇒ the shuffle carries (doc, 32
+    * longs)), then sign → bit → packed long. Also emits the 4 8-bit blocks
+    * used for pigeonhole candidate generation.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(T.tokens(col(textCol))).as("t"))
+      .select(col(idCol), H.token32(col("t")).as("v"))
+    val weights = (0 until 32).map { b =>
+      sum(shiftright(col("v"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"w$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(weights.head, weights.tail: _*)
+    val bits = (0 until 32).map(b => when(col(s"w$b") >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b))
+    val sh = bits.reduce(_ + _).as("simhash")
+    agg.select(col(idCol), sh)
+      .withColumn("b0", col("simhash").bitwiseAND(lit(255L)))
+      .withColumn("b1", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
+      .withColumn("b2", shiftright(col("simhash"), 16).bitwiseAND(lit(255L)))
+      .withColumn("b3", shiftright(col("simhash"), 24).bitwiseAND(lit(255L)))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist (<=3 is
+    * complete under the 4-block pigeonhole: any pair within distance 3
+    * shares at least one exact 8-bit block). The exchange is keyed on
+    * (block_id, block_value) — tiny keys, bounded buckets.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-block pigeonhole is only complete for distance <= 3")
+    val sig = simhash(docs, idCol, textCol)
+    val blocks = sig.select(col(idCol), col("simhash"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "bv")))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    val ham = expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+    a.join(b,
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"), ham.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Embedding near-dup pairs: banded random-hyperplane LSH (bands of
+    * `rows` sign-bits, OR across bands) for candidates, exact cosine
+    * verify at `minCos`. Only in-bucket pairs are ever scored.
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String, minCos: Double,
+                       planes: Int = 32, bands: Int = 8, dims: Int = 64): DataFrame = {
+    val cands = Similarity.hyperplaneBands(emb, idCol, vecCol, planes, bands, dims)
+      .select(col(idCol), posexplode(col("bandvals")).as(Seq("band_id", "bv")))
+    val a = cands.as("a")
+    val b = cands.as("b")
+    val pairs = a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), V.cosine4(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-log operators: tumbling-window aggregation, gap-based
+  * sessionization, payload field extraction. The streaming forms live in
+  * [[graft.streaming.EventStreams]]; these batch forms share semantics and
+  * serve as their oracles.
+  *
+  * All timestamps are reduced to epoch milliseconds (exact integers)
+  * before arithmetic so results are engine-portable regardless of the
+  * source's ns/us/ms physical precision.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregate in batch form: group by calendar hour.
+    * One partial-agg shuffle keyed on the (small) window key.
+    */
+  def hourlyAgg(events: DataFrame, tsCol: String, typeCol: String, valCol: String): DataFrame =
+    events.groupBy(
+        year(col(tsCol)).cast("long").as("y"),
+        month(col(tsCol)).cast("long").as("m"),
+        dayofmonth(col(tsCol)).cast("long").as("d"),
+        hour(col(tsCol)).cast("long").as("h"),
+        col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col(valCol) * 100).cast("long")).as("value_cents"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMs`. Single shuffle on
+    * user_id; lag + running sum are evaluated stream-wise per partition,
+    * so state is O(1) per user regardless of history length.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String, gapMs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col("ts_ms"), col("event_id"))
+    val withMs = events.withColumn("ts_ms", unix_millis(col(tsCol)))
+    val flagged = withMs.withColumn("new_sess",
+      when(col("ts_ms") - lag(col("ts_ms"), 1).over(wOrd) > gapMs, 1L).otherwise(
+        when(lag(col("ts_ms"), 1).over(wOrd).isNull, 1L).otherwise(0L)))
+    val sess = flagged.withColumn("session_id",
+      sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+  }
+
+  /** Regex field extraction from a semi-structured payload column —
+    * codegen'd regexp, no JSON parser dependency, pushable ahead of any
+    * shuffle.
+    */
+  def extractIntField(events: DataFrame, propsCol: String, field: String): DataFrame =
+    events.withColumn(field,
+      regexp_extract(col(propsCol), "\"" + field + "\": (\\d+)", 1).cast("long"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact kernel: queries × corpus with a top-k
+  * window. It is intended for a *bounded* query set (or as the in-bucket
+  * scorer); the scale path is [[lshTopK]], which restricts each query's
+  * candidates to vectors sharing a hyperplane-LSH band, so the join fans
+  * out per-bucket instead of per-corpus.
+  */
+object Similarity {
+
+  /** Per-row LSH band values: `planes` sign-bits of hyperplane dots,
+    * packed into `bands` integers of planes/bands bits each. The planes
+    * are md5-derived constants ([[H.hyperplaneWeights]]) baked into the
+    * plan as literals — fully codegen'd, zero joins, reproducible in SQL.
+    */
+  def hyperplaneBands(emb: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, bands: Int, dims: Int): DataFrame = {
+    val rows = planes / bands
+    val ws = H.hyperplaneWeights(planes, dims)
+    val bits: Seq[Column] =
+      ws.map(w => when(V.dotConst(col(vecCol), w) >= 0, lit(1L)).otherwise(lit(0L)))
+    val bandvals = (0 until bands).map { b =>
+      (0 until rows).map(r => bits(b * rows + r) * lit(1L << r)).reduce(_ + _)
+    }
+    emb.select(col(idCol), col(vecCol), array(bandvals: _*).as("bandvals"))
+  }
+
+  /** Exact cosine top-k for each query row against the whole corpus.
+    * Rank order is total — (cosine desc, neighbor id asc) — so results are
+    * reproducible across engines. Self-matches are excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), V.cosine4(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
+  /** LSH-restricted top-k: candidates = corpus rows sharing at least one
+    * band with the query; exact cosine + total-order rank within the
+    * candidate set. Approximate (recall < 1) but each query touches only
+    * its buckets — this is the 100 TB path.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 32, bands: Int = 8, dims: Int = 64): DataFrame = {
+    val qb = hyperplaneBands(queries, idCol, vecCol, planes, bands, dims)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(col("bandvals")).as(Seq("band_id", "bv")))
+    val cb = hyperplaneBands(corpus, idCol, vecCol, planes, bands, dims)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        posexplode(col("bandvals")).as(Seq("band_id", "bv")))
+    val cand = qb.join(cb, Seq("band_id", "bv"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), V.cosine4(col("qv"), col("nv")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+}

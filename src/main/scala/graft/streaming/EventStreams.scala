@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators. Batch twins live in
+  * [[graft.operators.EventOps]] and act as their semantic oracles.
+  *
+  * State is always watermark-bounded: windowed aggregation state expires
+  * with the watermark, and the sessionizer uses processing-time timeouts,
+  * so executor state stays O(active keys) no matter how long the stream
+  * runs — the property that matters on an unbounded 100 TB/day feed.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, start_ms: Long, duration_ms: Long)
+
+  /** Tumbling 1-hour windowed counts per event type with a watermark.
+    * Append mode emits each window once, when the watermark passes it.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Gap-based sessionization with explicit state: a session closes when
+    * no event arrives within `gapMs` (tracked via processing-time timeout).
+    * flatMapGroupsWithState keeps exactly one small state record per
+    * active user.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.nEvents, s.startMs, s.lastMs - s.startMs))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.nEvents, s.startMs, s.lastMs - s.startMs)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
