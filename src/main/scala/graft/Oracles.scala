@@ -24,20 +24,32 @@ object Oracles {
   private val shingCte =
     "shing AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS sh FROM toks)"
 
-  /** minhash signature + LSH band CTEs, generated from Params. */
+  /** minhash signature + LSH band CTEs, generated from the SAME constants
+    * ([[Params]], [[HashFunctions.minhashCoeffs]]) as the Spark plan:
+    * one md5 per shingle → 60-bit hex prefix mod P → k affine min-hashes
+    * → base-31 integer band keys.
+    */
   private def minhashCtes: String = {
-    val mhs = (0 until MinhashK)
-      .map(i => s"list_min(list_transform(sh, t -> md5(t || ':$i'))) AS mh$i").mkString(", ")
+    val P = HashFunctions.MinhashP
+    val hex15 = (0 until 15).map(j => s"(instr('$hex', substr(md5(t), ${j + 1}, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    val mhs = HashFunctions.minhashCoeffs(MinhashK).zipWithIndex
+      .map { case ((a, b), i) => s"min((hb * $a + $b) % $P) AS mh$i" }.mkString(", ")
     val bandSel = (0 until MinhashBands).map { b =>
-      val cols = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band_id, md5($cols) AS digest FROM sig"
+      val bk = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}")
+        .reduce((acc, m) => s"($acc * 31 + $m)")
+      s"SELECT doc_id, $b AS band_id, $bk AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    s"$toksCte, $shingCte, sig AS (SELECT doc_id, $mhs FROM shing), bands AS ($bandSel)"
+    s"""$toksCte, $shingCte,
+       |tok AS (SELECT doc_id, unnest(sh) AS t FROM shing),
+       |hb AS (SELECT doc_id, CAST($hex15 AS BIGINT) % $P AS hb FROM tok),
+       |sig AS (SELECT doc_id, $mhs FROM hb GROUP BY doc_id),
+       |bands AS ($bandSel)""".stripMargin
   }
 
   private val candSelect =
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
-      "ON a.band_id = b.band_id AND a.digest = b.digest AND a.doc_id < b.doc_id"
+      "ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id"
 
   def dedupMinhashLsh: String = s"WITH ${minhashCtes} $candSelect"
 

@@ -15,24 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** MinHash signature of a string-array column: element i is the
-    * lexicographic min of `md5(token + ":" + i)` over the array. Min of a
-    * fixed-width hex digest is min of the hash value, so this is a valid
-    * k-min-hash family. NULL (from an empty array) propagates and never
-    * joins, which drops degenerate docs from candidate generation.
+  /** Modulus for the universal-hash minhash family (fits 31 bits, so
+    * a*h+b stays under 2^61 — no overflow in any engine).
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleArr, t => md5(concat(t, lit(":" + i)))))
-    }: _*)
+  val MinhashP = 1000000007L
 
-  /** LSH band digests: md5 of the concatenation of each band's rows.
-    * Equal band digest ⇒ the whole band of minhashes agrees.
+  /** Base content hash for minhash: first 15 hex chars of md5 (60 bits)
+    * reduced mod [[MinhashP]]. ONE md5 per shingle; the k hash functions
+    * are then cheap affine maps over this value.
     */
-  def bandDigests(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      md5(concat((0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
-    }: _*)
+  def shingleHash(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(MinhashP))
+
+  /** Coefficients (a_i, b_i) of the affine minhash family
+    * h_i(x) = (a_i*x + b_i) mod P — fixed constants reproducible in SQL.
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (2654435761L * (i + 1) + 101L) % MinhashP
+      val b = (40503L * (i + 1) + 7919L) % MinhashP
+      require(a != 0)
+      (a, b)
+    }
+
+  /** One affine minhash value for a pre-hashed shingle column. */
+  def affineHash(h: Column, a: Long, b: Long): Column =
+    pmod(h * lit(a) + lit(b), lit(MinhashP))
+
+  /** Integer LSH band key from `rowsPerBand` minhash columns: base-31
+    * polynomial combine (exact, < 2^45, portable). Rare combine
+    * collisions only ever ADD candidates, never lose them.
+    */
+  def bandKey(mins: Seq[Column]): Column =
+    mins.reduce((acc, m) => acc * lit(31L) + m)
 
   /** 32-bit hash of a token from the first 8 hex chars of its md5 —
     * the per-feature hash for SimHash.

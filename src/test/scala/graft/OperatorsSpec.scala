@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Marts, Staging}
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, EventOps, Similarity}
+
+/** Unit-level behavior checks for the operator library on crafted inputs
+  * (the testdata-scale value checks live in the DuckDB oracle gate).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup exact groups identical content and keeps min id") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds a heavily-overlapping pair, skips disjoint docs") {
+    val near = "spark shuffles the partitions and sorts each group by key before merging output"
+    val docs = Seq(
+      (1L, near),
+      (2L, near + " tail"),            // ~93% shingle overlap
+      (3L, "completely different words about gardens flowers bees and honey production")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard scores the candidate pair exactly") {
+    // 95% shingle overlap — high enough that the 4x4 minhash bands are
+    // (deterministically, for these strings) guaranteed to collide.
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " x1"), (3L, "q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // shingles: 19 shared + 1 extra in doc2 → 19/20 = 0.95
+    assert(out.toSeq === Seq((1L, 2L, 0.95)))
+  }
+
+  test("simhash of identical docs collides at distance 0") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "different tokens entirely here now ok")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("brute-force ANN ranks by cosine with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy($"rnk").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(top.toSeq === Seq(1L, 2L))
+  }
+
+  test("embedding near-dup finds only the close pair") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f).updated(0, 0.51f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.95, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("topNPerGroup breaks ties on the tie-break column") {
+    val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3)).toDF("grp", "score", "id")
+    val top = Marts.topNPerGroup(df, Seq($"grp"), Seq($"score".desc, $"id".asc), 2)
+      .orderBy($"rk").collect().map(_.getAs[Int]("id"))
+    assert(top.toSeq === Seq(1, 2))
+  }
+
+  test("staging null markers + casts") {
+    val df = Seq(("\\N", "5"), ("7", "\\N")).toDF("a", "b")
+    val out = Staging.castColumns(Staging.nullMarkers(df, Seq("a", "b"), "\\N"),
+      Map("a" -> "int", "b" -> "int")).collect()
+    assert(out.map(r => (Option(r.get(0)), Option(r.get(1)))).toSet ===
+      Set((None, Some(5)), (Some(7), None)))
+  }
+
+  test("text functions: tokens, shingles, language priority") {
+    val df = Seq(Tuple1("the quick  brown fox  ")).toDF("text")
+    val r = df.select(
+      T.tokenCount($"text").as("n"),
+      T.shingles($"text").as("sh"),
+      T.langId($"text").as("lang")).collect().head
+    assert(r.getAs[Long]("n") === 4)
+    assert(r.getSeq[String](1) === Seq("the quick", "quick brown", "brown fox"))
+    assert(r.getAs[String]("lang") === "en")
+  }
+
+  test("sessionize splits on gap and counts correctly") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7L), // > 30min gap → new session
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 8L),
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventOps.sessionize(ev, "user_id", "ts", 1800000L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[Long]("n_events"))).toSet
+    assert(out === Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+}

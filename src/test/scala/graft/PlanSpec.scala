@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Plan-quality audit: the properties that decide 100 TB behavior —
+  * parquet pushdown/pruning, broadcast joins on dims, partial aggregation
+  * — asserted on the actual optimized plans, so a regression that silently
+  * degrades the plan fails CI even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def explain(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns at the scan") {
+    val plan = explain("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+    assert(!plan.contains("l_orderkey"), "scan should prune unused lineitem columns")
+  }
+
+  test("fact_join broadcasts the customer dim") {
+    val plan = explain("fact_join")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q5 star join broadcasts all dims (single big-table pass)") {
+    val plan = explain("q5_local_supplier")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("kpi aggregate does map-side partial aggregation") {
+    val plan = explain("mart_kpi_year")
+    assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+  }
+
+  test("aggregations run inside whole-stage codegen") {
+    // AQE: codegen spans only appear in the *final* adaptive plan, so
+    // execute first and then inspect.
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the final adaptive plan
+    assert(plan.contains("*(1)"), s"expected codegen spans:\n$plan")
+  }
+
+  test("minhash signatures need exactly one exchange, with map-side partial mins") {
+    val df = graft.operators.Dedup.minhashBands(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 16, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"signature stage should shuffle once (doc key), got $exchanges:\n$plan")
+    assert(plan.contains("partial_min"), s"expected map-side partial mins:\n$plan")
+  }
+
+  test("anti join resolves to a broadcast anti join at this scale") {
+    val plan = explain("q_anti_join")
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+  }
+}

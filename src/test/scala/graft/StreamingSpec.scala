@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming operators (#32/#33 in SURVEY.md §2) driven through
+  * MemoryStream with a memory sink — real micro-batch execution, state
+  * store and watermark included.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly window aggregates in append mode after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(stream.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 10:20:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough that the 10:00 window closes
+      stream.addData(Event(4, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(col("window.start").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 10:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes a session on in-batch gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapMs = 1800000L)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0),
+        Event(3, ts("2024-01-01 02:00:00"), 7, "click", 1.0)) // gap > 30min closes first session
+      // poll the sink: with ProcessingTimeTimeout armed, processAllAvailable
+      // can spin on timeout-triggered batches, so wait for the row instead
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table("sessions").isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("sessions").as[EventStreams.SessionOut].collect().toSet
+      assert(rows === Set(EventStreams.SessionOut(7, 2,
+        ts("2024-01-01 00:00:00").getTime, 600000L)))
+    } finally q.stop()
+  }
+
+  test("streaming hourly agg matches the batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 50).map(i =>
+      Event(i, ts(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"), i % 3, if (i % 2 == 0) "a" else "b", 1.0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(stream.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("twin").outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("twin")
+        .select(hour(col("window.start")).cast("long").as("h"), col("event_type"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      val batch = graft.operators.EventOps
+        .hourlyAgg(events.toDF(), "ts", "event_type", "value")
+        .select(col("h"), col("event_type"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
