@@ -16,8 +16,15 @@ object VectorFunctions {
   /** Cast array<float> → array<double> for deterministic arithmetic. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product via zip_with + left-fold aggregate. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native codegen'd loop ([[graft.plans.DotProduct]]);
+    * value-identical to the HOF fold `aggregate(zip_with(a,b,*),0d,+)`.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dotNative(a, b)
+
+  /** The HOF formulation, kept as the portable/reference implementation
+    * (and for engines where custom expressions can't be installed).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */
@@ -34,7 +41,5 @@ object VectorFunctions {
     * whole projection stays inside whole-stage codegen with no join.
     */
   def dotConst(v: Column, weights: Seq[Double]): Column =
-    aggregate(
-      zip_with(asDouble(v), array(weights.map(lit): _*), (x, w) => x * w),
-      lit(0.0), (acc, x) => acc + x)
+    dot(v, array(weights.map(lit): _*))
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+import graft.plans.VectorExpressions
+
+/** The native codegen'd DotProduct must be bit-identical to the HOF fold
+  * (that equivalence is what keeps the DuckDB oracles valid), null-safe,
+  * and registered as a SQL function.
+  */
+class VectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("native dot == HOF fold bit-for-bit on real embeddings") {
+    val both = emb.select(
+      V.dot($"embedding", $"embedding").as("native"),
+      V.dotHof($"embedding", $"embedding").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
+  test("null element and length mismatch yield NULL") {
+    val df = Seq(
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)),
+      (Array[java.lang.Float](1f, null), Array[java.lang.Float](3f, 4f)),
+    ).toDF("a", "b")
+    val vals = df.select(V.dot($"a", $"b")).collect().map(r => Option(r.get(0)))
+    assert(vals.toSeq === Seq(Some(11.0), None))
+    val mism = Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+      .select(V.dot($"a", $"b")).collect().head
+    assert(mism.isNullAt(0))
+  }
+
+  test("mixed int/double arrays are widened") {
+    val df = Seq((Array(1, 2, 3), Array(0.5, 0.5, 0.5))).toDF("a", "b")
+    assert(df.select(V.dot($"a", $"b")).as[Double].collect().head === 3.0)
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    VectorExpressions.register(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d FROM emb_v WHERE graft_dot(embedding, embedding) > 0.5")
+      .count()
+    assert(n === emb.count()) // unit-normalized vectors → self-dot ≈ 1
+  }
+
+  test("dot stays inside whole-stage codegen") {
+    val df = emb.select(V.dot($"embedding", $"embedding").as("d")).filter($"d" > 0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen'd projection:\n$plan")
+  }
+}
