@@ -328,6 +328,27 @@ object Oracles {
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
 
+  def qMedian: String =
+    """SELECT yearkey, round(avg(v), 4) AS median FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_totalprice AS v,
+      |    row_number() OVER (PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY year(o_orderdate)) AS cnt
+      |  FROM orders)
+      |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |GROUP BY yearkey""".stripMargin
+
+  def qDistinctCount: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+      |  count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
+  def qRunningTotal: String =
+    s"""WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+       |  CAST(sum($cents) AS BIGINT) AS total_cents FROM orders GROUP BY 1)
+       |SELECT yearkey, total_cents,
+       |  CAST(sum(total_cents) OVER (ORDER BY yearkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+       |FROM y""".stripMargin
+
   def qRollup: String =
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderpriority,
        |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents

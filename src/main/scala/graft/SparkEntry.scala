@@ -149,6 +149,36 @@ object SparkEntry {
       t(s, dir, "orders")
         .rollup(year(col("o_orderdate")).cast("long").as("yearkey"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))),
+    "q_median" -> ((s, dir) =>
+      Marts.exactMedian(t(s, dir, "orders"),
+        year(col("o_orderdate")).cast("long"), "yearkey",
+        col("o_totalprice"), col("o_orderkey"))),
+    "q_distinct_count" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))),
+    "q_running_total" -> ((s, dir) => {
+      val yearly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      yearly.withColumn("running_cents",
+        sum(col("total_cents")).over(Window.orderBy(col("yearkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL sketch — approximate by design, so rows-only checked (no
+      // portable oracle); the exact twin is q_distinct_count
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
+        .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx"))),
+    "mart_top_salted" -> ((s, dir) =>
+      Marts.topNPerGroupSalted(
+          t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey")),
+          Seq(col("c_mktsegment")), pmod(col("o_orderkey"), lit(16)),
+          Seq(cents(col("o_totalprice")).desc, col("o_orderkey").asc), TopNPerGroup)
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey").as("factkey"),
+          cents(col("o_totalprice")).as("price_cents"), col("rk"))),
 
     // ---- §2.3 dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -228,6 +258,10 @@ object SparkEntry {
     "q5_local_supplier" -> Oracles.q5LocalSupplier,
     "q_anti_join" -> Oracles.qAntiJoin,
     "q_rollup" -> Oracles.qRollup,
+    "q_median" -> Oracles.qMedian,
+    "q_distinct_count" -> Oracles.qDistinctCount,
+    "q_running_total" -> Oracles.qRunningTotal,
+    "mart_top_salted" -> Oracles.martTopPerGroup,
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,

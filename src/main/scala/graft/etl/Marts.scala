@@ -35,6 +35,37 @@ object Marts {
     base.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= n)
   }
 
+  /** Skew-proof two-phase top-N: phase 1 takes the top N within
+    * (group, salt) — bounding any single reducer's sort to its salt slice —
+    * phase 2 merges the ≤ N*saltBuckets survivors per group. Result is
+    * IDENTICAL to [[topNPerGroup]] (every global top-N row survives its
+    * salt slice), so the two share an oracle. The salt must be a
+    * deterministic function of the row (not rand()) for reproducibility.
+    */
+  def topNPerGroupSalted(df: DataFrame, groups: Seq[Column], salt: Column,
+                         order: Seq[Column], n: Int): DataFrame = {
+    val w1 = Window.partitionBy((groups :+ salt): _*).orderBy(order: _*)
+    val phase1 = df.withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= n).drop("__rk1")
+    val w2 = Window.partitionBy(groups: _*).orderBy(order: _*)
+    phase1.withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= n)
+  }
+
+  /** Exact per-group median without an approx sketch: row_number + count
+    * windows, average of the middle one/two values. Two window passes over
+    * one (group)-keyed shuffle — exact answers at any scale, unlike
+    * percentile_approx (kept deliberately portable for the oracle).
+    */
+  def exactMedian(df: DataFrame, group: Column, as: String, value: Column,
+                  tieBreak: Column): DataFrame =
+    df.select(group.as(as), value.as("__v"), tieBreak.as("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(as)).orderBy(col("__v").asc, col("__t").asc)))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(as))))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2") || col("__rn") === expr("(__cnt + 2) div 2"))
+      .groupBy(col(as))
+      .agg(round(avg(col("__v")), 4).as("median"))
+
   /** Fixed-width histogram (reference: etl_imdb.py:230
     * `build_mart_rating_distribution`, width 0.5 via floor(x*2)/2).
     * Emits the integer bucket index `floor(value/width)` so engines agree

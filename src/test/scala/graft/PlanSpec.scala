@@ -62,4 +62,38 @@ class PlanSpec extends SparkSpec {
     val plan = explain("q_anti_join")
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
   }
+
+  test("salted top-N returns exactly the plain top-N rows") {
+    val a = SparkEntry.queries("mart_top_salted")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = SparkEntry.queries("mart_top_per_group")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
+
+  test("bucketed tables join without an exchange on the bucketed side") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    try {
+      // disable broadcast so the co-located join path is what's planned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
 }
