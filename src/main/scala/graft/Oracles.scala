@@ -53,21 +53,65 @@ object Oracles {
 
   def dedupMinhashLsh: String = s"WITH ${minhashCtes} $candSelect"
 
-  def dedupNgramJaccard: String = {
-    s"""WITH ${minhashCtes},
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the verified
+    * near-dup pairs, reused by the jaccard, clustering, and cleaning
+    * oracles.
+    */
+  private def jaccardPairsCtes: String =
+    s"""${minhashCtes},
        |cand AS ($candSelect),
        |dsh AS (SELECT doc_id, list_distinct(sh) AS s FROM shing),
        |g AS (SELECT doc_id, unnest(s) AS gm FROM dsh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni FROM cand c
        |  JOIN g x ON x.doc_id = c.doc_a JOIN g y ON y.doc_id = c.doc_b AND x.gm = y.gm
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT c.doc_a, c.doc_b,
        |    round(CAST(i.ni AS DOUBLE) / (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.ni AS DOUBLE)), 4) AS jaccard
        |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |  JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b)
-       |WHERE jaccard >= $JaccardMin""".stripMargin
+       |WHERE jaccard >= $JaccardMin)""".stripMargin
+
+  def dedupNgramJaccard: String =
+    s"WITH $jaccardPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** Connected components of the verified near-dup graph: cluster id =
+    * min doc_id reachable. Recursive CTE (DuckDB) ≡ the Spark side's
+    * iterative min-label propagation.
+    */
+  def dedupCluster: String =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+       |SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""".stripMargin
+
+  /** C4-style cleaning: quality threshold + drop non-canonical near-dups
+    * (any doc that has a verified duplicate with a smaller id).
+    */
+  def textPipeline: String = {
+    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
+    val langs = functions.TextFunctions.langStopwords.map(_._1)
+    val scoreCols = functions.TextFunctions.langStopwords
+      .map { case (l, ws) => s"CAST(${hits(ws)} AS BIGINT) AS s_$l" }.mkString(", ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.dropRight(1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    val qscore =
+      s"""round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
+         |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
+         |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4)""".stripMargin
+    s"""WITH $jaccardPairsCtes,
+       |sc AS (SELECT doc_id, $scoreCols FROM toks)
+       |SELECT doc_id, qscore, lang_pred FROM (
+       |  SELECT d.doc_id, $qscore AS qscore, CASE $cases ELSE '${langs.last}' END AS lang_pred
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id JOIN sc ON sc.doc_id = d.doc_id
+       |  WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs))
+       |WHERE qscore >= $CleanMinQuality""".stripMargin
   }
 
   /** hex8 → bigint for simhash's per-token 32-bit hash (== Spark's

@@ -33,6 +33,9 @@ object Params {
   // events
   val SessionGapMs = 1800000L
 
+  // cleaning pipeline
+  val CleanMinQuality = 0.3
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

@@ -187,6 +187,11 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", MinhashK, MinhashBands)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands)),
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands))),
+    "text_pipeline" -> ((s, dir) =>
+      Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text", JaccardMin, CleanMinQuality)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SimhashMaxDist)),
     "dedup_embedding" -> ((s, dir) =>
@@ -265,6 +270,8 @@ object SparkEntry {
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
+    "dedup_cluster" -> Oracles.dedupCluster,
+    "text_pipeline" -> Oracles.textPipeline,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "ann_brute_topk" -> Oracles.annBruteTopK,

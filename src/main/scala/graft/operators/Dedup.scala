@@ -94,6 +94,57 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over a near-dup pair graph: iterative min-label
+    * propagation until fixpoint. cluster_id = smallest doc id reachable —
+    * the canonical representative each non-canonical doc collapses to.
+    *
+    * Each iteration is one join + partial-agg shuffle; `localCheckpoint`
+    * truncates lineage so the plan stays flat however many rounds run.
+    * Rounds needed = graph diameter (near-dup clusters are shallow — a
+    * handful of rounds even at corpus scale). This loop-with-checkpoint
+    * is the standard large-scale CC pattern; the driver only ever sees a
+    * single boolean (changed?) per round, never data.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("label", col("u")).localCheckpoint()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "u")
+        .filter(col("label") < col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** C4-style cleaning composition: drop non-canonical near-dups (docs
+    * with a verified duplicate of smaller id), keep docs above the quality
+    * threshold, annotate with language. One LSH pass + narrow filters.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double, minQuality: Double): DataFrame = {
+    val dupIds = ngramJaccard(docs, idCol, textCol, minJaccard)
+      .select(col("doc_b")).distinct()
+    docs.join(dupIds, docs(idCol) === dupIds("doc_b"), "left_anti")
+      .select(col(idCol),
+        T.qualityScore(col(textCol)).as("qscore"),
+        T.langId(col(textCol)).as("lang_pred"))
+      .where(col("qscore") >= minQuality)
+  }
+
   /** 32-bit SimHash signatures: explode tokens → 32 partial sums in ONE
     * hash aggregate (map-side combine ⇒ the shuffle carries (doc, 32
     * longs)), then sign → bit → packed long. Also emits the 4 8-bit blocks

@@ -43,6 +43,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 0.95)))
   }
 
+  test("clusters: min-label propagation collapses chains to one component") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((2L, 2L), (5L, 2L), (9L, 2L), (11L, 11L), (12L, 11L)))
+  }
+
+  test("cleanCorpus drops non-canonical near-dups and low quality docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " the a of and to in is the a of"), // canonical, decent quality
+      (2L, base + " the a of and to in is the a on"), // near-dup of 1 → dropped
+      (3L, "zz qq")                                    // low quality → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.cleanCorpus(docs, "doc_id", "text", 0.5, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("simhash of identical docs collides at distance 0") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "different tokens entirely here now ok")).toDF("doc_id", "text")
