@@ -19,6 +19,27 @@ object EventStreams {
   case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
   case class SessionOut(user_id: Long, n_events: Long, start_ms: Long, duration_ms: Long)
 
+  /** File-based streaming source over the events parquet layout: new
+    * files appearing under `dir` become micro-batches. The ns timestamp
+    * arrives as long (spark.sql.legacy.parquet.nanosAsLong) and is
+    * normalized to a microsecond TimestampType exactly like the batch
+    * loader ([[graft.Tables.events]]), so batch and stream share plans.
+    * `maxFilesPerTrigger` bounds per-batch work on a backfill.
+    */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a watermark.
     * Append mode emits each window once, when the watermark passes it.
     */

@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the events parquet matches the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evstream").toString
+    // stage the sf0.001 events file as the stream's input directory
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-0.parquet"))
+    val q = EventStreams.readEventsStream(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ev_file").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_file").as[(String, Long)].collect().toMap
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map(i =>
