@@ -272,6 +272,22 @@ object Oracles {
        |  max(ts_ms) - min(ts_ms) AS duration_ms
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  def eventsPivot: String = {
+    val cols = EventTypes
+      .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")
+    s"""SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+       |  CAST(day(ts) AS BIGINT) AS d, $cols
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  def eventsAsof: String =
+    s"""SELECT event_id, user_id, ts_ms, asof_ms, ts_ms - asof_ms AS gap_ms FROM (
+       |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+       |    max(CASE WHEN event_type = '$AsofMatch' THEN epoch_ms(ts) END) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id ROWS UNBOUNDED PRECEDING) AS asof_ms
+       |  FROM events)
+       |WHERE event_type = '$AsofTarget'""".stripMargin
+
   def eventsExtract: String =
     """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events"""
 

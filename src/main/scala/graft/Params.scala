@@ -36,6 +36,11 @@ object Params {
   // cleaning pipeline
   val CleanMinQuality = 0.3
 
+  // event pivot / as-of
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  val AsofTarget = "purchase"
+  val AsofMatch = "click"
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

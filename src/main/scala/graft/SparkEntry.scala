@@ -236,6 +236,11 @@ object SparkEntry {
     "events_extract" -> ((s, dir) =>
       EventOps.extractIntField(t(s, dir, "events"), "props", "k")
         .select(col("event_id"), col("k"))),
+    "events_pivot" -> ((s, dir) =>
+      EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)),
+    "events_asof" -> ((s, dir) =>
+      EventOps.asofPriorEvent(t(s, dir, "events"), "user_id", "ts", "event_type",
+        AsofTarget, AsofMatch)),
 
     // ---- §2.7 multimodal ----
     "multimodal_features" -> ((s, dir) =>
@@ -283,5 +288,7 @@ object SparkEntry {
     "events_window_agg" -> Oracles.eventsWindowAgg,
     "events_sessionize" -> Oracles.eventsSessionize,
     "events_extract" -> Oracles.eventsExtract,
+    "events_pivot" -> Oracles.eventsPivot,
+    "events_asof" -> Oracles.eventsAsof,
   )
 }

@@ -49,6 +49,42 @@ object EventOps {
         (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
   }
 
+  /** Pivot: one column per event type with daily counts. The type values
+    * are passed explicitly — with an explicit value list Spark skips the
+    * extra distinct-collection job AND the output schema is static, which
+    * a 100 TB pipeline needs anyway (schema can't depend on data).
+    */
+  def dailyPivot(events: DataFrame, tsCol: String, typeCol: String,
+                 types: Seq[String]): DataFrame =
+    events.groupBy(
+        year(col(tsCol)).cast("long").as("y"),
+        month(col(tsCol)).cast("long").as("m"),
+        dayofmonth(col(tsCol)).cast("long").as("d"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+      .select(col("y") +: col("m") +: col("d") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
+  /** As-of join, composed without a join: for each target event, the most
+    * recent prior event of `matchType` from the same user. A running
+    * `max(CASE WHEN matchType THEN ts END)` over the per-user event order
+    * IS the as-of lookup (timestamps ascend, so max ≡ latest) — one sort
+    * per user partition, no range-join blowup, no state. This is the
+    * scalable pattern for point-in-time joins Spark lacks natively.
+    */
+  def asofPriorEvent(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+                     targetType: String, matchType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.withColumn("ts_ms", unix_millis(col(tsCol)))
+      .withColumn("asof_ms",
+        max(when(col(typeCol) === matchType, col("ts_ms"))).over(w))
+      .filter(col(typeCol) === targetType)
+      .select(col("event_id"), col(userCol), col("ts_ms"), col("asof_ms"),
+        (col("ts_ms") - col("asof_ms")).as("gap_ms"))
+  }
+
   /** Regex field extraction from a semi-structured payload column —
     * codegen'd regexp, no JSON parser dependency, pushable ahead of any
     * shuffle.

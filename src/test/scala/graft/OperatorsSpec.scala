@@ -117,6 +117,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[String]("lang") === "en")
   }
 
+  test("as-of join finds the latest prior match per user, never a later one") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "click"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "purchase"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 7L, "click"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 8L, "purchase"), // no prior click
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.asofPriorEvent(ev, "user_id", "ts", "event_type", "purchase", "click")
+      .collect().map(r => (r.getAs[Long]("event_id"), Option(r.getAs[Any]("asof_ms")))).toMap
+    val t5m = java.sql.Timestamp.valueOf("2024-01-01 00:05:00").getTime
+    assert(out(3L) === Some(t5m)) // latest prior click at 00:05, not 00:00, not 00:20
+    assert(out(5L) === None)
+  }
+
   test("sessionize splits on gap and counts correctly") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
