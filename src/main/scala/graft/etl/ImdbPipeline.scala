@@ -40,12 +40,14 @@ object ImdbPipeline {
           "\\N"),
         Map("startYear" -> "int", "runtimeMinutes" -> "int", "isAdult" -> "int"))
         .filter(col("titleType") === "movie"),
-      Seq("tconst"), Seq(col("tconst")))
+      // secondary sort col makes the "keep first" pick deterministic among
+      // duplicate keys (the reference's dropDuplicates is arbitrary there)
+      Seq("tconst"), Seq(col("tconst"), col("primaryTitle")))
     val ratingsStg = Staging.dedupByKeyKeepFirst(
       Staging.castColumns(
         Staging.nullMarkers(ratingsRaw, Seq("averageRating", "numVotes"), "\\N"),
         Map("averageRating" -> "double", "numVotes" -> "int")),
-      Seq("tconst"), Seq(col("tconst")))
+      Seq("tconst"), Seq(col("tconst"), col("averageRating")))
 
     // DW core (etl_imdb.py:152–193)
     val dimYear = Star.dimFromColumn(titlesStg, col("startYear"), "year")

@@ -58,6 +58,41 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation would decode, scale to
+    * (targetW, targetH), and re-encode. The deterministic fake keeps the
+    * contract: output payload size proportional to the target area,
+    * metadata updated, same mapPartitions batch shape.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // ??? real scaler goes here; deterministic fake below.
+        val outLen = math.max(1, (targetW.toLong * targetH / 64L).toInt)
+        val out = Array.tabulate[Byte](outLen)(i => r.payload(i % math.max(1, r.payload.length)))
+        r.copy(width = targetW, height = targetH, payload = out)
+      }
+    }
+  }
+
+  /** STUB frame sampling for video-like payloads: every `stride`-th chunk
+    * of the payload stands in for a decoded frame; emits one row per
+    * sampled frame with its index. The explode keeps frame rows colocated
+    * with their source partition — no shuffle.
+    */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      // ??? real demuxer goes here; fixed-size chunks below.
+      val nFrames = math.max(1, r.payload.length / math.max(1, frameBytes))
+      (0 until nFrames by stride).map { f =>
+        val from = f * frameBytes
+        val until = math.min(r.payload.length, from + frameBytes)
+        (r.media_id, f.toLong, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }.toDF("media_id", "frame_idx", "frame_payload")
+  }
+
   /** Full plumbing demo: documents → media table → decoded features. */
   def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
