@@ -23,6 +23,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: touch every table once so no query's time includes
+    // first-scan/codec/JVM initialization
+    Tables.names.foreach { n =>
+      try {
+        (if (n == "events") Tables.events(spark, sfDir)
+         else Tables.load(spark, sfDir, n)).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
