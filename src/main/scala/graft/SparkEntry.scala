@@ -87,6 +87,14 @@ object SparkEntry {
           Some(col("o_totalprice") >= TopThreshold))
         .select(col("c_mktsegment").as("segment"), col("o_orderkey").as("factkey"),
           cents(col("o_totalprice")).as("price_cents"), col("rk"))),
+    "mart_top_agg" -> ((s, dir) =>
+      operators.TopKAggregate.topK(
+          t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey")),
+          col("c_mktsegment"), "segment",
+          cents(col("o_totalprice")), col("o_orderkey"), TopNPerGroup,
+          "factkey", "price_cents")
+        .select(col("segment"), col("factkey"), col("price_cents"), col("rk"))),
     "mart_histogram" -> ((s, dir) =>
       Marts.histogram(t(s, dir, "orders"),
           Seq(year(col("o_orderdate")).cast("long").as("yearkey")),
@@ -272,6 +280,7 @@ object SparkEntry {
     "q_distinct_count" -> Oracles.qDistinctCount,
     "q_running_total" -> Oracles.qRunningTotal,
     "mart_top_salted" -> Oracles.martTopPerGroup,
+    "mart_top_agg" -> Oracles.martTopPerGroup,
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,

@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
   }
 
+  test("TopK aggregator partial-aggregates map-side (no full group sort)") {
+    val df = SparkEntry.queries("mart_top_agg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkaggregator"),
+      s"expected map-side partial TopK aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"aggregate path must not fall back to a window:\n$plan")
+  }
+
   test("salted top-N returns exactly the plain top-N rows") {
     val a = SparkEntry.queries("mart_top_salted")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
