@@ -49,7 +49,7 @@ object SparkEntry {
     }),
     "stage_dedup_key" -> ((s, dir) =>
       Staging.dedupByKeyKeepFirst(t(s, dir, "orders"), Seq("o_custkey"),
-          Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+          Seq(col("o_orderdate"), col("o_orderkey")))
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
     "dim_distinct" -> ((s, dir) =>
       Star.dimFromColumn(t(s, dir, "customer"), col("c_mktsegment"), "segkey")),
