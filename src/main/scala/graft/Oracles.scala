@@ -114,29 +114,39 @@ object Oracles {
        |WHERE qscore >= $CleanMinQuality""".stripMargin
   }
 
-  /** hex8 → bigint for simhash's per-token 32-bit hash (== Spark's
-    * conv(substring(md5(t),1,8),16,10)).
+  /** 8-hex-char window → bigint for simhash's per-token hash halves
+    * (== Spark's conv(substring(md5(t), 1+8*half, 8),16,10)).
     */
-  private def hex8Expr(t: String): String =
-    (0 until 8).map(j => s"(instr('$hex', substr(md5($t), ${j + 1}, 1)) - 1)")
+  private def hex8Expr(t: String, half: Int = 0): String =
+    (0 until 8).map(j => s"(instr('$hex', substr(md5($t), ${1 + 8 * half + j}, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
 
   def dedupSimhash: String = {
-    val ws = (0 until SimhashBits).map(b => s"sum(2 * ((v >> $b) & 1) - 1) AS w$b").mkString(", ")
-    val sh = (0 until SimhashBits)
-      .map(b => s"(CASE WHEN w$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}").mkString(" + ")
-    val blocks = (0 until 4).map { k =>
-      s"SELECT doc_id, simhash, $k AS blk, (simhash >> ${8 * k}) & 255 AS bv FROM s"
+    // 64 bits as two 32-bit halves (lo = md5 hex 1-8, hi = hex 9-16):
+    // no engine ever touches a signed-64 pack, and per-half bit_count
+    // sums give the exact 64-bit hamming distance.
+    val ws = (0 until 64).map { b =>
+      val v = if (b < 32) "vlo" else "vhi"
+      s"sum(2 * (($v >> ${b % 32}) & 1) - 1) AS w$b"
+    }.mkString(", ")
+    def pack(from: Int): String = (0 until 32)
+      .map(b => s"(CASE WHEN w${from + b} >= 0 THEN 1 ELSE 0 END) * ${1L << b}").mkString(" + ")
+    val blocks = Seq(
+      "sim_lo & 65535", "(sim_lo >> 16) & 65535",
+      "sim_hi & 65535", "(sim_hi >> 16) & 65535"
+    ).zipWithIndex.map { case (bv, k) =>
+      s"SELECT doc_id, sim_lo, sim_hi, $k AS blk, $bv AS bv FROM s"
     }.mkString(" UNION ALL ")
     s"""WITH $toksCte,
        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
-       |tv AS (SELECT doc_id, CAST(${hex8Expr("t")} AS BIGINT) AS v FROM tok),
+       |tv AS (SELECT doc_id, CAST(${hex8Expr("t", 0)} AS BIGINT) AS vlo,
+       |  CAST(${hex8Expr("t", 1)} AS BIGINT) AS vhi FROM tok),
        |w AS (SELECT doc_id, $ws FROM tv GROUP BY doc_id),
-       |s AS (SELECT doc_id, $sh AS simhash FROM w),
+       |s AS (SELECT doc_id, ${pack(0)} AS sim_lo, ${pack(32)} AS sim_hi FROM w),
        |blk AS ($blocks)
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |    CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |WHERE hamming <= $SimhashMaxDist""".stripMargin
   }

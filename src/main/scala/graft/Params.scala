@@ -11,8 +11,11 @@ object Params {
   val MinhashRows: Int = MinhashK / MinhashBands
   val JaccardMin = 0.5
 
-  // simhash
-  val SimhashBits = 32
+  // simhash: 64-bit signature (as two 32-bit halves), 4×16-bit pigeonhole
+  // blocks — 65 536 bucket values per block position keeps in-bucket
+  // self-joins bounded at corpus scale (the old 8-bit blocks had 256).
+  val SimhashBits = 64
+  val SimhashBlockBits = 16
   val SimhashMaxDist = 3
 
   // embedding LSH / ANN

@@ -49,10 +49,15 @@ object HashFunctions {
   def bandKey(mins: Seq[Column]): Column =
     mins.reduce((acc, m) => acc * lit(31L) + m)
 
-  /** 32-bit hash of a token from the first 8 hex chars of its md5 —
-    * the per-feature hash for SimHash.
+  /** One 32-bit half of the 64-bit SimHash token hash: 8 hex chars of the
+    * token's md5 (`half` = 0 → chars 1-8 = bits 0..31, `half` = 1 →
+    * chars 9-16 = bits 32..63). The two halves are kept as separate longs
+    * everywhere — 64-bit packing would be sign/overflow-fragile across
+    * engines, and per-half `bit_count` sums give the identical hamming
+    * distance.
     */
-  def token32(t: Column): Column = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+  def tokenHalf(t: Column, half: Int): Column =
+    conv(substring(md5(t), 1 + 8 * half, 8), 16, 10).cast("long")
 
   /** Deterministic md5-derived hex digit value (0..15) computed in Scala —
     * must stay in lockstep with the SQL form

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 
@@ -145,41 +145,52 @@ object Dedup {
       .where(col("qscore") >= minQuality)
   }
 
-  /** 32-bit SimHash signatures: explode tokens → 32 partial sums in ONE
-    * hash aggregate (map-side combine ⇒ the shuffle carries (doc, 32
-    * longs)), then sign → bit → packed long. Also emits the 4 8-bit blocks
-    * used for pigeonhole candidate generation.
+  /** 64-bit SimHash signatures as two 32-bit halves: explode tokens → 64
+    * partial sums in ONE hash aggregate (map-side combine ⇒ the shuffle
+    * carries (doc, 64 longs)), then sign → bit → two packed 32-bit longs
+    * (`sim_lo` = bits 0..31, `sim_hi` = bits 32..63 — a single 64-bit pack
+    * would be sign/overflow-fragile across engines). Also emits the 4
+    * 16-bit pigeonhole blocks (65 536 bucket values each) used for
+    * candidate generation: expected bucket size is N/65536, so in-bucket
+    * self-joins stay bounded at corpus scale — the 8-bit design this
+    * replaces had only 256 bucket values per block, which is quadratic
+    * death at 10^9 docs.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(T.tokens(col(textCol))).as("t"))
-      .select(col(idCol), H.token32(col("t")).as("v"))
-    val weights = (0 until 32).map { b =>
-      sum(shiftright(col("v"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"w$b")
+      .select(col(idCol), H.tokenHalf(col("t"), 0).as("vlo"), H.tokenHalf(col("t"), 1).as("vhi"))
+    val weights = (0 until 64).map { b =>
+      val v = if (b < 32) col("vlo") else col("vhi")
+      sum(shiftright(v, b % 32).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"w$b")
     }
     val agg = tok.groupBy(col(idCol)).agg(weights.head, weights.tail: _*)
-    val bits = (0 until 32).map(b => when(col(s"w$b") >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b))
-    val sh = bits.reduce(_ + _).as("simhash")
-    agg.select(col(idCol), sh)
-      .withColumn("b0", col("simhash").bitwiseAND(lit(255L)))
-      .withColumn("b1", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
-      .withColumn("b2", shiftright(col("simhash"), 16).bitwiseAND(lit(255L)))
-      .withColumn("b3", shiftright(col("simhash"), 24).bitwiseAND(lit(255L)))
+    def pack(from: Int): Column = (0 until 32).map { b =>
+      when(col(s"w${from + b}") >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b)
+    }.reduce(_ + _)
+    agg.select(col(idCol), pack(0).as("sim_lo"), pack(32).as("sim_hi"))
+      .withColumn("b0", col("sim_lo").bitwiseAND(lit(65535L)))
+      .withColumn("b1", shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L)))
+      .withColumn("b2", col("sim_hi").bitwiseAND(lit(65535L)))
+      .withColumn("b3", shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L)))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (<=3 is
     * complete under the 4-block pigeonhole: any pair within distance 3
-    * shares at least one exact 8-bit block). The exchange is keyed on
-    * (block_id, block_value) — tiny keys, bounded buckets.
+    * shares at least one exact 16-bit block). The exchange is keyed on
+    * (block_id, block_value) — tiny keys, buckets bounded by N/65536 per
+    * block position.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole is only complete for distance <= 3")
     val sig = simhash(docs, idCol, textCol)
-    val blocks = sig.select(col(idCol), col("simhash"),
+    val blocks = sig.select(col(idCol), col("sim_lo"), col("sim_hi"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "bv")))
     val a = blocks.as("a")
     val b = blocks.as("b")
-    val ham = expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+    // per-half xor popcounts sum to the exact 64-bit hamming distance
+    val ham = (expr("bit_count(a.sim_lo ^ b.sim_lo)") +
+      expr("bit_count(a.sim_hi ^ b.sim_hi)")).cast("long")
     a.join(b,
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

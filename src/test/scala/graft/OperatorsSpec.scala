@@ -70,6 +70,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("simhash 16-bit blocks shrink candidate buckets ~2 orders vs 8-bit") {
+    // scale probe (VERDICT r1 #1): with B-bit blocks a block position has
+    // 2^B bucket values, so expected random in-bucket pairs scale as
+    // nBlocks * C(N,2) / 2^B. 16-bit blocks must cut the candidate set by
+    // orders of magnitude vs an 8-bit split of the same 64-bit signature.
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .select($"doc_id", $"sim_lo", $"sim_hi").persist()
+    def candidates(width: Int): Long = {
+      val mask = (1L << width) - 1
+      val bvs = (0 until 32 / width).flatMap(k => Seq(
+        shiftright($"sim_lo", width * k).bitwiseAND(lit(mask)),
+        shiftright($"sim_hi", width * k).bitwiseAND(lit(mask))))
+      val blocks = sig.select($"doc_id", posexplode(array(bvs: _*)).as(Seq("blk", "bv")))
+      blocks.as("a").join(blocks.as("b"),
+          $"a.blk" === $"b.blk" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id").distinct().count()
+    }
+    val (c8, c16) = (candidates(8), candidates(16))
+    sig.unpersist()
+    assert(c16 * 20 < c8, s"16-bit blocks gave $c16 candidates vs $c8 for 8-bit")
+  }
+
   test("brute-force ANN ranks by cosine with deterministic ties") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
