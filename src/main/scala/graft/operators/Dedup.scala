@@ -98,37 +98,59 @@ object Dedup {
     * propagation until fixpoint. cluster_id = smallest doc id reachable —
     * the canonical representative each non-canonical doc collapses to.
     *
-    * Each iteration is one join + partial-agg shuffle; `localCheckpoint`
-    * truncates lineage so the plan stays flat however many rounds run.
-    * Rounds needed = graph diameter (near-dup clusters are shallow — a
-    * handful of rounds even at corpus scale). This loop-with-checkpoint
-    * is the standard large-scale CC pattern; the driver only ever sees a
-    * single boolean (changed?) per round, never data.
+    * Each iteration is exactly ONE join + one aggregate shuffle: the
+    * neighbor-label contributions (edges ⋈ labels) union each node's own
+    * label, and a single groupBy computes both the new label (min over
+    * all contributions) and the old one (min over the self row) — the
+    * convergence flag `label < old` falls out of the same pass, so no
+    * second probe join is ever launched. Each round's labels go through
+    * RELIABLE `checkpoint()` (driver-/storage-backed), not
+    * `localCheckpoint`: on a multi-hour corpus-scale run a lost executor
+    * must not kill the job, and lineage stays flat however many rounds
+    * run. Rounds needed = graph diameter (near-dup clusters are shallow).
+    * The driver only ever sees a single boolean (changed?) per round,
+    * never data.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
-      .localCheckpoint()
+      .persist()
     var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).localCheckpoint()
+      .withColumn("label", col("u")).checkpoint()
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
-        .groupBy(col("u")).agg(min(col("nl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "u")
-        .filter(col("label") < col("old")).limit(1).count() > 0
-      labels = next
+      val next = ccRound(edges, labels)
+        .checkpoint() // eager: materializes the round once, reliably
+      // cheap scan of the checkpointed output — not a recompute
+      changed = next.agg(max(col("chg"))).first.getBoolean(0)
+      labels = next.drop("chg")
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** One min-label-propagation round: neighbor-label contributions union
+    * each node's own label, then a single aggregate derives (new label,
+    * changed?). Exactly one join + one aggregate shuffle — PlanSpec pins
+    * this so a regression back to a per-round probe join fails CI.
+    */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+      .select(col("u"), col("nl"), lit(false).as("is_self"))
+      .unionByName(labels.select(col("u"), col("label").as("nl"), lit(true).as("is_self")))
+      .groupBy(col("u"))
+      .agg(min(col("nl")).as("label"),
+        min(when(col("is_self"), col("nl"))).as("old"))
+      .withColumn("chg", col("label") < col("old"))
+      .drop("old")
 
   /** C4-style cleaning composition: drop non-canonical near-dups (docs
     * with a verified duplicate of smaller id), keep docs above the quality

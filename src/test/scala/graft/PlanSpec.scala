@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * degrades the plan fails CI even while results stay correct.
   */
 class PlanSpec extends SparkSpec {
+  import spark.implicits._
 
   private def explain(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -56,6 +57,17 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges === 1, s"signature stage should shuffle once (doc key), got $exchanges:\n$plan")
     assert(plan.contains("partial_min"), s"expected map-side partial mins:\n$plan")
+  }
+
+  test("connected-components round is one join + one aggregate, no probe join") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))).distinct()
+    val labels = edges.select(col("u")).distinct().withColumn("label", col("u"))
+    val plan = graft.operators.Dedup.ccRound(edges, labels)
+      .queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins === 1, s"CC round must plan exactly one join, got $joins:\n$plan")
   }
 
   test("anti join resolves to a broadcast anti join at this scale") {
