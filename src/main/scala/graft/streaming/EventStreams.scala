@@ -8,9 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.operators.EventOps]] and act as their semantic oracles.
   *
   * State is always watermark-bounded: windowed aggregation state expires
-  * with the watermark, and the sessionizer uses processing-time timeouts,
-  * so executor state stays O(active keys) no matter how long the stream
-  * runs — the property that matters on an unbounded 100 TB/day feed.
+  * with the watermark, and the sessionizer closes sessions on EVENT-time
+  * timeouts driven by the same watermark, so executor state stays
+  * O(active keys) no matter how long the stream runs — and replaying the
+  * same data yields the same sessions (processing-time timeouts would
+  * not), the property that matters on an unbounded 100 TB/day feed.
   */
 object EventStreams {
 
@@ -42,24 +44,36 @@ object EventStreams {
 
   /** Tumbling 1-hour windowed counts per event type with a watermark.
     * Append mode emits each window once, when the watermark passes it.
+    * `value_cents` is the same exact-integer form the batch twin
+    * ([[graft.operators.EventOps.hourlyAgg]]) emits — float sums would be
+    * summation-order-dependent and so not comparable across runs.
     */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
 
   /** Gap-based sessionization with explicit state: a session closes when
-    * no event arrives within `gapMs` (tracked via processing-time timeout).
-    * flatMapGroupsWithState keeps exactly one small state record per
-    * active user.
+    * event time advances more than `gapMs` past its last event — tracked
+    * via EVENT-time timeout, so closure is driven by the watermark, not
+    * wall-clock arrival. Replaying the same data therefore produces the
+    * same sessions as the batch twin ([[graft.operators.EventOps
+    * .sessionize]]); a processing-time timeout would close sessions at
+    * nondeterministic points on replay/backfill. flatMapGroupsWithState
+    * keeps exactly one small state record per active user, expired by the
+    * watermark.
+    *
+    * Callers must set a watermark on `ts` BEFORE calling (the timeout
+    * needs one); `watermarkedSessions` bundles the standard form.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -83,10 +97,20 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // close when event time passes last event + gap; the timeout
+              // timestamp must stay ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
       }
+  }
+
+  /** Standard watermark + event-time sessionization composition. */
+  def watermarkedSessions(events: Dataset[Event], gapMs: Long,
+                          watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    sessionize(events.withWatermark("ts", watermark).as[Event], gapMs)
   }
 }

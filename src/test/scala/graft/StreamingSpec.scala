@@ -41,22 +41,59 @@ class StreamingSpec extends SparkSpec {
   test("stateful sessionizer closes a session on in-batch gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
-    val q = EventStreams.sessionize(stream.toDS(), gapMs = 1800000L)
+    val q = EventStreams.watermarkedSessions(stream.toDS(), gapMs = 1800000L)
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
     try {
       stream.addData(
         Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
         Event(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0),
         Event(3, ts("2024-01-01 02:00:00"), 7, "click", 1.0)) // gap > 30min closes first session
-      // poll the sink: with ProcessingTimeTimeout armed, processAllAvailable
-      // can spin on timeout-triggered batches, so wait for the row instead
-      val deadline = System.nanoTime() + 60L * 1000000000L
-      while (spark.table("sessions").isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(200)
+      q.processAllAvailable()
       val rows = spark.table("sessions").as[EventStreams.SessionOut].collect().toSet
       assert(rows === Set(EventStreams.SessionOut(7, 2,
         ts("2024-01-01 00:00:00").getTime, 600000L)))
     } finally q.stop()
+  }
+
+  test("event-time sessionizer: replayed batches reproduce the batch twin exactly") {
+    // VERDICT r1 #3: with EventTimeTimeout, session closure depends only
+    // on event time + watermark, so replaying the same data gives the
+    // same sessions — and they equal the batch form's.
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 8, "view", 1.0),
+      Event(3, ts("2024-01-01 00:10:00"), 7, "click", 1.0))
+    val batch2 = Seq(Event(4, ts("2024-01-01 02:00:00"), 7, "click", 1.0))
+    // watermark driver: far-future event for an unrelated user closes
+    // every session of users 7/8 via event-time timeout
+    val batch3 = Seq(Event(5, ts("2024-01-01 06:00:00"), 9, "click", 1.0))
+
+    def run(name: String): Set[(Long, Long, Long, Long)] = {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.watermarkedSessions(stream.toDS(), gapMs = 1800000L,
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        Seq(batch1, batch2, batch3).foreach { b =>
+          stream.addData(b: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[EventStreams.SessionOut].collect()
+          .map(s => (s.user_id, s.n_events, s.start_ms, s.duration_ms))
+          .filter(_._1 != 9L).toSet // user 9's session is still open
+      } finally q.stop()
+    }
+
+    val first = run("replay_a")
+    val second = run("replay_b")
+    assert(first === second, "replaying identical batches must give identical sessions")
+
+    val batchTwin = graft.operators.EventOps
+      .sessionize((batch1 ++ batch2).toDF(), "user_id", "ts", 1800000L)
+      .select(col("user_id"), col("n_events"), col("start_ms"), col("duration_ms"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(first === batchTwin, "streamed sessions must equal the batch twin")
   }
 
   test("file-source stream over the events parquet matches the batch read") {
@@ -81,7 +118,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming hourly agg matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map(i =>
-      Event(i, ts(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"), i % 3, if (i % 2 == 0) "a" else "b", 1.0))
+      Event(i, ts(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"), i % 3, if (i % 2 == 0) "a" else "b", i * 0.37))
     val stream = MemoryStream[Event]
     val q = EventStreams.hourlyCounts(stream.toDF(), watermark = "1 minute")
       .writeStream.format("memory").queryName("twin").outputMode("complete").start()
@@ -89,12 +126,13 @@ class StreamingSpec extends SparkSpec {
       stream.addData(events: _*)
       q.processAllAvailable()
       val streamed = spark.table("twin")
-        .select(hour(col("window.start")).cast("long").as("h"), col("event_type"), col("n_events"))
-        .as[(Long, String, Long)].collect().toSet
+        .select(hour(col("window.start")).cast("long").as("h"), col("event_type"),
+          col("n_events"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
       val batch = graft.operators.EventOps
         .hourlyAgg(events.toDF(), "ts", "event_type", "value")
-        .select(col("h"), col("event_type"), col("n_events"))
-        .as[(Long, String, Long)].collect().toSet
+        .select(col("h"), col("event_type"), col("n_events"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
       assert(streamed === batch)
     } finally q.stop()
   }
