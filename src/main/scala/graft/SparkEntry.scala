@@ -169,8 +169,12 @@ object SparkEntry {
       val yearly = t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
         .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      // the window runs on the POST-aggregate (one row per year — bounded
+      // cardinality), so a single partition is safe at any input scale;
+      // partitioning by a constant makes that intent explicit and avoids
+      // WindowExec's unpartitioned-window warning drowning real ones
       yearly.withColumn("running_cents",
-        sum(col("total_cents")).over(Window.orderBy(col("yearkey"))
+        sum(col("total_cents")).over(Window.partitionBy(lit(0)).orderBy(col("yearkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
     "q_approx_distinct" -> ((s, dir) =>

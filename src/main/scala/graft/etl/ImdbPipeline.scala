@@ -77,8 +77,12 @@ object ImdbPipeline {
         Seq(col("avg_rating").desc, col("titlekey").asc), topN,
         Some(col("num_votes") >= minVotes))
       .select(col("yearkey"), col("titlekey"), col("avg_rating"), col("num_votes"), col("rk"))
+    // reference layout (etl_imdb.py:230): rating_bucket carries the
+    // half-point lower bound floor(rating*2)/2, not the integer index —
+    // index * width recovers it exactly (0.5 is a binary fraction)
     val dist = Marts.histogram(fact, Seq(col("yearkey")), col("avg_rating"), 0.5)
-      .withColumnRenamed("n", "count")
+      .select(col("yearkey"), (col("bucket") * lit(0.5)).as("rating_bucket"),
+        col("n").as("count"))
 
     Outputs(dimYear, dimTitle, dimGenre, bridge, fact, kpi, topGenre, topYear, dist)
   }

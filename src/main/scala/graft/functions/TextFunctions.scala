@@ -38,9 +38,12 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 2): Column = {
     require(n == 2, "word-bigram shingles are the supported kernel")
     val ts = tokens(text)
+    // empty/one-token docs: size-1 would be a negative slice length,
+    // which Slice rejects at runtime — clamp to 0 (empty shingle set)
+    val len = greatest(size(ts) - 1, lit(0))
     zip_with(
-      slice(ts, lit(1), size(ts) - 1),
-      slice(ts, lit(2), size(ts) - 1),
+      slice(ts, lit(1), len),
+      slice(ts, lit(2), len),
       (a, b) => concat(a, lit(" "), b))
   }
 

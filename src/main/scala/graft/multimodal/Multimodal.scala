@@ -69,7 +69,12 @@ object Multimodal {
       rows.map { r =>
         // ??? real scaler goes here; deterministic fake below.
         val outLen = math.max(1, (targetW.toLong * targetH / 64L).toInt)
-        val out = Array.tabulate[Byte](outLen)(i => r.payload(i % math.max(1, r.payload.length)))
+        // empty payloads must survive (the 'any input' contract a real
+        // codec stage needs) — emit zero bytes instead of indexing into
+        // an empty array
+        val out =
+          if (r.payload.isEmpty) new Array[Byte](outLen)
+          else Array.tabulate[Byte](outLen)(i => r.payload(i % r.payload.length))
         r.copy(width = targetW, height = targetH, payload = out)
       }
     }

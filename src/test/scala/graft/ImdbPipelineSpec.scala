@@ -69,11 +69,12 @@ class ImdbPipelineSpec extends SparkSpec {
     assert(top1990.map(_._2).toSeq === Seq("t1", "t2")) // 7.5 then 6.0
   }
 
-  test("rating distribution buckets on 0.5 width") {
+  test("rating distribution buckets on 0.5 width in the reference layout") {
     val dist = out.martRatingDistribution.collect()
-      .map(r => (r.getAs[Int]("yearkey"), r.getAs[Long]("bucket"), r.getAs[Long]("count"))).toSet
-    // bucket index = floor(rating/0.5): 7.5→15, 6.0→12, 8.0→16
-    assert(dist === Set((1990, 15L, 1L), (1990, 12L, 1L), (1991, 16L, 1L)))
+      .map(r => (r.getAs[Int]("yearkey"), r.getAs[Double]("rating_bucket"), r.getAs[Long]("count"))).toSet
+    // rating_bucket = floor(rating*2)/2 (reference etl_imdb.py:230):
+    // 7.5→7.5, 6.0→6.0, 8.0→8.0
+    assert(dist === Set((1990, 7.5, 1L), (1990, 6.0, 1L), (1991, 8.0, 1L)))
   }
 
   test("write produces reference layout with partitioned fact") {

@@ -129,6 +129,19 @@ class OperatorsSpec extends SparkSpec {
       Set((None, Some(5)), (Some(7), None)))
   }
 
+  test("empty and one-token documents flow through shingles/minhash without error") {
+    // ADVICE r1: slice(ts, 1, size-1) threw for zero-token docs; the
+    // length is now clamped to 0
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "solo"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", T.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).isEmpty)
+    assert(sh(4L) === Seq("a b", "b c"))
+    // the dedup pipeline over a corpus containing empty docs must not throw
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text").collect().length >= 0)
+  }
+
   test("text functions: tokens, shingles, language priority") {
     val df = Seq(Tuple1("the quick  brown fox  ")).toDF("text")
     val r = df.select(
