@@ -37,13 +37,25 @@ object Similarity {
   /** Exact cosine top-k for each query row against the whole corpus.
     * Rank order is total — (cosine desc, neighbor id asc) — so results are
     * reproducible across engines. Self-matches are excluded.
+    *
+    * This is deliberately a queries × corpus product, so the query side
+    * MUST be bounded: `maxQueries` is enforced with a cheap limit-probe
+    * (reads at most maxQueries+1 rows) so passing the whole corpus as
+    * queries fails loudly instead of launching an N×M join, and the query
+    * side is broadcast so the corpus never shuffles. Corpus-scale query
+    * sets belong on [[lshTopK]].
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int, maxQueries: Int = 100000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nQ = queries.limit(maxQueries + 1).count()
+    require(nQ <= maxQueries,
+      s"bruteForceTopK query side exceeds maxQueries=$maxQueries rows — " +
+        "this kernel is for bounded query sets; use lshTopK for corpus-scale queries")
     // norms are computed once per row map-side; per-pair work is a single
     // dot fold (bit-identical to folding the norm per pair, 3x cheaper)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      V.norm(col(vecCol)).as("qn"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      V.norm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       V.norm(col(vecCol)).as("nn"))
     val scored = q.crossJoin(c)

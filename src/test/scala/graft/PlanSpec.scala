@@ -70,6 +70,18 @@ class PlanSpec extends SparkSpec {
     assert(joins === 1, s"CC round must plan exactly one join, got $joins:\n$plan")
   }
 
+  test("brute-force ANN broadcasts the query side and rejects unbounded query sets") {
+    val plan = explain("ann_brute_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast (corpus never shuffles for the product):\n$plan")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5,
+        maxQueries = 2)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
   test("anti join resolves to a broadcast anti join at this scale") {
     val plan = explain("q_anti_join")
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
@@ -89,6 +101,34 @@ class PlanSpec extends SparkSpec {
     val b = SparkEntry.queries("mart_top_per_group")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(a === b)
+  }
+
+  test("AQE splits a deliberately skewed join partition at runtime") {
+    // SURVEY §5 claims AQE skew-join absorbs hot keys; prove it: one key
+    // holds 50% of the left side, thresholds lowered to test scale, and
+    // the FINAL adaptive plan must carry the skew=true SMJ marker.
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+        concat(lit("pad-payload-pad-payload-"), col("id")).as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS Dataset's QueryExecution (a write would plan a fresh
+      // one and leave this plan un-finalized), then read the final plan
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE to split the hot partition:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("bucketed tables join without an exchange on the bucketed side") {
