@@ -88,7 +88,7 @@ object SparkEntry {
         .select(col("c_mktsegment").as("segment"), col("o_orderkey").as("factkey"),
           cents(col("o_totalprice")).as("price_cents"), col("rk"))),
     "mart_top_agg" -> ((s, dir) =>
-      operators.TopKAggregate.topK(
+      operators.TopKAggregate.topK[Long, Long](
           t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
             col("o_custkey") === col("c_custkey")),
           col("c_mktsegment"), "segment",

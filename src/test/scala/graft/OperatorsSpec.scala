@@ -114,6 +114,16 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("TopKAggregator generalizes to string values with the same total order") {
+    val df = Seq(("g", "beta", 1L), ("g", "gamma", 2L), ("g", "alpha", 3L),
+      ("g", "gamma", 9L), ("h", "zeta", 5L)).toDF("grp", "v", "id")
+    val top = operators.TopKAggregate
+      .topK[String, Long](df, col("grp"), "grp", col("v"), col("id"), 2, "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // order is (value DESC, id ASC): g → (gamma,2),(gamma,9); h → (zeta,5)
+    assert(top === Set(("g", 2L, "gamma", 1L), ("g", 9L, "gamma", 2L), ("h", 5L, "zeta", 1L)))
+  }
+
   test("topNPerGroup breaks ties on the tie-break column") {
     val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3)).toDF("grp", "score", "id")
     val top = Marts.topNPerGroup(df, Seq($"grp"), Seq($"score".desc, $"id".asc), 2)
