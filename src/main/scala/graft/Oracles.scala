@@ -423,4 +423,15 @@ object Oracles {
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderpriority,
        |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents
        |FROM orders GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin
+
+  def qGroupingSets: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderpriority,
+       |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents
+       |FROM orders GROUP BY GROUPING SETS (
+       |  (CAST(year(o_orderdate) AS BIGINT), o_orderpriority), (o_orderpriority), ())""".stripMargin
+
+  def qCube: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderpriority,
+       |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents
+       |FROM orders GROUP BY CUBE(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin
 }

@@ -157,6 +157,21 @@ object SparkEntry {
       t(s, dir, "orders")
         .rollup(year(col("o_orderdate")).cast("long").as("yearkey"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))),
+    "q_grouping_sets" -> ((s, dir) =>
+      // arbitrary grouping-set shapes (beyond rollup's prefix chain):
+      // Spark expands the sets in ONE pass over the input — each set
+      // contributes its own partial aggregate, no per-set rescan
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yearkey"),
+          col("o_orderpriority"), cents(col("o_totalprice")).as("pc"))
+        .groupingSets(
+          Seq(Seq(col("yearkey"), col("o_orderpriority")), Seq(col("o_orderpriority")), Seq.empty),
+          col("yearkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("total_cents"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(year(col("o_orderdate")).cast("long").as("yearkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))),
     "q_median" -> ((s, dir) =>
       Marts.exactMedian(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey",
@@ -280,6 +295,8 @@ object SparkEntry {
     "q5_local_supplier" -> Oracles.q5LocalSupplier,
     "q_anti_join" -> Oracles.qAntiJoin,
     "q_rollup" -> Oracles.qRollup,
+    "q_grouping_sets" -> Oracles.qGroupingSets,
+    "q_cube" -> Oracles.qCube,
     "q_median" -> Oracles.qMedian,
     "q_distinct_count" -> Oracles.qDistinctCount,
     "q_running_total" -> Oracles.qRunningTotal,
