@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * stage.
   *
   * The Spark-side plumbing (schema, batch iteration, partition sizing) is
-  * real; the codec itself is a STUB — this container has no image/audio
-  * libraries, so `decodeStub` derives deterministic fake features from the
-  * payload bytes. Swapping in a real codec is a one-function change with
-  * the same `Iterator → Iterator` shape (the idiomatic Scala analog of a
-  * `mapInPandas` batch UDF: per-partition batching, no per-row JNI/process
-  * round-trips).
+  * real, and the IMAGE path uses a real codec: [[ImageCodec]] encodes and
+  * decodes PNG via `javax.imageio` (pure JVM, headless-safe — the one
+  * codec this container ships). Audio/video stay deterministic STUBS
+  * (no such libraries here); each keeps the exact `Iterator → Iterator`
+  * shape a real codec needs (the idiomatic Scala analog of a `mapInPandas`
+  * batch UDF: per-partition batching, no per-row JNI/process round-trips).
   */
 object Multimodal {
 
@@ -98,11 +98,94 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_payload")
   }
 
-  /** Full plumbing demo: documents → media table → decoded features. */
+  /** Media table with REAL PNG payloads: each doc renders a deterministic
+    * tiny RGB image from its text bytes, encoded by [[ImageCodec]]. This
+    * is the ingestion-side batch shape for a real encoder — one
+    * mapPartitions pass, codec invoked per row inside the batch.
+    */
+  def mediaFromDocumentsPng(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val w = (id % 12 + 4).toInt
+        val h = (id % 9 + 3).toInt
+        MediaRow(id, "image", w, h, ImageCodec.encodePng(w, h, text.getBytes("UTF-8")))
+      }
+    }
+  }
+
+  /** REAL decode for image payloads (PNG via javax.imageio): dimensions
+    * and checksum come from the decoded pixels, not the container bytes.
+    * Non-decodable payloads (other modalities) fall back to the stub's
+    * byte-level features, so the stage keeps the any-input contract.
+    */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageCodec.decodePng(r.payload) match {
+          case Some((w, h, pixCrc)) =>
+            val feat = Array.tabulate(8)(j => ((pixCrc >>> (j * 8)) & 0xff).toFloat / 255.0f)
+            MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, pixCrc, feat)
+          case None =>
+            var crc = 1125899906842597L
+            var i = 0
+            while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+            val feat = Array.tabulate(8)(j => ((crc >>> (j * 8)) & 0xff).toFloat / 255.0f)
+            MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, crc, feat)
+        }
+      }
+    }
+  }
+
+  /** Full plumbing demo: documents → PNG media table → real decode. */
   def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val media = mediaFromDocuments(docs).as[MediaRow]
-    decodeStub(media).toDF()
+    decodeImage(mediaFromDocumentsPng(docs)).toDF()
       .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
   }
+}
+
+/** Real PNG encode/decode on the JVM's built-in ImageIO — no native or
+  * external dependency, safe on headless executors.
+  */
+object ImageCodec {
+
+  /** Deterministic tiny RGB image from seed bytes, PNG-encoded. */
+  def encodePng(width: Int, height: Int, seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val b = if (seed.isEmpty) 0 else seed((y * width + x) % seed.length) & 0xff
+        img.setRGB(x, y, (b << 16) | (((x * 31 + y) & 0xff) << 8) | ((b ^ (x + y)) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG (or any ImageIO-readable) decode → (width, height, pixel crc);
+    * None when the payload is not a decodable image.
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var crc = 1125899906842597L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { crc = crc * 31 + (img.getRGB(x, y) & 0xffffff); x += 1 }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, crc))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -22,6 +22,32 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8").startsWith("the fast key"))
   }
 
+  test("real PNG codec: decode recovers encoded dimensions from the bytes") {
+    val media = Multimodal.mediaFromDocumentsPng(docs.limit(20)).collect()
+    // payloads are genuine PNG containers (magic bytes), varied sizes
+    assert(media.forall(r => (r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P'))
+    assert(media.map(r => (r.width, r.height)).distinct.length > 1)
+    media.foreach { r =>
+      val decoded = graft.multimodal.ImageCodec.decodePng(r.payload)
+      assert(decoded.isDefined, s"media ${r.media_id} must decode as PNG")
+      val (w, h, _) = decoded.get
+      assert(w === r.width && h === r.height,
+        s"decoded dims ($w,$h) must match metadata (${r.width},${r.height})")
+    }
+    // the Spark-side batched decode agrees with the local decode
+    val feats = Multimodal.decodeImage(
+      Multimodal.mediaFromDocumentsPng(docs.limit(20))).collect()
+    feats.foreach { f =>
+      val row = media.find(_.media_id == f.media_id).get
+      assert(f.checksum === graft.multimodal.ImageCodec.decodePng(row.payload).get._3)
+      assert(f.n_bytes === row.payload.length.toLong)
+    }
+    // a non-image payload falls back to byte features instead of failing
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(99L, "audio", 0, 0, Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.decodeImage(junk).collect().head.n_bytes === 3L)
+  }
+
   test("decode stub is deterministic and batch-shaped") {
     val f1 = Multimodal.featuresFromDocuments(spark, docs).orderBy($"media_id").collect()
     val f2 = Multimodal.featuresFromDocuments(spark, docs).orderBy($"media_id").collect()
