@@ -424,6 +424,58 @@ object Oracles {
        |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents
        |FROM orders GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin
 
+  /** CTE chain re-deriving [[graft.etl.ImdbSynthetic]]'s raw inputs and
+    * the reference pipeline's staging + fact (etl_imdb.py:129–193) over
+    * `part`, ending in fact(titlekey, yearkey, avg_rating, num_votes).
+    * The null-marker → NULL → cast staging collapses to direct NULLs here
+    * because the generator's markers are total functions of p_partkey.
+    */
+  private def imdbCtes: String =
+    s"""movies AS (
+       |  SELECT 't' || CAST(p_partkey AS VARCHAR) AS tconst,
+       |    CASE WHEN p_partkey % 17 = 0 THEN NULL
+       |         ELSE CAST(1980 + p_partkey % 40 AS INT) END AS startYear,
+       |    CASE WHEN p_partkey % 11 = 0 THEN NULL
+       |         ELSE replace(p_name, ' ', ',') END AS genres
+       |  FROM part WHERE p_partkey % 10 < 8),
+       |imdb_ratings AS (
+       |  SELECT 't' || CAST(p_partkey AS VARCHAR) AS tconst,
+       |    CAST(CAST((10 + p_partkey % 80) // 10 AS VARCHAR) || '.' ||
+       |         CAST((10 + p_partkey % 80) % 10 AS VARCHAR) AS DOUBLE) AS avg_rating,
+       |    CAST((p_partkey * 37) % 200000 AS INT) AS num_votes
+       |  FROM part WHERE p_partkey % 3 <> 0),
+       |imdb_fact AS (
+       |  SELECT m.tconst AS titlekey, m.startYear AS yearkey, r.avg_rating, r.num_votes
+       |  FROM movies m JOIN imdb_ratings r ON m.tconst = r.tconst)""".stripMargin
+
+  /** Reference KPI mart (etl_imdb.py:196) over the full pipeline. */
+  def imdbPipelineKpi: String =
+    s"""WITH $imdbCtes
+       |SELECT CAST(yearkey AS BIGINT) AS yearkey, count(*) AS n_movies,
+       |  round(avg(avg_rating), 4) AS mean_rating,
+       |  CAST(sum(num_votes) AS BIGINT) AS total_votes
+       |FROM imdb_fact GROUP BY 1""".stripMargin
+
+  /** Reference top-genre-per-year mart (etl_imdb.py:208–222) over the
+    * full pipeline, including the genre explode→bridge and the min-votes
+    * threshold.
+    */
+  def imdbTopGenre: String =
+    s"""WITH $imdbCtes,
+       |bridge AS (SELECT DISTINCT titlekey, lower(trim(g)) AS genrekey FROM (
+       |  SELECT tconst AS titlekey,
+       |    unnest(list_filter(string_split(genres, ','), t -> t <> '')) AS g
+       |  FROM movies WHERE genres IS NOT NULL)),
+       |tg AS (SELECT f.yearkey, b.genrekey, f.titlekey, f.avg_rating, f.num_votes,
+       |  row_number() OVER (PARTITION BY f.yearkey, b.genrekey
+       |                     ORDER BY f.num_votes DESC, f.titlekey) AS rk
+       |  FROM imdb_fact f JOIN bridge b ON b.titlekey = f.titlekey
+       |  WHERE f.num_votes >= $ImdbMinVotes)
+       |SELECT CAST(yearkey AS BIGINT) AS yearkey, genrekey, titlekey,
+       |  round(avg_rating, 4) AS avg_rating, CAST(num_votes AS BIGINT) AS num_votes,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM tg WHERE rk <= $TopNPerGroup""".stripMargin
+
   def qGroupingSets: String =
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderpriority,
        |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents

@@ -29,6 +29,7 @@ object Params {
 
   // marts
   val TopNPerGroup = 10
+  val ImdbMinVotes = 1000
   val TopThreshold = 400000.0
   val TopThresholdN = 5
   val HistWidth = 50000.0

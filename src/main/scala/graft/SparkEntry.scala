@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Marts, Staging, Star}
+import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, EventOps, Similarity}
@@ -23,6 +23,10 @@ object SparkEntry {
   private def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
 
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  private def imdbRun(part: DataFrame): ImdbPipeline.Outputs =
+    ImdbPipeline.run(ImdbSynthetic.titlesFromPart(part),
+      ImdbSynthetic.ratingsFromPart(part), ImdbMinVotes, TopNPerGroup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -107,6 +111,22 @@ object SparkEntry {
       s.read.parquet(tmp)
         .select(col("factkey"), col("custkey"), col("yearkey").cast("long").as("yearkey"),
           col("price_cents"), col("segment"))
+    }),
+
+    // full reference pipeline composition under the oracle gate: raw
+    // IMDb-shaped strings (with \N markers) → staging → dims/bridge/fact
+    // → marts, all inside ImdbPipeline.run
+    "imdb_pipeline" -> ((s, dir) => {
+      val out = imdbRun(t(s, dir, "part"))
+      out.martYearKpi.select(col("yearkey").cast("long").as("yearkey"),
+        col("n_movies"), round(col("mean_rating"), 4).as("mean_rating"),
+        col("total_votes").cast("long").as("total_votes"))
+    }),
+    "imdb_top_genre" -> ((s, dir) => {
+      val out = imdbRun(t(s, dir, "part"))
+      out.martTopGenreYear.select(col("yearkey").cast("long").as("yearkey"),
+        col("genrekey"), col("titlekey"), round(col("avg_rating"), 4).as("avg_rating"),
+        col("num_votes").cast("long").as("num_votes"), col("rk"))
     }),
 
     // ---- §2.2 TPC-H style ----
@@ -290,6 +310,8 @@ object SparkEntry {
     "mart_top_threshold" -> Oracles.martTopThreshold,
     "mart_histogram" -> Oracles.martHistogram,
     "sink_partitioned_write" -> Oracles.factJoin,
+    "imdb_pipeline" -> Oracles.imdbPipelineKpi,
+    "imdb_top_genre" -> Oracles.imdbTopGenre,
     "q1_pricing_summary" -> Oracles.q1PricingSummary,
     "q3_shipping_priority" -> Oracles.q3ShippingPriority,
     "q5_local_supplier" -> Oracles.q5LocalSupplier,
