@@ -116,13 +116,20 @@ object Dedup {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
+    // no distinct: ngram/simhash/embedding pair generators emit unique
+    // (a<b) pairs, so the two directions cannot collide — and min-label
+    // propagation is duplicate-insensitive anyway, so the dedup shuffle
+    // would be pure overhead even for callers that do pass dups
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
       .persist()
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).checkpoint()
-    var iter = 0
+    // round 1 fused into initialization: with label(v) = v initially the
+    // first propagation is just min(u, min(neighbors)) — one aggregate,
+    // no join, no separate identity-labels materialization
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .checkpoint()
+    var iter = 1
     var changed = true
     while (changed && iter < maxIter) {
       val next = ccRound(edges, labels)
