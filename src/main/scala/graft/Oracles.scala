@@ -260,6 +260,62 @@ object Oracles {
        |FROM documents d JOIN toks ON toks.doc_id = d.doc_id""".stripMargin
   }
 
+  // ---- sampling + corpus text ops ----
+
+  def sampleBernoulli: String = {
+    val thr = math.floor(SampleRate * 4294967296.0).toLong
+    val h = hex8Expr("('" + SampleSalt + ":' || CAST(doc_id AS VARCHAR))")
+    s"""SELECT doc_id, h FROM (
+       |  SELECT doc_id, CAST($h AS BIGINT) AS h FROM documents)
+       |WHERE h < $thr""".stripMargin
+  }
+
+  def sampleStratified: String = {
+    val h = hex8Expr("('" + SampleSalt + ":' || CAST(event_id AS VARCHAR))")
+    s"""SELECT event_id, event_type FROM (
+       |  SELECT event_id, event_type,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+       |  FROM (SELECT event_id, event_type, CAST($h AS BIGINT) AS h FROM events))
+       |WHERE rn <= $StratumK""".stripMargin
+  }
+
+  def textVocab: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+       |tc AS (SELECT t AS term, count(*) AS n FROM tok GROUP BY t)
+       |SELECT term, n, rank FROM (
+       |  SELECT term, n,
+       |    CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+       |  FROM tc)
+       |WHERE rank <= $VocabTopN""".stripMargin
+
+  def textTfidf: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+       |tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM tok GROUP BY doc_id, t),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |nq AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN nq)
+       |SELECT doc_id, term, tfidf, rk FROM (
+       |  SELECT doc_id, term, tfidf,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+       |  FROM sc)
+       |WHERE rk <= $TfidfTopK""".stripMargin
+
+  def textChunk: String =
+    s"""WITH $toksCte,
+       |ch AS (SELECT doc_id, i AS chunk_idx,
+       |    array_to_string(ts[(i*$ChunkStride+1):(i*$ChunkStride+$ChunkSize)], ' ') AS chunk_text
+       |  FROM (SELECT doc_id, ts,
+       |      unnest(range(0, CASE WHEN len(ts) = 0 THEN 0
+       |                          ELSE (len(ts)-1)//$ChunkStride + 1 END)) AS i
+       |    FROM toks))
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+       |  CAST(len(list_filter(string_split(chunk_text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+       |FROM ch""".stripMargin
+
   // ---- events ----
 
   def eventsWindowAgg: String =

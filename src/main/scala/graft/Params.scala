@@ -40,6 +40,17 @@ object Params {
   // cleaning pipeline
   val CleanMinQuality = 0.3
 
+  // deterministic sampling
+  val SampleRate = 0.2
+  val SampleSalt = "smp"
+  val StratumK = 100
+
+  // corpus text ops
+  val VocabTopN = 100
+  val TfidfTopK = 3
+  val ChunkSize = 32
+  val ChunkStride = 16
+
   // event pivot / as-of
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
   val AsofTarget = "purchase"

@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, EventOps, Similarity}
+import graft.operators.{Dedup, EventOps, Sampling, Similarity, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -259,7 +259,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
 
+    // ---- §2.8 deterministic sampling ----
+    "sample_bernoulli" -> ((s, dir) =>
+      Sampling.bernoulli(t(s, dir, "documents"), col("doc_id"), SampleRate, SampleSalt)
+        .select(col("doc_id"), H.hash32(col("doc_id"), SampleSalt).as("h"))),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedK(t(s, dir, "events"), Seq(col("event_type")),
+          col("event_id"), StratumK, SampleSalt)
+        .select(col("event_id"), col("event_type"))),
+
     // ---- §2.5 text analysis ----
+    "text_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(t(s, dir, "documents"), "text", VocabTopN)
+        .select(col("term"), col("n"), col("rank"))),
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", TfidfTopK)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))),
+    "text_chunk" -> ((s, dir) =>
+      TextOps.chunk(t(s, dir, "documents"), "doc_id", "text", ChunkSize, ChunkStride)),
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.tokenCount(col("text")).as("n_ws"), T.bpeTokenCount(col("text")).as("n_bpe"))),
@@ -333,6 +350,11 @@ object SparkEntry {
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,
+    "sample_bernoulli" -> Oracles.sampleBernoulli,
+    "sample_stratified" -> Oracles.sampleStratified,
+    "text_vocab" -> Oracles.textVocab,
+    "text_tfidf" -> Oracles.textTfidf,
+    "text_chunk" -> Oracles.textChunk,
     "text_token_count" -> Oracles.textTokenCount,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,

@@ -59,6 +59,13 @@ object HashFunctions {
   def tokenHalf(t: Column, half: Int): Column =
     conv(substring(md5(t), 1 + 8 * half, 8), 16, 10).cast("long")
 
+  /** Salted 32-bit uniform hash of a key column — the deterministic
+    * sampling kernel: `hash32(key) < rate·2³²` IS a reproducible
+    * Bernoulli(rate) draw, identical in any engine with md5.
+    */
+  def hash32(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), c.cast("string"))), 1, 8), 16, 10).cast("long")
+
   /** Deterministic md5-derived hex digit value (0..15) computed in Scala —
     * must stay in lockstep with the SQL form
     * `instr('0123456789abcdef', substr(md5(s),1,1)) - 1`.

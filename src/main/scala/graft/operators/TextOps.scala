@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-level text operators (beyond the per-row Column functions in
+  * [[graft.functions.TextFunctions]]): vocabulary building, TF-IDF
+  * weighting, context-window chunking — the relative-frequency and
+  * windowing stages an LLM data pipeline runs over the whole corpus.
+  */
+object TextOps {
+
+  /** Corpus vocabulary: top-N terms by frequency with a dense rank.
+    * One partial-agg shuffle on the term; the global top-N is a
+    * TakeOrdered (no full sort), and the rank window runs on N rows.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = docs
+      .select(explode(T.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topN)
+    // rank over the already-bounded top-N (constant partition: N rows)
+    counts.withColumn("rank",
+      row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("n").desc, col("term").asc)).cast("long"))
+  }
+
+  /** Per-document top-K terms by TF-IDF (tf · ln(N/df)). tf and df are
+    * exact integers; the only float is the final score, rounded to 4dp
+    * BEFORE ranking so rank order is identical across engines. Two
+    * shuffles: (doc, term) tf aggregate and term df aggregate; N arrives
+    * as a broadcast 1-row aggregate, never a driver round-trip.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= k)
+  }
+
+  /** Context-window chunking: overlapping token windows of `size` tokens
+    * every `stride` tokens — the standard shaping step before tokenizer/
+    * embedding stages. Pure per-row array work (no shuffle); chunk rows
+    * stay colocated with their document partition.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size)
+    val ts = T.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(ts)
+    // chunks start at 0, stride, 2·stride, … while start < n; empty docs
+    // yield no chunks (sequence(0,-1) would count DOWN, hence the guard)
+    val nChunks = when(n === 0, lit(0)).otherwise(((n - 1) / lit(stride)).cast("int") + 1)
+    val chunks = when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ts, i * stride + 1, lit(size)), " ")))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        T.tokenCount(col("chunk_text")).as("n_tokens"))
+  }
+}
