@@ -199,6 +199,29 @@ object Oracles {
        |  FROM sc)
        |WHERE rnk <= $AnnK""".stripMargin
 
+  def annIvfTopK: String = {
+    val ws = HashFunctions.centroidWeights(IvfCells, EmbDims)
+    val dots = ws.zipWithIndex
+      .map { case (w, c) => s"(${dotConstChain("embedding", w)}) AS cd$c" }.mkString(", ")
+    val m = s"greatest(${(0 until IvfCells).map(c => s"cd$c").mkString(", ")})"
+    val cases = (0 until IvfCells - 1).map(c => s"WHEN cd$c = m THEN $c").mkString(" ")
+    s"""WITH cd AS (SELECT vec_id, embedding, $dots FROM embeddings),
+       |asg AS (SELECT vec_id, embedding,
+       |  CASE $cases ELSE ${IvfCells - 1} END AS cell
+       |  FROM (SELECT *, $m AS m FROM cd)),
+       |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $AnnQueryMod = 0),
+       |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id
+       |  JOIN embeddings eb ON eb.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $AnnK""".stripMargin
+  }
+
   def annLshTopK: String =
     s"""WITH ${embBandCtes},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -461,6 +484,24 @@ object Oracles {
       |    count(*) OVER (PARTITION BY year(o_orderdate)) AS cnt
       |  FROM orders)
       |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |GROUP BY yearkey""".stripMargin
+
+  def etlUpsert: String =
+    """SELECT o_orderkey,
+      |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
+      |FROM orders""".stripMargin
+
+  def qQuartiles: String =
+    """SELECT yearkey,
+      |  min(CASE WHEN rn = (cnt + 3) // 4 THEN v END) AS p25,
+      |  min(CASE WHEN rn = (cnt + 1) // 2 THEN v END) AS p50,
+      |  min(CASE WHEN rn = (3 * cnt + 3) // 4 THEN v END) AS p75
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_totalprice AS v,
+      |    row_number() OVER (PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY year(o_orderdate)) AS cnt
+      |  FROM orders)
       |GROUP BY yearkey""".stripMargin
 
   def qDistinctCount: String =

@@ -25,6 +25,7 @@ object Params {
   val EmbDims = 64
   val EmbMinCos = 0.45
   val AnnK = 10
+  val IvfCells = 8
   val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
 
   // marts

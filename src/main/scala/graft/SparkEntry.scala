@@ -196,6 +196,17 @@ object SparkEntry {
       Marts.exactMedian(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey",
         col("o_totalprice"), col("o_orderkey"))),
+    "q_quartiles" -> ((s, dir) =>
+      Marts.exactQuartiles(t(s, dir, "orders"),
+        year(col("o_orderdate")).cast("long"), "yearkey",
+        col("o_totalprice"), col("o_orderkey"))),
+    "etl_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      Staging.upsert(orders, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
     "q_distinct_count" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
@@ -256,6 +267,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
           "vec_id", "embedding", AnnK, EmbPlanes, EmbBands, EmbDims)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", AnnK, IvfCells, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
 
@@ -350,6 +367,9 @@ object SparkEntry {
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,
+    "ann_ivf_topk" -> Oracles.annIvfTopK,
+    "q_quartiles" -> Oracles.qQuartiles,
+    "etl_upsert" -> Oracles.etlUpsert,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_stratified" -> Oracles.sampleStratified,
     "text_vocab" -> Oracles.textVocab,

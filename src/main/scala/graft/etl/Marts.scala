@@ -66,6 +66,23 @@ object Marts {
       .groupBy(col(as))
       .agg(round(avg(col("__v")), 4).as("median"))
 
+  /** Exact per-group quartiles (type-1: the value AT rank ceil(q·n), no
+    * interpolation — portable exact integers decide the rank). Same
+    * single (group)-keyed shuffle as [[exactMedian]]; the three quantiles
+    * come out of one conditional aggregation pass.
+    */
+  def exactQuartiles(df: DataFrame, group: Column, as: String, value: Column,
+                     tieBreak: Column): DataFrame =
+    df.select(group.as(as), value.as("__v"), tieBreak.as("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(as)).orderBy(col("__v").asc, col("__t").asc)))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(as))))
+      .groupBy(col(as))
+      .agg(
+        min(when(col("__rn") === expr("(__cnt + 3) div 4"), col("__v"))).as("p25"),
+        min(when(col("__rn") === expr("(__cnt + 1) div 2"), col("__v"))).as("p50"),
+        min(when(col("__rn") === expr("(3 * __cnt + 3) div 4"), col("__v"))).as("p75"))
+
   /** Fixed-width histogram (reference: etl_imdb.py:230
     * `build_mart_rating_distribution`, width 0.5 via floor(x*2)/2).
     * Emits the integer bucket index `floor(value/width)` so engines agree

@@ -50,4 +50,15 @@ object Staging {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
   }
+
+  /** SCD-1 incremental merge: updates replace base rows sharing their
+    * key; everything else passes through. Implemented as
+    * updates ∪ (base ⟕anti updates-keys) — two key-shuffles and NO window
+    * sort, so a daily-increment merge over a 100 TB snapshot never sorts
+    * the snapshot; with both sides bucketed on the key even the anti-join
+    * shuffle disappears (see PlanSpec's bucketed-join property).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 }

@@ -84,4 +84,14 @@ object HashFunctions {
     (0 until planes).map { p =>
       (0 until dims).map(i => (md5HexDigit(s"hp:$p:$i") - 7.5) / 8.0)
     }
+
+  /** Fixed IVF coarse-quantizer centroids, derived the same way (salt
+    * "cent") so the oracle can re-derive identical cell assignments. A
+    * production deployment would train these with k-means and broadcast
+    * them; the assignment/search plumbing is identical.
+    */
+  def centroidWeights(cents: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until cents).map { c =>
+      (0 until dims).map(i => (md5HexDigit(s"cent:$c:$i") - 7.5) / 8.0)
+    }
 }

@@ -66,6 +66,40 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
 
+  /** IVF cell id: argmax over centroid dot products (deterministic
+    * tie-break: lowest centroid index wins). The centroids are plan
+    * literals — assignment is a map-side codegen'd expression, no join.
+    */
+  def ivfCell(vecCol: Column, cents: Int, dims: Int): Column = {
+    val ws = H.centroidWeights(cents, dims)
+    val dots = ws.map(w => V.dotConst(vecCol, w))
+    val m = greatest(dots: _*)
+    dots.zipWithIndex.foldRight(lit(cents - 1)) { case ((d, i), rest) =>
+      when(d === m, lit(i)).otherwise(rest)
+    }
+  }
+
+  /** IVF-style ANN: corpus is coarse-quantized into `cents` cells; each
+    * query searches only its own cell (nprobe=1). Exact cosine + total-
+    * order rank within the cell. Cells are the unit of data placement at
+    * scale: partition/bucket the corpus by cell and each query touches
+    * one partition instead of the corpus — the classic inverted-file
+    * layout, expressed as one equi-join on the cell id.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, cents: Int = 8, dims: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      V.norm(col(vecCol)).as("qn"), ivfCell(col(vecCol), cents, dims).as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      V.norm(col(vecCol)).as("nn"), ivfCell(col(vecCol), cents, dims).as("cell"))
+    val scored = q.join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
   /** LSH-restricted top-k: candidates = corpus rows sharing at least one
     * band with the query; exact cosine + total-order rank within the
     * candidate set. Approximate (recall < 1) but each query touches only

@@ -107,6 +107,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on the event id with WATERMARK-BOUNDED state:
+    * duplicates arriving within the watermark horizon are dropped, and
+    * per-key state expires once the watermark passes — a plain streaming
+    * `dropDuplicates` would grow state forever on an unbounded feed.
+    */
+  def dedupeStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Standard watermark + event-time sessionization composition. */
   def watermarkedSessions(events: Dataset[Event], gapMs: Long,
                           watermark: String = "1 hour"): Dataset[SessionOut] = {

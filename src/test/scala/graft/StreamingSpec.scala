@@ -96,6 +96,27 @@ class StreamingSpec extends SparkSpec {
     assert(first === batchTwin, "streamed sessions must equal the batch twin")
   }
 
+  test("streaming dedup drops in-batch and cross-batch duplicates, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupeStream(stream.toDF(), watermark = "1 hour")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(1, ts("2024-01-01 00:00:30"), 7, "click", 1.0), // in-batch dup
+        Event(2, ts("2024-01-01 00:01:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        Event(2, ts("2024-01-01 00:02:00"), 8, "view", 1.0),  // cross-batch dup
+        Event(3, ts("2024-01-01 00:03:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events parquet matches the batch read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evstream").toString
     // stage the sf0.001 events file as the stream's input directory
