@@ -199,16 +199,24 @@ object Oracles {
        |  FROM sc)
        |WHERE rnk <= $AnnK""".stripMargin
 
-  def annIvfTopK: String = {
+  /** IVF cell-assignment CTEs (ends in asg(vec_id, embedding, cell)),
+    * centroids inlined from the same [[HashFunctions.centroidWeights]]
+    * constants the Spark plan bakes in.
+    */
+  private def ivfAsgCtes: String = {
     val ws = HashFunctions.centroidWeights(IvfCells, EmbDims)
     val dots = ws.zipWithIndex
       .map { case (w, c) => s"(${dotConstChain("embedding", w)}) AS cd$c" }.mkString(", ")
     val m = s"greatest(${(0 until IvfCells).map(c => s"cd$c").mkString(", ")})"
     val cases = (0 until IvfCells - 1).map(c => s"WHEN cd$c = m THEN $c").mkString(" ")
-    s"""WITH cd AS (SELECT vec_id, embedding, $dots FROM embeddings),
+    s"""cd AS (SELECT vec_id, embedding, $dots FROM embeddings),
        |asg AS (SELECT vec_id, embedding,
        |  CASE $cases ELSE ${IvfCells - 1} END AS cell
-       |  FROM (SELECT *, $m AS m FROM cd)),
+       |  FROM (SELECT *, $m AS m FROM cd))""".stripMargin
+  }
+
+  def annIvfTopK: String =
+    s"""WITH $ivfAsgCtes,
        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id % $AnnQueryMod = 0),
@@ -220,7 +228,24 @@ object Oracles {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
        |  FROM sc)
        |WHERE rnk <= $AnnK""".stripMargin
-  }
+
+  /** One k-means update step over the IVF assignment: per-cell per-dim
+    * mean. dims CTE drives the explode so the lateral syntax stays plain.
+    */
+  def embKmeansStep: String =
+    s"""WITH $ivfAsgCtes,
+       |dims AS (SELECT unnest(range(0, $EmbDims)) AS dim),
+       |ex AS (SELECT asg.cell, d.dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+       |  FROM asg CROSS JOIN dims d)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,
+       |  round(avg(v), 4) AS c, count(*) AS n
+       |FROM ex GROUP BY 1, 2""".stripMargin
+
+  def qRangeJoin: String =
+    """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo
+      |  FROM part WHERE p_partkey % 20 = 0)
+      |SELECT band_id, o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM iv JOIN orders ON o_totalprice >= lo AND o_totalprice < lo + 3500.0""".stripMargin
 
   def annLshTopK: String =
     s"""WITH ${embBandCtes},
@@ -476,6 +501,34 @@ object Oracles {
   def qAntiJoin: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  def qSemiJoin: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  def qUnpivot: String = {
+    val wide = eventsPivot
+    val arms = EventTypes
+      .map(t => s"SELECT y, m, d, '$t' AS event_type, $t AS n FROM wide")
+      .mkString(" UNION ALL ")
+    s"WITH wide AS ($wide) $arms"
+  }
+
+  def qMovingAvg: String =
+    s"""WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+       |  CAST(sum($cents) AS BIGINT) AS total_cents FROM orders GROUP BY 1)
+       |SELECT yearkey, total_cents,
+       |  round(avg(total_cents) OVER (ORDER BY yearkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+       |FROM y""".stripMargin
+
+  def qNtile: String =
+    s"""SELECT CAST(yearkey AS BIGINT) AS yearkey, CAST(quartile AS BIGINT) AS quartile,
+       |  count(*) AS n, min(pc) AS lo_cents, max(pc) AS hi_cents
+       |FROM (
+       |  SELECT year(o_orderdate) AS yearkey, $cents AS pc,
+       |    ntile(4) OVER (PARTITION BY year(o_orderdate) ORDER BY $cents, o_orderkey) AS quartile
+       |  FROM orders)
+       |GROUP BY 1, 2""".stripMargin
 
   def qMedian: String =
     """SELECT yearkey, round(avg(v), 4) AS median FROM (

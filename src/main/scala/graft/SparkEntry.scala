@@ -173,6 +173,36 @@ object SparkEntry {
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+    "q_unpivot" -> ((s, dir) =>
+      // wide → long re-shaping of the static pivot (Spark 4 melt);
+      // narrow op, no shuffle beyond the pivot's own
+      EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)
+        .unpivot(Array(col("y"), col("m"), col("d")),
+          EventTypes.map(col).toArray, "event_type", "n")),
+    "q_moving_avg" -> ((s, dir) => {
+      val yearly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      // 3-year trailing mean over the bounded post-aggregate (one row per
+      // year) — constant partition is safe and explicit
+      yearly.withColumn("ma3",
+        round(avg(col("total_cents")).over(
+          Window.partitionBy(lit(0)).orderBy(col("yearkey")).rowsBetween(-2, 0)), 4))
+    }),
+    "q_ntile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("quartile",
+          ntile(4).over(Window.partitionBy(year(col("o_orderdate")))
+            .orderBy(cents(col("o_totalprice")), col("o_orderkey"))).cast("long"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(cents(col("o_totalprice"))).as("lo_cents"),
+          max(cents(col("o_totalprice"))).as("hi_cents"))),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup(year(col("o_orderdate")).cast("long").as("yearkey"), col("o_orderpriority"))
@@ -275,6 +305,24 @@ object SparkEntry {
           "vec_id", "embedding", AnnK, IvfCells, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
+    "emb_kmeans_step" -> ((s, dir) =>
+      // one distributed k-means update: map-side cell assignment against
+      // literal centroids, then a single (cell, dim)-keyed partial-agg
+      // shuffle carrying only partial sums
+      t(s, dir, "embeddings")
+        .select(Similarity.ivfCell(col("embedding"), IvfCells, EmbDims).as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell").cast("long").as("cell"), col("dim").cast("long").as("dim"))
+        .agg(round(avg(col("v").cast("double")), 4).as("c"), count(lit(1)).as("n"))),
+    "q_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("band_id"),
+          ((col("p_partkey") % 100) * lit(2000.0)).as("lo"))
+        .withColumn("hi", col("lo") + lit(3500.0))
+      operators.RangeJoin.pointInInterval(t(s, dir, "orders"), "o_totalprice",
+          iv, "lo", "hi", bucketWidth = 2000.0)
+        .select(col("band_id"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
 
     // ---- §2.8 deterministic sampling ----
     "sample_bernoulli" -> ((s, dir) =>
@@ -350,6 +398,10 @@ object SparkEntry {
     "q3_shipping_priority" -> Oracles.q3ShippingPriority,
     "q5_local_supplier" -> Oracles.q5LocalSupplier,
     "q_anti_join" -> Oracles.qAntiJoin,
+    "q_semi_join" -> Oracles.qSemiJoin,
+    "q_unpivot" -> Oracles.qUnpivot,
+    "q_moving_avg" -> Oracles.qMovingAvg,
+    "q_ntile" -> Oracles.qNtile,
     "q_rollup" -> Oracles.qRollup,
     "q_grouping_sets" -> Oracles.qGroupingSets,
     "q_cube" -> Oracles.qCube,
@@ -368,6 +420,8 @@ object SparkEntry {
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,
     "ann_ivf_topk" -> Oracles.annIvfTopK,
+    "emb_kmeans_step" -> Oracles.embKmeansStep,
+    "q_range_join" -> Oracles.qRangeJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "etl_upsert" -> Oracles.etlUpsert,
     "sample_bernoulli" -> Oracles.sampleBernoulli,

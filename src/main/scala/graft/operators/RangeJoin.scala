@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without the nested-loop trap.
+  *
+  * Spark plans a raw `p.v >= i.lo AND p.v < i.hi` theta join as a
+  * broadcast-nested-loop (or cartesian) — quadratic work the moment the
+  * interval side stops fitting in memory. This operator turns it into an
+  * EQUI-join: chop the value domain into fixed-width buckets, explode
+  * each interval onto every bucket it overlaps, map each point to its
+  * bucket, hash-join on the bucket id, then apply the exact containment
+  * predicate. The shuffle is keyed on the bucket id; per-bucket work is
+  * points(bucket) × intervals(bucket), bounded by choosing `bucketWidth`
+  * near the typical interval length (≈1–3 buckets per interval).
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row whose [lo, hi) contains
+    * its value. Columns are referenced by name; both inputs keep all
+    * their columns in the output.
+    */
+  def pointInInterval(points: DataFrame, pointVal: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val w = lit(bucketWidth)
+    val pw = points.withColumn("__b", floor(col(pointVal) / w).cast("long"))
+    // hi is exclusive but floor(hi/w) is included anyway: the extra
+    // boundary bucket only ever ADDS candidates the exact predicate drops
+    val iw = intervals.withColumn("__b",
+      explode(sequence(floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    pw.join(iw, "__b")
+      .where(col(pointVal) >= col(loCol) && col(pointVal) < col(hiCol))
+      .drop("__b")
+  }
+}
