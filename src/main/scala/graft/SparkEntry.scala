@@ -43,6 +43,13 @@ object SparkEntry {
         .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_mktsegment STRING")
         .csv(tmp)
     }),
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      sources.Sources.writeJsonl(docs, tmp)
+      sources.Sources.readJsonl(s, tmp,
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING, n_chars LONG"))
+    }),
     "stage_clean" -> ((s, dir) => {
       val ev = Staging.castColumns(t(s, dir, "events"), Map.empty)
       EventOps.extractIntField(ev, "props", "k")
@@ -382,6 +389,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "src_csv_roundtrip" -> Oracles.srcCsvRoundtrip,
+    "src_jsonl_roundtrip" -> "SELECT doc_id, text, n_chars FROM documents",
     "stage_clean" -> Oracles.stageClean,
     "stage_dedup_key" -> Oracles.stageDedupKey,
     "dim_distinct" -> Oracles.dimDistinct,

@@ -22,6 +22,18 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).csv(path)
   }
 
+  /** JSON-lines source — the de-facto interchange format for LLM training
+    * corpora. An explicit schema is REQUIRED: at 100 TB, schema inference
+    * is a full extra pass, and a drifting inferred schema silently
+    * corrupts downstream casts.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink (one JSON object per line, optionally compressed). */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
   /** Overwrite-mode parquet write with optional partition columns
     * (reference: etl_imdb.py:238). Partitioning on a low-cardinality key
     * (yearkey) gives partition pruning to every downstream reader.

@@ -116,6 +116,30 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join: each `buyType` event joins the
+    * `clickType` events of the same user in the preceding `windowMinutes`.
+    * Both sides carry watermarks and the join condition carries the time
+    * bound, so Spark purges both state stores as the watermark advances —
+    * unbounded-state stream joins never survive a 100 TB/day feed.
+    */
+  def matchedPairs(events: DataFrame, clickType: String, buyType: String,
+                   watermark: String = "1 hour", windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val buys = events.filter(col("event_type") === buyType)
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermark)
+    clicks.join(buys,
+        col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
+      .select(col("b_user").as("user_id"), col("buy_id"), col("click_id"),
+        (unix_millis(col("buy_ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+  }
+
   /** Standard watermark + event-time sessionization composition. */
   def watermarkedSessions(events: Dataset[Event], gapMs: Long,
                           watermark: String = "1 hour"): Dataset[SessionOut] = {

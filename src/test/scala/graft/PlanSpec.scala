@@ -103,6 +103,12 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bernoulli sampling is map-side only (no exchange)") {
+    val plan = explain("sample_bernoulli")
+    assert(!plan.contains("Exchange"),
+      s"hash-threshold sampling must not shuffle:\n$plan")
+  }
+
   test("range join plans as a bucket equi-join, never a nested loop") {
     val plan = explain("q_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

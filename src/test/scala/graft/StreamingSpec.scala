@@ -136,6 +136,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches buys to prior clicks inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.matchedPairs(stream.toDF(), "click", "purchase",
+        watermark = "1 hour", windowMinutes = 30)
+      .writeStream.format("memory").queryName("pairs").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "purchase", 1.0), // inside 30m → match
+        Event(3, ts("2024-01-01 02:00:00"), 7, "purchase", 1.0), // no click in window
+        Event(4, ts("2024-01-01 00:05:00"), 8, "click", 1.0))    // never buys
+      q.processAllAvailable()
+      val rows = spark.table("pairs").as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows === Set((7L, 2L, 1L, 600000L)))
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map(i =>
