@@ -382,6 +382,12 @@ object SparkEntry {
     "events_extract" -> ((s, dir) =>
       EventOps.extractIntField(t(s, dir, "events"), "props", "k")
         .select(col("event_id"), col("k"))),
+    "events_json_parse" -> ((s, dir) =>
+      // structured JSON parse (codegen'd Jackson) — the robust form of
+      // the regex extraction above for nested/typed payloads
+      t(s, dir, "events").select(col("event_id"),
+        from_json(col("props"), "k LONG", java.util.Map.of[String, String]())
+          .getField("k").as("k"))),
     "events_pivot" -> ((s, dir) =>
       EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)),
     "events_asof" -> ((s, dir) =>
@@ -454,6 +460,8 @@ object SparkEntry {
     "events_window_agg" -> Oracles.eventsWindowAgg,
     "events_sessionize" -> Oracles.eventsSessionize,
     "events_extract" -> Oracles.eventsExtract,
+    "events_json_parse" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
   )

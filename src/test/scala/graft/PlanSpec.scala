@@ -144,6 +144,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned fact scan gets dynamic partition pruning from a dim filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    SparkEntry.queries("fact_join")(spark, sfDir)
+      .write.mode("overwrite").partitionBy("yearkey").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // DPP preconditions worth knowing: the join key must be cast-free
+    // (ints — partition dirs infer as int), the dim must be a real scan
+    // (a LocalRelation constant-folds its filter away and the rule sees
+    // no selective predicate), the predicate must be a comparison (a
+    // bare boolean attribute is not "likely selective"), and the fact
+    // side must read a data column (a partition-key-only scan estimates
+    // ~0 bytes, so pruning shows no benefit)
+    (1992 to 1998).map(y => (y, if (y >= 1997) "hot" else "cold")).toDF("yk", "grp")
+      .write.mode("overwrite").parquet(s"${tmp}_dim")
+    val dim = spark.read.parquet(s"${tmp}_dim")
+    val joined = fact.join(broadcast(dim), col("yearkey") === col("yk"))
+      .where(col("grp") === "hot")
+      .groupBy(col("yearkey")).agg(sum(col("price_cents")).as("total"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
+  }
+
   test("bucketed tables join without an exchange on the bucketed side") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     val orders = Tables.load(spark, sfDir, "orders")
