@@ -308,6 +308,30 @@ object Oracles {
        |FROM documents d JOIN toks ON toks.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Decontamination: corpus docs sharing any LSH band with the
+    * benchmark subset (doc_id % 50 = 0) are dropped.
+    */
+  def dedupDecontaminate: String =
+    s"""WITH $minhashCtes,
+       |bad AS (SELECT DISTINCT c.doc_id FROM bands c
+       |  JOIN (SELECT band_id, bk FROM bands WHERE doc_id % 50 = 0) b
+       |  ON c.band_id = b.band_id AND c.bk = b.bk)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
+  def textPiiScrub: String = {
+    val em = functions.TextFunctions.EmailRe
+    val dg = functions.TextFunctions.LongDigitsRe
+    s"""WITH t AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 0
+       |       THEN text || ' contact alice@example.com or 555-867-5309 now'
+       |       ELSE text END AS t2 FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(t2, '$em', '<EMAIL>', 'g'), '$dg', '<NUMBER>', 'g') AS clean_text,
+       |  CAST(len(regexp_extract_all(t2, '$em')) + len(regexp_extract_all(t2, '$dg')) AS BIGINT) AS n_pii
+       |FROM t""".stripMargin
+  }
+
   // ---- sampling + corpus text ops ----
 
   def sampleBernoulli: String = {

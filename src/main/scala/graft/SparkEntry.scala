@@ -287,6 +287,22 @@ object SparkEntry {
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands))),
     "text_pipeline" -> ((s, dir) =>
       Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text", JaccardMin, CleanMinQuality)),
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", MinhashK, MinhashBands)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    "text_pii_scrub" -> ((s, dir) => {
+      // inject synthetic PII into a tenth of the docs so the scrub has
+      // real matches to prove itself on
+      val doc = t(s, dir, "documents").withColumn("t2",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact alice@example.com or 555-867-5309 now")))
+          .otherwise(col("text")))
+      doc.select(col("doc_id"), T.piiScrub(col("t2")).as("clean_text"),
+        T.piiCount(col("t2")).as("n_pii"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SimhashMaxDist)),
     "dedup_embedding" -> ((s, dir) =>
@@ -440,6 +456,8 @@ object SparkEntry {
     "dedup_cluster" -> Oracles.dedupCluster,
     "text_pipeline" -> Oracles.textPipeline,
     "dedup_simhash" -> Oracles.dedupSimhash,
+    "dedup_decontaminate" -> Oracles.dedupDecontaminate,
+    "text_pii_scrub" -> Oracles.textPiiScrub,
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,

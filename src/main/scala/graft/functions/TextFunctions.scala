@@ -90,6 +90,22 @@ object TextFunctions {
     round(lit(0.5) * lenScore + lit(0.3) * stopRatio + lit(0.2) * alphaRatio, 4)
   }
 
+  /** PII scrub: replace email addresses and long digit runs (phone/ID
+    * numbers) with typed placeholder tokens — the cheap regex tier of a
+    * privacy pipeline, fully codegen'd, no UDF. Returns the scrubbed
+    * text; pair with [[piiCount]] to audit redaction volume.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongDigitsRe = "[0-9][0-9 ()\\-]{6,}[0-9]"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongDigitsRe, "<NUMBER>")
+
+  /** Number of PII matches (emails + digit runs) in the raw text. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(LongDigitsRe), lit(0)))).cast("long")
+
   /** Canonical content fingerprint: md5 of lowercase, whitespace-collapsed,
     * trimmed text. Identical value in any engine with a standard md5.
     */

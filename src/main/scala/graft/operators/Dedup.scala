@@ -174,6 +174,25 @@ object Dedup {
       .where(col("qscore") >= minQuality)
   }
 
+  /** Benchmark decontamination: drop corpus documents that share ANY
+    * minhash LSH band with a document of the (much smaller) benchmark
+    * set — the standard train/test-overlap scrub before training.
+    * Signatures are map-side for both sides; the contaminated-id set is
+    * a semi-join on (band, bandkey) — the benchmark side is tiny, so the
+    * band join broadcasts; the corpus is then anti-joined on the compact
+    * id set. Never all-pairs, corpus payloads never shuffle.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cb = minhashBands(corpus, idCol, textCol, k, bands)
+      .select(col(idCol), posexplode(col("bks")).as(Seq("band_id", "bk")))
+    val bb = minhashBands(benchmark, idCol, textCol, k, bands)
+      .select(posexplode(col("bks")).as(Seq("band_id", "bk")))
+    val contaminated = cb.join(broadcast(bb), Seq("band_id", "bk"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash signatures as two 32-bit halves: explode tokens → 64
     * partial sums in ONE hash aggregate (map-side combine ⇒ the shuffle
     * carries (doc, 64 longs)), then sign → bit → two packed 32-bit longs
