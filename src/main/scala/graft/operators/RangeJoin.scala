@@ -23,15 +23,24 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, pointVal: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0)
     val w = lit(bucketWidth)
     val pw = points.withColumn("__b", floor(col(pointVal) / w).cast("long"))
+    val lob = floor(col(loCol) / w).cast("long")
     // hi is exclusive but floor(hi/w) is included anyway: the extra
     // boundary bucket only ever ADDS candidates the exact predicate drops
-    val iw = intervals.withColumn("__b",
-      explode(sequence(floor(col(loCol) / w).cast("long"),
-        floor(col(hiCol) / w).cast("long"))))
+    val hib = floor(col(hiCol) / w).cast("long")
+    // a bucketWidth far below the interval length would silently explode
+    // each interval into millions of rows — fail loudly instead; the
+    // guard lives INSIDE the sequence bound so column pruning can't
+    // eliminate it
+    val hibGuarded = when(hib - lob >= maxBucketsPerInterval,
+      raise_error(concat(lit(s"range-join interval spans >= $maxBucketsPerInterval buckets; " +
+        "raise bucketWidth or maxBucketsPerInterval — interval lo="), col(loCol).cast("string")))
+        .cast("long"))
+      .otherwise(hib)
+    val iw = intervals.withColumn("__b", explode(sequence(lob, hibGuarded)))
     pw.join(iw, "__b")
       .where(col(pointVal) >= col(loCol) && col(pointVal) < col(hiCol))
       .drop("__b")

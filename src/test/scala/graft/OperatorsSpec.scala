@@ -124,6 +124,20 @@ class OperatorsSpec extends SparkSpec {
     assert(top === Set(("g", 2L, "gamma", 1L), ("g", 9L, "gamma", 2L), ("h", 5L, "zeta", 1L)))
   }
 
+  test("range join matches exactly and rejects absurd bucket ratios loudly") {
+    val points = Seq((1L, 5.0), (2L, 15.0), (3L, 42.0)).toDF("pid", "v")
+    val iv = Seq((10L, 0.0, 10.0), (20L, 12.0, 43.0)).toDF("band", "lo", "hi")
+    val out = operators.RangeJoin.pointInInterval(points, "v", iv, "lo", "hi", 10.0)
+      .select($"band", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hi exclusive: v=42.0 < 43.0 matches; v=5.0 in [0,10); 15 and 42 in [12,43)
+    assert(out === Set((10L, 1L), (20L, 2L), (20L, 3L)))
+    val wide = Seq((1L, 0.0, 1e9)).toDF("band", "lo", "hi")
+    val e = intercept[Exception] {
+      operators.RangeJoin.pointInInterval(points, "v", wide, "lo", "hi", 0.001).collect()
+    }
+    assert(e.getMessage.contains("buckets") || e.getCause != null)
+  }
+
   test("topNPerGroup breaks ties on the tie-break column") {
     val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3)).toDF("grp", "score", "id")
     val top = Marts.topNPerGroup(df, Seq($"grp"), Seq($"score".desc, $"id".asc), 2)

@@ -154,6 +154,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch append + read-side key dedup is an idempotent sink") {
+    // merge-on-read sink pattern: the writer APPENDS micro-batches (so a
+    // redelivered batch just lands twice) and readers dedup on the key —
+    // exactly-once results from at-least-once delivery, no table locks
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/tbl"
+    val stream = MemoryStream[Event]
+    val q = stream.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Event], _: Long) =>
+        b.write.mode("append").parquet(dir)
+      }
+      .option("checkpointLocation", dir + "_ckpt")
+      .start()
+    val batch2 = Seq(Event(3, ts("2024-01-01 01:00:00"), 8, "view", 2.0))
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate an at-least-once redelivery of batch 2
+    batch2.toDS().write.mode("append").parquet(dir)
+    val read = spark.read.parquet(dir)
+    assert(read.count() === 4, "raw table carries the duplicate")
+    val deduped = graft.etl.Staging
+      .dedupByKeyKeepFirst(read, Seq("event_id"), Seq(col("event_id")))
+      .select(col("event_id")).as[Long].collect().sorted
+    assert(deduped.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("streaming hourly agg matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map(i =>
