@@ -308,6 +308,21 @@ object Oracles {
        |FROM documents d JOIN toks ON toks.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Incremental dedup: candidates touching the "new" split (doc_id%5=0)
+    * against the rest — signatures are per-doc, so filtering the full
+    * bands CTE is exactly what per-split computation yields.
+    */
+  def dedupIncremental: String =
+    s"""WITH $minhashCtes,
+       |nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |eb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0)
+       |SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM nb a JOIN nb b
+       |    ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT least(n.doc_id, e.doc_id), greatest(n.doc_id, e.doc_id) FROM nb n JOIN eb e
+       |    ON n.band_id = e.band_id AND n.bk = e.bk AND n.doc_id <> e.doc_id)""".stripMargin
+
   /** Decontamination: corpus docs sharing any LSH band with the
     * benchmark subset (doc_id % 50 = 0) are dropped.
     */

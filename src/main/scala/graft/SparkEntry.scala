@@ -287,6 +287,13 @@ object SparkEntry {
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands))),
     "text_pipeline" -> ((s, dir) =>
       Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text", JaccardMin, CleanMinQuality)),
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalCandidates(docs.filter(col("doc_id") % 5 === 0),
+        Dedup.bandTable(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          MinhashK, MinhashBands),
+        "doc_id", "text", MinhashK, MinhashBands)
+    }),
     "dedup_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
@@ -457,6 +464,7 @@ object SparkEntry {
     "text_pipeline" -> Oracles.textPipeline,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_decontaminate" -> Oracles.dedupDecontaminate,
+    "dedup_incremental" -> Oracles.dedupIncremental,
     "text_pii_scrub" -> Oracles.textPiiScrub,
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "ann_brute_topk" -> Oracles.annBruteTopK,

@@ -76,6 +76,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Exploded (id, band_id, bk) rows — the layout to PERSIST (bucketed
+    * on bk) as the corpus signature table: signatures are computed once
+    * per document ever, not once per dedup run.
+    */
+  def bandTable(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 16, bands: Int = 4): DataFrame =
+    minhashBands(docs, idCol, textCol, k, bands)
+      .select(col(idCol), posexplode(col("bks")).as(Seq("band_id", "bk")))
+
+  /** Incremental dedup: candidate pairs involving NEW documents only —
+    * new×new plus new×existing — against a persisted [[bandTable]]. At
+    * 100 TB this is the daily path: the existing corpus is never
+    * re-shingled, the only work is the new batch's signatures (map-side)
+    * and band joins keyed on compact ints; bucket the stored table on
+    * `bk` and the big join side doesn't even shuffle. Output pairs are
+    * (doc_a < doc_b) like [[minhashCandidates]].
+    */
+  def incrementalCandidates(newDocs: DataFrame, existingBands: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 16, bands: Int = 4): DataFrame = {
+    val nb = bandTable(newDocs, idCol, textCol, k, bands)
+    val newNew = nb.as("a").join(nb.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val newOld = nb.as("n").join(existingBands.as("e"),
+        col("n.band_id") === col("e.band_id") && col("n.bk") === col("e.bk") &&
+        col(s"n.$idCol") =!= col(s"e.$idCol"))
+      .select(least(col(s"n.$idCol"), col(s"e.$idCol")).as("doc_a"),
+        greatest(col(s"n.$idCol"), col(s"e.$idCol")).as("doc_b"))
+    newNew.unionByName(newOld).distinct()
+  }
+
   /** Exact n-gram Jaccard verification over the LSH candidates — the
     * standard two-phase near-dup pipeline (cheap recall stage + exact
     * verify on candidates only, never all-pairs).

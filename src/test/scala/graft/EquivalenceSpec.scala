@@ -51,6 +51,21 @@ class EquivalenceSpec extends SparkSpec {
     assert(c !== a)
   }
 
+  test("incremental dedup equals full recompute restricted to new-doc pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val newIds = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+      .as[Long].collect().toSet
+    val full = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val incremental = graft.operators.Dedup.incrementalCandidates(
+        docs.filter($"doc_id" % 5 === 0),
+        graft.operators.Dedup.bandTable(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(incremental === expected)
+  }
+
   test("chunking covers every token and stitches back to the document") {
     val size = 8
     val stride = 4
