@@ -64,8 +64,7 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = minhashBands(docs, idCol, textCol, k, bands)
-    val exploded = sig.select(col(idCol), posexplode(col("bks")).as(Seq("band_id", "bk")))
+    val exploded = bandTable(docs, idCol, textCol, k, bands)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
@@ -96,7 +95,10 @@ object Dedup {
   def incrementalCandidates(newDocs: DataFrame, existingBands: DataFrame,
                             idCol: String, textCol: String,
                             k: Int = 16, bands: Int = 4): DataFrame = {
-    val nb = bandTable(newDocs, idCol, textCol, k, bands)
+    // persist: nb feeds two differently-shaped joins and exchange reuse
+    // is not guaranteed across them — without this the new batch would
+    // be re-shingled/minhashed once per join
+    val nb = bandTable(newDocs, idCol, textCol, k, bands).persist()
     val newNew = nb.as("a").join(nb.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -146,9 +148,16 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // a driver-local tmp dir is only a valid checkpoint target in local
+      // mode; on a cluster the caller must point this at durable shared
+      // storage or the reliability story is silently void
+      require(spark.sparkContext.isLocal,
+        "Dedup.clusters needs a reliable checkpoint dir on a cluster: " +
+          "call spark.sparkContext.setCheckpointDir(<durable shared path>) first")
       spark.sparkContext.setCheckpointDir(
         s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
+    }
     // no distinct: ngram/simhash/embedding pair generators emit unique
     // (a<b) pairs, so the two directions cannot collide — and min-label
     // propagation is duplicate-insensitive anyway, so the dedup shuffle
@@ -167,8 +176,9 @@ object Dedup {
     while (changed && iter < maxIter) {
       val next = ccRound(edges, labels)
         .checkpoint() // eager: materializes the round once, reliably
-      // cheap scan of the checkpointed output — not a recompute
-      changed = next.agg(max(col("chg"))).first.getBoolean(0)
+      // cheap scan of the checkpointed output — not a recompute; coalesce
+      // covers the empty-graph case (max over zero rows is null)
+      changed = next.agg(coalesce(max(col("chg")), lit(false))).first.getBoolean(0)
       labels = next.drop("chg")
       iter += 1
     }
@@ -217,10 +227,9 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cb = minhashBands(corpus, idCol, textCol, k, bands)
-      .select(col(idCol), posexplode(col("bks")).as(Seq("band_id", "bk")))
-    val bb = minhashBands(benchmark, idCol, textCol, k, bands)
-      .select(posexplode(col("bks")).as(Seq("band_id", "bk")))
+    val cb = bandTable(corpus, idCol, textCol, k, bands)
+    val bb = bandTable(benchmark, idCol, textCol, k, bands)
+      .select(col("band_id"), col("bk"))
     val contaminated = cb.join(broadcast(bb), Seq("band_id", "bk"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

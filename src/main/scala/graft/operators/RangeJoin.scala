@@ -34,13 +34,17 @@ object RangeJoin {
     // a bucketWidth far below the interval length would silently explode
     // each interval into millions of rows — fail loudly instead; the
     // guard lives INSIDE the sequence bound so column pruning can't
-    // eliminate it
+    // eliminate it. Inverted intervals (hi < lo) are empty by the [lo,hi)
+    // contract and must yield zero buckets — Spark's sequence(a, b) with
+    // b < a counts DOWN, which would explode |span| rows of garbage.
     val hibGuarded = when(hib - lob >= maxBucketsPerInterval,
       raise_error(concat(lit(s"range-join interval spans >= $maxBucketsPerInterval buckets; " +
         "raise bucketWidth or maxBucketsPerInterval — interval lo="), col(loCol).cast("string")))
         .cast("long"))
       .otherwise(hib)
-    val iw = intervals.withColumn("__b", explode(sequence(lob, hibGuarded)))
+    val buckets = when(hib < lob, array().cast("array<long>"))
+      .otherwise(sequence(lob, hibGuarded))
+    val iw = intervals.withColumn("__b", explode(buckets))
     pw.join(iw, "__b")
       .where(col(pointVal) >= col(loCol) && col(pointVal) < col(hiCol))
       .drop("__b")

@@ -136,6 +136,22 @@ class OperatorsSpec extends SparkSpec {
       operators.RangeJoin.pointInInterval(points, "v", wide, "lo", "hi", 0.001).collect()
     }
     assert(e.getMessage.contains("buckets") || e.getCause != null)
+    // inverted interval = empty by the [lo,hi) contract: zero rows, no
+    // descending-sequence explosion
+    val inverted = Seq((1L, 50.0, 10.0)).toDF("band", "lo", "hi")
+    assert(operators.RangeJoin.pointInInterval(points, "v", inverted, "lo", "hi", 10.0)
+      .count() === 0)
+  }
+
+  test("clusters of an empty pair set returns empty instead of crashing") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(empty).count() === 0)
+  }
+
+  test("bernoulli keeps null-key rows (sentinel draw) instead of dropping them") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("k")
+    val kept = operators.Sampling.bernoulli(df, col("k"), 1.0, "nulltest").count()
+    assert(kept === 3, "rate 1.0 must be a full pass-through, nulls included")
   }
 
   test("topNPerGroup breaks ties on the tie-break column") {

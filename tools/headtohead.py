@@ -77,7 +77,8 @@ def run_graft(out: Path, jar: str) -> float:
 def compare(ref: Path, gr: Path):
     import duckdb
     con = duckdb.connect()
-    tables = [("dw", "dim_year"), ("dw", "dim_genre"), ("dw", "bridge_title_genre"),
+    tables = [("dw", "dim_year"), ("dw", "dim_title"), ("dw", "dim_genre"),
+              ("dw", "bridge_title_genre"),
               ("dw", "fact_ratings"), ("marts", "mart_year_kpi"),
               ("marts", "mart_top_genre_year"), ("marts", "mart_top_year_by_rating"),
               ("marts", "mart_rating_distribution")]
