@@ -95,20 +95,25 @@ object Dedup {
   def incrementalCandidates(newDocs: DataFrame, existingBands: DataFrame,
                             idCol: String, textCol: String,
                             k: Int = 16, bands: Int = 4): DataFrame = {
-    // persist: nb feeds two differently-shaped joins and exchange reuse
-    // is not guaranteed across them — without this the new batch would
-    // be re-shingled/minhashed once per join
-    val nb = bandTable(newDocs, idCol, textCol, k, bands).persist()
-    val newNew = nb.as("a").join(nb.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-    val newOld = nb.as("n").join(existingBands.as("e"),
-        col("n.band_id") === col("e.band_id") && col("n.bk") === col("e.bk") &&
-        col(s"n.$idCol") =!= col(s"e.$idCol"))
-      .select(least(col(s"n.$idCol"), col(s"e.$idCol")).as("doc_a"),
-        greatest(col(s"n.$idCol"), col(s"e.$idCol")).as("doc_b"))
-    newNew.unionByName(newOld).distinct()
+    // One join against the pooled (new ∪ existing) band rows instead of
+    // two joins + persist: the new batch's signature subtree appears
+    // twice with an IDENTICAL shape, so its aggregation exchange is
+    // reused (ReusedExchange) and the batch is shingled/minhashed once —
+    // no cache entry to leak in a long-running daily-increment service.
+    val nb = bandTable(newDocs, idCol, textCol, k, bands)
+    val pool = nb.withColumn("is_new", lit(true)).unionByName(
+      existingBands.select(col(idCol), col("band_id"), col("bk"))
+        .withColumn("is_new", lit(false)))
+    // new×new pairs once (n.id < p.id); new×existing pairs once because
+    // existing rows only ever appear on the pool side (n.id ≠ p.id, then
+    // least/greatest orders the pair)
+    nb.as("n").join(pool.as("p"),
+        col("n.band_id") === col("p.band_id") && col("n.bk") === col("p.bk") &&
+        (when(col("p.is_new"), col(s"n.$idCol") < col(s"p.$idCol"))
+          .otherwise(col(s"n.$idCol") =!= col(s"p.$idCol"))))
+      .select(least(col(s"n.$idCol"), col(s"p.$idCol")).as("doc_a"),
+        greatest(col(s"n.$idCol"), col(s"p.$idCol")).as("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard verification over the LSH candidates — the
@@ -155,8 +160,22 @@ object Dedup {
       require(spark.sparkContext.isLocal,
         "Dedup.clusters needs a reliable checkpoint dir on a cluster: " +
           "call spark.sparkContext.setCheckpointDir(<durable shared path>) first")
+      // per-application subdir: concurrent/successive local runs must not
+      // share (or clobber) one fixed tmp path
       spark.sparkContext.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
+        s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints/" +
+          spark.sparkContext.applicationId)
+    }
+    // Reliable checkpoints are only deleted by the ContextCleaner when
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (GraftSession
+    // sets it); otherwise each round's labels accumulate in the
+    // checkpoint dir for the life of the app — at one dir per round per
+    // corpus-scale run that is real storage, so warn loudly.
+    if (spark.conf.getOption("spark.cleaner.referenceTracking.cleanCheckpoints")
+          .forall(_ != "true")) {
+      Console.err.println(
+        "graft.Dedup.clusters: set spark.cleaner.referenceTracking." +
+          "cleanCheckpoints=true to reclaim per-round checkpoint dirs")
     }
     // no distinct: ngram/simhash/embedding pair generators emit unique
     // (a<b) pairs, so the two directions cannot collide — and min-label

@@ -39,23 +39,29 @@ object Similarity {
     * reproducible across engines. Self-matches are excluded.
     *
     * This is deliberately a queries × corpus product, so the query side
-    * MUST be bounded: `maxQueries` is enforced with a cheap limit-probe
-    * (reads at most maxQueries+1 rows) so passing the whole corpus as
-    * queries fails loudly instead of launching an N×M join, and the query
-    * side is broadcast so the corpus never shuffles. Corpus-scale query
-    * sets belong on [[lshTopK]].
+    * MUST be bounded: `maxQueries` is enforced INSIDE the plan — a 1-row
+    * guard (count over a limit-probe reading at most maxQueries+1 rows,
+    * `raise_error` past the bound) broadcast-joined into the product — so
+    * passing the whole corpus as queries fails loudly at execution, while
+    * merely composing/explaining the query stays lazy and launches no job.
+    * The query side is broadcast so the corpus never shuffles.
+    * Corpus-scale query sets belong on [[lshTopK]].
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int, maxQueries: Int = 100000): DataFrame = {
     require(k > 0, "k must be positive")
-    val nQ = queries.limit(maxQueries + 1).count()
-    require(nQ <= maxQueries,
-      s"bruteForceTopK query side exceeds maxQueries=$maxQueries rows — " +
-        "this kernel is for bounded query sets; use lshTopK for corpus-scale queries")
+    val guard = broadcast(queries.limit(maxQueries + 1).groupBy().count()
+      .select(when(col("count") > maxQueries, raise_error(concat(
+          lit(s"bruteForceTopK query side exceeds maxQueries=$maxQueries rows — " +
+            "this kernel is for bounded query sets; use lshTopK for corpus-scale queries"))))
+        .otherwise(lit(1)).as("__guard_ok")))
     // norms are computed once per row map-side; per-pair work is a single
     // dot fold (bit-identical to folding the norm per pair, 3x cheaper)
+    // the filter keeps __guard_ok referenced so column pruning can never
+    // drop the raise_error; the predicate is attribute-bound, not foldable
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      V.norm(col(vecCol)).as("qn")))
+      V.norm(col(vecCol)).as("qn")).crossJoin(guard)
+      .where(col("__guard_ok") === lit(1)).drop("__guard_ok"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       V.norm(col(vecCol)).as("nn"))
     val scored = q.crossJoin(c)

@@ -86,8 +86,22 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // Events are sorted within a micro-batch, but a later batch
+                // may legally (inside the watermark delay) deliver an event
+                // older than lastMs — so merge on proximity to the session
+                // envelope in EITHER direction and keep the envelope
+                // monotone with min/max; a plain `lastMs = t` would regress
+                // it and corrupt gap decisions and durations.
+                case Some(s) if s.startMs - t > gapMs =>
+                  // Older than the live session by more than the gap: it
+                  // belongs to an earlier, already-emitted session. Emit it
+                  // standalone rather than corrupting the live session —
+                  // the one divergence from an ordered batch replay, where
+                  // it would have extended that earlier session.
+                  closed ::= SessionOut(userId, 1, t, 0)
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    startMs = math.min(s.startMs, t), lastMs = math.max(s.lastMs, t)))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.nEvents, s.startMs, s.lastMs - s.startMs)
                   cur = Some(SessionState(1, t, t))

@@ -64,6 +64,10 @@ class EquivalenceSpec extends SparkSpec {
         "doc_id", "text")
       .as[(Long, Long)].collect().toSet
     assert(incremental === expected)
+    // the operator must not leak cache entries: a daily-increment service
+    // calls this once per batch for the life of the session
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "incrementalCandidates must not leave persisted RDDs behind")
   }
 
   test("chunking covers every token and stitches back to the document") {

@@ -75,11 +75,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast (corpus never shuffles for the product):\n$plan")
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val e = intercept[IllegalArgumentException] {
-      graft.operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5,
-        maxQueries = 2)
-    }
-    assert(e.getMessage.contains("maxQueries"))
+    // composition is LAZY: building + explaining the over-limit plan must
+    // not throw (and must not launch the probe job); the in-plan guard
+    // fires at execution
+    val over = graft.operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5,
+      maxQueries = 2)
+    over.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val e = intercept[Exception] { over.collect() }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("maxQueries"), s"guard should fire at execution: ${messages(e)}")
   }
 
   test("anti join resolves to a broadcast anti join at this scale") {

@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     assert(first === batchTwin, "streamed sessions must equal the batch twin")
   }
 
+  test("sessionizer merges a legally-late out-of-order event without regressing the envelope") {
+    // ADVICE r2: an event older than lastMs arriving in a LATER batch
+    // (legal inside the watermark delay) must extend the session envelope
+    // monotonically — n_events counts it, duration never goes negative,
+    // and startMs lowers when the late event precedes the session start.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.watermarkedSessions(stream.toDS(), gapMs = 1800000L,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("ooo_sessions").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 01:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 01:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // later batch, earlier event time: inside the 2h watermark and
+      // within gap of the session start → must merge, lowering startMs
+      stream.addData(Event(3, ts("2024-01-01 00:45:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // watermark driver closes user 7's session
+      stream.addData(Event(4, ts("2024-01-01 09:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_sessions").as[EventStreams.SessionOut]
+        .collect().filter(_.user_id == 7L).toSet
+      assert(rows === Set(EventStreams.SessionOut(7, 3,
+        ts("2024-01-01 00:45:00").getTime, 1500000L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-batch and cross-batch duplicates, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
