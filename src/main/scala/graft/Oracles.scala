@@ -241,6 +241,76 @@ object Oracles {
        |  round(avg(v), 4) AS c, count(*) AS n
        |FROM ex GROUP BY 1, 2""".stripMargin
 
+  /** nprobe>1 IVF: each query's cells ranked by centroid dot (desc, cell
+    * asc — exact doubles, same fold order as Spark's probeCells sort),
+    * top IvfNprobe probed.
+    */
+  def annIvfNprobe: String = {
+    val cellRows = (0 until IvfCells)
+      .map(c => s"SELECT vec_id, $c AS cell, cd$c AS d FROM qc").mkString(" UNION ALL ")
+    s"""WITH $ivfAsgCtes,
+       |qc AS (SELECT * FROM cd WHERE vec_id % $AnnQueryMod = 0),
+       |pr AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+       |  FROM ($cellRows)) WHERE cr <= $IvfNprobe),
+       |cand AS (SELECT pr.query_id, c.vec_id AS neighbor_id
+       |  FROM pr JOIN asg c ON c.cell = pr.cell AND c.vec_id <> pr.query_id),
+       |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id
+       |  JOIN embeddings eb ON eb.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $AnnK""".stripMargin
+  }
+
+  /** Full k-means training replay: KmeansIters chained
+    * (assign → round-4 means) CTE pairs from the same md5-derived init
+    * centroids the Spark driver loop starts from. Empty cells keep the
+    * previous round's centroid (LEFT JOIN + coalesce); final output is
+    * the long-form centroid matrix plus last-assignment cell sizes,
+    * exactly [[SparkEntry]] `emb_kmeans_train`'s shape.
+    */
+  def embKmeansTrain: String = {
+    val init = HashFunctions.centroidWeights(IvfCells, EmbDims)
+    val cNames = (0 until EmbDims).map(i => s"c$i")
+    val initRows = init.zipWithIndex
+      .map { case (w, c) => s"($c, ${w.mkString(", ")})" }.mkString(", ")
+    val initCte = s"m0(cell, ${cNames.mkString(", ")}) AS (VALUES $initRows)"
+    // assignment t against centroids m{t}: argmax dot (desc, cell asc)
+    def asgCte(t: Int): String = {
+      val dot = (1 to EmbDims)
+        .map(i => s"CAST(e.embedding[$i] AS DOUBLE) * m.c${i - 1}").mkString(" + ")
+      s"""d$t AS (SELECT e.vec_id, e.embedding, m.cell, ($dot) AS d
+         |  FROM embeddings e CROSS JOIN m$t m),
+         |asg$t AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+         |  FROM d$t) WHERE rn = 1)""".stripMargin
+    }
+    // means of assignment t-1 → centroids m{t}; empty cell keeps m{t-1}
+    def meanCte(t: Int): String = {
+      val avgs = (0 until EmbDims)
+        .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 4) AS c$i")
+        .mkString(", ")
+      val keep = (0 until EmbDims)
+        .map(i => s"coalesce(a.c$i, p.c$i) AS c$i").mkString(", ")
+      s"""agg$t AS (SELECT cell, count(*) AS n, $avgs FROM asg${t - 1} GROUP BY cell),
+         |m$t AS (SELECT p.cell, $keep, coalesce(a.n, 0) AS n
+         |  FROM m${t - 1} p LEFT JOIN agg$t a ON a.cell = p.cell)""".stripMargin
+    }
+    val rounds = (1 to KmeansIters)
+      .map(t => s"${asgCte(t - 1)},\n${meanCte(t)}").mkString(",\n")
+    val cCase = (0 until EmbDims).map(i => s"WHEN $i THEN c$i").mkString(" ")
+    s"""WITH $initCte,
+       |$rounds,
+       |dims AS (SELECT unnest(range(0, $EmbDims)) AS dim)
+       |SELECT CAST(m.cell AS BIGINT) AS cell, CAST(d.dim AS BIGINT) AS dim,
+       |  CASE d.dim $cCase END AS c, CAST(m.n AS BIGINT) AS n
+       |FROM m$KmeansIters m CROSS JOIN dims d""".stripMargin
+  }
+
   def qRangeJoin: String =
     """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo
       |  FROM part WHERE p_partkey % 20 = 0)

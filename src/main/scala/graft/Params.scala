@@ -26,6 +26,8 @@ object Params {
   val EmbMinCos = 0.45
   val AnnK = 10
   val IvfCells = 8
+  val IvfNprobe = 2    // probed cells for the recall-tunable IVF query
+  val KmeansIters = 3  // training iterations for the oracle-checked fit
   val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
 
   // marts

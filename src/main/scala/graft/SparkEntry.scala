@@ -335,6 +335,14 @@ object SparkEntry {
           "vec_id", "embedding", AnnK, IvfCells, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
+    "ann_ivf_nprobe" -> ((s, dir) => {
+      // the recall knob: same inverted-file layout, each query probes its
+      // IvfNprobe nearest cells instead of one
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }),
     "emb_kmeans_step" -> ((s, dir) => {
       // one distributed k-means update: map-side cell assignment against
       // literal centroids, then ONE hash aggregate with 64 per-dim sums —
@@ -353,6 +361,20 @@ object SparkEntry {
           posexplode(array((0 until EmbDims).map(i => col(s"s$i")): _*)).as(Seq("dim", "sv")))
         .select(col("cell"), col("dim").cast("long").as("dim"),
           round(col("sv") / col("n"), 4).as("c"), col("n"))
+    }),
+    "emb_kmeans_train" -> ((s, dir) => {
+      // full Lloyd's training loop: KmeansIters rounds of (assign against
+      // literal centroids → one hash aggregate → round-4 means back to the
+      // driver). Output is the final k×d centroid matrix in long form plus
+      // last-assignment cell sizes — tiny by construction, so the local
+      // result DataFrame is the honest shape (the corpus-side work already
+      // ran as distributed aggregates inside kmeansFit).
+      val (cents2, counts, _) = Similarity.kmeansFit(t(s, dir, "embeddings"),
+        "embedding", H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
+      import s.implicits._
+      cents2.zipWithIndex.flatMap { case (cw, c) =>
+        cw.zipWithIndex.map { case (v, d) => (c.toLong, d.toLong, v, counts(c)) }
+      }.toDF("cell", "dim", "c", "n")
     }),
     "q_range_join" -> ((s, dir) => {
       val iv = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
@@ -470,7 +492,9 @@ object SparkEntry {
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,
     "ann_ivf_topk" -> Oracles.annIvfTopK,
+    "ann_ivf_nprobe" -> Oracles.annIvfNprobe,
     "emb_kmeans_step" -> Oracles.embKmeansStep,
+    "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "etl_upsert" -> Oracles.etlUpsert,

@@ -72,38 +72,110 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
 
-  /** IVF cell id: argmax over centroid dot products (deterministic
+  /** Cell argmax over arbitrary centroid weights (deterministic
     * tie-break: lowest centroid index wins). The centroids are plan
     * literals — assignment is a map-side codegen'd expression, no join.
     */
-  def ivfCell(vecCol: Column, cents: Int, dims: Int): Column = {
-    val ws = H.centroidWeights(cents, dims)
-    val dots = ws.map(w => V.dotConst(vecCol, w))
+  def cellFor(vecCol: Column, cents: Seq[Seq[Double]]): Column = {
+    val dots = cents.map(w => V.dotConst(vecCol, w))
     val m = greatest(dots: _*)
-    dots.zipWithIndex.foldRight(lit(cents - 1)) { case ((d, i), rest) =>
+    dots.zipWithIndex.foldRight(lit(cents.size - 1): Column) { case ((d, i), rest) =>
       when(d === m, lit(i)).otherwise(rest)
     }
   }
 
+  /** IVF cell id against the fixed md5-derived coarse quantizer. */
+  def ivfCell(vecCol: Column, cents: Int, dims: Int): Column =
+    cellFor(vecCol, H.centroidWeights(cents, dims))
+
+  /** The `nprobe` nearest cells for a query vector, by centroid dot
+    * product (desc, cell asc on exact-dot ties) — still a pure map-side
+    * literal expression: sort the (–dot, cell) pairs, slice, project.
+    */
+  def probeCells(vecCol: Column, cents: Seq[Seq[Double]], nprobe: Int): Column = {
+    val entries = array(cents.zipWithIndex.map { case (w, i) =>
+      struct((-V.dotConst(vecCol, w)).as("nd"), lit(i).as("cell"))
+    }: _*)
+    slice(transform(array_sort(entries), e => e.getField("cell")), 1, nprobe)
+  }
+
   /** IVF-style ANN: corpus is coarse-quantized into `cents` cells; each
-    * query searches only its own cell (nprobe=1). Exact cosine + total-
-    * order rank within the cell. Cells are the unit of data placement at
-    * scale: partition/bucket the corpus by cell and each query touches
-    * one partition instead of the corpus — the classic inverted-file
-    * layout, expressed as one equi-join on the cell id.
+    * query searches its `nprobe` nearest cells (by centroid dot). Exact
+    * cosine + total-order rank within the probed cells. Cells are the
+    * unit of data placement at scale: partition/bucket the corpus by
+    * cell and each query touches `nprobe` partitions instead of the
+    * corpus — the classic inverted-file layout, expressed as one
+    * equi-join on the cell id (the query side fans out ×nprobe, the
+    * corpus side never replicates). `nprobe` is the recall/cost knob:
+    * nprobe = cents degrades gracefully to exact brute force.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, cents: Int = 8, dims: Int = 64): DataFrame = {
+              k: Int, cents: Int = 8, dims: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents, s"nprobe must be in [1, $cents]")
+    val ws = H.centroidWeights(cents, dims)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      V.norm(col(vecCol)).as("qn"), ivfCell(col(vecCol), cents, dims).as("cell"))
+      V.norm(col(vecCol)).as("qn"),
+      explode(probeCells(col(vecCol), ws, nprobe)).as("cell"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      V.norm(col(vecCol)).as("nn"), ivfCell(col(vecCol), cents, dims).as("cell"))
+      V.norm(col(vecCol)).as("nn"), cellFor(col(vecCol), ws).as("cell"))
+    // no distinct needed: probe cells are distinct per query and each
+    // corpus row lives in exactly one cell, so a (query, neighbor) pair
+    // can only surface once
     val scored = q.join(c, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
+  /** Lloyd's k-means over the corpus, iterated to convergence (or
+    * `maxIter`). Returns (centroids, last-assignment counts, iterations
+    * run); every coordinate is rounded to 4 decimals per round — the
+    * portability contract that lets another engine replay the exact
+    * training trajectory.
+    *
+    * Scale design: per round the corpus does ONE map-side-combined hash
+    * aggregate (dims sums + a count per cell) — no join, no explode, no
+    * growing lineage, because the k×d centroid matrix re-enters each
+    * round's plan as codegen'd literals. Only that k×d matrix ever
+    * reaches the driver (O(cells·dims), independent of corpus size) —
+    * the iterate-via-checkpoint pattern ([[Dedup.clusters]]) is for
+    * per-ROW state; centroids are the textbook broadcast-back case.
+    * Converged means no coordinate moved more than `tol` after rounding;
+    * an empty cell keeps its previous centroid.
+    */
+  def kmeansFit(emb: DataFrame, vecCol: String, init: Seq[Seq[Double]], dims: Int,
+                maxIter: Int, tol: Double = 0.0): (Seq[Seq[Double]], Seq[Long], Int) = {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents = init
+    var counts = Seq.fill(init.size)(0L)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = (0 until dims).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
+      val agg = emb.groupBy(cellFor(col(vecCol), cents).cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byCell = agg.map(r => r.getLong(0) -> r).toMap
+      counts = cents.indices.map(c => byCell.get(c.toLong).map(_.getLong(1)).getOrElse(0L))
+      val next = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c.toLong) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (0 until dims).map(i => r4(r.getDouble(2 + i) / n))
+          case None => old
+        }
+      }
+      moved = next.zip(cents).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      cents = next
+      iter += 1
+    }
+    (cents, counts, iter)
   }
 
   /** LSH-restricted top-k: candidates = corpus rows sharing at least one

@@ -104,6 +104,43 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toSeq === Seq(1L, 2L))
   }
 
+  test("IVF recall strictly improves with nprobe and reaches exact at nprobe = cells") {
+    import Params._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" % AnnQueryMod === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", AnnK))
+    val recalls = Seq(1, IvfNprobe, IvfCells).map { np =>
+      val got = pairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        AnnK, IvfCells, EmbDims, np))
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall must be monotone in nprobe: $recalls")
+    assert(recalls(2) > recalls(0),
+      s"probing more cells must strictly improve recall on this data: $recalls")
+    assert(recalls(2) === 1.0,
+      s"nprobe = cells searches every cell and must equal brute force: $recalls")
+  }
+
+  test("k-means fit converges: movement stops and extra iterations are no-ops") {
+    import Params._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val init = graft.functions.HashFunctions.centroidWeights(IvfCells, EmbDims)
+    // generous cap + tol=0: stops only at an exact fixed point
+    val (cFix, nFix, itersRun) = Similarity.kmeansFit(emb, "embedding", init,
+      EmbDims, maxIter = 25)
+    assert(itersRun < 25, "should reach a fixed point well before the cap")
+    // idempotence at the fixed point: one more round from cFix changes nothing
+    val (cAgain, nAgain, _) = Similarity.kmeansFit(emb, "embedding", cFix,
+      EmbDims, maxIter = 1)
+    assert(cAgain === cFix && nAgain === nFix)
+    // the fit moved the centroids off the md5 seeds and every cell is live
+    assert(cFix !== init)
+    assert(nFix.forall(_ > 0L) && nFix.sum === emb.count())
+  }
+
   test("embedding near-dup finds only the close pair") {
     val vecs = Seq(
       (0L, Array.fill(8)(0.5f)),
