@@ -317,6 +317,17 @@ object Oracles {
       |SELECT band_id, o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
       |FROM iv JOIN orders ON o_totalprice >= lo AND o_totalprice < lo + 3500.0""".stripMargin
 
+  def qIntervalJoin: String =
+    """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo,
+      |    (p_partkey % 100) * 2000.0 + 3500.0 AS hi
+      |  FROM part WHERE p_partkey % 20 = 0),
+      |ov AS (SELECT o_orderkey, o_totalprice AS olo, o_totalprice + 2500.0 AS ohi
+      |  FROM orders WHERE o_orderkey % 50 = 0)
+      |SELECT band_id, o_orderkey,
+      |  CAST(FLOOR(greatest(lo, olo) * 100) AS BIGINT) AS ov_lo_cents,
+      |  CAST(FLOOR(least(hi, ohi) * 100) AS BIGINT) AS ov_hi_cents
+      |FROM iv JOIN ov ON lo < ohi AND olo < hi""".stripMargin
+
   def annLshTopK: String =
     s"""WITH ${embBandCtes},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -386,6 +386,24 @@ object SparkEntry {
         .select(col("band_id"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
 
+    "q_interval_join" -> ((s, dir) => {
+      // interval×interval overlap: part-derived bands vs order-price
+      // windows, bucketed equi-join (no nested loop), one row per
+      // overlapping pair with the exact overlap extent in cents
+      val iv = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("band_id"),
+          ((col("p_partkey") % 100) * lit(2000.0)).as("lo"))
+        .withColumn("hi", col("lo") + lit(3500.0))
+      val ov = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("olo"),
+          (col("o_totalprice") + lit(2500.0)).as("ohi"))
+      operators.RangeJoin.intervalOverlap(iv, "lo", "hi", ov, "olo", "ohi",
+          bucketWidth = 2000.0)
+        .select(col("band_id"), col("o_orderkey"),
+          cents(greatest(col("lo"), col("olo"))).as("ov_lo_cents"),
+          cents(least(col("hi"), col("ohi"))).as("ov_hi_cents"))
+    }),
+
     // ---- §2.8 deterministic sampling ----
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulli(t(s, dir, "documents"), col("doc_id"), SampleRate, SampleSalt)
@@ -496,6 +514,7 @@ object SparkEntry {
     "emb_kmeans_step" -> Oracles.embKmeansStep,
     "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,
+    "q_interval_join" -> Oracles.qIntervalJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "etl_upsert" -> Oracles.etlUpsert,
     "sample_bernoulli" -> Oracles.sampleBernoulli,

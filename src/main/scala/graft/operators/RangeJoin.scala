@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join without the nested-loop trap.
@@ -21,32 +21,70 @@ object RangeJoin {
     * its value. Columns are referenced by name; both inputs keep all
     * their columns in the output.
     */
+  /** Bucket ids an interval [lo, hi) overlaps, with the loud-failure
+    * span guard. A bucketWidth far below the interval length would
+    * silently explode each interval into millions of rows — fail loudly
+    * instead; the guard lives INSIDE the sequence bound so column
+    * pruning can't eliminate it. Inverted intervals (hi < lo) are empty
+    * by the [lo, hi) contract and must yield zero buckets — Spark's
+    * sequence(a, b) with b < a counts DOWN, which would explode |span|
+    * rows of garbage. hi is exclusive but floor(hi/w) is included
+    * anyway: the extra boundary bucket only ever ADDS candidates the
+    * exact predicate drops.
+    */
+  private def bucketsFor(lo: Column, hi: Column, w: Column,
+                         maxBucketsPerInterval: Int): Column = {
+    val lob = floor(lo / w).cast("long")
+    val hib = floor(hi / w).cast("long")
+    val hibGuarded = when(hib - lob >= maxBucketsPerInterval,
+      raise_error(concat(lit(s"range-join interval spans >= $maxBucketsPerInterval buckets; " +
+        "raise bucketWidth or maxBucketsPerInterval — interval lo="), lo.cast("string")))
+        .cast("long"))
+      .otherwise(hib)
+    when(hib < lob, array().cast("array<long>")).otherwise(sequence(lob, hibGuarded))
+  }
+
+  /** Join each point row to every interval row whose [lo, hi) contains
+    * its value. Columns are referenced by name; both inputs keep all
+    * their columns in the output.
+    */
   def pointInInterval(points: DataFrame, pointVal: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Double, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0)
     val w = lit(bucketWidth)
     val pw = points.withColumn("__b", floor(col(pointVal) / w).cast("long"))
-    val lob = floor(col(loCol) / w).cast("long")
-    // hi is exclusive but floor(hi/w) is included anyway: the extra
-    // boundary bucket only ever ADDS candidates the exact predicate drops
-    val hib = floor(col(hiCol) / w).cast("long")
-    // a bucketWidth far below the interval length would silently explode
-    // each interval into millions of rows — fail loudly instead; the
-    // guard lives INSIDE the sequence bound so column pruning can't
-    // eliminate it. Inverted intervals (hi < lo) are empty by the [lo,hi)
-    // contract and must yield zero buckets — Spark's sequence(a, b) with
-    // b < a counts DOWN, which would explode |span| rows of garbage.
-    val hibGuarded = when(hib - lob >= maxBucketsPerInterval,
-      raise_error(concat(lit(s"range-join interval spans >= $maxBucketsPerInterval buckets; " +
-        "raise bucketWidth or maxBucketsPerInterval — interval lo="), col(loCol).cast("string")))
-        .cast("long"))
-      .otherwise(hib)
-    val buckets = when(hib < lob, array().cast("array<long>"))
-      .otherwise(sequence(lob, hibGuarded))
-    val iw = intervals.withColumn("__b", explode(buckets))
+    val iw = intervals.withColumn("__b",
+      explode(bucketsFor(col(loCol), col(hiCol), w, maxBucketsPerInterval)))
     pw.join(iw, "__b")
       .where(col(pointVal) >= col(loCol) && col(pointVal) < col(hiCol))
+      .drop("__b")
+  }
+
+  /** Interval×interval overlap join — the other half of the standard
+    * range-join pair: left [lLo, lHi) joins right [rLo, rHi) when the
+    * two half-open intervals overlap. Same bucket scheme as
+    * [[pointInInterval]]: both sides explode onto the buckets they span,
+    * hash-join on the bucket id, exact overlap predicate after. A pair
+    * overlapping across several shared buckets is emitted exactly ONCE
+    * without a distinct shuffle: the match is attributed to the single
+    * bucket containing the overlap's start, `floor(max(lLo, rLo)/w)` —
+    * every overlapping pair shares that bucket by construction, so no
+    * candidates are lost either. Column names must not collide across
+    * the two inputs (alias before calling).
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Double, maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0)
+    val w = lit(bucketWidth)
+    val lw = left.withColumn("__b",
+      explode(bucketsFor(col(lLo), col(lHi), w, maxBucketsPerInterval)))
+    val rw = right.withColumn("__b",
+      explode(bucketsFor(col(rLo), col(rHi), w, maxBucketsPerInterval)))
+    lw.join(rw, "__b")
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__b") === floor(greatest(col(lLo), col(rLo)) / w).cast("long"))
       .drop("__b")
   }
 }

@@ -180,6 +180,21 @@ class OperatorsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("interval overlap joins half-open overlaps once, skips touching and inverted") {
+    import graft.operators.RangeJoin
+    val a = Seq((1L, 0.0, 10.0),   // overlaps b1, touches b2 at 10 (no match)
+                (2L, 20.0, 30.0),  // overlaps b2 across several buckets
+                (3L, 50.0, 40.0))  // inverted: empty by contract
+      .toDF("a_id", "alo", "ahi")
+    val b = Seq((1L, 5.0, 8.0), (2L, 10.0, 29.0), (3L, 90.0, 95.0))
+      .toDF("b_id", "blo", "bhi")
+    val out = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", bucketWidth = 3.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    // each overlapping pair exactly ONCE even when it spans many shared
+    // buckets (2,2 shares buckets 6..9); [0,10) vs [10,29) touch → no row
+    assert(out.sorted === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("clusters of an empty pair set returns empty instead of crashing") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusters(empty).count() === 0)

@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a hash/broadcast equi-join on the bucket id:\n$plan")
   }
 
+  test("interval overlap join plans as a bucket equi-join, never a nested loop") {
+    val plan = explain("q_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap join must bucket into an equi-join:\n$plan")
+    assert(plan.contains("Join"), s"expected a hash/broadcast equi-join on the bucket id:\n$plan")
+  }
+
   test("AQE splits a deliberately skewed join partition at runtime") {
     // SURVEY §5 claims AQE skew-join absorbs hot keys; prove it: one key
     // holds 50% of the left side, thresholds lowered to test scale, and
