@@ -665,6 +665,23 @@ object Oracles {
       |              ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
       |FROM orders""".stripMargin
 
+  /** SCD-2 twin: prune no-change log rows by a lag-compare (direct value
+    * compare — equivalent to the Spark side's md5 fingerprint for a
+    * single non-null tracked column), then lead() for the half-open
+    * validity window.
+    */
+  def etlScd2: String =
+    """WITH pr AS (
+      |  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+      |      lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |    FROM orders)
+      |  WHERE prev IS NULL OR o_orderpriority <> prev)
+      |SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS effective_from,
+      |  CAST(lead(o_orderdate) OVER w AS VARCHAR) AS effective_to,
+      |  (lead(o_orderdate) OVER w IS NULL) AS is_current, o_orderpriority
+      |FROM pr WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   def qQuartiles: String =
     """SELECT yearkey,
       |  min(CASE WHEN rn = (cnt + 3) // 4 THEN v END) AS p25,

@@ -244,6 +244,19 @@ object SparkEntry {
       Staging.upsert(orders, updates, Seq("o_orderkey"))
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
+    "etl_scd2" -> ((s, dir) => {
+      // history dimension from a change log: each order is a change event
+      // for its customer, tracked attribute = order priority; output one
+      // row per version with its half-open validity window
+      val log = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_orderkey"))
+      Staging.scd2(log, Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"),
+          Seq(col("o_orderkey")))
+        .select(col("o_custkey"),
+          col("effective_from").cast("string").as("effective_from"),
+          col("effective_to").cast("string").as("effective_to"),
+          col("is_current"), col("o_orderpriority"))
+    }),
     "q_distinct_count" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
@@ -517,6 +530,7 @@ object SparkEntry {
     "q_interval_join" -> Oracles.qIntervalJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "etl_upsert" -> Oracles.etlUpsert,
+    "etl_scd2" -> Oracles.etlScd2,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_stratified" -> Oracles.sampleStratified,
     "text_vocab" -> Oracles.textVocab,

@@ -61,4 +61,34 @@ object Staging {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** SCD-2 history build from a change log: one row per VERSION with
+    * `effective_from` / `effective_to` (half-open; `effective_to` NULL =
+    * still current, flagged `is_current`) — the standard DW history
+    * dimension the SCD-1 [[upsert]] forgets.
+    *
+    * A log row whose `tracked` attributes equal the key's previous
+    * version changes nothing and must NOT open a new version — pruned
+    * via a lag-compare on a null-safe fingerprint of the tracked
+    * columns. Both windows partition on the SAME key, so the whole
+    * operator costs ONE shuffle: the prune filter preserves the
+    * partitioning/order and the lead reuses it (PlanSpec pins one
+    * Exchange). `order` must make the per-key order total (include a
+    * unique column) or version boundaries are nondeterministic.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], effectiveCol: String,
+           tracked: Seq[String], order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(effectiveCol) +: order: _*)
+    val fp = md5(concat_ws("\u0001",
+      tracked.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    changes.withColumn("__fp", fp)
+      .withColumn("__prev", lag(col("__fp"), 1).over(w))
+      .filter(col("__prev").isNull || col("__fp") =!= col("__prev"))
+      .drop("__fp", "__prev")
+      .withColumn("effective_to", lead(col(effectiveCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .withColumnRenamed(effectiveCol, "effective_from")
+  }
 }

@@ -213,6 +213,26 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toSeq === Seq(1, 2))
   }
 
+  test("scd2 builds half-open versions, prunes no-change rows, handles nulls") {
+    val log = Seq(
+      (7L, "2024-01-01", "A", 1L),
+      (7L, "2024-02-01", "A", 2L), // no change: must not open a version
+      (7L, "2024-03-01", "B", 3L),
+      (7L, "2024-04-01", null, 4L), // null is a real new value
+      (7L, "2024-05-01", "A", 5L), // value can recur in a LATER version
+      (9L, "2024-01-15", "X", 6L))
+      .toDF("k", "eff", "attr", "seq")
+    val out = graft.etl.Staging.scd2(log, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+      .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
+      .as[(Long, String, Option[String], Boolean, Option[String])].collect().toSet
+    assert(out === Set(
+      (7L, "2024-01-01", Some("2024-03-01"), false, Some("A")),
+      (7L, "2024-03-01", Some("2024-04-01"), false, Some("B")),
+      (7L, "2024-04-01", Some("2024-05-01"), false, None),
+      (7L, "2024-05-01", None, true, Some("A")),
+      (9L, "2024-01-15", None, true, Some("X"))))
+  }
+
   test("staging null markers + casts") {
     val df = Seq(("\\N", "5"), ("7", "\\N")).toDF("a", "b")
     val out = Staging.castColumns(Staging.nullMarkers(df, Seq("a", "b"), "\\N"),

@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a hash/broadcast equi-join on the bucket id:\n$plan")
   }
 
+  test("scd2 costs exactly one shuffle: prune-lag and version-lead share it") {
+    val plan = explain("etl_scd2")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"both windows partition on the key and must reuse one exchange, got $exchanges:\n$plan")
+  }
+
   test("interval overlap join plans as a bucket equi-join, never a nested loop") {
     val plan = explain("q_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
