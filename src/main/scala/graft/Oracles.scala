@@ -20,16 +20,23 @@ object Oracles {
   private val toksCte =
     "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents)"
 
-  /** word-bigram shingles CTE (same as TextFunctions.shingles). */
-  private val shingCte =
-    "shing AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS sh FROM toks)"
+  /** word n-gram shingles CTE (same as TextFunctions.shingles at n). */
+  private def shingCteFor(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "ts[i]" else s"ts[i+$j]").mkString(" || ' ' || ")
+    s"shing AS (SELECT doc_id, list_transform(range(1, greatest(len(ts) - ${n - 2}, 1)), i -> $parts) AS sh FROM toks)"
+  }
+
+  private val shingCte = shingCteFor(2)
 
   /** minhash signature + LSH band CTEs, generated from the SAME constants
     * ([[Params]], [[HashFunctions.minhashCoeffs]]) as the Spark plan:
     * one md5 per shingle → 60-bit hex prefix mod P → k affine min-hashes
     * → base-31 integer band keys.
     */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFor(2)
+
+  private def minhashCtesFor(shingleN: Int): String = {
     val P = HashFunctions.MinhashP
     val hex15 = (0 until 15).map(j => s"(instr('$hex', substr(md5(t), ${j + 1}, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
@@ -40,7 +47,7 @@ object Oracles {
         .reduce((acc, m) => s"($acc * 31 + $m)")
       s"SELECT doc_id, $b AS band_id, $bk AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$toksCte, $shingCte,
+    s"""$toksCte, ${shingCteFor(shingleN)},
        |tok AS (SELECT doc_id, unnest(sh) AS t FROM shing),
        |hb AS (SELECT doc_id, CAST($hex15 AS BIGINT) % $P AS hb FROM tok),
        |sig AS (SELECT doc_id, $mhs FROM hb GROUP BY doc_id),
@@ -52,6 +59,11 @@ object Oracles {
       "ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id"
 
   def dedupMinhashLsh: String = s"WITH ${minhashCtes} $candSelect"
+
+  /** Same LSH pipeline over trigram shingles — n is the recall dial of
+    * the shingling stage (larger n = stricter duplicates).
+    */
+  def dedupMinhashN3: String = s"WITH ${minhashCtesFor(3)} $candSelect"
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the verified
     * near-dup pairs, reused by the jaccard, clustering, and cleaning

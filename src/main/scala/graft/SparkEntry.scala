@@ -293,6 +293,10 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", MinhashK, MinhashBands)),
+    "dedup_minhash_n3" -> ((s, dir) =>
+      // same LSH pipeline over trigram shingles — the shingling-n dial
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", MinhashK,
+        MinhashBands, shingleN = 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands)),
     "dedup_cluster" -> ((s, dir) =>
@@ -512,6 +516,7 @@ object SparkEntry {
     "mart_top_agg" -> Oracles.martTopPerGroup,
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
+    "dedup_minhash_n3" -> Oracles.dedupMinhashN3,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_cluster" -> Oracles.dedupCluster,
     "text_pipeline" -> Oracles.textPipeline,

@@ -32,19 +32,20 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
 
   /** Word n-gram shingles (n>=2) over the whitespace tokens; empty array
-    * when the document has fewer than n tokens. Built with slice+zip_with
-    * so no explode/shuffle is needed to form shingles.
+    * when the document has fewer than n tokens. Built as a fold of
+    * slice+zip_with (one zip per extra gram) so no explode/shuffle is
+    * needed to form shingles; n∈{2,3,5} are the C4/Gopher-style configs
+    * real pipelines use, any n>=2 works.
     */
   def shingles(text: Column, n: Int = 2): Column = {
-    require(n == 2, "word-bigram shingles are the supported kernel")
+    require(n >= 2, "shingles need n >= 2")
     val ts = tokens(text)
-    // empty/one-token docs: size-1 would be a negative slice length,
-    // which Slice rejects at runtime — clamp to 0 (empty shingle set)
-    val len = greatest(size(ts) - 1, lit(0))
-    zip_with(
-      slice(ts, lit(1), len),
-      slice(ts, lit(2), len),
-      (a, b) => concat(a, lit(" "), b))
+    // short docs: size-(n-1) would be a negative slice length, which
+    // Slice rejects at runtime — clamp to 0 (empty shingle set)
+    val len = greatest(size(ts) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(ts, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(ts, lit(j + 1), len), (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Per-language stopword lists for the n-gram language-ID heuristic.

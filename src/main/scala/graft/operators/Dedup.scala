@@ -41,11 +41,11 @@ object Dedup {
     * the projections).
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, bands: Int): DataFrame = {
+                   k: Int, bands: Int, shingleN: Int = 2): DataFrame = {
     val rows = k / bands
     val coeffs = H.minhashCoeffs(k)
     val hashed = docs
-      .select(col(idCol), explode(T.shingles(col(textCol))).as("t"))
+      .select(col(idCol), explode(T.shingles(col(textCol), shingleN)).as("t"))
       .select(col(idCol), H.shingleHash(col("t")).as("hb"))
     val sig = hashed.groupBy(col(idCol))
       .agg(min(H.affineHash(col("hb"), coeffs.head._1, coeffs.head._2)).as("mh0"),
@@ -63,8 +63,8 @@ object Dedup {
     * ordered (a<b) pairs, deduped across bands.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, bands: Int = 4): DataFrame = {
-    val exploded = bandTable(docs, idCol, textCol, k, bands)
+                        k: Int = 16, bands: Int = 4, shingleN: Int = 2): DataFrame = {
+    val exploded = bandTable(docs, idCol, textCol, k, bands, shingleN)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
@@ -80,8 +80,8 @@ object Dedup {
     * per document ever, not once per dedup run.
     */
   def bandTable(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 16, bands: Int = 4): DataFrame =
-    minhashBands(docs, idCol, textCol, k, bands)
+                k: Int = 16, bands: Int = 4, shingleN: Int = 2): DataFrame =
+    minhashBands(docs, idCol, textCol, k, bands, shingleN)
       .select(col(idCol), posexplode(col("bks")).as(Seq("band_id", "bk")))
 
   /** Incremental dedup: candidate pairs involving NEW documents only —

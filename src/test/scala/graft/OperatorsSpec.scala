@@ -265,6 +265,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[String]("lang") === "en")
   }
 
+  test("shingles generalize to n=3 and n=5 with empty sets for short docs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, ""), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    def sh(n: Int): Map[Long, Seq[String]] = docs
+      .select($"doc_id", T.shingles($"text", n).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(3) === Map(
+      1L -> Seq("a b c", "b c d", "c d e"), 2L -> Seq(), 3L -> Seq(),
+      4L -> Seq("x y z")))
+    assert(sh(5) === Map(
+      1L -> Seq("a b c d e"), 2L -> Seq(), 3L -> Seq(), 4L -> Seq()))
+  }
+
   test("as-of join finds the latest prior match per user, never a later one") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click"),
