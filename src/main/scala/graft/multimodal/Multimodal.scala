@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * stage.
   *
   * The Spark-side plumbing (schema, batch iteration, partition sizing) is
-  * real, and the IMAGE path uses a real codec: [[ImageCodec]] encodes and
-  * decodes PNG via `javax.imageio` (pure JVM, headless-safe — the one
-  * codec this container ships). Audio/video stay deterministic STUBS
-  * (no such libraries here); each keeps the exact `Iterator → Iterator`
-  * shape a real codec needs (the idiomatic Scala analog of a `mapInPandas`
-  * batch UDF: per-partition batching, no per-row JNI/process round-trips).
+  * real, and the IMAGE and AUDIO paths use real codecs: [[ImageCodec]]
+  * encodes/decodes PNG via `javax.imageio`, [[AudioCodec]] encodes/
+  * decodes WAV via `javax.sound.sampled` (both pure JVM, headless-safe —
+  * the two codec families this container ships). VIDEO stays a
+  * deterministic STUB (no demuxer exists on a bare JVM); it keeps the
+  * exact `Iterator → Iterator` shape a real codec needs (the idiomatic
+  * Scala analog of a `mapInPandas` batch UDF: per-partition batching, no
+  * per-row JNI/process round-trips).
   */
 object Multimodal {
 
@@ -138,10 +140,63 @@ object Multimodal {
     }
   }
 
-  /** Full plumbing demo: documents → PNG media table → real decode. */
+  /** Media table with REAL payloads in BOTH remaining real modalities:
+    * even doc ids render a PNG ([[ImageCodec]]), odd ids a WAV
+    * ([[AudioCodec]] — deterministic PCM synthesized from the text
+    * bytes). Same one-pass mapPartitions ingestion shape.
+    */
+  def mediaFromDocumentsMixed(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        if (id % 2 == 0) {
+          val w = (id % 12 + 4).toInt
+          val h = (id % 9 + 3).toInt
+          MediaRow(id, "image", w, h, ImageCodec.encodePng(w, h, seed))
+        } else {
+          val n = (id % 400 + 100).toInt
+          MediaRow(id, "audio", n, 1, AudioCodec.encodeWav(8000f, AudioCodec.pcmFromSeed(seed, n)))
+        }
+      }
+    }
+  }
+
+  /** REAL decode for image AND audio payloads: PNG via javax.imageio,
+    * WAV via javax.sound.sampled — both pure-JVM, headless-safe. The
+    * checksum comes from decoded pixels/samples, not container bytes.
+    * Undecodable payloads fall back to the byte-level stub features, so
+    * the stage keeps the any-input contract.
+    */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        def fromCrc(crc: Long) =
+          Array.tabulate(8)(j => ((crc >>> (j * 8)) & 0xff).toFloat / 255.0f)
+        ImageCodec.decodePng(r.payload) match {
+          case Some((_, _, pixCrc)) =>
+            MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, pixCrc, fromCrc(pixCrc))
+          case None => AudioCodec.decodeWav(r.payload) match {
+            case Some((_, _, sampleCrc)) =>
+              MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, sampleCrc, fromCrc(sampleCrc))
+            case None =>
+              var crc = 1125899906842597L
+              var i = 0
+              while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+              MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, crc, fromCrc(crc))
+          }
+        }
+      }
+    }
+  }
+
+  /** Full plumbing demo: documents → mixed PNG/WAV media table → real
+    * decode of both modalities.
+    */
   def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    decodeImage(mediaFromDocumentsPng(docs)).toDF()
+    decodeMedia(mediaFromDocumentsMixed(docs)).toDF()
       .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
   }
 }
@@ -187,5 +242,60 @@ object ImageCodec {
         }
         Some((img.getWidth, img.getHeight, crc))
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
+/** Real WAV encode/decode on the JVM's built-in javax.sound.sampled —
+  * like [[ImageCodec]], no native or external dependency, safe on
+  * headless executors. PCM is 16-bit signed mono little-endian.
+  */
+object AudioCodec {
+
+  private def format(sampleRate: Float) =
+    new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+
+  /** Deterministic PCM synth from seed bytes: a seed-modulated sawtooth —
+    * stable across runs/engines, full 16-bit range exercised.
+    */
+  def pcmFromSeed(seed: Array[Byte], nSamples: Int): Array[Short] =
+    Array.tabulate(nSamples) { i =>
+      val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      (((i * 257 + b * 131) % 65536) - 32768).toShort
+    }
+
+  /** 16-bit mono PCM samples → WAV container bytes. */
+  def encodeWav(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), format(sampleRate), samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV decode → (sample rate, sample count, sample crc); None when the
+    * payload is not a decodable audio container. The crc runs over the
+    * decoded 16-bit samples, not the container bytes.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Float, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      var crc = 1125899906842597L
+      var i = 0
+      while (i + 1 < data.length) {
+        crc = crc * 31 + ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+        i += 2
+      }
+      Some((fmt.getSampleRate, data.length.toLong / math.max(1, fmt.getFrameSize), crc))
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -54,6 +54,51 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.toSeq === f2.toSeq)
     assert(f1.length === docs.count())
     assert(f1.forall(_.getAs[Long]("n_bytes") > 0))
+    // both real modalities are present in the mixed media pipeline
+    assert(f1.count(_.getAs[String]("modality") == "audio") > 0)
+    assert(f1.count(_.getAs[String]("modality") == "image") > 0)
+  }
+
+  test("real WAV codec: decode recovers sample count, rate and sample crc") {
+    import graft.multimodal.AudioCodec
+    val samples = AudioCodec.pcmFromSeed("deterministic seed".getBytes("UTF-8"), 480)
+    val wav = AudioCodec.encodeWav(8000f, samples)
+    // genuine RIFF/WAVE container bytes
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val Some((rate, n, crc)) = AudioCodec.decodeWav(wav)
+    assert(rate === 8000f)
+    assert(n === 480L, "decoded sample count must equal what was encoded")
+    // the crc must be over the DECODED samples — recompute independently
+    var expect = 1125899906842597L
+    samples.foreach(s => expect = expect * 31 + s)
+    assert(crc === expect)
+    // non-audio payloads are rejected, not crashed on
+    assert(AudioCodec.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decodeWav("not audio at all".getBytes).isEmpty)
+  }
+
+  test("mixed media table: odd ids are WAV, even ids are PNG, both decode") {
+    val media = Multimodal.mediaFromDocumentsMixed(docs.limit(20)).collect()
+    media.foreach { r =>
+      if (r.media_id % 2 == 0) {
+        assert(r.modality === "image")
+        assert(graft.multimodal.ImageCodec.decodePng(r.payload).isDefined)
+      } else {
+        assert(r.modality === "audio")
+        val d = graft.multimodal.AudioCodec.decodeWav(r.payload)
+        assert(d.isDefined, s"media ${r.media_id} must decode as WAV")
+        assert(d.get._2 === r.media_id % 400 + 100,
+          "decoded sample count must match the synth length")
+      }
+    }
+    // the Spark-side batched decode agrees with the local decode per row
+    val feats = Multimodal.decodeMedia(
+      Multimodal.mediaFromDocumentsMixed(docs.limit(20))).collect()
+    feats.filter(_.media_id % 2 == 1).foreach { f =>
+      val row = media.find(_.media_id == f.media_id).get
+      assert(f.checksum === graft.multimodal.AudioCodec.decodeWav(row.payload).get._3)
+    }
   }
 
   test("resize stub updates metadata and payload size, batch-shaped") {
