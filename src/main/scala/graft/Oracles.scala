@@ -284,23 +284,30 @@ object Oracles {
     * the long-form centroid matrix plus last-assignment cell sizes,
     * exactly [[SparkEntry]] `emb_kmeans_train`'s shape.
     */
-  def embKmeansTrain: String = {
+  /** Assignment t against centroid CTE m{t}: argmax dot (desc, cell asc).
+    * Produces d$t (per-vector per-cell dots) and asg$t (argmax cell).
+    */
+  private def kmeansAsgCte(t: Int): String = {
+    val dot = (1 to EmbDims)
+      .map(i => s"CAST(e.embedding[$i] AS DOUBLE) * m.c${i - 1}").mkString(" + ")
+    s"""d$t AS (SELECT e.vec_id, e.embedding, m.cell, ($dot) AS d
+       |  FROM embeddings e CROSS JOIN m$t m),
+       |asg$t AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT vec_id, embedding, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+       |  FROM d$t) WHERE rn = 1)""".stripMargin
+  }
+
+  /** WITH-body prefix replaying `iters` k-means rounds from the literal
+    * md5-derived init: m0 (VALUES) then (asg{t-1}, agg{t}, m{t}) chains.
+    * Ends with centroid CTE m{iters}(cell, c0.., n).
+    */
+  private def kmeansCtes(iters: Int): String = {
     val init = HashFunctions.centroidWeights(IvfCells, EmbDims)
     val cNames = (0 until EmbDims).map(i => s"c$i")
     val initRows = init.zipWithIndex
       .map { case (w, c) => s"($c, ${w.mkString(", ")})" }.mkString(", ")
     val initCte = s"m0(cell, ${cNames.mkString(", ")}) AS (VALUES $initRows)"
-    // assignment t against centroids m{t}: argmax dot (desc, cell asc)
-    def asgCte(t: Int): String = {
-      val dot = (1 to EmbDims)
-        .map(i => s"CAST(e.embedding[$i] AS DOUBLE) * m.c${i - 1}").mkString(" + ")
-      s"""d$t AS (SELECT e.vec_id, e.embedding, m.cell, ($dot) AS d
-         |  FROM embeddings e CROSS JOIN m$t m),
-         |asg$t AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT vec_id, embedding, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
-         |  FROM d$t) WHERE rn = 1)""".stripMargin
-    }
     // means of assignment t-1 → centroids m{t}; empty cell keeps m{t-1}
     def meanCte(t: Int): String = {
       val avgs = (0 until EmbDims)
@@ -312,15 +319,60 @@ object Oracles {
          |m$t AS (SELECT p.cell, $keep, coalesce(a.n, 0) AS n
          |  FROM m${t - 1} p LEFT JOIN agg$t a ON a.cell = p.cell)""".stripMargin
     }
-    val rounds = (1 to KmeansIters)
-      .map(t => s"${asgCte(t - 1)},\n${meanCte(t)}").mkString(",\n")
+    val rounds = (1 to iters)
+      .map(t => s"${kmeansAsgCte(t - 1)},\n${meanCte(t)}").mkString(",\n")
+    s"$initCte,\n$rounds"
+  }
+
+  def embKmeansTrain: String = {
     val cCase = (0 until EmbDims).map(i => s"WHEN $i THEN c$i").mkString(" ")
-    s"""WITH $initCte,
-       |$rounds,
+    s"""WITH ${kmeansCtes(KmeansIters)},
        |dims AS (SELECT unnest(range(0, $EmbDims)) AS dim)
        |SELECT CAST(m.cell AS BIGINT) AS cell, CAST(d.dim AS BIGINT) AS dim,
        |  CASE d.dim $cCase END AS c, CAST(m.n AS BIGINT) AS n
        |FROM m$KmeansIters m CROSS JOIN dims d""".stripMargin
+  }
+
+  /** IVF search against the TRAINED centroids: replay the training
+    * rounds, assign the corpus to m{iters} cells, rank each query's
+    * cells by dot, probe the top IvfNprobe, exact-cosine rank inside.
+    */
+  def annIvfTrained: String =
+    s"""WITH ${kmeansCtes(KmeansIters)},
+       |${kmeansAsgCte(KmeansIters)},
+       |pq AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+       |  FROM d$KmeansIters WHERE vec_id % $AnnQueryMod = 0) WHERE cr <= $IvfNprobe),
+       |cand AS (SELECT pq.query_id, c.vec_id AS neighbor_id
+       |  FROM pq JOIN asg$KmeansIters c ON c.cell = pq.cell AND c.vec_id <> pq.query_id),
+       |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id
+       |  JOIN embeddings eb ON eb.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $AnnK""".stripMargin
+
+  /** PQ encode twin: per subspace, argmax of (sub-dot − ‖c‖²/2) over the
+    * generated codebook constants; ties resolve to the lowest code via
+    * the CASE order, matching the Spark when-chain.
+    */
+  def embPqCodes: String = {
+    val subDims = EmbDims / PqSub
+    val cb = HashFunctions.pqCodebooks(PqSub, PqK, subDims)
+    (0 until PqSub).map { m =>
+      val scores = cb(m).zipWithIndex.map { case (c, ci) =>
+        val dot = (0 until subDims)
+          .map(i => s"CAST(embedding[${m * subDims + i + 1}] AS DOUBLE) * (${c(i)})")
+          .mkString(" + ")
+        s"($dot - (${c.map(x => x * x).sum / 2})) AS s$ci"
+      }.mkString(", ")
+      val best = s"greatest(${(0 until PqK).map(ci => s"s$ci").mkString(", ")})"
+      val cases = (0 until PqK - 1).map(ci => s"WHEN s$ci = b THEN $ci").mkString(" ")
+      s"""SELECT vec_id, CAST($m AS BIGINT) AS m, CAST(CASE $cases ELSE ${PqK - 1} END AS BIGINT) AS code
+         |FROM (SELECT *, $best AS b FROM (SELECT vec_id, $scores FROM embeddings))""".stripMargin
+    }.mkString("\nUNION ALL\n")
   }
 
   def qRangeJoin: String =
@@ -682,17 +734,42 @@ object Oracles {
     * single non-null tracked column), then lead() for the half-open
     * validity window.
     */
-  def etlScd2: String =
-    """WITH pr AS (
+  /** CTE chain ending in hist(o_custkey, effective_from DATE,
+    * effective_to DATE-or-NULL, o_orderpriority) — the SCD-2 history
+    * dimension, shared by the build and lookup oracles.
+    */
+  private val scd2HistCtes: String =
+    """pr AS (
       |  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey FROM (
       |    SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
       |      lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
       |    FROM orders)
-      |  WHERE prev IS NULL OR o_orderpriority <> prev)
-      |SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS effective_from,
-      |  CAST(lead(o_orderdate) OVER w AS VARCHAR) AS effective_to,
-      |  (lead(o_orderdate) OVER w IS NULL) AS is_current, o_orderpriority
-      |FROM pr WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+      |  WHERE prev IS NULL OR o_orderpriority <> prev),
+      |hist AS (
+      |  SELECT o_custkey, o_orderdate AS effective_from,
+      |    lead(o_orderdate) OVER w AS effective_to, o_orderpriority
+      |  FROM pr WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin
+
+  def etlScd2: String =
+    s"""WITH $scd2HistCtes
+       |SELECT o_custkey, CAST(effective_from AS VARCHAR) AS effective_from,
+       |  CAST(effective_to AS VARCHAR) AS effective_to,
+       |  (effective_to IS NULL) AS is_current, o_orderpriority
+       |FROM hist""".stripMargin
+
+  /** Point-in-time lookup against the SCD-2 history: each order probes
+    * the version valid 30 days after its own date. Open-ended validity
+    * clamps to the data horizon (matching the Spark side's bucketed
+    * keyed range join).
+    */
+  def etlScd2Lookup: String =
+    s"""WITH $scd2HistCtes,
+       |probe AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) + 30 AS pd FROM orders)
+       |SELECT o_orderkey, CAST(pd AS VARCHAR) AS probe_date,
+       |  o_orderpriority AS d_priority, CAST(CAST(effective_from AS DATE) AS VARCHAR) AS version_from
+       |FROM probe JOIN hist USING (o_custkey)
+       |WHERE pd >= CAST(effective_from AS DATE)
+       |  AND pd < coalesce(CAST(effective_to AS DATE), DATE '1999-01-01')""".stripMargin
 
   def qQuartiles: String =
     """SELECT yearkey,

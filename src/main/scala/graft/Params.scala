@@ -28,6 +28,8 @@ object Params {
   val IvfCells = 8
   val IvfNprobe = 2    // probed cells for the recall-tunable IVF query
   val KmeansIters = 3  // training iterations for the oracle-checked fit
+  val PqSub = 8        // product-quantization subspaces (64 dims → 8×8)
+  val PqK = 16         // codes per subspace (4-bit nibbles)
   val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
 
   // marts

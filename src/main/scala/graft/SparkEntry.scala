@@ -257,6 +257,29 @@ object SparkEntry {
           col("effective_to").cast("string").as("effective_to"),
           col("is_current"), col("o_orderpriority"))
     }),
+    "etl_scd2_lookup" -> ((s, dir) => {
+      // point-in-time lookup: each order probes the SCD-2 version valid
+      // 30 days after its date — scd2 composed with the KEYED bucketed
+      // range join (equi on the business key + bucket id, exact [from,to)
+      // predicate after). Open validity clamps to the data horizon so an
+      // open version spans bounded buckets.
+      val orders = t(s, dir, "orders")
+      val dim = Staging.scd2(orders.select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderpriority"), col("o_orderkey")),
+          Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"), Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("effective_from").cast("date").as("version_d"),
+          col("o_orderpriority").as("d_priority"),
+          unix_date(col("effective_from").cast("date")).cast("double").as("lo_d"),
+          unix_date(coalesce(col("effective_to").cast("date"),
+            lit("1999-01-01").cast("date"))).cast("double").as("hi_d"))
+      val probe = orders.select(col("o_orderkey"), col("o_custkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("pd"))
+        .withColumn("pd_d", unix_date(col("pd")).cast("double"))
+      operators.RangeJoin.pointInInterval(probe, "pd_d", dim, "lo_d", "hi_d",
+          bucketWidth = 1024.0, equiKeys = Seq("o_custkey"))
+        .select(col("o_orderkey"), col("pd").cast("string").as("probe_date"),
+          col("d_priority"), col("version_d").cast("string").as("version_from"))
+    }),
     "q_distinct_count" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
@@ -378,6 +401,20 @@ object SparkEntry {
           posexplode(array((0 until EmbDims).map(i => col(s"s$i")): _*)).as(Seq("dim", "sv")))
         .select(col("cell"), col("dim").cast("long").as("dim"),
           round(col("sv") / col("n"), 4).as("c"), col("n"))
+    }),
+    "emb_pq_codes" -> ((s, dir) =>
+      // 32× embedding compression as a pure map-side projection
+      Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+        PqSub, PqK, EmbDims)),
+    "ann_ivf_trained" -> ((s, dir) => {
+      // the production IVF shape: train the coarse quantizer with the
+      // k-means loop, then search with the trained centroids + nprobe
+      val emb = t(s, dir, "embeddings")
+      val (cents2, _, _) = Similarity.kmeansFit(emb, "embedding",
+        H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", AnnK, cents2, IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
     "emb_kmeans_train" -> ((s, dir) => {
       // full Lloyd's training loop: KmeansIters rounds of (assign against
@@ -529,6 +566,8 @@ object SparkEntry {
     "ann_lsh_topk" -> Oracles.annLshTopK,
     "ann_ivf_topk" -> Oracles.annIvfTopK,
     "ann_ivf_nprobe" -> Oracles.annIvfNprobe,
+    "ann_ivf_trained" -> Oracles.annIvfTrained,
+    "emb_pq_codes" -> Oracles.embPqCodes,
     "emb_kmeans_step" -> Oracles.embKmeansStep,
     "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,
@@ -536,6 +575,7 @@ object SparkEntry {
     "q_quartiles" -> Oracles.qQuartiles,
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_scd2" -> Oracles.etlScd2,
+    "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_stratified" -> Oracles.sampleStratified,
     "text_vocab" -> Oracles.textVocab,

@@ -94,4 +94,16 @@ object HashFunctions {
     (0 until cents).map { c =>
       (0 until dims).map(i => (md5HexDigit(s"cent:$c:$i") - 7.5) / 8.0)
     }
+
+  /** Product-quantization codebooks, derived the same way (salt "pq"):
+    * subspace m, code c → a subDims-dim sub-centroid. All values are
+    * exact binary fractions ((2d-15)/16), so dot products and squared
+    * norms are bit-identical across engines.
+    */
+  def pqCodebooks(m: Int, ksub: Int, subDims: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map { mm =>
+      (0 until ksub).map { c =>
+        (0 until subDims).map(i => (md5HexDigit(s"pq:$mm:$c:$i") - 7.5) / 8.0)
+      }
+    }
 }

@@ -46,17 +46,22 @@ object RangeJoin {
 
   /** Join each point row to every interval row whose [lo, hi) contains
     * its value. Columns are referenced by name; both inputs keep all
-    * their columns in the output.
+    * their columns in the output. `equiKeys` names columns present on
+    * BOTH sides that join as additional equi conditions (the keyed
+    * range join — e.g. a point-in-time dimension lookup per business
+    * key): they become part of the hash-join key alongside the bucket
+    * id, so per-bucket fan-out divides by key cardinality.
     */
   def pointInInterval(points: DataFrame, pointVal: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double, maxBucketsPerInterval: Int = 4096): DataFrame = {
+                      bucketWidth: Double, maxBucketsPerInterval: Int = 4096,
+                      equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0)
     val w = lit(bucketWidth)
     val pw = points.withColumn("__b", floor(col(pointVal) / w).cast("long"))
     val iw = intervals.withColumn("__b",
       explode(bucketsFor(col(loCol), col(hiCol), w, maxBucketsPerInterval)))
-    pw.join(iw, "__b")
+    pw.join(iw, "__b" +: equiKeys)
       .where(col(pointVal) >= col(loCol) && col(pointVal) < col(hiCol))
       .drop("__b")
   }

@@ -110,9 +110,16 @@ object Similarity {
     * nprobe = cents degrades gracefully to exact brute force.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, cents: Int = 8, dims: Int = 64, nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= cents, s"nprobe must be in [1, $cents]")
-    val ws = H.centroidWeights(cents, dims)
+              k: Int, cents: Int = 8, dims: Int = 64, nprobe: Int = 1): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, H.centroidWeights(cents, dims), nprobe)
+
+  /** [[ivfTopK]] against an arbitrary (e.g. [[kmeansFit]]-trained)
+    * centroid matrix — the production shape: train the coarse quantizer,
+    * then search with it.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, ws: Seq[Seq[Double]], nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= ws.size, s"nprobe must be in [1, ${ws.size}]")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       V.norm(col(vecCol)).as("qn"),
       explode(probeCells(col(vecCol), ws, nprobe)).as("cell"))
@@ -127,6 +134,36 @@ object Similarity {
         round(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
+  /** Product-quantization codes: split the vector into `mSub` subspaces
+    * and emit, per subspace, the index of the nearest sub-centroid by L2
+    * (argmin ‖x−c‖² ≡ argmax x·c − ‖c‖²/2; deterministic ties: lowest
+    * code wins). Long-form output (id, m, code).
+    *
+    * This is THE embedding-compression layout at 100 TB: mSub codes of
+    * log2(ksub) bits replace dims floats (64×f32 → 8 nibbles here, a
+    * 32× shrink), and the whole encode is a map-side codegen'd
+    * projection — no shuffle, no join, composes with any scan. The
+    * codebooks are md5-derived literals for portability; a production
+    * deployment trains them per subspace with [[kmeansFit]] over sliced
+    * vectors and broadcasts them the same way.
+    */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              mSub: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % mSub == 0, "dims must split evenly into subspaces")
+    val subDims = dims / mSub
+    val cb = H.pqCodebooks(mSub, ksub, subDims)
+    val codes = (0 until mSub).map { m =>
+      val sub = slice(col(vecCol), m * subDims + 1, subDims)
+      val scores = cb(m).map(c => V.dotConst(sub, c) - lit(c.map(x => x * x).sum / 2))
+      val best = greatest(scores: _*)
+      scores.zipWithIndex.foldRight(lit(ksub - 1): Column) { case ((sc, i), rest) =>
+        when(sc === best, lit(i)).otherwise(rest)
+      }
+    }
+    emb.select(col(idCol), posexplode(array(codes.map(_.cast("long")): _*)).as(Seq("m", "code")))
+      .select(col(idCol), col("m").cast("long").as("m"), col("code"))
   }
 
   /** Lloyd's k-means over the corpus, iterated to convergence (or
