@@ -375,6 +375,39 @@ object Oracles {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Global line-dedup twin: same fixed-token lines, first occurrence =
+    * smallest (doc, position), ordered string_agg reassembly.
+    */
+  def textDedupLines: String = {
+    val L = LineTokens
+    s"""WITH $toksCte,
+       |dims AS (SELECT unnest(range(0, 512)) AS i),
+       |lines AS (SELECT doc_id, i AS line_idx, array_to_string(ts[(i*$L+1):((i+1)*$L)], ' ') AS line
+       |  FROM toks CROSS JOIN dims WHERE i*$L < len(ts)),
+       |kept AS (SELECT doc_id, line_idx, line FROM (
+       |  SELECT doc_id, line_idx, line,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS occ
+       |  FROM lines) WHERE occ = 1)
+       |SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
+       |  CAST(count(*) AS BIGINT) AS n_lines_kept
+       |FROM kept GROUP BY doc_id""".stripMargin
+  }
+
+  /** Ordered min-time funnel twin, times in epoch-ms like the Spark side. */
+  def eventsFunnel: String = {
+    val ctes = FunnelSteps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"s${i + 1} AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t FROM events e " +
+          s"JOIN s$i p ON e.user_id = p.user_id WHERE e.event_type = '$st' AND epoch_ms(e.ts) > p.t GROUP BY e.user_id)"
+    }.mkString(",\n")
+    val sels = FunnelSteps.indices
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}")
+      .mkString(" UNION ALL ")
+    s"WITH $ctes\n$sels"
+  }
+
   def qRangeJoin: String =
     """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo
       |  FROM part WHERE p_partkey % 20 = 0)
@@ -500,6 +533,20 @@ object Oracles {
     s"""SELECT doc_id, h FROM (
        |  SELECT doc_id, CAST($h AS BIGINT) AS h FROM documents)
        |WHERE h < $thr""".stripMargin
+  }
+
+  def sampleWeighted: String = {
+    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
+    val h = hex8Expr("('" + SampleSalt + ":' || CAST(d.doc_id AS VARCHAR))")
+    s"""WITH $toksCte,
+       |q AS (SELECT d.doc_id, CAST($h AS BIGINT) AS h,
+       |  round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
+       |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
+       |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4) AS qscore
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id)
+       |SELECT doc_id, qscore FROM q
+       |WHERE CAST(h AS DOUBLE) < least(greatest(qscore, 0.0), 1.0) * 4294967296.0""".stripMargin
   }
 
   def sampleStratified: String = {

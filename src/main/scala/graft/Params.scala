@@ -51,6 +51,7 @@ object Params {
   val StratumK = 100
 
   // corpus text ops
+  val LineTokens = 8 // pseudo-line size for global line-level dedup
   val VocabTopN = 100
   val TfidfTopK = 3
   val ChunkSize = 32
@@ -60,6 +61,7 @@ object Params {
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
   val AsofTarget = "purchase"
   val AsofMatch = "click"
+  val FunnelSteps: Seq[String] = Seq("click", "view", "purchase")
 
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"

@@ -466,6 +466,12 @@ object SparkEntry {
       Sampling.stratifiedK(t(s, dir, "events"), Seq(col("event_type")),
           col("event_id"), StratumK, SampleSalt)
         .select(col("event_id"), col("event_type"))),
+    "sample_weighted" -> ((s, dir) => {
+      // quality-weighted corpus downsampling: keep probability = qscore
+      val d = t(s, dir, "documents")
+      Sampling.weighted(d, col("doc_id"), T.qualityScore(col("text")), SampleSalt)
+        .select(col("doc_id"), T.qualityScore(col("text")).as("qscore"))
+    }),
 
     // ---- §2.5 text analysis ----
     "text_vocab" -> ((s, dir) =>
@@ -476,6 +482,8 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))),
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(t(s, dir, "documents"), "doc_id", "text", ChunkSize, ChunkStride)),
+    "text_dedup_lines" -> ((s, dir) =>
+      TextOps.dedupLines(t(s, dir, "documents"), "doc_id", "text", LineTokens)),
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.tokenCount(col("text")).as("n_ws"), T.bpeTokenCount(col("text")).as("n_bpe"))),
@@ -510,6 +518,11 @@ object SparkEntry {
     "events_asof" -> ((s, dir) =>
       EventOps.asofPriorEvent(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch)),
+    "events_funnel" -> ((s, dir) =>
+      // compare step times in epoch-ms (the events table's portable
+      // granularity — raw ns/us timestamps truncate differently per engine)
+      EventOps.funnel(t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
+        "user_id", "ts_ms", "event_type", FunnelSteps)),
 
     // ---- §2.7 multimodal ----
     "multimodal_features" -> ((s, dir) =>
@@ -578,9 +591,11 @@ object SparkEntry {
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_stratified" -> Oracles.sampleStratified,
+    "sample_weighted" -> Oracles.sampleWeighted,
     "text_vocab" -> Oracles.textVocab,
     "text_tfidf" -> Oracles.textTfidf,
     "text_chunk" -> Oracles.textChunk,
+    "text_dedup_lines" -> Oracles.textDedupLines,
     "text_token_count" -> Oracles.textTokenCount,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
@@ -592,5 +607,6 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
+    "events_funnel" -> Oracles.eventsFunnel,
   )
 }

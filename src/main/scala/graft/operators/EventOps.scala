@@ -92,4 +92,34 @@ object EventOps {
   def extractIntField(events: DataFrame, propsCol: String, field: String): DataFrame =
     events.withColumn(field,
       regexp_extract(col(propsCol), "\"" + field + "\": (\\d+)", 1).cast("long"))
+
+  /** Ordered funnel: for each prefix of `steps`, how many users reached
+    * it IN ORDER — step k counts users with an event of type k strictly
+    * after their earliest completion time of the k-1 prefix (the
+    * standard min-time funnel recurrence).
+    *
+    * One (join + min-aggregate) per step, each keyed on the user id, and
+    * the reached set only ever shrinks — per-step state is one timestamp
+    * per surviving user, never an event list, so the operator is safe on
+    * an arbitrarily long event history.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    var reached: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      reached =
+        if (i == 0)
+          events.filter(col(typeCol) === st)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        else
+          events.filter(col(typeCol) === st)
+            .join(reached.select(col(userCol), col("__t").as("__pt")), userCol)
+            .where(col(tsCol) > col("__pt"))
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step"), col("n_users"))
+    }
+    perStep.reduce(_ unionByName _)
+  }
 }

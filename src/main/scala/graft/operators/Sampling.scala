@@ -29,6 +29,19 @@ object Sampling {
     df.where(H.hash32(k, salt) < thr)
   }
 
+  /** Weighted (importance) Bernoulli: per-row keep probability `weight`
+    * (clamped to [0,1]) — e.g. quality-weighted corpus downsampling,
+    * where high-quality documents survive with higher probability. Same
+    * deterministic salted-hash draw as [[bernoulli]], still map-side
+    * only; the weight column should itself be engine-portable (exact or
+    * round(,4)) for cross-engine reproducibility.
+    */
+  def weighted(df: DataFrame, key: Column, weight: Column, salt: String): DataFrame = {
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    val k = coalesce(key.cast("string"), lit("\u0000<null-key>"))
+    df.where(H.hash32(k, salt).cast("double") < w * lit(4294967296.0))
+  }
+
   /** Fixed-size per-stratum sample: the k rows with the smallest salted
     * key hash in each stratum — reservoir-sampling semantics, but
     * deterministic. One shuffle on the stratum key; with map-side

@@ -48,6 +48,43 @@ object TextOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= k)
   }
 
+  /** C4-style GLOBAL line-level dedup: split each document into
+    * fixed-size token "lines" (the line analog for the un-newlined
+    * corpus; real text would split on '\n'), keep only each line's
+    * FIRST occurrence corpus-wide — first = smallest (doc, position),
+    * the deterministic tie-break — and stitch surviving lines back into
+    * the document. Documents whose every line is a duplicate drop out,
+    * like C4's empty-doc filter.
+    *
+    * Two shuffles, both on compact keys: the first-occurrence window
+    * partitions on md5(line) (16-byte digest, never the line text), and
+    * the reassembly groups on the doc id. Reassembly order is made
+    * deterministic by sorting (line_idx, line) structs inside the
+    * aggregate, not by relying on collect order.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 lineTokens: Int): DataFrame = {
+    require(lineTokens > 0)
+    val ts = T.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(ts)
+    val nLines = when(n === 0, lit(0)).otherwise(((n - 1) / lit(lineTokens)).cast("int") + 1)
+    val lineArr = when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(ts, i * lineTokens + 1, lit(lineTokens)), " ")))
+    val lines = docs.select(col(idCol), posexplode(lineArr).as(Seq("line_idx", "line")))
+    val w = Window.partitionBy(md5(col("line")))
+      .orderBy(col(idCol).asc, col("line_idx").asc)
+    val kept = lines.withColumn("__occ", row_number().over(w))
+      .filter(col("__occ") === 1)
+    kept.groupBy(col(idCol))
+      .agg(collect_list(struct(col("line_idx"), col("line"))).as("__ls"),
+        count(lit(1)).as("n_lines_kept"))
+      .select(col(idCol),
+        array_join(transform(array_sort(col("__ls")), s => s.getField("line")), " ")
+          .as("clean_text"),
+        col("n_lines_kept"))
+  }
+
   /** Context-window chunking: overlapping token windows of `size` tokens
     * every `stride` tokens — the standard shaping step before tokenizer/
     * embedding stages. Pure per-row array work (no shuffle); chunk rows

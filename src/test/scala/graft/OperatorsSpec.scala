@@ -293,6 +293,48 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) === None)
   }
 
+  test("line dedup keeps first occurrence corpus-wide and stitches docs back") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c d w x y z"),   // lines: "a b c d", "w x y z"
+      (2L, "a b c d p q r s"),   // first line duplicates doc 1 → dropped
+      (3L, "w x y z"))           // whole doc duplicates doc 1 → dropped entirely
+      .toDF("doc_id", "text")
+    val rows = TextOps.dedupLines(docs, "doc_id", "text", lineTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      (1L, "a b c d w x y z", 2L),
+      (2L, "p q r s", 1L)))
+  }
+
+  test("weighted sampling keeps everything at weight 1, nothing at 0, and is deterministic") {
+    import graft.operators.Sampling
+    val ids = spark.range(0, 500).toDF("id")
+    assert(Sampling.weighted(ids, $"id", lit(1.0), "w1").count() === 500L)
+    assert(Sampling.weighted(ids, $"id", lit(0.0), "w1").count() === 0L)
+    // out-of-range weights clamp instead of corrupting the draw
+    assert(Sampling.weighted(ids, $"id", lit(7.5), "w1").count() === 500L)
+    val a = Sampling.weighted(ids, $"id", lit(0.4), "w1").as[Long].collect().toSet
+    val b = Sampling.weighted(ids, $"id", lit(0.4), "w1").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty && a.size < 500)
+    // a row's draw survives a weight increase (nested samples property)
+    val bigger = Sampling.weighted(ids, $"id", lit(0.7), "w1").as[Long].collect().toSet
+    assert(a.subsetOf(bigger))
+  }
+
+  test("funnel counts only in-order step completions") {
+    import graft.operators.EventOps
+    val ev = Seq(
+      (7L, 1L, "click"), (7L, 2L, "view"), (7L, 3L, "purchase"), // full funnel
+      (8L, 5L, "view"), (8L, 6L, "click"),                       // view BEFORE click → step 2 not reached
+      (9L, 1L, "click"), (9L, 1L, "view"))                       // same-ts view is not strictly after
+      .toDF("user_id", "ts_ms", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "ts_ms", "event_type",
+        Seq("click", "view", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("sessionize splits on gap and counts correctly") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
