@@ -102,6 +102,50 @@ object Oracles {
        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
        |SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""".stripMargin
 
+  /** Quality-ranked cluster representative: same recursive-CTE CC as
+    * [[dedupCluster]], then pick each cluster's best-quality member
+    * (rank on the round-4 score, ties → smallest id).
+    */
+  def dedupKeepBest: String = {
+    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+       |q AS (SELECT d.doc_id,
+       |  round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
+       |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
+       |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4) AS q
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+       |sc AS (SELECT cc.cluster_id, cc.doc_id, q.q,
+       |  row_number() OVER (PARTITION BY cc.cluster_id ORDER BY q.q DESC, cc.doc_id) AS rk
+       |  FROM cc JOIN q USING (doc_id))
+       |SELECT cluster_id, min(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       |  min(CASE WHEN rk = 1 THEN q END) AS keep_q,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM sc GROUP BY cluster_id""".stripMargin
+  }
+
+  /** OOV-rate twin: corpus top-N vocabulary, per-doc unmatched-token
+    * counts via LEFT JOIN.
+    */
+  def textOov: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+       |vc AS (SELECT term FROM (
+       |  SELECT term, count(*) AS n FROM tok GROUP BY term
+       |  ORDER BY n DESC, term LIMIT $VocabTopN))
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+       |  round(CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+       |FROM tok t LEFT JOIN vc v ON v.term = t.term GROUP BY t.doc_id""".stripMargin
+
   /** C4-style cleaning: quality threshold + drop non-canonical near-dups
     * (any doc that has a verified duplicate with a smaller id).
     */

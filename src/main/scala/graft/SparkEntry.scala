@@ -484,6 +484,10 @@ object SparkEntry {
       TextOps.chunk(t(s, dir, "documents"), "doc_id", "text", ChunkSize, ChunkStride)),
     "text_dedup_lines" -> ((s, dir) =>
       TextOps.dedupLines(t(s, dir, "documents"), "doc_id", "text", LineTokens)),
+    "text_oov" -> ((s, dir) =>
+      TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text", VocabTopN)),
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestInCluster(t(s, dir, "documents"), "doc_id", "text", JaccardMin)),
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.tokenCount(col("text")).as("n_ws"), T.bpeTokenCount(col("text")).as("n_bpe"))),
@@ -596,6 +600,8 @@ object SparkEntry {
     "text_tfidf" -> Oracles.textTfidf,
     "text_chunk" -> Oracles.textChunk,
     "text_dedup_lines" -> Oracles.textDedupLines,
+    "text_oov" -> Oracles.textOov,
+    "dedup_keep_best" -> Oracles.dedupKeepBest,
     "text_token_count" -> Oracles.textTokenCount,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,

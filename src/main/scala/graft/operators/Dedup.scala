@@ -221,6 +221,28 @@ object Dedup {
       .withColumn("chg", col("label") < col("old"))
       .drop("old")
 
+  /** Cluster-representative selection by QUALITY: for each near-dup
+    * cluster, keep the highest-quality member (ties → smallest id) —
+    * what production pipelines actually retain, rather than the
+    * smallest-id canonical [[clusters]] emits. Rank runs per cluster on
+    * the already-rounded quality score, so the choice is reproducible
+    * across engines; the window partitions on the cluster id (one
+    * shuffle over cluster members only, never the corpus).
+    */
+  def keepBestInCluster(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(ngramJaccard(docs, idCol, textCol, minJaccard))
+    val scored = cl.join(
+      docs.select(col(idCol).as("doc_id"), T.qualityScore(col(textCol)).as("q")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("__rk") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("__rk") === 1, col("q"))).as("keep_q"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** C4-style cleaning composition: drop non-canonical near-dups (docs
     * with a verified duplicate of smaller id), keep docs above the quality
     * threshold, annotate with language. One LSH pass + narrow filters.

@@ -48,6 +48,24 @@ object TextOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= k)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus top-N
+    * vocabulary — the standard tokenizer-coverage / data-quality metric
+    * before training. The tiny vocab broadcasts (top-N is bounded by
+    * construction), so the only shuffle is the per-doc aggregate; docs
+    * with zero tokens have no OOV rate and drop out, like the tokenizer
+    * would drop them.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val vocab = vocabulary(docs, textCol, topN).select(col("term"), lit(1).as("__in"))
+    docs.select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, lit(1))).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4).as("oov_rate"))
+  }
+
   /** C4-style GLOBAL line-level dedup: split each document into
     * fixed-size token "lines" (the line analog for the un-newlined
     * corpus; real text would split on '\n'), keep only each line's

@@ -172,6 +172,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan side") {
+    // Row-level runtime filtering — DPP's sibling for NON-partition join
+    // keys: a selective filter on the build side makes the optimizer
+    // inject might_contain(bloom_filter_agg(...)) ahead of the probe
+    // side's shuffle, so at 100 TB the fact rows that cannot join die
+    // before the exchange instead of shuffling. Thresholds lowered to
+    // test scale; SMJ forced so the filter is worth injecting.
+    val tuned = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")).write.mode("overwrite")
+        .parquet(s"$tmp/fact")
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")).write.mode("overwrite")
+        .parquet(s"$tmp/dim")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val dim = spark.read.parquet(s"$tmp/dim").where(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("partitioned fact scan gets dynamic partition pruning from a dim filter") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     SparkEntry.queries("fact_join")(spark, sfDir)
