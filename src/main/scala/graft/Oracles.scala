@@ -452,6 +452,11 @@ object Oracles {
     s"WITH $ctes\n$sels"
   }
 
+  def qGlobalRank: String =
+    """SELECT o_orderkey, price_cents,
+      |  CAST(row_number() OVER (ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS grank
+      |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)""".stripMargin
+
   def qRangeJoin: String =
     """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo
       |  FROM part WHERE p_partkey % 20 = 0)

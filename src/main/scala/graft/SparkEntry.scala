@@ -284,6 +284,13 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))),
+    "q_global_rank" -> ((s, dir) =>
+      // global sequential rank over a total order WITHOUT the
+      // single-partition window trap (range partition + offsets)
+      operators.GlobalRank.globalRank(
+          t(s, dir, "orders").select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents")),
+          Seq(col("price_cents").desc, col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("price_cents"), col("grank"))),
     "q_running_total" -> ((s, dir) => {
       val yearly = t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
@@ -566,6 +573,7 @@ object SparkEntry {
     "q_median" -> Oracles.qMedian,
     "q_distinct_count" -> Oracles.qDistinctCount,
     "q_running_total" -> Oracles.qRunningTotal,
+    "q_global_rank" -> Oracles.qGlobalRank,
     "mart_top_salted" -> Oracles.martTopPerGroup,
     "mart_top_agg" -> Oracles.martTopPerGroup,
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",

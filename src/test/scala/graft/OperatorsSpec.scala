@@ -335,6 +335,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("global rank is a dense 1..N total-order rank without a global window") {
+    import graft.operators.GlobalRank
+    val df = spark.range(0, 5000).select(
+      (col("id") * 37 % 1000).as("v"), col("id"))
+    val ranked = GlobalRank.globalRank(df, Seq($"v".asc, $"id".asc), numPartitions = 8)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("id"), r.getAs[Long]("grank")))
+    assert(ranked.map(_._3).sorted.toSeq === (1L to 5000L),
+      "ranks must be exactly 1..N")
+    val bySort = ranked.sortBy(t => (t._1, t._2)).map(_._3)
+    assert(bySort.toSeq === (1L to 5000L), "rank must follow the total order")
+  }
+
   test("sessionize splits on gap and counts correctly") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
