@@ -68,10 +68,12 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // every individual run (not just the min): dispersion across runs is
-    // the in-artifact noise estimate
+    // every individual run (not just the min) as [seconds, ok] pairs:
+    // dispersion across runs is the in-artifact noise estimate, and a
+    // failed run's fast abort must be distinguishable from a fast run
     val ts = results.map { case (k, _, times) =>
-      "\"" + k + "\":[" + times.map(_._1).mkString(",") + "]"
+      "\"" + k + "\":[" +
+        times.map { case (t, ok) => s"[$t,${if (ok) 1 else 0}]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"load":[$loadBefore],"load_after":[${loadavg()}],"sf":"$sfDir","runs":$runs}""")

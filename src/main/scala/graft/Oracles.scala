@@ -107,7 +107,6 @@ object Oracles {
     * (rank on the round-4 score, ties → smallest id).
     */
   def dedupKeepBest: String = {
-    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
     s"""WITH RECURSIVE $jaccardPairsCtes,
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -117,10 +116,7 @@ object Oracles {
        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
        |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
        |q AS (SELECT d.doc_id,
-       |  round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
-       |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
-       |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
-       |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4) AS q
+       |  $qualityExprSql AS q
        |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
        |sc AS (SELECT cc.cluster_id, cc.doc_id, q.q,
        |  row_number() OVER (PARTITION BY cc.cluster_id ORDER BY q.q DESC, cc.doc_id) AS rk
@@ -150,17 +146,12 @@ object Oracles {
     * (any doc that has a verified duplicate with a smaller id).
     */
   def textPipeline: String = {
-    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
     val langs = functions.TextFunctions.langStopwords.map(_._1)
     val scoreCols = functions.TextFunctions.langStopwords
       .map { case (l, ws) => s"CAST(${hits(ws)} AS BIGINT) AS s_$l" }.mkString(", ")
     val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.dropRight(1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
-    val qscore =
-      s"""round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
-         |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
-         |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
-         |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4)""".stripMargin
+    val qscore = qualityExprSql
     s"""WITH $jaccardPairsCtes,
        |sc AS (SELECT doc_id, $scoreCols FROM toks)
        |SELECT doc_id, qscore, lang_pred FROM (
@@ -424,8 +415,10 @@ object Oracles {
     */
   def textDedupLines: String = {
     val L = LineTokens
+    // dims bound derives from the corpus (max line count over docs), not
+    // a fixed cap — a long document must never silently lose tail lines
     s"""WITH $toksCte,
-       |dims AS (SELECT unnest(range(0, 512)) AS i),
+       |dims AS (SELECT unnest(range(0, (SELECT coalesce(max((len(ts) + ${L - 1}) // $L), 0) FROM toks))) AS i),
        |lines AS (SELECT doc_id, i AS line_idx, array_to_string(ts[(i*$L+1):((i+1)*$L)], ' ') AS line
        |  FROM toks CROSS JOIN dims WHERE i*$L < len(ts)),
        |kept AS (SELECT doc_id, line_idx, line FROM (
@@ -492,6 +485,18 @@ object Oracles {
   private def stopList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The quality-score expression (doc alias `d`, token list `ts`) — ONE
+    * definition for the four oracles embedding it, in lockstep with
+    * TextFunctions.qualityScore.
+    */
+  private def qualityExprSql: String = {
+    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
+    s"""round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
+       |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
+       |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4)""".stripMargin
+  }
+
   private def hits(words: Seq[String]): String =
     s"len(list_filter(ts, t -> list_contains(${stopList(words)}, t)))"
 
@@ -514,16 +519,11 @@ object Oracles {
        |FROM sc""".stripMargin
   }
 
-  def textQuality: String = {
-    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
+  def textQuality: String =
     s"""WITH $toksCte
        |SELECT d.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-       |  round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
-       |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
-       |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
-       |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4) AS qscore
+       |  $qualityExprSql AS qscore
        |FROM documents d JOIN toks ON toks.doc_id = d.doc_id""".stripMargin
-  }
 
   def textFingerprint: String = {
     val hv = s"CAST((instr('$hex', substr(md5(t), 1, 1)) - 1) * 16 + (instr('$hex', substr(md5(t), 2, 1)) - 1) AS BIGINT)"
@@ -585,14 +585,10 @@ object Oracles {
   }
 
   def sampleWeighted: String = {
-    val allStops = functions.TextFunctions.langStopwords.flatMap(_._2).distinct
     val h = hex8Expr("('" + SampleSalt + ":' || CAST(d.doc_id AS VARCHAR))")
     s"""WITH $toksCte,
        |q AS (SELECT d.doc_id, CAST($h AS BIGINT) AS h,
-       |  round(0.5 * least(1.0, CAST(length(d.text) AS DOUBLE) / 400.0)
-       |      + 0.3 * (CAST(${hits(allStops)} AS DOUBLE) / greatest(CAST(len(ts) AS DOUBLE), 1.0))
-       |      + 0.2 * (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
-       |               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)), 4) AS qscore
+       |  $qualityExprSql AS qscore
        |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id)
        |SELECT doc_id, qscore FROM q
        |WHERE CAST(h AS DOUBLE) < least(greatest(qscore, 0.0), 1.0) * 4294967296.0""".stripMargin

@@ -474,10 +474,13 @@ object SparkEntry {
           col("event_id"), StratumK, SampleSalt)
         .select(col("event_id"), col("event_type"))),
     "sample_weighted" -> ((s, dir) => {
-      // quality-weighted corpus downsampling: keep probability = qscore
+      // quality-weighted corpus downsampling: keep probability = qscore,
+      // computed ONCE as a column (the filter predicate and the output
+      // both reference the attribute, not a second evaluation)
       val d = t(s, dir, "documents")
-      Sampling.weighted(d, col("doc_id"), T.qualityScore(col("text")), SampleSalt)
-        .select(col("doc_id"), T.qualityScore(col("text")).as("qscore"))
+        .withColumn("qscore", T.qualityScore(col("text")))
+      Sampling.weighted(d, col("doc_id"), col("qscore"), SampleSalt)
+        .select(col("doc_id"), col("qscore"))
     }),
 
     // ---- §2.5 text analysis ----

@@ -174,18 +174,28 @@ object Multimodal {
       rows.map { r =>
         def fromCrc(crc: Long) =
           Array.tabulate(8)(j => ((crc >>> (j * 8)) & 0xff).toFloat / 255.0f)
-        ImageCodec.decodePng(r.payload) match {
-          case Some((_, _, pixCrc)) =>
-            MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, pixCrc, fromCrc(pixCrc))
-          case None => AudioCodec.decodeWav(r.payload) match {
-            case Some((_, _, sampleCrc)) =>
-              MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, sampleCrc, fromCrc(sampleCrc))
-            case None =>
-              var crc = 1125899906842597L
-              var i = 0
-              while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
-              MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, crc, fromCrc(crc))
-          }
+        def byteStub(): MediaFeatures = {
+          var crc = 1125899906842597L
+          var i = 0
+          while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, crc, fromCrc(crc))
+        }
+        // dispatch on the declared modality FIRST — probing every audio
+        // payload through a failing ImageIO.read would waste a stream
+        // parse + caught exception per row in the hot loop, and a
+        // payload readable by both codecs must follow its schema tag;
+        // a payload that fails its own codec falls to the byte stub
+        // (the any-input contract)
+        val decoded = r.modality match {
+          case "image" => ImageCodec.decodePng(r.payload).map { case (_, _, crc) => crc }
+          case "audio" => AudioCodec.decodeWav(r.payload).map { case (_, _, crc) => crc }
+          case _ => ImageCodec.decodePng(r.payload).map(_._3)
+            .orElse(AudioCodec.decodeWav(r.payload).map(_._3))
+        }
+        decoded match {
+          case Some(crc) =>
+            MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, crc, fromCrc(crc))
+          case None => byteStub()
         }
       }
     }

@@ -100,26 +100,35 @@ object EventOps {
     *
     * One (join + min-aggregate) per step, each keyed on the user id, and
     * the reached set only ever shrinks — per-step state is one timestamp
-    * per surviving user, never an event list, so the operator is safe on
-    * an arbitrarily long event history.
+    * per surviving user, never an event list. EAGER by design: each
+    * step's reached set is persisted and counted before the next step
+    * builds on it, so the events table is scanned once per step (a lazy
+    * union of step counts would re-derive every prefix inside each
+    * branch — O(steps²) source scans); caches are dropped before
+    * returning, and the result is the tiny (step, n_users) table.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
              steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
-    var reached: DataFrame = null
-    val perStep = steps.zipWithIndex.map { case (st, i) =>
-      reached =
-        if (i == 0)
-          events.filter(col(typeCol) === st)
-            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-        else
-          events.filter(col(typeCol) === st)
-            .join(reached.select(col(userCol), col("__t").as("__pt")), userCol)
-            .where(col(tsCol) > col("__pt"))
-            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-      reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).cast("long").as("step"), col("n_users"))
-    }
-    perStep.reduce(_ unionByName _)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var reached: DataFrame = null
+      val counts = steps.zipWithIndex.map { case (st, i) =>
+        reached =
+          (if (i == 0)
+            events.filter(col(typeCol) === st)
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+          else
+            events.filter(col(typeCol) === st)
+              .join(reached.select(col(userCol), col("__t").as("__pt")), userCol)
+              .where(col(tsCol) > col("__pt"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))).persist()
+        persisted += reached
+        ((i + 1).toLong, reached.count())
+      }
+      val spark = events.sparkSession
+      import spark.implicits._
+      counts.toDF("step", "n_users")
+    } finally persisted.foreach(_.unpersist())
   }
 }

@@ -88,7 +88,11 @@ object RangeJoin {
     val rw = right.withColumn("__b",
       explode(bucketsFor(col(rLo), col(rHi), w, maxBucketsPerInterval)))
     lw.join(rw, "__b")
-      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+      // the strict-inequality pair only means "overlap" for NON-empty
+      // intervals: [5,5) vs [3,7) passes lLo<rHi && rLo<lHi but contains
+      // no points — empty (lo >= hi) intervals must match nothing
+      .where(col(lLo) < col(lHi) && col(rLo) < col(rHi) &&
+        col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
         col("__b") === floor(greatest(col(lLo), col(rLo)) / w).cast("long"))
       .drop("__b")
   }

@@ -83,6 +83,19 @@ object EventStreams {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
+            // Batch-local session for events too old to belong to the live
+            // session (they belong to an earlier, already-emitted one):
+            // adjacent too-old events sessionize among THEMSELVES by the
+            // same gap rule, so a late replayed burst emits one session,
+            // not n singletons. Flushed at batch end — it cannot become
+            // state because the live session owns the event-time timeout.
+            // Remaining divergence from an ordered batch replay: these
+            // sessions cannot extend a session emitted in a prior batch.
+            var oldCur = Option.empty[SessionState]
+            def flushOld(): Unit = oldCur.foreach { o =>
+              closed ::= SessionOut(userId, o.nEvents, o.startMs, o.lastMs - o.startMs)
+              oldCur = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -93,12 +106,16 @@ object EventStreams {
                 // monotone with min/max; a plain `lastMs = t` would regress
                 // it and corrupt gap decisions and durations.
                 case Some(s) if s.startMs - t > gapMs =>
-                  // Older than the live session by more than the gap: it
-                  // belongs to an earlier, already-emitted session. Emit it
-                  // standalone rather than corrupting the live session —
-                  // the one divergence from an ordered batch replay, where
-                  // it would have extended that earlier session.
-                  closed ::= SessionOut(userId, 1, t, 0)
+                  oldCur match {
+                    case Some(o) if t - o.lastMs <= gapMs =>
+                      oldCur = Some(o.copy(nEvents = o.nEvents + 1,
+                        startMs = math.min(o.startMs, t), lastMs = math.max(o.lastMs, t)))
+                    case Some(_) =>
+                      flushOld()
+                      oldCur = Some(SessionState(1, t, t))
+                    case None =>
+                      oldCur = Some(SessionState(1, t, t))
+                  }
                 case Some(s) if t - s.lastMs <= gapMs =>
                   cur = Some(s.copy(nEvents = s.nEvents + 1,
                     startMs = math.min(s.startMs, t), lastMs = math.max(s.lastMs, t)))
@@ -109,6 +126,7 @@ object EventStreams {
                   cur = Some(SessionState(1, t, t))
               }
             }
+            flushOld()
             cur.foreach { s =>
               state.update(s)
               // close when event time passes last event + gap; the timeout

@@ -193,6 +193,12 @@ class OperatorsSpec extends SparkSpec {
     // each overlapping pair exactly ONCE even when it spans many shared
     // buckets (2,2 shares buckets 6..9); [0,10) vs [10,29) touch → no row
     assert(out.sorted === Seq((1L, 1L), (2L, 2L)))
+    // zero-length intervals contain no points and must match NOTHING even
+    // inside another interval ([5,5) sits inside [3,7))
+    val za = Seq((1L, 5.0, 5.0)).toDF("a_id", "alo", "ahi")
+    val zb = Seq((1L, 3.0, 7.0)).toDF("b_id", "blo", "bhi")
+    assert(RangeJoin.intervalOverlap(za, "alo", "ahi", zb, "blo", "bhi", 3.0).count() === 0L)
+    assert(RangeJoin.intervalOverlap(zb, "blo", "bhi", za, "alo", "ahi", 3.0).count() === 0L)
   }
 
   test("clusters of an empty pair set returns empty instead of crashing") {

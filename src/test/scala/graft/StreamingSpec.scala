@@ -125,6 +125,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("adjacent too-old events sessionize together, not as n singletons") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.watermarkedSessions(stream.toDS(), gapMs = 1800000L,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("old_burst").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 04:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 04:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // a replayed burst far older than the live session (legal inside
+      // the 6h watermark): 02:00/02:10 are within gap of each other →
+      // ONE 2-event session, not two singletons
+      stream.addData(
+        Event(3, ts("2024-01-01 02:00:00"), 7, "click", 1.0),
+        Event(4, ts("2024-01-01 02:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val burst = spark.table("old_burst").as[EventStreams.SessionOut]
+        .collect().filter(s => s.user_id == 7L &&
+          s.start_ms == ts("2024-01-01 02:00:00").getTime)
+      assert(burst.toSeq === Seq(EventStreams.SessionOut(7, 2,
+        ts("2024-01-01 02:00:00").getTime, 600000L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-batch and cross-batch duplicates, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
