@@ -257,6 +257,22 @@ object SparkEntry {
           col("effective_to").cast("string").as("effective_to"),
           col("is_current"), col("o_orderpriority"))
     }),
+    "etl_scd2_merge" -> ((s, dir) => {
+      // incremental ≡ full: build history from pre-1997 orders, merge the
+      // 1997+ batch in, and let the DUCKDB FULL-REBUILD oracle hash-check
+      // that the incremental path reproduces it exactly
+      val log = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_orderkey"))
+      val cut = ts("1997-01-01 00:00:00")
+      val hist = Staging.scd2(log.filter(col("o_orderdate") < cut),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"), Seq(col("o_orderkey")))
+      Staging.scd2Merge(hist, log.filter(col("o_orderdate") >= cut),
+          Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"), Seq(col("o_orderkey")))
+        .select(col("o_custkey"),
+          col("effective_from").cast("string").as("effective_from"),
+          col("effective_to").cast("string").as("effective_to"),
+          col("is_current"), col("o_orderpriority"))
+    }),
     "etl_scd2_lookup" -> ((s, dir) => {
       // point-in-time lookup: each order probes the SCD-2 version valid
       // 30 days after its date — scd2 composed with the KEYED bucketed
@@ -604,6 +620,8 @@ object SparkEntry {
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
+    // the merge's oracle IS the full rebuild — incremental must equal it
+    "etl_scd2_merge" -> Oracles.etlScd2,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_stratified" -> Oracles.sampleStratified,
     "sample_weighted" -> Oracles.sampleWeighted,

@@ -76,6 +76,32 @@ object Staging {
     * Exchange). `order` must make the per-key order total (include a
     * unique column) or version boundaries are nondeterministic.
     */
+  /** Incremental SCD-2 merge: fold a new change batch into an existing
+    * [[scd2]] history. Untouched keys pass through untouched (anti
+    * join); each touched key's history is REBUILT from its existing
+    * version rows (each version row is a change point) plus the new
+    * changes — the partition-rewrite merge every table format does for
+    * dimension history. The result equals `scd2(full log)` exactly,
+    * including cross-boundary no-change pruning, which is what makes it
+    * oracle-checkable against the full rebuild. At 100 TB the daily
+    * batch touches few keys, so the rebuild slice is small; both joins
+    * key on the business key (broadcastable batch key set).
+    *
+    * `hist` must retain the `order` tie-break columns ([[scd2]] passes
+    * all input columns through).
+    */
+  def scd2Merge(hist: DataFrame, changes: DataFrame, keys: Seq[String],
+                effectiveCol: String, tracked: Seq[String],
+                order: Seq[Column]): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val untouched = hist.join(touched, keys, "left_anti")
+    val replayLog = hist.join(touched, keys, "left_semi")
+      .drop("effective_to", "is_current")
+      .withColumnRenamed("effective_from", effectiveCol)
+      .unionByName(changes)
+    untouched.unionByName(scd2(replayLog, keys, effectiveCol, tracked, order))
+  }
+
   def scd2(changes: DataFrame, keys: Seq[String], effectiveCol: String,
            tracked: Seq[String], order: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

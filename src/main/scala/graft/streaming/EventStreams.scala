@@ -172,6 +172,16 @@ object EventStreams {
         (unix_millis(col("buy_ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
   }
 
+  /** Stream-static enrichment: join the stream against a STATIC (batch)
+    * dimension — no state store at all, because the static side is just
+    * re-read/broadcast per micro-batch; the standard pattern for
+    * attaching slowly-refreshed reference data to an unbounded feed
+    * (the static side may be an updatable view: each micro-batch sees
+    * its latest snapshot). Left join keeps unmatched events flowing.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinCol), "left")
+
   /** Standard watermark + event-time sessionization composition. */
   def watermarkedSessions(events: Dataset[Event], gapMs: Long,
                           watermark: String = "1 hour"): Dataset[SessionOut] = {

@@ -209,6 +209,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val stream = MemoryStream[Event]
+    val q = EventStreams.enrich(stream.toDF(), dim, "event_type")
+      .select(col("event_id"), col("category"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 7, "view", 1.0), // no dim row → null
+        Event(3, ts("2024-01-01 00:02:00"), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").as[(Long, Option[String])].collect().toSet
+      assert(rows === Set((1L, Some("engagement")), (2L, None), (3L, Some("revenue"))))
+    } finally q.stop()
+  }
+
   test("foreachBatch append + read-side key dedup is an idempotent sink") {
     // merge-on-read sink pattern: the writer APPENDS micro-batches (so a
     // redelivered batch just lands twice) and readers dedup on the key —
