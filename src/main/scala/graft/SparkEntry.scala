@@ -50,6 +50,16 @@ object SparkEntry {
       sources.Sources.readJsonl(s, tmp,
         org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING, n_chars LONG"))
     }),
+    "sink_compact" -> ((s, dir) => {
+      // fragment events into 64 tiny files, compact, and prove the data
+      // survives byte-exactly via the aggregate's oracle
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact"
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(64).write.mode("overwrite").parquet(tmp)
+      val (_, before, after) = sources.Sources.compactParquet(s, tmp, 10000000L)
+      require(after < before, s"compaction must shrink the file count ($before -> $after)")
+      s.read.parquet(tmp).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
     "stage_clean" -> ((s, dir) => {
       val ev = Staging.castColumns(t(s, dir, "events"), Map.empty)
       EventOps.extractIntField(ev, "props", "k")
@@ -567,6 +577,7 @@ object SparkEntry {
     "src_csv_roundtrip" -> Oracles.srcCsvRoundtrip,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text, n_chars FROM documents",
     "stage_clean" -> Oracles.stageClean,
+    "sink_compact" -> "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
     "stage_dedup_key" -> Oracles.stageDedupKey,
     "dim_distinct" -> Oracles.dimDistinct,
     "dim_explode_bridge" -> Oracles.dimExplodeBridge,

@@ -42,4 +42,38 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory to
+    * ≈`targetRowsPerFile` rows per file. Micro-batch sinks and
+    * fine-grained partitioned writes accumulate thousands of tiny files;
+    * at 100 TB that turns every scan's planning into a listing storm and
+    * each task into a seek-bound read, so periodic compaction is part of
+    * the pipeline, not an afterthought. Rewrites into `<path>_tmp` then
+    * swaps atomically-enough for a single-writer owner (the table-format
+    * way is a manifest commit; this is the raw-directory equivalent).
+    * Returns (rows, filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetRowsPerFile: Long): (Long, Long, Long) = {
+    require(targetRowsPerFile > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    def parquetFiles(dir: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(dir, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles(p)
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    spark.read.parquet(path).repartition(nFiles).write
+      .mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (rows, before, parquetFiles(p))
+  }
 }
