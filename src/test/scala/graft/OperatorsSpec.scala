@@ -239,6 +239,31 @@ class OperatorsSpec extends SparkSpec {
       (9L, "2024-01-15", None, true, Some("X"))))
   }
 
+  test("scd2Merge prunes a cross-boundary no-change row and extends history correctly") {
+    import graft.etl.Staging
+    val log1 = Seq((7L, "2024-01-01", "A", 1L), (7L, "2024-02-01", "B", 2L))
+      .toDF("k", "eff", "attr", "seq")
+    // batch: a no-change row (B again) that must NOT open a version even
+    // though the prune now happens across the hist/batch boundary, then
+    // a real change
+    val log2 = Seq((7L, "2024-03-01", "B", 3L), (7L, "2024-04-01", "C", 4L),
+      (9L, "2024-01-10", "X", 5L)) // brand-new key arrives in the batch
+      .toDF("k", "eff", "attr", "seq")
+    val hist = Staging.scd2(log1, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+    val merged = Staging.scd2Merge(hist, log2, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+      .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
+      .as[(Long, String, Option[String], Boolean, String)].collect().toSet
+    val full = Staging.scd2(log1.unionByName(log2), Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+      .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
+      .as[(Long, String, Option[String], Boolean, String)].collect().toSet
+    assert(merged === full, "incremental merge must equal the full rebuild")
+    assert(merged === Set(
+      (7L, "2024-01-01", Some("2024-02-01"), false, "A"),
+      (7L, "2024-02-01", Some("2024-04-01"), false, "B"), // 03-01 B pruned
+      (7L, "2024-04-01", None, true, "C"),
+      (9L, "2024-01-10", None, true, "X")))
+  }
+
   test("staging null markers + casts") {
     val df = Seq(("\\N", "5"), ("7", "\\N")).toDF("a", "b")
     val out = Staging.castColumns(Staging.nullMarkers(df, Seq("a", "b"), "\\N"),

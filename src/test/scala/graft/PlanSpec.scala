@@ -130,6 +130,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a hash/broadcast equi-join on the bucket id:\n$plan")
   }
 
+  test("scd2 point-in-time lookup stays a hash equi-join on (bucket, key)") {
+    val plan = explain("etl_scd2_lookup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"keyed range join must not degrade to a nested loop:\n$plan")
+  }
+
   test("scd2 costs exactly one shuffle: prune-lag and version-lead share it") {
     val plan = explain("etl_scd2")
     val exchanges = "Exchange".r.findAllIn(plan).length
