@@ -77,15 +77,23 @@ object Staging {
     * unique column) or version boundaries are nondeterministic.
     */
   /** Incremental SCD-2 merge: fold a new change batch into an existing
-    * [[scd2]] history. Untouched keys pass through untouched (anti
-    * join); each touched key's history is REBUILT from its existing
+    * [[scd2]] history. Untouched keys pass through untouched (null-safe
+    * anti join); each touched key's history is REBUILT from its existing
     * version rows (each version row is a change point) plus the new
     * changes — the partition-rewrite merge every table format does for
-    * dimension history. The result equals `scd2(full log)` exactly,
-    * including cross-boundary no-change pruning, which is what makes it
-    * oracle-checkable against the full rebuild. At 100 TB the daily
-    * batch touches few keys, so the rebuild slice is small; both joins
-    * key on the business key (broadcastable batch key set).
+    * dimension history. At 100 TB the daily batch touches few keys, so
+    * the rebuild slice is small; both joins key on the business key
+    * (broadcastable batch key set).
+    *
+    * PRECONDITION (enforced in-plan with `raise_error`): every batch
+    * change must be strictly newer than its key's `last_seen` watermark.
+    * Under it the result equals `scd2(full log)` exactly, including
+    * cross-boundary no-change pruning — which is what makes it
+    * oracle-checkable against the full rebuild. Without it the claim is
+    * unprovable from version rows alone: a pruned no-change row between
+    * two change points leaves no trace, so a back-dated change could
+    * produce a history the full rebuild would order differently —
+    * out-of-order backfill must re-run [[scd2]] on the full log instead.
     *
     * `hist` must retain the `order` tie-break columns ([[scd2]] passes
     * all input columns through).
@@ -94,12 +102,32 @@ object Staging {
                 effectiveCol: String, tracked: Seq[String],
                 order: Seq[Column]): DataFrame = {
     val touched = changes.select(keys.map(col): _*).distinct()
-    val untouched = hist.join(touched, keys, "left_anti")
-    val replayLog = hist.join(touched, keys, "left_semi")
-      .drop("effective_to", "is_current")
+    // null-safe key matching: a null business key is one history like any
+    // other — plain equi-joins would route its hist rows to `untouched`
+    // while its batch rows rebuild from scratch, yielding two overlapping
+    // current versions
+    def keyCond(a: DataFrame, b: DataFrame) =
+      keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+    val untouched = hist.join(touched, keyCond(hist, touched), "left_anti")
+    val touchedHist = hist.join(touched, keyCond(hist, touched), "left_semi")
+    // append-only guard, lazy and in-plan like Similarity.bruteForceTopK:
+    // count batch rows at-or-before their key's last_seen watermark; the
+    // 1-row result raises at execution when any exist
+    val ls = touchedHist.groupBy(keys.map(col): _*).agg(max(col("last_seen")).as("__ls"))
+    val viol = changes.join(ls, keyCond(changes, ls))
+      .where(col(effectiveCol) <= col("__ls")).groupBy().count()
+    val guard = broadcast(viol.select(
+      when(col("count") > 0, raise_error(lit(
+        "scd2Merge: batch contains changes at or before a key's last_seen " +
+          "watermark; out-of-order backfill must re-run scd2 on the full log")))
+        .otherwise(lit(1)).as("__ok")))
+    val replayLog = touchedHist
+      .drop("effective_to", "is_current", "last_seen")
       .withColumnRenamed("effective_from", effectiveCol)
       .unionByName(changes)
-    untouched.unionByName(scd2(replayLog, keys, effectiveCol, tracked, order))
+    val rebuilt = scd2(replayLog, keys, effectiveCol, tracked, order)
+      .crossJoin(guard).where(col("__ok") === 1).drop("__ok")
+    untouched.unionByName(rebuilt)
   }
 
   def scd2(changes: DataFrame, keys: Seq[String], effectiveCol: String,
@@ -107,9 +135,16 @@ object Staging {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(effectiveCol) +: order: _*)
+    val wAll = Window.partitionBy(keys.map(col): _*)
     val fp = md5(concat_ws("\u0001",
       tracked.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     changes.withColumn("__fp", fp)
+      // per-key watermark over the FULL pre-prune log: pruned no-change
+      // rows leave no version row, so without this an incremental merge
+      // cannot tell whether a "new" change post-dates everything the key
+      // has seen (scd2Merge enforces exactly that); same partitioning as
+      // the main window, so still one Exchange
+      .withColumn("last_seen", max(col(effectiveCol)).over(wAll))
       .withColumn("__prev", lag(col("__fp"), 1).over(w))
       .filter(col("__prev").isNull || col("__fp") =!= col("__prev"))
       .drop("__fp", "__prev")

@@ -110,25 +110,35 @@ object EventOps {
   def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
              steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
-    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // cache lifecycle: step i only ever feeds step i+1, so the previous
+    // step unpersists as soon as the current one is materialized, and
+    // the FINAL step is never persisted at all (its count is its only
+    // consumer) — at most one cached reached-set lives at a time
+    var prev: DataFrame = null
     try {
       var reached: DataFrame = null
       val counts = steps.zipWithIndex.map { case (st, i) =>
-        reached =
-          (if (i == 0)
-            events.filter(col(typeCol) === st)
-              .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-          else
-            events.filter(col(typeCol) === st)
-              .join(reached.select(col(userCol), col("__t").as("__pt")), userCol)
-              .where(col(tsCol) > col("__pt"))
-              .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))).persist()
-        persisted += reached
-        ((i + 1).toLong, reached.count())
+        val last = i == steps.size - 1
+        reached = {
+          val r =
+            if (i == 0)
+              events.filter(col(typeCol) === st)
+                .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+            else
+              events.filter(col(typeCol) === st)
+                .join(reached.select(col(userCol), col("__t").as("__pt")), userCol)
+                .where(col(tsCol) > col("__pt"))
+                .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+          if (last) r else r.persist()
+        }
+        val n = reached.count()
+        if (prev != null) prev.unpersist()
+        prev = if (last) null else reached
+        ((i + 1).toLong, n)
       }
       val spark = events.sparkSession
       import spark.implicits._
       counts.toDF("step", "n_users")
-    } finally persisted.foreach(_.unpersist())
+    } finally if (prev != null) prev.unpersist()
   }
 }

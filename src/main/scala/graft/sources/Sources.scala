@@ -48,13 +48,21 @@ object Sources {
     * fine-grained partitioned writes accumulate thousands of tiny files;
     * at 100 TB that turns every scan's planning into a listing storm and
     * each task into a seek-bound read, so periodic compaction is part of
-    * the pipeline, not an afterthought. Rewrites into `<path>_tmp` then
-    * swaps atomically-enough for a single-writer owner (the table-format
-    * way is a manifest commit; this is the raw-directory equivalent).
-    * Returns (rows, filesBefore, filesAfter).
+    * the pipeline, not an afterthought.
+    *
+    * A hive-partitioned layout MUST pass its partition columns in
+    * `partitionCols` — the rewrite re-applies `partitionBy` so
+    * downstream partition pruning survives (a plain rewrite would
+    * silently flatten the layout). The swap is loss-window-free for a
+    * single-writer owner: rewrite to `<path>_tmp`, move the original
+    * aside, move the rewrite in, delete the original — every rename
+    * checked, so a failure leaves at least one complete copy on disk
+    * (the table-format way is a manifest commit; this is the
+    * raw-directory equivalent). Returns (rows, filesBefore, filesAfter).
     */
   def compactParquet(spark: SparkSession, path: String,
-                     targetRowsPerFile: Long): (Long, Long, Long) = {
+                     targetRowsPerFile: Long,
+                     partitionCols: Seq[String] = Nil): (Long, Long, Long) = {
     require(targetRowsPerFile > 0)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -70,10 +78,15 @@ object Sources {
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    spark.read.parquet(path).repartition(nFiles).write
-      .mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val w = df.repartition(nFiles).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, true) // leftover from a previous crashed swap
+    require(fs.rename(p, old), s"compaction swap failed: could not move $p aside")
+    require(fs.rename(tmp, p),
+      s"compaction swap failed: original preserved at $old, rewrite at $tmp")
+    require(fs.delete(old, true), s"compaction could not remove $old")
     (rows, before, parquetFiles(p))
   }
 }

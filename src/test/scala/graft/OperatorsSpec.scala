@@ -264,6 +264,32 @@ class OperatorsSpec extends SparkSpec {
       (9L, "2024-01-10", None, true, "X")))
   }
 
+  test("scd2Merge rejects out-of-order batches at execution and handles null keys") {
+    import graft.etl.Staging
+    // hist where a no-change row was pruned: (t1,A),(t2,A) → one version,
+    // last_seen = t2. A back-dated batch row between t1 and t2 cannot be
+    // replayed correctly from version rows — the guard must fire.
+    val log1 = Seq((7L, "2024-01-01", "A", 1L), (7L, "2024-02-01", "A", 2L))
+      .toDF("k", "eff", "attr", "seq")
+    val hist = Staging.scd2(log1, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+    val backdated = Seq((7L, "2024-01-15", "B", 3L)).toDF("k", "eff", "attr", "seq")
+    val merged = Staging.scd2Merge(hist, backdated, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+    val e = intercept[Exception] { merged.collect() }
+    def msgs(t: Throwable): String = if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("last_seen"), s"guard should fire: ${msgs(e)}")
+
+    // null business key: one coherent history, not two overlapping ones
+    val nlog1 = Seq((Option.empty[Long], "2024-01-01", "A", 1L)).toDF("k", "eff", "attr", "seq")
+    val nlog2 = Seq((Option.empty[Long], "2024-02-01", "B", 2L)).toDF("k", "eff", "attr", "seq")
+    val nhist = Staging.scd2(nlog1, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+    val nmerged = Staging.scd2Merge(nhist, nlog2, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+      .select($"effective_from", $"effective_to", $"is_current", $"attr")
+      .as[(String, Option[String], Boolean, String)].collect().toSet
+    assert(nmerged === Set(
+      ("2024-01-01", Some("2024-02-01"), false, "A"),
+      ("2024-02-01", None, true, "B")))
+  }
+
   test("staging null markers + casts") {
     val df = Seq(("\\N", "5"), ("7", "\\N")).toDF("a", "b")
     val out = Staging.castColumns(Staging.nullMarkers(df, Seq("a", "b"), "\\N"),
