@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.Staging
+import graft.operators.{EventOps, GlobalRank, RangeJoin, Sampling}
+
+/** Randomized property checks (seeded — deterministic across runs):
+  * each operator is compared against a brute-force reference
+  * implementation or an algebraic invariant on many random inputs, the
+  * class of evidence example-based specs can't give. 10 trials per
+  * property keeps the suite fast; the seeds make failures reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trials(seed: Long, n: Int = 10)(body: scala.util.Random => Unit): Unit =
+    (0 until n).foreach(i => body(new scala.util.Random(seed + i)))
+
+  test("property: intervalOverlap equals the brute-force theta join on random intervals") {
+    trials(101L) { rnd =>
+      def intervals(tag: String, n: Int) = (0 until n).map { i =>
+        val lo = rnd.nextDouble() * 100 - 20
+        // ~1/5 empty or inverted on purpose
+        val hi = if (rnd.nextInt(5) == 0) lo - rnd.nextDouble() * 5
+                 else lo + rnd.nextDouble() * 12
+        (i.toLong, lo, hi)
+      }
+      val as = intervals("a", 30)
+      val bs = intervals("b", 30)
+      val expected = (for {
+        (ai, alo, ahi) <- as if alo < ahi
+        (bi, blo, bhi) <- bs if blo < bhi
+        if alo < bhi && blo < ahi
+      } yield (ai, bi)).toSet
+      val got = RangeJoin.intervalOverlap(
+          as.toDF("a_id", "alo", "ahi"), "alo", "ahi",
+          bs.toDF("b_id", "blo", "bhi"), "blo", "bhi",
+          bucketWidth = 1 + rnd.nextDouble() * 10)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(got === expected)
+    }
+  }
+
+  test("property: pointInInterval equals the brute-force theta join on random data") {
+    trials(202L) { rnd =>
+      val pts = (0 until 50).map(i => (i.toLong, rnd.nextDouble() * 100))
+      val ivs = (0 until 20).map { i =>
+        val lo = rnd.nextDouble() * 100
+        (i.toLong, lo, lo + rnd.nextDouble() * 15)
+      }
+      val expected = (for {
+        (pi, v) <- pts
+        (ii, lo, hi) <- ivs if v >= lo && v < hi
+      } yield (pi, ii)).toSet
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("p_id", "v"), "v",
+          ivs.toDF("i_id", "lo", "hi"), "lo", "hi",
+          bucketWidth = 1 + rnd.nextDouble() * 10)
+        .select($"p_id", $"i_id").as[(Long, Long)].collect().toSet
+      assert(got === expected)
+    }
+  }
+
+  test("property: globalRank equals the sort index for any partition count") {
+    trials(303L, n = 5) { rnd =>
+      val n = 200 + rnd.nextInt(800)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      val ranked = GlobalRank.globalRank(rows.toDF("id", "v"),
+          Seq($"v".asc, $"id".asc), numPartitions = 1 + rnd.nextInt(12))
+        .select($"id", $"grank").as[(Long, Long)].collect().toMap
+      val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      assert(ranked === expected)
+    }
+  }
+
+  test("property: scd2 versions tile each key's timeline; merge equals full rebuild") {
+    trials(404L, n = 5) { rnd =>
+      val log = (0 until 120).map { i =>
+        (rnd.nextInt(6).toLong, f"2024-01-${rnd.nextInt(28) + 1}%02d",
+          ('A' + rnd.nextInt(3)).toChar.toString, i.toLong)
+      }
+      val df = log.toDF("k", "eff", "attr", "seq")
+      val hist = Staging.scd2(df, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+        .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
+        .as[(Long, String, Option[String], Boolean, String)].collect()
+      hist.groupBy(_._1).foreach { case (_, vs) =>
+        val sorted = vs.sortBy(_._2)
+        // exactly one current version, and it is the last one
+        assert(sorted.count(_._4) === 1 && sorted.last._4)
+        // half-open windows chain exactly: to(i) == from(i+1), final to = null
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3.contains(b._2)); case _ =>
+        }
+        assert(sorted.last._3.isEmpty)
+        // no-change pruning: adjacent versions always differ
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._5 != b._5); case _ =>
+        }
+      }
+      // append-only time-split: merge(hist(early), late) == scd2(full).
+      // Split per key at its median date so both sides are non-trivial;
+      // guard rows equal to the split go to the early side (append-only).
+      val cut = "2024-01-15"
+      val early = df.filter($"eff" <= cut)
+      val late = df.filter($"eff" > cut)
+      val keysWithBoth = log.filter(_._2 <= cut).map(_._1).toSet
+        .intersect(log.filter(_._2 > cut).map(_._1).toSet)
+      if (keysWithBoth.nonEmpty) {
+        val h = Staging.scd2(early, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+        val merged = Staging.scd2Merge(h, late, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+          .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
+          .as[(Long, String, Option[String], Boolean, String)].collect().toSet
+        val full = Staging.scd2(df, Seq("k"), "eff", Seq("attr"), Seq($"seq"))
+          .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
+          .as[(Long, String, Option[String], Boolean, String)].collect().toSet
+        assert(merged === full)
+      }
+    }
+  }
+
+  test("property: sampling is monotone in rate/weight (nested samples)") {
+    val ids = spark.range(0, 2000).toDF("id")
+    trials(505L, n = 5) { rnd =>
+      val r1 = rnd.nextDouble() * 0.5
+      val r2 = r1 + rnd.nextDouble() * 0.5
+      val salt = s"prop${rnd.nextInt(1000)}"
+      val s1 = Sampling.bernoulli(ids, $"id", r1, salt).as[Long].collect().toSet
+      val s2 = Sampling.bernoulli(ids, $"id", r2, salt).as[Long].collect().toSet
+      assert(s1.subsetOf(s2), s"bernoulli($r1) must nest inside bernoulli($r2)")
+      val w1 = Sampling.weighted(ids, $"id", lit(r1), salt).as[Long].collect().toSet
+      assert(w1 === s1, "weighted at a constant weight IS bernoulli at that rate")
+    }
+  }
+
+  test("property: funnel counts match a reference computation and never increase") {
+    trials(606L, n = 5) { rnd =>
+      val types = Seq("a", "b", "c")
+      val ev = (0 until 300).map { i =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, types(rnd.nextInt(3)))
+      }
+      val got = EventOps.funnel(ev.toDF("u", "t", "ty"), "u", "t", "ty", types)
+        .as[(Long, Long)].collect().toMap
+      // reference: per user, walk the min-time recurrence in plain Scala
+      val byUser = ev.groupBy(_._1)
+      val expected = types.indices.map { k =>
+        val n = byUser.values.count { evs =>
+          types.take(k + 1).foldLeft(Option(Long.MinValue)) { (acc, ty) =>
+            acc.flatMap { after =>
+              val cand = evs.filter(e => e._3 == ty && e._2 > after).map(_._2)
+              if (cand.isEmpty) None else Some(cand.min)
+            }
+          }.isDefined
+        }
+        (k + 1).toLong -> n.toLong
+      }.toMap
+      assert(got === expected)
+      assert(types.indices.dropRight(1).forall(k => got(k + 1L) >= got(k + 2L)))
+    }
+  }
+}
