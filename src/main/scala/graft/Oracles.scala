@@ -445,6 +445,35 @@ object Oracles {
     s"WITH $ctes\n$sels"
   }
 
+  /** PQ-ADC twin: the generated code table (embPqCodes) joined with a
+    * per-query 128-entry LUT built by a CASE dispatch over the (m, code)
+    * grid — same literal codebooks, same MIPS-ADC score.
+    */
+  def embPqAdc: String = {
+    val subDims = EmbDims / PqSub
+    val cb = HashFunctions.pqCodebooks(PqSub, PqK, subDims)
+    val branches = (for (m <- 0 until PqSub; ci <- 0 until PqK) yield {
+      val c = cb(m)(ci)
+      val dot = (0 until subDims)
+        .map(i => s"CAST(embedding[${m * subDims + i + 1}] AS DOUBLE) * (${c(i)})")
+        .mkString(" + ")
+      s"WHEN ${m * PqK + ci} THEN ($dot - (${c.map(x => x * x).sum / 2}))"
+    }).mkString(" ")
+    s"""WITH pqc AS (
+       |$embPqCodes),
+       |g AS (SELECT unnest(range(0, ${PqSub * PqK})) AS gi),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % $AnnQueryMod = 0),
+       |lut AS (SELECT query_id, CAST(gi // $PqK AS BIGINT) AS m, CAST(gi % $PqK AS BIGINT) AS code,
+       |  CASE gi $branches END AS part FROM q CROSS JOIN g),
+       |sc AS (SELECT query_id, p.vec_id AS neighbor_id, round(sum(part), 4) AS score
+       |  FROM lut JOIN pqc p ON p.m = lut.m AND p.code = lut.code AND p.vec_id <> lut.query_id
+       |  GROUP BY query_id, p.vec_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc) WHERE rnk <= $AnnK""".stripMargin
+  }
+
   def qGlobalRank: String =
     """SELECT o_orderkey, price_cents,
       |  CAST(row_number() OVER (ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS grank

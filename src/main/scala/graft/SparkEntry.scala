@@ -439,6 +439,15 @@ object SparkEntry {
       // 32× embedding compression as a pure map-side projection
       Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
         PqSub, PqK, EmbDims)),
+    "emb_pq_adc" -> ((s, dir) => {
+      // the search path PQ exists for: score the whole corpus from codes
+      // only, no float vectors on the corpus side
+      val emb = t(s, dir, "embeddings")
+      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", PqSub, PqK, EmbDims)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), codes,
+          "vec_id", "embedding", AnnK, PqSub, PqK, EmbDims)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+    }),
     "ann_ivf_trained" -> ((s, dir) => {
       // the production IVF shape: train the coarse quantizer with the
       // k-means loop, then search with the trained centroids + nprobe
@@ -623,6 +632,7 @@ object SparkEntry {
     "ann_ivf_nprobe" -> Oracles.annIvfNprobe,
     "ann_ivf_trained" -> Oracles.annIvfTrained,
     "emb_pq_codes" -> Oracles.embPqCodes,
+    "emb_pq_adc" -> Oracles.embPqAdc,
     "emb_kmeans_step" -> Oracles.embKmeansStep,
     "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,

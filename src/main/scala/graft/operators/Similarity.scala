@@ -186,6 +186,51 @@ object Similarity {
       .select(col(idCol), col("m").cast("long").as("m"), col("code"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: score every corpus vector from
+    * its COMPRESSED codes only — the search path the 32× compression
+    * exists for. Per query, a 128-entry lookup table (subspace m, code c
+    * → q·c_{m,c} − ‖c_{m,c}‖²/2) is built map-side from literal
+    * codebooks and joined to the corpus code table on (m, code); summing
+    * a pair's mSub partials gives q·recon(x) − ‖recon(x)‖²/2 (subspaces
+    * are disjoint, cross terms vanish) — the MIPS-ADC score against the
+    * reconstructed vector. The corpus side never touches float vectors:
+    * the only shuffles carry (m, code) joins and (query, neighbor)
+    * partial sums. Rank is total via (score desc, neighbor asc) on the
+    * round-4 score.
+    */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String, vecCol: String,
+                k: Int, mSub: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % mSub == 0)
+    val subDims = dims / mSub
+    val cb = H.pqCodebooks(mSub, ksub, subDims)
+    // stage 1 computes each of the 128 LUT dots exactly once as its own
+    // column (same janino-safety pattern as pqCodes), stage 2 reshapes
+    // them into (m, code, part) rows with a single posexplode
+    val partCols = (0 until mSub).flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, ci) =>
+        val padded = Seq.fill(m * subDims)(0.0) ++ c ++
+          Seq.fill(dims - (m + 1) * subDims)(0.0)
+        (V.dotConst(col(vecCol), padded) - lit(c.map(x => x * x).sum / 2))
+          .as(s"__p_${m}_$ci")
+      }
+    }
+    val staged = queries.select(col(idCol).as("query_id") +: partCols: _*)
+    val entries = array((for (m <- 0 until mSub; ci <- 0 until ksub) yield
+      struct(lit(m.toLong).as("m"), lit(ci.toLong).as("code"),
+        col(s"__p_${m}_$ci").as("part"))): _*)
+    val lut = staged.select(col("query_id"), explode(entries).as("e"))
+      .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
+        col("e.part").as("part"))
+    val scored = lut
+      .join(codes.select(col(idCol).as("neighbor_id"), col("m"), col("code")),
+        Seq("m", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("part")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
   /** Lloyd's k-means over the corpus, iterated to convergence (or
     * `maxIter`). Returns (centroids, last-assignment counts, iterations
     * run); every coordinate is rounded to 4 decimals per round — the
