@@ -445,11 +445,11 @@ object Oracles {
     s"WITH $ctes\n$sels"
   }
 
-  /** PQ-ADC twin: the generated code table (embPqCodes) joined with a
-    * per-query 128-entry LUT built by a CASE dispatch over the (m, code)
-    * grid — same literal codebooks, same MIPS-ADC score.
+  /** CTE chain ending in lut(query_id, m, code, part): the per-query
+    * ADC lookup table built by a CASE dispatch over the (m, code) grid,
+    * same literal codebooks as the Spark side.
     */
-  def embPqAdc: String = {
+  private def pqLutCtes: String = {
     val subDims = EmbDims / PqSub
     val cb = HashFunctions.pqCodebooks(PqSub, PqK, subDims)
     val branches = (for (m <- 0 until PqSub; ci <- 0 until PqK) yield {
@@ -459,15 +459,47 @@ object Oracles {
         .mkString(" + ")
       s"WHEN ${m * PqK + ci} THEN ($dot - (${c.map(x => x * x).sum / 2}))"
     }).mkString(" ")
+    s"""g AS (SELECT unnest(range(0, ${PqSub * PqK})) AS gi),
+       |lq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % $AnnQueryMod = 0),
+       |lut AS (SELECT query_id, CAST(gi // $PqK AS BIGINT) AS m, CAST(gi % $PqK AS BIGINT) AS code,
+       |  CASE gi $branches END AS part FROM lq CROSS JOIN g)""".stripMargin
+  }
+
+  /** PQ-ADC twin: the generated code table (embPqCodes) joined with the
+    * per-query LUT — same MIPS-ADC score.
+    */
+  def embPqAdc: String =
     s"""WITH pqc AS (
        |$embPqCodes),
-       |g AS (SELECT unnest(range(0, ${PqSub * PqK})) AS gi),
-       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % $AnnQueryMod = 0),
-       |lut AS (SELECT query_id, CAST(gi // $PqK AS BIGINT) AS m, CAST(gi % $PqK AS BIGINT) AS code,
-       |  CASE gi $branches END AS part FROM q CROSS JOIN g),
+       |$pqLutCtes,
        |sc AS (SELECT query_id, p.vec_id AS neighbor_id, round(sum(part), 4) AS score
        |  FROM lut JOIN pqc p ON p.m = lut.m AND p.code = lut.code AND p.vec_id <> lut.query_id
        |  GROUP BY query_id, p.vec_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc) WHERE rnk <= $AnnK""".stripMargin
+
+  /** IVF+PQ twin: probe the IvfNprobe nearest cells (same CTEs as
+    * annIvfNprobe), ADC-score only those cells' codes.
+    */
+  def embIvfPqAdc: String = {
+    val cellRows = (0 until IvfCells)
+      .map(c => s"SELECT vec_id, $c AS cell, cd$c AS d FROM qc").mkString(" UNION ALL ")
+    s"""WITH $ivfAsgCtes,
+       |qc AS (SELECT * FROM cd WHERE vec_id % $AnnQueryMod = 0),
+       |pr AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+       |  FROM ($cellRows)) WHERE cr <= $IvfNprobe),
+       |cand AS (SELECT pr.query_id, c.vec_id AS neighbor_id
+       |  FROM pr JOIN asg c ON c.cell = pr.cell AND c.vec_id <> pr.query_id),
+       |pqc AS (
+       |$embPqCodes),
+       |$pqLutCtes,
+       |sc AS (SELECT cand.query_id, cand.neighbor_id, round(sum(part), 4) AS score
+       |  FROM cand JOIN pqc p ON p.vec_id = cand.neighbor_id
+       |  JOIN lut ON lut.query_id = cand.query_id AND lut.m = p.m AND lut.code = p.code
+       |  GROUP BY cand.query_id, cand.neighbor_id)
        |SELECT query_id, neighbor_id, score, rnk FROM (
        |  SELECT query_id, neighbor_id, score,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk

@@ -448,6 +448,14 @@ object SparkEntry {
           "vec_id", "embedding", AnnK, PqSub, PqK, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
     }),
+    "emb_ivf_pq_adc" -> ((s, dir) => {
+      // IVF+PQ: probe nprobe cells, ADC-score only their codes — float
+      // vectors touched once at index build, never on the search path
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe, PqSub, PqK)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+    }),
     "ann_ivf_trained" -> ((s, dir) => {
       // the production IVF shape: train the coarse quantizer with the
       // k-means loop, then search with the trained centroids + nprobe
@@ -633,6 +641,7 @@ object SparkEntry {
     "ann_ivf_trained" -> Oracles.annIvfTrained,
     "emb_pq_codes" -> Oracles.embPqCodes,
     "emb_pq_adc" -> Oracles.embPqAdc,
+    "emb_ivf_pq_adc" -> Oracles.embIvfPqAdc,
     "emb_kmeans_step" -> Oracles.embKmeansStep,
     "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,

@@ -198,14 +198,17 @@ object Similarity {
     * partial sums. Rank is total via (score desc, neighbor asc) on the
     * round-4 score.
     */
-  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String, vecCol: String,
-                k: Int, mSub: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+  /** Per-query ADC lookup table (query_id, m, code, part) with
+    * part = q·c_{m,code} − ‖c_{m,code}‖²/2. Stage 1 computes each of the
+    * mSub·ksub dots exactly once as its own column (same janino-safety
+    * pattern as [[pqCodes]]), stage 2 reshapes them into rows with a
+    * single explode.
+    */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+                    mSub: Int, ksub: Int, dims: Int): DataFrame = {
     require(dims % mSub == 0)
     val subDims = dims / mSub
     val cb = H.pqCodebooks(mSub, ksub, subDims)
-    // stage 1 computes each of the 128 LUT dots exactly once as its own
-    // column (same janino-safety pattern as pqCodes), stage 2 reshapes
-    // them into (m, code, part) rows with a single posexplode
     val partCols = (0 until mSub).flatMap { m =>
       cb(m).zipWithIndex.map { case (c, ci) =>
         val padded = Seq.fill(m * subDims)(0.0) ++ c ++
@@ -218,13 +221,53 @@ object Similarity {
     val entries = array((for (m <- 0 until mSub; ci <- 0 until ksub) yield
       struct(lit(m.toLong).as("m"), lit(ci.toLong).as("code"),
         col(s"__p_${m}_$ci").as("part"))): _*)
-    val lut = staged.select(col("query_id"), explode(entries).as("e"))
+    staged.select(col("query_id"), explode(entries).as("e"))
       .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
         col("e.part").as("part"))
+  }
+
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String, vecCol: String,
+                k: Int, mSub: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    val lut = pqLut(queries, idCol, vecCol, mSub, ksub, dims)
     val scored = lut
       .join(codes.select(col(idCol).as("neighbor_id"), col("m"), col("code")),
         Seq("m", "code"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("part")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
+  /** IVF+PQ (the canonical billion-scale ANN index, à la FAISS IVFPQ):
+    * coarse-quantize the corpus into cells, PQ-compress the residual…
+    * here the vectors themselves (no residual — honest simplification,
+    * the plumbing is identical), and answer a query by probing its
+    * `nprobe` nearest cells and ADC-scoring ONLY those cells' codes.
+    * The float vectors are touched exactly once at index-build time
+    * (cell assignment + codes); the search path joins compact
+    * (cell, code) tables — at 100 TB the index is ~3% the corpus size
+    * and a query reads nprobe/cents of it.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, cents: Int = 8, dims: Int = 64, nprobe: Int = 1,
+                mSub: Int = 8, ksub: Int = 16): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents)
+    val ws = H.centroidWeights(cents, dims)
+    // index build (one pass over float vectors)
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      cellFor(col(vecCol), ws).as("cell"))
+    val codes = pqCodes(corpus, idCol, vecCol, mSub, ksub, dims)
+      .select(col(idCol).as("neighbor_id"), col("m"), col("code"))
+    // search: probe cells → candidate ids → ADC over their codes
+    val cand = queries.select(col(idCol).as("query_id"),
+        explode(probeCells(col(vecCol), ws, nprobe)).as("cell"))
+      .join(cells, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val lut = pqLut(queries, idCol, vecCol, mSub, ksub, dims)
+    val scored = cand.join(codes, "neighbor_id")
+      .join(lut, Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(round(sum(col("part")), 4).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
