@@ -511,6 +511,14 @@ object Oracles {
       |  CAST(row_number() OVER (ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS grank
       |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)""".stripMargin
 
+  def qSaltedJoin: String =
+    """WITH dim AS (SELECT n_nationkey % 10 AS grp, min(n_name) AS label FROM nation GROUP BY 1)
+      |SELECT grp, label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM (SELECT l_orderkey % 10 AS grp, l_quantity FROM lineitem) b
+      |JOIN dim USING (grp)
+      |GROUP BY grp, label""".stripMargin
+
   def qRangeJoin: String =
     """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo
       |  FROM part WHERE p_partkey % 20 = 0)

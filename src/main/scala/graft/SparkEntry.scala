@@ -490,6 +490,19 @@ object SparkEntry {
         .select(col("band_id"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      // 10 hot keys over all of lineitem — the manual salt-replicate
+      // join spreads each over SaltFactor partitions; the aggregate
+      // proves result ≡ plain join
+      val big = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 10).as("grp"), col("l_quantity"))
+      val dim = t(s, dir, "nation")
+        .groupBy((col("n_nationkey") % 10).as("grp"))
+        .agg(min(col("n_name")).as("label"))
+      operators.Joins.saltedJoin(big, dim, Seq("grp"), saltFactor = 8)
+        .groupBy(col("grp"), col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+    }),
     "q_interval_join" -> ((s, dir) => {
       // interval×interval overlap: part-derived bands vs order-price
       // windows, bucketed equi-join (no nested loop), one row per
@@ -646,6 +659,7 @@ object SparkEntry {
     "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,
     "q_interval_join" -> Oracles.qIntervalJoin,
+    "q_salted_join" -> Oracles.qSaltedJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_scd2" -> Oracles.etlScd2,

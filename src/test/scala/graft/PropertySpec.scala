@@ -119,6 +119,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: saltedJoin equals the plain inner join on random skewed data") {
+    import graft.operators.Joins
+    trials(707L, n = 5) { rnd =>
+      // heavy skew on purpose: half the rows share one key
+      val big = (0 until 400).map { i =>
+        (if (rnd.nextBoolean()) 7L else rnd.nextInt(20).toLong, i.toLong)
+      }.toDF("k", "payload")
+      val small = (0 until 15).map(i => (i.toLong, s"v$i")).toDF("k", "label")
+      val plain = big.join(small, Seq("k"))
+        .select($"k", $"payload", $"label").as[(Long, Long, String)].collect().toSet
+      val salted = Joins.saltedJoin(big, small, Seq("k"), 1 + rnd.nextInt(8))
+        .select($"k", $"payload", $"label").as[(Long, Long, String)].collect().toSet
+      assert(salted === plain)
+    }
+  }
+
   test("property: sampling is monotone in rate/weight (nested samples)") {
     val ids = spark.range(0, 2000).toDF("id")
     trials(505L, n = 5) { rnd =>
