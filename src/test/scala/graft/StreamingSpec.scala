@@ -260,6 +260,36 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("custom TopK Aggregator runs inside a streaming aggregation with partial merges") {
+    // the same bounded-buffer Aggregator the batch marts use — streaming
+    // aggregation exercises its zero/reduce/merge across micro-batches,
+    // so per-(group, mapper) state stays K rows on an unbounded feed
+    implicit val sqlCtx = spark.sqlContext
+    val fn = udaf(new graft.operators.TopKAggregator[Double, Long](3))
+    val stream = MemoryStream[Event]
+    val q = stream.toDF()
+      .groupBy(col("event_type"))
+      .agg(fn(col("value"), col("event_id")).as("top"))
+      .writeStream.format("memory").queryName("stream_topk").outputMode("complete").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 7, "click", 5.0),
+        Event(2, ts("2024-01-01 00:02:00"), 7, "click", 9.0),
+        Event(3, ts("2024-01-01 00:03:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // a later micro-batch must MERGE into the existing top buffer:
+      // 7.0 displaces 1.0, the duplicate 9.0 ranks after the earlier id
+      stream.addData(
+        Event(4, ts("2024-01-01 00:04:00"), 7, "click", 7.0),
+        Event(5, ts("2024-01-01 00:05:00"), 7, "click", 9.0))
+      q.processAllAvailable()
+      val top = spark.table("stream_topk").filter($"event_type" === "click")
+        .select(explode($"top").as("p")).select($"p._1", $"p._2")
+        .as[(Double, Long)].collect().toSeq
+      assert(top === Seq((9.0, 2L), (9.0, 5L), (7.0, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map(i =>
