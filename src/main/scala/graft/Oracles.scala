@@ -288,20 +288,29 @@ object Oracles {
        |  round(avg(v), 4) AS c, count(*) AS n
        |FROM ex GROUP BY 1, 2""".stripMargin
 
+  /** Probe-selection CTEs shared by every nprobe oracle: qc (query
+    * dots), pr (the IvfNprobe top cells per query — tie-break ORDER BY
+    * d DESC, cell must bit-match Spark's probeCells sort), cand (the
+    * probed cells' members). Follows $ivfAsgCtes.
+    */
+  private def ivfProbeCtes: String = {
+    val cellRows = (0 until IvfCells)
+      .map(c => s"SELECT vec_id, $c AS cell, cd$c AS d FROM qc").mkString(" UNION ALL ")
+    s"""qc AS (SELECT * FROM cd WHERE vec_id % $AnnQueryMod = 0),
+       |pr AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+       |  FROM ($cellRows)) WHERE cr <= $IvfNprobe),
+       |cand AS (SELECT pr.query_id, c.vec_id AS neighbor_id
+       |  FROM pr JOIN asg c ON c.cell = pr.cell AND c.vec_id <> pr.query_id)""".stripMargin
+  }
+
   /** nprobe>1 IVF: each query's cells ranked by centroid dot (desc, cell
     * asc — exact doubles, same fold order as Spark's probeCells sort),
     * top IvfNprobe probed.
     */
   def annIvfNprobe: String = {
-    val cellRows = (0 until IvfCells)
-      .map(c => s"SELECT vec_id, $c AS cell, cd$c AS d FROM qc").mkString(" UNION ALL ")
     s"""WITH $ivfAsgCtes,
-       |qc AS (SELECT * FROM cd WHERE vec_id % $AnnQueryMod = 0),
-       |pr AS (SELECT vec_id AS query_id, cell FROM (
-       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
-       |  FROM ($cellRows)) WHERE cr <= $IvfNprobe),
-       |cand AS (SELECT pr.query_id, c.vec_id AS neighbor_id
-       |  FROM pr JOIN asg c ON c.cell = pr.cell AND c.vec_id <> pr.query_id),
+       |$ivfProbeCtes,
        |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id
        |  JOIN embeddings eb ON eb.vec_id = neighbor_id)
@@ -472,9 +481,10 @@ object Oracles {
     s"""WITH pqc AS (
        |$embPqCodes),
        |$pqLutCtes,
-       |sc AS (SELECT query_id, p.vec_id AS neighbor_id, round(sum(part), 4) AS score
+       |pv AS (SELECT query_id, p.vec_id AS neighbor_id, min(CASE WHEN lut.m = 0 THEN part END) AS sp0, min(CASE WHEN lut.m = 1 THEN part END) AS sp1, min(CASE WHEN lut.m = 2 THEN part END) AS sp2, min(CASE WHEN lut.m = 3 THEN part END) AS sp3, min(CASE WHEN lut.m = 4 THEN part END) AS sp4, min(CASE WHEN lut.m = 5 THEN part END) AS sp5, min(CASE WHEN lut.m = 6 THEN part END) AS sp6, min(CASE WHEN lut.m = 7 THEN part END) AS sp7
        |  FROM lut JOIN pqc p ON p.m = lut.m AND p.code = lut.code AND p.vec_id <> lut.query_id
-       |  GROUP BY query_id, p.vec_id)
+       |  GROUP BY query_id, p.vec_id),
+       |sc AS (SELECT query_id, neighbor_id, round(sp0 + sp1 + sp2 + sp3 + sp4 + sp5 + sp6 + sp7, 4) AS score FROM pv)
        |SELECT query_id, neighbor_id, score, rnk FROM (
        |  SELECT query_id, neighbor_id, score,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
@@ -484,22 +494,16 @@ object Oracles {
     * annIvfNprobe), ADC-score only those cells' codes.
     */
   def embIvfPqAdc: String = {
-    val cellRows = (0 until IvfCells)
-      .map(c => s"SELECT vec_id, $c AS cell, cd$c AS d FROM qc").mkString(" UNION ALL ")
     s"""WITH $ivfAsgCtes,
-       |qc AS (SELECT * FROM cd WHERE vec_id % $AnnQueryMod = 0),
-       |pr AS (SELECT vec_id AS query_id, cell FROM (
-       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
-       |  FROM ($cellRows)) WHERE cr <= $IvfNprobe),
-       |cand AS (SELECT pr.query_id, c.vec_id AS neighbor_id
-       |  FROM pr JOIN asg c ON c.cell = pr.cell AND c.vec_id <> pr.query_id),
+       |$ivfProbeCtes,
        |pqc AS (
        |$embPqCodes),
        |$pqLutCtes,
-       |sc AS (SELECT cand.query_id, cand.neighbor_id, round(sum(part), 4) AS score
+       |pv AS (SELECT cand.query_id, cand.neighbor_id, min(CASE WHEN lut.m = 0 THEN part END) AS sp0, min(CASE WHEN lut.m = 1 THEN part END) AS sp1, min(CASE WHEN lut.m = 2 THEN part END) AS sp2, min(CASE WHEN lut.m = 3 THEN part END) AS sp3, min(CASE WHEN lut.m = 4 THEN part END) AS sp4, min(CASE WHEN lut.m = 5 THEN part END) AS sp5, min(CASE WHEN lut.m = 6 THEN part END) AS sp6, min(CASE WHEN lut.m = 7 THEN part END) AS sp7
        |  FROM cand JOIN pqc p ON p.vec_id = cand.neighbor_id
        |  JOIN lut ON lut.query_id = cand.query_id AND lut.m = p.m AND lut.code = p.code
-       |  GROUP BY cand.query_id, cand.neighbor_id)
+       |  GROUP BY cand.query_id, cand.neighbor_id),
+       |sc AS (SELECT query_id, neighbor_id, round(sp0 + sp1 + sp2 + sp3 + sp4 + sp5 + sp6 + sp7, 4) AS score FROM pv)
        |SELECT query_id, neighbor_id, score, rnk FROM (
        |  SELECT query_id, neighbor_id, score,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
@@ -660,7 +664,7 @@ object Oracles {
        |  $qualityExprSql AS qscore
        |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id)
        |SELECT doc_id, qscore FROM q
-       |WHERE CAST(h AS DOUBLE) < least(greatest(qscore, 0.0), 1.0) * 4294967296.0""".stripMargin
+       |WHERE h < CAST(FLOOR(least(greatest(qscore, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin
   }
 
   def sampleStratified: String = {

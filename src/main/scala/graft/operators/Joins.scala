@@ -19,12 +19,18 @@ object Joins {
     * unavailable on some pipelines (e.g. streaming). Result is exactly
     * the plain inner join: each big row matches precisely the replica
     * carrying its salt. Cost: small side ×saltFactor (keep it small).
+    *
+    * `saltBy` defaults to `monotonically_increasing_id()` — fine for
+    * batch, but REJECTED by Structured Streaming plans; streaming
+    * callers pass any within-key-varying column (e.g. the event id:
+    * `xxhash64($"event_id")`).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int,
+                 saltBy: org.apache.spark.sql.Column = monotonically_increasing_id()): DataFrame = {
     require(saltFactor >= 1)
     val b = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      pmod(saltBy, lit(saltFactor.toLong)).cast("int"))
     val s = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     b.join(s, keys :+ "__salt").drop("__salt")

@@ -39,7 +39,10 @@ object Sampling {
   def weighted(df: DataFrame, key: Column, weight: Column, salt: String): DataFrame = {
     val w = least(greatest(weight, lit(0.0)), lit(1.0))
     val k = coalesce(key.cast("string"), lit("\u0000<null-key>"))
-    df.where(H.hash32(k, salt).cast("double") < w * lit(4294967296.0))
+    // floor to an integer threshold exactly like [[bernoulli]], so
+    // weighted at a constant weight IS bernoulli at that rate (the
+    // boundary row where hash == floor(w·2³²) decides identically)
+    df.where(H.hash32(k, salt) < floor(w * lit(4294967296.0)).cast("long"))
   }
 
   /** Fixed-size per-stratum sample: the k rows with the smallest salted

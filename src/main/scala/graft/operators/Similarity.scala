@@ -136,6 +136,28 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
 
+  /** One column per (subspace m, code ci): the MIPS score
+    * q·c_{m,ci} − ‖c_{m,ci}‖²/2, computed as ONE zero-padded full-vector
+    * primitive dot (padding is IEEE-exact: acc + 0.0·x ≡ acc in
+    * left-to-right order, so results equal a sub-sliced dot and the
+    * oracle's sub-chain bit-for-bit, with no per-score slice()
+    * allocation). Shared by the encoder ([[pqCodes]]) and the search
+    * LUT ([[pqAdcTopK]]) so the two can never diverge.
+    */
+  private def pqScoreCols(vecCol: String, mSub: Int, ksub: Int, dims: Int,
+                          prefix: String): Seq[Column] = {
+    val subDims = dims / mSub
+    val cb = H.pqCodebooks(mSub, ksub, subDims)
+    (0 until mSub).flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, ci) =>
+        val padded = Seq.fill(m * subDims)(0.0) ++ c ++
+          Seq.fill(dims - (m + 1) * subDims)(0.0)
+        (V.dotConst(col(vecCol), padded) - lit(c.map(x => x * x).sum / 2))
+          .as(s"${prefix}_${m}_$ci")
+      }
+    }
+  }
+
   /** Product-quantization codes: split the vector into `mSub` subspaces
     * and emit, per subspace, the index of the nearest sub-centroid by L2
     * (argmin ‖x−c‖² ≡ argmax x·c − ‖c‖²/2; deterministic ties: lowest
@@ -152,8 +174,6 @@ object Similarity {
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
               mSub: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
     require(dims % mSub == 0, "dims must split evenly into subspaces")
-    val subDims = dims / mSub
-    val cb = H.pqCodebooks(mSub, ksub, subDims)
     // Two projections on purpose. A single projection would repeat each
     // dot inside greatest() AND the argmax when-chain (~3× work) and the
     // combined expression tree blows janino's method limits — codegen
@@ -166,15 +186,7 @@ object Similarity {
     // only those attributes, which is cheap; CollapseProject keeps the
     // stages apart because the score expressions are non-cheap and
     // multiply-referenced.
-    val scoreCols = (0 until mSub).flatMap { m =>
-      cb(m).zipWithIndex.map { case (c, ci) =>
-        val padded = Seq.fill(m * subDims)(0.0) ++ c ++
-          Seq.fill(dims - (m + 1) * subDims)(0.0)
-        (V.dotConst(col(vecCol), padded) - lit(c.map(x => x * x).sum / 2))
-          .as(s"__s_${m}_$ci")
-      }
-    }
-    val scored = emb.select(col(idCol) +: scoreCols: _*)
+    val scored = emb.select(col(idCol) +: pqScoreCols(vecCol, mSub, ksub, dims, "__s"): _*)
     val codes = (0 until mSub).map { m =>
       val scs = (0 until ksub).map(ci => col(s"__s_${m}_$ci"))
       val best = greatest(scs: _*)
@@ -184,6 +196,43 @@ object Similarity {
     }
     scored.select(col(idCol), posexplode(array(codes.map(_.cast("long")): _*)).as(Seq("m", "code")))
       .select(col(idCol), col("m").cast("long").as("m"), col("code"))
+  }
+
+  /** Per-query ADC lookup table (query_id, m, code, part) with
+    * part = q·c_{m,code} − ‖c_{m,code}‖²/2. Stage 1 computes each of the
+    * mSub·ksub dots exactly once as its own column (same janino-safety
+    * pattern as [[pqCodes]]), stage 2 reshapes them into rows with a
+    * single explode.
+    */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+                    mSub: Int, ksub: Int, dims: Int): DataFrame = {
+    require(dims % mSub == 0)
+    val staged = queries.select(col(idCol).as("query_id") +:
+      pqScoreCols(vecCol, mSub, ksub, dims, "__p"): _*)
+    val entries = array((for (m <- 0 until mSub; ci <- 0 until ksub) yield
+      struct(lit(m.toLong).as("m"), lit(ci.toLong).as("code"),
+        col(s"__p_${m}_$ci").as("part"))): _*)
+    staged.select(col("query_id"), explode(entries).as("e"))
+      .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
+        col("e.part").as("part"))
+  }
+
+  /** Per-(query, neighbor) ADC score with a FIXED fold order: the mSub
+    * partials pivot into per-subspace min-aggregates (map-side partial,
+    * one value each — min of a single element) and sum left-to-right in
+    * subspace order. A plain sum() would accumulate in shuffle-arrival
+    * order — FP addition is non-associative, so a pair near a 4-dp
+    * rounding boundary could flip between engines/runs; every other
+    * oracle-matched score in this file is a single deterministic fold,
+    * and this keeps ADC in that contract.
+    */
+  private def adcScore(pairs: DataFrame, mSub: Int): DataFrame = {
+    val parts = (0 until mSub).map(m =>
+      min(when(col("m") === m.toLong, col("part"))).as(s"__sp$m"))
+    pairs.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(parts.head, parts.tail: _*)
+      .select(col("query_id"), col("neighbor_id"),
+        round((0 until mSub).map(m => col(s"__sp$m")).reduce(_ + _), 4).as("score"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: score every corpus vector from
@@ -198,43 +247,13 @@ object Similarity {
     * partial sums. Rank is total via (score desc, neighbor asc) on the
     * round-4 score.
     */
-  /** Per-query ADC lookup table (query_id, m, code, part) with
-    * part = q·c_{m,code} − ‖c_{m,code}‖²/2. Stage 1 computes each of the
-    * mSub·ksub dots exactly once as its own column (same janino-safety
-    * pattern as [[pqCodes]]), stage 2 reshapes them into rows with a
-    * single explode.
-    */
-  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
-                    mSub: Int, ksub: Int, dims: Int): DataFrame = {
-    require(dims % mSub == 0)
-    val subDims = dims / mSub
-    val cb = H.pqCodebooks(mSub, ksub, subDims)
-    val partCols = (0 until mSub).flatMap { m =>
-      cb(m).zipWithIndex.map { case (c, ci) =>
-        val padded = Seq.fill(m * subDims)(0.0) ++ c ++
-          Seq.fill(dims - (m + 1) * subDims)(0.0)
-        (V.dotConst(col(vecCol), padded) - lit(c.map(x => x * x).sum / 2))
-          .as(s"__p_${m}_$ci")
-      }
-    }
-    val staged = queries.select(col(idCol).as("query_id") +: partCols: _*)
-    val entries = array((for (m <- 0 until mSub; ci <- 0 until ksub) yield
-      struct(lit(m.toLong).as("m"), lit(ci.toLong).as("code"),
-        col(s"__p_${m}_$ci").as("part"))): _*)
-    staged.select(col("query_id"), explode(entries).as("e"))
-      .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
-        col("e.part").as("part"))
-  }
-
   def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String, vecCol: String,
                 k: Int, mSub: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
     val lut = pqLut(queries, idCol, vecCol, mSub, ksub, dims)
-    val scored = lut
+    val scored = adcScore(lut
       .join(codes.select(col(idCol).as("neighbor_id"), col("m"), col("code")),
         Seq("m", "code"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(round(sum(col("part")), 4).as("score"))
+      .where(col("query_id") =!= col("neighbor_id")), mSub)
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
@@ -266,10 +285,8 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
     val lut = pqLut(queries, idCol, vecCol, mSub, ksub, dims)
-    val scored = cand.join(codes, "neighbor_id")
-      .join(lut, Seq("query_id", "m", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(round(sum(col("part")), 4).as("score"))
+    val scored = adcScore(cand.join(codes, "neighbor_id")
+      .join(lut, Seq("query_id", "m", "code")), mSub)
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }

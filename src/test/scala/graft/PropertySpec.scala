@@ -18,15 +18,15 @@ class PropertySpec extends SparkSpec {
 
   test("property: intervalOverlap equals the brute-force theta join on random intervals") {
     trials(101L) { rnd =>
-      def intervals(tag: String, n: Int) = (0 until n).map { i =>
+      def intervals(n: Int) = (0 until n).map { i =>
         val lo = rnd.nextDouble() * 100 - 20
         // ~1/5 empty or inverted on purpose
         val hi = if (rnd.nextInt(5) == 0) lo - rnd.nextDouble() * 5
                  else lo + rnd.nextDouble() * 12
         (i.toLong, lo, hi)
       }
-      val as = intervals("a", 30)
-      val bs = intervals("b", 30)
+      val as = intervals(30)
+      val bs = intervals(30)
       val expected = (for {
         (ai, alo, ahi) <- as if alo < ahi
         (bi, blo, bhi) <- bs if blo < bhi
@@ -85,7 +85,9 @@ class PropertySpec extends SparkSpec {
         .select($"k", $"effective_from", $"effective_to", $"is_current", $"attr")
         .as[(Long, String, Option[String], Boolean, String)].collect()
       hist.groupBy(_._1).foreach { case (_, vs) =>
-        val sorted = vs.sortBy(_._2)
+        // total order: same-date versions tie-break on effective_to
+        // (open version last) — collect() order is not a contract
+        val sorted = vs.sortBy(v => (v._2, v._3.getOrElse("9999")))
         // exactly one current version, and it is the last one
         assert(sorted.count(_._4) === 1 && sorted.last._4)
         // half-open windows chain exactly: to(i) == from(i+1), final to = null
@@ -99,8 +101,8 @@ class PropertySpec extends SparkSpec {
         }
       }
       // append-only time-split: merge(hist(early), late) == scd2(full).
-      // Split per key at its median date so both sides are non-trivial;
-      // guard rows equal to the split go to the early side (append-only).
+      // Fixed global cut; rows AT the cut go to the early side, so every
+      // late row is strictly newer than its key's last_seen (append-only)
       val cut = "2024-01-15"
       val early = df.filter($"eff" <= cut)
       val late = df.filter($"eff" > cut)
