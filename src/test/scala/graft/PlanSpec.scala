@@ -130,6 +130,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a hash/broadcast equi-join on the bucket id:\n$plan")
   }
 
+  test("ADC scoring does map-side partial aggregation and no cartesian product") {
+    for (q <- Seq("emb_pq_adc", "emb_ivf_pq_adc")) {
+      val plan = explain(q)
+      assert(plan.contains("partial_min"),
+        s"$q: the per-subspace pivot must partially aggregate map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: code/LUT joins must stay equi-joins:\n$plan")
+    }
+  }
+
   test("scd2 point-in-time lookup stays a hash equi-join on (bucket, key)") {
     val plan = explain("etl_scd2_lookup")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
