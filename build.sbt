@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, which prefixes
+// every line with "[info] " — that prefix (plus line truncation) made the
+// driver's JSON-line parse of graft.Bench fail in rounds 1–3
+// (BENCH_r{1,2,3}.json all record parsed:null). StdoutOutput passes the
+// child's stdout through verbatim so the bench line parses as pure JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

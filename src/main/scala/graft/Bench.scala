@@ -66,7 +66,8 @@ object Bench {
       val good = times.filter(_._2).map(_._1)
       (name, if (good.nonEmpty) good.min else times.map(_._1).max, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def r2(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // every individual run (not just the min) as [seconds, ok] pairs:
     // dispersion across runs is the in-artifact noise estimate, and a
@@ -76,7 +77,21 @@ object Bench {
         times.map { case (t, ok) => s"[$t,${if (ok) 1 else 0}]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"load":[$loadBefore],"load_after":[${loadavg()}],"sf":"$sfDir","runs":$runs}""")
+    val loadAfter = loadavg()
+    // The driver captures only the last ~2000 chars of output, so the
+    // printed line must stay SHORT or it is truncated mid-line and never
+    // parses (BENCH_r1–r3 all recorded parsed:null for exactly this
+    // reason). The full per-query map + per-run times go to a sidecar
+    // file; the printed line carries the totals plus the slowest queries
+    // and stays comfortably under the tail window.
+    val detailFile = new java.io.File("tools/bench_detail.json")
+    Option(detailFile.getParentFile).foreach(_.mkdirs())
+    val pw = new java.io.PrintWriter(detailFile, "UTF-8")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    finally pw.close()
+    val slow = results.sortBy(-_._2).take(25)
+      .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -113,8 +113,12 @@ object EventOps {
     // cache lifecycle: step i only ever feeds step i+1, so the previous
     // step unpersists as soon as the current one is materialized, and
     // the FINAL step is never persisted at all (its count is its only
-    // consumer) — at most one cached reached-set lives at a time
+    // consumer) — at most one cached reached-set lives at a time.
+    // `cur` tracks a frame from the moment it is persisted (BEFORE the
+    // materializing count), so a failure mid-count cannot strand a cache
+    // entry the finally block doesn't know about.
     var prev: DataFrame = null
+    var cur: DataFrame = null
     try {
       var reached: DataFrame = null
       val counts = steps.zipWithIndex.map { case (st, i) =>
@@ -129,16 +133,20 @@ object EventOps {
                 .join(reached.select(col(userCol), col("__t").as("__pt")), userCol)
                 .where(col(tsCol) > col("__pt"))
                 .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-          if (last) r else r.persist()
+          if (last) r else { r.persist(); cur = r; r }
         }
         val n = reached.count()
         if (prev != null) prev.unpersist()
-        prev = if (last) null else reached
+        prev = cur
+        cur = null
         ((i + 1).toLong, n)
       }
       val spark = events.sparkSession
       import spark.implicits._
       counts.toDF("step", "n_users")
-    } finally if (prev != null) prev.unpersist()
+    } finally {
+      if (cur != null) cur.unpersist()
+      if (prev != null) prev.unpersist()
+    }
   }
 }

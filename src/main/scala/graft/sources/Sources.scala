@@ -78,7 +78,32 @@ object Sources {
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    val w = df.repartition(nFiles).write.mode("overwrite")
+    import org.apache.spark.sql.functions.{ceil => fceil, col, count, hash, least, lit, pmod, struct}
+    val repart =
+      if (partitionCols.isEmpty) df.repartition(nFiles)
+      else {
+        // A plain round-robin repartition(nFiles) would let EVERY task see
+        // EVERY hive-partition value, so each task writes one file per
+        // value — up to nFiles × nValues files, potentially MORE small
+        // files than before the compaction. Instead shuffle on the
+        // partition columns plus a bounded per-value salt sized from the
+        // per-value row counts, so each value lands in
+        // ceil(valueRows / targetRowsPerFile) tasks and the row target is
+        // honored inside every hive directory. The per-value count is one
+        // tiny broadcast-joined aggregate over the data already being
+        // rewritten.
+        val pc = partitionCols.map(col)
+        val nf = df.groupBy(pc: _*)
+          .agg(fceil(count(lit(1)) / lit(targetRowsPerFile.toDouble)).cast("int").as("__nf"))
+        val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+        val salted = df
+          .join(org.apache.spark.sql.functions.broadcast(nf), partitionCols)
+          .withColumn("__salt",
+            pmod(hash(struct(dataCols: _*)), least(col("__nf"), lit(nFiles))))
+        salted.repartition(nFiles, (pc :+ col("__salt")): _*)
+          .drop("__nf", "__salt")
+      }
+    val w = repart.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "_old")

@@ -87,10 +87,18 @@ object EventStreams {
             // session (they belong to an earlier, already-emitted one):
             // adjacent too-old events sessionize among THEMSELVES by the
             // same gap rule, so a late replayed burst emits one session,
-            // not n singletons. Flushed at batch end — it cannot become
-            // state because the live session owns the event-time timeout.
-            // Remaining divergence from an ordered batch replay: these
-            // sessions cannot extend a session emitted in a prior batch.
+            // not n singletons. At batch end it MERGES into the live
+            // session if a later in-batch event lowered the live envelope
+            // to within the gap (otherwise two sessions whose extents are
+            // within gapMs of each other would both emit); only a
+            // genuinely gap-separated remainder flushes on its own. It
+            // cannot become state because the live session owns the
+            // event-time timeout. Remaining divergence from an ordered
+            // batch replay: these sessions cannot extend a session
+            // emitted in a PRIOR batch (already irrevocably emitted), and
+            // an old-side sub-session already flushed mid-batch (two
+            // too-old bursts separated by more than the gap) cannot be
+            // retracted in Append mode.
             var oldCur = Option.empty[SessionState]
             def flushOld(): Unit = oldCur.foreach { o =>
               closed ::= SessionOut(userId, o.nEvents, o.startMs, o.lastMs - o.startMs)
@@ -125,6 +133,18 @@ object EventStreams {
                 case None =>
                   cur = Some(SessionState(1, t, t))
               }
+            }
+            // batch-end reconciliation: an event was routed to oldCur
+            // against the live start AT THAT MOMENT, but a later in-batch
+            // event may have lowered the live start to within the gap of
+            // oldCur's extent — merge instead of emitting two sessions
+            // that the batch twin would count as one
+            (cur, oldCur) match {
+              case (Some(s), Some(o)) if s.startMs - o.lastMs <= gapMs =>
+                cur = Some(SessionState(s.nEvents + o.nEvents,
+                  math.min(s.startMs, o.startMs), math.max(s.lastMs, o.lastMs)))
+                oldCur = None
+              case _ => ()
             }
             flushOld()
             cur.foreach { s =>

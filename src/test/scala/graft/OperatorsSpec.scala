@@ -415,4 +415,29 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[Long]("n_events"))).toSet
     assert(out === Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
+
+  test("compactParquet honors targetRowsPerFile inside hive partitions") {
+    // ADVICE r3: with partitionCols, a round-robin repartition lets every
+    // task see every partition value → up to nFiles × nValues files. The
+    // salted partition-column shuffle must instead give each value
+    // ceil(rows/target) files: the small p=0 side exactly ONE file, the
+    // large p=1 side no more than its row-count quota, layout preserved.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val df = spark.range(0, 10100).select(
+      when(col("id") < 100, 0L).otherwise(1L).as("p"), col("id").as("v"))
+    df.repartition(32).write.mode("overwrite").partitionBy("p").parquet(tmp)
+    def filesIn(sub: String): Long =
+      new java.io.File(s"$tmp/$sub").listFiles()
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    assert(filesIn("p=0") > 1, "precondition: fragmented input")
+    val (rows, before, after) =
+      graft.sources.Sources.compactParquet(spark, tmp, 5000L, Seq("p"))
+    assert(rows === 10100L)
+    assert(after < before, s"must shrink file count ($before -> $after)")
+    assert(filesIn("p=0") === 1L, "100-row partition must compact to one file")
+    assert(filesIn("p=1") <= 2L, "10000-row partition needs at most ceil(10000/5000) files")
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === 10100L)
+    assert(back.agg(sum(col("v"))).head.getLong(0) === (0L until 10100L).sum)
+  }
 }

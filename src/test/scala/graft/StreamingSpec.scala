@@ -151,6 +151,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("too-old burst merges into the live session when a later event lowers the envelope") {
+    // ADVICE r3: an event routed to the batch-local too-old session is
+    // judged against the live start AT THAT MOMENT; a later event in the
+    // same sorted batch can lower the live start to within the gap of it.
+    // The batch-end reconciliation must merge the two — otherwise two
+    // sessions whose extents are within gapMs both emit, diverging from
+    // the batch twin. gap=10m: live session starts 01:40; next batch
+    // delivers 01:25 (15m before live start → too-old) then 01:35 (merges,
+    // lowering live start to 01:35, which is exactly 10m after 01:25).
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.watermarkedSessions(stream.toDS(), gapMs = 600000L,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("old_merge").outputMode("append").start()
+    try {
+      stream.addData(Event(1, ts("2024-01-01 01:40:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        Event(2, ts("2024-01-01 01:25:00"), 7, "click", 1.0),
+        Event(3, ts("2024-01-01 01:35:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // watermark driver closes user 7's session via event-time timeout
+      stream.addData(Event(4, ts("2024-01-01 09:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("old_merge").as[EventStreams.SessionOut]
+        .collect().filter(_.user_id == 7L).toSet
+      assert(rows === Set(EventStreams.SessionOut(7, 3,
+        ts("2024-01-01 01:25:00").getTime, 900000L)),
+        "01:25/01:35/01:40 are pairwise within-gap after the envelope lowers — one session")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-batch and cross-batch duplicates, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
