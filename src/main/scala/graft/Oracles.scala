@@ -1027,4 +1027,127 @@ object Oracles {
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderpriority,
        |  count(*) AS n, CAST(sum($cents) AS BIGINT) AS total_cents
        |FROM orders GROUP BY CUBE(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin
+
+  // ---- round-4 additions ----
+
+  def srcOrcRoundtrip: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acct_cents, c_mktsegment
+      |FROM customer""".stripMargin
+
+  def srcMergeSchema: String =
+    s"""SELECT o_orderkey, $cents AS price_cents,
+       |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+       |FROM orders""".stripMargin
+
+  def qFullOuter: String =
+    """WITH a AS (SELECT o_custkey, count(*) AS n95 FROM orders
+      |           WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      |     b AS (SELECT o_custkey, count(*) AS n98 FROM orders
+      |           WHERE year(o_orderdate) = 1998 GROUP BY 1)
+      |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      |  CAST(COALESCE(n95, 0) AS BIGINT) AS n_1995,
+      |  CAST(COALESCE(n98, 0) AS BIGINT) AS n_1998
+      |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey""".stripMargin
+
+  def qScalarSubquery: String =
+    """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM orders o2
+      |                      WHERE year(o2.o_orderdate) = year(o.o_orderdate))""".stripMargin
+
+  def qStatsSuite: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  def qWindowSuite: String =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)
+      |SELECT o_orderkey, o_orderpriority, price_cents,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume,
+      |  price_cents - lag(price_cents, 1) OVER w AS lag_diff,
+      |  first_value(price_cents) OVER w AS first_cents,
+      |  nth_value(price_cents, 2) OVER w AS second_cents
+      |FROM o WINDOW w AS (PARTITION BY o_orderpriority
+      |                    ORDER BY price_cents, o_orderkey)""".stripMargin
+
+  def qCohortRetention: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+      |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+      |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN fw USING (user_id) GROUP BY 1, 2""".stripMargin
+
+  /** The merge oracle is the FULL RECOMPUTE — the incremental path must
+    * reproduce it exactly (same contract as etl_scd2_merge).
+    */
+  def aggIncrementalMerge: String =
+    s"""SELECT o_custkey, count(*) AS n,
+       |  CAST(sum($cents) AS BIGINT) AS sum_cents,
+       |  CAST(min($cents) AS BIGINT) AS min_cents,
+       |  CAST(max($cents) AS BIGINT) AS max_cents,
+       |  CAST((CAST(sum($cents) AS BIGINT) * 100) // count(*) AS BIGINT) AS mean_centicents
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** Fixed-point int64 PageRank, iterations unrolled as a CTE chain from
+    * the same constants as [[graft.operators.PageRank]] — every transfer
+    * an integer floor-division, every combine an exact BIGINT sum, so
+    * Spark and DuckDB agree bit-for-bit.
+    */
+  def qPagerank: String = {
+    val u = graft.operators.PageRank.MassUnit
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node,
+         |  CAST(sum((p.pr * 85) // (100 * e.deg)) AS BIGINT) AS inbound
+         |  FROM ed e JOIN pr${k - 1} p ON e.src = p.node GROUP BY e.dst),
+         |pr$k AS (SELECT nodes.node,
+         |  CAST((15 * $u) // (100 * nn) + COALESCE(inbound, 0) AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN n LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT sk AS src, ck + $PrCustOffset AS dst FROM pairs
+       |          UNION ALL SELECT ck + $PrCustOffset, sk FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |ed AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+       |n AS (SELECT count(*) AS nn FROM nodes),
+       |pr0 AS (SELECT node, CAST($u // nn AS BIGINT) AS pr FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT node, pr FROM pr$PrIters""".stripMargin
+  }
+
+  /** Brute-force all-pairs token-set Jaccard — the independent oracle for
+    * the prefix-filter join (which must find EXACTLY these pairs). The
+    * length filter in the join condition only prunes work; the WHERE
+    * holds the exact integer threshold.
+    */
+  def dedupPrefixFilter: String = {
+    val (num, den) = (JaccardMinNum, JaccardMinDen)
+    s"""WITH $toksCte, $shingCte,
+       |sets AS (SELECT doc_id, list_distinct(sh) AS s, len(list_distinct(sh)) AS sz
+       |         FROM shing WHERE len(list_distinct(sh)) > 0),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.s, b.s)) AS li, a.sz AS la, b.sz AS lb
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |    AND a.sz * $den >= b.sz * $num AND b.sz * $den >= a.sz * $num)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(li AS DOUBLE) / (la + lb - li), 4) AS jac
+       |FROM pr WHERE li * $den >= (la + lb - li) * $num""".stripMargin
+  }
+
+  def qHeavyHitters: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT unnest(ts) AS t FROM toks),
+       |tc AS (SELECT t AS term, count(*) AS n FROM tok GROUP BY 1),
+       |nq AS (SELECT count(*) AS n_total FROM tok)
+       |SELECT term, CAST(n AS BIGINT) AS n, CAST(n_total AS BIGINT) AS n_total
+       |FROM tc CROSS JOIN nq WHERE n * $HhDenom > n_total""".stripMargin
 }

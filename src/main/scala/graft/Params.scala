@@ -14,6 +14,13 @@ object Params {
   // simhash: 64-bit signature (as two 32-bit halves), 4×16-bit pigeonhole
   // blocks — 65 536 bucket values per block position keeps in-bucket
   // self-joins bounded at corpus scale (the old 8-bit blocks had 256).
+  // exact similarity join (prefix filtering): threshold as a RATIONAL so
+  // every bound is int64 arithmetic; must equal JaccardMin
+  val JaccardMinNum = 1L
+  val JaccardMinDen = 2L
+  require(JaccardMinNum.toDouble / JaccardMinDen == JaccardMin,
+    "JaccardMinNum/JaccardMinDen must equal JaccardMin")
+
   val SimhashBits = 64
   val SimhashBlockBits = 16
   val SimhashMaxDist = 3
@@ -56,6 +63,19 @@ object Params {
   val TfidfTopK = 3
   val ChunkSize = 32
   val ChunkStride = 16
+
+  // heavy hitters: item is heavy iff count * HhDenom > N (pure integers);
+  // MG counter budget gives a 4x margin over the threshold
+  val HhDenom = 400L
+  val HhMgK = 1600
+
+  // PageRank: fixed iteration count over the supplier↔customer bipartite
+  // graph; customer node ids offset into their own namespace
+  val PrIters = 3
+  val PrCustOffset = 1000000L
+
+  // incremental aggregate-state merge: batch cutover date
+  val AggMergeCut = "1997-01-01 00:00:00"
 
   // event pivot / as-of
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, EventOps, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Frequency, Sampling, Similarity, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -128,6 +128,36 @@ object SparkEntry {
       s.read.parquet(tmp)
         .select(col("factkey"), col("custkey"), col("yearkey").cast("long").as("yearkey"),
           col("price_cents"), col("segment"))
+    }),
+
+    "src_orc_roundtrip" -> ((s, dir) => {
+      // ORC is Spark's other first-class columnar format (predicate
+      // pushdown + column pruning work the same as parquet); the
+      // roundtrip proves values survive bit-exactly, including an
+      // exact-integer money column
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("acct_cents"), col("c_mktsegment"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    }),
+    "src_merge_schema" -> ((s, dir) => {
+      // schema evolution: a landing zone written by two producer versions
+      // (v2 added a column) read as ONE table via mergeSchema — the
+      // missing column is null-filled, nothing is dropped or re-written.
+      // At 100 TB, schema merge beats rewriting history to the new schema;
+      // the option costs one footer read per file, so explicit > global.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_schema"
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .write.mode("overwrite").parquet(s"$tmp/v=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/v=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("o_orderkey"), col("price_cents"), col("o_orderpriority"))
     }),
 
     // full reference pipeline composition under the oracle gate: raw
@@ -521,6 +551,98 @@ object SparkEntry {
           cents(least(col("hi"), col("ohi"))).as("ov_hi_cents"))
     }),
 
+    "q_full_outer" -> ((s, dir) => {
+      // full-outer reconciliation of two keyed aggregates — the standard
+      // "who churned / who appeared" comparison; both sides pre-aggregate
+      // before the join so the shuffle carries one row per key
+      val orders = t(s, dir, "orders")
+      val a = orders.filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n95"))
+      val b = orders.filter(year(col("o_orderdate")) === 1998)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n98"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n95"), lit(0L)).as("n_1995"),
+          coalesce(col("n98"), lit(0L)).as("n_1998"))
+    }),
+    "q_scalar_subquery" -> ((s, dir) => {
+      // correlated scalar subquery through the SQL surface — Catalyst
+      // de-correlates it into the aggregate+join plan (never a per-row
+      // re-execution), which is exactly why the SQL form is scale-safe
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+              |FROM orders_v o
+              |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM orders_v o2
+              |                      WHERE year(o2.o_orderdate) = year(o.o_orderdate))""".stripMargin)
+    }),
+    "q_stats_suite" -> ((s, dir) =>
+      // second-moment statistics in one partial-aggregating pass; floats
+      // surface only via round(,4) per the portability contract
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"))),
+    "q_window_suite" -> ((s, dir) => {
+      // the rank/distribution window family over one partition spec —
+      // one sort per partition serves all five functions (single Window
+      // exec, no repeated exchange); ties broken by the unique order key
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_cents"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"),
+          (col("price_cents") - lag(col("price_cents"), 1).over(w)).as("lag_diff"),
+          first(col("price_cents")).over(w).as("first_cents"),
+          nth_value(col("price_cents"), 2).over(w).as("second_cents"))
+    }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // cohort = a user's first activity week; the retention matrix
+      // counts distinct users per (cohort, weeks-since). Weeks are
+      // integer epoch-ms buckets — calendar-week functions differ across
+      // engines, epoch arithmetic does not.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+      val firstw = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(firstw, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+    "agg_incremental_merge" -> ((s, dir) => {
+      // incremental mart refresh: fold the new batch's aggregate state
+      // into the standing state instead of rescanning history — must
+      // equal the full recompute (the oracle IS the full recompute)
+      val orders = t(s, dir, "orders")
+      val cut = ts(AggMergeCut)
+      val state = Marts.aggState(orders.filter(col("o_orderdate") < cut),
+        Seq(col("o_custkey")), cents(col("o_totalprice")))
+      val batch = Marts.aggState(orders.filter(col("o_orderdate") >= cut),
+        Seq(col("o_custkey")), cents(col("o_totalprice")))
+      // derived mean in centi-cents via exact int64 floor-division — a
+      // round(double,4) here can land on a .00005 boundary where Spark
+      // (BigDecimal half-up) and DuckDB (x*1e4 + std::round) disagree by
+      // one final digit (observed at sf0.01)
+      Marts.mergeAggState(state, batch, Seq("o_custkey"))
+        .withColumn("mean_centicents", expr("(sum_cents * 100L) div n"))
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // fixed-point integer PageRank over the supplier↔customer graph
+      // (both arc directions of each trading pair); bit-identical on any
+      // engine/partitioning — see operators.PageRank
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("ck") + lit(PrCustOffset)).as("dst"))
+        .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
+      operators.PageRank.pageRank(edges, PrIters)
+    }),
+
     // ---- §2.8 deterministic sampling ----
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulli(t(s, dir, "documents"), col("doc_id"), SampleRate, SampleSalt)
@@ -554,6 +676,17 @@ object SparkEntry {
       TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text", VocabTopN)),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestInCluster(t(s, dir, "documents"), "doc_id", "text", JaccardMin)),
+    "dedup_prefix_filter" -> ((s, dir) =>
+      // EXACT all-pairs token-Jaccard join (prefix + length filtering) —
+      // the recall-lossless complement to dedup_minhash_lsh
+      Dedup.prefixFilterJaccard(t(s, dir, "documents"), "doc_id", "text",
+        JaccardMinNum, JaccardMinDen)),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // exact frequent tokens via Misra–Gries candidates + exact verify
+      Frequency.heavyHitters(
+          t(s, dir, "documents").select(explode(T.tokens(col("text"))).as("tok")),
+          col("tok"), HhDenom, HhMgK)
+        .select(col("item").as("term"), col("n"), col("n_total"))),
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.tokenCount(col("text")).as("n_ws"), T.bpeTokenCount(col("text")).as("n_bpe"))),
@@ -687,5 +820,17 @@ object SparkEntry {
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
     "events_funnel" -> Oracles.eventsFunnel,
+    "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
+    "src_merge_schema" -> Oracles.srcMergeSchema,
+    "q_full_outer" -> Oracles.qFullOuter,
+    "q_scalar_subquery" -> Oracles.qScalarSubquery,
+    "q_stats_suite" -> Oracles.qStatsSuite,
+    "q_window_suite" -> Oracles.qWindowSuite,
+    "q_cohort_retention" -> Oracles.qCohortRetention,
+    // the merge's oracle IS the full rebuild — incremental must equal it
+    "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
+    "q_pagerank" -> Oracles.qPagerank,
+    "dedup_prefix_filter" -> Oracles.dedupPrefixFilter,
+    "q_heavy_hitters" -> Oracles.qHeavyHitters,
   )
 }

@@ -92,4 +92,36 @@ object Marts {
     val bucket = floor(value / lit(width)).cast("long")
     df.groupBy((groups :+ bucket.as("bucket")): _*).agg(count(lit(1)).as("n"))
   }
+
+  /** Mergeable per-key aggregate state over an exact-integer measure:
+    * (n, sum, min, max) is an algebraic summary — two states combine by
+    * (sum, sum, min, max) without touching source rows. `aggState` builds
+    * the state from raw rows; [[mergeAggState]] folds a new batch's state
+    * into the standing one. This is the incremental-mart pattern: at
+    * 100 TB the daily refresh re-aggregates ONLY the day's partition and
+    * merges a key-count-sized table, instead of rescanning the full fact
+    * history. The measure is integer cents so merge order can never
+    * change a result (float partial sums would differ by summation
+    * order); derived means are computed once, at read time, from the
+    * exact sums.
+    */
+  def aggState(df: DataFrame, keys: Seq[Column], valueCents: Column): DataFrame =
+    df.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(valueCents).as("sum_cents"),
+      min(valueCents).as("min_cents"),
+      max(valueCents).as("max_cents"))
+
+  /** Fold `batch` state into `state` (same key columns + n/sum/min/max).
+    * Associative and commutative: any sequence of daily merges equals the
+    * full recompute — the property the oracle checks.
+    */
+  def mergeAggState(state: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.unionByName(batch)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
 }

@@ -134,6 +134,100 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering — the
+    * deterministic counterpart to the MinHash+LSH pipeline: LSH trades
+    * recall for speed (pairs outside every band bucket are lost); this
+    * finds EVERY pair with token-set Jaccard ≥ minNum/minDen, with the
+    * candidate space cut by two sound filters instead of hashing:
+    *
+    *  - prefix filter: order each doc's token set by global rarity
+    *    (document frequency asc, token asc); two sets with Jaccard ≥ τ
+    *    MUST share a token inside each other's first
+    *    L = |x| − ceil(τ·|x|) + 1 tokens, so only prefix tokens are
+    *    indexed. Rare-first ordering makes prefix postings short — the
+    *    self-join is keyed on the LOW-df tokens, the exact opposite of
+    *    joining on stopwords.
+    *  - length filter: Jaccard ≥ τ forces τ·|b| ≤ |a| (and symmetric),
+    *    pruning cross-size candidates before verification.
+    *
+    * The threshold is a rational num/den so every filter bound and the
+    * final accept test are pure int64 comparisons (ceil(τ·sz) =
+    * (sz·num + den − 1) div den) — no float threshold anywhere, which is
+    * what makes the operator's output engine-portable and verifiable
+    * against a brute-force oracle. Shuffles: token-df aggregate, per-doc
+    * sort, prefix self-join (short postings), verify join keyed on doc
+    * ids. Never all-pairs.
+    */
+  def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
+                          minNum: Long, minDen: Long, shingleN: Int = 2): DataFrame = {
+    require(minNum > 0 && minDen >= minNum, "threshold must be in (0,1]")
+    // shingle SETS, same similarity space as the MinHash family — raw
+    // unigram sets are far too coarse on templated corpora (nearly every
+    // pair clears 0.5), shingles carry word order and discriminate
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(T.shingles(col(textCol), shingleN))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // RANK-ENCODE the vocabulary: each shingle becomes its dense 1..V
+    // rank in the global (df asc, token asc) rarity order, assigned by
+    // the distributed GlobalRank operator (range partition + offsets —
+    // no single-partition window, so a billion-shingle vocabulary ranks
+    // fine). Every later stage — per-doc sort, prefix join, candidate
+    // aggregate, and the exact verification intersect — then runs on
+    // 8-byte longs instead of ~20-byte strings: the encoding is
+    // injective, so the result is still EXACT, and ascending rank IS the
+    // rarity order the prefix filter needs.
+    val vocab = GlobalRank.globalRank(dfreq, Seq(col("df").asc, col("tok").asc))
+      .select(col("tok"), col("grank").as("r"))
+    // sets feeds THREE consumers (prefix index, verify side a, verify
+    // side b); a lazy localCheckpoint truncates the shared lineage so the
+    // shingle→rank pipeline runs once per action instead of three times
+    val sets = toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .select(col("doc_id"), col("rs"), size(col("rs")).cast("long").as("sz"))
+      .localCheckpoint(false)
+    val prefix = sets.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("rs"), lit(1),
+        (col("sz") - expr(s"(sz * $minNum + ${minDen - 1}) div $minDen") + lit(1)).cast("int")))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"), col("h"))
+    // positional (PPJoin) filter: positions in the rarity-sorted order are
+    // monotone in the GLOBAL token rank, so the lowest-rank common prefix
+    // token attains min(pa) and min(pb) simultaneously and no common
+    // token precedes it in either set — overlap ≤ 1 + min(sza−pa, szb−pb)
+    // is therefore a sound upper bound, checked against the overlap the
+    // threshold demands: inter ≥ ceil((sza+szb)·num/(num+den)). On a
+    // dense-vocabulary corpus this is the filter that actually bites
+    // (prefix postings stay long when every token is common); it also
+    // subsumes the pair-dedup a DISTINCT would otherwise pay for. The
+    // same predicate is ALSO applied per join row BEFORE the aggregate:
+    // dropping a row can only raise the pair's aggregated (pa, pb), so a
+    // pair the min-aggregate would reject is never resurrected — but the
+    // aggregate's input shrinks by the rows that already fail the bound.
+    val ubound = lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb"))
+    val needed = expr(s"((sza + szb) * $minNum + ${minNum + minDen - 1}) div ${minNum + minDen}")
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        col("pos").as("pa"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+        col("pos").as("pb"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b") &&
+        col("sza") * lit(minDen) >= col("szb") * lit(minNum) &&
+        col("szb") * lit(minDen) >= col("sza") * lit(minNum) &&
+        ubound >= needed)
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .where(ubound >= needed)
+      .select(col("doc_a"), col("doc_b"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("rs").as("ta"), col("sz").as("la"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("rs").as("tb"), col("sz").as("lb"))
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("li", inter)
+      .where(col("li") * lit(minDen) >= (col("la") + col("lb") - col("li")) * lit(minNum))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("li").cast("double") / (col("la") + col("lb") - col("li")), 4).as("jac"))
+  }
+
   /** Connected components over a near-dup pair graph: iterative min-label
     * propagation until fixpoint. cluster_id = smallest doc id reachable —
     * the canonical representative each non-canonical doc collapses to.

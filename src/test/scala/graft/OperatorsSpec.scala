@@ -416,6 +416,68 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("Misra-Gries candidates are a superset of true heavy hitters") {
+    import graft.operators.Frequency
+    // adversarial stream: one heavy item (30%) drowned in 700 distinct
+    // light items, k far smaller than the distinct count
+    val items = Seq.fill(300)("hot") ++ (1 to 700).map(i => s"light$i")
+    val cands = Frequency.misraGries(items.iterator, 8).toSet
+    assert(cands.contains("hot"),
+      "an item above n/(k+1) frequency must survive the sketch")
+    assert(cands.size <= 8, "at most k counters survive")
+  }
+
+  test("heavyHitters is exact: sketch only prunes, second pass verifies") {
+    import graft.operators.Frequency
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c") ++
+      (1 to 25).map(i => s"x$i")).toDF("item")
+    // threshold: count * 5 > 100  ⇔  count > 20  → exactly {a, b}
+    val out = Frequency.heavyHitters(df, col("item"), 5L, 16)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"))).toSet
+    assert(out === Set(("a", 40L), ("b", 25L)))
+  }
+
+  test("prefix-filter Jaccard finds every pair the LSH+verify path finds, and only true pairs") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val exact = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+        graft.Params.JaccardMinNum, graft.Params.JaccardMinDen)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val lsh = Dedup.ngramJaccard(docs, "doc_id", "text", graft.Params.JaccardMin)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      "exact join must dominate LSH recall: " + (lsh -- exact))
+    // every reported pair truly meets the threshold (independent check)
+    val sh = docs.select(col("doc_id"), array_distinct(T.shingles(col("text"))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    exact.foreach { case (a, b) =>
+      val (sa, sb) = (sh(a).toSet, sh(b).toSet)
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      assert(j >= 0.5, s"pair ($a,$b) reported but jaccard=$j")
+    }
+  }
+
+  test("pagerank fixed-point: 2-cycle stays uniform, mass bounded") {
+    import graft.operators.PageRank
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = PageRank.pageRank(edges, 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr"))).toMap
+    // symmetric 2-cycle: each node holds exactly half the mass at every
+    // iteration (the int64 arithmetic is exact here: U/2*85 div 100 +
+    // 15U div 200 = U/2)
+    assert(pr === Map(1L -> PageRank.MassUnit / 2, 2L -> PageRank.MassUnit / 2))
+  }
+
+  test("aggState merge over any split equals the full recompute") {
+    val df = (1 to 500).map(i => (i % 7L, (i * 13 % 101).toLong)).toDF("k", "v")
+    val full = Marts.aggState(df, Seq(col("k")), col("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val merged = Marts.mergeAggState(
+        Marts.aggState(df.filter(col("v") < 50), Seq(col("k")), col("v")),
+        Marts.aggState(df.filter(col("v") >= 50), Seq(col("k")), col("v")), Seq("k"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged === full)
+  }
+
   test("compactParquet honors targetRowsPerFile inside hive partitions") {
     // ADVICE r3: with partitionCols, a round-robin repartition lets every
     // task see every partition value → up to nFiles × nValues files. The
