@@ -1051,10 +1051,11 @@ object Oracles {
       |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey""".stripMargin
 
   def qScalarSubquery: String =
-    """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
-      |FROM orders o
-      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM orders o2
-      |                      WHERE year(o2.o_orderdate) = year(o.o_orderdate))""".stripMargin
+    """WITH oy AS (SELECT o_orderkey, o_totalprice, year(o_orderdate) AS yr FROM orders)
+      |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM oy o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM oy o2
+      |                      WHERE o2.yr = o.yr)""".stripMargin
 
   def qStatsSuite: String =
     """SELECT l_returnflag, count(*) AS n,

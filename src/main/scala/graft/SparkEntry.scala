@@ -568,12 +568,21 @@ object SparkEntry {
     "q_scalar_subquery" -> ((s, dir) => {
       // correlated scalar subquery through the SQL surface — Catalyst
       // de-correlates it into the aggregate+join plan (never a per-row
-      // re-execution), which is exactly why the SQL form is scale-safe
+      // re-execution). The correlation MUST be on a bare column: with
+      // `year(o2.d) = year(o.d)` Spark keys the de-correlated aggregate
+      // on the raw outer DATE and joins every distinct date to every
+      // same-year order (measured: 150k dates × 150k orders / 7 years ≈
+      // 3×10⁹ intermediate rows at sf0.1, 5.8 s for a 150k-row table —
+      // quadratic death at scale). Pre-deriving the year makes the
+      // correlation an equality on the group key, which de-correlates to
+      // one groupBy(yr) + broadcast join.
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
-              |FROM orders_v o
-              |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM orders_v o2
-              |                      WHERE year(o2.o_orderdate) = year(o.o_orderdate))""".stripMargin)
+      s.sql("""WITH oy AS (SELECT o_orderkey, o_totalprice, year(o_orderdate) AS yr
+              |           FROM orders_v)
+              |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+              |FROM oy o
+              |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM oy o2
+              |                      WHERE o2.yr = o.yr)""".stripMargin)
     }),
     "q_stats_suite" -> ((s, dir) =>
       // second-moment statistics in one partial-aggregating pass; floats

@@ -32,10 +32,16 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // nodes is referenced iters+1 times and edges-with-degrees iters
+    // times; lazy localCheckpoints truncate the shared lineage so the
+    // edge derivation runs ONCE per action instead of once per reference
+    // (on a long-running cluster job swap for reliable checkpoint() /
+    // a table write — same contract as Dedup.clusters)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesWithDeg = e.join(deg, "src")
+    val edgesWithDeg = e.join(deg, "src").localCheckpoint(false)
     // N via broadcast 1-row aggregate — the scalar reaches every task
     // without a driver round-trip, and the plan stays fully lazy
     val n = nodes.agg(count(lit(1)).as("nn"))

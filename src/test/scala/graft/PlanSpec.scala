@@ -245,6 +245,62 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
   }
 
+  test("heavy hitters: candidate generation is map-side (no exchange feeds the sketch)") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // phase 1 (MapPartitions running Misra-Gries) must consume the scan
+    // directly: in the physical plan text the MapPartitions subtree may
+    // not contain an Exchange below it
+    val idx = plan.indexOf("MapPartitions")
+    assert(idx >= 0, s"expected a MapPartitions sketch stage:\n$plan")
+    // the sketch's own lineage is MapPartitions → … → FileScan; no
+    // Exchange may appear inside that segment (text after the FileScan
+    // belongs to sibling branches and legitimately shuffles)
+    val seg = plan.substring(idx, plan.indexOf("FileScan", idx))
+    assert(!seg.contains("Exchange"),
+      s"the sketch must read the source without a shuffle:\n$seg")
+    // the candidate set reaches the exact pass as a broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidates must broadcast into the exact count pass:\n$plan")
+  }
+
+  test("pagerank plan: keyed joins only, no cartesian or nested loop on edges") {
+    val df = SparkEntry.queries("q_pagerank")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank must never plan a cartesian:\n$plan")
+    // the only nested-loop joins allowed are the broadcast 1-row scalar
+    // (node count) attachments — every edge-keyed join must be hash/merge
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val keyed = ("SortMergeJoin".r.findAllIn(plan).length
+      + "BroadcastHashJoin".r.findAllIn(plan).length
+      + "ShuffledHashJoin".r.findAllIn(plan).length)
+    assert(keyed >= graft.Params.PrIters * 2,
+      s"expected >=${graft.Params.PrIters * 2} keyed joins (got $keyed):\n$plan")
+    assert(bnlj <= graft.Params.PrIters + 1,
+      s"only the 1-row scalar joins may be nested-loop (got $bnlj):\n$plan")
+  }
+
+  test("prefix-filter join plans no cartesian and verifies candidates with keyed joins") {
+    val df = SparkEntry.queries("dedup_prefix_filter")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact similarity join must stay keyed end to end:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"candidate aggregate should do map-side partial min of positions:\n$plan")
+  }
+
+  test("orc scan pushes filters and prunes columns like parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_plan").toString
+    Tables.load(spark, sfDir, "orders").write.mode("overwrite").orc(tmp)
+    val df = spark.read.orc(tmp).filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"orc scan must push the price filter:\n$plan")
+    assert(!plan.contains("o_orderdate"), s"orc scan must prune unused columns:\n$plan")
+  }
+
   test("bucketed tables join without an exchange on the bucketed side") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     val orders = Tables.load(spark, sfDir, "orders")
