@@ -66,7 +66,10 @@ object Bench {
       val good = times.filter(_._2).map(_._1)
       (name, if (good.nonEmpty) good.min else times.map(_._1).max, times)
     }
-    def r2(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator (de_DE, fr_FR, …) would make the printed
+    // line and the sidecar invalid JSON
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // every individual run (not just the min) as [seconds, ok] pairs:

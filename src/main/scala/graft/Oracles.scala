@@ -1070,8 +1070,8 @@ object Oracles {
     """WITH o AS (SELECT o_orderkey, o_orderpriority,
       |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)
       |SELECT o_orderkey, o_orderpriority, price_cents,
-      |  round(percent_rank() OVER w, 4) AS pct_rank,
-      |  round(cume_dist() OVER w, 4) AS cume,
+      |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+      |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm,
       |  price_cents - lag(price_cents, 1) OVER w AS lag_diff,
       |  first_value(price_cents) OVER w AS first_cents,
       |  nth_value(price_cents, 2) OVER w AS second_cents
@@ -1140,7 +1140,7 @@ object Oracles {
        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
        |    AND a.sz * $den >= b.sz * $num AND b.sz * $den >= a.sz * $num)
        |SELECT doc_a, doc_b,
-       |  round(CAST(li AS DOUBLE) / (la + lb - li), 4) AS jac
+       |  CAST((li * 1000000) // (la + lb - li) AS BIGINT) AS jac_ppm
        |FROM pr WHERE li * $den >= (la + lb - li) * $num""".stripMargin
   }
 

@@ -604,8 +604,13 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("price_cents"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cume"),
+          // ppm via floor, not round(,4): both engines compute the SAME
+          // IEEE double ((rank-1)/(n-1) etc.), and floor of an identical
+          // double is identical — whereas round() differs in algorithm
+          // at .xxxx5 boundaries, which integer ratios can land on
+          // exactly (SURVEY §6)
+          floor(percent_rank().over(w) * lit(1000000.0)).cast("long").as("pct_rank_ppm"),
+          floor(cume_dist().over(w) * lit(1000000.0)).cast("long").as("cume_ppm"),
           (col("price_cents") - lag(col("price_cents"), 1).over(w)).as("lag_diff"),
           first(col("price_cents")).over(w).as("first_cents"),
           nth_value(col("price_cents"), 2).over(w).as("second_cents"))

@@ -224,8 +224,11 @@ object Dedup {
     cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("li", inter)
       .where(col("li") * lit(minDen) >= (col("la") + col("lb") - col("li")) * lit(minNum))
+      // similarity as exact integer ppm (floor division), not
+      // round(double,4): integer ratios can land exactly on a .xxxx5
+      // boundary where engines' round() algorithms disagree (SURVEY §6)
       .select(col("doc_a"), col("doc_b"),
-        round(col("li").cast("double") / (col("la") + col("lb") - col("li")), 4).as("jac"))
+        expr("(li * 1000000L) div (la + lb - li)").as("jac_ppm"))
   }
 
   /** Connected components over a near-dup pair graph: iterative min-label

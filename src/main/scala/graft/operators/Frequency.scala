@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *      therefore EXACT — the sketch only prunes the candidate space —
   *      which is what makes the result oracle-checkable.
   *
-  * Total cost: one narrow pass + one shuffle whose key space is the
-  * candidate set, not the item universe.
+  * Total cost: two narrow passes (sketch+total, then candidate counts) +
+  * one shuffle whose key space is the candidate set, not the item
+  * universe.
   */
 object Frequency {
 
@@ -53,6 +54,13 @@ object Frequency {
     * default gives a 4× margin, shrinking the candidate set's false
     * positives at 4 longs per counter.
     *
+    * Exactly TWO source passes: the sketch pass also counts each
+    * partition's rows (emitted as a null-item sentinel per partition),
+    * so the corpus total N needs no scan of its own; the second pass
+    * counts only candidate-matching rows. The tiny sketch output (one
+    * sentinel + ≤k candidates per partition) is shared by its two
+    * consumers through a lazy localCheckpoint.
+    *
     * The threshold compare is pure int64 arithmetic — no float fraction —
     * so results are engine-portable and scale-independent.
     */
@@ -62,11 +70,15 @@ object Frequency {
     val spark = items.sparkSession
     import spark.implicits._
     val flat = items.select(itemCol.cast("string").as("item")).where(col("item").isNotNull)
-    val candidates = flat.as[String]
-      .mapPartitions(part => misraGries(part, mgK))
-      .toDF("item").distinct()
-    // total N via a broadcast 1-row aggregate (no driver round-trip)
-    val total = flat.agg(count(lit(1)).as("n_total"))
+    val sketch = flat.as[String].mapPartitions { part =>
+      var n = 0L
+      val counted = part.map { it => n += 1; it }
+      // misraGries drains `counted`, so n is final when it returns
+      val cands = misraGries(counted, mgK).map(c => (c, 0L)).toList
+      ((null.asInstanceOf[String], n) :: cands).iterator
+    }.toDF("item", "pn").localCheckpoint(false)
+    val candidates = sketch.where(col("item").isNotNull).select(col("item")).distinct()
+    val total = sketch.where(col("item").isNull).agg(sum(col("pn")).as("n_total"))
     flat.join(broadcast(candidates), "item")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("n"))

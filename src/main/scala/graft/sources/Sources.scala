@@ -93,17 +93,28 @@ object Sources {
         // tiny broadcast-joined aggregate over the data already being
         // rewritten.
         val pc = partitionCols.map(col)
+        // NULL-SAFE join back: a hive layout stores null keys in
+        // __HIVE_DEFAULT_PARTITION__; a plain equi-join would silently
+        // drop those rows from the rewrite and the swap would then
+        // delete their only copy
         val nf = df.groupBy(pc: _*)
           .agg(fceil(count(lit(1)) / lit(targetRowsPerFile.toDouble)).cast("int").as("__nf"))
+        val nfR = partitionCols.foldLeft(nf)((d, c) => d.withColumnRenamed(c, s"__k_$c"))
+        val joinCond = partitionCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
         val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
         val salted = df
-          .join(org.apache.spark.sql.functions.broadcast(nf), partitionCols)
+          .join(org.apache.spark.sql.functions.broadcast(nfR), joinCond)
           .withColumn("__salt",
             pmod(hash(struct(dataCols: _*)), least(col("__nf"), lit(nFiles))))
         salted.repartition(nFiles, (pc :+ col("__salt")): _*)
-          .drop("__nf", "__salt")
+          .drop((partitionCols.map(c => s"__k_$c") :+ "__nf" :+ "__salt"): _*)
       }
+    // maxRecordsPerFile is the HARD per-file cap: hash partitioning can
+    // collide two salt groups of the same value into one task, and the
+    // salt alone would then write a file at a multiple of the target —
+    // the writer-level cap holds regardless of collisions
     val w = repart.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "_old")

@@ -497,9 +497,35 @@ class OperatorsSpec extends SparkSpec {
     assert(rows === 10100L)
     assert(after < before, s"must shrink file count ($before -> $after)")
     assert(filesIn("p=0") === 1L, "100-row partition must compact to one file")
-    assert(filesIn("p=1") <= 2L, "10000-row partition needs at most ceil(10000/5000) files")
+    // each of the (up to nf) salted tasks writes ceil(taskRows/target)
+    // files, so the dir holds at most nf + (tasks−1) files — and the
+    // writer-level maxRecordsPerFile cap guarantees NO file exceeds the
+    // target even when salt groups hash-collide into one task
+    assert(filesIn("p=1") <= 3L, "10000-row partition: at most nf + spillover files")
+    new java.io.File(s"$tmp/p=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 5000L, s"file ${f.getName} has $n rows > target 5000")
+      }
     val back = spark.read.parquet(tmp)
     assert(back.count() === 10100L)
     assert(back.agg(sum(col("v"))).head.getLong(0) === (0L until 10100L).sum)
+  }
+
+  test("compactParquet keeps rows whose partition value is NULL") {
+    // review r4: the count-sized-salt join back to the data must be
+    // null-SAFE — hive layouts store null keys in
+    // __HIVE_DEFAULT_PARTITION__, and an equi-join would drop those rows
+    // from the rewrite while the swap deletes their only copy
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_null").toString
+    val df = spark.range(0, 1000).select(
+      when(col("id") % 4 === 0, lit(null).cast("long")).otherwise(col("id") % 2).as("p"),
+      col("id").as("v"))
+    df.repartition(16).write.mode("overwrite").partitionBy("p").parquet(tmp)
+    val (rows, _, _) = graft.sources.Sources.compactParquet(spark, tmp, 10000L, Seq("p"))
+    assert(rows === 1000L)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === 1000L, "null-partition rows must survive compaction")
+    assert(back.where(col("p").isNull).count() === 250L)
   }
 }
