@@ -1144,6 +1144,17 @@ object Oracles {
        |FROM pr WHERE li * $den >= (la + lb - li) * $num""".stripMargin
   }
 
+  /** Morton bit-interleave generated from the same bit layout as
+    * [[graft.operators.Layout.zValue]] — pure integer ops in both engines.
+    */
+  def qZorder: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"((((o_custkey % 65536) >> $i) & 1) << ${2 * i})",
+        s"((((o_orderkey % 65536) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM orders"
+  }
+
   def qHeavyHitters: String =
     s"""WITH $toksCte,
        |tok AS (SELECT unnest(ts) AS t FROM toks),

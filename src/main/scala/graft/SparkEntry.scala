@@ -644,6 +644,14 @@ object SparkEntry {
       Marts.mergeAggState(state, batch, Seq("o_custkey"))
         .withColumn("mean_centicents", expr("(sum_cents * 100L) div n"))
     }),
+    "q_zorder" -> ((s, dir) =>
+      // Morton Z-value for 2-D layout clustering (operators.Layout): the
+      // mapping itself is oracle-checked here; the write discipline
+      // (range-partition by Z + sort within) is spec-checked for
+      // disjoint per-file Z-ranges
+      t(s, dir, "orders").select(col("o_orderkey"),
+        operators.Layout.zValue(col("o_custkey") % 65536, col("o_orderkey") % 65536)
+          .as("zval"))),
     "q_pagerank" -> ((s, dir) => {
       // fixed-point integer PageRank over the supplier↔customer graph
       // (both arc directions of each trading pair); bit-identical on any
@@ -844,6 +852,7 @@ object SparkEntry {
     // the merge's oracle IS the full rebuild — incremental must equal it
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,
+    "q_zorder" -> Oracles.qZorder,
     "dedup_prefix_filter" -> Oracles.dedupPrefixFilter,
     "q_heavy_hitters" -> Oracles.qHeavyHitters,
   )

@@ -220,7 +220,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val a = sets.select(col("doc_id").as("doc_a"), col("rs").as("ta"), col("sz").as("la"))
     val b = sets.select(col("doc_id").as("doc_b"), col("rs").as("tb"), col("sz").as("lb"))
-    val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
+    // rs arrays are sorted distinct ranks, so the verification count uses
+    // the codegen'd two-pointer walk (zero allocation per pair) instead
+    // of array_intersect's hash set — the verify stage runs millions of
+    // candidate pairs on a dense corpus
+    val inter = graft.plans.VectorExpressions.sortedIntersectNative(col("ta"), col("tb"))
     cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("li", inter)
       .where(col("li") * lit(minDen) >= (col("la") + col("lb") - col("li")) * lit(minNum))

@@ -95,10 +95,82 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd intersection COUNT over two SORTED long arrays.
+  *
+  * `size(array_intersect(a, b))` builds a hash set and an output array
+  * per call; on a similarity-verify stage running millions of candidate
+  * pairs that allocation dominates. For sorted distinct arrays (the
+  * rank-encoded shingle sets the prefix-filter join produces) a fused
+  * two-pointer walk needs zero allocation and stays inside whole-stage
+  * codegen.
+  *
+  * CONTRACT: both arrays must be sorted ascending with distinct
+  * elements (array_sort of distinct ranks) — then the result equals
+  * `size(array_intersect(a, b))` exactly. Null arrays or null elements
+  * yield NULL.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
+      val a = x.getLong(i); val b = y.getLong(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c"); val bad = ctx.freshName("bad")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L; boolean $bad = false;
+         |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { $bad = true; break; }
+         |  long $va = $a.getLong($i); long $vb = $b.getLong($j);
+         |  if ($va == $vb) { $c++; $i++; $j++; }
+         |  else if ($va < $vb) { $i++; } else { $j++; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper for [[SortedIntersectCount]]. */
+  def sortedIntersectNative(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** SQL-side registration: `SELECT graft_dot(a, b)`. Safe to call on any
     * session (idempotent); also installable cluster-wide via

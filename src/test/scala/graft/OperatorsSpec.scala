@@ -512,6 +512,28 @@ class OperatorsSpec extends SparkSpec {
     assert(back.agg(sum(col("v"))).head.getLong(0) === (0L until 10100L).sum)
   }
 
+  test("z-ordered write gives every file a disjoint Z-range (2-D clustered layout)") {
+    import graft.operators.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val df = spark.range(0, 20000).select(
+      (col("id") * 2654435761L % 1024).as("x"), (col("id") % 1024).as("y"))
+    Layout.writeZOrdered(df, tmp, col("x"), col("y"), numFiles = 8, bits = 10)
+    val files = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "need multiple files to prove clustering")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .select(min(Layout.zValue(col("x"), col("y"), 10)).as("lo"),
+          max(Layout.zValue(col("x"), col("y"), 10)).as("hi"))
+        .head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2,
+        s"file Z-ranges must not interleave: [$hi1] vs [$lo2] — range partition + sort broken")
+    }
+    assert(spark.read.parquet(tmp).count() === 20000L, "layout rewrite must keep every row")
+  }
+
   test("compactParquet keeps rows whose partition value is NULL") {
     // review r4: the count-sized-salt join back to the data must be
     // null-SAFE — hive layouts store null keys in

@@ -223,6 +223,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches and terminates") {
+    // the backfill mode: process everything currently in the source —
+    // honoring maxFilesPerTrigger per micro-batch, so a month of backlog
+    // does not become one giant batch — then stop on its own. This is
+    // how a catch-up run of the streaming pipeline is operated at scale
+    // (same query, same checkpoint; no always-on cluster).
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    // stage the same events file under THREE names: 3 input files against
+    // maxFilesPerTrigger=1 forces at least 3 micro-batches
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-$i.parquet"))
+    }
+    val q = EventStreams.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ev_avnow").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow must terminate by itself once the backlog drains")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"maxFilesPerTrigger=1 over 3 files needs >=3 batches, got $batches")
+      val streamed = spark.table("ev_avnow").as[(String, Long)].collect().toMap
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(col("event_type")).agg((count(lit(1)) * 3).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed === batch, "backfill total must equal 3x the batch read")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches buys to prior clicks inside the window only") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

@@ -52,4 +52,30 @@ class VectorExpressionSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"expected codegen'd projection:\n$plan")
   }
+
+  test("sorted intersect count equals array_intersect size on random sorted sets") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      val a = rnd.shuffle((1L to 200L).toList).take(rnd.nextInt(60) + 1).distinct.sorted.toArray
+      val b = rnd.shuffle((1L to 200L).toList).take(rnd.nextInt(60) + 1).distinct.sorted.toArray
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        graft.plans.VectorExpressions.sortedIntersectNative($"a", $"b").as("c"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // codegen: the expression must not force interpreted fallback —
+    // build from range() (a literal Seq would constant-fold into a
+    // LocalTableScan and show no codegen span at all)
+    val live = spark.range(0, 1000).select(
+        sequence(col("id") % 7 + 1, col("id") % 50 + 10).as("a"),
+        sequence(col("id") % 13 + 3, col("id") % 40 + 20, lit(2)).as("b"))
+      .select(graft.plans.VectorExpressions.sortedIntersectNative($"a", $"b").as("c"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+    live.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(live.queryExecution.executedPlan.toString.contains("*(1)"),
+      "expected codegen'd projection")
+  }
 }
