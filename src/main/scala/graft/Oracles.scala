@@ -1155,6 +1155,88 @@ object Oracles {
     s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM orders"
   }
 
+  /** Profile census: one UNION ALL branch per profiled column, each
+    * normalizing exactly like the Spark projection (cents / epoch-ms /
+    * identity); min/max cast to VARCHAR after aggregating so ordering is
+    * the value type's, matching [[graft.operators.Quality.profile]].
+    */
+  def qProfile: String = {
+    val cols = Seq(
+      "o_orderkey" -> "o_orderkey",
+      "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus",
+      "price_cents" -> "CAST(FLOOR(o_totalprice * 100) AS BIGINT)",
+      "odate_ms" -> "epoch_ms(o_orderdate)",
+      "o_orderpriority" -> "o_orderpriority")
+    cols.map { case (n, e) =>
+      s"SELECT '$n' AS col_name, count(*) AS n_rows, count(c) AS n_vals, " +
+        s"count(DISTINCT c) AS n_distinct, CAST(min(c) AS VARCHAR) AS min_val, " +
+        s"CAST(max(c) AS VARCHAR) AS max_val FROM (SELECT $e AS c FROM orders)"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** Quarantine audit: same four rules as `SparkEntry.qcRules`, same
+    * constants, conditional-sum per rule so zero-violation rules report.
+    */
+  def etlQuarantine: String = {
+    val rules = Seq(
+      "price_under_400k" -> s"CAST(FLOOR(o_totalprice * 100) AS BIGINT) < $QcMaxPriceCents",
+      "status_final" -> "o_orderstatus IN ('F', 'O')",
+      "priority_wellformed" -> "o_orderpriority LIKE '_-%'",
+      "key_positive" -> "o_orderkey > 0")
+    rules.map { case (n, p) =>
+      s"SELECT '$n' AS rule, CAST(sum(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS n_viol, " +
+        s"count(*) AS n_rows FROM orders"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** md5 60-bit hex prefix of column `c` as the same integer
+    * [[HashFunctions.shingleHash]] computes.
+    */
+  private def hex15Of(c: String): String =
+    (0 until 15).map(j => s"(instr('$hex', substr(md5($c), ${j + 1}, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  /** Count-min sketch replay: identical d affine hashes mod w, identical
+    * counter build, identical min-over-rows estimates.
+    */
+  def qCountmin: String = {
+    val P = HashFunctions.MinhashP
+    val coeffs = HashFunctions.minhashCoeffs(CmDepth)
+    def cellsFrom(src: String, extra: String): String = coeffs.zipWithIndex.map {
+      case ((a, b), j) =>
+        s"SELECT $extra$j AS j, ((hb * $a + $b) % $P) % $CmWidth AS h FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH $toksCte,
+       |tok AS (SELECT unnest(ts) AS t FROM toks),
+       |hb AS (SELECT CAST(${hex15Of("t")} AS BIGINT) % $P AS hb FROM tok),
+       |cells AS (${cellsFrom("hb", "")}),
+       |cm AS (SELECT j, h, count(*) AS cnt FROM cells GROUP BY j, h),
+       |truth AS (SELECT t AS term, count(*) AS n_true FROM tok GROUP BY t
+       |          HAVING count(*) >= $CmMinCount),
+       |qhb AS (SELECT term, n_true, CAST(${hex15Of("term")} AS BIGINT) % $P AS hb FROM truth),
+       |qcells AS (${cellsFrom("qhb", "term, n_true, ")}),
+       |est AS (SELECT term, n_true, min(coalesce(cnt, 0)) AS n_est
+       |        FROM qcells LEFT JOIN cm USING (j, h) GROUP BY term, n_true)
+       |SELECT term, n_true, n_est FROM est""".stripMargin
+  }
+
+  /** Histogram-quantile replay: integer bucket ids, integer cumulative
+    * rank test `cum*100 >= p*N` — no float percentile math anywhere.
+    */
+  def qQuantileEst: String = {
+    val w = QuantWidthCents
+    val ps = QuantPs.mkString(", ")
+    s"""WITH b AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // $w AS b,
+       |           count(*) AS cnt FROM orders GROUP BY 1),
+       |c AS (SELECT b, CAST(sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND CURRENT ROW) AS BIGINT) AS cum,
+       |      CAST(sum(cnt) OVER () AS BIGINT) AS n_total FROM b),
+       |p AS (SELECT CAST(unnest([$ps]) AS BIGINT) AS p)
+       |SELECT p, CAST(min(b) * $w AS BIGINT) AS est
+       |FROM c JOIN p ON cum * 100 >= p * n_total GROUP BY p""".stripMargin
+  }
+
   def qHeavyHitters: String =
     s"""WITH $toksCte,
        |tok AS (SELECT unnest(ts) AS t FROM toks),

@@ -83,6 +83,21 @@ object Params {
   val AsofMatch = "click"
   val FunnelSteps: Seq[String] = Seq("click", "view", "purchase")
 
+  // data-quality gate on orders: contract constants shared by the Spark
+  // rules and the oracle SQL
+  val QcMaxPriceCents = 40000000L
+
+  // count-min sketch: depth (hash rows) × width (counters per row);
+  // estimates reported for tokens with true count >= CmMinCount
+  val CmDepth = 4
+  val CmWidth = 256
+  val CmMinCount = 50L
+
+  // histogram quantile estimator: equi-width buckets over price cents,
+  // estimates at these percentiles
+  val QuantWidthCents = 2500000L
+  val QuantPs: Seq[Int] = Seq(50, 90, 99)
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

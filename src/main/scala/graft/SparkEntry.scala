@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, EventOps, Frequency, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Frequency, Quality, Sampling, Similarity, Sketches, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -23,6 +23,16 @@ object SparkEntry {
   private def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
 
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  /** orders contract rules for the quarantine gate — mirrored
+    * constant-for-constant in [[Oracles.etlQuarantine]]; the last two
+    * rules never fire on clean data (they prove zero-count reporting).
+    */
+  private def qcRules: Seq[(String, Column)] = Seq(
+    "price_under_400k" -> (cents(col("o_totalprice")) < lit(QcMaxPriceCents)),
+    "status_final" -> col("o_orderstatus").isin("F", "O"),
+    "priority_wellformed" -> col("o_orderpriority").like("_-%"),
+    "key_positive" -> (col("o_orderkey") > lit(0L)))
 
   private def imdbRun(part: DataFrame): ImdbPipeline.Outputs =
     ImdbPipeline.run(ImdbSynthetic.titlesFromPart(part),
@@ -644,6 +654,42 @@ object SparkEntry {
       Marts.mergeAggState(state, batch, Seq("o_custkey"))
         .withColumn("mean_centicents", expr("(sum_cents * 100L) div n"))
     }),
+    "q_profile" -> ((s, dir) =>
+      // one-pass column census: per-column counts, exact distincts, and
+      // typed min/max — every projection normalized to portable
+      // long/string first (cents / epoch-ms), SURVEY §6 rules
+      Quality.profile(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "price_cents" -> cents(col("o_totalprice")),
+        // NTZ → TZ cast is a no-op wall-clock reinterpretation under the
+        // session's UTC; epoch millis then matches DuckDB's epoch_ms
+        "odate_ms" -> unix_millis(col("o_orderdate").cast("timestamp")),
+        "o_orderpriority" -> col("o_orderpriority")))),
+    "etl_quarantine" -> ((s, dir) =>
+      // contract gate audit: per-rule violation counts in one pass,
+      // zero-violation rules included (a clean run still gets its row)
+      Quality.audit(t(s, dir, "orders"), qcRules)),
+    "q_countmin" -> ((s, dir) => {
+      // count-min sketch vs truth: estimates for every token whose true
+      // count clears CmMinCount — n_est >= n_true always (overcount-only
+      // error), with the sketch itself d*w counters regardless of corpus
+      val tok = t(s, dir, "documents").select(explode(T.tokens(col("text"))).as("tok"))
+      val sketch = Sketches.countMin(tok, col("tok"), CmDepth, CmWidth)
+      // truth feeds both the estimate probe and the final join — share
+      // one computation instead of re-aggregating the corpus
+      val truth = tok.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_true"))
+        .where(col("n_true") >= CmMinCount).localCheckpoint(false)
+      val est = Sketches.cmEstimate(sketch, truth, col("term"), CmDepth, CmWidth)
+      truth.join(est, col("term") === col("item"))
+        .select(col("term"), col("n_true"), col("n_est"))
+    }),
+    "q_quantile_est" -> ((s, dir) =>
+      // mergeable percentile estimates: equi-width histogram (bounded
+      // state) instead of a global sort; error <= one bucket width
+      Sketches.histogramQuantiles(t(s, dir, "orders"),
+        cents(col("o_totalprice")), QuantWidthCents, QuantPs)),
     "q_zorder" -> ((s, dir) =>
       // Morton Z-value for 2-D layout clustering (operators.Layout): the
       // mapping itself is oracle-checked here; the write discipline
@@ -853,6 +899,10 @@ object SparkEntry {
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,
     "q_zorder" -> Oracles.qZorder,
+    "q_profile" -> Oracles.qProfile,
+    "etl_quarantine" -> Oracles.etlQuarantine,
+    "q_countmin" -> Oracles.qCountmin,
+    "q_quantile_est" -> Oracles.qQuantileEst,
     "dedup_prefix_filter" -> Oracles.dedupPrefixFilter,
     "q_heavy_hitters" -> Oracles.qHeavyHitters,
   )

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: column profiling and rule-based validation.
+  *
+  * A 100 TB ingest is unusable without (a) a cheap census of what the
+  * data looks like and (b) a gate that splits rows violating the
+  * contract into a quarantine with an audit trail. Both are single-pass
+  * aggregations here — the profile's width is O(columns) and the audit's
+  * is O(rules), so neither shuffles more than one row per partition.
+  */
+object Quality {
+
+  /** One-pass column profile: for each (name, projection) pair emit
+    * `(col_name, n_rows, n_vals, n_distinct, min_val, max_val)`.
+    *
+    * One scan computes every column's stats as a single wide aggregate
+    * row (all partial/map-side except the exact distincts), then a
+    * `stack` melts it to one row per column — no per-column scans and no
+    * driver loop. min/max are cast to string AFTER aggregating so the
+    * ordering is the column's own type ordering, not string ordering.
+    *
+    * Projections must be engine-portable types (long / string — e.g.
+    * doubles normalized to integer cents first): profile output is meant
+    * to be diffable across engines and runs.
+    *
+    * `exactDistinct=true` is oracle-checkable but plans an Expand
+    * (one duplicated stream per distinct aggregate); at the 100 TB scale
+    * pass `false` to use `approx_count_distinct` (HLL, single stream,
+    * ±2%) — same schema, sketch accuracy.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column)],
+              exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      val nd = if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+      Seq(count(c).as(s"nv_$i"), nd.as(s"nd_$i"),
+        min(c).cast("string").as(s"mn_$i"), max(c).cast("string").as(s"mx_$i"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', nv_$i, nd_$i, mn_$i, mx_$i" }
+      .mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_vals"), col("n_distinct"),
+        col("min_val"), col("max_val"))
+  }
+
+  /** Annotate each row with `violations`: the (input-ordered) array of
+    * rule names whose predicate is NOT satisfied. A NULL predicate result
+    * counts as a violation — a rule must affirmatively hold to pass,
+    * otherwise three-valued logic would wave NULL rows through every
+    * gate. Pure map-side projection; no shuffle.
+    */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkRules needs at least one rule")
+    val marks = rules.map { case (name, pred) =>
+      when(coalesce(pred, lit(false)), lit(null).cast("string")).otherwise(lit(name))
+    }
+    df.withColumn("violations", filter(array(marks: _*), x => x.isNotNull))
+  }
+
+  /** Rows satisfying every rule (empty `violations`, column dropped). */
+  def valid(checked: DataFrame): DataFrame =
+    checked.where(size(col("violations")) === 0).drop("violations")
+
+  /** Rows violating at least one rule, with the `violations` audit
+    * column kept for triage.
+    */
+  def quarantined(checked: DataFrame): DataFrame =
+    checked.where(size(col("violations")) > 0)
+
+  /** Per-rule violation census in ONE pass: `(rule, n_viol)`, including
+    * rules with zero violations (an explode-and-count would silently
+    * drop those — and a clean run is exactly when the audit matters).
+    * The scan aggregates to a single row of conditional sums, then
+    * stacks; nothing wider than one row per partition shuffles.
+    */
+  def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    val sums = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v_$i")
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), sums: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_viol)"))
+      .select(col("rule"), col("n_viol"), col("n_rows"))
+  }
+}

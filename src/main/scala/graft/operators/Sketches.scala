@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+
+/** Mergeable bounded-memory summaries: count-min frequency sketch and
+  * equi-width histogram quantiles.
+  *
+  * Both exist for the same 100 TB reason: the exact answer (a groupBy
+  * over the item universe / a global sort for percentiles) shuffles data
+  * proportional to the INPUT, while the sketch shuffles data proportional
+  * to the SKETCH — d×w counters or n_buckets rows — and two sketches
+  * union by adding counters, so they compose incrementally across
+  * batches, days, and shards.
+  *
+  * Everything is md5-derived integer arithmetic ([[HashFunctions]]), so
+  * the DuckDB oracle replays sketch construction bit-identically.
+  */
+object Sketches {
+
+  /** Build a count-min sketch over `itemCol`: `(j, h, cnt)` — depth `d`
+    * hash rows × width `w` counters. Hash row j maps an item through the
+    * shared md5 base hash and the j-th affine map mod `w`. One scan; the
+    * explode is ×d (d is 4ish); the groupBy state is at most d·w rows —
+    * partial aggregation collapses each partition to the sketch size
+    * before anything shuffles.
+    */
+  def countMin(items: DataFrame, itemCol: Column, d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, "count-min needs positive depth and width")
+    val coeffs = HashFunctions.minhashCoeffs(d)
+    val base = HashFunctions.shingleHash(itemCol)
+    val cells = (0 until d).map { j =>
+      val (a, b) = coeffs(j)
+      struct(lit(j).as("j"), pmod(HashFunctions.affineHash(base, a, b), lit(w.toLong)).as("h"))
+    }
+    items.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.h").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a count-min sketch for each distinct value of
+    * `itemCol` in `queries`: min over the d row counters the item hashes
+    * to (missing cell = 0). Estimates never undercount; overcount is
+    * bounded by collisions (≈ 2N/w with probability 1-2^-d). The sketch
+    * side is d·w rows — broadcast; the query side never shuffles.
+    */
+  def cmEstimate(sketch: DataFrame, queries: DataFrame, itemCol: Column,
+                 d: Int, w: Int): DataFrame = {
+    val coeffs = HashFunctions.minhashCoeffs(d)
+    val base = HashFunctions.shingleHash(itemCol)
+    val cells = (0 until d).map { j =>
+      val (a, b) = coeffs(j)
+      struct(lit(j).as("j"), pmod(HashFunctions.affineHash(base, a, b), lit(w.toLong)).as("h"))
+    }
+    queries.select(itemCol.as("item"), explode(array(cells: _*)).as("c"))
+      .join(broadcast(sketch), col("c.j") === sketch("j") && col("c.h") === sketch("h"),
+        "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  /** Percentile estimates from an equi-width histogram over a LONG
+    * measure: bucket counts in one scan (groupBy on `value div width`,
+    * sketch-sized state), then for each p in `ps` the estimate is the
+    * lower edge of the first bucket whose cumulative count reaches
+    * `ceil(p·N/100)`. Error is bounded by the bucket width; the
+    * cumulative window runs over the tiny bucket table, never the data.
+    * Output: `(p, est)`.
+    */
+  def histogramQuantiles(df: DataFrame, value: Column, width: Long,
+                         ps: Seq[Int]): DataFrame = {
+    require(width > 0 && ps.nonEmpty, "need a positive width and at least one percentile")
+    import org.apache.spark.sql.expressions.Window
+    val buckets = df.select(value.cast("long").as("v"))
+      .select(expr(s"v div $width").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    // single-partition window is fine HERE: the frame is n_buckets rows
+    val cum = buckets.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+    val pdf = df.sparkSession.createDataFrame(
+      ps.map(p => Tuple1(p.toLong))).toDF("p")
+    cum.join(broadcast(pdf),
+        col("cum") * lit(100L) >= col("p") * col("n_total"))
+      .groupBy(col("p"))
+      .agg((min(col("b")) * lit(width)).as("est"))
+  }
+}

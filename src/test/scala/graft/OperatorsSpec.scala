@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.etl.{Marts, Staging}
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, EventOps, Similarity}
+import graft.operators.{Dedup, EventOps, Quality, Similarity, Sketches}
 
 /** Unit-level behavior checks for the operator library on crafted inputs
   * (the testdata-scale value checks live in the DuckDB oracle gate).
@@ -532,6 +532,75 @@ class OperatorsSpec extends SparkSpec {
         s"file Z-ranges must not interleave: [$hi1] vs [$lo2] — range partition + sort broken")
     }
     assert(spark.read.parquet(tmp).count() === 20000L, "layout rewrite must keep every row")
+  }
+
+  test("quarantine gate partitions the input exactly; NULL predicate = violation") {
+    val df = Seq((1L, Some(10L)), (2L, Some(-5L)), (3L, None))
+      .toDF("id", "v")
+    val rules = Seq(
+      "v_present" -> col("v").isNotNull,
+      "v_positive" -> (col("v") > 0L))  // NULL for id=3 → must count as violation
+    val checked = Quality.checkRules(df, rules)
+    val ok = Quality.valid(checked)
+    val bad = Quality.quarantined(checked)
+    assert(ok.count() + bad.count() === df.count(), "valid+quarantined must partition the input")
+    assert(ok.select("id").as[Long].collect().toSet === Set(1L))
+    val viol = bad.select(col("id"), col("violations"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viol(2L) === Seq("v_positive"))
+    assert(viol(3L) === Seq("v_present", "v_positive"),
+      "a NULL predicate result must fail the rule, not pass through three-valued logic")
+    val audit = Quality.audit(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map("v_present" -> 1L, "v_positive" -> 2L))
+  }
+
+  test("profile reports per-column census including an all-null column") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "s").withColumn("n", lit(null).cast("string"))
+    val rows = Quality.profile(df, Seq(
+        "id" -> col("id"), "s" -> col("s"), "n" -> col("n")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(rows("id") === ((3L, 3L, 3L, "1", "3")))
+    assert(rows("s") === ((3L, 2L, 1L, "a", "a")))
+    assert(rows("n") === ((3L, 0L, 0L, null, null)))
+  }
+
+  test("count-min never undercounts and two sketch halves merge to the whole") {
+    val items = spark.range(0, 5000)
+      .select(concat(lit("t"), pmod(col("id") * 37L, lit(97L))).as("tok"))
+    val truth = items.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_true"))
+    val sketch = Sketches.countMin(items, col("tok"), 4, 64)
+    val est = Sketches.cmEstimate(sketch, truth, col("term"), 4, 64)
+    val joined = truth.join(est, col("term") === col("item"))
+      .select(col("n_true"), col("n_est")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) >= r.getLong(0),
+      "a count-min estimate can only overcount"))
+    // mergeability: sketches of two disjoint halves, unioned and
+    // re-aggregated, ARE the sketch of the union — the property that
+    // makes the sketch composable across batches/shards
+    val h1 = Sketches.countMin(items.where(col("id") % 2 === 0), col("tok"), 4, 64)
+    val h2 = Sketches.countMin(items.where(col("id") % 2 === 1), col("tok"), 4, 64)
+    val merged = h1.union(h2).groupBy(col("j"), col("h"))
+      .agg(sum(col("cnt")).as("cnt"))
+    assert(merged.except(sketch).isEmpty && sketch.except(merged).isEmpty,
+      "merged half-sketches must equal the whole-corpus sketch")
+  }
+
+  test("histogram quantile estimate is within one bucket width of the exact percentile") {
+    val width = 100L
+    val df = spark.range(0, 10000).select((col("id") * 7L % 5000L).as("v"))
+    val est = Sketches.histogramQuantiles(df, col("v"), width, Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vals = df.as[Long].collect().sorted
+    Seq(50, 90, 99).foreach { p =>
+      val exact = vals((((p.toLong * vals.length) + 99) / 100 - 1).toInt)
+      val e = est(p.toLong)
+      assert(e <= exact && exact < e + width,
+        s"p$p: estimate $e must bracket exact $exact within width $width")
+    }
   }
 
   test("compactParquet keeps rows whose partition value is NULL") {
