@@ -1190,6 +1190,14 @@ object Oracles {
     }.mkString(" UNION ALL ")
   }
 
+  /** The bloom pre-filtered anti join must EQUAL the plain anti join —
+    * the sketch only routes rows, never decides membership.
+    */
+  def qBloomAnti: String =
+    s"""SELECT o_orderkey, o_custkey FROM orders
+       |WHERE o_custkey NOT IN
+       |  (SELECT c_custkey FROM customer WHERE c_mktsegment = '$Q3Segment')""".stripMargin
+
   /** md5 60-bit hex prefix of column `c` as the same integer
     * [[HashFunctions.shingleHash]] computes.
     */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, EventOps, Frequency, Quality, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, EventOps, Frequency, Joins, Quality, Sampling, Similarity, Sketches, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -654,6 +654,17 @@ object SparkEntry {
       Marts.mergeAggState(state, batch, Seq("o_custkey"))
         .withColumn("mean_centicents", expr("(sum_cents * 100L) div n"))
     }),
+    "q_bloom_anti" -> ((s, dir) => {
+      // anti join with a bloom pre-filter: only might-contain rows enter
+      // the exact anti-join shuffle; a bloom "no" is a definitive keep.
+      // Result is EXACTLY the plain anti join (false positives evicted),
+      // which is why a plain NOT IN oracle checks it.
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === Q3Segment)
+        .select(col("c_custkey").as("o_custkey"))
+      Joins.bloomAntiJoin(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          cust, "o_custkey", expectedItems = 100000L)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
     "q_profile" -> ((s, dir) =>
       // one-pass column census: per-column counts, exact distincts, and
       // typed min/max — every projection normalized to portable
@@ -900,6 +911,7 @@ object SparkEntry {
     "q_pagerank" -> Oracles.qPagerank,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,
+    "q_bloom_anti" -> Oracles.qBloomAnti,
     "etl_quarantine" -> Oracles.etlQuarantine,
     "q_countmin" -> Oracles.qCountmin,
     "q_quantile_est" -> Oracles.qQuantileEst,

@@ -1,10 +1,57 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Join strategies for shapes the planner can't always save by itself. */
 object Joins {
+
+  /** Bloom filter of `c`'s values as a 1-row binary aggregate — the same
+    * sketch Spark's runtime row-level filtering injects, exposed as a
+    * library primitive (the expression is not SQL-registered in 4.x).
+    * Mergeable across partitions (partial agg), so building it is one
+    * narrow pass over the filtered side.
+    */
+  private[graft] def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(c)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  private[graft] def mightContain(bloom: Column, c: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bloom), ColumnBridge.expression(xxhash64(c))))
+
+  /** Anti join with a bloom pre-filter: rows of `big` whose `key` is NOT
+    * in `small`, exactly (never loses or invents rows).
+    *
+    * At 100 TB the plain left-anti join shuffles EVERY big-side row on
+    * the key. But a bloom "no" is definitive: those rows are keepers and
+    * never enter a shuffle — only the might-contain sliver (true matches
+    * + ~fpp of the rest) needs the exact anti join to evict false
+    * positives. With a contamination-style workload (tiny `small`, big
+    * mostly clean) the shuffled volume drops from 100% to ~fpp of rows.
+    * The bloom itself ships as ONE binary scalar-subquery value
+    * (`numBits/8` bytes — size it; 8 bits/item ≈ 2% fpp;
+    * `might_contain` requires a constant/scalar-subquery bloom side,
+    * hence `.scalar()` rather than a joined column).
+    *
+    * Cost: two passes over `big` (both map-side scans feeding a union);
+    * at scale that is the cheap part — the shuffle is what melts.
+    */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame, key: String,
+                    expectedItems: Long, bitsPerItem: Int = 8): DataFrame = {
+    require(expectedItems > 0 && bitsPerItem > 0)
+    val bf = small.agg(
+      bloomAgg(col(key), expectedItems, expectedItems * bitsPerItem).as("__bf")).scalar()
+    val mc = mightContain(bf, col(key))
+    val definiteKeep = big.where(!mc)
+    val maybe = big.where(mc)
+      .join(small.select(col(key)).distinct(), Seq(key), "left_anti")
+    definiteKeep.unionByName(maybe)
+  }
 
   /** Salt-replicate equi-join for a skewed big ⋈ small join: the big
     * side gets a row-local salt (`monotonically_increasing_id % n` —

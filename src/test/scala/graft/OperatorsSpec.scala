@@ -603,6 +603,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bloomAntiJoin equals the plain anti join even with forced false positives") {
+    import graft.operators.Joins
+    val big = spark.range(0, 20000)
+      .select(concat(lit("k"), col("id")).as("key"), col("id").as("v"))
+    val small = spark.range(0, 500).select(concat(lit("k"), col("id") * 40L).as("key"))
+    // 2 bits/item → double-digit fpp: the exact-evict branch MUST fire
+    // for the equality below to hold
+    val bf = small.agg(Joins.bloomAgg(col("key"), 500L, 1000L).as("__bf")).scalar()
+    val mcTrue = big.where(Joins.mightContain(bf, col("key"))).count()
+    assert(mcTrue > 500L,
+      s"test setup must force bloom false positives, got only $mcTrue might-contains")
+    val got = Joins.bloomAntiJoin(big, small, "key", expectedItems = 500L, bitsPerItem = 2)
+    val want = big.join(small, Seq("key"), "left_anti")
+    assert(got.count() === want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "bloom pre-filter must not change anti-join semantics")
+  }
+
   test("compactParquet keeps rows whose partition value is NULL") {
     // review r4: the count-sized-salt join back to the data must be
     // null-SAFE — hive layouts store null keys in

@@ -255,6 +255,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from the same checkpoint is exactly-once: old files are not recounted") {
+    // the operational core of a long-lived pipeline: the query dies (or
+    // is stopped for a deploy), restarts against the SAME checkpoint,
+    // and must resume where it left off — processed source files skipped,
+    // aggregation state recovered — with totals identical to a single
+    // uninterrupted run.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val src = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def stage(i: Int): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$src/part-$i.parquet"))
+    def runToCompletion(): Unit = {
+      val q = EventStreams.readEventsStream(spark, src, maxFilesPerTrigger = 1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("ev_restart").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "AvailableNow run must terminate")
+      finally q.stop()
+    }
+    stage(0)
+    runToCompletion()
+    val perFile = Tables.events(spark, sfDir).count()
+    assert(spark.table("ev_restart").agg(sum(col("n"))).head.getLong(0) === perFile)
+    stage(1); stage(2)
+    runToCompletion()
+    assert(spark.table("ev_restart").agg(sum(col("n"))).head.getLong(0) === 3 * perFile,
+      "restart must recover state and count each file exactly once — " +
+        "a recount of part-0 would show 4x, a state loss 2x")
+  }
+
   test("stream-stream join matches buys to prior clicks inside the window only") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
