@@ -115,6 +115,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect"
 
+  /** Whether a null ELEMENT can occur (array containsNull). Folded into
+    * [[nullable]] and used to strip the null-element branch from the
+    * generated code when impossible: referencing `ev.isNull` while the
+    * expression is non-nullable makes Janino reject the whole method
+    * (`false = true` is not an rvalue) and the operator silently falls
+    * back to the interpreter — in a JOIN CONDITION that disables
+    * whole-stage codegen for the entire join stage.
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(LongType, _) => true
@@ -146,16 +162,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val c = ctx.freshName("c"); val bad = ctx.freshName("bad")
       val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($j)) { $bad = true; break; }"
+        else ""
+      val finish =
+        if (elementsNullable)
+          s"if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $c; }"
+        else s"${ev.value} = $c;"
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L; boolean $bad = false;
          |while ($i < $nx && $j < $ny) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { $bad = true; break; }
+         |  $nullCheck
          |  long $va = $a.getLong($i); long $vb = $b.getLong($j);
          |  if ($va == $vb) { $c++; $i++; $j++; }
          |  else if ($va < $vb) { $i++; } else { $j++; }
          |}
-         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
+         |$finish
        """.stripMargin
     })
 

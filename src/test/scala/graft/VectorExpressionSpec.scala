@@ -78,4 +78,27 @@ class VectorExpressionSpec extends SparkSpec {
     assert(live.queryExecution.executedPlan.toString.contains("*(1)"),
       "expected codegen'd projection")
   }
+
+  test("sorted intersect codegen compiles in a join predicate over NON-NULLABLE arrays") {
+    // regression: with non-nullable inputs and containsNull=false the
+    // expression is non-nullable, ev.isNull is the literal `false`, and
+    // generated code must not assign to it — that Janino error silently
+    // dropped the whole prefix-filter join to interpreted mode.
+    // CODEGEN_ONLY turns the silent fallback into a hard failure.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val a = spark.range(0, 50)
+        .select(col("id").as("ka"), sequence(lit(1L), col("id") % 10L + 2L).as("sa"))
+      val b = spark.range(0, 50)
+        .select(col("id").as("kb"), sequence(lit(2L), col("id") % 8L + 3L).as("sb"))
+      val joined = a.join(b, col("ka") % 7 === col("kb") % 7 &&
+        graft.plans.VectorExpressions.sortedIntersectNative(col("sa"), col("sb")) >= 2L)
+      assert(joined.count() > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
