@@ -1190,6 +1190,27 @@ object Oracles {
     }.mkString(" UNION ALL ")
   }
 
+  /** Containment decontamination replay: same shingle hashes, same
+    * distinct postings, same integer ppm scores.
+    */
+  def dedupContainment: String = {
+    val P = HashFunctions.MinhashP
+    s"""WITH $toksCte, $shingCte,
+       |csh AS (SELECT DISTINCT doc_id, CAST(${hex15Of("s")} AS BIGINT) % $P AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shing
+       |        WHERE doc_id % 50 <> 0)),
+       |bsh AS (SELECT DISTINCT doc_id AS bench_id, CAST(${hex15Of("s")} AS BIGINT) % $P AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shing
+       |        WHERE doc_id % 50 = 0)),
+       |bsz AS (SELECT bench_id, count(*) AS asz FROM bsh GROUP BY bench_id),
+       |li AS (SELECT c.doc_id, b.bench_id, count(*) AS li
+       |  FROM csh c JOIN bsh b USING (h) GROUP BY 1, 2)
+       |SELECT l.doc_id, l.bench_id,
+       |  CAST((l.li * 1000000) // z.asz AS BIGINT) AS cont_ppm
+       |FROM li l JOIN bsz z USING (bench_id)
+       |WHERE l.li * $ContMinDen >= z.asz * $ContMinNum""".stripMargin
+  }
+
   /** The bloom pre-filtered anti join must EQUAL the plain anti join —
     * the sketch only routes rows, never decides membership.
     */

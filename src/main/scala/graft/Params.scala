@@ -83,6 +83,10 @@ object Params {
   val AsofMatch = "click"
   val FunnelSteps: Seq[String] = Seq("click", "view", "purchase")
 
+  // decontamination containment threshold |A∩B|/|A| >= num/den
+  val ContMinNum = 1L
+  val ContMinDen = 2L
+
   // data-quality gate on orders: contract constants shared by the Spark
   // rules and the oracle SQL
   val QcMaxPriceCents = 40000000L

@@ -413,6 +413,14 @@ object SparkEntry {
           "doc_id", "text", MinhashK, MinhashBands)
         .select(col("doc_id"), col("n_chars"))
     }),
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric containment |A∩B|/|A|: catches a benchmark item quoted
+      // inside a larger doc, where symmetric jaccard dilutes to ~0
+      val docs = t(s, dir, "documents")
+      Dedup.containmentScores(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        ContMinNum, ContMinDen)
+    }),
     "text_pii_scrub" -> ((s, dir) => {
       // inject synthetic PII into a tenth of the docs so the scrub has
       // real matches to prove itself on
@@ -912,6 +920,7 @@ object SparkEntry {
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
+    "dedup_containment" -> Oracles.dedupContainment,
     "etl_quarantine" -> Oracles.etlQuarantine,
     "q_countmin" -> Oracles.qCountmin,
     "q_quantile_est" -> Oracles.qQuantileEst,

@@ -377,6 +377,40 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Asymmetric containment scores for decontamination:
+    * `|A∩B| / |A|` where A is a benchmark item's shingle-hash set and B a
+    * corpus doc's — the metric that actually catches "the benchmark
+    * question is quoted inside a much larger training document", which
+    * symmetric Jaccard dilutes toward 0 as the doc grows.
+    *
+    * Shape for a huge corpus × small benchmark: both sides become
+    * distinct (id, shingle-hash) postings; the benchmark postings
+    * BROADCAST, so the only shuffle is the (doc, bench) match-count
+    * aggregate — each common shingle contributes exactly one row, making
+    * the count the EXACT intersection size, no array verify stage
+    * needed. Scores are integer ppm with a rational threshold
+    * (`li·den ≥ |A|·num`), SURVEY §6 rules.
+    */
+  def containmentScores(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                        textCol: String, minNum: Long, minDen: Long,
+                        n: Int = 2): DataFrame = {
+    def hashes(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+          explode(array_distinct(T.shingles(col(textCol), n))).as("s"))
+        .select(col(outId), H.shingleHash(col("s")).as("h"))
+        .distinct() // two shingles can collide mod P: sets, not bags
+    val cs = hashes(corpus, "doc_id")
+    val bs = hashes(benchmark, "bench_id")
+    val bsz = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("asz"))
+    cs.join(broadcast(bs), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("li"))
+      .join(broadcast(bsz), "bench_id")
+      .where(col("li") * lit(minDen) >= col("asz") * lit(minNum))
+      .select(col("doc_id"), col("bench_id"),
+        expr("(li * 1000000L) div asz").as("cont_ppm"))
+  }
+
   /** 64-bit SimHash signatures as two 32-bit halves: explode tokens → 64
     * partial sums in ONE hash aggregate (map-side combine ⇒ the shuffle
     * carries (doc, 64 longs)), then sign → bit → two packed 32-bit longs

@@ -603,6 +603,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("containment catches a benchmark item quoted inside a big doc that jaccard misses") {
+    val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
+    val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro text $filler what is the capital of france more $filler outro"),
+      (2L, s"unrelated $filler")).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.containmentScores(
+        corpus, bench, "doc_id", "text", 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((1L -> 100L)),
+      "only the quoting doc is contaminated")
+    assert(hits.head._3 >= 800000L,
+      s"near-full containment expected, got ${hits.head._3} ppm")
+    // the symmetric metric would have scored this pair ~5/400 — the whole
+    // point of the asymmetric scorer
+  }
+
   test("bloomAntiJoin equals the plain anti join even with forced false positives") {
     import graft.operators.Joins
     val big = spark.range(0, 20000)
