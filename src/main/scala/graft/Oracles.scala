@@ -1051,11 +1051,14 @@ object Oracles {
       |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey""".stripMargin
 
   def qScalarSubquery: String =
-    """WITH oy AS (SELECT o_orderkey, o_totalprice, year(o_orderdate) AS yr FROM orders)
-      |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    """WITH oy AS (SELECT o_orderkey,
+      |             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |             year(o_orderdate) AS yr FROM orders)
+      |SELECT o_orderkey, price_cents
       |FROM oy o
-      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM oy o2
-      |                      WHERE o2.yr = o.yr)""".stripMargin
+      |WHERE price_cents > (SELECT (CAST(sum(o2.price_cents) AS BIGINT) * 11)
+      |                            // (count(*) * 10)
+      |                     FROM oy o2 WHERE o2.yr = o.yr)""".stripMargin
 
   def qStatsSuite: String =
     """SELECT l_returnflag, count(*) AS n,

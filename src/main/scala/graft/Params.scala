@@ -70,9 +70,13 @@ object Params {
   val HhMgK = 1600
 
   // PageRank: fixed iteration count over the supplier↔customer bipartite
-  // graph; customer node ids offset into their own namespace
+  // graph; customer node ids offset into their own namespace. The offset
+  // must exceed the max supplier key at the TARGET scale, not the test
+  // scale: TPC-H has 10k×SF suppliers, so 1e10 keeps the namespaces
+  // disjoint through SF 1M (a 1e6 offset collided from SF 100 up,
+  // silently merging supplier s and customer s−1e6 into one graph node)
   val PrIters = 3
-  val PrCustOffset = 1000000L
+  val PrCustOffset = 10000000000L
 
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"

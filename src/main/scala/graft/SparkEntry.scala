@@ -594,13 +594,22 @@ object SparkEntry {
       // quadratic death at scale). Pre-deriving the year makes the
       // correlation an equality on the group key, which de-correlates to
       // one groupBy(yr) + broadcast join.
+      // the membership test is ALL integer: a float avg()*1.1 threshold
+      // would be partition-order dependent (distributed double summation)
+      // and could flip rows within 1 ulp between engines. For integer
+      // price_cents, `price_cents > floor(sum*11/(n*10))` is EXACTLY
+      // `price_cents > sum*11/(n*10)` — floor-thresholding an integer
+      // comparison loses nothing (review r4).
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""WITH oy AS (SELECT o_orderkey, o_totalprice, year(o_orderdate) AS yr
+      s.sql("""WITH oy AS (SELECT o_orderkey,
+              |             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+              |             year(o_orderdate) AS yr
               |           FROM orders_v)
-              |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+              |SELECT o_orderkey, price_cents
               |FROM oy o
-              |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.1 FROM oy o2
-              |                      WHERE o2.yr = o.yr)""".stripMargin)
+              |WHERE price_cents > (SELECT (CAST(sum(o2.price_cents) AS BIGINT) * 11)
+              |                            div (count(*) * 10)
+              |                     FROM oy o2 WHERE o2.yr = o.yr)""".stripMargin)
     }),
     "q_stats_suite" -> ((s, dir) =>
       // second-moment statistics in one partial-aggregating pass; floats

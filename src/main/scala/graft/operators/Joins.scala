@@ -46,7 +46,14 @@ object Joins {
     require(expectedItems > 0 && bitsPerItem > 0)
     val bf = small.agg(
       bloomAgg(col(key), expectedItems, expectedItems * bitsPerItem).as("__bf")).scalar()
-    val mc = mightContain(bf, col(key))
+    // NULL-proof the routing predicate: the bloom aggregate is NULL when
+    // `small` has no (non-null) keys, which would NULL `might_contain`
+    // for EVERY row and silently drop the whole table (both branches
+    // filter NULL as false). might-contain=false is the correct reading
+    // of an absent bloom — nothing is contained in an empty set. A NULL
+    // big-side key hashes to the xxhash64 seed (never NULL), routes like
+    // any value, and survives the exact anti join (NULL = nothing).
+    val mc = coalesce(mightContain(bf, col(key)), lit(false))
     val definiteKeep = big.where(!mc)
     val maybe = big.where(mc)
       .join(small.select(col(key)).distinct(), Seq(key), "left_anti")

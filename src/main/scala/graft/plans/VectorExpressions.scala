@@ -145,6 +145,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
+    // sorted arrays place nulls LAST (array_sort semantics), so the tail
+    // element alone decides null-poisoning — the walk can terminate
+    // before reaching a trailing null (a=[1], b=[1,null] exhausts a at
+    // the match), which the in-loop check alone would miss (review r4)
+    if ((nx > 0 && x.isNullAt(nx - 1)) || (ny > 0 && y.isNullAt(ny - 1))) return null
     var i = 0; var j = 0; var c = 0L
     while (i < nx && j < ny) {
       if (x.isNullAt(i) || y.isNullAt(j)) return null
@@ -162,6 +167,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val c = ctx.freshName("c"); val bad = ctx.freshName("bad")
       val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val badInit =
+        if (elementsNullable)
+          s"($nx > 0 && $a.isNullAt($nx - 1)) || ($ny > 0 && $b.isNullAt($ny - 1))"
+        else "false"
       val nullCheck =
         if (elementsNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($j)) { $bad = true; break; }"
@@ -172,8 +181,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         else s"${ev.value} = $c;"
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; long $c = 0L; boolean $bad = false;
-         |while ($i < $nx && $j < $ny) {
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |boolean $bad = $badInit;
+         |while (!$bad && $i < $nx && $j < $ny) {
          |  $nullCheck
          |  long $va = $a.getLong($i); long $vb = $b.getLong($j);
          |  if ($va == $vb) { $c++; $i++; $j++; }

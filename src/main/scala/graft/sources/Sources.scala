@@ -75,13 +75,14 @@ object Sources {
     }
     val before = parquetFiles(p)
     val df = spark.read.parquet(path)
-    val rows = df.count()
-    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    import org.apache.spark.sql.functions.{ceil => fceil, col, count, hash, least, lit, pmod, struct}
-    val repart =
-      if (partitionCols.isEmpty) df.repartition(nFiles)
-      else {
+    import org.apache.spark.sql.functions.{col, count, hash, least, lit, pmod, struct}
+    val (rows, repart) =
+      if (partitionCols.isEmpty) {
+        val r = df.count()
+        val nFiles = math.max(1L, (r + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        (r, df.repartition(nFiles))
+      } else {
         // A plain round-robin repartition(nFiles) would let EVERY task see
         // EVERY hive-partition value, so each task writes one file per
         // value — up to nFiles × nValues files, potentially MORE small
@@ -89,25 +90,41 @@ object Sources {
         // partition columns plus a bounded per-value salt sized from the
         // per-value row counts, so each value lands in
         // ceil(valueRows / targetRowsPerFile) tasks and the row target is
-        // honored inside every hive directory. The per-value count is one
-        // tiny broadcast-joined aggregate over the data already being
-        // rewritten.
+        // honored inside every hive directory.
+        //
+        // ONE counting pass serves both sizings (review r4: a separate
+        // df.count() was a second full read of the table being
+        // rewritten): the per-value aggregate is collected — bounded, one
+        // row per hive value — its sum is the total row count, and the
+        // per-value file quotas are rebuilt driver-side so the rewrite
+        // plan broadcast-joins a LocalRelation instead of re-aggregating.
         val pc = partitionCols.map(col)
+        val counts = df.groupBy(pc: _*).agg(count(lit(1)).as("__cnt")).collect()
+        val r = counts.map(_.getAs[Long]("__cnt")).sum
+        val nFiles = math.max(1L, (r + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        val keyFields = partitionCols.map(c =>
+          df.schema(c).copy(name = s"__k_$c"))
+        val nfSchema = org.apache.spark.sql.types.StructType(
+          keyFields :+ org.apache.spark.sql.types.StructField(
+            "__nf", org.apache.spark.sql.types.IntegerType, nullable = false))
+        val nfRows = counts.map { row =>
+          val nf = ((row.getAs[Long]("__cnt") + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          org.apache.spark.sql.Row.fromSeq(row.toSeq.init :+ nf)
+        }
+        val nfR = spark.createDataFrame(
+          java.util.Arrays.asList(nfRows: _*), nfSchema)
         // NULL-SAFE join back: a hive layout stores null keys in
         // __HIVE_DEFAULT_PARTITION__; a plain equi-join would silently
         // drop those rows from the rewrite and the swap would then
         // delete their only copy
-        val nf = df.groupBy(pc: _*)
-          .agg(fceil(count(lit(1)) / lit(targetRowsPerFile.toDouble)).cast("int").as("__nf"))
-        val nfR = partitionCols.foldLeft(nf)((d, c) => d.withColumnRenamed(c, s"__k_$c"))
         val joinCond = partitionCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
         val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
         val salted = df
           .join(org.apache.spark.sql.functions.broadcast(nfR), joinCond)
           .withColumn("__salt",
             pmod(hash(struct(dataCols: _*)), least(col("__nf"), lit(nFiles))))
-        salted.repartition(nFiles, (pc :+ col("__salt")): _*)
-          .drop((partitionCols.map(c => s"__k_$c") :+ "__nf" :+ "__salt"): _*)
+        (r, salted.repartition(nFiles, (pc :+ col("__salt")): _*)
+          .drop((partitionCols.map(c => s"__k_$c") :+ "__nf" :+ "__salt"): _*))
       }
     // maxRecordsPerFile is the HARD per-file cap: hash partitioning can
     // collide two salt groups of the same value into one task, and the

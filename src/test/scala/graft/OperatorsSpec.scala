@@ -638,6 +638,24 @@ class OperatorsSpec extends SparkSpec {
       "bloom pre-filter must not change anti-join semantics")
   }
 
+  test("bloomAntiJoin keeps everything on an empty denylist and keeps NULL keys") {
+    import graft.operators.Joins
+    val big = Seq(Some("a"), Some("b"), None)
+      .toDF("key").withColumn("v", lit(1L))
+    // empty small: the bloom aggregate evaluates to NULL — every big row
+    // must still come back (review r4: both branches filtered NULL→false
+    // and returned an EMPTY result)
+    val emptySmall = Seq.empty[String].toDF("key")
+    assert(Joins.bloomAntiJoin(big, emptySmall, "key", 10L).count() === 3L,
+      "empty denylist removes nothing")
+    // NULL big-side key: a plain left-anti join keeps it (NULL matches
+    // no key); the bloom path must too
+    val small = Seq("a").toDF("key")
+    val kept = Joins.bloomAntiJoin(big, small, "key", 10L)
+      .select("key").collect().map(r => Option(r.getString(0))).toSet
+    assert(kept === Set(Some("b"), None))
+  }
+
   test("compactParquet keeps rows whose partition value is NULL") {
     // review r4: the count-sized-salt join back to the data must be
     // null-SAFE — hive layouts store null keys in

@@ -79,6 +79,16 @@ class VectorExpressionSpec extends SparkSpec {
       "expected codegen'd projection")
   }
 
+  test("sorted intersect NULL-poisons on a trailing null the walk never reaches") {
+    // a=[1], b=[1,null]: the match on 1 exhausts a and the loop exits
+    // before visiting b's null — the tail pre-check must still yield NULL
+    // (array_sort places nulls last, so the tail decides)
+    val df = Seq((Seq(Some(1L)), Seq(Some(1L), Option.empty[Long])))
+      .toDF("a", "b")
+      .select(graft.plans.VectorExpressions.sortedIntersectNative($"a", $"b").as("c"))
+    assert(df.head.isNullAt(0), "trailing null element must poison the count")
+  }
+
   test("sorted intersect codegen compiles in a join predicate over NON-NULLABLE arrays") {
     // regression: with non-nullable inputs and containsNull=false the
     // expression is non-nullable, ev.isNull is the literal `false`, and
