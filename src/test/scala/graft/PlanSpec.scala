@@ -295,6 +295,45 @@ class PlanSpec extends SparkSpec {
       s"candidate aggregate should do map-side partial min of positions:\n$plan")
   }
 
+  test("count-min build shuffles only sketch-sized state (map-side partial counts)") {
+    val items = Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val df = graft.operators.Sketches.countMin(items, col("tok"), 4, 256)
+    // pre-execution plan: the adaptive final+initial double print would
+    // double-count the single Exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"sketch build should shuffle once, on (j,h):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"partial aggregation must collapse each partition to <= d*w rows pre-shuffle:\n$plan")
+  }
+
+  test("bloom anti join: might_contain routes rows, the anti join sees only the sliver") {
+    val big = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val small = Tables.load(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("o_custkey"))
+    val df = graft.operators.Joins.bloomAntiJoin(big, small, "o_custkey", 10000L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"routing must be the bloom predicate, not a join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"false-positive eviction needs the exact anti join:\n$plan")
+  }
+
+  test("containment: benchmark postings broadcast, corpus side never sort-merges") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Dedup.containmentScores(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", 1L, 2L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark postings and sizes must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the huge corpus side must never shuffle for a join:\n$plan")
+  }
+
   test("orc scan pushes filters and prunes columns like parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc_plan").toString
     Tables.load(spark, sfDir, "orders").write.mode("overwrite").orc(tmp)
