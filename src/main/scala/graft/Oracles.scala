@@ -439,6 +439,27 @@ object Oracles {
        |FROM kept GROUP BY doc_id""".stripMargin
   }
 
+  /** Repetition-signal twin: same pseudo-lines, same bigram shares. */
+  def textRepetition: String = {
+    val L = LineTokens
+    s"""WITH $toksCte, $shingCte,
+       |dims AS (SELECT unnest(range(0, (SELECT coalesce(max((len(ts) + ${L - 1}) // $L), 0) FROM toks))) AS i),
+       |lines AS (SELECT doc_id, array_to_string(ts[(i*$L+1):((i+1)*$L)], ' ') AS line
+       |  FROM toks CROSS JOIN dims WHERE i*$L < len(ts)),
+       |ls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |       CAST(count(DISTINCT line) AS BIGINT) AS n_uniq FROM lines GROUP BY doc_id),
+       |bgc AS (SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM shing) GROUP BY 1, 2),
+       |bga AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+       |        CAST(sum(c) AS BIGINT) AS n_bg FROM bgc GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(CASE WHEN coalesce(l.n_lines, 0) = 0 THEN 0
+       |       ELSE ((l.n_lines - l.n_uniq) * 1000000) // l.n_lines END AS BIGINT) AS dup_line_ppm,
+       |  CAST(CASE WHEN coalesce(b.n_bg, 0) = 0 THEN 0
+       |       ELSE (b.top_bg * 1000000) // b.n_bg END AS BIGINT) AS top_bigram_ppm
+       |FROM toks t LEFT JOIN ls l USING (doc_id) LEFT JOIN bga b USING (doc_id)""".stripMargin
+  }
+
   /** Ordered min-time funnel twin, times in epoch-ms like the Spark side. */
   def eventsFunnel: String = {
     val ctes = FunnelSteps.zipWithIndex.map { case (st, i) =>

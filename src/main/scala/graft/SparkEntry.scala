@@ -764,6 +764,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", TfidfTopK)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style boilerplate signals: within-doc duplicate-line and
+      // top-bigram shares as integer ppm
+      TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text", LineTokens)),
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(t(s, dir, "documents"), "doc_id", "text", ChunkSize, ChunkStride)),
     "text_dedup_lines" -> ((s, dir) =>
@@ -933,6 +937,7 @@ object SparkEntry {
     "etl_quarantine" -> Oracles.etlQuarantine,
     "q_countmin" -> Oracles.qCountmin,
     "q_quantile_est" -> Oracles.qQuantileEst,
+    "text_repetition" -> Oracles.textRepetition,
     "dedup_prefix_filter" -> Oracles.dedupPrefixFilter,
     "q_heavy_hitters" -> Oracles.qHeavyHitters,
   )

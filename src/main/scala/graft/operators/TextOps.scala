@@ -103,6 +103,43 @@ object TextOps {
         col("n_lines_kept"))
   }
 
+  /** Gopher-style within-document repetition signals — the quality
+    * filters that catch boilerplate/spam documents BEFORE training:
+    * `dup_line_ppm` (fraction of pseudo-lines that repeat inside the
+    * doc) and `top_bigram_ppm` (share of the most frequent bigram among
+    * all bigram occurrences). Both integer ppm.
+    *
+    * The line signal is pure per-row array work (build lines, compare
+    * sizes — no shuffle). The bigram signal needs the per-(doc, gram)
+    * multiplicity, which no HOF computes without a quadratic per-row
+    * scan, so it pays the standard keyed explode→count→max aggregate —
+    * two narrow shuffles on (doc, gram) then (doc), partial-agg friendly.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int): DataFrame = {
+    require(lineTokens > 0)
+    val ts = T.tokens(col(textCol))
+    val n = size(ts)
+    val nLines = when(n === 0, lit(0)).otherwise(((n - 1) / lit(lineTokens)).cast("int") + 1)
+    val lineArr = when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(ts, i * lineTokens + 1, lit(lineTokens)), " ")))
+    val lineStats = docs.select(col(idCol),
+      size(lineArr).cast("long").as("n_lines"),
+      size(array_distinct(lineArr)).cast("long").as("n_uniq"))
+    val bg = docs.select(col(idCol), explode(T.shingles(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    lineStats.join(bg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("n_lines") === 0, lit(0L))
+          .otherwise(expr("((n_lines - n_uniq) * 1000000L) div n_lines"))
+          .as("dup_line_ppm"),
+        when(coalesce(col("n_bg"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(top_bg * 1000000L) div n_bg"))
+          .as("top_bigram_ppm"))
+  }
+
   /** Context-window chunking: overlapping token windows of `size` tokens
     * every `stride` tokens — the standard shaping step before tokenizer/
     * embedding stages. Pure per-row array work (no shuffle); chunk rows

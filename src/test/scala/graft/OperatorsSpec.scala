@@ -603,6 +603,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals score duplicate lines and dominant bigrams exactly") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      // 4 pseudo-lines of 2 tokens: "a b", "a b", "a b", "a b" → 3 of 4
+      // lines are repeats (750000 ppm); bigrams: "a b"x4, "b a"x3 → top
+      // 4 of 7
+      (1L, "a b a b a b a b"),
+      (2L, "u v w x y z"), // all lines unique, all bigrams distinct
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", lineTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((750000L, 4L * 1000000L / 7L)))
+    assert(out(2L) === ((0L, 1000000L / 5L)))
+    assert(out(3L) === ((0L, 0L)), "empty doc scores zero, not null/crash")
+  }
+
   test("containment catches a benchmark item quoted inside a big doc that jaccard misses") {
     val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
     val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
