@@ -80,15 +80,25 @@ object TextOps {
     * deterministic by sorting (line_idx, line) structs inside the
     * aggregate, not by relying on collect order.
     */
-  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 lineTokens: Int): DataFrame = {
+  /** Pseudo-lines of `lineTokens` whitespace tokens (ceil division; empty
+    * array for empty/NULL text) — the ONE construction `dedupLines`, the
+    * repetition signals, and the oracle line CTEs must all agree on.
+    */
+  private def pseudoLines(textCol: String, lineTokens: Int): org.apache.spark.sql.Column = {
     require(lineTokens > 0)
     val ts = T.tokens(col(textCol))
-    val n = org.apache.spark.sql.functions.size(ts)
+    val n = size(ts)
     val nLines = when(n === 0, lit(0)).otherwise(((n - 1) / lit(lineTokens)).cast("int") + 1)
-    val lineArr = when(n === 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(ts, i * lineTokens + 1, lit(lineTokens)), " ")))
+    coalesce(
+      when(n === 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(ts, i * lineTokens + 1, lit(lineTokens)), " "))),
+      array().cast("array<string>"))
+  }
+
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 lineTokens: Int): DataFrame = {
+    val lineArr = pseudoLines(textCol, lineTokens)
     val lines = docs.select(col(idCol), posexplode(lineArr).as(Seq("line_idx", "line")))
     val w = Window.partitionBy(md5(col("line")))
       .orderBy(col(idCol).asc, col("line_idx").asc)
@@ -117,13 +127,7 @@ object TextOps {
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
                         lineTokens: Int): DataFrame = {
-    require(lineTokens > 0)
-    val ts = T.tokens(col(textCol))
-    val n = size(ts)
-    val nLines = when(n === 0, lit(0)).otherwise(((n - 1) / lit(lineTokens)).cast("int") + 1)
-    val lineArr = when(n === 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(ts, i * lineTokens + 1, lit(lineTokens)), " ")))
+    val lineArr = pseudoLines(textCol, lineTokens)
     val lineStats = docs.select(col(idCol),
       size(lineArr).cast("long").as("n_lines"),
       size(array_distinct(lineArr)).cast("long").as("n_uniq"))
@@ -132,7 +136,9 @@ object TextOps {
       .groupBy(col(idCol)).agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
     lineStats.join(bg, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("n_lines") === 0, lit(0L))
+        // both guards null-safe: a NULL text must score (0, 0) like the
+        // oracle's coalesce(...)=0 branches, not propagate NULL ppm
+        when(coalesce(col("n_lines"), lit(0L)) === 0, lit(0L))
           .otherwise(expr("((n_lines - n_uniq) * 1000000L) div n_lines"))
           .as("dup_line_ppm"),
         when(coalesce(col("n_bg"), lit(0L)) === 0, lit(0L))

@@ -609,14 +609,16 @@ class OperatorsSpec extends SparkSpec {
       // 4 pseudo-lines of 2 tokens: "a b", "a b", "a b", "a b" → 3 of 4
       // lines are repeats (750000 ppm); bigrams: "a b"x4, "b a"x3 → top
       // 4 of 7
-      (1L, "a b a b a b a b"),
-      (2L, "u v w x y z"), // all lines unique, all bigrams distinct
-      (3L, "")).toDF("doc_id", "text")
+      (1L, Some("a b a b a b a b")),
+      (2L, Some("u v w x y z")), // all lines unique, all bigrams distinct
+      (3L, Some("")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
     val out = TextOps.repetitionSignals(docs, "doc_id", "text", lineTokens = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(1L) === ((750000L, 4L * 1000000L / 7L)))
     assert(out(2L) === ((0L, 1000000L / 5L)))
     assert(out(3L) === ((0L, 0L)), "empty doc scores zero, not null/crash")
+    assert(out(4L) === ((0L, 0L)), "NULL text scores zero like the oracle, never NULL ppm")
   }
 
   test("containment catches a benchmark item quoted inside a big doc that jaccard misses") {
