@@ -87,7 +87,10 @@ object Bench {
     // reason). The full per-query map + per-run times go to a sidecar
     // file; the printed line carries the totals plus the slowest queries
     // and stays comfortably under the tail window.
-    val detailFile = new java.io.File("tools/bench_detail.json")
+    // anchored at an env-overridable absolute path (not bare cwd) so a
+    // concurrent run elsewhere can redirect its sidecar (ADVICE r4)
+    val detailFile = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+      s"${System.getProperty("user.dir")}/tools/bench_detail.json"))
     Option(detailFile.getParentFile).foreach(_.mkdirs())
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
     try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")

@@ -1081,14 +1081,31 @@ object Oracles {
       |                            // (count(*) * 10)
       |                     FROM oy o2 WHERE o2.yr = o.yr)""".stripMargin
 
-  def qStatsSuite: String =
-    """SELECT l_returnflag, count(*) AS n,
-      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-      |  round(var_samp(l_quantity), 4) AS var_qty,
-      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
-      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq
-      |FROM lineitem GROUP BY 1""".stripMargin
+  /** Second moments from exact integer sums (mirrors the Spark side):
+    * identical int64 sums → identical IEEE double derivations → floor
+    * is portable. DuckDB's BIGINT sums go HUGEINT, hence the casts.
+    */
+  def qStatsSuite: String = {
+    val (dn, dsy, dsx, dsyy, dsxx, dsxy) =
+      ("CAST(n AS DOUBLE)", "CAST(sy AS DOUBLE)", "CAST(sx AS DOUBLE)",
+        "CAST(syy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(sxy AS DOUBLE)")
+    val vy = s"($dn*$dsyy - $dsy*$dsy) / ($dn*($dn-1))"
+    val cxy = s"($dn*$dsxy - $dsy*$dsx)"
+    s"""WITH v AS (SELECT l_returnflag,
+       |  CAST(FLOOR(l_quantity) AS BIGINT) AS y,
+       |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS x FROM lineitem),
+       |s AS (SELECT l_returnflag, count(*) AS n,
+       |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+       |  CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |  CAST(sum(y*x) AS BIGINT) AS sxy FROM v GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  CAST(floor(sqrt($vy) * 1e4) AS BIGINT) AS sd_qty_e4,
+       |  CAST(floor($vy * 1e4) AS BIGINT) AS var_qty_e4,
+       |  CAST(floor($cxy / sqrt(($dn*$dsyy - $dsy*$dsy) * ($dn*$dsxx - $dsx*$dsx)) * 1e6) AS BIGINT) AS corr_qp_e6,
+       |  CAST(floor($cxy / ($dn*($dn-1)) * 1e4) AS BIGINT) AS covar_qp_e4,
+       |  CAST(floor($cxy / ($dn*$dsyy - $dsy*$dsy) * 1e4) AS BIGINT) AS slope_pq_e4
+       |FROM s""".stripMargin
+  }
 
   def qWindowSuite: String =
     """WITH o AS (SELECT o_orderkey, o_orderpriority,
@@ -1128,12 +1145,17 @@ object Oracles {
   def qPagerank: String = {
     val u = graft.operators.PageRank.MassUnit
     val iters = (1 to PrIters).map { k =>
-      s"""c$k AS (SELECT e.dst AS node,
+      s"""d$k AS (SELECT CAST(COALESCE(sum(p.pr), 0) AS BIGINT) AS dm
+         |  FROM pr${k - 1} p LEFT JOIN deg ON p.node = deg.src
+         |  WHERE deg.src IS NULL),
+         |c$k AS (SELECT e.dst AS node,
          |  CAST(sum((p.pr * 85) // (100 * e.deg)) AS BIGINT) AS inbound
          |  FROM ed e JOIN pr${k - 1} p ON e.src = p.node GROUP BY e.dst),
          |pr$k AS (SELECT nodes.node,
-         |  CAST((15 * $u) // (100 * nn) + COALESCE(inbound, 0) AS BIGINT) AS pr
-         |  FROM nodes CROSS JOIN n LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+         |  CAST((15 * $u) // (100 * nn) + (85 * dm) // (100 * nn)
+         |       + COALESCE(inbound, 0) AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN n CROSS JOIN d$k
+         |  LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

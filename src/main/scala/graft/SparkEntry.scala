@@ -42,11 +42,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("mart_kpi_year")(spark, "/root/testdata/sf0.001")
 
+  /** Scratch dir for roundtrip/sink queries, unique per Spark app:
+    * two concurrent runs on one machine must not clobber each other's
+    * temp data mid-read (ADVICE r4).
+    */
+  private def tmpPath(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${s.sparkContext.applicationId}"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 ETL core ----
     "src_csv_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      val tmp = tmpPath(s, "csv_roundtrip")
       t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true")
@@ -54,7 +61,7 @@ object SparkEntry {
         .csv(tmp)
     }),
     "src_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+      val tmp = tmpPath(s, "jsonl_roundtrip")
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
       sources.Sources.writeJsonl(docs, tmp)
       sources.Sources.readJsonl(s, tmp,
@@ -63,7 +70,7 @@ object SparkEntry {
     "sink_compact" -> ((s, dir) => {
       // fragment events into 64 tiny files, compact, and prove the data
       // survives byte-exactly via the aggregate's oracle
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact"
+      val tmp = tmpPath(s, "compact")
       t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
         .repartition(64).write.mode("overwrite").parquet(tmp)
       val (_, before, after) = sources.Sources.compactParquet(s, tmp, 10000000L)
@@ -132,7 +139,7 @@ object SparkEntry {
           col("o_totalprice"), HistWidth)
         .select(col("yearkey"), col("bucket"), col("n"))),
     "sink_partitioned_write" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
+      val tmp = tmpPath(s, "sink_partitioned")
       queries("fact_join")(s, dir)
         .write.mode("overwrite").partitionBy("yearkey").parquet(tmp)
       s.read.parquet(tmp)
@@ -145,7 +152,7 @@ object SparkEntry {
       // pushdown + column pruning work the same as parquet); the
       // roundtrip proves values survive bit-exactly, including an
       // exact-integer money column
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+      val tmp = tmpPath(s, "orc_roundtrip")
       t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           cents(col("c_acctbal")).as("acct_cents"), col("c_mktsegment"))
         .write.mode("overwrite").orc(tmp)
@@ -157,7 +164,7 @@ object SparkEntry {
       // missing column is null-filled, nothing is dropped or re-written.
       // At 100 TB, schema merge beats rewriting history to the new schema;
       // the option costs one footer read per file, so explicit > global.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_schema"
+      val tmp = tmpPath(s, "merge_schema")
       val orders = t(s, dir, "orders")
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
@@ -612,15 +619,31 @@ object SparkEntry {
               |                     FROM oy o2 WHERE o2.yr = o.yr)""".stripMargin)
     }),
     "q_stats_suite" -> ((s, dir) =>
-      // second-moment statistics in one partial-aggregating pass; floats
-      // surface only via round(,4) per the portability contract
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      // second-moment statistics from EXACT integer sums: the builtin
+      // var_samp/corr/covar/regr_slope accumulate doubles, whose value
+      // depends on partition summation order — the flake class SURVEY §6
+      // documents. Here one partial-aggregating pass collects n, Σx, Σy,
+      // Σx², Σy², Σxy as int64 over floor()'d whole-unit values (order-
+      // independent, engine-identical), then each moment is derived ONCE
+      // with IEEE double ops on those identical integers and floor-scaled
+      // — floor of identical doubles is portable, round() is not.
+      // Sum magnitude bound: |x|≤1e5 whole units keeps Σx² < 2^53 up to
+      // ~9e5 rows/group (sf≲1); larger scales should widen units.
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("y"),
+          floor(col("l_extendedprice")).cast("long").as("x"))
+        .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          round(var_samp(col("l_quantity")), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"))),
+          sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+          sum(col("y") * col("y")).as("syy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("x")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("CAST(floor(sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))) * 1e4) AS BIGINT)").as("sd_qty_e4"),
+          expr("CAST(floor((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) * 1e4) AS BIGINT)").as("var_qty_e4"),
+          expr("CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sx AS DOUBLE)) / sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * 1e6) AS BIGINT)").as("corr_qp_e6"),
+          expr("CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) * 1e4) AS BIGINT)").as("covar_qp_e4"),
+          expr("CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) * 1e4) AS BIGINT)").as("slope_pq_e4"))),
     "q_window_suite" -> ((s, dir) => {
       // the rank/distribution window family over one partition spec —
       // one sort per partition serves all five functions (single Window

@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   * set for no-inbound nodes — the same bounded-shuffle shape per round as
   * [[Dedup.clusters]]. Degrees are computed once. With damping d=85/100:
   *
-  *   pr'(v) = 15·unit/(100·N)  +  Σ_{u→v} (pr(u)·85) div (100·deg(u))
+  *   pr'(v) = 15·unit/(100·N) + (85·D) div (100·N)
+  *          + Σ_{u→v} (pr(u)·85) div (100·deg(u))
+  *
+  * where D is the DANGLING mass — the summed rank of nodes with no
+  * outbound edge. Standard PageRank redistributes that mass uniformly;
+  * silently dropping it (what a naive edges-join does) deflates every
+  * rank on any graph with sinks. D is an exact int64 sum and its
+  * per-node share an integer floor-division, so determinism is
+  * preserved. On a sink-free graph D = 0 and the term vanishes.
   */
 object PageRank {
 
@@ -28,10 +36,21 @@ object PageRank {
 
   /** `edges` must have long columns (`src`, `dst`). Returns (node, pr)
     * after `iters` rounds from a uniform start. Node set = src ∪ dst.
+    *
+    * `checkpointRounds=false` skips the per-round lazy checkpoint so a
+    * test can inspect the fully unrolled plan; production callers keep
+    * the default (without it the doubly-referenced round aggregate makes
+    * the logical plan grow 2^iters).
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int,
+               checkpointRounds: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
+    // the caller's edge derivation (often a join+distinct itself) feeds
+    // FOUR consumers (node set ×2, degrees, degree-joined edges) across
+    // more than one job; checkpointing it makes every consumer read the
+    // materialized blocks instead of re-running the derivation
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
     // nodes is referenced iters+1 times and edges-with-degrees iters
     // times; lazy localCheckpoints truncate the shared lineage so the
     // edge derivation runs ONCE per action instead of once per reference
@@ -45,17 +64,59 @@ object PageRank {
     // N via broadcast 1-row aggregate — the scalar reaches every task
     // without a driver round-trip, and the plan stays fully lazy
     val n = nodes.agg(count(lit(1)).as("nn"))
+    // Plan-choice probe, ONE bounded job (limit-1 semantics): a
+    // sink-free graph — the overwhelmingly common case for symmetric /
+    // co-occurrence graphs — needs neither the dangling-mass scalar nor
+    // the per-round checkpoint, and skipping both keeps the whole
+    // iteration a single pipelined job. The probe's inputs are exactly
+    // the checkpointed node/degree tables every round reuses, so its
+    // work is pre-materialization, not waste.
+    val hasSinks = !nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .isEmpty
     var ranks = nodes.join(broadcast(n))
       .select(col("node"), expr(s"${MassUnit}L div nn").as("pr"))
+    // With sinks present, dangling mass is collected in the SAME pass as
+    // the contribution join: ranks LEFT JOIN edges — matched rows emit
+    // the per-edge transfer, unmatched rows (no outbound edge) emit
+    // their whole rank into a sentinel group. One scan of ranks, one
+    // join, one aggregate per round; no second pass for the sinks. Node
+    // ids must not equal Long.MinValue (the sentinel) — impossible for
+    // the non-negative ids real graphs use.
+    val Sentinel = Long.MinValue
     for (_ <- 1 to iters) {
-      val contribs = edgesWithDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(pr * 85L) div (100L * deg)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
-      ranks = nodes.join(broadcast(n))
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (expr(s"(15L * ${MassUnit}L) div (100L * nn)") + coalesce(col("inbound"), lit(0L))).as("pr"))
+      if (!hasSinks) {
+        val contribs = edgesWithDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("(pr * 85L) div (100L * deg)").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+        ranks = nodes.join(broadcast(n))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (expr(s"(15L * ${MassUnit}L) div (100L * nn)")
+              + coalesce(col("inbound"), lit(0L))).as("pr"))
+      } else {
+        // the round's aggregate is consumed twice (dangling scalar +
+        // assembly join); the lazy checkpoint makes both consumers share
+        // one computation and keeps the iterated plan from nesting (same
+        // contract as the nodes/edges checkpoints above)
+        val agg0 = ranks
+          .join(edgesWithDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(coalesce(col("dst"), lit(Sentinel)).as("gnode"),
+            when(col("dst").isNull, col("pr"))
+              .otherwise(expr("(pr * 85L) div (100L * deg)")).as("c"))
+          .groupBy(col("gnode").as("node")).agg(sum(col("c")).as("inbound"))
+        val cagg = if (checkpointRounds) agg0.localCheckpoint(false) else agg0
+        // 1-row broadcast scalar, same pattern as `n` — no driver action
+        val dmass = cagg.where(col("node") === Sentinel)
+          .agg(coalesce(sum(col("inbound")), lit(0L)).as("dm"))
+        ranks = nodes.join(broadcast(n)).join(broadcast(dmass))
+          .join(cagg.where(col("node") =!= Sentinel), Seq("node"), "left")
+          .select(col("node"),
+            (expr(s"(15L * ${MassUnit}L) div (100L * nn)")
+              + expr("(85L * dm) div (100L * nn)")
+              + coalesce(col("inbound"), lit(0L))).as("pr"))
+      }
     }
     ranks
   }

@@ -40,13 +40,18 @@ object Quality {
         min(c).cast("string").as(s"mn_$i"), max(c).cast("string").as(s"mx_$i"))
     }
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.zipWithIndex
-      .map { case ((name, _), i) => s"'$name', nv_$i, nd_$i, mn_$i, mx_$i" }
-      .mkString(", ")
-    one.select(col("n_rows"),
-        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_distinct, min_val, max_val)"))
-      .select(col("col_name"), col("n_rows"), col("n_vals"), col("n_distinct"),
-        col("min_val"), col("max_val"))
+    // melt with typed lit()/struct() + explode (semantically `stack`):
+    // splicing caller-supplied names into an expr() string would break
+    // on a quote in a name — and be an injection surface if names ever
+    // come from data. The exploded array is one row wide.
+    val rows = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("col_name"), col(s"nv_$i").as("n_vals"),
+        col(s"nd_$i").as("n_distinct"), col(s"mn_$i").as("min_val"),
+        col(s"mx_$i").as("max_val"))
+    }
+    one.select(col("n_rows"), explode(array(rows: _*)).as("r"))
+      .select(col("r.col_name"), col("n_rows"), col("r.n_vals"),
+        col("r.n_distinct"), col("r.min_val"), col("r.max_val"))
   }
 
   /** Annotate each row with `violations`: the (input-ordered) array of
@@ -85,10 +90,12 @@ object Quality {
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v_$i")
     }
     val one = df.agg(count(lit(1)).as("n_rows"), sums: _*)
-    val stackArgs = rules.zipWithIndex
-      .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
-    one.select(col("n_rows"),
-        expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_viol)"))
-      .select(col("rule"), col("n_viol"), col("n_rows"))
+    // typed melt, same reasoning as profile(): rule names are caller
+    // input and must never be spliced into a SQL string
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"v_$i").as("n_viol"))
+    }
+    one.select(col("n_rows"), explode(array(rows: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_viol"), col("n_rows"))
   }
 }

@@ -61,19 +61,25 @@ object Sketches {
   }
 
   /** Percentile estimates from an equi-width histogram over a LONG
-    * measure: bucket counts in one scan (groupBy on `value div width`,
-    * sketch-sized state), then for each p in `ps` the estimate is the
-    * lower edge of the first bucket whose cumulative count reaches
-    * `ceil(p·N/100)`. Error is bounded by the bucket width; the
+    * measure: bucket counts in one scan (groupBy on the floor-div
+    * bucket, sketch-sized state), then for each p in `ps` the estimate
+    * is the lower edge of the first bucket whose cumulative count
+    * reaches `ceil(p·N/100)`. Error is bounded by the bucket width; the
     * cumulative window runs over the tiny bucket table, never the data.
     * Output: `(p, est)`.
+    *
+    * Bucketing uses FLOOR division, not Spark's truncate-toward-zero
+    * `div`: for negative measures `div` would collapse everything in
+    * (-width, 0) into bucket 0, breaking both the ≤width error bound
+    * and parity with engines whose `//` floors (e.g. DuckDB).
+    * `(v - pmod(v, w)) div w` is exact int64 floor division.
     */
   def histogramQuantiles(df: DataFrame, value: Column, width: Long,
                          ps: Seq[Int]): DataFrame = {
     require(width > 0 && ps.nonEmpty, "need a positive width and at least one percentile")
     import org.apache.spark.sql.expressions.Window
     val buckets = df.select(value.cast("long").as("v"))
-      .select(expr(s"v div $width").as("b"))
+      .select(expr(s"(v - pmod(v, ${width}L)) div ${width}L").as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
     // single-partition window is fine HERE: the frame is n_buckets rows
     val cum = buckets.withColumn("cum",

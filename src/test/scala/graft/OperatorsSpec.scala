@@ -467,6 +467,61 @@ class OperatorsSpec extends SparkSpec {
     assert(pr === Map(1L -> PageRank.MassUnit / 2, 2L -> PageRank.MassUnit / 2))
   }
 
+  test("pagerank redistributes dangling mass: sink graph conserves total mass") {
+    import graft.operators.PageRank
+    // node 3 is a SINK (no outbound): without redistribution its rank
+    // mass would vanish every iteration and totals would deflate
+    val edgeSeq = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L))
+    val iters = 5
+    val pr = PageRank.pageRank(edgeSeq.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr"))).toMap
+    // independent scalar reference with the same integer semantics
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct
+    val nn = nodes.size
+    val deg = edgeSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var ref = nodes.map(_ -> PageRank.MassUnit / nn).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(deg.contains).map(ref).sum
+      val inbound = edgeSeq.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => (ref(src) * 85L) / (100L * deg(src)) }.sum
+      }
+      ref = nodes.map(v => v -> ((15L * PageRank.MassUnit) / (100L * nn)
+        + (85L * dm) / (100L * nn) + inbound.getOrElse(v, 0L))).toMap
+    }
+    assert(pr === ref, "distributed ranks must equal the scalar reference bit-for-bit")
+    // mass conservation: only integer floor loss may leak (a handful of
+    // units per hop out of 1e12)
+    val total = pr.values.sum
+    assert(total > PageRank.MassUnit - 1000L && total <= PageRank.MassUnit,
+      s"dangling mass must be redistributed, not dropped (total=$total)")
+  }
+
+  test("profile accepts column names containing quotes (no SQL splicing)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val rows = Quality.profile(df, Seq("id's \"raw\"" -> col("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows === Map("id's \"raw\"" -> 2L))
+    val audit = Quality.audit(df, Seq("rule's" -> (col("id") > 1L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map("rule's" -> 1L))
+  }
+
+  test("histogram quantiles floor-bucket negative measures") {
+    val width = 100L
+    // values -2500..2499: truncate-toward-zero bucketing would collapse
+    // (-100, 0) into bucket 0 and shift every low percentile up
+    val df = spark.range(0, 5000).select((col("id") - 2500L).as("v"))
+    val est = Sketches.histogramQuantiles(df, col("v"), width, Seq(10, 50, 90))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vals = df.as[Long].collect().sorted
+    Seq(10, 50, 90).foreach { p =>
+      val exact = vals((((p.toLong * vals.length) + 99) / 100 - 1).toInt)
+      val e = est(p.toLong)
+      assert(e <= exact && exact < e + width,
+        s"p$p: estimate $e must bracket exact $exact within width $width")
+    }
+  }
+
   test("aggState merge over any split equals the full recompute") {
     val df = (1 to 500).map(i => (i % 7L, (i * 13 % 101).toLong)).toDF("k", "v")
     val full = Marts.aggState(df, Seq(col("k")), col("v"))

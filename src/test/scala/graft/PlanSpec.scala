@@ -270,12 +270,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank plan: keyed joins only, no cartesian or nested loop on edges") {
+    // each round ends in a lazy localCheckpoint (the round's ranks are
+    // consumed by BOTH the contribution join and the dangling-mass
+    // aggregate, and the checkpoint keeps the iterated plan from
+    // nesting), so the final executedPlan shows ONE round's shape with
+    // prior rounds behind an RDD scan: the edges⋈ranks join, the
+    // nodes⋈contribs assembly join, the ranks⋈dangling semi join — all
+    // keyed — plus exactly the two 1-row broadcast scalars (node count,
+    // dangling mass) as nested-loop attachments
+    // the bench graph is sink-free, so the probe picks the pipelined
+    // path: no per-round checkpoint, every round visible in ONE plan —
+    // keyed joins only, nested-loop only for the 1-row scalars
     val df = SparkEntry.queries("q_pagerank")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"pagerank must never plan a cartesian:\n$plan")
-    // the only nested-loop joins allowed are the broadcast 1-row scalar
-    // (node count) attachments — every edge-keyed join must be hash/merge
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     val keyed = ("SortMergeJoin".r.findAllIn(plan).length
       + "BroadcastHashJoin".r.findAllIn(plan).length
@@ -284,6 +293,22 @@ class PlanSpec extends SparkSpec {
       s"expected >=${graft.Params.PrIters * 2} keyed joins (got $keyed):\n$plan")
     assert(bnlj <= graft.Params.PrIters + 1,
       s"only the 1-row scalar joins may be nested-loop (got $bnlj):\n$plan")
+    // a graph WITH sinks takes the dangling-redistribution path whose
+    // rounds normally hide behind checkpoints; unroll two rounds without
+    // them to pin that the edges⋈ranks join stays keyed there too (two
+    // keyed joins per round, nested-loop only for the two scalars/round)
+    import org.apache.spark.sql.functions.col
+    val edges = Tables.load(spark, sfDir, "orders").limit(200)
+      .select((col("o_orderkey") % 50L).as("src"), (col("o_custkey") % 50L).as("dst"))
+    val unrolled = graft.operators.PageRank.pageRank(edges, 2, checkpointRounds = false)
+      .queryExecution.executedPlan.toString
+    assert(!unrolled.contains("CartesianProduct"),
+      s"unrolled pagerank must never plan a cartesian:\n$unrolled")
+    val uk = ("SortMergeJoin".r.findAllIn(unrolled).length
+      + "BroadcastHashJoin".r.findAllIn(unrolled).length
+      + "ShuffledHashJoin".r.findAllIn(unrolled).length)
+    assert(uk >= 4,
+      s"expected >=2 keyed joins per unrolled round (got $uk):\n$unrolled")
   }
 
   test("prefix-filter join plans no cartesian and verifies candidates with keyed joins") {
