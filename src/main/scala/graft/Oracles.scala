@@ -909,6 +909,80 @@ object Oracles {
       |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
       |GROUP BY yearkey""".stripMargin
 
+  /** Calendar densify + LOCF twin of [[graft.etl.Marts.gapFillLocf]]:
+    * `range(mn, mx+1)` is DuckDB's upper-exclusive integer sequence
+    * (Spark's `sequence(mn, mx)` is inclusive), and both engines'
+    * default `ORDER BY`-window frame is RANGE UNBOUNDED
+    * PRECEDING..CURRENT ROW, so `last_value(... IGNORE NULLS)` ≡
+    * Spark `last(_, ignoreNulls=true)`.
+    */
+  def qGapFill: String =
+    """WITH o AS (SELECT CAST(c_nationkey AS BIGINT) AS grp,
+      |  year(o_orderdate)*12 + month(o_orderdate) - 1 AS mk,
+      |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |obs AS (SELECT grp, mk, count(*) AS n_orders,
+      |        CAST(sum(pc) AS BIGINT) AS sum_cents FROM o GROUP BY 1, 2),
+      |b AS (SELECT min(mk) AS mn, max(mk) AS mx FROM obs),
+      |cal AS (SELECT grp, unnest(range(mn, mx + 1)) AS mk
+      |        FROM (SELECT DISTINCT grp FROM obs) CROSS JOIN b)
+      |SELECT cal.grp, CAST(cal.mk AS BIGINT) AS mk,
+      |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+      |  last_value(sum_cents IGNORE NULLS)
+      |    OVER (PARTITION BY cal.grp ORDER BY cal.mk) AS sum_cents_locf
+      |FROM cal LEFT JOIN obs ON cal.grp = obs.grp AND cal.mk = obs.mk""".stripMargin
+
+  /** Robust outlier twin of [[graft.operators.Quality.robustOutliers]]:
+    * type-1 lower medians at rank `(n+1)//2`, all int64.
+    */
+  def qOutliers: String =
+    s"""WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+       |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v, o_orderkey) AS rn,
+       |       count(*) OVER (PARTITION BY grp) AS cnt FROM o),
+       |med AS (SELECT grp, min(CASE WHEN rn = (cnt + 1) // 2 THEN v END) AS med
+       |        FROM r1 GROUP BY 1),
+       |d AS (SELECT o.grp, o.o_orderkey, o.v, med.med, abs(v - med) AS dev
+       |      FROM o JOIN med USING (grp)),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY dev, o_orderkey) AS rn,
+       |       count(*) OVER (PARTITION BY grp) AS cnt FROM d),
+       |mad AS (SELECT grp, min(CASE WHEN rn = (cnt + 1) // 2 THEN dev END) AS mad
+       |        FROM r2 GROUP BY 1)
+       |SELECT d.grp, d.o_orderkey, d.v AS price_cents, d.med, mad.mad
+       |FROM d JOIN mad USING (grp) WHERE dev > $OutlierK * mad""".stripMargin
+
+  /** Hopping-window twin of [[graft.operators.EventOps.slidingCounts]]:
+    * window membership replayed with the same integer epoch arithmetic.
+    */
+  def eventsSlidingWindow: String = {
+    val k = SlideSizeMs / SlideHopMs
+    s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+       |i AS (SELECT unnest(range(0, $k)) AS i)
+       |SELECT event_type,
+       |  CAST((ms // $SlideHopMs - i) * $SlideHopMs AS BIGINT) AS w_start,
+       |  count(*) AS n_events
+       |FROM e CROSS JOIN i GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mixture-sampling twin of [[graft.operators.Sampling.mixtureSample]]:
+    * the target-weight table inlined as VALUES from the same Params
+    * constants, the keep draw the same salted md5.
+    */
+  def sampleMixture: String = {
+    val vals = MixTargetsPpm.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    val h = hex8Expr("('" + MixSalt + ":' || CAST(doc_id AS VARCHAR))")
+    s"""WITH tgt(source, wppm) AS (VALUES $vals),
+       |avail AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+       |          FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM avail),
+       |rates AS (SELECT avail.source,
+       |  least(1000000, (((tc * $MixBudgetPct) // 100) * wppm) // c) AS rate_ppm
+       |  FROM avail CROSS JOIN tot JOIN tgt USING (source))
+       |SELECT doc_id, d.source, CAST(rate_ppm AS BIGINT) AS rate_ppm
+       |FROM documents d JOIN rates ON d.source = rates.source
+       |WHERE CAST($h AS BIGINT) * 1000000 < rate_ppm * 4294967296""".stripMargin
+  }
+
   def etlUpsert: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

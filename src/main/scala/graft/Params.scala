@@ -106,6 +106,25 @@ object Params {
   val QuantWidthCents = 2500000L
   val QuantPs: Seq[Int] = Seq(50, 90, 99)
 
+  // robust outlier gate: |x - median| > OutlierK × MAD (type-1 lower
+  // medians keep every bound exact int64)
+  val OutlierK = 2L
+
+  // sliding (hopping) window: 1h windows every 15min — size must be a
+  // multiple of hop so each event lands in exactly size/hop windows
+  val SlideSizeMs = 3600000L
+  val SlideHopMs = 900000L
+
+  // mixture sampling: per-source target weights in ppm (quadratic ramp —
+  // the high end intentionally exceeds availability so the rate CAP
+  // path is exercised), overall budget as a % of total corpus chars
+  val MixBudgetPct = 50L
+  val MixSalt = "mix"
+  val MixTargetsPpm: Seq[(String, Long)] = {
+    val denom = (1 to 20).map(k => k.toLong * k).sum // 2870
+    (0 until 20).map(k => (s"src$k", (k + 1).toLong * (k + 1) * 1000000L / denom))
+  }
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

@@ -294,6 +294,28 @@ object SparkEntry {
       Marts.exactQuartiles(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey",
         col("o_totalprice"), col("o_orderkey"))),
+    "q_gap_fill" -> ((s, dir) => {
+      // dense monthly series per customer nation: months with no orders
+      // must exist as zero rows (trend math breaks on a sparse axis),
+      // and the running gauge carries the last observed value forward.
+      // Integer month key = year*12+month-1: calendar-type-free.
+      val o = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("grp"),
+          (year(col("o_orderdate")).cast("long") * 12
+            + month(col("o_orderdate")).cast("long") - 1).as("mk"),
+          cents(col("o_totalprice")).as("pc"))
+      val obs = o.groupBy(col("grp"), col("mk"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("sum_cents"))
+      Marts.gapFillLocf(obs, "grp", "mk", Seq("n_orders"), Seq("sum_cents"))
+    }),
+    "q_outliers" -> ((s, dir) =>
+      // robust per-priority price anomalies: |x-med| > k·MAD, exact
+      // integer medians — the stats gate that doesn't mask itself
+      Quality.robustOutliers(t(s, dir, "orders"), col("o_orderpriority"), "grp",
+          cents(col("o_totalprice")), col("o_orderkey"), OutlierK)
+        .select(col("grp"), col("row_key").as("o_orderkey"),
+          col("value").as("price_cents"), col("med"), col("mad"))),
     "etl_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
@@ -779,6 +801,13 @@ object SparkEntry {
       Sampling.weighted(d, col("doc_id"), col("qscore"), SampleSalt)
         .select(col("doc_id"), col("qscore"))
     }),
+    "sample_mixture" -> ((s, dir) =>
+      // domain-mixture curation: per-source keep-rates so the sample
+      // approaches the target mixture under a char budget, rates capped
+      // at availability (the quadratic target ramp exercises the cap)
+      Sampling.mixtureSample(t(s, dir, "documents"), "source", col("doc_id"),
+          col("n_chars"), MixTargetsPpm, MixBudgetPct, MixSalt)
+        .select(col("doc_id"), col("source"), col("rate_ppm"))),
 
     // ---- §2.5 text analysis ----
     "text_vocab" -> ((s, dir) =>
@@ -828,6 +857,11 @@ object SparkEntry {
     // ---- §2.6 events ----
     "events_window_agg" -> ((s, dir) =>
       EventOps.hourlyAgg(t(s, dir, "events"), "ts", "event_type", "value")),
+    "events_sliding_window" -> ((s, dir) =>
+      // hopping 1h windows every 15min — each event counted in exactly
+      // size/hop windows via integer epoch arithmetic
+      EventOps.slidingCounts(t(s, dir, "events"), "ts", "event_type",
+        SlideSizeMs, SlideHopMs)),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), "user_id", "ts", SessionGapMs)),
     "events_extract" -> ((s, dir) =>
@@ -917,6 +951,8 @@ object SparkEntry {
     "q_interval_join" -> Oracles.qIntervalJoin,
     "q_salted_join" -> Oracles.qSaltedJoin,
     "q_quartiles" -> Oracles.qQuartiles,
+    "q_gap_fill" -> Oracles.qGapFill,
+    "q_outliers" -> Oracles.qOutliers,
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
@@ -925,6 +961,7 @@ object SparkEntry {
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_stratified" -> Oracles.sampleStratified,
     "sample_weighted" -> Oracles.sampleWeighted,
+    "sample_mixture" -> Oracles.sampleMixture,
     "text_vocab" -> Oracles.textVocab,
     "text_tfidf" -> Oracles.textTfidf,
     "text_chunk" -> Oracles.textChunk,
@@ -936,6 +973,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_fingerprint" -> Oracles.textFingerprint,
     "events_window_agg" -> Oracles.eventsWindowAgg,
+    "events_sliding_window" -> Oracles.eventsSlidingWindow,
     "events_sessionize" -> Oracles.eventsSessionize,
     "events_extract" -> Oracles.eventsExtract,
     "events_json_parse" ->

@@ -51,6 +51,38 @@ object Marts {
     phase1.withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= n)
   }
 
+  /** Calendar densification + LOCF over a pre-aggregated observation
+    * table `(group, tick, metrics…)`: emit one row per (group, tick) for
+    * EVERY tick in the observed global [min, max] range — `zeroFill`
+    * metrics become 0 where no observation exists (count semantics),
+    * `carry` metrics become `<name>_locf`, the last observed value at or
+    * before the tick (gauge semantics; null before the first
+    * observation).
+    *
+    * The time-series mart staple: downstream window/trend math needs a
+    * dense axis, and a missing month must read as "zero orders", not
+    * silently vanish. Input is the AGGREGATED series (groups × ticks
+    * rows, not raw facts), so the densify join and the LOCF window both
+    * run over sketch-sized data; the observation table feeds three
+    * consumers (bounds, group list, join) and is lazily checkpointed so
+    * it computes once. Tick must be an integer epoch-derived key
+    * (months, weeks, days) — calendar types differ across engines,
+    * integer arithmetic doesn't.
+    */
+  def gapFillLocf(obs: DataFrame, groupCol: String, tickCol: String,
+                  zeroFill: Seq[String], carry: Seq[String]): DataFrame = {
+    val o = obs.localCheckpoint(false)
+    val b = o.agg(min(col(tickCol)).as("__mn"), max(col(tickCol)).as("__mx"))
+    val cal = o.select(col(groupCol)).distinct()
+      .join(broadcast(b))
+      .select(col(groupCol), explode(sequence(col("__mn"), col("__mx"))).as(tickCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tickCol))
+    val joined = cal.join(o, Seq(groupCol, tickCol), "left")
+    val zf = zeroFill.map(c => coalesce(col(c), lit(0L)).as(c))
+    val cf = carry.map(c => last(col(c), ignoreNulls = true).over(w).as(s"${c}_locf"))
+    joined.select(Seq(col(groupCol), col(tickCol)) ++ zf ++ cf: _*)
+  }
+
   /** Exact per-group median without an approx sketch: row_number + count
     * windows, average of the middle one/two values. Two window passes over
     * one (group)-keyed shuffle — exact answers at any scale, unlike

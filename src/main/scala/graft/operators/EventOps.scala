@@ -65,6 +65,29 @@ object EventOps {
       .select(col("y") +: col("m") +: col("d") +:
         types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
 
+  /** Sliding (hopping) window counts in batch form: per (type, window
+    * start) where windows are `sizeMs` wide and advance every `hopMs` —
+    * each event lands in exactly size/hop windows. The window membership
+    * is pure integer epoch arithmetic (window w contains ts iff
+    * w = (ts div hop − i)·hop for i < size/hop), so the ×(size/hop)
+    * explode stays in whole-stage codegen and the map-side partial
+    * aggregate collapses each partition to its window keys before the
+    * single shuffle. The streaming twin of this shape is
+    * `window(ts, size, hop)` in [[graft.streaming.EventStreams]].
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, typeCol: String,
+                    sizeMs: Long, hopMs: Long): DataFrame = {
+    require(sizeMs > 0 && hopMs > 0 && sizeMs % hopMs == 0,
+      "window size must be a positive multiple of the hop")
+    val k = sizeMs / hopMs
+    events.select(col(typeCol), unix_millis(col(tsCol)).as("__ms"))
+      .select(col(typeCol), explode(sequence(lit(0L), lit(k - 1))).as("__i"), col("__ms"))
+      .select(col(typeCol),
+        ((expr(s"__ms div ${hopMs}L") - col("__i")) * hopMs).as("w_start"))
+      .groupBy(col(typeCol), col("w_start"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** As-of join, composed without a join: for each target event, the most
     * recent prior event of `matchType` from the same user. A running
     * `max(CASE WHEN matchType THEN ts END)` over the per-user event order

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality operators: column profiling and rule-based validation.
@@ -77,6 +78,49 @@ object Quality {
     */
   def quarantined(checked: DataFrame): DataFrame =
     checked.where(size(col("violations")) > 0)
+
+  /** Robust per-group outlier detection: flag rows where
+    * `|value − median| > k × MAD` (MAD = median absolute deviation).
+    * Median/MAD resist the very outliers they hunt — mean/stddev gates
+    * drag their own threshold toward the anomaly (masking), which is why
+    * data-quality monitors use this form.
+    *
+    * Both medians are TYPE-1 lower medians (the value AT rank
+    * `(n+1) div 2`), so with an integer `value` every bound stays exact
+    * int64 — no distributed float summation anywhere. Cost: two
+    * group-keyed window passes (rank for median, rank for MAD) plus two
+    * broadcast joins of the per-group statistics; the deviation table
+    * feeds the MAD pass and the final gate and is lazily checkpointed
+    * so it computes once. `tieBreak` must be unique within a group for
+    * deterministic ranks.
+    *
+    * Output: (group-as, row_key = tieBreak, value, med, mad) for
+    * flagged rows only.
+    */
+  def robustOutliers(df: DataFrame, group: Column, as: String, value: Column,
+                     tieBreak: Column, k: Long): DataFrame = {
+    require(k > 0, "outlier threshold multiplier must be positive")
+    val base = df.select(group.as(as), value.as("__v"), tieBreak.as("__t"))
+    val w1 = Window.partitionBy(col(as)).orderBy(col("__v").asc, col("__t").asc)
+    val med = base
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(as))))
+      .where(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col(as), col("__v").as("med"))
+    val dev = base.join(broadcast(med), as)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+      .localCheckpoint(false)
+    val w2 = Window.partitionBy(col(as)).orderBy(col("__dev").asc, col("__t").asc)
+    val mad = dev
+      .withColumn("__rn", row_number().over(w2))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(as))))
+      .where(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col(as), col("__dev").as("mad"))
+    dev.join(broadcast(mad), as)
+      .where(col("__dev") > lit(k) * col("mad"))
+      .select(col(as), col("__t").as("row_key"), col("__v").as("value"),
+        col("med"), col("mad"))
+  }
 
   /** Per-rule violation census in ONE pass: `(rule, n_viol)`, including
     * rules with zero violations (an explode-and-count would silently

@@ -45,6 +45,45 @@ object Sampling {
     df.where(H.hash32(k, salt) < floor(w * lit(4294967296.0)).cast("long"))
   }
 
+  /** Mixture (re-)sampling: downsample each source so the sampled corpus
+    * approaches a TARGET mixture — the curation step that turns "whatever
+    * the crawl found" into "the domain balance the training run wants".
+    *
+    * Given per-source target weights `targetsPpm` (parts-per-million of
+    * the sampled corpus) and an overall budget of `budgetPct`% of the
+    * total corpus `sizeCol` mass, each source's keep-rate is
+    * `min(1e6, (budget × w_s) div avail_s)` ppm — capped at 1.0 because a
+    * source can't yield more than it has (under-weight sources keep
+    * everything; the shortfall is reported, not silently reweighted).
+    * The rate table is computed from one aggregate over the corpus and
+    * broadcast back; the keep decision is the same salted-hash draw as
+    * [[bernoulli]] (map-side, deterministic, engine-portable). All
+    * arithmetic is int64: size×ppm products need corpus mass below
+    * ~9·10¹² units — feed chars at document granularity, or KB units at
+    * extreme corpus scale.
+    *
+    * Output: the kept rows plus their source's `rate_ppm`.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, key: Column, sizeCol: Column,
+                    targetsPpm: Seq[(String, Long)], budgetPct: Long,
+                    salt: String): DataFrame = {
+    require(budgetPct > 0, "budget must be positive")
+    require(targetsPpm.map(_._2).sum <= 1000000L,
+      "target weights must sum to at most 1e6 ppm")
+    import df.sparkSession.implicits._
+    val avail = df.groupBy(col(sourceCol)).agg(sum(sizeCol.cast("long")).as("__c"))
+    val total = avail.agg(sum(col("__c")).as("__tc"))
+    val tgt = targetsPpm.toDF(sourceCol, "__wppm")
+    val rates = avail.join(broadcast(total))
+      .join(broadcast(tgt), sourceCol)
+      .select(col(sourceCol),
+        least(lit(1000000L),
+          expr(s"(((__tc * ${budgetPct}L) div 100L) * __wppm) div __c")).as("rate_ppm"))
+    val k = coalesce(key.cast("string"), lit("\u0000<null-key>"))
+    df.join(broadcast(rates), sourceCol)
+      .where(H.hash32(k, salt) * lit(1000000L) < col("rate_ppm") * lit(4294967296L))
+  }
+
   /** Fixed-size per-stratum sample: the k rows with the smallest salted
     * key hash in each stratum — reservoir-sampling semantics, but
     * deterministic. One shuffle on the stratum key; with map-side

@@ -745,4 +745,80 @@ class OperatorsSpec extends SparkSpec {
     assert(back.count() === 1000L, "null-partition rows must survive compaction")
     assert(back.where(col("p").isNull).count() === 250L)
   }
+
+  test("gap fill densifies the tick axis, zero-fills counts, and carries gauges forward") {
+    // group "a" observed at ticks 2 and 5; group "b" at tick 4 only →
+    // global range [2,5], so each group gets 4 rows
+    val obs = Seq(("a", 2L, 3L, 10L), ("a", 5L, 1L, 99L), ("b", 4L, 2L, 7L))
+      .toDF("g", "tk", "n", "gauge")
+    val out = Marts.gapFillLocf(obs, "g", "tk", Seq("n"), Seq("gauge"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out.size === 8)
+    assert(out(("a", 2L)) === ((3L, Some(10L))))
+    assert(out(("a", 3L)) === ((0L, Some(10L))), "gap month: zero count, carried gauge")
+    assert(out(("a", 4L)) === ((0L, Some(10L))))
+    assert(out(("a", 5L)) === ((1L, Some(99L))))
+    assert(out(("b", 2L)) === ((0L, None)), "before first observation the gauge is null")
+    assert(out(("b", 4L)) === ((2L, Some(7L))))
+    assert(out(("b", 5L)) === ((0L, Some(7L))))
+  }
+
+  test("robust outliers flag exactly the rows beyond k*MAD and resist masking") {
+    // 9 inliers 100..108 and one wild point: median 104 (of 10: lower
+    // median = rank 5 value), MAD small, the wild point must be the ONLY
+    // flagged row — a mean/stddev gate at the same k would be dragged
+    val rows = ((0 until 9).map(i => ("g", 100L + i, i.toLong)) :+ (("g", 100000L, 9L)))
+      .toDF("g", "v", "id")
+    val out = Quality.robustOutliers(rows, col("g"), "grp", col("v"), col("id"), 2L)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("value") === 100000L)
+    assert(out.head.getAs[Long]("med") === 104L, "type-1 lower median of 10 values")
+    assert(out.head.getAs[Long]("mad") === 2L)
+  }
+
+  test("sliding windows count each event in exactly size/hop windows") {
+    val ev = Seq((1L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:31:00")))
+      .toDF("event_id", "event_type", "ts")
+    val out = EventOps.slidingCounts(ev, "ts", "event_type", 3600000L, 900000L)
+      .collect().map(r => r.getAs[Long]("w_start") -> r.getAs[Long]("n_events")).toMap
+    assert(out.size === 4, "1h window / 15min hop = 4 windows per event")
+    assert(out.values.forall(_ == 1L))
+    // every window must actually contain the event
+    val ms = java.sql.Timestamp.valueOf("2024-01-01 10:31:00").getTime
+    out.keys.foreach { w =>
+      assert(w <= ms && ms < w + 3600000L, s"window $w must contain $ms")
+      assert(w % 900000L === 0L, "window starts align to the hop grid")
+    }
+  }
+
+  test("mixture sampling caps rates at availability and keeps the right rows") {
+    import graft.operators.Sampling
+    val docs = (0 until 200).map(i => (i.toLong, s"src${i % 2}", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    // budget 50% of 20000 chars = 10000; targets: src0 10%, src1 90% →
+    // desired 1000 vs avail 10000 (rate 10%), desired 9000 vs avail
+    // 10000 (rate 90%) — then with src1 weight 990000 the desired
+    // 9900*... exercise the cap with a lopsided second call below
+    val out = Sampling.mixtureSample(docs, "source", col("doc_id"), col("n_chars"),
+      Seq("src0" -> 100000L, "src1" -> 900000L), 50L, "t")
+    val rates = out.select(col("source"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("src0") === 100000L && rates("src1") === 900000L)
+    // over-request: 200% budget × 90% weight on a source holding 50% of
+    // mass wants 3.6× its availability → rate caps at 1e6 (keep all)
+    val capped = Sampling.mixtureSample(docs, "source", col("doc_id"), col("n_chars"),
+      Seq("src0" -> 100000L, "src1" -> 900000L), 200L, "t")
+    val cr = capped.select(col("source"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cr("src1") === 1000000L, "rate must cap at availability")
+    assert(capped.where(col("source") === "src1").count() === 100L,
+      "a capped source keeps every row")
+    // determinism: the same inputs draw the same sample
+    assert(out.collect().map(_.getAs[Long]("doc_id")).sorted
+      === Sampling.mixtureSample(docs, "source", col("doc_id"), col("n_chars"),
+        Seq("src0" -> 100000L, "src1" -> 900000L), 50L, "t")
+        .collect().map(_.getAs[Long]("doc_id")).sorted)
+  }
 }
