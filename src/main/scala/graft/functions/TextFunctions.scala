@@ -69,11 +69,14 @@ object TextFunctions {
     * priority-order tie break (first language wins ties).
     */
   def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (l, ws) => l -> stopwordHits(text, ws) }
-    val maxAll = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit(langStopwords.last._1)) { case ((l, s), rest) =>
-      when(s === maxAll, lit(l)).otherwise(rest)
-    }
+    // argmax via ONE array_max over (score, -position) structs — each
+    // language's stopword scan runs exactly once, and the lexicographic
+    // tie-break keeps the fixed priority order (first language wins)
+    val entries = array(langStopwords.zipWithIndex.map { case ((_, ws), i) =>
+      struct(stopwordHits(text, ws).as("s"), lit(-i).as("ni"))
+    }: _*)
+    val best = (-array_max(entries).getField("ni")).cast("int")
+    element_at(array(langStopwords.map(p => lit(p._1)): _*), best + 1)
   }
 
   /** Quality score in [0,1]: length saturation + stopword ratio + alpha

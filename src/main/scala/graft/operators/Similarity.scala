@@ -77,11 +77,15 @@ object Similarity {
     * literals — assignment is a map-side codegen'd expression, no join.
     */
   def cellFor(vecCol: Column, cents: Seq[Seq[Double]]): Column = {
-    val dots = cents.map(w => V.dotConst(vecCol, w))
-    val m = greatest(dots: _*)
-    dots.zipWithIndex.foldRight(lit(cents.size - 1): Column) { case ((d, i), rest) =>
-      when(d === m, lit(i)).otherwise(rest)
-    }
+    // argmax as ONE array_max over (dot, -index) structs: lexicographic
+    // struct ordering gives the max dot with lowest-index tie-break, and
+    // each centroid dot is evaluated exactly once — the former
+    // greatest() + when-chain form evaluated every dot twice (once for
+    // the max, once for the equality probe)
+    val entries = array(cents.zipWithIndex.map { case (w, i) =>
+      struct(V.dotConst(vecCol, w).as("d"), lit(-i).as("ni"))
+    }: _*)
+    -array_max(entries).getField("ni")
   }
 
   /** IVF cell id against the fixed md5-derived coarse quantizer. */
@@ -311,6 +315,19 @@ object Similarity {
                 maxIter: Int, tol: Double = 0.0): (Seq[Seq[Double]], Seq[Long], Int) = {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the loop is EAGER (one collect per round), so the projected
+    // vector column can be cached for its duration and released before
+    // returning — round 2+ reads columnar memory instead of re-decoding
+    // the source scan; no persist escapes this function
+    val vecs = emb.select(col(vecCol)).persist()
+    try {
+      kmeansLoop(vecs, vecCol, init, dims, maxIter, tol, r4)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  private def kmeansLoop(vecs: DataFrame, vecCol: String, init: Seq[Seq[Double]],
+                         dims: Int, maxIter: Int, tol: Double,
+                         r4: Double => Double): (Seq[Seq[Double]], Seq[Long], Int) = {
     var cents = init
     var counts = Seq.fill(init.size)(0L)
     var iter = 0
@@ -318,7 +335,7 @@ object Similarity {
     while (iter < maxIter && moved > tol) {
       val sums = (0 until dims).map(i =>
         sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
-      val agg = emb.groupBy(cellFor(col(vecCol), cents).cast("long").as("cell"))
+      val agg = vecs.groupBy(cellFor(col(vecCol), cents).cast("long").as("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       val byCell = agg.map(r => r.getLong(0) -> r).toMap
