@@ -71,7 +71,11 @@ object Sampling {
     require(targetsPpm.map(_._2).sum <= 1000000L,
       "target weights must sum to at most 1e6 ppm")
     import df.sparkSession.implicits._
+    // avail feeds both the rate rows and the total; the lazy checkpoint
+    // keeps the corpus-wide aggregate to ONE scan (column renames defeat
+    // exchange reuse, so without it the aggregate runs twice)
     val avail = df.groupBy(col(sourceCol)).agg(sum(sizeCol.cast("long")).as("__c"))
+      .localCheckpoint(false)
     val total = avail.agg(sum(col("__c")).as("__tc"))
     val tgt = targetsPpm.toDF(sourceCol, "__wppm")
     val rates = avail.join(broadcast(total))

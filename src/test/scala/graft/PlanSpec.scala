@@ -370,6 +370,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("o_orderdate"), s"orc scan must prune unused columns:\n$plan")
   }
 
+  test("mixture sampling: the corpus-side keep decision never shuffles the corpus") {
+    // rates are a per-source aggregate broadcast BACK; the keep filter is
+    // then a broadcast-join + map-side hash compare. The only exchanges
+    // allowed are inside the (tiny) rate derivation — the corpus scan
+    // that feeds the final filter must reach it through broadcast joins,
+    // never a corpus-keyed exchange, or the sampler costs a full shuffle
+    // at 100 TB.
+    val df = SparkEntry.queries("sample_mixture")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast to the corpus:\n$plan")
+    // exchanges: the rate aggregate's (hash + single-partition) and the
+    // broadcasts; none may be a corpus-row hashpartitioning feeding the
+    // probe side of the final join
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 1,
+      s"only the rate aggregate may hash-shuffle (got $nEx):\n$plan")
+  }
+
+  test("sliding windows pre-aggregate map-side before the single shuffle") {
+    val df = SparkEntry.queries("events_sliding_window")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"window counts must combine map-side before shuffling:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx === 1, s"exactly one shuffle on the window key (got $nEx):\n$plan")
+  }
+
+  test("gap fill runs entirely over the aggregated series, one fact shuffle") {
+    // the raw orders scan feeds ONE aggregate (the obs table); densify,
+    // bounds, and LOCF all consume the checkpointed obs — so the plan
+    // holds exactly one scan-sized exchange (the obs groupBy; the rest
+    // key on the sketch-sized series)
+    val df = SparkEntry.queries("q_gap_fill")(spark, sfDir)
+    df.collect() // materialize through the lazy checkpoint
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("Scan ExistingRDD"),
+      s"obs must be the aggregated series:\n$plan")
+  }
+
   test("bucketed tables join without an exchange on the bucketed side") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     val orders = Tables.load(spark, sfDir, "orders")
