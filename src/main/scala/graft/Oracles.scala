@@ -629,6 +629,28 @@ object Oracles {
        |FROM documents d JOIN toks ON toks.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Winnowing twin of [[graft.operators.TextOps.winnow]]: same k-gram
+    * strings, same salted hash, same packed `h·2²⁰ + (2²⁰−1−pos)` min
+    * over a ROWS window — pure int64 on both engines.
+    */
+  def textWinnow: String = {
+    val h = hex8Expr(s"('$WinSalt:' || g)")
+    s"""WITH $toksCte,
+       |gr AS (SELECT doc_id, unnest(range(0, greatest(len(ts) - ${WinK - 1}, 0))) AS pos, ts
+       |       FROM toks),
+       |gh AS (SELECT doc_id, pos,
+       |  CAST($h AS BIGINT) * 1048576 + (1048575 - pos) AS pk
+       |  FROM (SELECT doc_id, pos,
+       |        array_to_string(ts[pos+1:pos+$WinK], ' ') AS g FROM gr)),
+       |sel AS (SELECT doc_id, pos,
+       |  min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS wmin,
+       |  count(*) OVER (PARTITION BY doc_id) AS cnt FROM gh)
+       |SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS h,
+       |  CAST(1048575 - (wmin % 1048576) AS BIGINT) AS pos
+       |FROM sel WHERE pos >= least($WinW, cnt) - 1""".stripMargin
+  }
+
   /** Incremental dedup: candidates touching the "new" split (doc_id%5=0)
     * against the rest — signatures are per-doc, so filtering the full
     * bands CTE is exactly what per-split computation yields.

@@ -106,6 +106,12 @@ object Params {
   val QuantWidthCents = 2500000L
   val QuantPs: Seq[Int] = Seq(50, 90, 99)
 
+  // winnowing fingerprints: k-token grams, window of w gram hashes —
+  // any shared run of >= w+k-1 tokens shares a fingerprint
+  val WinK = 3
+  val WinW = 4
+  val WinSalt = "win"
+
   // robust outlier gate: |x - median| > OutlierK × MAD (type-1 lower
   // medians keep every bound exact int64)
   val OutlierK = 2L

@@ -853,6 +853,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"), T.rollingHash(col("text")).as("roll"))),
+    "text_winnow" -> ((s, dir) =>
+      // winnowing (MOSS) fingerprint selection: positional substring-run
+      // detection at ~2/(w+1) the gram density
+      TextOps.winnow(t(s, dir, "documents"), "doc_id", "text", WinK, WinW, WinSalt)),
 
     // ---- §2.6 events ----
     "events_window_agg" -> ((s, dir) =>
@@ -972,6 +976,7 @@ object SparkEntry {
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
     "text_fingerprint" -> Oracles.textFingerprint,
+    "text_winnow" -> Oracles.textWinnow,
     "events_window_agg" -> Oracles.eventsWindowAgg,
     "events_sliding_window" -> Oracles.eventsSlidingWindow,
     "events_sessionize" -> Oracles.eventsSessionize,

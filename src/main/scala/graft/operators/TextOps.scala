@@ -167,4 +167,50 @@ object TextOps {
         col("chunk_text"),
         T.tokenCount(col("chunk_text")).as("n_tokens"))
   }
+
+  /** Winnowing fingerprints (the MOSS algorithm): hash every k-token
+    * gram, slide a window of `w` consecutive gram hashes, and keep each
+    * window's minimum (rightmost on hash ties — the paper's rule). The
+    * guarantee: any shared run of ≥ w+k−1 tokens between two documents
+    * shares at least one selected fingerprint, at ~2/(w+1) the density
+    * of the full gram set — the local substring-match detector that
+    * position-free minhash can't express (minhash answers "how similar
+    * are the SETS"; winnowing answers "do these documents share a
+    * literal run, and where").
+    *
+    * The hash and the tie-break are packed into ONE int64
+    * (`h·2²⁰ + (2²⁰−1−pos)`) so the whole selection is a single
+    * `min` over a ROWS window — exact integer arithmetic any engine
+    * replays bit-for-bit. Documents shorter than w grams contribute
+    * their overall minimum (one fingerprint), not nothing. Positions
+    * must stay below 2²⁰ grams per document — chunk longer documents
+    * first ([[chunk]]).
+    *
+    * One shuffle (doc-keyed window); output (id, h, pos) distinct.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int,
+             salt: String): DataFrame = {
+    require(k > 0 && w > 0, "gram size and window must be positive")
+    import graft.functions.{HashFunctions => H}
+    val base = docs.select(col(idCol), T.tokens(col(textCol)).as("__ts"))
+    // sequence(a,b) counts DOWN when b<a — guard the short-doc case to
+    // an empty gram list explicitly
+    val grams = when(size(col("__ts")) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("__ts")) - lit(k)),
+        i => concat_ws(" ", slice(col("__ts"), i + 1, lit(k)))))
+    val packed = base
+      .select(col(idCol), posexplode(grams).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (H.hash32(col("g"), salt) * lit(1048576L)
+          + (lit(1048575L) - col("pos"))).as("pk"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val sel = packed
+      .withColumn("__cnt", count(lit(1)).over(byDoc))
+      .withColumn("__wmin", min(col("pk")).over(
+        byDoc.orderBy(col("pos")).rowsBetween(-(w - 1), 0)))
+      .where(col("pos") >= least(lit(w.toLong), col("__cnt")) - 1)
+    sel.select(col(idCol), expr("__wmin div 1048576").as("h"),
+        (lit(1048575L) - pmod(col("__wmin"), lit(1048576L))).as("pos"))
+      .distinct()
+  }
 }

@@ -746,6 +746,32 @@ class OperatorsSpec extends SparkSpec {
     assert(back.where(col("p").isNull).count() === 250L)
   }
 
+  test("winnowing guarantees a shared fingerprint for any shared run of w+k-1 tokens") {
+    import graft.operators.TextOps
+    val k = graft.Params.WinK; val w = graft.Params.WinW
+    // docs 1 and 2 share a (w+k-1)-token run embedded in different
+    // surroundings; doc 3 shares nothing
+    val run = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"one two three four $run five"),
+      (3L, "completely different words with no common substring here at all"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs, "doc_id", "text", k, w, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "the winnowing guarantee: a shared >=w+k-1-token run must share a fingerprint hash")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs share nothing")
+    // density: selection must be sparser than the full gram set
+    val grams1 = docs.where(col("doc_id") === 1L)
+      .select(size(T.tokens(col("text")))).head().getInt(0) - (k - 1)
+    assert(byDoc(1L).size < grams1, "winnowing must select a strict subset of grams")
+    // a short doc (fewer than w grams) still yields exactly one fingerprint
+    val short = Seq((9L, "only four tokens here")).toDF("doc_id", "text")
+    assert(TextOps.winnow(short, "doc_id", "text", k, w, "t").count() === 1L)
+  }
+
   test("gap fill densifies the tick axis, zero-fills counts, and carries gauges forward") {
     // group "a" observed at ticks 2 and 5; group "b" at tick 4 only →
     // global range [2,5], so each group gets 4 rows
