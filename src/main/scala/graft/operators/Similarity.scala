@@ -315,14 +315,11 @@ object Similarity {
                 maxIter: Int, tol: Double = 0.0): (Seq[Seq[Double]], Seq[Long], Int) = {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // the loop is EAGER (one collect per round), so the projected
-    // vector column can be cached for its duration and released before
-    // returning — round 2+ reads columnar memory instead of re-decoding
-    // the source scan; no persist escapes this function
-    val vecs = emb.select(col(vecCol)).persist()
-    try {
-      kmeansLoop(vecs, vecCol, init, dims, maxIter, tol, r4)
-    } finally vecs.unpersist(blocking = false)
+    // measured: caching the projected vectors for the eager loop moved
+    // nothing (the cost is the assignment expression, not the re-scan),
+    // and a transient persist would race any concurrent cache-hygiene
+    // assertion — so the loop re-reads the source per round on purpose
+    kmeansLoop(emb.select(col(vecCol)), vecCol, init, dims, maxIter, tol, r4)
   }
 
   private def kmeansLoop(vecs: DataFrame, vecCol: String, init: Seq[Seq[Double]],
