@@ -651,6 +651,24 @@ object Oracles {
        |FROM sel WHERE pos >= least($WinW, cnt) - 1""".stripMargin
   }
 
+  /** Sequence-packing twin of the `text_pack` query: DuckDB's default
+    * cumulative window over the unique doc order is the same inclusive
+    * global cumsum the two-phase Spark operator computes.
+    */
+  def textPack: String = {
+    val c = PackChunkTokens
+    s"""WITH $toksCte,
+       |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks),
+       |cte AS (SELECT doc_id, n,
+       |  CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
+       |e AS (SELECT doc_id, cum - n AS st, cum,
+       |  unnest(range((cum - n) // $c, (cum - 1) // $c + 1)) AS chunk_id
+       |  FROM cte WHERE n > 0)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(least(cum, (chunk_id + 1) * $c) - greatest(st, chunk_id * $c) AS BIGINT) AS n_tokens
+       |FROM e""".stripMargin
+  }
+
   /** Incremental dedup: candidates touching the "new" split (doc_id%5=0)
     * against the rest — signatures are per-doc, so filtering the full
     * bands CTE is exactly what per-split computation yields.

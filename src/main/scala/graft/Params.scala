@@ -106,6 +106,10 @@ object Params {
   val QuantWidthCents = 2500000L
   val QuantPs: Seq[Int] = Seq(50, 90, 99)
 
+  // sequence packing: concatenate docs in doc_id order, cut fixed
+  // windows of this many tokens (docs straddle boundaries)
+  val PackChunkTokens = 128L
+
   // winnowing fingerprints: k-token grams, window of w gram hashes —
   // any shared run of >= w+k-1 tokens shares a fingerprint
   val WinK = 3

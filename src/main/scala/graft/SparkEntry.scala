@@ -857,6 +857,25 @@ object SparkEntry {
       // winnowing (MOSS) fingerprint selection: positional substring-run
       // detection at ~2/(w+1) the gram density
       TextOps.winnow(t(s, dir, "documents"), "doc_id", "text", WinK, WinW, WinSalt)),
+    "text_pack" -> ((s, dir) => {
+      // pretraining sequence packing: concatenate docs in doc_id order,
+      // cut fixed windows of PackChunkTokens — each doc maps to the
+      // chunk range its global token interval [cum−n, cum) straddles.
+      // The global cumsum is the two-phase GlobalRank shape (range
+      // partition + offsets), NEVER a single-partition window.
+      val c = PackChunkTokens
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n"))
+      operators.GlobalRank.globalCumsum(toks, Seq(col("doc_id")), col("n"), "cum")
+        .where(col("n") > 0)
+        .select(col("doc_id"), (col("cum") - col("n")).as("st"), col("cum"))
+        .select(col("doc_id"), col("st"), col("cum"),
+          explode(sequence(expr(s"st div ${c}L"), expr(s"(cum - 1) div ${c}L")))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (least(col("cum"), (col("chunk_id") + 1) * c)
+            - greatest(col("st"), col("chunk_id") * c)).as("n_tokens"))
+    }),
 
     // ---- §2.6 events ----
     "events_window_agg" -> ((s, dir) =>
@@ -977,6 +996,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_winnow" -> Oracles.textWinnow,
+    "text_pack" -> Oracles.textPack,
     "events_window_agg" -> Oracles.eventsWindowAgg,
     "events_sliding_window" -> Oracles.eventsSlidingWindow,
     "events_sessionize" -> Oracles.eventsSessionize,

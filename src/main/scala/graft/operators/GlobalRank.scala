@@ -59,4 +59,37 @@ object GlobalRank {
       out.localCheckpoint(true)
     } finally cached.unpersist()
   }
+
+  /** Global INCLUSIVE running sum of `value` over a total order — the
+    * same two-pass shape as [[globalRank]] (range partition → tiny
+    * per-partition sums to the driver → offset + per-partition window),
+    * so no single-partition window anywhere. `value` must be non-null
+    * int64; `order` must be total (unique tie-break included).
+    * Same storage contract as [[globalRank]].
+    */
+  def globalCumsum(df: DataFrame, order: Seq[Column], value: Column,
+                   cumCol: String = "gcum", numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty)
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
+       else df.repartitionByRange(order: _*))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value.cast("long"))
+    val cached = parted.persist()
+    try {
+      val sums = cached.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = sums.keys.toSeq.sorted
+      val offsets = pids.zip(pids.scanLeft(0L)((a, p) => a + sums(p)).dropRight(1)).toMap
+      val offsetExpr = pids.foldRight(lit(0L): Column) { (p, rest) =>
+        when(col("__pid") === p, lit(offsets(p))).otherwise(rest)
+      }
+      val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = cached
+        .withColumn(cumCol, (offsetExpr + sum(col("__v")).over(w)).cast("long"))
+        .drop("__pid", "__v")
+      out.localCheckpoint(true)
+    } finally cached.unpersist()
+  }
 }

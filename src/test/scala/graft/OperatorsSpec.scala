@@ -746,6 +746,30 @@ class OperatorsSpec extends SparkSpec {
     assert(back.where(col("p").isNull).count() === 250L)
   }
 
+  test("sequence packing: every chunk full except the last, per-doc tokens conserved") {
+    val out = SparkEntry.queries("text_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val perChunk = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lastChunk = perChunk.keys.max
+    val c = graft.Params.PackChunkTokens
+    perChunk.foreach { case (ch, n) =>
+      if (ch != lastChunk) assert(n === c, s"chunk $ch holds $n of $c tokens")
+      else assert(n > 0 && n <= c)
+    }
+    // conservation: a doc's chunk slices sum to its token count
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTok = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (d, slices) =>
+      assert(slices.map(_._3).sum === nTok(d), s"doc $d token slices must sum to its count")
+    }
+    // contiguity: chunk ids form an unbroken range from 0
+    assert(perChunk.keys.min === 0L)
+    assert(perChunk.size.toLong === lastChunk + 1)
+  }
+
   test("winnowing guarantees a shared fingerprint for any shared run of w+k-1 tokens") {
     import graft.operators.TextOps
     val k = graft.Params.WinK; val w = graft.Params.WinW
