@@ -14,45 +14,60 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** One-pass column profile: for each (name, projection) pair emit
+  /** Column profile: for each (name, projection) pair emit
     * `(col_name, n_rows, n_vals, n_distinct, min_val, max_val)`.
-    *
-    * One scan computes every column's stats as a single wide aggregate
-    * row (all partial/map-side except the exact distincts), then a
-    * `stack` melts it to one row per column — no per-column scans and no
-    * driver loop. min/max are cast to string AFTER aggregating so the
-    * ordering is the column's own type ordering, not string ordering.
+    * min/max are cast to string AFTER aggregating so the ordering is the
+    * column's own type ordering, not string ordering.
     *
     * Projections must be engine-portable types (long / string — e.g.
     * doubles normalized to integer cents first): profile output is meant
     * to be diffable across engines and runs.
     *
-    * `exactDistinct=true` is oracle-checkable but plans an Expand
-    * (one duplicated stream per distinct aggregate); at the 100 TB scale
-    * pass `false` to use `approx_count_distinct` (HLL, single stream,
-    * ±2%) — same schema, sketch accuracy.
+    * `exactDistinct=true` unions one per-column two-level aggregate per
+    * projection: groupBy(value) collapses each column to its distinct
+    * values map-side (a sketch-sized shuffle), and every scan is pruned
+    * to its single column. The former one-pass form with N exact
+    * `count_distinct`s planned an Expand — the input stream duplicated
+    * 2N+1 times into a SortAggregate, which both duplicates scan volume
+    * at scale AND costs seconds of planning/codegen (measured 3.5 s at
+    * sf0.1, ~all overhead). `exactDistinct=false` keeps the true
+    * single-pass single-stream form via `approx_count_distinct` (HLL,
+    * ±2%) — same schema, sketch accuracy, the 100 TB default.
     */
   def profile(df: DataFrame, cols: Seq[(String, Column)],
               exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
-      val nd = if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
-      Seq(count(c).as(s"nv_$i"), nd.as(s"nd_$i"),
-        min(c).cast("string").as(s"mn_$i"), max(c).cast("string").as(s"mx_$i"))
+    if (exactDistinct) {
+      cols.map { case (name, c) =>
+        df.groupBy(c.as("__v")).agg(count(lit(1)).as("__n"))
+          .agg(
+            coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("__v").isNotNull, col("__n"))), lit(0L)).as("n_vals"),
+            count(col("__v")).as("n_distinct"),
+            min(col("__v")).cast("string").as("min_val"),
+            max(col("__v")).cast("string").as("max_val"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_vals"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }.reduce(_.unionByName(_))
+    } else {
+      val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+        Seq(count(c).as(s"nv_$i"), approx_count_distinct(c).as(s"nd_$i"),
+          min(c).cast("string").as(s"mn_$i"), max(c).cast("string").as(s"mx_$i"))
+      }
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      // melt with typed lit()/struct() + explode (semantically `stack`):
+      // splicing caller-supplied names into an expr() string would break
+      // on a quote in a name — and be an injection surface if names ever
+      // come from data. The exploded array is one row wide.
+      val rows = cols.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("col_name"), col(s"nv_$i").as("n_vals"),
+          col(s"nd_$i").as("n_distinct"), col(s"mn_$i").as("min_val"),
+          col(s"mx_$i").as("max_val"))
+      }
+      one.select(col("n_rows"), explode(array(rows: _*)).as("r"))
+        .select(col("r.col_name"), col("n_rows"), col("r.n_vals"),
+          col("r.n_distinct"), col("r.min_val"), col("r.max_val"))
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // melt with typed lit()/struct() + explode (semantically `stack`):
-    // splicing caller-supplied names into an expr() string would break
-    // on a quote in a name — and be an injection surface if names ever
-    // come from data. The exploded array is one row wide.
-    val rows = cols.zipWithIndex.map { case ((name, _), i) =>
-      struct(lit(name).as("col_name"), col(s"nv_$i").as("n_vals"),
-        col(s"nd_$i").as("n_distinct"), col(s"mn_$i").as("min_val"),
-        col(s"mx_$i").as("max_val"))
-    }
-    one.select(col("n_rows"), explode(array(rows: _*)).as("r"))
-      .select(col("r.col_name"), col("n_rows"), col("r.n_vals"),
-        col("r.n_distinct"), col("r.min_val"), col("r.max_val"))
   }
 
   /** Annotate each row with `violations`: the (input-ordered) array of
