@@ -1285,6 +1285,30 @@ object Oracles {
        |SELECT node, pr FROM pr$PrIters""".stripMargin
   }
 
+  /** Degree-oriented triangle twin of
+    * [[graft.operators.Triangles.perNodeCounts]] over the same
+    * parts-bought-together graph — identical orientation rule, so the
+    * wedge/closure replay is exact.
+    */
+  def qTriangles: String =
+    """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+      |      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |        (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+      |ed AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+      |              THEN e.u ELSE e.v END AS s,
+      |              CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+      |              THEN e.v ELSE e.u END AS t
+      |       FROM e JOIN deg d1 ON e.u = d1.n JOIN deg d2 ON e.v = d2.n),
+      |tri AS (SELECT e1.s AS a, e1.t AS x, e2.t AS y
+      |        FROM ed e1 JOIN ed e2 ON e1.s = e2.s AND e1.t < e2.t
+      |        JOIN e ON e.u = e1.t AND e.v = e2.t)
+      |SELECT node, count(*) AS n_tri FROM
+      |  (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri
+      |   UNION ALL SELECT y FROM tri)
+      |GROUP BY 1""".stripMargin
+
   /** Brute-force all-pairs token-set Jaccard — the independent oracle for
     * the prefix-filter join (which must find EXACTLY these pairs). The
     * length filter in the join condition only prunes work; the WHERE

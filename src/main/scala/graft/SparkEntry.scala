@@ -771,6 +771,16 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderkey"),
         operators.Layout.zValue(col("o_custkey") % 65536, col("o_orderkey") % 65536)
           .as("zval"))),
+    "q_triangles" -> ((s, dir) => {
+      // per-part triangle counts over the "parts bought together" graph;
+      // degree orientation bounds the wedge fan-out (operators.Triangles)
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      operators.Triangles.perNodeCounts(edges)
+    }),
     "q_pagerank" -> ((s, dir) => {
       // fixed-point integer PageRank over the supplier↔customer graph
       // (both arc directions of each trading pair); bit-identical on any
@@ -1016,6 +1026,7 @@ object SparkEntry {
     // the merge's oracle IS the full rebuild — incremental must equal it
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,
+    "q_triangles" -> Oracles.qTriangles,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,

@@ -746,6 +746,20 @@ class OperatorsSpec extends SparkSpec {
     assert(back.where(col("p").isNull).count() === 250L)
   }
 
+  test("triangle counts: K4, stars, duplicates and directions handled exactly") {
+    import graft.operators.Triangles
+    // K4 on {1..4}: every node is in C(3,2)=3 triangles. The star 10-*
+    // adds no triangle. Edges arrive with duplicates, both directions,
+    // and a self-loop — all must be ignored.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b) // both dirs + dups
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (5L, 5L))
+    val edges = (k4 ++ star).toDF("src", "dst")
+    val out = Triangles.perNodeCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "each K4 node sits in 3 triangles; star/self-loop nodes in none")
+  }
+
   test("sequence packing: every chunk full except the last, per-doc tokens conserved") {
     val out = SparkEntry.queries("text_pack")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
