@@ -669,6 +669,70 @@ object Oracles {
        |FROM e""".stripMargin
   }
 
+  /** BPE training replay: chained per-round CTEs — pair counts, the
+    * deterministic best pair (count desc, lexicographic), greedy
+    * left-to-right merge via run-parity (islands of consecutive match
+    * positions keep even offsets) — in lockstep with
+    * [[operators.TextOps.bpeTrain]].
+    *
+    * Every chain CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    * and round t references round t−1 two to three times — inlined,
+    * the 6-round chain re-evaluates the whole prefix ~2⁶ times
+    * (measured: minutes; materialized: ~1 s).
+    */
+  private def bpeCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT word, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s${t - 1}),
+         |best$t AS MATERIALIZED (SELECT sym AS l, nxt AS r, sum(freq) AS c FROM p$t
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT word, pos FROM (
+         |  SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS rs FROM (
+         |    SELECT m.word, m.pos,
+         |      m.pos - row_number() OVER (PARTITION BY m.word ORDER BY m.pos) AS grp
+         |    FROM (SELECT p.word, p.pos FROM p$t p
+         |          JOIN best$t b ON p.sym = b.l AND p.nxt = b.r) m))
+         |  WHERE (pos - rs) % 2 = 0),
+         |s$t AS MATERIALIZED (SELECT word, freq,
+         |  CAST(row_number() OVER (PARTITION BY word ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+         |  SELECT p.word, p.freq, p.pos AS opos,
+         |    CASE WHEN a.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+         |  FROM p$t p
+         |  LEFT JOIN sel$t a ON a.word = p.word AND a.pos = p.pos
+         |  LEFT JOIN sel$t b ON b.word = p.word AND b.pos = p.pos - 1
+         |  WHERE b.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""$toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+       |w0 AS MATERIALIZED (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+       |    substring(word, CAST(i AS INT), 1) AS sym
+       |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM w0)
+       |  UNION ALL
+       |  SELECT word, freq, CAST(length(word) + 1 AS BIGINT), '</w>' FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  def textBpeTrain: String = {
+    val u = (1 to BpeMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, l AS merge_left, r AS merge_right, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM best$t").mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(BpeMerges)}\n$u"
+  }
+
+  def textBpeVocab: String =
+    s"""WITH ${bpeCtes(BpeMerges)}
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM s$BpeMerges GROUP BY sym""".stripMargin
+
+  def textBpeEncode: String =
+    s"""WITH ${bpeCtes(BpeMerges)},
+       |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+       |  FROM s$BpeMerges GROUP BY word)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe
+       |FROM tok JOIN pw ON pw.word = tok.t GROUP BY doc_id""".stripMargin
+
   /** Incremental dedup: candidates touching the "new" split (doc_id%5=0)
     * against the rest — signatures are per-doc, so filtering the full
     * bands CTE is exactly what per-split computation yields.
@@ -811,6 +875,25 @@ object Oracles {
        |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id ROWS UNBOUNDED PRECEDING) AS asof_ms
        |  FROM events)
        |WHERE event_type = '$AsofTarget'""".stripMargin
+
+  def eventsTransitions: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+       |x AS (SELECT event_type AS ft,
+       |  lead(event_type) OVER w AS tt,
+       |  lead(ts_ms) OVER w - ts_ms AS gap
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+       |SELECT ft AS from_type, tt AS to_type, count(*) AS n
+       |FROM x WHERE tt IS NOT NULL AND gap <= $SessionGapMs GROUP BY 1, 2""".stripMargin
+
+  def qKanon: String =
+    s"""WITH g AS (SELECT CAST(c_mktsegment AS VARCHAR) AS segment,
+       |  CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS n
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c.c_custkey,
+       |  CASE WHEN g.n < $KanonK THEN '*' ELSE CAST(c.c_mktsegment AS VARCHAR) END AS segment,
+       |  CASE WHEN g.n < $KanonK THEN '*' ELSE CAST(c.c_nationkey AS VARCHAR) END AS nation
+       |FROM customer c JOIN g ON g.segment = CAST(c.c_mktsegment AS VARCHAR)
+       |  AND g.nation = CAST(c.c_nationkey AS VARCHAR)""".stripMargin
 
   def eventsExtract: String =
     """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events"""

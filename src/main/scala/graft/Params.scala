@@ -110,6 +110,12 @@ object Params {
   // windows of this many tokens (docs straddle boundaries)
   val PackChunkTokens = 128L
 
+  // BPE tokenizer training: number of merge rounds
+  val BpeMerges = 6
+
+  // k-anonymity: minimum quasi-identifier group size for release
+  val KanonK = 10L
+
   // winnowing fingerprints: k-token grams, window of w gram hashes —
   // any shared run of >= w+k-1 tokens shares a fingerprint
   val WinK = 3

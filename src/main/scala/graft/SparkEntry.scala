@@ -744,6 +744,13 @@ object SparkEntry {
       // contract gate audit: per-rule violation counts in one pass,
       // zero-violation rules included (a clean run still gets its row)
       Quality.audit(t(s, dir, "orders"), qcRules)),
+    "q_kanon" -> ((s, dir) =>
+      // k-anonymity suppression: QI combinations smaller than KanonK are
+      // generalized to '*' before release — census broadcasts back, the
+      // rows themselves never shuffle
+      Quality.kSuppress(t(s, dir, "customer"), Seq(
+          "segment" -> col("c_mktsegment"), "nation" -> col("c_nationkey")), KanonK)
+        .select(col("c_custkey"), col("segment"), col("nation"))),
     "q_countmin" -> ((s, dir) => {
       // count-min sketch vs truth: estimates for every token whose true
       // count clears CmMinCount — n_est >= n_true always (overcount-only
@@ -867,6 +874,20 @@ object SparkEntry {
       // winnowing (MOSS) fingerprint selection: positional substring-run
       // detection at ~2/(w+1) the gram density
       TextOps.winnow(t(s, dir, "documents"), "doc_id", "text", WinK, WinW, WinSalt)),
+    "text_bpe_train" -> ((s, dir) =>
+      // BPE tokenizer training: the merge table after BpeMerges rounds
+      TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)._1),
+    "text_bpe_vocab" -> ((s, dir) =>
+      // the trained vocabulary: frequency-weighted symbol histogram of
+      // the post-merge state
+      TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)._2
+        .groupBy(col("sym")).agg(sum(col("freq")).as("n"))),
+    "text_bpe_encode" -> ((s, dir) => {
+      // tokenize the corpus with the trained BPE: per-doc encoded length
+      val docs = t(s, dir, "documents")
+      TextOps.bpeEncodedLength(docs, "doc_id", "text",
+        TextOps.bpeTrain(docs, "text", BpeMerges)._2)
+    }),
     "text_pack" -> ((s, dir) => {
       // pretraining sequence packing: concatenate docs in doc_id order,
       // cut fixed windows of PackChunkTokens — each doc maps to the
@@ -911,6 +932,11 @@ object SparkEntry {
     "events_asof" -> ((s, dir) =>
       EventOps.asofPriorEvent(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch)),
+    "events_transitions" -> ((s, dir) =>
+      // within-session Markov transition counts — one user-keyed window
+      // pass, no session ids materialized
+      EventOps.transitionMatrix(t(s, dir, "events"), "user_id", "ts", "event_type",
+        SessionGapMs)),
     "events_funnel" -> ((s, dir) =>
       // compare step times in epoch-ms (the events table's portable
       // granularity — raw ns/us timestamps truncate differently per engine)
@@ -1007,6 +1033,9 @@ object SparkEntry {
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_winnow" -> Oracles.textWinnow,
     "text_pack" -> Oracles.textPack,
+    "text_bpe_train" -> Oracles.textBpeTrain,
+    "text_bpe_vocab" -> Oracles.textBpeVocab,
+    "text_bpe_encode" -> Oracles.textBpeEncode,
     "events_window_agg" -> Oracles.eventsWindowAgg,
     "events_sliding_window" -> Oracles.eventsSlidingWindow,
     "events_sessionize" -> Oracles.eventsSessionize,
@@ -1015,7 +1044,9 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
+    "events_transitions" -> Oracles.eventsTransitions,
     "events_funnel" -> Oracles.eventsFunnel,
+    "q_kanon" -> Oracles.qKanon,
     "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
     "src_merge_schema" -> Oracles.srcMergeSchema,
     "q_full_outer" -> Oracles.qFullOuter,

@@ -108,6 +108,26 @@ object EventOps {
         (col("ts_ms") - col("asof_ms")).as("gap_ms"))
   }
 
+  /** Markov transition matrix over within-session event sequences:
+    * counts of (from_type → to_type) for consecutive event pairs whose
+    * gap is ≤ `gapMs` — the clickstream summary behind next-action
+    * models and anomaly baselines. "Consecutive within a session" is
+    * exactly "adjacent in the per-user order with gap ≤ threshold", so
+    * no session ids are materialized at all: ONE user-keyed window pass
+    * (lead of type and timestamp), then a types²-bounded aggregate.
+    * Ties on the timestamp break by event_id, like [[sessionize]].
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_ms"), col("event_id"))
+    events.withColumn("ts_ms", unix_millis(col(tsCol)))
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .withColumn("__gap", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+      .where(col("__to").isNotNull && col("__gap") <= gapMs)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Regex field extraction from a semi-structured payload column —
     * codegen'd regexp, no JSON parser dependency, pushable ahead of any
     * shuffle.

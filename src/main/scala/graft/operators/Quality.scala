@@ -137,6 +137,46 @@ object Quality {
         col("med"), col("mad"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns: one row per QI
+    * combination with its population and whether it meets the k floor —
+    * the standard re-identification risk census a privacy gate runs
+    * before a dataset (or its aggregates) leaves the pipeline. One
+    * map-side-combined aggregate on the QI key; output is bounded by
+    * the QI-combination cardinality, never the row count.
+    */
+  def kAnonymity(df: DataFrame, qis: Seq[(String, Column)], k: Long): DataFrame = {
+    require(qis.nonEmpty && k > 0, "need at least one QI column and k > 0")
+    val keyed = qis.map { case (name, c) => c.cast("string").as(name) }
+    df.select(keyed: _*)
+      .groupBy(qis.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
+  /** k-anonymity enforcement by suppression: rows whose QI combination
+    * has fewer than `k` members get every QI value replaced by `*` (the
+    * generalize-to-top suppression cell), so no released row's QI tuple
+    * identifies a group smaller than k. Non-QI columns pass through.
+    * Cost: the same QI-keyed census as [[kAnonymity]] (group count ≤ k
+    * per small group by construction) broadcast back onto the rows —
+    * the data itself shuffles zero times.
+    */
+  def kSuppress(df: DataFrame, qis: Seq[(String, Column)], k: Long): DataFrame = {
+    require(qis.forall(q => !df.columns.contains(q._1)),
+      "suppressed QI output names must not collide with input columns")
+    val small = kAnonymity(df, qis, k).where(!col("anonymous"))
+      .select(qis.map(q => col(q._1).as(s"__q_${q._1}")): _*)
+      .withColumn("__small", lit(1))
+    val cond = qis.map { case (name, c) =>
+      c.cast("string") <=> col(s"__q_$name")
+    }.reduce(_ && _)
+    val out = qis.map { case (name, c) =>
+      when(col("__small").isNotNull, lit("*")).otherwise(c.cast("string")).as(name)
+    }
+    df.join(broadcast(small), cond, "left")
+      .select(df.columns.map(col).toSeq ++ out: _*)
+  }
+
   /** Per-rule violation census in ONE pass: `(rule, n_viol)`, including
     * rules with zero violations (an explode-and-count would silently
     * drop those — and a clean run is exactly when the audit matters).

@@ -168,6 +168,103 @@ object TextOps {
         T.tokenCount(col("chunk_text")).as("n_tokens"))
   }
 
+  /** Distributed BPE-merge training (the Sennrich et al. 2016 tokenizer
+    * algorithm): start from characters plus an end-of-word marker over
+    * the corpus WORD-FREQUENCY table, then `iters` times (a) count
+    * adjacent symbol pairs weighted by word frequency, (b) take the
+    * globally most frequent pair (count desc, then lexicographic — fully
+    * deterministic), (c) merge its non-overlapping occurrences
+    * left-to-right in every word. Returns the merge table
+    * `(step, merge_left, merge_right, pair_count)` — the trained
+    * tokenizer artifact — and the final per-word symbol state
+    * `(word, freq, pos, sym)` (whose frequency-weighted symbol histogram
+    * is the trained vocabulary).
+    *
+    * Scale design: the looped state is the vocabulary exploded to
+    * symbols — O(distinct words × word length), millions of rows at
+    * 100 TB, never the corpus (touched exactly once, for the word
+    * count). Per round: one word-keyed window pass forms pairs, one
+    * pair-keyed partial aggregate counts them, the best pair is a
+    * TakeOrdered(1) broadcast back into the plan (never a driver
+    * round-trip), and the greedy merge is two more word-keyed window
+    * passes. Left-to-right non-overlap is exact without any sequential
+    * scan: runs of consecutive match positions (only possible when
+    * merge_left == merge_right) keep even offsets from the run start.
+    * State and the (twice-consumed) best pair and match set are lazily
+    * localCheckpoint-ed so lineage stays O(1) per round and nothing
+    * recomputes.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "need at least one merge round")
+    val wByWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val words = docs.select(explode(T.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // chars + '</w>': split("") keeps zero-width edge matches as empty
+    // strings in some regex corners — filter defensively, like tokens()
+    var state = words
+      .select(col("word"), col("freq"),
+        posexplode(concat(
+          filter(split(col("word"), ""), c => c =!= lit("")),
+          array(lit("</w>")))).as(Seq("pos", "sym")))
+      .select(col("word"), col("freq"), (col("pos") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(false)
+    val bests = (1 to iters).map { step =>
+      val p = state.withColumn("nxt", lead(col("sym"), 1).over(wByWord))
+      val best = p.where(col("nxt").isNotNull)
+        .groupBy(col("sym").as("merge_left"), col("nxt").as("merge_right"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("merge_left").asc, col("merge_right").asc)
+        .limit(1)
+        .localCheckpoint(false) // two consumers: merge join + output row
+      val m = p.join(broadcast(best),
+          col("sym") === col("merge_left") && col("nxt") === col("merge_right"))
+        .select(col("word"), col("pos"))
+      // greedy left-to-right non-overlap: islands of consecutive match
+      // positions (grp = pos − rank), keep even offsets from each start
+      val sel = m
+        .withColumn("grp", col("pos") - row_number().over(wByWord))
+        .withColumn("rs", min(col("pos")).over(Window.partitionBy(col("word"), col("grp"))))
+        .where(pmod(col("pos") - col("rs"), lit(2L)) === 0)
+        .select(col("word"), col("pos"), lit(1).as("__sel"))
+        .localCheckpoint(false) // two consumers: selected row + absorbed next row
+      val merged = p
+        .join(sel, Seq("word", "pos"), "left")
+        .join(sel.select(col("word"), (col("pos") + 1).as("pos"), col("__sel").as("__prev")),
+          Seq("word", "pos"), "left")
+        .where(col("__prev").isNull)
+        .select(col("word"), col("freq"), col("pos").as("__opos"),
+          when(col("__sel").isNotNull, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+      state = merged
+        .select(col("word"), col("freq"),
+          row_number().over(Window.partitionBy(col("word")).orderBy(col("__opos")))
+            .cast("long").as("pos"),
+          col("sym"))
+        .localCheckpoint(false)
+      best.select(lit(step.toLong).as("step"), col("merge_left"), col("merge_right"),
+        col("pair_count"))
+    }
+    (bests.reduce(_.unionByName(_)), state)
+  }
+
+  /** Apply a trained BPE segmentation to the corpus: per document, the
+    * encoded sequence length (BPE token count) and the whitespace token
+    * count it compressed from. The per-word symbol counts come from
+    * [[bpeTrain]]'s final state — vocabulary-sized, so they BROADCAST
+    * back onto the corpus explode; the corpus shuffles once, for the
+    * per-doc aggregate. This is the "tokenize the corpus" cost model
+    * every pretraining budget estimate runs.
+    */
+  def bpeEncodedLength(docs: DataFrame, idCol: String, textCol: String,
+                       finalState: DataFrame): DataFrame = {
+    val perWord = finalState.groupBy(col("word"))
+      .agg(count(lit(1)).as("__n_syms"))
+    docs.select(col(idCol), explode(T.tokens(col(textCol))).as("word"))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n_syms")).as("n_bpe"))
+  }
+
   /** Winnowing fingerprints (the MOSS algorithm): hash every k-token
     * gram, slide a window of `w` consecutive gram hashes, and keep each
     * window's minimum (rightmost on hash ties — the paper's rule). The

@@ -885,4 +885,92 @@ class OperatorsSpec extends SparkSpec {
         Seq("src0" -> 100000L, "src1" -> 900000L), 50L, "t")
         .collect().map(_.getAs[Long]("doc_id")).sorted)
   }
+
+  test("bpeTrain reproduces a plain-Scala greedy BPE on the Sennrich corpus") {
+    import graft.operators.TextOps
+    // the classic corpus from the BPE paper: low×5 lower×2 newest×6 widest×3
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val docs = words.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val iters = 5
+    val (mergesDf, stateDf) = TextOps.bpeTrain(docs, "text", iters)
+    val got = mergesDf.orderBy("step").collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right"),
+        r.getAs[Long]("pair_count"))).toSeq
+    // independent reference: plain-Scala greedy BPE over (symbols, freq)
+    var state = words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f.toLong) }
+    val exp = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (_ <- 1 to iters) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      state.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach(ab => counts(ab) += f)
+      }
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      exp += ((a, b, c))
+      state = state.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+    }
+    assert(got === exp.toSeq)
+    // final-state frequency-weighted vocabulary matches the reference
+    val gotVocab = stateDf.groupBy(col("sym")).agg(sum(col("freq")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expVocab = state.flatMap { case (syms, f) => syms.map(_ -> f) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(gotVocab === expVocab)
+    // encode: each doc is f copies of one word → n_bpe = f × |final syms|
+    val expLens = words.map(_._1).zip(state.map(_._1.size)).toMap
+    val enc = TextOps.bpeEncodedLength(docs, "doc_id", "text", stateDf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    words.zipWithIndex.foreach { case ((w, f), i) =>
+      assert(enc(i.toLong) === ((f.toLong, f.toLong * expLens(w))))
+    }
+  }
+
+  test("bpeTrain merges runs of an identical pair left-to-right") {
+    import graft.operators.TextOps
+    // 'aaaa' + marker: (a,a) counts 3 with overlap, but only positions
+    // 1 and 3 merge (run parity); the round-2 best breaks the count tie
+    // lexicographically: (aa,</w>) before (aa,aa)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val (merges, state) = TextOps.bpeTrain(docs, "text", 2)
+    val m = merges.orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m === Seq((1L, "a", "a", 3L), (2L, "aa", "</w>", 1L)))
+    val syms = state.orderBy("pos").collect().map(_.getAs[String]("sym")).toSeq
+    assert(syms === Seq("aa", "aa</w>"))
+  }
+
+  test("transitionMatrix counts consecutive within-gap pairs only") {
+    val ev = Seq(
+      (1L, 1L, 100L, "a"),
+      (2L, 1L, 200L, "b"),
+      (3L, 1L, 50000L, "c"), // > gap after b → session break, no b→c
+      (4L, 2L, 0L, "a"),
+      (5L, 2L, 500L, "b")
+    ).toDF("event_id", "user_id", "ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = EventOps.transitionMatrix(ev, "user_id", "ts", "event_type", 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(("a", "b", 2L)))
+  }
+
+  test("kAnonymity census and kSuppress star small QI groups") {
+    val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
+      .toDF("id", "seg", "par")
+    val audit = Quality.kAnonymity(df, Seq("s" -> col("seg")), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(audit === Set(("A", 9L, false), ("B", 3L, false)))
+    // k=5: the A group (9 members) releases, B (3) suppresses to '*'
+    val sup = Quality.kSuppress(df, Seq("s" -> col("seg")), 5L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSet
+    assert(sup === ((1 to 9).map(i => (i.toLong, "A"))
+      ++ (10 to 12).map(i => (i.toLong, "*"))).toSet)
+  }
 }
