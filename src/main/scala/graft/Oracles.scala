@@ -1106,6 +1106,40 @@ object Oracles {
        |WHERE CAST($h AS BIGINT) * 1000000 < rate_ppm * 4294967296""".stripMargin
   }
 
+  def etlCdcApply: String =
+    """SELECT o_orderkey,
+      |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
+      |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
+
+  /** Label-propagation replay: per round, the in-neighbor majority vote
+    * (count desc, label asc) with isolated nodes carrying their previous
+    * label. MATERIALIZED like the BPE chain — l{t} is referenced twice
+    * per round, so inlining is exponential in rounds.
+    */
+  def qLabelProp: String = {
+    val iters = (1 to LpIters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |w$k AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |  FROM c$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (SELECT l.node, COALESCE(w.label, l.label) AS label
+         |  FROM l${k - 1} l LEFT JOIN w$k w ON w.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT sk AS src, ck + $PrCustOffset AS dst FROM pairs
+       |          UNION ALL SELECT ck + $PrCustOffset, sk FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$iters
+       |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       |FROM l$LpIters""".stripMargin
+  }
+
   def etlUpsert: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

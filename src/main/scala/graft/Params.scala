@@ -78,6 +78,9 @@ object Params {
   val PrIters = 3
   val PrCustOffset = 10000000000L
 
+  // label propagation: fixed synchronous rounds over the same graph
+  val LpIters = 3
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

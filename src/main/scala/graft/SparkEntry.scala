@@ -323,6 +323,19 @@ object SparkEntry {
       Staging.upsert(orders, updates, Seq("o_orderkey"))
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
+    "etl_cdc_apply" -> ((s, dir) => {
+      // CDC log fold: updates for keys %7=0 (seq 1), deletes for keys
+      // %11=0 (seq 2) — keys hit by both get the delete as the LATER
+      // entry, exercising latest-op-wins
+      val orders = t(s, dir, "orders")
+      val ups = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val dels = orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      Staging.cdcApply(orders, ups.unionByName(dels), Seq("o_orderkey"), "op", Seq("seq"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
     "etl_scd2" -> ((s, dir) => {
       // history dimension from a change log: each order is a change event
       // for its customer, tracked attribute = order priority; output one
@@ -800,6 +813,18 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_label_prop" -> ((s, dir) => {
+      // community detection by majority vote on the same trading graph —
+      // LP keeps densely-connected groups apart where CC would merge
+      // anything bridged by a single edge
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("ck") + lit(PrCustOffset)).as("dst"))
+        .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
+      operators.LabelProp.labelPropagation(edges, LpIters)
+    }),
 
     // ---- §2.8 deterministic sampling ----
     "sample_bernoulli" -> ((s, dir) =>
@@ -1013,6 +1038,8 @@ object SparkEntry {
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,
     "etl_upsert" -> Oracles.etlUpsert,
+    "etl_cdc_apply" -> Oracles.etlCdcApply,
+    "q_label_prop" -> Oracles.qLabelProp,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     // the merge's oracle IS the full rebuild — incremental must equal it

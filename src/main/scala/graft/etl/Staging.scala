@@ -62,6 +62,33 @@ object Staging {
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** CDC apply: fold a change-data-capture log into a snapshot. Per key
+    * the LATEST log entry wins — `seqCols` must totally order entries
+    * within a key (a log sequence number, or commit-ts + a unique
+    * tie-break). A latest entry with op `D` deletes the key; any other
+    * op replaces (or inserts) the row. Untouched keys pass through.
+    * `log`'s schema must contain `base`'s columns plus `opCol` and the
+    * sequence columns; this is [[upsert]] generalized to logs with
+    * deletes and multiple entries per key.
+    *
+    * Cost: one key-window pass over the LOG (daily-increment sized,
+    * never the snapshot) + the same anti-join shape as [[upsert]] for
+    * the snapshot — which never sorts, and with a broadcastable log key
+    * set never shuffles at all.
+    */
+  def cdcApply(base: DataFrame, log: DataFrame, keys: Seq[String],
+               opCol: String, seqCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(seqCols.map(col(_).desc): _*)
+    val latest = log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val upserts = latest.where(col(opCol) =!= lit("D"))
+      .select(base.columns.map(col).toSeq: _*)
+    base.join(log.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** SCD-2 history build from a change log: one row per VERSION with
     * `effective_from` / `effective_to` (half-open; `effective_to` NULL =
     * still current, flagged `is_current`) — the standard DW history

@@ -961,6 +961,44 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set(("a", "b", 2L)))
   }
 
+  test("cdcApply: latest op wins, deletes drop, inserts land, untouched pass") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val log = Seq(
+      (2L, "b2", "U", 1L), (2L, "b3", "U", 2L), // two updates: seq 2 wins
+      (3L, "x", "U", 1L), (3L, "x", "D", 2L),   // update then delete: gone
+      (4L, "d", "I", 1L),                       // insert of a new key
+      (5L, "e", "D", 1L), (5L, "e2", "I", 2L)   // delete then re-insert: lands
+    ).toDF("k", "v", "op", "seq")
+    val out = Staging.cdcApply(base, log, Seq("k"), "op", Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (2L, "b3"), (4L, "d"), (5L, "e2")))
+  }
+
+  test("labelPropagation matches a plain-Scala synchronous majority vote") {
+    import graft.operators.LabelProp
+    // two triangles bridged by one edge — LP must keep them apart
+    // (connected components would merge everything)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val dir = und ++ und.map(_.swap)
+    val out = LabelProp.labelPropagation(dir.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: synchronous rounds, (count desc, label asc) tie-break
+    var lab = (1L to 6L).map(n => n -> n).toMap
+    val inN = dir.groupMap(_._2)(_._1)
+    for (_ <- 1 to 3) {
+      val prev = lab
+      lab = lab.map { case (n, l) =>
+        val counts = inN.getOrElse(n, Nil).map(prev).groupMapReduce(identity)(_ => 1L)(_ + _)
+        if (counts.isEmpty) n -> l
+        else n -> counts.toSeq.minBy { case (lbl, c) => (-c, lbl) }._1
+      }
+    }
+    assert(out === lab)
+    assert(out(1L) === out(2L) && out(2L) === out(3L), "left triangle is one community")
+    assert(out(4L) === out(5L) && out(5L) === out(6L), "right triangle is one community")
+    assert(out(1L) !== out(4L), "the bridge edge must not merge the communities")
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
