@@ -906,6 +906,7 @@ object SparkEntry {
       // the trained vocabulary: frequency-weighted symbol histogram of
       // the post-merge state
       TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)._2
+        .select(col("freq"), explode(col("syms")).as("sym"))
         .groupBy(col("sym")).agg(sum(col("freq")).as("n"))),
     "text_bpe_encode" -> ((s, dir) => {
       // tokenize the corpus with the trained BPE: per-doc encoded length

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (Raghavan et al. 2007) — community
@@ -20,8 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round, same contract as [[PageRank]]: one join of
   * the label table to the edge list (both keyed on the node id), one
-  * (node, label)-keyed partial-agg count, one node-keyed window for the
-  * argmax, one left join back to carry isolated nodes. Labels are lazily
+  * (node, label)-keyed partial-agg count, a node-keyed struct-max
+  * aggregate for the argmax (lexicographic (c, −label) — no window
+  * sort), one left join back to carry isolated nodes. Labels are lazily
   * checkpointed per round so the iterated plan never nests.
   */
 object LabelProp {
@@ -38,13 +38,14 @@ object LabelProp {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
     var labels = nodes.select(col("node"), col("node").as("label"))
-    val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to iters) {
+      // argmax as ONE struct-max aggregate — lexicographic (c, −label)
+      // order gives highest count then lowest label, no window sort
       val won = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("label").as("__new"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("__new"))
       labels = labels.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint(false)

@@ -177,69 +177,60 @@ object TextOps {
     * left-to-right in every word. Returns the merge table
     * `(step, merge_left, merge_right, pair_count)` — the trained
     * tokenizer artifact — and the final per-word symbol state
-    * `(word, freq, pos, sym)` (whose frequency-weighted symbol histogram
-    * is the trained vocabulary).
+    * `(word, freq, syms)` (whose frequency-weighted symbol histogram is
+    * the trained vocabulary).
     *
-    * Scale design: the looped state is the vocabulary exploded to
-    * symbols — O(distinct words × word length), millions of rows at
-    * 100 TB, never the corpus (touched exactly once, for the word
-    * count). Per round: one word-keyed window pass forms pairs, one
-    * pair-keyed partial aggregate counts them, the best pair is a
-    * TakeOrdered(1) broadcast back into the plan (never a driver
-    * round-trip), and the greedy merge is two more word-keyed window
-    * passes. Left-to-right non-overlap is exact without any sequential
-    * scan: runs of consecutive match positions (only possible when
-    * merge_left == merge_right) keep even offsets from the run start.
-    * State and the (twice-consumed) best pair and match set are lazily
-    * localCheckpoint-ed so lineage stays O(1) per round and nothing
-    * recomputes.
+    * Scale design: the looped state is the vocabulary as (word, freq,
+    * symbol ARRAY) rows — O(distinct words), millions of rows at 100 TB,
+    * never the corpus (touched exactly once, for the word count). Per
+    * round only TWO distributed steps touch the state: a pair-keyed
+    * partial aggregate over the zip_with-formed adjacent pairs (the one
+    * shuffle), and a TakeOrdered(1) for the best pair, broadcast back
+    * into the plan (never a driver round-trip). The greedy left-to-right
+    * merge is a pure MAP-SIDE aggregate() fold per word — sequential
+    * within a row is exactly what greedy-left-to-right means, and a
+    * just-merged symbol can never re-match as merge_left (concat strictly
+    * lengthens), so the fold equals the positional run-parity rule the
+    * oracle replays. State is lazily localCheckpoint-ed per round so
+    * lineage stays O(1). (The first formulation kept the state EXPLODED
+    * to one row per symbol and did the merge with three window passes —
+    * ~6 stages/round of pure overhead; see §5.5.)
     */
   def bpeTrain(docs: DataFrame, textCol: String, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one merge round")
-    val wByWord = Window.partitionBy(col("word")).orderBy(col("pos"))
     val words = docs.select(explode(T.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     // chars + '</w>': split("") keeps zero-width edge matches as empty
     // strings in some regex corners — filter defensively, like tokens()
     var state = words
       .select(col("word"), col("freq"),
-        posexplode(concat(
-          filter(split(col("word"), ""), c => c =!= lit("")),
-          array(lit("</w>")))).as(Seq("pos", "sym")))
-      .select(col("word"), col("freq"), (col("pos") + 1).cast("long").as("pos"), col("sym"))
+        concat(filter(split(col("word"), ""), c => c =!= lit("")),
+          array(lit("</w>"))).as("syms"))
       .localCheckpoint(false)
     val bests = (1 to iters).map { step =>
-      val p = state.withColumn("nxt", lead(col("sym"), 1).over(wByWord))
-      val best = p.where(col("nxt").isNotNull)
-        .groupBy(col("sym").as("merge_left"), col("nxt").as("merge_right"))
+      val n1 = greatest(size(col("syms")) - 1, lit(0))
+      val best = state
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("merge_left"), col("pr.r").as("merge_right"))
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("merge_left").asc, col("merge_right").asc)
         .limit(1)
-        .localCheckpoint(false) // two consumers: merge join + output row
-      val m = p.join(broadcast(best),
-          col("sym") === col("merge_left") && col("nxt") === col("merge_right"))
-        .select(col("word"), col("pos"))
-      // greedy left-to-right non-overlap: islands of consecutive match
-      // positions (grp = pos − rank), keep even offsets from each start
-      val sel = m
-        .withColumn("grp", col("pos") - row_number().over(wByWord))
-        .withColumn("rs", min(col("pos")).over(Window.partitionBy(col("word"), col("grp"))))
-        .where(pmod(col("pos") - col("rs"), lit(2L)) === 0)
-        .select(col("word"), col("pos"), lit(1).as("__sel"))
-        .localCheckpoint(false) // two consumers: selected row + absorbed next row
-      val merged = p
-        .join(sel, Seq("word", "pos"), "left")
-        .join(sel.select(col("word"), (col("pos") + 1).as("pos"), col("__sel").as("__prev")),
-          Seq("word", "pos"), "left")
-        .where(col("__prev").isNull)
-        .select(col("word"), col("freq"), col("pos").as("__opos"),
-          when(col("__sel").isNotNull, concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-      state = merged
+        .localCheckpoint(false) // two consumers: merge fold + output row
+      // left join on true (not crossJoin): an EMPTY best — a fully
+      // merged vocabulary — must leave the state intact, not empty it;
+      // null merge columns make the fold condition null → no-op append
+      state = state.join(broadcast(best), lit(true), "left")
         .select(col("word"), col("freq"),
-          row_number().over(Window.partitionBy(col("word")).orderBy(col("__opos")))
-            .cast("long").as("pos"),
-          col("sym"))
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 &&
+                try_element_at(acc, lit(-1)) === col("merge_left") &&
+                s === col("merge_right"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("merge_left"), s))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
         .localCheckpoint(false)
       best.select(lit(step.toLong).as("step"), col("merge_left"), col("merge_right"),
         col("pair_count"))
@@ -257,8 +248,8 @@ object TextOps {
     */
   def bpeEncodedLength(docs: DataFrame, idCol: String, textCol: String,
                        finalState: DataFrame): DataFrame = {
-    val perWord = finalState.groupBy(col("word"))
-      .agg(count(lit(1)).as("__n_syms"))
+    val perWord = finalState
+      .select(col("word"), size(col("syms")).cast("long").as("__n_syms"))
     docs.select(col(idCol), explode(T.tokens(col(textCol))).as("word"))
       .join(broadcast(perWord), Seq("word"))
       .groupBy(col(idCol))

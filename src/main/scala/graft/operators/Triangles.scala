@@ -27,9 +27,19 @@ object Triangles {
     * undirected edge list (`src`, `dst`; self-loops dropped, direction
     * and duplicates ignored). Nodes in no triangle are absent.
     *
-    * The canonical edge set feeds three consumers (degrees, the two
-    * oriented sides, the closure probe) and the oriented set two — both
-    * are lazily checkpointed so each computes once per action.
+    * Edge-iterator form over the orientation: per oriented edge (s, t),
+    * the closures are N⁺(s) ∩ N⁺(t) — out-adjacency ARRAYS (bounded at
+    * O(√m) elements by the orientation) are attached to both endpoints
+    * and intersected map-side, so the only exploded rows are the actual
+    * triangles. The earlier wedge-join form shuffled every wedge to the
+    * closure probe — 41 M wedge rows vs 1.9 M triangles on the sf0.1
+    * co-purchase graph (21×); this form cut the query 7.9 s → measured
+    * in §5.5. Each triangle has a unique DAG order a→b→c and is found
+    * exactly once, at edge (a, b) with witness c.
+    *
+    * The canonical edge set feeds two consumers (degrees, orientation)
+    * and the oriented set three (adjacency build, both probe sides) —
+    * both lazily checkpointed so each computes once per action.
     */
   def perNodeCounts(edges: DataFrame): DataFrame = {
     val e = edges
@@ -46,13 +56,17 @@ object Triangles {
       .select(when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"))
       .localCheckpoint(false)
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.s").as("a"), col("e1.t").as("u"), col("e2.t").as("v"))
-      .join(e, Seq("u", "v")) // wedge (x<y) closes iff canonical edge (x,y) exists
-      .select(col("a"), col("u"), col("v"))
-    tri.select(explode(array(col("a"), col("u"), col("v"))).as("node"))
+    // sorted out-adjacency per node — O(√m) elements by construction,
+    // so collect_list is bounded regardless of true degrees
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("s"), col("nbrs").as("au")), "s")
+      // endpoints with no out-edges close nothing: inner join prunes them
+      .join(adj.select(col("s").as("t"), col("nbrs").as("av")), "t")
+      .select(col("s").as("a"), col("t").as("b"),
+        explode(array_intersect(col("au"), col("av"))).as("w"))
+    tri.select(explode(array(col("a"), col("b"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 }

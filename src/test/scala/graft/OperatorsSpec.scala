@@ -919,7 +919,8 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(got === exp.toSeq)
     // final-state frequency-weighted vocabulary matches the reference
-    val gotVocab = stateDf.groupBy(col("sym")).agg(sum(col("freq")).as("n"))
+    val gotVocab = stateDf.select(col("freq"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val expVocab = state.flatMap { case (syms, f) => syms.map(_ -> f) }
       .groupMapReduce(_._1)(_._2)(_ + _)
@@ -943,7 +944,7 @@ class OperatorsSpec extends SparkSpec {
     val m = merges.orderBy("step").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(m === Seq((1L, "a", "a", 3L), (2L, "aa", "</w>", 1L)))
-    val syms = state.orderBy("pos").collect().map(_.getAs[String]("sym")).toSeq
+    val syms = state.select(col("syms")).collect().head.getSeq[String](0)
     assert(syms === Seq("aa", "aa</w>"))
   }
 
