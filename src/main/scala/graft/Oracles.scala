@@ -1140,6 +1140,31 @@ object Oracles {
        |FROM l$LpIters""".stripMargin
   }
 
+  /** BFS replay: per hop, the frontier expansion minus the visited set;
+    * a node's first-discovery hop is its min distance. MATERIALIZED for
+    * the same reason as the BPE/LP chains.
+    */
+  def qBfsReach: String = {
+    val rounds = (1 to BfsHops).map { h =>
+      s"""n$h AS MATERIALIZED (SELECT node, CAST($h AS BIGINT) AS dist FROM (
+         |  SELECT DISTINCT e.dst AS node FROM f${h - 1} f JOIN edges e ON e.src = f.node) x
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v WHERE v.node = x.node)),
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h),
+         |f$h AS MATERIALIZED (SELECT node FROM n$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey + $PrCustOffset AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT sk AS src, ck AS dst FROM pairs
+       |          UNION ALL SELECT ck, sk FROM pairs),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_suppkey % $BfsSeedMod = 0),
+       |f0 AS (SELECT node FROM v0),
+       |$rounds
+       |SELECT node, dist FROM v$BfsHops""".stripMargin
+  }
+
   def etlUpsert: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

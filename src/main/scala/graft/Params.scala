@@ -81,6 +81,10 @@ object Params {
   // label propagation: fixed synchronous rounds over the same graph
   val LpIters = 3
 
+  // BFS reachability: seed suppliers (key % mod = 0), max hop depth
+  val BfsSeedMod = 100
+  val BfsHops = 3
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

@@ -825,6 +825,21 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.LabelProp.labelPropagation(edges, LpIters)
     }),
+    "q_bfs_reach" -> ((s, dir) => {
+      // recursive-CTE-shaped reachability: min hop distance from the
+      // seed suppliers over the trading graph, frontier-iterated
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), (col("o_custkey") + lit(PrCustOffset)).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_suppkey") % BfsSeedMod === 0)
+        .select(col("s_suppkey").as("node"))
+      operators.Bfs.hopDistances(edges, seeds, BfsHops)
+    }),
 
     // ---- §2.8 deterministic sampling ----
     "sample_bernoulli" -> ((s, dir) =>
@@ -1041,6 +1056,7 @@ object SparkEntry {
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_cdc_apply" -> Oracles.etlCdcApply,
     "q_label_prop" -> Oracles.qLabelProp,
+    "q_bfs_reach" -> Oracles.qBfsReach,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     // the merge's oracle IS the full rebuild — incremental must equal it

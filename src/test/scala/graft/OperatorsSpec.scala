@@ -1000,6 +1000,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) !== out(4L), "the bridge edge must not merge the communities")
   }
 
+  test("hopDistances: multi-source BFS takes the nearest seed, bounded depth") {
+    import graft.operators.Bfs
+    // 1→2→3→4 chain plus 5→3: node 3 is 2 hops from seed 1 but 1 hop
+    // from seed 5 — first discovery wins; 9 is unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 3L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val out = Bfs.hopDistances(edges, seeds, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // depth bound: maxHops 1 stops after the first frontier
+    val shallow = Bfs.hopDistances(edges, seeds, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(shallow === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
