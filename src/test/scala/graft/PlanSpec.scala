@@ -436,4 +436,31 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("k-anonymity suppression broadcasts the census; rows never sort-merge") {
+    val plan = explain("q_kanon")
+    assert(plan.contains("BroadcastHashJoin"), s"census must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"released rows must not shuffle:\n$plan")
+  }
+
+  test("transition matrix: one window pass, map-side partial counts") {
+    val plan = explain("events_transitions")
+    assert(plan.contains("partial_count"),
+      s"pair counts must combine map-side:\n$plan")
+    val nWin = "Window".r.findAllIn(plan).length
+    assert(nWin === 1, s"exactly one window pass (got $nWin):\n$plan")
+  }
+
+  test("BPE vocab aggregate partial-aggregates over the checkpointed state") {
+    // the per-round internals sit behind lazy checkpoints (each round
+    // plans as Scan ExistingRDD — exactly the O(1)-lineage contract),
+    // so the observable pin is the state-consuming aggregate: one
+    // shuffle, combined map-side
+    val df = SparkEntry.queries("text_bpe_vocab")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"symbol histogram must combine map-side:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx === 1, s"one shuffle on the symbol key (got $nEx):\n$plan")
+  }
 }
