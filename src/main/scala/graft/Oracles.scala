@@ -1106,6 +1106,23 @@ object Oracles {
        |WHERE CAST($h AS BIGINT) * 1000000 < rate_ppm * 4294967296""".stripMargin
   }
 
+  /** KMV twin: the k-th smallest distinct hash per group via a rank
+    * window over the DISTINCT hash set — order statistics replay the
+    * bounded-buffer aggregate exactly.
+    */
+  def qKmvDistinct: String = {
+    val h = hex8Expr(s"('$KmvSalt:' || CAST(o_custkey AS VARCHAR))")
+    s"""WITH hv AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+       |  CAST($h AS BIGINT) AS h FROM orders),
+       |r AS (SELECT yearkey, h,
+       |  row_number() OVER (PARTITION BY yearkey ORDER BY h) AS rn,
+       |  count(*) OVER (PARTITION BY yearkey) AS cnt FROM hv)
+       |SELECT yearkey, CAST(CASE WHEN max(cnt) < $KmvK THEN max(cnt)
+       |  ELSE ((${KmvK - 1} * 4294967296) // (max(CASE WHEN rn = $KmvK THEN h END) + 1))
+       |  END AS BIGINT) AS n_est
+       |FROM r GROUP BY yearkey""".stripMargin
+  }
+
   def etlCdcApply: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

@@ -85,6 +85,10 @@ object Params {
   val BfsSeedMod = 100
   val BfsHops = 3
 
+  // KMV distinct sketch: buffer size (±1/√k relative error), hash salt
+  val KmvK = 64
+  val KmvSalt = "kmv"
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

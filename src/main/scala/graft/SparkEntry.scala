@@ -392,6 +392,13 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))),
+    "q_kmv_distinct" -> ((s, dir) =>
+      // PORTABLE approx-distinct: k-minimum-values over md5 hashes —
+      // unlike the HLL twin (q_approx_distinct, rows-only by design)
+      // the DuckDB oracle replays this estimate bit-for-bit
+      Sketches.kmvDistinct(t(s, dir, "orders"),
+        year(col("o_orderdate")).cast("long"), "yearkey", col("o_custkey"),
+        KmvK, KmvSalt)),
     "q_global_rank" -> ((s, dir) =>
       // global sequential rank over a total order WITHOUT the
       // single-partition window trap (range partition + offsets)
@@ -1057,6 +1064,7 @@ object SparkEntry {
     "etl_cdc_apply" -> Oracles.etlCdcApply,
     "q_label_prop" -> Oracles.qLabelProp,
     "q_bfs_reach" -> Oracles.qBfsReach,
+    "q_kmv_distinct" -> Oracles.qKmvDistinct,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     // the merge's oracle IS the full rebuild — incremental must equal it

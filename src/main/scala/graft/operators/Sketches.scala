@@ -4,6 +4,58 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
 
+/** Bounded sorted buffer of the k smallest DISTINCT long values — the
+  * KMV sketch state. Same binary-insert/sorted-merge mechanics as
+  * [[TopKAggregator]] but ascending and deduplicating (an equal hash
+  * must not occupy a second slot, or duplicates of one value would
+  * inflate the distinct estimate).
+  */
+class KmvAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 2, "KMV needs k >= 2")
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.size >= k && h >= buf(buf.size - 1)) buf
+    else {
+      var lo = 0
+      var hi = buf.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < buf.size && buf(lo) == h) buf // already present
+      else {
+        val (pre, post) = buf.splitAt(lo)
+        val out = (pre :+ h) ++ post
+        if (out.size > k) out.dropRight(out.size - k) else out
+      }
+    }
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    val out = Vector.newBuilder[Long]
+    var n = 0
+    var i = 0
+    var j = 0
+    var last = Long.MinValue
+    var first = true
+    while (n < k && (i < a.size || j < b.size)) {
+      val v = if (j >= b.size || (i < a.size && a(i) <= b(j))) { val x = a(i); i += 1; x }
+              else { val x = b(j); j += 1; x }
+      if (first || v != last) { out += v; n += 1; last = v; first = false }
+    }
+    out.result()
+  }
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** Mergeable bounded-memory summaries: count-min frequency sketch and
   * equi-width histogram quantiles.
   *
@@ -58,6 +110,34 @@ object Sketches {
         "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  /** Per-group KMV (k-minimum-values) distinct-count sketch — the
+    * PORTABLE approximate distinct: unlike HLL (whose register layout no
+    * other engine replays), the sketch state is the k smallest DISTINCT
+    * md5-derived 32-bit hashes per group, so a DuckDB oracle reproduces
+    * the estimate bit-for-bit. Estimate: if a group holds fewer than k
+    * distinct hashes the answer is exact (the buffer size); otherwise
+    * `(k−1)·2³² div (h_k + 1)` — the classic KMV order-statistic
+    * estimator (±1/√k relative error), in exact int64 arithmetic
+    * (the +1 guards the measure-zero h_k = 0).
+    *
+    * Scale shape: the aggregation buffer is a bounded sorted Seq (like
+    * [[TopKAggregator]], plus within-buffer dedup, which KMV needs and
+    * top-K must not do); partial aggregation means each mapper ships at
+    * most k longs per group — the input never shuffles, the sketch does.
+    * Output: `(as, n_est)`.
+    */
+  def kmvDistinct(df: DataFrame, group: Column, as: String, value: Column,
+                  k: Int, salt: String): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val fn = udaf(new KmvAggregator(k))
+    df.select(group.as(as), HashFunctions.hash32(value, salt).as("__h"))
+      .groupBy(col(as)).agg(fn(col("__h")).as("hs"))
+      .select(col(as),
+        when(size(col("hs")) < k, size(col("hs")).cast("long"))
+          .otherwise(expr(s"((${k - 1}L * 4294967296L) div (element_at(hs, $k) + 1L))"))
+          .as("n_est"))
   }
 
   /** Percentile estimates from an equi-width histogram over a LONG

@@ -1015,6 +1015,22 @@ class OperatorsSpec extends SparkSpec {
     assert(shallow === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("KMV sketch: exact under k, dedups duplicates, sane estimate over k") {
+    // 40 distinct values (< k=64) under 10× duplication → exact 40: the
+    // buffer must dedup or duplicates would fill it and force estimation
+    val small = (1 to 400).map(i => ("g", (i % 40).toLong)).toDF("g", "v")
+    val exact = Sketches.kmvDistinct(small, col("g"), "g", col("v"), 64, "t")
+      .collect().head.getLong(1)
+    assert(exact === 40L)
+    // 5000 distinct values (≫ k) → the order-statistic estimate; ±40%
+    // asserts generously over the 12.5% 1σ for k=64 (deterministic for
+    // this fixed data + salt, so the bound can't flake)
+    val big = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = Sketches.kmvDistinct(big, col("g"), "g", col("v"), 64, "t")
+      .collect().head.getLong(1)
+    assert(est > 3000L && est < 7000L, s"estimate $est far from 5000")
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
