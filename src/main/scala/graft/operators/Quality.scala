@@ -157,23 +157,30 @@ object Quality {
     * has fewer than `k` members get every QI value replaced by `*` (the
     * generalize-to-top suppression cell), so no released row's QI tuple
     * identifies a group smaller than k. Non-QI columns pass through.
-    * Cost: the same QI-keyed census as [[kAnonymity]] (group count ≤ k
-    * per small group by construction) broadcast back onto the rows —
-    * the data itself shuffles zero times.
+    * Cost: the same QI-keyed census as [[kAnonymity]] joined back onto
+    * the rows. With `broadcastCensus` (the default) the below-k group
+    * list broadcasts and the data itself never shuffles — right when QI
+    * combinations are demographic-sized. For NEAR-UNIQUE QIs the
+    * below-k census is almost as large as the data (worst case every
+    * row is its own group): pass `broadcastCensus = false` to let the
+    * planner pick a keyed join instead of forcing an unbounded
+    * broadcast.
     */
-  def kSuppress(df: DataFrame, qis: Seq[(String, Column)], k: Long): DataFrame = {
+  def kSuppress(df: DataFrame, qis: Seq[(String, Column)], k: Long,
+                broadcastCensus: Boolean = true): DataFrame = {
     require(qis.forall(q => !df.columns.contains(q._1)),
       "suppressed QI output names must not collide with input columns")
-    val small = kAnonymity(df, qis, k).where(!col("anonymous"))
+    val small0 = kAnonymity(df, qis, k).where(!col("anonymous"))
       .select(qis.map(q => col(q._1).as(s"__q_${q._1}")): _*)
       .withColumn("__small", lit(1))
+    val small = if (broadcastCensus) broadcast(small0) else small0
     val cond = qis.map { case (name, c) =>
       c.cast("string") <=> col(s"__q_$name")
     }.reduce(_ && _)
     val out = qis.map { case (name, c) =>
       when(col("__small").isNotNull, lit("*")).otherwise(c.cast("string")).as(name)
     }
-    df.join(broadcast(small), cond, "left")
+    df.join(small, cond, "left")
       .select(df.columns.map(col).toSeq ++ out: _*)
   }
 
