@@ -1129,6 +1129,16 @@ object Oracles {
       |              ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
       |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
 
+  def etlSnapshotDiff: String =
+    """SELECT o_orderkey, 'D' AS op, CAST(NULL AS BIGINT) AS price_cents
+      |FROM orders WHERE o_orderkey % 11 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'U', CAST(FLOOR((o_totalprice + 1000.0) * 100) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, 'I', CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
+
   /** Label-propagation replay: per round, the in-neighbor majority vote
     * (count desc, label asc) with isolated nodes carrying their previous
     * label. MATERIALIZED like the BPE chain — l{t} is referenced twice

@@ -336,6 +336,21 @@ object SparkEntry {
       Staging.cdcApply(orders, ups.unionByName(dels), Seq("o_orderkey"), "op", Seq("seq"))
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
+    "etl_snapshot_diff" -> ((s, dir) => {
+      // derive "today's dump" from orders (price bump for %7, drop %11,
+      // insert %13 under shifted keys), then emit the minimal CDC log —
+      // the no-CDC-upstream ingestion path, cdcApply's inverse
+      val orders = t(s, dir, "orders")
+      val newSnap = orders.where(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.where(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      Staging.snapshotDiff(orders, newSnap, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("op"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
     "etl_scd2" -> ((s, dir) => {
       // history dimension from a change log: each order is a change event
       // for its customer, tracked attribute = order priority; output one
@@ -1062,6 +1077,7 @@ object SparkEntry {
     "q_outliers" -> Oracles.qOutliers,
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_cdc_apply" -> Oracles.etlCdcApply,
+    "etl_snapshot_diff" -> Oracles.etlSnapshotDiff,
     "q_label_prop" -> Oracles.qLabelProp,
     "q_bfs_reach" -> Oracles.qBfsReach,
     "q_kmv_distinct" -> Oracles.qKmvDistinct,

@@ -89,6 +89,40 @@ object Staging {
       .unionByName(upserts)
   }
 
+  /** Snapshot diff: emit the minimal I/U/D change log that transforms
+    * `oldDf` into `newDf` — [[cdcApply]]'s inverse, and the standard way
+    * to turn full daily dumps from an upstream that has no CDC into an
+    * incremental feed. One co-partitioned full-outer join on the
+    * business key; each side carries only its key + an md5 fingerprint
+    * of the non-key columns (computed map-side), and unchanged rows —
+    * the overwhelming mass of a daily dump — are dropped right at the
+    * join, so nothing downstream sees them. Output: `newDf`'s columns
+    * (NULL payload on `D` rows) + `op`. Keys must be non-null (a
+    * null-key row would diff as a D + I pair, not a U).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "snapshots must share a schema")
+    val dataCols = newDf.columns.filterNot(keys.contains).toSeq
+    // control-char separator + null sentinel: without a separator,
+    // ("ab","") and ("a","b") would fingerprint identically, and a
+    // plain-text sentinel would collide with real values
+    val sep = 1.toChar.toString
+    val nullMark = 0.toChar.toString
+    def fp(side: DataFrame) = md5(concat_ws(sep,
+      dataCols.map(c => coalesce(side(c).cast("string"), lit(nullMark))): _*))
+    val o = oldDf.select(keys.map(oldDf(_)) ++
+      Seq(fp(oldDf).as("__ofp"), lit(1).as("__oex")): _*)
+    val n = newDf.select(keys.map(newDf(_)) ++ dataCols.map(newDf(_)) ++
+      Seq(fp(newDf).as("__nfp"), lit(1).as("__nex")): _*)
+    o.join(n, keys, "full_outer")
+      .where(col("__oex").isNull || col("__nex").isNull || col("__ofp") =!= col("__nfp"))
+      .select(keys.map(col) ++ dataCols.map(col) :+
+        when(col("__oex").isNull, lit("I"))
+          .when(col("__nex").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"): _*)
+  }
+
   /** SCD-2 history build from a change log: one row per VERSION with
     * `effective_from` / `effective_to` (half-open; `effective_to` NULL =
     * still current, flagged `is_current`) — the standard DW history

@@ -975,6 +975,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((1L, "a"), (2L, "b3"), (4L, "d"), (5L, "e2")))
   }
 
+  test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
+    val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
+    val newS = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "", 40L), (5L, "e", 50L))
+      .toDF("k", "v", "w")
+    val log = Staging.snapshotDiff(oldS, newS, Seq("k"))
+    val ops = log.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    // NULL → "" is a change (sentinel, not collision); unchanged key 1 absent
+    assert(ops === Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "I"))
+    // round-trip: applying the diff reproduces the new snapshot exactly
+    val applied = Staging.cdcApply(oldS, log.withColumn("seq", lit(1L)),
+        Seq("k"), "op", Seq("seq"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val want = newS
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(applied === want)
+  }
+
   test("labelPropagation matches a plain-Scala synchronous majority vote") {
     import graft.operators.LabelProp
     // two triangles bridged by one edge — LP must keep them apart
