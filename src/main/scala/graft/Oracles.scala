@@ -714,6 +714,24 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  def textPmi: String =
+    s"""WITH $toksCte, $shingCte,
+       |uni AS (SELECT t AS w, count(*) AS c
+       |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+       |ntk AS (SELECT sum(c) AS n_tok FROM uni),
+       |bg AS (SELECT g, count(*) AS n_ab
+       |  FROM (SELECT unnest(sh) AS g FROM shing) GROUP BY 1),
+       |nbg AS (SELECT sum(n_ab) AS n_bg FROM bg),
+       |top AS (SELECT g, n_ab FROM bg ORDER BY n_ab DESC, g LIMIT $PmiTopN)
+       |SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+       |  CAST(n_ab AS BIGINT) AS n_ab,
+       |  round(ln((CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE))
+       |        / (CAST(n_bg AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+       |FROM top
+       |JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
+       |JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
+       |CROSS JOIN ntk CROSS JOIN nbg""".stripMargin
+
   def textBpeTrain: String = {
     val u = (1 to BpeMerges).map(t =>
       s"SELECT CAST($t AS BIGINT) AS step, l AS merge_left, r AS merge_right, " +

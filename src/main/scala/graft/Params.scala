@@ -89,6 +89,9 @@ object Params {
   val KmvK = 64
   val KmvSalt = "kmv"
 
+  // PMI collocations: score the top-N bigrams by count
+  val PmiTopN = 50
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

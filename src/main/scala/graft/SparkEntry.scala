@@ -945,6 +945,9 @@ object SparkEntry {
       TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)._2
         .select(col("freq"), explode(col("syms")).as("sym"))
         .groupBy(col("sym")).agg(sum(col("freq")).as("n"))),
+    "text_pmi" -> ((s, dir) =>
+      // collocation detection: PMI over the top-N adjacent token pairs
+      TextOps.pmiBigrams(t(s, dir, "documents"), "text", PmiTopN)),
     "text_bpe_encode" -> ((s, dir) => {
       // tokenize the corpus with the trained BPE: per-doc encoded length
       val docs = t(s, dir, "documents")
@@ -1101,6 +1104,7 @@ object SparkEntry {
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_winnow" -> Oracles.textWinnow,
     "text_pack" -> Oracles.textPack,
+    "text_pmi" -> Oracles.textPmi,
     "text_bpe_train" -> Oracles.textBpeTrain,
     "text_bpe_vocab" -> Oracles.textBpeVocab,
     "text_bpe_encode" -> Oracles.textBpeEncode,

@@ -168,6 +168,41 @@ object TextOps {
         T.tokenCount(col("chunk_text")).as("n_tokens"))
   }
 
+  /** Pointwise mutual information for the corpus's top-N adjacent token
+    * pairs — the collocation/phrase-detection statistic (à la word2vec's
+    * phrase pass): pmi = ln(n_ab · N_tok² / (N_bg · c_a · c_b)), counts
+    * exact integers, the single float is the final ln, rounded to 4dp.
+    * Two partial-agg shuffles (unigrams, bigrams); the top-N selection
+    * is a TakeOrdered on (count desc, gram) BEFORE scoring, so only N
+    * rows ever join the (broadcast, vocabulary-sized) unigram table and
+    * the two 1-row totals.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0)
+    val uni = docs.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val bgAll = docs.select(explode(T.shingles(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_ab"))
+    val nBg = bgAll.agg(sum(col("n_ab")).as("n_bg"))
+    val top = bgAll.orderBy(col("n_ab").desc, col("g").asc).limit(topN)
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"), col("n_ab"))
+    top
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        // each factor cast to double BEFORE multiplying: n_tok² would
+        // overflow int64 at corpus scale; fixed left-to-right order
+        // keeps the IEEE result engine-identical
+        round(log(
+          (col("n_ab").cast("double") * col("n_tok").cast("double")
+            * col("n_tok").cast("double")) /
+            (col("n_bg").cast("double") * col("c1").cast("double")
+              * col("c2").cast("double"))), 4).as("pmi"))
+  }
+
   /** Distributed BPE-merge training (the Sennrich et al. 2016 tokenizer
     * algorithm): start from characters plus an end-of-word marker over
     * the corpus WORD-FREQUENCY table, then `iters` times (a) count

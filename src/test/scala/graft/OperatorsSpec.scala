@@ -975,6 +975,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((1L, "a"), (2L, "b3"), (4L, "d"), (5L, "e2")))
   }
 
+  test("pmiBigrams scores collocations from exact counts") {
+    import graft.operators.TextOps
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tokens: a×3 b×2 c×1 (N=6); bigrams: "a b"×2 "b a"×1 "a c"×1 (N=4)
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(docs, "text", 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("a", "b")) === ((2L, r4(math.log(2.0 * 36 / (4 * 3 * 2))))))
+    assert(out(("b", "a")) === ((1L, r4(math.log(1.0 * 36 / (4 * 2 * 3))))))
+    assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
+  }
+
   test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
