@@ -232,9 +232,18 @@ object TextOps {
     * ~6 stages/round of pure overhead; see §5.5.)
     */
   def bpeTrain(docs: DataFrame, textCol: String, iters: Int): (DataFrame, DataFrame) = {
-    require(iters >= 1, "need at least one merge round")
     val words = docs.select(explode(T.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    bpeTrainWords(words, iters)
+  }
+
+  /** [[bpeTrain]] from a pre-computed `(word, freq)` table — the entry
+    * point when the corpus word count already exists (it usually does in
+    * a real pipeline), and the one the scale probe drives with a
+    * realistic-size synthetic vocabulary.
+    */
+  def bpeTrainWords(words: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "need at least one merge round")
     // chars + '</w>': split("") keeps zero-width edge matches as empty
     // strings in some regex corners — filter defensively, like tokens()
     var state = words
