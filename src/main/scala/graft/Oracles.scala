@@ -732,6 +732,40 @@ object Oracles {
        |JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
        |CROSS JOIN ntk CROSS JOIN nbg""".stripMargin
 
+  /** BM25 query-by-document: same exact-rational Okapi scoring as
+    * [[graft.operators.TextOps.bm25TopK]] — int64 num/den products, one
+    * IEEE divide floored to ppm, integer per-doc sums (k1=6/5, b=3/4,
+    * rational Robertson idf).
+    */
+  def textBm25: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+       |post AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |q AS (SELECT doc_id AS query_id, term FROM post WHERE doc_id % $Bm25QueryMod = 0),
+       |sc AS (SELECT q.query_id, p.doc_id,
+       |    CAST(floor(1000000.0 *
+       |      (CAST(44 * p.tf * sum_dl * (2 * n_docs - 2 * f.df + 1) AS DOUBLE)
+       |       / CAST((20 * p.tf * sum_dl + 6 * sum_dl + 18 * d.dl * n_docs)
+       |              * (2 * f.df + 1) AS DOUBLE))) AS BIGINT) AS ppm
+       |  FROM q
+       |  JOIN post p ON p.term = q.term AND p.doc_id <> q.query_id
+       |  JOIN dfreq f ON f.term = q.term
+       |  JOIN dl d ON d.doc_id = p.doc_id
+       |  CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score_ppm, rnk FROM (
+       |  SELECT query_id, doc_id, score_ppm,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM agg)
+       |WHERE rnk <= $Bm25K""".stripMargin
+
   def textBpeTrain: String = {
     val u = (1 to BpeMerges).map(t =>
       s"SELECT CAST($t AS BIGINT) AS step, l AS merge_left, r AS merge_right, " +

@@ -92,6 +92,12 @@ object Params {
   // PMI collocations: score the top-N bigrams by count
   val PmiTopN = 50
 
+  // BM25 query-by-document retrieval: Okapi constants as exact rationals
+  // (k1 = 6/5, b = 3/4) so every score is int64 arithmetic plus ONE
+  // correctly-rounded IEEE divide; query docs are doc_id % mod == 0
+  val Bm25QueryMod = 50
+  val Bm25K = 10
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

@@ -948,6 +948,11 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) =>
       // collocation detection: PMI over the top-N adjacent token pairs
       TextOps.pmiBigrams(t(s, dir, "documents"), "text", PmiTopN)),
+    "text_bm25" -> ((s, dir) =>
+      // BM25 retrieval: top-k corpus docs per query doc, exact-integer
+      // Okapi scoring (inverted-index aggregates + one term-keyed join)
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25QueryMod, Bm25K)),
     "text_bpe_encode" -> ((s, dir) => {
       // tokenize the corpus with the trained BPE: per-doc encoded length
       val docs = t(s, dir, "documents")
@@ -1105,6 +1110,7 @@ object SparkEntry {
     "text_winnow" -> Oracles.textWinnow,
     "text_pack" -> Oracles.textPack,
     "text_pmi" -> Oracles.textPmi,
+    "text_bm25" -> Oracles.textBm25,
     "text_bpe_train" -> Oracles.textBpeTrain,
     "text_bpe_vocab" -> Oracles.textBpeVocab,
     "text_bpe_encode" -> Oracles.textBpeEncode,

@@ -345,4 +345,61 @@ object TextOps {
         (lit(1048575L) - pmod(col("__wmin"), lit(1048576L))).as("pos"))
       .distinct()
   }
+
+  /** BM25 query-by-document retrieval: score every corpus doc against each
+    * query doc (the distinct terms of docs with id % queryMod == 0) and
+    * return the top-k per query — the retrieval shape behind contamination
+    * probes, near-dup triage, and RAG-corpus self-search.
+    *
+    * Scoring is Okapi BM25 with k1 = 6/5, b = 3/4 and the Robertson idf
+    * ratio (N − df + ½)/(df + ½) kept as an exact rational: with those
+    * constants every numerator/denominator is a pure int64 product
+    * (`num = 44·tf·Σdl·(2N−2df+1)`, `den = (20·tf·Σdl + 6·Σdl +
+    * 18·dl·N)·(2df+1)`), and the per-(term,doc) score becomes ONE
+    * correctly-rounded IEEE divide floored to ppm. Per-doc totals are then
+    * INTEGER sums — no double summation anywhere, so results are
+    * engine-identical regardless of partitioning (the q_stats_suite
+    * lesson). The log-idf variant is a one-expression swap; the rational
+    * idf keeps the same rarity ordering per term.
+    *
+    * Scale: postings/df/dl are the standard inverted-index aggregates (one
+    * shuffle each, partial-agg map-side). The scoring join shuffles
+    * postings once on the term — the SAME key the df join needs, so the
+    * exchange is reused — and the doc-length join keys on doc_id. The
+    * 1-row corpus stats and the query-term set (N/queryMod docs) broadcast.
+    * Top-k per query is a window over per-query groups, never a global
+    * sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryMod: Int, k: Int): DataFrame = {
+    require(queryMod > 1 && k > 0)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = postings.where(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val num = lit(44L) * col("tf") * col("sum_dl") *
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+    val den = (lit(20L) * col("tf") * col("sum_dl") + lit(6L) * col("sum_dl")
+      + lit(18L) * col("dl") * col("n_docs")) * (lit(2L) * col("df") + lit(1L))
+    val scored = postings
+      .join(dfreq, "term")
+      .join(broadcast(qterms), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0) * (num.cast("double") / den.cast("double")))
+          .cast("long").as("ppm"))
+    val agg = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+    agg.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_ppm").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rnk") <= k)
+  }
 }

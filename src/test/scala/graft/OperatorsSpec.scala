@@ -990,6 +990,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("bm25TopK ranks by exact-rational Okapi score, excludes the query doc") {
+    import graft.operators.TextOps
+    // query doc 5 (id % 5 == 0), terms {rare, common}; N=4, Σdl=11
+    // hand-derived int64 num/den (k1=6/5, b=3/4, rational idf):
+    //   doc1 rare:   2420/2510  → 964143 ppm
+    //   doc1 common: 2904/5054  → 574594 ppm   (Σ = 1538737)
+    //   doc2 common: 4356/6594  → 660600 ppm
+    val docs = Seq((5L, "rare common"), (1L, "rare common common"),
+      (2L, "common common common"), (3L, "other words here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", 5, 2)
+      .collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((1538737L, 1L)), 2L -> ((660600L, 2L))),
+      "doc sharing the rare term must outrank the common-only doc; " +
+        "doc3 (no shared terms) and the query doc itself must be absent")
+  }
+
   test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
