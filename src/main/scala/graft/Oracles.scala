@@ -544,6 +544,24 @@ object Oracles {
       |JOIN dim USING (grp)
       |GROUP BY grp, label""".stripMargin
 
+  /** Fuzzy lookup twin of [[graft.operators.Joins.fuzzyLookup]]: same
+    * first-token block, length prefilter, levenshtein budget, and
+    * (dist, candidate) best-match ordering.
+    */
+  def qFuzzyJoin: String =
+    s"""WITH cat AS (SELECT DISTINCT p_name AS candidate FROM part),
+       |pr AS (SELECT DISTINCT substring(p_name, 1, length(p_name) - 1) AS probe FROM part),
+       |cand AS (SELECT probe, candidate,
+       |    CAST(levenshtein(probe, candidate) AS BIGINT) AS d
+       |  FROM pr JOIN cat
+       |    ON split_part(probe, ' ', 1) = split_part(candidate, ' ', 1)
+       |  WHERE abs(length(probe) - length(candidate)) <= $FuzzyMaxDist)
+       |SELECT probe, candidate AS matched, d AS dist FROM (
+       |  SELECT probe, candidate, d,
+       |    row_number() OVER (PARTITION BY probe ORDER BY d, candidate) AS rn
+       |  FROM cand WHERE d <= $FuzzyMaxDist)
+       |WHERE rn = 1""".stripMargin
+
   def qRangeJoin: String =
     """WITH iv AS (SELECT p_partkey AS band_id, (p_partkey % 100) * 2000.0 AS lo
       |  FROM part WHERE p_partkey % 20 = 0)

@@ -98,6 +98,9 @@ object Params {
   val Bm25QueryMod = 50
   val Bm25K = 10
 
+  // fuzzy lookup (record linkage): levenshtein budget
+  val FuzzyMaxDist = 2
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

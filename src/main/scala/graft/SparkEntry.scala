@@ -615,6 +615,15 @@ object SparkEntry {
         .groupBy(col("grp"), col("label"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
     }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // record linkage: dirty probes (catalog names with the last char
+      // dropped) resolved back to the catalog via block + length
+      // prefilter + levenshtein + struct-min best-match
+      val part = t(s, dir, "part")
+      val probes = part.select(
+        expr("substring(p_name, 1, length(p_name) - 1)").as("probe"))
+      operators.Joins.fuzzyLookup(probes, "probe", part, "p_name", FuzzyMaxDist)
+    }),
     "q_interval_join" -> ((s, dir) => {
       // interval×interval overlap: part-derived bands vs order-price
       // windows, bucketed equi-join (no nested loop), one row per
@@ -1080,6 +1089,7 @@ object SparkEntry {
     "q_range_join" -> Oracles.qRangeJoin,
     "q_interval_join" -> Oracles.qIntervalJoin,
     "q_salted_join" -> Oracles.qSaltedJoin,
+    "q_fuzzy_join" -> Oracles.qFuzzyJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,

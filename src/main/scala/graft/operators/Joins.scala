@@ -89,4 +89,45 @@ object Joins {
       explode(array((0 until saltFactor).map(lit): _*)))
     b.join(s, keys :+ "__salt").drop("__salt")
   }
+
+  /** Fuzzy lookup (record linkage): resolve each dirty probe string to its
+    * best catalog match under a Levenshtein budget. The classic
+    * block-compare-rank shape:
+    *
+    *  - BLOCK on a cheap deterministic key (here the first
+    *    whitespace-token) so candidate generation is an equi-join, never
+    *    a cartesian compare — at 100 TB the block key is what keeps this
+    *    feasible, and a skewed block is handled like any skewed equi-join
+    *    (AQE split or [[saltedJoin]]).
+    *  - PREFILTER candidates with the length-difference lower bound
+    *    (|len(a)−len(b)| ≤ maxDist) — codegen'd integer compare that
+    *    skips most of the DP-table evaluations in a dense block.
+    *  - COMPARE with the built-in codegen'd `levenshtein` and keep pairs
+    *    within `maxDist`.
+    *  - RANK per probe with one struct-min aggregate (distance, then
+    *    catalog value lexicographically — fully deterministic), avoiding
+    *    a per-probe sort window.
+    *
+    * Probes that match nothing within budget are dropped (inner
+    * semantics); callers wanting audit rows can left-anti the result.
+    */
+  def fuzzyLookup(probes: DataFrame, probeCol: String,
+                  catalog: DataFrame, catCol: String,
+                  maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val block = (c: Column) => substring_index(c, " ", 1)
+    val p = probes.select(col(probeCol).as("probe"),
+      block(col(probeCol)).as("__bk")).distinct()
+    val c = catalog.select(col(catCol).as("candidate"),
+      block(col(catCol)).as("__bk")).distinct()
+    p.join(c, "__bk")
+      .where(abs(length(col("probe")) - length(col("candidate"))) <= maxDist)
+      .withColumn("__d", levenshtein(col("probe"), col("candidate")).cast("long"))
+      .where(col("__d") <= maxDist)
+      .groupBy(col("probe"))
+      .agg(min(struct(col("__d").as("dist"), col("candidate").as("matched")))
+        .as("best"))
+      .select(col("probe"), col("best.matched").as("matched"),
+        col("best.dist").as("dist"))
+  }
 }

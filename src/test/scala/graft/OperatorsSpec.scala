@@ -990,6 +990,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("fuzzyLookup resolves dirty probes to the nearest catalog entry") {
+    import graft.operators.Joins
+    val catalog = Seq("red widget", "red widgets", "red gear", "blue bolt")
+      .toDF("name")
+    val probes = Seq(
+      "red widgett",  // dist 1 to "red widget" AND "red widgets" → tie on
+                      // dist, lexicographic candidate order breaks it
+      "red gea",      // dist 1 to "red gear"
+      "blue boat",    // dist 1 to "blue bolt" (a→l substitution)
+      "green thing",  // no block match at all
+      "red sprocket") // block matches, all beyond maxDist
+      .toDF("probe")
+    val out = Joins.fuzzyLookup(probes, "probe", catalog, "name", 2)
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "red widgett" -> (("red widget", 1L)),
+      "red gea" -> (("red gear", 1L)),
+      "blue boat" -> (("blue bolt", 1L))))
+  }
+
   test("bm25TopK ranks by exact-rational Okapi score, excludes the query doc") {
     import graft.operators.TextOps
     // query doc 5 (id % 5 == 0), terms {rare, common}; N=4, Σdl=11
