@@ -1193,6 +1193,30 @@ object Oracles {
        |FROM r GROUP BY yearkey""".stripMargin
   }
 
+  /** Four-clause MERGE twin of [[graft.etl.Staging.mergeInto]]: same
+    * full-outer join and the same clause order (matched update before
+    * matched delete).
+    */
+  def etlMergeFull: String =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+      |s AS (SELECT k, st, pc + 100 AS pc FROM t WHERE k % 7 = 0
+      |  UNION ALL SELECT k + 1000000000, 'N', pc FROM t WHERE k % 7 = 3),
+      |m AS (SELECT t.k AS tk, t.st AS tst, t.pc AS tp,
+      |    s.k AS sk, s.st AS sst, s.pc AS sp
+      |  FROM t FULL OUTER JOIN s ON t.k = s.k),
+      |a AS (SELECT *, CASE
+      |    WHEN tk IS NOT NULL AND sk IS NOT NULL THEN
+      |      CASE WHEN tst = 'O' AND tk % 21 <> 0 THEN 'U'
+      |           WHEN tk % 21 = 0 THEN 'D' ELSE 'K' END
+      |    WHEN sk IS NOT NULL THEN 'I'
+      |    ELSE CASE WHEN tk % 1000 = 17 THEN 'D' ELSE 'K' END END AS act
+      |  FROM m)
+      |SELECT CASE WHEN act IN ('U','I') THEN sk ELSE tk END AS o_orderkey,
+      |  CASE WHEN act IN ('U','I') THEN sst ELSE tst END AS o_orderstatus,
+      |  CAST(CASE WHEN act IN ('U','I') THEN sp ELSE tp END AS BIGINT) AS price_cents
+      |FROM a WHERE act <> 'D'""".stripMargin
+
   def etlCdcApply: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

@@ -323,6 +323,26 @@ object SparkEntry {
       Staging.upsert(orders, updates, Seq("o_orderkey"))
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
+    "etl_merge_full" -> ((s, dir) => {
+      // 4-clause MERGE over a trimmed orders snapshot: source rows for
+      // keys %7=0 (updates in place) plus new keys (+1e9 for %7=3);
+      // matched O-status rows update, matched %21=0 rows delete, all
+      // source-only rows insert, and stale target keys %1000=17 that the
+      // source no longer carries are swept
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+      val src = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("price_cents", col("price_cents") + 100L)
+        .unionByName(base.filter(col("o_orderkey") % 7 === 3)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("price_cents")))
+      Staging.mergeInto(base, src, Seq("o_orderkey"),
+        matchedUpdate = Some(col("o_orderstatus") === "O" &&
+          col("o_orderkey") % 21 =!= 0),
+        matchedDelete = Some(col("o_orderkey") % 21 === 0),
+        insertWhen = Some(lit(true)),
+        notBySourceDelete = Some(col("o_orderkey") % 1000 === 17))
+    }),
     "etl_cdc_apply" -> ((s, dir) => {
       // CDC log fold: updates for keys %7=0 (seq 1), deletes for keys
       // %11=0 (seq 2) — keys hit by both get the delete as the LATER
@@ -1094,6 +1114,7 @@ object SparkEntry {
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,
     "etl_upsert" -> Oracles.etlUpsert,
+    "etl_merge_full" -> Oracles.etlMergeFull,
     "etl_cdc_apply" -> Oracles.etlCdcApply,
     "etl_snapshot_diff" -> Oracles.etlSnapshotDiff,
     "q_label_prop" -> Oracles.qLabelProp,

@@ -62,6 +62,58 @@ object Staging {
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** Full ANSI-style MERGE: the four-clause generalization of [[upsert]]
+    * (which is MERGE with unconditional matched-update + not-matched-
+    * insert). One co-partitioned full-outer join on the business key
+    * decides every row's fate:
+    *
+    *  - matched + `matchedUpdate` condition       → source payload
+    *  - matched + `matchedDelete` condition       → dropped
+    *  - matched, neither condition               → target row unchanged
+    *  - source-only + `insertWhen` condition      → inserted
+    *  - target-only + `notBySourceDelete` cond    → dropped
+    *
+    * Clause order is update-then-delete (document-fixed; supply disjoint
+    * conditions if the distinction matters). Conditions may reference
+    * target columns bare and source columns with a `src_` prefix; they
+    * must be null-safe for the side that can be absent (a NULL condition
+    * reads as false, the ANSI WHEN behavior). `source` must carry
+    * `target`'s columns and be key-unique (the MERGE precondition —
+    * enforce upstream with [[dedupByKeyKeepFirst]]).
+    *
+    * Cost: exactly one shuffle per side on the key (the join); every
+    * clause is a codegen'd CASE over the joined row — no second pass,
+    * no window. With a broadcastable source the target never shuffles.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                matchedUpdate: Option[Column] = None,
+                matchedDelete: Option[Column] = None,
+                insertWhen: Option[Column] = None,
+                notBySourceDelete: Option[Column] = None): DataFrame = {
+    val cols = target.columns.toSeq
+    require(keys.forall(cols.contains), "keys must be target columns")
+    val src = source.select(cols.map(c => col(c).as(s"src_$c")): _*)
+      .withColumn("__sp", lit(true))
+    val tgt = target.withColumn("__tp", lit(true))
+    val cond = keys.map(k => col(k) === col(s"src_$k")).reduce(_ && _)
+    val j = tgt.join(src, cond, "full_outer")
+    val matched = coalesce(col("__tp"), lit(false)) && coalesce(col("__sp"), lit(false))
+    val fals = lit(false)
+    val act = when(matched,
+        when(matchedUpdate.getOrElse(fals), lit("U"))
+          .when(matchedDelete.getOrElse(fals), lit("D"))
+          .otherwise(lit("K")))
+      .when(coalesce(col("__sp"), lit(false)),
+        when(insertWhen.getOrElse(fals), lit("I")).otherwise(lit("D")))
+      .otherwise(
+        when(notBySourceDelete.getOrElse(fals), lit("D")).otherwise(lit("K")))
+    j.withColumn("__act", act)
+      .where(col("__act") =!= lit("D"))
+      .select(cols.map(c =>
+        when(col("__act").isin("U", "I"), col(s"src_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
   /** CDC apply: fold a change-data-capture log into a snapshot. Per key
     * the LATEST log entry wins — `seqCols` must totally order entries
     * within a key (a log sequence number, or commit-ts + a unique

@@ -990,6 +990,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("mergeInto applies all four MERGE clauses, update before delete") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L), (5L, "e", 50L)).toDF("k", "v", "w")
+    val src = Seq((1L, "a2", 11L), (2L, "b2", 21L), (3L, "c2", 31L),
+      (9L, "i", 90L), (10L, "skip", 100L)).toDF("k", "v", "w")
+    val out = Staging.mergeInto(base, src, Seq("k"),
+      matchedUpdate = Some(col("k") === 1L || col("k") === 2L),
+      // k=2 satisfies BOTH conditions → update wins (clause order)
+      matchedDelete = Some(col("k") === 2L || col("k") === 3L),
+      insertWhen = Some(col("src_v") =!= "skip"),
+      notBySourceDelete = Some(col("k") === 5L))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> (("a2", 11L)),  // matched update
+      // 2 updated (update precedes delete), 3 deleted by matched-delete
+      2L -> (("b2", 21L)),
+      4L -> (("d", 40L)),   // matched by nothing, kept
+      // 5 swept by not-matched-by-source delete; 10 fails insertWhen
+      9L -> (("i", 90L))))  // inserted
+  }
+
   test("fuzzyLookup resolves dirty probes to the nearest catalog entry") {
     import graft.operators.Joins
     val catalog = Seq("red widget", "red widgets", "red gear", "blue bolt")
