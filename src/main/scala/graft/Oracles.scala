@@ -1577,6 +1577,23 @@ object Oracles {
     * length filter in the join condition only prunes work; the WHERE
     * holds the exact integer threshold.
     */
+  /** Duplicate-span audit twin of [[graft.operators.Dedup.dupSpans]]:
+    * spans as md5 of the n-gram, duplicated iff seen in >= 2 distinct
+    * docs, coverage as exact floor-ppm.
+    */
+  def dedupSpanAudit: String =
+    s"""WITH $toksCte, ${shingCteFor(DupSpanN)},
+       |sp AS (SELECT doc_id, md5(g) AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM shing)),
+       |dup AS (SELECT h FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+       |  WHERE nd >= 2)
+       |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(count(dup.h) AS BIGINT) AS n_dup,
+       |  CAST(count(dup.h) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+       |FROM sp LEFT JOIN dup ON dup.h = sp.h
+       |GROUP BY sp.doc_id""".stripMargin
+
   def dedupPrefixFilter: String = {
     val (num, den) = (JaccardMinNum, JaccardMinDen)
     s"""WITH $toksCte, $shingCte,

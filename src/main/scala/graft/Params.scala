@@ -101,6 +101,11 @@ object Params {
   // fuzzy lookup (record linkage): levenshtein budget
   val FuzzyMaxDist = 2
 
+  // duplicate-span audit: span length in tokens (Lee et al. use 50 BPE
+  // tokens; 8 words is the equivalent discriminating scale for the
+  // short synthetic docs)
+  val DupSpanN = 8
+
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 

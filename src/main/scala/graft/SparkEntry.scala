@@ -471,6 +471,10 @@ object SparkEntry {
     // ---- §2.3 dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_span_audit" -> ((s, dir) =>
+      // substring-level duplication audit: per-doc coverage by n-token
+      // spans shared across >= 2 distinct docs (Lee et al. signal)
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", DupSpanN)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", MinhashK, MinhashBands)),
     "dedup_minhash_n3" -> ((s, dir) =>
@@ -1176,6 +1180,7 @@ object SparkEntry {
     "q_quantile_est" -> Oracles.qQuantileEst,
     "text_repetition" -> Oracles.textRepetition,
     "dedup_prefix_filter" -> Oracles.dedupPrefixFilter,
+    "dedup_span_audit" -> Oracles.dedupSpanAudit,
     "q_heavy_hitters" -> Oracles.qHeavyHitters,
   )
 }

@@ -487,4 +487,36 @@ object Dedup {
         round(V.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Exact duplicate-span audit (the substring-level dedup signal of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", at word granularity): every n-token span that appears in
+    * two or more DISTINCT documents is a duplicated span; per document,
+    * report how much of it is covered by such spans. This is the
+    * measurement pass that decides whether span-level cutting is worth
+    * running on a corpus — doc-level MinHash misses boilerplate shared
+    * across otherwise-distinct pages, and this catches exactly that.
+    *
+    * Scale: span instances carry a 16-byte md5, never the span text, so
+    * the only wide data is (doc_id, digest). The duplicate-set aggregate
+    * and the membership join key on the SAME digest column — one
+    * exchange, reused — and the per-doc rollup is the final keyed
+    * aggregate. Span text is reconstructible from (doc, position) when a
+    * cutter needs it; the audit never materializes it.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "spans need n >= 2 tokens")
+    val spans = docs.select(col(idCol).as("doc_id"),
+        explode(T.shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("__dup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000L div n_spans"))
+  }
 }

@@ -990,6 +990,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("dupSpans counts spans shared across distinct docs only") {
+    // n=3 spans; "a b c d" ↔ doc2 share "a b c"/"b c d"; doc3's repeated
+    // span occurs twice but only within ITSELF → not cross-doc duplicated;
+    // doc4 is too short for any span
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"),
+      (3L, "x y z w x y z"), (4L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 1000000L)),  // both spans duplicated
+      2L -> ((3L, 2L, 666666L)),   // "c d e" unique to doc2
+      3L -> ((5L, 0L, 0L))))       // within-doc repeat is not cross-doc
+    assert(!out.contains(4L))
+  }
+
   test("mergeInto applies all four MERGE clauses, update before delete") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, "d", 40L), (5L, "e", 50L)).toDF("k", "v", "w")
