@@ -199,14 +199,18 @@ object Oracles {
   }
 
   /** Left-assoc dot-product chain — matches Spark's aggregate fold order. */
-  private def dotChain(a: String, b: String): String =
-    (1 to EmbDims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def dotChain(a: String, b: String): String = dotChainN(a, b, EmbDims)
+
+  private def dotChainN(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
   private def dotConstChain(v: String, w: Seq[Double]): String =
     (1 to EmbDims).map(i => s"CAST($v[$i] AS DOUBLE) * (${w(i - 1)})").mkString(" + ")
 
-  private def cosExpr(a: String, b: String): String =
-    s"round((${dotChain(a, b)}) / (sqrt(${dotChain(a, a)}) * sqrt(${dotChain(b, b)})), 4)"
+  private def cosExpr(a: String, b: String): String = cosExprN(a, b, EmbDims)
+
+  private def cosExprN(a: String, b: String, dims: Int): String =
+    s"round((${dotChainN(a, b, dims)}) / (sqrt(${dotChainN(a, a, dims)}) * sqrt(${dotChainN(b, b, dims)})), 4)"
 
   /** hyperplane band CTEs over embeddings, weights inlined as exact
     * binary-fraction literals generated by the SAME Scala code
@@ -578,6 +582,34 @@ object Oracles {
       |  CAST(FLOOR(greatest(lo, olo) * 100) AS BIGINT) AS ov_lo_cents,
       |  CAST(FLOOR(least(hi, ohi) * 100) AS BIGINT) AS ov_hi_cents
       |FROM iv JOIN ov ON lo < ohi AND olo < hi""".stripMargin
+
+  /** Matryoshka twin of [[graft.operators.Similarity.mrlTopK]]: coarse
+    * rank over the first [[Params.MrlDims]] components (same left-to-
+    * right dot order), pool of [[Params.MrlPool]], exact full-width
+    * rerank.
+    */
+  def annMrlTopK: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+       |  WHERE vec_id % $AnnQueryMod = 0),
+       |co AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    ${cosExprN("q.e", "c.embedding", MrlDims)} AS ccos
+       |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ccos DESC, neighbor_id) AS rn
+       |    FROM co) WHERE rn <= $MrlPool),
+       |sc AS (SELECT query_id, neighbor_id,
+       |    ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM pool
+       |  JOIN embeddings ea ON ea.vec_id = query_id
+       |  JOIN embeddings eb ON eb.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $AnnK""".stripMargin
 
   def annLshTopK: String =
     s"""WITH ${embBandCtes},

@@ -38,6 +38,8 @@ object Params {
   val PqSub = 8        // product-quantization subspaces (64 dims → 8×8)
   val PqK = 16         // codes per subspace (4-bit nibbles)
   val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
+  val MrlDims = 16     // Matryoshka coarse-prefix width
+  val MrlPool = 30     // rerank pool per query
 
   // marts
   val TopNPerGroup = 10

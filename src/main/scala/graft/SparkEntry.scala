@@ -532,6 +532,14 @@ object SparkEntry {
           "vec_id", "embedding", AnnK)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
+    "ann_mrl_topk" -> ((s, dir) => {
+      // Matryoshka two-stage: rank every corpus row in the 16-dim
+      // prefix, exact-rerank a 30-candidate pool at full width
+      val emb = t(s, dir, "embeddings")
+      Similarity.mrlTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+          "vec_id", "embedding", MrlDims, MrlPool, AnnK)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
@@ -1102,6 +1110,7 @@ object SparkEntry {
     "dedup_embedding" -> Oracles.dedupEmbedding,
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,
+    "ann_mrl_topk" -> Oracles.annMrlTopK,
     "ann_ivf_topk" -> Oracles.annIvfTopK,
     "ann_ivf_nprobe" -> Oracles.annIvfNprobe,
     "ann_ivf_trained" -> Oracles.annIvfTrained,

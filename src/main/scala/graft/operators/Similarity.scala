@@ -377,4 +377,38 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
+
+  /** Matryoshka (coarse-to-fine) top-k: rank in the truncated
+    * `coarseDims`-prefix subspace first, keep a `pool`-sized candidate
+    * set per query, then rerank ONLY the pool with exact full-dimension
+    * cosine. With MRL-trained embeddings the prefix carries most of the
+    * signal, so the expensive full-width math runs on Q×pool rows
+    * instead of Q×N — the standard two-stage retrieval shape (and the
+    * third member of the family: LSH buckets, IVF cells, MRL prefixes).
+    *
+    * The coarse pass pays `coarseDims/dims` of the flops and — unlike
+    * LSH/IVF — has NO bucketing recall cliff: every corpus row is
+    * scored, only at lower resolution, so recall degrades smoothly with
+    * `coarseDims` and reaches 1.0 when `coarseDims = dims` (spec-pinned
+    * equivalence with [[bruteForceTopK]]). The rerank join keys on the
+    * corpus id — one keyed shuffle of pool-sized data.
+    */
+  def mrlTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, coarseDims: Int, pool: Int, k: Int): DataFrame = {
+    require(coarseDims >= 1 && pool >= k && k > 0)
+    def trunc(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, coarseDims).as(vecCol))
+    val cand = bruteForceTopK(trunc(queries), trunc(corpus), idCol, vecCol, pool)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), V.norm(col(vecCol)).as("qn")))
+    val nv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), V.norm(col(vecCol)).as("nn"))
+    val sc = cand.join(qv, "query_id").join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    sc.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
 }

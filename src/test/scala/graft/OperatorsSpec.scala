@@ -104,6 +104,29 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toSeq === Seq(1L, 2L))
   }
 
+  test("MRL top-k equals brute force at full coarse width; smooth recall below") {
+    import Params._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" % AnnQueryMod === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", AnnK))
+    // coarseDims = full width: the coarse ranking IS the exact ranking,
+    // so any pool >= k reproduces brute force exactly
+    val full = pairs(Similarity.mrlTopK(queries, emb, "vec_id", "embedding",
+      EmbDims, MrlPool, AnnK))
+    assert(full === exact, "full-width coarse pass must equal brute force")
+    // truncated prefix: recall is data-dependent but the rerank can only
+    // help — a wider pool dominates a pool of exactly k
+    def recallAt(pool: Int): Double = {
+      val got = pairs(Similarity.mrlTopK(queries, emb, "vec_id", "embedding",
+        MrlDims, pool, AnnK))
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    assert(recallAt(MrlPool) >= recallAt(AnnK),
+      "a larger rerank pool must not lose recall")
+  }
+
   test("IVF recall strictly improves with nprobe and reaches exact at nprobe = cells") {
     import Params._
     val emb = Tables.load(spark, sfDir, "embeddings")
