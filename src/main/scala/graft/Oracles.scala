@@ -787,9 +787,12 @@ object Oracles {
     * IEEE divide floored to ppm, integer per-doc sums (k1=6/5, b=3/4,
     * rational Robertson idf).
     */
-  def textBm25: String =
-    s"""WITH $toksCte,
-       |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+  /** BM25 ranking CTEs ending in `bmr` (query_id, doc_id, score_ppm,
+    * rnk) — shared by the plain BM25 query and the RRF fusion.
+    * Requires [[toksCte]] upstream.
+    */
+  private def bm25Ctes: String =
+    s"""tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
        |post AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
@@ -807,13 +810,64 @@ object Oracles {
        |  JOIN dfreq f ON f.term = q.term
        |  JOIN dl d ON d.doc_id = p.doc_id
        |  CROSS JOIN st),
-       |agg AS (SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
-       |  FROM sc GROUP BY 1, 2)
-       |SELECT query_id, doc_id, score_ppm, rnk FROM (
-       |  SELECT query_id, doc_id, score_ppm,
+       |bmagg AS (SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |  FROM sc GROUP BY 1, 2),
+       |bmr AS (SELECT query_id, doc_id, score_ppm,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM bmagg)""".stripMargin
+
+  /** Shingle-Jaccard ranking CTEs ending in `jr` (query_id, doc_id,
+    * jac_ppm, rnk) — twin of [[graft.operators.TextOps.jaccardTopK]].
+    * Requires [[toksCte]] upstream.
+    */
+  private def jacCtes: String =
+    s"""${shingCteFor(2)},
+       |dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shing),
+       |jsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY 1),
+       |jqs AS (SELECT doc_id AS query_id, g FROM dsh WHERE doc_id % $Bm25QueryMod = 0),
+       |jit AS (SELECT query_id, d.doc_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM jqs JOIN dsh d USING (g) WHERE d.doc_id <> query_id GROUP BY 1, 2),
+       |jac AS (SELECT j.query_id, j.doc_id,
+       |    CAST(j.inter * 1000000 // (sa.sz + sb.sz - j.inter) AS BIGINT) AS jac_ppm
+       |  FROM jit j
+       |  JOIN jsz sa ON sa.doc_id = j.query_id
+       |  JOIN jsz sb ON sb.doc_id = j.doc_id),
+       |jr AS (SELECT query_id, doc_id, jac_ppm,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY jac_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM jac)""".stripMargin
+
+  def textBm25: String =
+    s"""WITH $toksCte,
+       |$bm25Ctes
+       |SELECT query_id, doc_id, score_ppm, rnk FROM bmr
+       |WHERE rnk <= $Bm25K""".stripMargin
+
+  def textJaccardTopk: String =
+    s"""WITH $toksCte,
+       |$jacCtes
+       |SELECT query_id, doc_id, jac_ppm, rnk FROM jr
+       |WHERE rnk <= $Bm25K""".stripMargin
+
+  /** RRF fusion twin of [[graft.operators.TextOps.rrfFuse]] over the
+    * BM25 and Jaccard top-k rankings: Σ 1e6 // (c + rank) in exact
+    * integers.
+    */
+  def textRrfFuse: String =
+    s"""WITH $toksCte,
+       |$bm25Ctes,
+       |$jacCtes,
+       |uni AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= $Bm25K
+       |  UNION ALL SELECT query_id, doc_id, rnk FROM jr WHERE rnk <= $Bm25K),
+       |fu AS (SELECT query_id, doc_id,
+       |    CAST(sum(1000000 // ($RrfC + rnk)) AS BIGINT) AS rrf_ppm
+       |  FROM uni GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_ppm, rnk FROM (
+       |  SELECT query_id, doc_id, rrf_ppm,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM agg)
+       |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fu)
        |WHERE rnk <= $Bm25K""".stripMargin
 
   def textBpeTrain: String = {

@@ -99,6 +99,7 @@ object Params {
   // correctly-rounded IEEE divide; query docs are doc_id % mod == 0
   val Bm25QueryMod = 50
   val Bm25K = 10
+  val RrfC = 60L // reciprocal-rank-fusion damping constant (standard 60)
 
   // fuzzy lookup (record linkage): levenshtein budget
   val FuzzyMaxDist = 2

@@ -994,6 +994,20 @@ object SparkEntry {
       // Okapi scoring (inverted-index aggregates + one term-keyed join)
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25QueryMod, Bm25K)),
+    "text_jaccard_topk" -> ((s, dir) =>
+      // set-overlap retrieval: exact shingle-Jaccard top-k through the
+      // inverted shingle index (sparse candidates, integer ppm)
+      TextOps.jaccardTopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25QueryMod, Bm25K)),
+    "text_rrf_fuse" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+      // and set-overlap (Jaccard) rankings — rank-only, exact integers
+      val docs = t(s, dir, "documents")
+      TextOps.rrfFuse(Seq(
+        TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)),
+        Bm25K, RrfC)
+    }),
     "text_bpe_encode" -> ((s, dir) => {
       // tokenize the corpus with the trained BPE: per-doc encoded length
       val docs = t(s, dir, "documents")
@@ -1155,6 +1169,8 @@ object SparkEntry {
     "text_pack" -> Oracles.textPack,
     "text_pmi" -> Oracles.textPmi,
     "text_bm25" -> Oracles.textBm25,
+    "text_jaccard_topk" -> Oracles.textJaccardTopk,
+    "text_rrf_fuse" -> Oracles.textRrfFuse,
     "text_bpe_train" -> Oracles.textBpeTrain,
     "text_bpe_vocab" -> Oracles.textBpeVocab,
     "text_bpe_encode" -> Oracles.textBpeEncode,

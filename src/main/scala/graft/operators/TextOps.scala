@@ -346,6 +346,63 @@ object TextOps {
       .distinct()
   }
 
+  /** Shingle-Jaccard top-k retrieval: rank corpus docs per query doc by
+    * exact Jaccard similarity of their distinct shingle sets, computed
+    * through the inverted shingle index — only docs SHARING a shingle are
+    * ever paired, so the candidate space is sparse (no cartesian). The
+    * set-overlap counterpart to [[bm25TopK]]'s lexical ranking; the two
+    * fuse in [[rrfFuse]].
+    *
+    * Shingles travel as 16-byte md5 digests; the intersection aggregate
+    * and the (broadcast) query-side join share the digest key. Sizes join
+    * back on doc ids; similarity is exact floor-ppm (no doubles).
+    */
+  def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queryMod: Int, k: Int, shingleN: Int = 2): DataFrame = {
+    require(queryMod > 1 && k > 0)
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val q = sh.where(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("h"))
+    val inter = broadcast(q).join(sh, "h")
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sz.select(col("doc_id").as("query_id"), col("sz").as("sza"))),
+        "query_id")
+      .join(sz.select(col("doc_id"), col("sz").as("szb")), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        expr("inter * 1000000L div (sza + szb - inter)").as("jac_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("jac_ppm").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.): merge any number of
+    * per-query rankings into one hybrid ranking by summing 1/(c + rank)
+    * per candidate — the standard lexical+semantic fusion step, here in
+    * exact integer ppm (`1e6 div (c + rnk)`) so the fused order is
+    * engine-identical. Inputs need only (query_id, doc_id, rnk) columns;
+    * a candidate missing from a ranking simply contributes nothing.
+    * One union + one keyed aggregate + a per-query window — the fusion
+    * itself never touches the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && c >= 0)
+    val u = rankings.map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_ unionByName _)
+    u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"1000000L div ($c + rnk)")).as("rrf_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** BM25 query-by-document retrieval: score every corpus doc against each
     * query doc (the distinct terms of docs with id % queryMod == 0) and
     * return the top-k per query — the retrieval shape behind contamination

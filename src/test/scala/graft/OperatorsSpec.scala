@@ -1013,6 +1013,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("jaccardTopK ranks by exact shingle-set overlap; rrfFuse merges rankings") {
+    import graft.operators.TextOps
+    // query doc 4 (id % 2 == 0... use mod 4): doc4 = "a b c d"
+    // shingles(2): doc4 {ab,bc,cd}; doc1 {ab,bc} |∩|=2 jac=2/3;
+    // doc2 {ab} jac=1/3; doc3 {xy} disjoint
+    val docs = Seq((4L, "a b c d"), (1L, "a b c"), (2L, "a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val jac = TextOps.jaccardTopK(docs, "doc_id", "text", 4, 3)
+    val got = jac.collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((666666L, 1L)), 2L -> ((333333L, 2L))))
+    // fusion: ranking A says (1:rnk1, 2:rnk2), ranking B says (2:rnk1, 1:rnk2)
+    // → tie on rrf score, broken by doc_id
+    val a = Seq((4L, 1L, 1L), (4L, 2L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((4L, 2L, 1L), (4L, 1L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val fused = TextOps.rrfFuse(Seq(a, b), 2, 60L)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    // 1e6/61 + 1e6/62 = 16393 + 16129 = 32522 for both docs
+    assert(fused === Map(1L -> ((32522L, 1L)), 2L -> ((32522L, 2L))))
+  }
+
   test("dupSpans counts spans shared across distinct docs only") {
     // n=3 spans; "a b c d" ↔ doc2 share "a b c"/"b c d"; doc3's repeated
     // span occurs twice but only within ITSELF → not cross-doc duplicated;
