@@ -1051,6 +1051,14 @@ object Oracles {
        |FROM customer c JOIN g ON g.segment = CAST(c.c_mktsegment AS VARCHAR)
        |  AND g.nation = CAST(c.c_nationkey AS VARCHAR)""".stripMargin
 
+  def qLdiversity: String =
+    s"""SELECT CAST(c_mktsegment AS VARCHAR) AS segment,
+       |  CAST(c_nationkey AS VARCHAR) AS nation,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS n_sens,
+       |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= $LdivL AS diverse
+       |FROM customer GROUP BY 1, 2""".stripMargin
+
   def eventsExtract: String =
     """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events"""
 

@@ -87,6 +87,9 @@ object Params {
   val BfsSeedMod = 100
   val BfsHops = 3
 
+  // l-diversity: min distinct sensitive values per released QI class
+  val LdivL = 3L
+
   // KMV distinct sketch: buffer size (±1/√k relative error), hash salt
   val KmvK = 64
   val KmvSalt = "kmv"

@@ -827,6 +827,13 @@ object SparkEntry {
       Quality.kSuppress(t(s, dir, "customer"), Seq(
           "segment" -> col("c_mktsegment"), "nation" -> col("c_nationkey")), KanonK)
         .select(col("c_custkey"), col("segment"), col("nation"))),
+    "q_ldiversity" -> ((s, dir) =>
+      // l-diversity audit: each (segment, nation) class must span >= l
+      // distinct account-balance bands before release — catches the
+      // homogeneous classes k-anonymity alone would pass
+      Quality.lDiversity(t(s, dir, "customer"), Seq(
+          "segment" -> col("c_mktsegment"), "nation" -> col("c_nationkey")),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long"), LdivL)),
     "q_countmin" -> ((s, dir) => {
       // count-min sketch vs truth: estimates for every token whose true
       // count clears CmMinCount — n_est >= n_true always (overcount-only
@@ -1185,6 +1192,7 @@ object SparkEntry {
     "events_transitions" -> Oracles.eventsTransitions,
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,
+    "q_ldiversity" -> Oracles.qLdiversity,
     "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
     "src_merge_schema" -> Oracles.srcMergeSchema,
     "q_full_outer" -> Oracles.qFullOuter,

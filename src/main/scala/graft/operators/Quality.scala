@@ -184,6 +184,28 @@ object Quality {
       .select(df.columns.map(col).toSeq ++ out: _*)
   }
 
+  /** l-diversity audit, the companion gate to [[kAnonymity]]: a QI
+    * equivalence class is safe to release only if it also contains at
+    * least `l` DISTINCT values of the sensitive attribute — k-anonymity
+    * alone lets an attacker who locates a victim's class read off the
+    * sensitive value when the class is homogeneous. Output is the QI
+    * census with both counts and the `diverse` verdict per class.
+    *
+    * Cost: one QI-keyed aggregate; the distinct-count is a two-level
+    * partial aggregate (no row-level shuffle beyond the census key), so
+    * the data never moves by more than the QI cardinality.
+    */
+  def lDiversity(df: DataFrame, qis: Seq[(String, Column)],
+                 sensitive: Column, l: Long): DataFrame = {
+    require(qis.nonEmpty && l > 0, "need at least one QI column and l > 0")
+    val keyed = qis.map { case (name, c) => c.cast("string").as(name) } :+
+      sensitive.as("__s")
+    df.select(keyed: _*)
+      .groupBy(qis.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"), count_distinct(col("__s")).as("n_sens"))
+      .withColumn("diverse", col("n_sens") >= l)
+  }
+
   /** Per-rule violation census in ONE pass: `(rule, n_viol)`, including
     * rules with zero violations (an explode-and-count would silently
     * drop those — and a clean run is exactly when the audit matters).

@@ -1013,6 +1013,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("lDiversity flags homogeneous QI classes that k-anonymity would pass") {
+    // class (a,1): 3 rows but ALL share sensitive value 9 → k-anonymous
+    // at k=3 yet NOT 2-diverse; class (b,2): 2 rows, 2 distinct values
+    val df = Seq(("a", 1L, 9L), ("a", 1L, 9L), ("a", 1L, 9L),
+      ("b", 2L, 5L), ("b", 2L, 7L)).toDF("seg", "nat", "s")
+    val out = Quality.lDiversity(df, Seq("segment" -> col("seg"),
+        "nation" -> col("nat")), col("s"), 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out === Map(
+      ("a", "1") -> ((3L, 1L, false)),
+      ("b", "2") -> ((2L, 2L, true))))
+  }
+
   test("jaccardTopK ranks by exact shingle-set overlap; rrfFuse merges rankings") {
     import graft.operators.TextOps
     // query doc 4 (id % 2 == 0... use mod 4): doc4 = "a b c d"
