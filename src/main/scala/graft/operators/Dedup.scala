@@ -506,17 +506,21 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, "spans need n >= 2 tokens")
-    val spans = docs.select(col(idCol).as("doc_id"),
+    // collapse to (doc, span-digest, multiplicity) FIRST: the explode+md5
+    // runs once, repeats combine map-side, and everything downstream —
+    // the distinct-doc census, the membership join (both keyed on the
+    // digest: one exchange, reused), and the per-doc rollup — moves the
+    // compact pair table instead of raw span instances
+    val perDoc = docs.select(col(idCol).as("doc_id"),
         explode(T.shingles(col(textCol), n)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
-    val dup = spans.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("h"), lit(1L).as("__dup"))
-    spans.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"), md5(col("g")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val census = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")) // rows are doc-distinct by construction
+    perDoc.join(census, "h")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ppm", expr("n_dup * 1000000L div n_spans"))
   }
 }

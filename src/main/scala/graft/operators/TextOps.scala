@@ -360,9 +360,12 @@ object TextOps {
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   queryMod: Int, k: Int, shingleN: Int = 2): DataFrame = {
     require(queryMod > 1 && k > 0)
+    // three consumers (sizes, query side, corpus side) — materialize the
+    // shingle digests once per action, as in bm25TopK/prefixFilter
     val sh = docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
+      .localCheckpoint(false)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val q = sh.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("h"))
@@ -432,9 +435,14 @@ object TextOps {
     require(queryMod > 1 && k > 0)
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(T.tokens(col(textCol))).as("term"))
+    // the inverted index feeds FOUR consumers (scoring side, doc
+    // lengths, document frequencies, query terms) — a lazy
+    // localCheckpoint materializes the tokenize+count once per action
+    // instead of four times (the prefixFilter `sets` pattern)
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false)
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = postings.where(col("doc_id") % queryMod === 0)
@@ -443,10 +451,13 @@ object TextOps {
       (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
     val den = (lit(20L) * col("tf") * col("sum_dl") + lit(6L) * col("sum_dl")
       + lit(18L) * col("dl") * col("n_docs")) * (lit(2L) * col("df") + lit(1L))
+    // prune FIRST: the broadcast query-term semi-restriction cuts the
+    // postings to the query vocabulary before any wide join runs — at
+    // corpus scale the df join then moves only the pruned slice
     val scored = postings
-      .join(dfreq, "term")
       .join(broadcast(qterms), Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
+      .join(dfreq, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
