@@ -1311,6 +1311,24 @@ object Oracles {
       |  CAST(CASE WHEN act IN ('U','I') THEN sp ELSE tp END AS BIGINT) AS price_cents
       |FROM a WHERE act <> 'D'""".stripMargin
 
+  /** Deletion-certificate twin of the `etl_forget` cascade. */
+  def etlForget: String =
+    """WITH fc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |ob AS (SELECT DISTINCT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM fc)),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS b,
+      |  CAST(count(*) FILTER (c_custkey NOT IN (SELECT c_custkey FROM fc)) AS BIGINT) AS a
+      |  FROM customer),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS b,
+      |  CAST(count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM fc)) AS BIGINT) AS a
+      |  FROM orders),
+      |l AS (SELECT CAST(count(*) AS BIGINT) AS b,
+      |  CAST(count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM ob)) AS BIGINT) AS a
+      |  FROM lineitem)
+      |SELECT 'customer' AS tbl, b AS n_before, a AS n_after, b - a AS n_removed FROM c
+      |UNION ALL SELECT 'orders', b, a, b - a FROM o
+      |UNION ALL SELECT 'lineitem', b, a, b - a FROM l""".stripMargin
+
   def etlCdcApply: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

@@ -343,6 +343,27 @@ object SparkEntry {
         insertWhen = Some(lit(true)),
         notBySourceDelete = Some(col("o_orderkey") % 1000 === 17))
     }),
+    "etl_forget" -> ((s, dir) => {
+      // GDPR erasure cascade: forget customers (key % 97 = 0), purge
+      // them, their orders, and their orders' lineitems; emit the
+      // deletion certificate (per-table before/after/removed counts).
+      // Forget sets are key-only and broadcast at every level.
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val fc = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+      val ordBad = Staging.cascadeKeys(orders, "o_custkey", fc, "o_orderkey")
+      val cleaned = Seq(
+        ("customer", cust, Staging.purge(cust, "c_custkey", fc)),
+        ("orders", orders, Staging.purge(orders, "o_custkey", fc)),
+        ("lineitem", li, Staging.purge(li, "l_orderkey", ordBad)))
+      cleaned.map { case (name, before, after) =>
+        before.agg(count(lit(1)).as("n_before")).crossJoin(
+            after.agg(count(lit(1)).as("n_after")))
+          .select(lit(name).as("tbl"), col("n_before"), col("n_after"),
+            (col("n_before") - col("n_after")).as("n_removed"))
+      }.reduce(_ unionByName _)
+    }),
     "etl_cdc_apply" -> ((s, dir) => {
       // CDC log fold: updates for keys %7=0 (seq 1), deletes for keys
       // %11=0 (seq 2) — keys hit by both get the delete as the LATER
@@ -1149,6 +1170,7 @@ object SparkEntry {
     "q_outliers" -> Oracles.qOutliers,
     "etl_upsert" -> Oracles.etlUpsert,
     "etl_merge_full" -> Oracles.etlMergeFull,
+    "etl_forget" -> Oracles.etlForget,
     "etl_cdc_apply" -> Oracles.etlCdcApply,
     "etl_snapshot_diff" -> Oracles.etlSnapshotDiff,
     "q_label_prop" -> Oracles.qLabelProp,

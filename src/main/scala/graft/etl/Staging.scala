@@ -141,6 +141,29 @@ object Staging {
       .unionByName(upserts)
   }
 
+  /** Right-to-be-forgotten primitives: [[purge]] drops every row whose
+    * foreign key is in the forget set (left-anti against the broadcast
+    * key set — the fact table never shuffles); [[cascadeKeys]] projects
+    * the forgotten keys one FK level down (semi-join + distinct on the
+    * child key, again forget-set-sized). A GDPR erasure over a star
+    * schema is a fold of these two: subjects → purge(dim) →
+    * cascadeKeys → purge(fact) → … Each level's forget set stays
+    * compact (keys only) no matter how wide the tables are.
+    */
+  def purge(df: DataFrame, fkCol: String, forget: DataFrame): DataFrame =
+    df.join(broadcast(forget.select(col(forget.columns.head).as(fkCol)).distinct()),
+        Seq(fkCol), "left_anti")
+      .select(df.columns.map(col).toSeq: _*) // using-join moves the key first; restore caller order
+
+  /** Keys of `df` rows owned by a forgotten parent, for the next cascade
+    * level: semi-join on `fkCol`, project `outKey` distinct.
+    */
+  def cascadeKeys(df: DataFrame, fkCol: String, forget: DataFrame,
+                  outKey: String): DataFrame =
+    df.join(broadcast(forget.select(col(forget.columns.head).as(fkCol)).distinct()),
+        Seq(fkCol), "left_semi")
+      .select(col(outKey)).distinct()
+
   /** Snapshot diff: emit the minimal I/U/D change log that transforms
     * `oldDf` into `newDf` — [[cdcApply]]'s inverse, and the standard way
     * to turn full daily dumps from an upstream that has no CDC into an

@@ -1013,6 +1013,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("purge/cascadeKeys erase a subject transitively, leave others intact") {
+    val cust = Seq((1L, "keep"), (2L, "forget")).toDF("ck", "name")
+    val orders = Seq((10L, 1L), (20L, 2L), (21L, 2L)).toDF("ok", "ck")
+    val items = Seq((10L, "a"), (20L, "b"), (21L, "c"), (99L, "orphan"))
+      .toDF("ok", "item")
+    val fc = cust.filter($"ck" === 2L).select($"ck")
+    val badOrders = Staging.cascadeKeys(orders, "ck", fc, "ok")
+    assert(Staging.purge(cust, "ck", fc).collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(Staging.purge(orders, "ck", fc).collect().map(_.getAs[Long]("ok")).toSet
+      === Set(10L))
+    // orphan rows (no parent order at all) are untouched by the cascade
+    assert(Staging.purge(items, "ok", badOrders).collect().map(_.getString(1)).toSet
+      === Set("a", "orphan"))
+  }
+
   test("lDiversity flags homogeneous QI classes that k-anonymity would pass") {
     // class (a,1): 3 rows but ALL share sensitive value 9 → k-anonymous
     // at k=3 yet NOT 2-diverse; class (b,2): 2 rows, 2 distinct values
