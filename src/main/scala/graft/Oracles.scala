@@ -1458,6 +1458,24 @@ object Oracles {
       |  FROM orders)
       |GROUP BY yearkey""".stripMargin
 
+  /** Winsorize twin of [[graft.etl.Marts.winsorize]]: same permille
+    * type-1 ranks (ceil, clamped to 1) over cents, same clip.
+    */
+  def qWinsorize: String =
+    s"""WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderkey,
+       |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc,
+       |    row_number() OVER (PARTITION BY year(o_orderdate)
+       |      ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+       |    count(*) OVER (PARTITION BY year(o_orderdate)) AS cnt
+       |  FROM orders),
+       |b AS (SELECT yearkey,
+       |    min(CASE WHEN rn = greatest(($WinsorLoPm * cnt + 999) // 1000, 1) THEN pc END) AS lo,
+       |    min(CASE WHEN rn = greatest(($WinsorHiPm * cnt + 999) // 1000, 1) THEN pc END) AS hi
+       |  FROM r GROUP BY yearkey)
+       |SELECT r.yearkey, o_orderkey, pc AS price_cents,
+       |  greatest(b.lo, least(b.hi, pc)) AS clipped_cents
+       |FROM r JOIN b USING (yearkey)""".stripMargin
+
   def qDistinctCount: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
       |  count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders

@@ -90,6 +90,10 @@ object Params {
   // l-diversity: min distinct sensitive values per released QI class
   val LdivL = 3L
 
+  // winsorization band, permille ranks (p05/p95)
+  val WinsorLoPm = 50L
+  val WinsorHiPm = 950L
+
   // KMV distinct sketch: buffer size (±1/√k relative error), hash salt
   val KmvK = 64
   val KmvSalt = "kmv"

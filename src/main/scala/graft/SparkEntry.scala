@@ -316,6 +316,14 @@ object SparkEntry {
           cents(col("o_totalprice")), col("o_orderkey"), OutlierK)
         .select(col("grp"), col("row_key").as("o_orderkey"),
           col("value").as("price_cents"), col("med"), col("mad"))),
+    "q_winsorize" -> ((s, dir) =>
+      // tail clipping at exact per-year [p05, p95]: permille ranks keep
+      // both engines on pure integers; bounds broadcast back to rows
+      Marts.winsorize(t(s, dir, "orders"), year(col("o_orderdate")).cast("long"),
+          "yearkey", cents(col("o_totalprice")), col("o_orderkey"), "o_orderkey",
+          WinsorLoPm, WinsorHiPm)
+        .select(col("yearkey"), col("o_orderkey"),
+          col("value").as("price_cents"), col("clipped").as("clipped_cents"))),
     "etl_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
@@ -1215,6 +1223,7 @@ object SparkEntry {
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,
     "q_ldiversity" -> Oracles.qLdiversity,
+    "q_winsorize" -> Oracles.qWinsorize,
     "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
     "src_merge_schema" -> Oracles.srcMergeSchema,
     "q_full_outer" -> Oracles.qFullOuter,

@@ -115,6 +115,35 @@ object Marts {
         min(when(col("__rn") === expr("(__cnt + 1) div 2"), col("__v"))).as("p50"),
         min(when(col("__rn") === expr("(3 * __cnt + 3) div 4"), col("__v"))).as("p75"))
 
+  /** Winsorization: clip every value into its group's exact type-1
+    * [p_lo, p_hi] percentile band — the standard tail-taming step before
+    * training on heavy-tailed measures, as a per-row transform (unlike
+    * [[graft.operators.Quality.robustOutliers]], which drops). Bounds
+    * are permille ranks (`ceil(q·n)`, clamped to 1) so both engines
+    * agree on pure integers; the rank pass is the same single
+    * group-keyed window as [[exactQuartiles]], and the group-sized
+    * bounds table broadcasts back — the rows shuffle once, total.
+    */
+  def winsorize(df: DataFrame, group: Column, as: String, value: Column,
+                tieBreak: Column, keyAs: String,
+                loPermille: Long, hiPermille: Long): DataFrame = {
+    require(loPermille >= 0 && hiPermille <= 1000 && loPermille <= hiPermille)
+    val ranked = df.select(group.as(as), value.as("value"), tieBreak.as(keyAs))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(as)).orderBy(col("value").asc, col(keyAs).asc)))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(as))))
+    val bounds = ranked.groupBy(col(as)).agg(
+      min(when(col("__rn") ===
+        greatest(expr(s"($loPermille * __cnt + 999) div 1000"), lit(1L)),
+        col("value"))).as("__lo"),
+      min(when(col("__rn") ===
+        greatest(expr(s"($hiPermille * __cnt + 999) div 1000"), lit(1L)),
+        col("value"))).as("__hi"))
+    ranked.join(broadcast(bounds), as)
+      .select(col(as), col(keyAs), col("value"),
+        greatest(col("__lo"), least(col("__hi"), col("value"))).as("clipped"))
+  }
+
   /** Fixed-width histogram (reference: etl_imdb.py:230
     * `build_mart_rating_distribution`, width 0.5 via floor(x*2)/2).
     * Emits the integer bucket index `floor(value/width)` so engines agree

@@ -1013,6 +1013,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("winsorize clips to exact type-1 permille bounds per group") {
+    // group g: values 1..10 → p(200‰) = rank ceil(0.2·10)=2 → 2;
+    // p(800‰) = rank 8 → 8; values clip into [2, 8]
+    val df = (1L to 10L).map(i => ("g", i, i)).toDF("grp", "k", "v")
+    val out = Marts.winsorize(df, col("grp"), "grp", col("v"), col("k"), "k",
+        200L, 800L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+    // single-row group: both ranks clamp to 1 → value maps to itself
+    val one = Seq(("h", 1L, 42L)).toDF("grp", "k", "v")
+    val o1 = Marts.winsorize(one, col("grp"), "grp", col("v"), col("k"), "k",
+      50L, 950L).collect()
+    assert(o1.length === 1 && o1.head.getLong(3) === 42L)
+  }
+
   test("purge/cascadeKeys erase a subject transitively, leave others intact") {
     val cust = Seq((1L, "keep"), (2L, "forget")).toDF("ck", "name")
     val orders = Seq((10L, 1L), (20L, 2L), (21L, 2L)).toDF("ok", "ck")
