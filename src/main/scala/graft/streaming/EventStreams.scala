@@ -174,8 +174,18 @@ object EventStreams {
     * bound, so Spark purges both state stores as the watermark advances —
     * unbounded-state stream joins never survive a 100 TB/day feed.
     */
+  /** Stream-stream interval join. `joinType` "inner" emits matches as
+    * they form; "left_outer" ALSO emits every unmatched click with null
+    * buy columns — but only once the global watermark proves no future
+    * buy can land in its window (click_ts + windowMinutes), which is
+    * when the state store can evict the row. The interval bound plus
+    * both-side watermarks is exactly what makes that state bounded; an
+    * un-bounded outer stream-stream join is rejected by Spark for this
+    * reason.
+    */
   def matchedPairs(events: DataFrame, clickType: String, buyType: String,
-                   watermark: String = "1 hour", windowMinutes: Int = 30): DataFrame = {
+                   watermark: String = "1 hour", windowMinutes: Int = 30,
+                   joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === clickType)
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
@@ -187,8 +197,11 @@ object EventStreams {
     clicks.join(buys,
         col("c_user") === col("b_user") &&
         col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
-      .select(col("b_user").as("user_id"), col("buy_id"), col("click_id"),
+        col("buy_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"),
+        joinType)
+      // coalesce: on outer null-rows only the click side exists
+      .select(coalesce(col("c_user"), col("b_user")).as("user_id"),
+        col("buy_id"), col("click_id"),
         (unix_millis(col("buy_ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
   }
 

@@ -307,6 +307,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.matchedPairs(stream.toDF(), "click", "purchase",
+        watermark = "1 hour", windowMinutes = 30, joinType = "left_outer")
+      .writeStream.format("memory").queryName("pairs_lo").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "purchase", 1.0), // match
+        Event(4, ts("2024-01-01 00:05:00"), 8, "click", 1.0))    // never buys
+      q.processAllAvailable()
+      // the unmatched click can only emit once the watermark on BOTH
+      // sides clears its window end (00:35) — advance each side past it
+      stream.addData(
+        Event(90, ts("2024-01-01 03:00:00"), 98, "click", 1.0),
+        Event(91, ts("2024-01-01 03:00:00"), 99, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // second cycle: watermark moves at batch boundaries
+      val rows = spark.table("pairs_lo")
+        .select($"user_id", $"buy_id", $"click_id", $"gap_ms")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(rows.contains((7L, Some(2L), 1L, Some(600000L))),
+        s"matched pair must emit: $rows")
+      assert(rows.contains((8L, None, 4L, None)),
+        s"unmatched click must emit nulls after eviction: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
