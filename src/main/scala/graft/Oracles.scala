@@ -1461,6 +1461,21 @@ object Oracles {
   /** Winsorize twin of [[graft.etl.Marts.winsorize]]: same permille
     * type-1 ranks (ceil, clamped to 1) over cents, same clip.
     */
+  /** Gini twin of [[graft.operators.Sketches.gini]] over per-customer
+    * spend: same ascending (value, key) ranks, int64 sums, one IEEE
+    * divide floored to ppm.
+    */
+  def qGini: String =
+    """WITH sp AS (SELECT o_custkey AS k,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT k, x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i FROM sp)
+      |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+      |     / CAST(count(*) * sum(x) AS DOUBLE))) AS BIGINT) AS gini_ppm
+      |FROM r""".stripMargin
+
   def qWinsorize: String =
     s"""WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderkey,
        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc,

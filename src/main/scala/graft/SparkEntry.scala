@@ -316,6 +316,13 @@ object SparkEntry {
           cents(col("o_totalprice")), col("o_orderkey"), OutlierK)
         .select(col("grp"), col("row_key").as("o_orderkey"),
           col("value").as("price_cents"), col("med"), col("mad"))),
+    "q_gini" -> ((s, dir) =>
+      // spend-concentration KPI: exact Gini over per-customer totals,
+      // ranks from the distributed range-partition GlobalRank
+      operators.Sketches.gini(
+        t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend")),
+        col("o_custkey"), col("spend"))),
     "q_winsorize" -> ((s, dir) =>
       // tail clipping at exact per-year [p05, p95]: permille ranks keep
       // both engines on pure integers; bounds broadcast back to rows
@@ -1224,6 +1231,7 @@ object SparkEntry {
     "q_kanon" -> Oracles.qKanon,
     "q_ldiversity" -> Oracles.qLdiversity,
     "q_winsorize" -> Oracles.qWinsorize,
+    "q_gini" -> Oracles.qGini,
     "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
     "src_merge_schema" -> Oracles.srcMergeSchema,
     "q_full_outer" -> Oracles.qFullOuter,

@@ -173,4 +173,26 @@ object Sketches {
       .groupBy(col("p"))
       .agg((min(col("b")) * lit(width)).as("est"))
   }
+
+  /** Gini concentration coefficient over a per-key measure, exact:
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending — the
+    * inequality KPI for spend/traffic/token-count concentration.
+    * Ranks come from the distributed [[GlobalRank]] (range partition +
+    * offsets, never a single-partition window); ties carry equal x so
+    * any tie order yields the same sums. All sums are int64; the single
+    * final division is IEEE and identical in both engines, floored to
+    * ppm. Returns one row: (n, total, gini_ppm).
+    */
+  def gini(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val ranked = GlobalRank.globalRank(
+      df.select(key.as("__k"), value.cast("long").as("__x")),
+      Seq(col("__x").asc, col("__k").asc))
+    ranked.agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum(col("grank") * col("__x")).as("__s1"))
+      .select(col("n"), col("total"),
+        floor(lit(1000000.0) *
+          ((lit(2L) * col("__s1") - (col("n") + 1) * col("total")).cast("double")
+            / (col("n") * col("total")).cast("double")))
+          .cast("long").as("gini_ppm"))
+  }
 }

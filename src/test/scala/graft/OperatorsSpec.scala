@@ -1013,6 +1013,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("gini: 0 for equal values, known value for full concentration") {
+    val equal = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("k", "x")
+    val g0 = Sketches.gini(equal, col("k"), col("x")).collect().head
+    assert((g0.getLong(0), g0.getLong(1), g0.getLong(2)) === ((4L, 20L, 0L)))
+    // one holder of everything among n=4: G = (n-1)/n = 0.75
+    val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 12L)).toDF("k", "x")
+    assert(Sketches.gini(conc, col("k"), col("x")).collect().head.getLong(2)
+      === 750000L)
+  }
+
   test("winsorize clips to exact type-1 permille bounds per group") {
     // group g: values 1..10 → p(200‰) = rank ceil(0.2·10)=2 → 2;
     // p(800‰) = rank 8 → 8; values clip into [2, 8]
