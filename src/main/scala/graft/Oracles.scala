@@ -1032,6 +1032,20 @@ object Oracles {
        |  FROM events)
        |WHERE event_type = '$AsofTarget'""".stripMargin
 
+  /** Attribution twin of [[graft.operators.EventOps.attribution]]. */
+  def eventsAttribution: String =
+    s"""WITH tg AS (SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms
+       |  FROM events WHERE event_type = '$AsofTarget'),
+       |tc AS (SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS touch_ms
+       |  FROM events WHERE event_type = '$AsofMatch'),
+       |p AS (SELECT tg.user_id, conv_id, touch_id
+       |  FROM tg JOIN tc ON tc.user_id = tg.user_id
+       |    AND touch_ms >= conv_ms - $SessionGapMs AND touch_ms < conv_ms),
+       |k AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS k FROM p GROUP BY 1)
+       |SELECT p.user_id, p.conv_id, p.touch_id,
+       |  CAST(1000000 // k.k AS BIGINT) AS credit_ppm
+       |FROM p JOIN k USING (conv_id)""".stripMargin
+
   def eventsTransitions: String =
     s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
        |x AS (SELECT event_type AS ft,

@@ -1096,6 +1096,11 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"),
         from_json(col("props"), "k LONG", java.util.Map.of[String, String]())
           .getField("k").as("k"))),
+    "events_attribution" -> ((s, dir) =>
+      // linear multi-touch: clicks in the 30min window before a purchase
+      // split its credit equally, exact integer ppm
+      EventOps.attribution(t(s, dir, "events"), "user_id", "ts", "event_type",
+        AsofTarget, AsofMatch, SessionGapMs)),
     "events_pivot" -> ((s, dir) =>
       EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)),
     "events_asof" -> ((s, dir) =>
@@ -1227,6 +1232,7 @@ object SparkEntry {
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
     "events_transitions" -> Oracles.eventsTransitions,
+    "events_attribution" -> Oracles.eventsAttribution,
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,
     "q_ldiversity" -> Oracles.qLdiversity,

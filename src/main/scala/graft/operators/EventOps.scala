@@ -192,4 +192,37 @@ object EventOps {
       if (prev != null) prev.unpersist()
     }
   }
+
+  /** Linear multi-touch attribution: every `matchType` event within
+    * `windowMs` BEFORE a `targetType` event of the same user shares that
+    * conversion's credit equally — the credit ledger behind marketing
+    * spend allocation (first/last-touch are the argmin/argmax
+    * specializations of the same pair table). Credit is exact integer
+    * ppm (`1e6 div k`), so the ledger sums reproducibly; k comes from a
+    * per-conversion aggregate on the SAME key the pair join produces
+    * (exchange reused), never a window sort.
+    *
+    * Scale: the pair join is user-keyed — the standard sessionized-join
+    * shape; per-user event counts bound the fan-out, and a hot user is
+    * ordinary equi-join skew (AQE / [[graft.operators.Joins.saltedJoin]]).
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, targetType: String, matchType: String,
+                  windowMs: Long): DataFrame = {
+    require(windowMs > 0)
+    val targets = events.filter(col(typeCol) === targetType)
+      .select(col(userCol).as("user_id"), col("event_id").as("conv_id"),
+        unix_millis(col(tsCol)).as("conv_ms"))
+    val touches = events.filter(col(typeCol) === matchType)
+      .select(col(userCol).as("user_id"), col("event_id").as("touch_id"),
+        unix_millis(col(tsCol)).as("touch_ms"))
+    val pairs = targets.join(touches, "user_id")
+      .where(col("touch_ms") >= col("conv_ms") - windowMs &&
+        col("touch_ms") < col("conv_ms"))
+      .select(col("user_id"), col("conv_id"), col("touch_id"))
+    val k = pairs.groupBy(col("conv_id")).agg(count(lit(1)).as("k"))
+    pairs.join(k, "conv_id")
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        expr("1000000L div k").as("credit_ppm"))
+  }
 }

@@ -1013,6 +1013,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("attribution splits conversion credit equally over in-window touches") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    val ev = Seq(
+      (1L, t(0), 7L, "click", 1.0),     // in window of purchase@20
+      (2L, t(10), 7L, "click", 1.0),    // in window
+      (3L, t(20), 7L, "purchase", 1.0), // k=2 → 500000 ppm each
+      (4L, t(20), 7L, "click", 1.0),    // ties conv ts → EXCLUDED (strict <)
+      (5L, t(100), 7L, "purchase", 1.0),// no touch in [70,100) → absent
+      (6L, t(5), 8L, "click", 1.0)      // other user, no conversion
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.attribution(ev, "user_id", "ts", "event_type",
+        "purchase", "click", 30 * 60000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((3L, 1L, 500000L), (3L, 2L, 500000L)))
+  }
+
   test("gini: 0 for equal values, known value for full concentration") {
     val equal = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("k", "x")
     val g0 = Sketches.gini(equal, col("k"), col("x")).collect().head
