@@ -1301,6 +1301,23 @@ object Oracles {
        |FROM r GROUP BY yearkey""".stripMargin
   }
 
+  /** KMV-union twin: any hash in the union's true k-minimum set is in
+    * its own group's k-minimum set, so the merged sketch equals the
+    * global sketch — replay as the k-th smallest distinct hash overall.
+    */
+  def qKmvUnion: String = {
+    val h = hex8Expr(s"('$KmvSalt:' || CAST(o_custkey AS VARCHAR))")
+    s"""WITH y AS (SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_sketches
+       |  FROM orders),
+       |hv AS (SELECT DISTINCT CAST($h AS BIGINT) AS h FROM orders),
+       |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+       |  count(*) OVER () AS cnt FROM hv),
+       |e AS (SELECT CAST(CASE WHEN max(cnt) < $KmvK THEN max(cnt)
+       |  ELSE ((${KmvK - 1} * 4294967296) // (max(CASE WHEN rn = $KmvK THEN h END) + 1))
+       |  END AS BIGINT) AS union_est FROM r)
+       |SELECT n_sketches, union_est FROM y CROSS JOIN e""".stripMargin
+  }
+
   /** Four-clause MERGE twin of [[graft.etl.Staging.mergeInto]]: same
     * full-outer join and the same clause order (matched update before
     * matched delete).

@@ -316,6 +316,14 @@ object SparkEntry {
           cents(col("o_totalprice")), col("o_orderkey"), OutlierK)
         .select(col("grp"), col("row_key").as("o_orderkey"),
           col("value").as("price_cents"), col("med"), col("mad"))),
+    "q_kmv_union" -> ((s, dir) =>
+      // sketch algebra: per-year KMV sketches merge into the all-years
+      // union distinct estimate WITHOUT rescanning orders — the merged
+      // sketch is exactly the union's sketch
+      operators.Sketches.kmvUnion(
+        operators.Sketches.kmvSketch(t(s, dir, "orders"),
+          year(col("o_orderdate")).cast("long"), "yearkey",
+          col("o_custkey"), KmvK, KmvSalt), "hs", KmvK)),
     "q_gini" -> ((s, dir) =>
       // spend-concentration KPI: exact Gini over per-customer totals,
       // ranks from the distributed range-partition GlobalRank
@@ -1196,6 +1204,7 @@ object SparkEntry {
     "q_label_prop" -> Oracles.qLabelProp,
     "q_bfs_reach" -> Oracles.qBfsReach,
     "q_kmv_distinct" -> Oracles.qKmvDistinct,
+    "q_kmv_union" -> Oracles.qKmvUnion,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     // the merge's oracle IS the full rebuild — incremental must equal it

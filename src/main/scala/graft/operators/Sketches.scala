@@ -128,16 +128,44 @@ object Sketches {
     * most k longs per group — the input never shuffles, the sketch does.
     * Output: `(as, n_est)`.
     */
+  /** The KMV order-statistic estimate from a sketch array column. */
+  private def kmvEstimate(hsName: String, k: Int): Column =
+    when(size(col(hsName)) < k, size(col(hsName)).cast("long"))
+      .otherwise(expr(s"((${k - 1}L * 4294967296L) div (element_at($hsName, $k) + 1L))"))
+
   def kmvDistinct(df: DataFrame, group: Column, as: String, value: Column,
-                  k: Int, salt: String): DataFrame = {
+                  k: Int, salt: String): DataFrame =
+    kmvSketch(df, group, as, value, k, salt)
+      .select(col(as), kmvEstimate("hs", k).as("n_est"))
+
+  /** Per-group KMV sketch STATE (the k-smallest distinct hash arrays) —
+    * the materialized form a sketch table stores so later queries can
+    * answer set questions without rescanning the data.
+    */
+  def kmvSketch(df: DataFrame, group: Column, as: String, value: Column,
+                k: Int, salt: String): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val fn = udaf(new KmvAggregator(k))
     df.select(group.as(as), HashFunctions.hash32(value, salt).as("__h"))
       .groupBy(col(as)).agg(fn(col("__h")).as("hs"))
-      .select(col(as),
-        when(size(col("hs")) < k, size(col("hs")).cast("long"))
-          .otherwise(expr(s"((${k - 1}L * 4294967296L) div (element_at(hs, $k) + 1L))"))
-          .as("n_est"))
+  }
+
+  /** KMV set algebra: merge per-group sketches into the UNION's distinct
+    * estimate — without touching the base data (the point of keeping
+    * sketch state). Merging re-feeds the stored hashes through the same
+    * bounded aggregator; any hash in the union's true k-minimum set is
+    * necessarily in its own group's k-minimum set, so the merged sketch
+    * IS the union's sketch, exactly. Output: one row
+    * `(n_sketches, union_est)`.
+    */
+  def kmvUnion(sketches: DataFrame, hsCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val fn = udaf(new KmvAggregator(k))
+    val n = sketches.agg(count(lit(1)).as("n_sketches"))
+    val est = sketches.select(explode(col(hsCol)).as("__h"))
+      .agg(fn(col("__h")).as("hs"))
+      .select(kmvEstimate("hs", k).as("union_est"))
+    n.crossJoin(est)
   }
 
   /** Percentile estimates from an equi-width histogram over a LONG

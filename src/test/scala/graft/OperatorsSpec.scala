@@ -1013,6 +1013,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("kmvUnion merged sketch equals the sketch of the union") {
+    import graft.operators.Sketches
+    val df = (1L to 500L).map(i => (i % 5, i)).toDF("g", "v")
+    val sketches = Sketches.kmvSketch(df, col("g"), "g", col("v"), 16, "kmv")
+    assert(sketches.count() === 5)
+    val merged = Sketches.kmvUnion(sketches, "hs", 16).collect().head
+    // the union of the 5 groups is all 500 distinct values: the merged
+    // estimate must equal the sketch built directly on the full data
+    val direct = Sketches.kmvDistinct(df, lit(0L), "g", col("v"), 16, "kmv")
+      .collect().head.getLong(1)
+    assert(merged.getLong(0) === 5L)
+    assert(merged.getLong(1) === direct,
+      "merged per-group sketches must reproduce the global sketch estimate")
+  }
+
   test("attribution splits conversion credit equally over in-window touches") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(60000L * min)
