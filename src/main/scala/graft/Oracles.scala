@@ -168,6 +168,50 @@ object Oracles {
     (0 until 8).map(j => s"(instr('$hex', substr(md5($t), ${1 + 8 * half + j}, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
 
+  /** SimHash candidate-pair CTEs with `p`-prefixed names so they compose
+    * with the minhash CTE family (whose `tok` is shingle-level); ends in
+    * `<p>pairs` (doc_a, doc_b). Requires `toks` upstream.
+    */
+  private def simhashPairCtes(p: String): String = {
+    val ws = (0 until 64).map { b =>
+      val v = if (b < 32) "vlo" else "vhi"
+      s"sum(2 * (($v >> ${b % 32}) & 1) - 1) AS w$b"
+    }.mkString(", ")
+    def pack(from: Int): String = (0 until 32)
+      .map(b => s"(CASE WHEN w${from + b} >= 0 THEN 1 ELSE 0 END) * ${1L << b}").mkString(" + ")
+    val blocks = Seq("sim_lo & 65535", "(sim_lo >> 16) & 65535",
+      "sim_hi & 65535", "(sim_hi >> 16) & 65535").zipWithIndex.map { case (bv, k) =>
+      s"SELECT doc_id, sim_lo, sim_hi, $k AS blk, $bv AS bv FROM ${p}s"
+    }.mkString(" UNION ALL ")
+    s"""${p}tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+       |${p}tv AS (SELECT doc_id, CAST(${hex8Expr("t", 0)} AS BIGINT) AS vlo,
+       |  CAST(${hex8Expr("t", 1)} AS BIGINT) AS vhi FROM ${p}tok),
+       |${p}w AS (SELECT doc_id, $ws FROM ${p}tv GROUP BY doc_id),
+       |${p}s AS (SELECT doc_id, ${pack(0)} AS sim_lo, ${pack(32)} AS sim_hi FROM ${p}w),
+       |${p}blk AS ($blocks),
+       |${p}pairs AS (SELECT doc_a, doc_b FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+       |  FROM ${p}blk a JOIN ${p}blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |WHERE hamming <= $SimhashMaxDist)""".stripMargin
+  }
+
+  /** Multi-signal consensus clustering: shingle-overlap pairs ∪ simhash
+    * pairs → the same recursive-CTE CC as [[dedupCluster]].
+    */
+  def dedupConsensus: String =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |${simhashPairCtes("sh_")},
+       |alle AS (SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_a, doc_b FROM sh_pairs),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM alle
+       |  UNION SELECT doc_b, doc_a FROM alle),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+       |SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""".stripMargin
+
   def dedupSimhash: String = {
     // 64 bits as two 32-bit halves (lo = md5 hex 1-8, hi = hex 9-16):
     // no engine ever touches a signed-64 pack, and per-half bit_count

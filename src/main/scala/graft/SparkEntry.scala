@@ -530,6 +530,18 @@ object SparkEntry {
     "dedup_cluster" -> ((s, dir) =>
       Dedup.clusters(
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands))),
+    "dedup_consensus" -> ((s, dir) => {
+      // multi-signal dedup, the production shape: shingle-overlap pairs
+      // (MinHash→Jaccard-verified) ∪ structural pairs (SimHash hamming)
+      // feed ONE clustering — each detector catches near-dups the other
+      // misses; the union is just more edges into the same CC loop
+      val docs = t(s, dir, "documents")
+      val jp = Dedup.ngramJaccard(docs, "doc_id", "text", JaccardMin,
+        MinhashK, MinhashBands).select(col("doc_a"), col("doc_b"))
+      val sp = Dedup.simhashPairs(docs, "doc_id", "text", SimhashMaxDist)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.clusters(jp.unionByName(sp).distinct())
+    }),
     "text_pipeline" -> ((s, dir) =>
       Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text", JaccardMin, CleanMinQuality)),
     "dedup_incremental" -> ((s, dir) => {
@@ -1172,6 +1184,7 @@ object SparkEntry {
     "dedup_minhash_n3" -> Oracles.dedupMinhashN3,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_cluster" -> Oracles.dedupCluster,
+    "dedup_consensus" -> Oracles.dedupConsensus,
     "text_pipeline" -> Oracles.textPipeline,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_decontaminate" -> Oracles.dedupDecontaminate,

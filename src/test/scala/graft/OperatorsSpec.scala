@@ -1013,6 +1013,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("consensus clustering only merges what single signals found") {
+    import Params._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val jp = Dedup.ngramJaccard(docs, "doc_id", "text", JaccardMin,
+      MinhashK, MinhashBands).select($"doc_a", $"doc_b")
+    val sp = Dedup.simhashPairs(docs, "doc_id", "text", SimhashMaxDist)
+      .select($"doc_a", $"doc_b")
+    val consensus = Dedup.clusters(jp.unionByName(sp).distinct())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val single = Dedup.clusters(jp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every single-signal co-membership survives in the consensus (more
+    // edges can merge clusters, never split them)
+    val byCluster = single.groupBy(_._2).values
+    byCluster.foreach { members =>
+      val cs = members.keys.map(consensus).toSet
+      assert(cs.size === 1,
+        s"jaccard cluster ${members.keys.toSeq.sorted} split in consensus")
+    }
+    assert(consensus.size >= single.size,
+      "consensus covers at least the docs any single signal paired")
+  }
+
   test("kmvUnion merged sketch equals the sketch of the union") {
     import graft.operators.Sketches
     val df = (1L to 500L).map(i => (i % 5, i)).toDF("g", "v")
