@@ -974,6 +974,18 @@ object Oracles {
 
   // ---- sampling + corpus text ops ----
 
+  /** Split twin of [[graft.operators.Sampling.split]]: same salted hash,
+    * same integer permille thresholds.
+    */
+  def sampleSplit: String = {
+    val h = hex8Expr("('" + SplitSalt + ":' || CAST(doc_id AS VARCHAR))")
+    val trainThr = SplitTrainPm * 4294967296L / 1000L
+    val valThr = (SplitTrainPm + SplitValPm) * 4294967296L / 1000L
+    s"""SELECT doc_id, CASE WHEN h < $trainThr THEN 'train'
+       |  WHEN h < $valThr THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, CAST($h AS BIGINT) AS h FROM documents)""".stripMargin
+  }
+
   def sampleBernoulli: String = {
     val thr = math.floor(SampleRate * 4294967296.0).toLong
     val h = hex8Expr("('" + SampleSalt + ":' || CAST(doc_id AS VARCHAR))")

@@ -59,6 +59,11 @@ object Params {
   val SampleSalt = "smp"
   val StratumK = 100
 
+  // train/val/test split: cumulative permille (900/50 → 90/5/5)
+  val SplitTrainPm = 900L
+  val SplitValPm = 50L
+  val SplitSalt = "spl"
+
   // corpus text ops
   val LineTokens = 8 // pseudo-line size for global line-level dedup
   val VocabTopN = 100

@@ -984,6 +984,12 @@ object SparkEntry {
       Sampling.weighted(d, col("doc_id"), col("qscore"), SampleSalt)
         .select(col("doc_id"), col("qscore"))
     }),
+    "sample_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment (90/5/5 permille hash
+      // ranges): disjoint, exhaustive, stable under corpus growth
+      Sampling.split(t(s, dir, "documents"), col("doc_id"), SplitSalt,
+          SplitTrainPm, SplitValPm)
+        .select(col("doc_id"), col("split"))),
     "sample_mixture" -> ((s, dir) =>
       // domain-mixture curation: per-source keep-rates so the sample
       // approaches the target mixture under a char budget, rates capped
@@ -1223,6 +1229,7 @@ object SparkEntry {
     // the merge's oracle IS the full rebuild — incremental must equal it
     "etl_scd2_merge" -> Oracles.etlScd2,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
+    "sample_split" -> Oracles.sampleSplit,
     "sample_stratified" -> Oracles.sampleStratified,
     "sample_weighted" -> Oracles.sampleWeighted,
     "sample_mixture" -> Oracles.sampleMixture,

@@ -98,4 +98,27 @@ object Sampling {
     val w = Window.partitionBy(strata: _*).orderBy(H.hash32(key, salt), key)
     df.withColumn("__srn", row_number().over(w)).filter(col("__srn") <= k).drop("__srn")
   }
+
+  /** Deterministic train/val/test assignment: the salted 32-bit hash of
+    * the key lands in one of the permille ranges — so the split is (a)
+    * reproducible run-to-run and engine-to-engine, (b) DISJOINT and
+    * exhaustive by construction (ranges partition the hash space), and
+    * (c) stable under corpus growth: a document keeps its split forever
+    * because assignment depends only on its own key — append-only
+    * pipelines never leak yesterday's train doc into tomorrow's test
+    * set. Purely map-side (one hash + two compares per row, no shuffle).
+    * `trainPm`/`valPm` are permille sizes, e.g. (900, 50) = 90/5/5.
+    */
+  def split(df: DataFrame, key: Column, salt: String,
+            trainPm: Long, valPm: Long,
+            splitCol: String = "split"): DataFrame = {
+    require(trainPm >= 0 && valPm >= 0 && trainPm + valPm <= 1000)
+    val h = H.hash32(coalesce(key.cast("string"), lit("\u0000<null-key>")), salt)
+    val trainThr = trainPm * 4294967296L / 1000L
+    val valThr = (trainPm + valPm) * 4294967296L / 1000L
+    df.withColumn(splitCol,
+      when(h < trainThr, lit("train"))
+        .when(h < valThr, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -1013,6 +1013,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("split is disjoint, exhaustive, and stable under corpus growth") {
+    import graft.operators.Sampling
+    val a = (1L to 1000L).toDF("k")
+    val sA = Sampling.split(a, col("k"), "spl", 900L, 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sA.size === 1000, "every row gets exactly one split")
+    val counts = sA.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 850 && counts("train") < 950, s"~90%: $counts")
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0)
+      === 1000 - counts("train"))
+    // growth stability: the same keys keep their split in a larger corpus
+    val sB = Sampling.split((1L to 2000L).toDF("k"), col("k"), "spl", 900L, 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((1L to 1000L).forall(k => sA(k) == sB(k)))
+  }
+
   test("consensus clustering only merges what single signals found") {
     import Params._
     val docs = Tables.load(spark, sfDir, "documents")
