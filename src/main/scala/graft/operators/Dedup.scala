@@ -515,6 +515,9 @@ object Dedup {
         explode(T.shingles(col(textCol), n)).as("g"))
       .groupBy(col("doc_id"), md5(col("g")).as("h"))
       .agg(count(lit(1)).as("cnt"))
+      // two consumers (census + membership join): materialize once so
+      // the shingle explode never re-runs
+      .localCheckpoint(false)
     val census = perDoc.groupBy(col("h"))
       .agg(count(lit(1)).as("nd")) // rows are doc-distinct by construction
     perDoc.join(census, "h")

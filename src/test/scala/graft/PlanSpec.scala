@@ -463,4 +463,43 @@ class PlanSpec extends SparkSpec {
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nEx === 1, s"one shuffle on the symbol key (got $nEx):\n$plan")
   }
+
+  test("bm25: query terms broadcast; postings pruned before the df join") {
+    val plan = explain("text_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term set must broadcast:\n$plan")
+    // the scoring side reads the checkpointed postings (Scan ExistingRDD),
+    // never re-tokenizes the corpus per consumer
+    assert(plan.contains("Scan ExistingRDD"),
+      s"postings must come from the shared checkpoint:\n$plan")
+  }
+
+  test("span audit: census and membership join read the checkpointed pair table") {
+    val plan = explain("dedup_span_audit")
+    // both consumers read the materialized (doc, digest, cnt) state —
+    // exactly one shingle explode ever runs
+    val nGen = "Generate explode".r.findAllIn(plan).length
+    assert(nGen === 0 && plan.contains("Scan ExistingRDD"),
+      s"pair table must come from the shared checkpoint (explodes=$nGen):\n$plan")
+  }
+
+  test("train/val/test split is map-side only (no exchange)") {
+    val plan = explain("sample_split")
+    assert(!plan.contains("Exchange"),
+      s"split assignment must not shuffle:\n$plan")
+  }
+
+  test("GDPR purge broadcasts the forget set; facts never sort-merge") {
+    val plan = explain("etl_forget")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"forget sets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no fact-table shuffle for key-only forget sets:\n$plan")
+  }
+
+  test("winsorize broadcasts the bounds back; one rank shuffle total") {
+    val plan = explain("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounds table must broadcast:\n$plan")
+  }
 }
