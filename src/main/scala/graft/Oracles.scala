@@ -1578,6 +1578,29 @@ object Oracles {
        |  greatest(b.lo, least(b.hi, pc)) AS clipped_cents
        |FROM r JOIN b USING (yearkey)""".stripMargin
 
+  /** Rolling-median twin: same 7-row frame, sorted pick of the type-1
+    * middle element.
+    */
+  def qRollingMedian: String =
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT mkey, total_cents,
+      |    array_agg(total_cents) OVER (ORDER BY mkey
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+      |  FROM m)
+      |SELECT mkey, total_cents,
+      |  CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT) AS med7
+      |FROM w""".stripMargin
+
+  def eventsNewUsers: String =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(count(*) FILTER (day = first_day) AS BIGINT) AS n_new,
+      |  CAST(count(*) - count(*) FILTER (day = first_day) AS BIGINT) AS n_returning
+      |FROM d JOIN f USING (user_id) GROUP BY day""".stripMargin
+
   def qDistinctCount: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
       |  count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders

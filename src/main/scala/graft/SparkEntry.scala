@@ -248,6 +248,35 @@ object SparkEntry {
       EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)
         .unpivot(Array(col("y"), col("m"), col("d")),
           EventTypes.map(col).toArray, "event_type", "n")),
+    "q_rolling_median" -> ((s, dir) => {
+      // exact rolling median over a bounded 7-row frame: sort the frame's
+      // collected values, take the type-1 middle — robust trend line the
+      // moving AVERAGE family can't give; runs on the post-aggregate
+      // monthly series (bounded rows, constant partition explicit)
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      monthly.withColumn("__w", collect_list(col("total_cents")).over(
+          Window.partitionBy(lit(0)).orderBy(col("mkey")).rowsBetween(-6, 0)))
+        .select(col("mkey"), col("total_cents"),
+          element_at(array_sort(col("__w")),
+            expr("(size(__w) + 1) div 2").cast("int")).as("med7"))
+    }),
+    "events_new_users" -> ((s, dir) => {
+      // audience split: per day, active users partitioned into new
+      // (first-ever activity) vs returning — first-seen table keyed on
+      // the user, the same key the daily-activity join needs
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      val daily = ev.distinct()
+      val first = daily.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      daily.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+    }),
     "q_moving_avg" -> ((s, dir) => {
       val yearly = t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
@@ -1175,6 +1204,8 @@ object SparkEntry {
     "q_semi_join" -> Oracles.qSemiJoin,
     "q_unpivot" -> Oracles.qUnpivot,
     "q_moving_avg" -> Oracles.qMovingAvg,
+    "q_rolling_median" -> Oracles.qRollingMedian,
+    "events_new_users" -> Oracles.eventsNewUsers,
     "q_ntile" -> Oracles.qNtile,
     "q_rollup" -> Oracles.qRollup,
     "q_grouping_sets" -> Oracles.qGroupingSets,
