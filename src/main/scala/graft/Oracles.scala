@@ -808,6 +808,22 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** Bigram-predictability twin of
+    * [[graft.operators.TextOps.bigramPredictability]]: same bigram-start
+    * context counts, same int64 ppm divisions.
+    */
+  def textBigramPred: String =
+    s"""WITH $toksCte, $shingCte,
+       |pr AS (SELECT doc_id, unnest(sh) AS g FROM shing),
+       |bg AS (SELECT g, split_part(g, ' ', 1) AS w1,
+       |  CAST(count(*) AS BIGINT) AS c_ab FROM pr GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+       |sc AS (SELECT doc_id, (c_ab * 1000000) // c_a AS p_ppm
+       |  FROM pr JOIN bg USING (g) JOIN ctx USING (w1))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS pred_ppm
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   def textPmi: String =
     s"""WITH $toksCte, $shingCte,
        |uni AS (SELECT t AS w, count(*) AS c

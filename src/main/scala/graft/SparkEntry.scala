@@ -1084,6 +1084,10 @@ object SparkEntry {
       TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)._2
         .select(col("freq"), explode(col("syms")).as("sym"))
         .groupBy(col("sym")).agg(sum(col("freq")).as("n"))),
+    "text_bigram_pred" -> ((s, dir) =>
+      // LM-shaped fluency signal: mean P(next|prev) under the corpus
+      // bigram model, exact integer ppm (no ln — portable)
+      TextOps.bigramPredictability(t(s, dir, "documents"), "doc_id", "text")),
     "text_pmi" -> ((s, dir) =>
       // collocation detection: PMI over the top-N adjacent token pairs
       TextOps.pmiBigrams(t(s, dir, "documents"), "text", PmiTopN)),
@@ -1277,6 +1281,7 @@ object SparkEntry {
     "text_winnow" -> Oracles.textWinnow,
     "text_pack" -> Oracles.textPack,
     "text_pmi" -> Oracles.textPmi,
+    "text_bigram_pred" -> Oracles.textBigramPred,
     "text_bm25" -> Oracles.textBm25,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_rrf_fuse" -> Oracles.textRrfFuse,

@@ -164,8 +164,11 @@ object Dedup {
     // shingle SETS, same similarity space as the MinHash family — raw
     // unigram sets are far too coarse on templated corpora (nearly every
     // pair clears 0.5), shingles carry word order and discriminate
+    // two consumers (document frequencies + the rank-encode join):
+    // materialize the explode once, as in bm25TopK/dupSpans
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(T.shingles(col(textCol), shingleN))).as("tok"))
+      .localCheckpoint(false)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // RANK-ENCODE the vocabulary: each shingle becomes its dense 1..V
     // rank in the global (df asc, token asc) rarity order, assigned by

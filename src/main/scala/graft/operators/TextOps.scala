@@ -346,6 +346,34 @@ object TextOps {
       .distinct()
   }
 
+  /** Per-doc bigram predictability under the corpus bigram model: the
+    * mean of P(w₂|w₁) = c(w₁w₂)/c(w₁·) over the doc's adjacent pairs,
+    * in exact ppm — a language-model-shaped fluency signal with NO
+    * floating point: templated/repetitive docs score high, shuffled or
+    * OOV-heavy text scores low. (The log-perplexity variant needs ln,
+    * which is not bit-portable across engines; the mean-probability form
+    * ranks the same direction and stays exact.)
+    *
+    * `c(w₁·)` counts bigram STARTS (not raw unigrams), so probabilities
+    * are a true conditional distribution that sums to 1 per context.
+    * Two corpus aggregates (bigram + context counts, each one keyed
+    * shuffle) join the doc's pairs on the bigram key; per-pair ppm is
+    * one int64 division, per-doc mean another.
+    */
+  def bigramPredictability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc_id"),
+      explode(T.shingles(col(textCol), 2)).as("g"))
+    val bg = pairs.groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val scored = pairs
+      .join(bg.join(ctx, "w1").select(col("g"), col("c_ab"), col("c_a")), "g")
+      .select(col("doc_id"), expr("(c_ab * 1000000L) div c_a").as("p_ppm"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("pred_ppm"))
+  }
+
   /** Shingle-Jaccard top-k retrieval: rank corpus docs per query doc by
     * exact Jaccard similarity of their distinct shingle sets, computed
     * through the inverted shingle index — only docs SHARING a shingle are

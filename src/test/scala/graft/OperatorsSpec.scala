@@ -1013,6 +1013,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("bigramPredictability scores mean conditional probability in exact ppm") {
+    import graft.operators.TextOps
+    // bigrams: "a b"×2, "b a"×1, "a c"×1 → P(b|a)=2/3, P(a|b)=1, P(c|a)=1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramPredictability(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // doc1: (666666 + 1000000 + 666666) div 3 = 777777; doc2: 333333
+    assert(out === Map(1L -> ((3L, 777777L)), 2L -> ((1L, 333333L))))
+  }
+
   test("split is disjoint, exhaustive, and stable under corpus growth") {
     import graft.operators.Sampling
     val a = (1L to 1000L).toDF("k")
