@@ -655,6 +655,25 @@ object Oracles {
        |  FROM sc)
        |WHERE rnk <= $AnnK""".stripMargin
 
+  /** SQ8 twin of [[graft.operators.Similarity.sq8Codes]]: same global
+    * per-dim min/max, same `((v−mn)·255)/(mx−mn)` op order, floor,
+    * clamp.
+    */
+  def embSq8Codes: String = {
+    val mins = (0 until EmbDims).map(d =>
+      s"CAST(min(embedding[${d + 1}]) AS DOUBLE) AS mn$d").mkString(", ")
+    val maxs = (0 until EmbDims).map(d =>
+      s"CAST(max(embedding[${d + 1}]) AS DOUBLE) AS mx$d").mkString(", ")
+    val rows = (0 until EmbDims).map { d =>
+      s"""SELECT vec_id, CAST($d AS BIGINT) AS d,
+         |  CASE WHEN mx$d = mn$d THEN 0
+         |    ELSE least(CAST(floor((CAST(embedding[${d + 1}] AS DOUBLE) - mn$d)
+         |      * 255.0 / (mx$d - mn$d)) AS BIGINT), 255) END AS code
+         |FROM embeddings CROSS JOIN st""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH st AS (SELECT $mins, $maxs FROM embeddings)\n$rows"
+  }
+
   def annLshTopK: String =
     s"""WITH ${embBandCtes},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -664,6 +664,11 @@ object SparkEntry {
         .select(col("cell"), col("dim").cast("long").as("dim"),
           round(col("sv") / col("n"), 4).as("c"), col("n"))
     }),
+    "emb_sq8_codes" -> ((s, dir) =>
+      // 4x scalar quantization: global per-dim min/max broadcast, pure
+      // map-side coding
+      Similarity.sq8Codes(t(s, dir, "embeddings"), "vec_id", "embedding",
+        EmbDims)),
     "emb_pq_codes" -> ((s, dir) =>
       // 32× embedding compression as a pure map-side projection
       Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1239,6 +1244,7 @@ object SparkEntry {
     "ann_ivf_nprobe" -> Oracles.annIvfNprobe,
     "ann_ivf_trained" -> Oracles.annIvfTrained,
     "emb_pq_codes" -> Oracles.embPqCodes,
+    "emb_sq8_codes" -> Oracles.embSq8Codes,
     "emb_pq_adc" -> Oracles.embPqAdc,
     "emb_ivf_pq_adc" -> Oracles.embIvfPqAdc,
     "emb_kmeans_step" -> Oracles.embKmeansStep,

@@ -378,6 +378,37 @@ object Similarity {
     cand.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
 
+  /** Scalar quantization to int8 codes (SQ8): per-dimension affine
+    * mapping of each component onto 0..255 using GLOBAL per-dim min/max
+    * — 4× compression with per-dim error ≤ range/255, the simple
+    * workhorse next to [[pqCodes]]'s 32×. The corpus-wide min/max row is
+    * ONE aggregate broadcast back; coding is then pure map-side
+    * arithmetic (subtract, multiply, one divide, floor — every op IEEE
+    * and engine-identical). Constant dimensions code to 0. Output:
+    * `(id, d, code)`.
+    */
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String,
+               dims: Int): DataFrame = {
+    require(dims >= 1)
+    val stats = emb.agg(
+      min(element_at(col(vecCol), 1)).cast("double").as("mn0"),
+      ((1 until dims).map(d =>
+        min(element_at(col(vecCol), d + 1)).cast("double").as(s"mn$d")) ++
+       (0 until dims).map(d =>
+        max(element_at(col(vecCol), d + 1)).cast("double").as(s"mx$d"))): _*)
+    val codes = (0 until dims).map { d =>
+      val v = element_at(col(vecCol), d + 1).cast("double")
+      val mn = col(s"mn$d"); val mx = col(s"mx$d")
+      struct(lit(d.toLong).as("d"),
+        when(mx === mn, lit(0L)).otherwise(
+          least(floor((v - mn) * lit(255.0) / (mx - mn)).cast("long"), lit(255L)))
+          .as("code"))
+    }
+    emb.crossJoin(broadcast(stats))
+      .select(col(idCol), explode(array(codes: _*)).as("c"))
+      .select(col(idCol), col("c.d").as("d"), col("c.code").as("code"))
+  }
+
   /** Matryoshka (coarse-to-fine) top-k: rank in the truncated
     * `coarseDims`-prefix subspace first, keep a `pool`-sized candidate
     * set per query, then rerank ONLY the pool with exact full-dimension

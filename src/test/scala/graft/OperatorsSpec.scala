@@ -1013,6 +1013,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("sq8Codes maps min→0, max→255, constant dims→0") {
+    val vecs = Seq(
+      (1L, Array(0f, 5f, 7f)),
+      (2L, Array(10f, 5f, 3f)),
+      (3L, Array(5f, 5f, 5f))).toDF("vec_id", "embedding")
+    val out = Similarity.sq8Codes(vecs, "vec_id", "embedding", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 0L)) === 0L && out((2L, 0L)) === 255L)   // min / max
+    assert(out((3L, 0L)) === 127L)                            // midpoint
+    assert(out((1L, 1L)) === 0L && out((2L, 1L)) === 0L)      // constant dim
+    assert(out((2L, 2L)) === 0L && out((1L, 2L)) === 255L)    // inverted range
+    // error bound: reconstruct dim 2 of vec 3 (5.0 in [3,7], code floor((5-3)*255/4)=127)
+    assert(out((3L, 2L)) === 127L)
+  }
+
   test("bigramPredictability scores mean conditional probability in exact ppm") {
     import graft.operators.TextOps
     // bigrams: "a b"×2, "b a"×1, "a c"×1 → P(b|a)=2/3, P(a|b)=1, P(c|a)=1/3
