@@ -161,6 +161,35 @@ object Oracles {
        |WHERE qscore >= $CleanMinQuality""".stripMargin
   }
 
+  /** Curation-certificate twin of the `text_curation_e2e` composition:
+    * pairs over exact-dedup survivors = full-corpus pairs restricted to
+    * survivor endpoints (signatures are per-doc and exact dups share
+    * identical shingle sets).
+    */
+  def textCurationE2e: String = {
+    val trainThr = SplitTrainPm * 4294967296L / 1000L
+    val valThr = (SplitTrainPm + SplitValPm) * 4294967296L / 1000L
+    val h = hex8Expr(s"('$SplitSalt:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH $jaccardPairsCtes,
+       |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (
+       |  SELECT doc_b FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM ex)
+       |    AND doc_b IN (SELECT doc_id FROM ex))),
+       |qv AS (SELECT d.doc_id, $qualityExprSql AS qscore
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+       |q AS (SELECT nd.doc_id FROM nd JOIN qv USING (doc_id)
+       |  WHERE qscore >= $CleanMinQuality),
+       |sp AS (SELECT CASE WHEN hh < $trainThr THEN 'train'
+       |    WHEN hh < $valThr THEN 'val' ELSE 'test' END AS stage
+       |  FROM (SELECT doc_id, CAST($h AS BIGINT) AS hh FROM q))
+       |SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+       |UNION ALL SELECT 'exact', CAST(count(*) AS BIGINT) FROM ex
+       |UNION ALL SELECT 'neardup', CAST(count(*) AS BIGINT) FROM nd
+       |UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) FROM q
+       |UNION ALL SELECT stage, CAST(count(*) AS BIGINT) FROM sp GROUP BY stage""".stripMargin
+  }
+
   /** 8-hex-char window → bigint for simhash's per-token hash halves
     * (== Spark's conv(substring(md5(t), 1+8*half, 8),16,10)).
     */

@@ -559,6 +559,30 @@ object SparkEntry {
     "dedup_cluster" -> ((s, dir) =>
       Dedup.clusters(
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", JaccardMin, MinhashK, MinhashBands))),
+    "text_curation_e2e" -> ((s, dir) => {
+      // the whole curation pipeline as ONE declarative plan, with a
+      // per-stage certificate: raw → exact dedup (keep min id) →
+      // near-dup removal (keep doc_a side of verified pairs) → quality
+      // gate → train/val/test split counts. Each stage is the library
+      // operator; the certificate is what a production curation run
+      // ships with its output.
+      val docs = t(s, dir, "documents")
+      val exDocs = docs.join(
+        Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        "doc_id")
+      val dupB = Dedup.ngramJaccard(exDocs, "doc_id", "text", JaccardMin)
+        .select(col("doc_b")).distinct()
+      val nd = exDocs.join(dupB, exDocs("doc_id") === dupB("doc_b"), "left_anti")
+      val q = nd.where(T.qualityScore(col("text")) >= CleanMinQuality)
+      val sp = Sampling.split(q, col("doc_id"), SplitSalt, SplitTrainPm, SplitValPm)
+      val fixed = Seq("raw" -> docs, "exact" -> exDocs, "neardup" -> nd,
+        "quality" -> q).map { case (name, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+      }
+      val splits = sp.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .select(col("split").as("stage"), col("n"))
+      (fixed :+ splits).reduce(_ unionByName _)
+    }),
     "dedup_consensus" -> ((s, dir) => {
       // multi-signal dedup, the production shape: shingle-overlap pairs
       // (MinHash→Jaccard-verified) ∪ structural pairs (SimHash hamming)
@@ -1231,6 +1255,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_cluster" -> Oracles.dedupCluster,
     "dedup_consensus" -> Oracles.dedupConsensus,
+    "text_curation_e2e" -> Oracles.textCurationE2e,
     "text_pipeline" -> Oracles.textPipeline,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_decontaminate" -> Oracles.dedupDecontaminate,
