@@ -15,8 +15,6 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(200000)
-    val iters = args.lift(1).map(_.toInt).getOrElse(graft.Params.BpeMerges)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +22,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("retrieval")) { retrieval(spark, args); spark.stop(); return }
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val iters = args.lift(1).map(_.toInt).getOrElse(graft.Params.BpeMerges)
     // n pseudo-words, 4–12 chars of hex (truncation collisions collapse
     // in the groupBy, like a real word count), Zipf-ish frequencies
     val words = spark.range(n).selectExpr(
@@ -37,5 +38,39 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"probe":"bpe","n_words":$n,"iters":$iters,"merges":${m.length},"sym_rows":$vocab,"secs":$secs%.2f}""")
     spark.stop()
+  }
+
+  /** `probe=retrieval [r]`: replicate the sf0.01 documents r× (worst-case
+    * duplicate skew: EVERY span becomes cross-doc duplicated, every doc
+    * gains r−1 exact near-dups) and measure the span audit and BM25.
+    * For query-by-document retrieval both sides grow with the corpus, so
+    * the honest scaling statement is PER-QUERY cost ∝ corpus size; the
+    * span audit total should stay ≈ linear in r.
+    */
+  private def retrieval(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = args.lift(1).map(_.toInt).getOrElse(8)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    def rep(k: Int) = (0 until k).map(i => docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    def time(f: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // untimed warmup: first-touch scan/codegen/JVM costs would otherwise
+    // land entirely on the rep=1 measurement
+    operators.Dedup.dupSpans(docs, "doc_id", "text", Params.DupSpanN).count()
+    operators.TextOps.bm25TopK(docs, "doc_id", "text",
+      Params.Bm25QueryMod, Params.Bm25K).count()
+    for (k <- Seq(1, r)) {
+      val d = rep(k)
+      val (sSec, sRows) = time(operators.Dedup.dupSpans(d, "doc_id", "text", Params.DupSpanN))
+      val (bSec, bRows) = time(operators.TextOps.bm25TopK(d, "doc_id", "text",
+        Params.Bm25QueryMod, Params.Bm25K))
+      val nq = bRows / Params.Bm25K
+      println(f"""{"probe":"retrieval","rep":$k,"span_secs":$sSec%.2f,"span_rows":$sRows,"bm25_secs":$bSec%.2f,"bm25_queries":$nq,"bm25_secs_per_query":${bSec / math.max(nq, 1)}%.4f}""")
+    }
   }
 }
