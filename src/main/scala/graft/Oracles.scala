@@ -1627,6 +1627,21 @@ object Oracles {
       |     / CAST(count(*) * sum(x) AS DOUBLE))) AS BIGINT) AS gini_ppm
       |FROM r""".stripMargin
 
+  /** Skyline twin of [[graft.operators.Skyline.skyline2D]]: dominated iff
+    * a strictly-cheaper row reaches the size, or an equal-price row
+    * strictly exceeds it.
+    */
+  def qSkyline: String =
+    """WITH p AS (SELECT p_partkey, CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |  CAST(p_size AS BIGINT) AS psize FROM part)
+      |SELECT p_partkey, price_cents, psize FROM (
+      |  SELECT p_partkey, price_cents, psize,
+      |    max(psize) OVER (ORDER BY price_cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch,
+      |    max(psize) OVER (PARTITION BY price_cents) AS sm
+      |  FROM p)
+      |WHERE (ch IS NULL OR ch < psize) AND sm <= psize""".stripMargin
+
   def qWinsorize: String =
     s"""WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey, o_orderkey,
        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc,

@@ -353,6 +353,14 @@ object SparkEntry {
         operators.Sketches.kmvSketch(t(s, dir, "orders"),
           year(col("o_orderdate")).cast("long"), "yearkey",
           col("o_custkey"), KmvK, KmvSalt), "hs", KmvK)),
+    "q_skyline" -> ((s, dir) =>
+      // Pareto frontier over parts (minimize price, maximize size) via
+      // the range-partition + offset dominance sweep — no global window
+      operators.Skyline.skyline2D(
+        t(s, dir, "part").select(col("p_partkey"),
+          cents(col("p_retailprice")).as("price_cents"),
+          col("p_size").cast("long").as("psize")),
+        "price_cents", "psize")),
     "q_gini" -> ((s, dir) =>
       // spend-concentration KPI: exact Gini over per-customer totals,
       // ranks from the distributed range-partition GlobalRank
@@ -1334,6 +1342,7 @@ object SparkEntry {
     "q_ldiversity" -> Oracles.qLdiversity,
     "q_winsorize" -> Oracles.qWinsorize,
     "q_gini" -> Oracles.qGini,
+    "q_skyline" -> Oracles.qSkyline,
     "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
     "src_merge_schema" -> Oracles.srcMergeSchema,
     "q_full_outer" -> Oracles.qFullOuter,

@@ -1013,6 +1013,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("skyline2D keeps exactly the non-dominated rows, duplicates included") {
+    import graft.operators.Skyline
+    val rows = Seq(
+      (1L, 100L, 10L), // frontier
+      (2L, 100L, 10L), // exact duplicate of 1 → also frontier
+      (3L, 100L, 9L),  // same price, smaller → dominated by 1
+      (4L, 150L, 12L), // frontier (bigger, pricier)
+      (5L, 160L, 12L), // dominated by 4 (same size, pricier)
+      (6L, 90L, 5L),   // frontier (cheapest overall)
+      (7L, 200L, 11L)  // dominated by 4
+    ).toDF("k", "price_cents", "psize")
+    val got = Skyline.skyline2D(rows, "price_cents", "psize")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 4L, 6L))
+  }
+
   test("sq8Codes maps min→0, max→255, constant dims→0") {
     val vecs = Seq(
       (1L, Array(0f, 5f, 7f)),
