@@ -1627,6 +1627,25 @@ object Oracles {
       |     / CAST(count(*) * sum(x) AS DOUBLE))) AS BIGINT) AS gini_ppm
       |FROM r""".stripMargin
 
+  def qShare: String =
+    """WITH g AS (SELECT o_orderpriority,
+      |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, rev_cents,
+      |  CAST(rev_cents * 1000000 // (SELECT sum(rev_cents) FROM g) AS BIGINT) AS share_ppm
+      |FROM g""".stripMargin
+
+  /** Nested-roundtrip twin: the flat aggregates the array-of-struct form
+    * must reproduce (struct sort = (k, p) lexicographic = order-key
+    * order, keys unique).
+    */
+  def qNestedExplode: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(min(o_orderkey) AS BIGINT) AS first_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS last_key,
+      |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** Skyline twin of [[graft.operators.Skyline.skyline2D]]: dominated iff
     * a strictly-cheaper row reaches the size, or an equal-price row
     * strictly exceeds it.

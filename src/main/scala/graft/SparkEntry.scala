@@ -353,6 +353,32 @@ object SparkEntry {
         operators.Sketches.kmvSketch(t(s, dir, "orders"),
           year(col("o_orderdate")).cast("long"), "yearkey",
           col("o_custkey"), KmvK, KmvSalt), "hs", KmvK)),
+    "q_share" -> ((s, dir) => {
+      // ratio-to-report: each priority's share of total revenue in exact
+      // ppm — group sums + a broadcast 1-row total, no window
+      val g = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      g.crossJoin(broadcast(g.agg(sum(col("rev_cents")).as("__t"))))
+        .select(col("o_orderpriority"), col("rev_cents"),
+          expr("rev_cents * 1000000L div __t").as("share_ppm"))
+    }),
+    "q_nested_explode" -> ((s, dir) => {
+      // document-model roundtrip: orders nest into a per-customer sorted
+      // ARRAY<STRUCT>, then a HOF fold (aggregate) and element access
+      // compute the outputs from the NESTED form — proving the nested
+      // plumbing against a flat oracle
+      val nested = t(s, dir, "orders")
+        .select(col("o_custkey"), struct(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).as("p")).as("o"))
+        .groupBy(col("o_custkey"))
+        .agg(array_sort(collect_list(col("o"))).as("orders"))
+      nested.select(col("o_custkey"),
+        size(col("orders")).cast("long").as("n_orders"),
+        col("orders").getItem(0).getField("k").as("first_key"),
+        element_at(col("orders"), -1).getField("k").as("last_key"),
+        aggregate(col("orders"), lit(0L), (acc, o) => acc + o.getField("p"))
+          .as("total_cents"))
+    }),
     "q_skyline" -> ((s, dir) =>
       // Pareto frontier over parts (minimize price, maximize size) via
       // the range-partition + offset dominance sweep — no global window
@@ -1343,6 +1369,8 @@ object SparkEntry {
     "q_winsorize" -> Oracles.qWinsorize,
     "q_gini" -> Oracles.qGini,
     "q_skyline" -> Oracles.qSkyline,
+    "q_share" -> Oracles.qShare,
+    "q_nested_explode" -> Oracles.qNestedExplode,
     "src_orc_roundtrip" -> Oracles.srcOrcRoundtrip,
     "src_merge_schema" -> Oracles.srcMergeSchema,
     "q_full_outer" -> Oracles.qFullOuter,
