@@ -82,6 +82,72 @@ object Multimodal {
     }
   }
 
+  /** REAL resize for image payloads: decode → deterministic
+    * nearest-neighbor rescale → PNG re-encode, all on the JVM's built-in
+    * imaging stack (headless-safe). Non-decodable payloads fall back to
+    * the stub's byte transform so the stage keeps the any-input
+    * contract. Same mapPartitions batch shape as every codec stage.
+    */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageCodec.resizePng(r.payload, targetW, targetH) match {
+          case Some(out) => r.copy(width = targetW, height = targetH, payload = out)
+          case None =>
+            val outLen = math.max(1, (targetW.toLong * targetH / 64L).toInt)
+            val out =
+              if (r.payload.isEmpty) new Array[Byte](outLen)
+              else Array.tabulate[Byte](outLen)(i => r.payload(i % r.payload.length))
+            r.copy(width = targetW, height = targetH, payload = out)
+        }
+      }
+    }
+  }
+
+  /** REAL frame sampling for GIF sequences: demux with the JVM's gif
+    * reader, keep every `stride`-th frame, emit (frame index, decoded
+    * dims, pixel crc). Non-GIF payloads fall back to the stub's
+    * fixed-size chunking with crc over the chunk bytes — any-input
+    * contract, one flatMap pass, no shuffle.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      ImageCodec.decodeGifFrames(r.payload) match {
+        case Some(frames) =>
+          frames.collect { case (i, w, h, crc) if i % stride == 0 =>
+            (r.media_id, i.toLong, w.toLong, h.toLong, crc, true)
+          }
+        case None =>
+          val nFrames = math.max(1, r.payload.length / math.max(1, frameBytes))
+          (0 until nFrames by stride).map { f =>
+            val from = f * frameBytes
+            val until = math.min(r.payload.length, from + frameBytes)
+            var crc = 1125899906842597L
+            var i = from
+            while (i < until) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+            (r.media_id, f.toLong, 0L, 0L, crc, false)
+          }
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "frame_crc", "decoded")
+  }
+
+  /** Media table with REAL animated-GIF payloads (one per doc,
+    * 2–5 frames), the ingestion twin of [[mediaFromDocumentsPng]].
+    */
+  def mediaFromDocumentsGif(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val w = (id % 10 + 4).toInt
+        val h = (id % 7 + 3).toInt
+        val nf = (id % 4 + 2).toInt
+        MediaRow(id, "video", w, h, ImageCodec.encodeGif(w, h, nf, text.getBytes("UTF-8")))
+      }
+    }
+  }
+
   /** STUB frame sampling for video-like payloads: every `stride`-th chunk
     * of the payload stands in for a decoded frame; emits one row per
     * sampled frame with its index. The explode keeps frame rows colocated
@@ -218,22 +284,106 @@ object ImageCodec {
 
   /** Deterministic tiny RGB image from seed bytes, PNG-encoded. */
   def encodePng(width: Int, height: Int, seed: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frame(width, height, seed, 0), "png", bos)
+    bos.toByteArray
+  }
+
+  private[multimodal] def frame(width: Int, height: Int, seed: Array[Byte],
+                                f: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val b = if (seed.isEmpty) 0 else seed((y * width + x) % seed.length) & 0xff
-        img.setRGB(x, y, (b << 16) | (((x * 31 + y) & 0xff) << 8) | ((b ^ (x + y)) & 0xff))
+        val b = if (seed.isEmpty) 0 else seed((y * width + x + f) % seed.length) & 0xff
+        img.setRGB(x, y, (b << 16) | (((x * 31 + y + f * 7) & 0xff) << 8)
+          | ((b ^ (x + y + f)) & 0xff))
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  /** Deterministic multi-frame animated GIF from seed bytes — the JVM's
+    * built-in gif writer handles frame sequences, so the "video-like"
+    * modality gets a REAL container with a real demuxer, no external
+    * codecs.
+    */
+  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Array[Byte]): Array[Byte] = {
+    require(nFrames >= 1)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(frame(width, height, seed, f), null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
     bos.toByteArray
   }
+
+  /** GIF demux + per-frame decode → (frame index, width, height, pixel
+    * crc) per frame; None when the payload is not a decodable GIF
+    * sequence. The gif wire format is palettized, so pixel values
+    * round-trip exactly and the crc is reproducible.
+    */
+  def decodeGifFrames(payload: Array[Byte]): Option[Vector[(Int, Int, Int, Long)]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) None
+        else {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map { i =>
+            val img = reader.read(i)
+            var crc = 1125899906842597L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { crc = crc * 31 + (img.getRGB(x, y) & 0xffffff); x += 1 }
+              y += 1
+            }
+            (i, img.getWidth, img.getHeight, crc)
+          }.toVector)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image resize: decode, nearest-neighbor rescale on a headless
+    * Graphics2D (deterministic — no antialias/interpolation hints), PNG
+    * re-encode. None when the payload is not a decodable image.
+    */
+  def resizePng(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** PNG (or any ImageIO-readable) decode → (width, height, pixel crc);
     * None when the payload is not a decodable image.

@@ -121,6 +121,45 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.toSeq === expected)
   }
 
+  test("real resize: decoded output has the target dimensions, pixels rescaled") {
+    val media = Multimodal.mediaFromDocumentsPng(docs.limit(10))
+    val resized = Multimodal.resizeImages(media, 5, 4).collect()
+    assert(resized.length === 10)
+    resized.foreach { r =>
+      val (w, h, _) = graft.multimodal.ImageCodec.decodePng(r.payload).get
+      assert((w, h) === ((5, 4)), "re-encoded payload must decode at target size")
+    }
+    // non-decodable payload falls back to the stub transform, not a crash
+    val junk = Seq(Multimodal.MediaRow(99L, "blob", 1, 1, Array[Byte](1, 2, 3))).toDS()
+    val fb = Multimodal.resizeImages(junk, 8, 8).collect().head
+    assert(fb.width === 8 && fb.payload.nonEmpty)
+  }
+
+  test("real GIF frame sampling: demuxed frames with decoded dims and crc") {
+    val media = Multimodal.mediaFromDocumentsGif(docs.limit(12))
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(frames.forall(_._6), "every GIF payload must really demux")
+    // doc id → 2..5 frames; stride 2 keeps ceil(nf/2), frame 0 always
+    val byId = frames.groupBy(_._1)
+    byId.foreach { case (id, fs) =>
+      val nf = (id % 4 + 2).toInt
+      assert(fs.map(_._2).sorted.toSeq === (0 until nf by 2).map(_.toLong))
+      val w = (id % 10 + 4).toInt
+      assert(fs.forall(f => f._3 === w.toLong), "decoded width must match encode")
+    }
+    // frames differ: the per-frame pixel crc must not be constant per item
+    val multi = byId.filter(_._2.length > 1)
+    assert(multi.nonEmpty && multi.forall(_._2.map(_._5).distinct.length > 1),
+      "distinct frames must yield distinct pixel crcs")
+    // local demux agrees with the distributed pass
+    val row = media.filter(_.media_id == 2L).collect().head
+    val local = graft.multimodal.ImageCodec.decodeGifFrames(row.payload).get
+    val dist = frames.filter(_._1 == 2L).sortBy(_._2)
+    assert(local.filter(_._1 % 2 == 0).map(_._4).toSeq === dist.map(_._5).toSeq)
+  }
+
   test("feature vectors have the declared shape") {
     val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
     val feats = Multimodal.decodeStub(media).collect()
