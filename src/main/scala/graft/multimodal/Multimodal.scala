@@ -216,13 +216,17 @@ object Multimodal {
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val seed = text.getBytes("UTF-8")
-        if (id % 2 == 0) {
+        if (id % 3 == 0) {
           val w = (id % 12 + 4).toInt
           val h = (id % 9 + 3).toInt
           MediaRow(id, "image", w, h, ImageCodec.encodePng(w, h, seed))
-        } else {
+        } else if (id % 3 == 1) {
           val n = (id % 400 + 100).toInt
           MediaRow(id, "audio", n, 1, AudioCodec.encodeWav(8000f, AudioCodec.pcmFromSeed(seed, n)))
+        } else {
+          val w = (id % 10 + 4).toInt
+          val h = (id % 7 + 3).toInt
+          MediaRow(id, "video", w, h, ImageCodec.encodeGif(w, h, (id % 4 + 2).toInt, seed))
         }
       }
     }
@@ -255,6 +259,9 @@ object Multimodal {
         val decoded = r.modality match {
           case "image" => ImageCodec.decodePng(r.payload).map { case (_, _, crc) => crc }
           case "audio" => AudioCodec.decodeWav(r.payload).map { case (_, _, crc) => crc }
+          // video = GIF sequence: feature crc folds the per-frame pixel crcs
+          case "video" => ImageCodec.decodeGifFrames(r.payload)
+            .map(_.foldLeft(1125899906842597L) { case (acc, (_, _, _, c)) => acc * 31 + c })
           case _ => ImageCodec.decodePng(r.payload).map(_._3)
             .orElse(AudioCodec.decodeWav(r.payload).map(_._3))
         }

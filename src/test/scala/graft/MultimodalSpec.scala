@@ -78,26 +78,41 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioCodec.decodeWav("not audio at all".getBytes).isEmpty)
   }
 
-  test("mixed media table: odd ids are WAV, even ids are PNG, both decode") {
-    val media = Multimodal.mediaFromDocumentsMixed(docs.limit(20)).collect()
+  test("mixed media table: all three modalities really decode") {
+    val media = Multimodal.mediaFromDocumentsMixed(docs.limit(21)).collect()
     media.foreach { r =>
-      if (r.media_id % 2 == 0) {
-        assert(r.modality === "image")
-        assert(graft.multimodal.ImageCodec.decodePng(r.payload).isDefined)
-      } else {
-        assert(r.modality === "audio")
-        val d = graft.multimodal.AudioCodec.decodeWav(r.payload)
-        assert(d.isDefined, s"media ${r.media_id} must decode as WAV")
-        assert(d.get._2 === r.media_id % 400 + 100,
-          "decoded sample count must match the synth length")
+      r.media_id % 3 match {
+        case 0 =>
+          assert(r.modality === "image")
+          assert(graft.multimodal.ImageCodec.decodePng(r.payload).isDefined)
+        case 1 =>
+          assert(r.modality === "audio")
+          val d = graft.multimodal.AudioCodec.decodeWav(r.payload)
+          assert(d.isDefined, s"media ${r.media_id} must decode as WAV")
+          assert(d.get._2 === r.media_id % 400 + 100,
+            "decoded sample count must match the synth length")
+        case _ =>
+          assert(r.modality === "video")
+          val d = graft.multimodal.ImageCodec.decodeGifFrames(r.payload)
+          assert(d.isDefined, s"media ${r.media_id} must demux as GIF")
+          assert(d.get.length === (r.media_id % 4 + 2).toInt,
+            "demuxed frame count must match the synth")
       }
     }
+    assert(media.map(_.modality).distinct.sorted.toSeq
+      === Seq("audio", "image", "video"))
     // the Spark-side batched decode agrees with the local decode per row
     val feats = Multimodal.decodeMedia(
-      Multimodal.mediaFromDocumentsMixed(docs.limit(20))).collect()
-    feats.filter(_.media_id % 2 == 1).foreach { f =>
+      Multimodal.mediaFromDocumentsMixed(docs.limit(21))).collect()
+    feats.filter(_.media_id % 3 == 1).foreach { f =>
       val row = media.find(_.media_id == f.media_id).get
       assert(f.checksum === graft.multimodal.AudioCodec.decodeWav(row.payload).get._3)
+    }
+    feats.filter(_.media_id % 3 == 2).foreach { f =>
+      val row = media.find(_.media_id == f.media_id).get
+      val want = graft.multimodal.ImageCodec.decodeGifFrames(row.payload).get
+        .foldLeft(1125899906842597L) { case (acc, (_, _, _, c)) => acc * 31 + c }
+      assert(f.checksum === want, "video feature crc must fold the frame crcs")
     }
   }
 
