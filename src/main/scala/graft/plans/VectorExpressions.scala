@@ -217,11 +217,15 @@ object VectorExpressions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 }
 
-/** `spark.sql.extensions` entry point injecting the graft SQL functions. */
+/** `spark.sql.extensions` entry point injecting the graft SQL functions
+  * and optimizer rules.
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => LevenshteinPrefilterRule)
+  }
 }
