@@ -176,4 +176,88 @@ class PropertySpec extends SparkSpec {
       assert(types.indices.dropRight(1).forall(k => got(k + 1L) >= got(k + 2L)))
     }
   }
+
+  test("property: mergeInto equals a per-key reference MERGE on random data") {
+    trials(909L, n = 6) { rnd =>
+      val base = (0 until 40).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      val srcKeys = rnd.shuffle((0 until 60).map(_.toLong).toList).take(30)
+      val src = srcKeys.map(k => (k, 100L + rnd.nextInt(100).toLong))
+      val upd = (k: Long) => k % 2 == 0
+      val del = (k: Long) => k % 5 == 0
+      val ins = (v: Long) => v % 3 != 0
+      val sweep = (k: Long) => k % 7 == 0
+      val got = Staging.mergeInto(base.toDF("k", "v"), src.toDF("k", "v"), Seq("k"),
+          matchedUpdate = Some(col("k") % 2 === 0),
+          matchedDelete = Some(col("k") % 5 === 0),
+          insertWhen = Some(col("src_v") % 3 =!= 0),
+          notBySourceDelete = Some(col("k") % 7 === 0))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val srcMap = src.toMap
+      val expected =
+        base.flatMap { case (k, v) =>
+          srcMap.get(k) match {
+            case Some(sv) =>
+              if (upd(k)) Some((k, sv))            // update precedes delete
+              else if (del(k)) None
+              else Some((k, v))
+            case None => if (sweep(k)) None else Some((k, v))
+          }
+        }.toSet ++
+        src.filter { case (k, sv) => !base.exists(_._1 == k) && ins(sv) }
+          .map { case (k, sv) => (k, sv) }.toSet
+      assert(got === expected)
+    }
+  }
+
+  test("property: winsorize clips into the group's value range and is idempotent") {
+    import graft.etl.Marts
+    trials(910L, n = 6) { rnd =>
+      val rows = (0 until 80).map(i =>
+        (s"g${i % 3}", i.toLong, rnd.nextInt(1000).toLong - 200))
+      val df = rows.toDF("g", "k", "v")
+      val out = Marts.winsorize(df, col("g"), "g", col("v"), col("k"), "k", 100L, 900L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // clipped stays inside [group min, group max] and order of values
+      // is preserved weakly (clip is monotone)
+      val byG = rows.groupBy(_._1)
+      out.foreach { case (g, _, v, c) =>
+        val vs = byG(g).map(_._3)
+        assert(c >= vs.min && c <= vs.max)
+        assert((v <= c && v <= vs.max) || (v >= c && v >= vs.min))
+      }
+      // idempotent: winsorizing the clipped column again changes nothing
+      val clipped = out.map { case (g, k, _, c) => (g, k, c) }.toSeq
+        .toDF("g", "k", "v")
+      val again = Marts.winsorize(clipped, col("g"), "g", col("v"), col("k"), "k",
+          100L, 900L)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+      out.foreach { case (g, k, _, c) => assert(again((g, k)) === c) }
+    }
+  }
+
+  test("property: fuzzyLookup returns the true nearest in-block candidate") {
+    import graft.operators.Joins
+    trials(911L, n = 6) { rnd =>
+      val alphabet = "ab"
+      def word() = (0 until 1 + rnd.nextInt(4))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val catalog = (0 until 25).map(_ => s"blk ${word()}").distinct
+      val probes = (0 until 15).map(_ => s"blk ${word()}").distinct
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val got = Joins.fuzzyLookup(probes.toDF("p"), "p", catalog.toDF("c"), "c", 2)
+        .collect().map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+      probes.foreach { p =>
+        val best = catalog.map(c => (lev(p, c).toLong, c)).filter(_._1 <= 2).sorted.headOption
+        assert(got.get(p) === best.map { case (d, c) => (c, d) },
+          s"probe '$p' got ${got.get(p)} want $best")
+      }
+    }
+  }
 }
