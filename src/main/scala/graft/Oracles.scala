@@ -1901,6 +1901,45 @@ object Oracles {
        |SELECT node, pr FROM pr$PrIters""".stripMargin
   }
 
+  /** Personalized-PageRank twin of [[qPagerank]]: teleport and dangling
+    * mass restricted to the seed suppliers, start vector uniform over
+    * seeds.
+    */
+  def qPpr: String = {
+    val u = graft.operators.PageRank.MassUnit
+    val iters = (1 to PrIters).map { k =>
+      s"""d$k AS (SELECT CAST(COALESCE(sum(p.pr), 0) AS BIGINT) AS dm
+         |  FROM pr${k - 1} p LEFT JOIN deg ON p.node = deg.src
+         |  WHERE deg.src IS NULL),
+         |c$k AS (SELECT e.dst AS node,
+         |  CAST(sum((p.pr * 85) // (100 * e.deg)) AS BIGINT) AS inbound
+         |  FROM ed e JOIN pr${k - 1} p ON e.src = p.node GROUP BY e.dst),
+         |pr$k AS (SELECT nodes.node,
+         |  CAST(CASE WHEN seeds.node IS NOT NULL
+         |    THEN (15 * $u) // (100 * ns) + (85 * dm) // (100 * ns)
+         |    ELSE 0 END + COALESCE(inbound, 0) AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN sn CROSS JOIN d$k
+         |  LEFT JOIN c$k ON nodes.node = c$k.node
+         |  LEFT JOIN seeds ON nodes.node = seeds.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT sk AS src, ck + $PrCustOffset AS dst FROM pairs
+       |          UNION ALL SELECT ck + $PrCustOffset, sk FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |ed AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+       |seeds AS (SELECT n.node FROM nodes n JOIN supplier s ON s.s_suppkey = n.node
+       |          WHERE s.s_suppkey % $BfsSeedMod = 0),
+       |sn AS (SELECT count(*) AS ns FROM seeds),
+       |pr0 AS (SELECT nodes.node,
+       |  CAST(CASE WHEN seeds.node IS NOT NULL THEN $u // ns ELSE 0 END AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN sn LEFT JOIN seeds ON nodes.node = seeds.node),
+       |$iters
+       |SELECT node, pr FROM pr$PrIters""".stripMargin
+  }
+
   /** Degree-oriented triangle twin of
     * [[graft.operators.Triangles.perNodeCounts]] over the same
     * parts-bought-together graph — identical orientation rule, so the

@@ -1031,6 +1031,19 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank: proximity to the seed suppliers
+      // (suppkey % BfsSeedMod = 0) over the same trading graph
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("ck") + lit(PrCustOffset)).as("dst"))
+        .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % BfsSeedMod === 0).select(col("s_suppkey"))
+      operators.PageRank.personalizedPageRank(edges, seeds, PrIters)
+    }),
     "q_label_prop" -> ((s, dir) => {
       // community detection by majority vote on the same trading graph —
       // LP keeps densely-connected groups apart where CC would merge
@@ -1381,6 +1394,7 @@ object SparkEntry {
     // the merge's oracle IS the full rebuild — incremental must equal it
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,
+    "q_ppr" -> Oracles.qPpr,
     "q_triangles" -> Oracles.qTriangles,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,

@@ -120,4 +120,73 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: teleport (and dangling mass) go to the SEED
+    * set instead of uniformly everywhere — proximity-to-seeds scoring,
+    * the recommendation/expansion primitive ("rank everything by
+    * closeness to these accounts/documents"). Same fixed-point int64
+    * arithmetic, same one-join-one-aggregate round shape as [[pageRank]];
+    * the only changes are the start vector (uniform over seeds) and the
+    * teleport term (seeds only):
+    *
+    *   pr'(v) = [v∈S]·(15·unit + 85·D) div (100·|S|) + Σ_{u→v} transfer
+    *
+    * Seeds outside the graph's node set are ignored (they could never
+    * receive mass anyway); `seeds`' first column is the node id.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           checkpointRounds: Boolean = true): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesWithDeg = e.join(deg, "src").localCheckpoint(false)
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("node")).distinct()
+      .join(nodes, "node").withColumn("__seed", lit(1L))
+      .localCheckpoint(false)
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    val hasSinks = !nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .isEmpty
+    val Sentinel = Long.MinValue
+    var ranks = nodes.join(sd, Seq("node"), "left").join(broadcast(ns))
+      .select(col("node"),
+        when(col("__seed").isNotNull, expr(s"${MassUnit}L div ns"))
+          .otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      if (!hasSinks) {
+        val contribs = edgesWithDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("(pr * 85L) div (100L * deg)").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+        ranks = nodes.join(sd, Seq("node"), "left").join(broadcast(ns))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("__seed").isNotNull,
+              expr(s"(15L * ${MassUnit}L) div (100L * ns)")).otherwise(lit(0L))
+              + coalesce(col("inbound"), lit(0L))).as("pr"))
+      } else {
+        val agg0 = ranks
+          .join(edgesWithDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(coalesce(col("dst"), lit(Sentinel)).as("gnode"),
+            when(col("dst").isNull, col("pr"))
+              .otherwise(expr("(pr * 85L) div (100L * deg)")).as("c"))
+          .groupBy(col("gnode").as("node")).agg(sum(col("c")).as("inbound"))
+        val cagg = if (checkpointRounds) agg0.localCheckpoint(false) else agg0
+        val dmass = cagg.where(col("node") === Sentinel)
+          .agg(coalesce(sum(col("inbound")), lit(0L)).as("dm"))
+        ranks = nodes.join(sd, Seq("node"), "left").join(broadcast(ns))
+          .join(broadcast(dmass))
+          .join(cagg.where(col("node") =!= Sentinel), Seq("node"), "left")
+          .select(col("node"),
+            (when(col("__seed").isNotNull,
+              expr(s"(15L * ${MassUnit}L) div (100L * ns)")
+                + expr("(85L * dm) div (100L * ns)")).otherwise(lit(0L))
+              + coalesce(col("inbound"), lit(0L))).as("pr"))
+      }
+    }
+    ranks
+  }
 }

@@ -1013,6 +1013,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("personalized PageRank: all-nodes seeds ≡ standard PageRank; mass favors seeds") {
+    import graft.operators.PageRank
+    // 6-node cycle + a chord; non-trivial but sink-free
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (0L, 3L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val allNodes = (0L to 5L).toDF("node")
+    val std = PageRank.pageRank(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pprAll = PageRank.personalizedPageRank(edges, allNodes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pprAll === std, "teleporting to every node IS standard PageRank")
+    // single seed: the seed outranks every node, total mass stays ~1
+    val ppr = PageRank.personalizedPageRank(edges, Seq(0L).toDF("node"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ppr(0L) > std(0L),
+      "teleporting to the seed must boost it vs uniform teleport")
+    val total = ppr.values.sum.toDouble / PageRank.MassUnit
+    assert(total > 0.99 && total <= 1.0, s"mass ≈ 1: $total")
+  }
+
   test("skyline2D keeps exactly the non-dominated rows, duplicates included") {
     import graft.operators.Skyline
     val rows = Seq(
