@@ -1024,11 +1024,16 @@ class OperatorsSpec extends SparkSpec {
     val pprAll = PageRank.personalizedPageRank(edges, allNodes, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(pprAll === std, "teleporting to every node IS standard PageRank")
-    // single seed: the seed outranks every node, total mass stays ~1
-    val ppr = PageRank.personalizedPageRank(edges, Seq(0L).toDF("node"), 3)
+    // disconnected graph, seed in one component: the other component can
+    // receive neither teleport nor flow — exactly zero, the property that
+    // separates PPR from uniform PageRank
+    val twoComp = (edges.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      Seq((10L, 11L), (11L, 10L))).toSeq.toDF("src", "dst")
+    val ppr = PageRank.personalizedPageRank(twoComp, Seq(0L).toDF("node"), 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(ppr(0L) > std(0L),
-      "teleporting to the seed must boost it vs uniform teleport")
+    assert(ppr(10L) === 0L && ppr(11L) === 0L,
+      "unreachable component must hold zero mass")
+    assert(ppr(0L) > 0L && ppr(3L) > 0L)
     val total = ppr.values.sum.toDouble / PageRank.MassUnit
     assert(total > 0.99 && total <= 1.0, s"mass ≈ 1: $total")
   }
