@@ -1901,6 +1901,27 @@ object Oracles {
        |SELECT node, pr FROM pr$PrIters""".stripMargin
   }
 
+  /** HITS twin: the same unnormalized integer rounds, unrolled. */
+  def qHits: String = {
+    val rounds = (1 to HitsIters).map { k =>
+      s"""a$k AS (SELECT nodes.node, CAST(COALESCE(s.a, 0) AS BIGINT) AS auth
+         |  FROM nodes LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS a
+         |    FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst) s
+         |  ON nodes.node = s.node),
+         |h$k AS (SELECT nodes.node, CAST(COALESCE(s.h, 0) AS BIGINT) AS hub
+         |  FROM nodes LEFT JOIN (SELECT e.src AS node, sum(a.auth) AS h
+         |    FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src) s
+         |  ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey + $PrCustOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+       |$rounds
+       |SELECT h.node, h.hub, a.auth
+       |FROM h$HitsIters h JOIN a$HitsIters a ON h.node = a.node""".stripMargin
+  }
+
   /** Personalized-PageRank twin of [[qPagerank]]: teleport and dangling
     * mass restricted to the seed suppliers, start vector uniform over
     * seeds.

@@ -88,6 +88,9 @@ object Params {
   // label propagation: fixed synchronous rounds over the same graph
   val LpIters = 3
 
+  // HITS: fixed rounds, unnormalized int64 form (2·iters·log2(maxdeg) < 63)
+  val HitsIters = 3
+
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3

@@ -1031,6 +1031,17 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs/authorities on the DIRECTED supplier→customer arcs
+      // (who supplies the well-supplied customers) — integer
+      // fixed-iteration form, rankings ≡ the normalized algorithm
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(PrCustOffset)).as("dst")).distinct()
+      operators.PageRank.hits(pairs, HitsIters)
+    }),
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank: proximity to the seed suppliers
       // (suppkey % BfsSeedMod = 0) over the same trading graph
@@ -1395,6 +1406,7 @@ object SparkEntry {
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,
     "q_ppr" -> Oracles.qPpr,
+    "q_hits" -> Oracles.qHits,
     "q_triangles" -> Oracles.qTriangles,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,

@@ -121,6 +121,41 @@ object PageRank {
     ranks
   }
 
+  /** HITS hubs & authorities, UNNORMALIZED fixed-iteration form: with
+    * hub₀ = 1, each round sets auth(v) = Σ_{u→v} hub(u) then
+    * hub(u) = Σ_{u→v} auth(v) — pure int64 sums, engine-identical (the
+    * usual per-round L2 normalization is what forces floats; rankings
+    * are normalization-invariant, so the integer form preserves exactly
+    * the information HITS exists for). Growth bound: values multiply by
+    * ≤ maxdeg² per round — keep `2·iters·log₂(maxdeg) < 63` (3 rounds
+    * on a ≤2000-degree graph peaks ~10¹³). Two keyed join+aggregate
+    * passes per round over the same checkpointed edge table.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      auth = nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"))
+        .localCheckpoint(false)
+      hub = nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"))
+        .localCheckpoint(false)
+    }
+    hub.join(auth, "node")
+  }
+
   /** Personalized PageRank: teleport (and dangling mass) go to the SEED
     * set instead of uniformly everywhere — proximity-to-seeds scoring,
     * the recommendation/expansion primitive ("rank everything by

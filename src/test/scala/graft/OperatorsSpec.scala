@@ -1013,6 +1013,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("HITS: authorities follow in-links from strong hubs, exact integers") {
+    import graft.operators.PageRank
+    // hub 0 links to {1,2,3}; hub 4 links only to {1} — after 1 round
+    // auth(1)=2, auth(2)=auth(3)=1; hub(0)=4, hub(4)=2
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
+    val out = PageRank.hits(edges, 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0L -> ((4L, 0L)), 4L -> ((2L, 0L)),
+      1L -> ((0L, 2L)), 2L -> ((0L, 1L)), 3L -> ((0L, 1L))))
+  }
+
   test("personalized PageRank: all-nodes seeds ≡ standard PageRank; mass favors seeds") {
     import graft.operators.PageRank
     // 6-node cycle + a chord; non-trivial but sink-free
