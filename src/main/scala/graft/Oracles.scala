@@ -1901,6 +1901,24 @@ object Oracles {
        |SELECT node, pr FROM pr$PrIters""".stripMargin
   }
 
+  /** k-core-peeling twin: the same fixed peel rounds, unrolled. */
+  def qKcore: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""k$r AS (SELECT node FROM d${r - 1} WHERE deg >= $KcoreK),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node),
+         |d$r AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT sk AS src, ck + $PrCustOffset AS dst FROM pairs
+       |       UNION ALL SELECT ck + $PrCustOffset, sk FROM pairs),
+       |d0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+       |$rounds
+       |SELECT node, deg FROM d$KcoreRounds WHERE deg >= $KcoreK""".stripMargin
+  }
+
   /** HITS twin: the same unnormalized integer rounds, unrolled. */
   def qHits: String = {
     val rounds = (1 to HitsIters).map { k =>

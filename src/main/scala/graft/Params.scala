@@ -91,6 +91,10 @@ object Params {
   // HITS: fixed rounds, unnormalized int64 form (2·iters·log2(maxdeg) < 63)
   val HitsIters = 3
 
+  // k-core peeling: degree threshold, fixed peel rounds
+  val KcoreK = 5L
+  val KcoreRounds = 3
+
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3

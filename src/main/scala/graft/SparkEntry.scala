@@ -1031,6 +1031,17 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_kcore" -> ((s, dir) => {
+      // k-core peeling on the symmetric trading graph: nodes that keep
+      // >= k surviving partners after KcoreRounds peels
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("ck") + lit(PrCustOffset)).as("dst"))
+        .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
+      operators.PageRank.kCorePeel(edges, KcoreK, KcoreRounds)
+    }),
     "q_hits" -> ((s, dir) => {
       // HITS hubs/authorities on the DIRECTED supplier→customer arcs
       // (who supplies the well-supplied customers) — integer
@@ -1407,6 +1418,7 @@ object SparkEntry {
     "q_pagerank" -> Oracles.qPagerank,
     "q_ppr" -> Oracles.qPpr,
     "q_hits" -> Oracles.qHits,
+    "q_kcore" -> Oracles.qKcore,
     "q_triangles" -> Oracles.qTriangles,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,

@@ -121,6 +121,33 @@ object PageRank {
     ranks
   }
 
+  /** k-core peeling, fixed rounds: repeatedly drop nodes whose degree in
+    * the SURVIVING subgraph is below k — round r's survivors are a sound
+    * over-approximation of the k-core that tightens monotonically, and on
+    * real graphs a handful of rounds reaches the fixed point (run to
+    * convergence by checking the survivor count between rounds when
+    * exactness matters; fixed rounds keep the plan static and
+    * oracle-replayable). Undirected: pass both arc directions. One
+    * degree aggregate + one semi-join per round, edges checkpointed
+    * once. Returns surviving (node, deg) after `rounds`.
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+        .localCheckpoint(false)
+      e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(false)
+      deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    }
+    deg.where(col("deg") >= k)
+  }
+
   /** HITS hubs & authorities, UNNORMALIZED fixed-iteration form: with
     * hub₀ = 1, each round sets auth(v) = Σ_{u→v} hub(u) then
     * hub(u) = Σ_{u→v} auth(v) — pure int64 sums, engine-identical (the

@@ -1013,6 +1013,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("kCorePeel removes cascade casualties, keeps the core intact") {
+    import graft.operators.PageRank
+    // K4 core {0,1,2,3} + a chain 3-4-5: node 4 has deg 2 only via the
+    // doomed 5, so peeling at k=2 cascades: 5 out (deg 1), then 4
+    val und = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L))).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val out = PageRank.kCorePeel(und.toDF("src", "dst"), 2L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L), s"cascade must remove 4 and 5: $out")
+    assert(out(0L) === 3L && out(3L) === 3L, "core degrees exclude peeled neighbors")
+  }
+
   test("HITS: authorities follow in-links from strong hubs, exact integers") {
     import graft.operators.PageRank
     // hub 0 links to {1,2,3}; hub 4 links only to {1} — after 1 round
