@@ -1612,6 +1612,21 @@ object Oracles {
   /** Winsorize twin of [[graft.etl.Marts.winsorize]]: same permille
     * type-1 ranks (ceil, clamped to 1) over cents, same clip.
     */
+  /** KS twin of [[graft.operators.Sketches.ksTest]]: same per-value
+    * group counts, window cumsums, integer cross-multiplied CDF gap.
+    */
+  def qKsTest: String =
+    """WITH pv AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT v, sum(na) OVER w AS ca, sum(nb) OVER w AS cb FROM pv
+      |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM pv)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(max(abs(ca * n_b - cb * n_a)) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+      |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
+
   /** Gini twin of [[graft.operators.Sketches.gini]] over per-customer
     * spend: same ascending (value, key) ranks, int64 sums, one IEEE
     * divide floored to ppm.

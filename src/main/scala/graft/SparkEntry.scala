@@ -387,6 +387,12 @@ object SparkEntry {
           cents(col("p_retailprice")).as("price_cents"),
           col("p_size").cast("long").as("psize")),
         "price_cents", "psize")),
+    "q_ks_test" -> ((s, dir) =>
+      // distribution drift gate: exact two-sample KS between open ('O')
+      // and settled orders over price cents — integer CDF gaps via the
+      // distributed two-phase cumsum
+      operators.Sketches.ksTest(t(s, dir, "orders"), col("o_orderstatus"),
+        "O", cents(col("o_totalprice")))),
     "q_gini" -> ((s, dir) =>
       // spend-concentration KPI: exact Gini over per-customer totals,
       // ranks from the distributed range-partition GlobalRank
@@ -1403,6 +1409,7 @@ object SparkEntry {
     "q_ldiversity" -> Oracles.qLdiversity,
     "q_winsorize" -> Oracles.qWinsorize,
     "q_gini" -> Oracles.qGini,
+    "q_ks_test" -> Oracles.qKsTest,
     "q_skyline" -> Oracles.qSkyline,
     "q_share" -> Oracles.qShare,
     "q_nested_explode" -> Oracles.qNestedExplode,

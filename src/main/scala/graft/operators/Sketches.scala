@@ -202,6 +202,37 @@ object Sketches {
       .agg((min(col("b")) * lit(width)).as("est"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, exact: the max CDF gap
+    * between groups A and B over an integer-valued measure,
+    * `KS = max_v |F_A(v) − F_B(v)|`, computed as pure int64
+    * `|cumA·nB − cumB·nA| · 1e6 div (nA·nB)` — the standard
+    * distribution-drift gate between two cohorts/batches with no
+    * doubles anywhere. One per-value aggregate (both group counts in
+    * one pass), one distributed [[GlobalRank.globalCumsum]]-shaped
+    * two-phase cumsum over the distinct values for EACH group's counts
+    * (never a single-partition window), one final max. Returns one row
+    * `(n_a, n_b, ks_ppm)`. Exactness bound: the ppm scaling needs
+    * `n_a·n_b < 9.2·10¹²` (≈3M×3M rows) — beyond that pre-aggregate
+    * values into buckets; the statistic is distributional, so bucketing
+    * at measurement resolution costs nothing.
+    */
+  def ksTest(df: DataFrame, group: Column, aLabel: String,
+             value: Column): DataFrame = {
+    // NB: globalCumsum reserves "__v" internally — keep clear of it
+    val perV = df.select(group.as("__g"), value.cast("long").as("__ksv"))
+      .groupBy(col("__ksv"))
+      .agg(sum(when(col("__g") === aLabel, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__g") =!= aLabel, 1L).otherwise(0L)).as("__nb"))
+    val cumA = GlobalRank.globalCumsum(perV, Seq(col("__ksv").asc), col("__na"), "cum_a")
+    val cum = GlobalRank.globalCumsum(cumA, Seq(col("__ksv").asc), col("__nb"), "cum_b")
+    val tot = cum.agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(expr("max(__d) * 1000000L div (n_a * n_b)").as("ks_ppm"))
+  }
+
   /** Gini concentration coefficient over a per-key measure, exact:
     * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending — the
     * inequality KPI for spend/traffic/token-count concentration.

@@ -1174,6 +1174,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((3L, 1L, 500000L), (3L, 2L, 500000L)))
   }
 
+  test("ksTest: identical distributions → 0; disjoint supports → 1e6") {
+    import graft.operators.Sketches
+    val same = (1L to 50L).flatMap(i => Seq(("a", i % 10), ("b", i % 10)))
+      .toDF("g", "v")
+    val r0 = Sketches.ksTest(same, col("g"), "a", col("v")).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) === ((50L, 50L, 0L)))
+    val disj = ((1L to 20L).map(i => ("a", i)) ++ (1L to 30L).map(i => ("b", i + 100L)))
+      .toDF("g", "v")
+    val r1 = Sketches.ksTest(disj, col("g"), "a", col("v")).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((20L, 30L, 1000000L)))
+    // hand case: a={1,2}, b={1,3} → CDF gaps at v=2: |2·2−1·2|/4 = 1/2
+    val mid = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    assert(Sketches.ksTest(mid, col("g"), "a", col("v"))
+      .collect().head.getLong(2) === 500000L)
+  }
+
   test("gini: 0 for equal values, known value for full concentration") {
     val equal = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("k", "x")
     val g0 = Sketches.gini(equal, col("k"), col("x")).collect().head
