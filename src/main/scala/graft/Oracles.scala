@@ -1627,6 +1627,24 @@ object Oracles {
       |  CAST(max(abs(ca * n_b - cb * n_a)) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
       |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
 
+  /** Mann–Whitney twin of [[graft.operators.Sketches.mannWhitney]]:
+    * same doubled midranks (2·cum − c + 1) per tied value block.
+    */
+  def qMannWhitney: String =
+    """WITH pv AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT v, na, nb, na + nb AS cc,
+      |    sum(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM pv),
+      |t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM pv),
+      |r AS (SELECT sum(na * (2 * cum - cc + 1)) AS r2a FROM c)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+      |  CAST(((r2a - n_a * (n_a + 1)) * 1000000) // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
+      |FROM r CROSS JOIN t""".stripMargin
+
   /** Gini twin of [[graft.operators.Sketches.gini]] over per-customer
     * spend: same ascending (value, key) ranks, int64 sums, one IEEE
     * divide floored to ppm.

@@ -387,6 +387,11 @@ object SparkEntry {
           cents(col("p_retailprice")).as("price_cents"),
           col("p_size").cast("long").as("psize")),
         "price_cents", "psize")),
+    "q_mannwhitney" -> ((s, dir) =>
+      // exact AUC of price as a separator of open vs settled orders:
+      // doubled midranks keep the tie handling in pure int64
+      operators.Sketches.mannWhitney(t(s, dir, "orders"), col("o_orderstatus"),
+        "O", cents(col("o_totalprice")))),
     "q_ks_test" -> ((s, dir) =>
       // distribution drift gate: exact two-sample KS between open ('O')
       // and settled orders over price cents — integer CDF gaps via the
@@ -1410,6 +1415,7 @@ object SparkEntry {
     "q_winsorize" -> Oracles.qWinsorize,
     "q_gini" -> Oracles.qGini,
     "q_ks_test" -> Oracles.qKsTest,
+    "q_mannwhitney" -> Oracles.qMannWhitney,
     "q_skyline" -> Oracles.qSkyline,
     "q_share" -> Oracles.qShare,
     "q_nested_explode" -> Oracles.qNestedExplode,

@@ -233,6 +233,37 @@ object Sketches {
       .agg(expr("max(__d) * 1000000L div (n_a * n_b)").as("ks_ppm"))
   }
 
+  /** Mann–Whitney U / exact AUC between two groups: `U/(n_A·n_B)` is
+    * P(a > b) + ½·P(a = b) — the probability a random A-row outranks a
+    * random B-row, i.e. the AUC of the measure as a classifier of the
+    * group label, and the standard nonparametric effect size next to
+    * [[ksTest]]'s drift gate. Ties use midranks; DOUBLED ranks keep
+    * everything int64 (`2·midrank = 2·start + c − 1`), so the result is
+    * exact: `auc_ppm = (2·R_A − n_A(n_A+1)) · 1e6 div (2·n_A·n_B)`.
+    * Same distributed shape as [[ksTest]]: one per-value aggregate, one
+    * two-phase cumsum, one final sum. Returns
+    * `(n_a, n_b, u2, auc_ppm)` (`u2` = 2·U_A).
+    */
+  def mannWhitney(df: DataFrame, group: Column, aLabel: String,
+                  value: Column): DataFrame = {
+    val perV = df.select(group.as("__g"), value.cast("long").as("__mwv"))
+      .groupBy(col("__mwv"))
+      .agg(sum(when(col("__g") === aLabel, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__g") =!= aLabel, 1L).otherwise(0L)).as("__nb"))
+      .withColumn("__c", col("__na") + col("__nb"))
+    val cum = GlobalRank.globalCumsum(perV, Seq(col("__mwv").asc), col("__c"), "cum_c")
+    // ranks of the c tied rows at v start at cum_c − c + 1; doubled
+    // midrank = 2·start + c − 1 = 2·cum_c − c + 1
+    val tot = cum.agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+    cum.select((col("__na") * (lit(2L) * col("cum_c") - col("__c") + 1L)).as("__r2"))
+      .agg(sum(col("__r2")).as("r2a"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2"))
+      .select(col("n_a"), col("n_b"), col("u2"),
+        expr("(u2 * 1000000L) div (2L * n_a * n_b)").as("auc_ppm"))
+  }
+
   /** Gini concentration coefficient over a per-key measure, exact:
     * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending — the
     * inequality KPI for spend/traffic/token-count concentration.

@@ -1174,6 +1174,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((3L, 1L, 500000L), (3L, 2L, 500000L)))
   }
 
+  test("mannWhitney: AUC 1e6 when A dominates, 5e5 for identical, exact ties") {
+    import graft.operators.Sketches
+    val dom = ((1L to 10L).map(i => ("a", i + 100L)) ++ (1L to 20L).map(i => ("b", i)))
+      .toDF("g", "v")
+    val r1 = Sketches.mannWhitney(dom, col("g"), "a", col("v")).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(3)) === ((10L, 20L, 1000000L)))
+    val same = (1L to 30L).flatMap(i => Seq(("a", i % 5), ("b", i % 5))).toDF("g", "v")
+    assert(Sketches.mannWhitney(same, col("g"), "a", col("v"))
+      .collect().head.getLong(3) === 500000L)
+    // hand case: a={1,2}, b={2,3}: pairs (1,2)L (1,3)L (2,2)T (2,3)L →
+    // U = 0+0+0.5+0 = 0.5 → u2 = 1, auc = 1/8 = 125000 ppm
+    val mix = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r3 = Sketches.mannWhitney(mix, col("g"), "a", col("v")).collect().head
+    assert((r3.getLong(2), r3.getLong(3)) === ((1L, 125000L)))
+  }
+
   test("ksTest: identical distributions → 0; disjoint supports → 1e6") {
     import graft.operators.Sketches
     val same = (1L to 50L).flatMap(i => Seq(("a", i % 10), ("b", i % 10)))
