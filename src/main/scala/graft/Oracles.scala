@@ -1724,6 +1724,22 @@ object Oracles {
       |  CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT) AS med7
       |FROM w""".stripMargin
 
+  /** EWMA twin: list_reduce seeds with the first element, matching the
+    * Spark fold's sentinel; floor-div each step IS the spec.
+    */
+  def qEwma: String =
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT list(total_cents ORDER BY mkey) AS vals,
+      |    list(mkey ORDER BY mkey) AS ks, count(*) AS n FROM m),
+      |idx AS (SELECT unnest(range(1, n + 1)) AS i FROM a)
+      |SELECT CAST(ks[CAST(i AS INT)] AS BIGINT) AS mkey,
+      |  CAST(vals[CAST(i AS INT)] AS BIGINT) AS total_cents,
+      |  CAST(list_reduce(vals[1:CAST(i AS INT)],
+      |    (acc, x) -> (acc * 3 + x) // 4) AS BIGINT) AS ewma_cents
+      |FROM idx CROSS JOIN a""".stripMargin
+
   def eventsNewUsers: String =
     """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)

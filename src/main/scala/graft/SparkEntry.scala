@@ -248,6 +248,24 @@ object SparkEntry {
       EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)
         .unpivot(Array(col("y"), col("m"), col("d")),
           EventTypes.map(col).toArray, "event_type", "n")),
+    "q_ewma" -> ((s, dir) => {
+      // integer exponential smoothing (α = 1/4): the recurrence
+      // s' = (3s + x) div 4 folds over the SORTED monthly series — a
+      // bounded post-aggregate array, so the sequential dependency never
+      // touches the fact table; floor at each step is part of the spec
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      monthly.agg(array_sort(collect_list(struct(col("mkey"), col("total_cents"))))
+          .as("series"))
+        .select(col("series"), posexplode(col("series")))
+        .select(col("col.mkey").as("mkey"),
+          col("col.total_cents").as("total_cents"),
+          expr("aggregate(slice(series, 1, pos + 1), -1L, (acc, r) -> " +
+            "if(acc < 0, r.total_cents, (acc * 3 + r.total_cents) div 4))")
+            .as("ewma_cents"))
+    }),
     "q_rolling_median" -> ((s, dir) => {
       // exact rolling median over a bounded 7-row frame: sort the frame's
       // collected values, take the type-1 middle — robust trend line the
@@ -1318,6 +1336,7 @@ object SparkEntry {
     "q_unpivot" -> Oracles.qUnpivot,
     "q_moving_avg" -> Oracles.qMovingAvg,
     "q_rolling_median" -> Oracles.qRollingMedian,
+    "q_ewma" -> Oracles.qEwma,
     "events_new_users" -> Oracles.eventsNewUsers,
     "q_ntile" -> Oracles.qNtile,
     "q_rollup" -> Oracles.qRollup,
