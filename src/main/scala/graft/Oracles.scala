@@ -1627,6 +1627,31 @@ object Oracles {
       |  CAST(max(abs(ca * n_b - cb * n_a)) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
       |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
 
+  /** Bootstrap twin: same Poisson(1) staircase over the same per-replicate
+    * salted hashes — thresholds inlined from the ONE JVM computation.
+    */
+  def qBootstrap: String = {
+    val P = HashFunctions.MinhashP
+    val thr = graft.operators.Sketches.PoissonThresholds
+    val coeffs = HashFunctions.minhashCoeffs(BootstrapB)
+    def stair(h: String): String =
+      thr.zipWithIndex.map { case (t, k) => s"WHEN $h < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${thr.length} END")
+    val hex15 = (0 until 15)
+      .map(j => s"(instr('$hex', substr(md5('$BootstrapSalt:' || CAST(o_orderkey AS VARCHAR)), ${j + 1}, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    val reps = (0 until BootstrapB).map { i =>
+      val (a, c) = coeffs(i)
+      s"SELECT $i AS rep, x, ${stair(s"((hb * $a + $c) % $P)")} AS w FROM hb"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hb AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x,
+       |  CAST($hex15 AS BIGINT) % $P AS hb FROM orders),
+       |r AS ($reps)
+       |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * x) // sum(w) AS BIGINT) AS mean_cents
+       |FROM r GROUP BY rep""".stripMargin
+  }
+
   /** Mann–Whitney twin of [[graft.operators.Sketches.mannWhitney]]:
     * same doubled midranks (2·cum − c + 1) per tied value block.
     */

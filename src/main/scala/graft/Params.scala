@@ -106,6 +106,10 @@ object Params {
   val WinsorLoPm = 50L
   val WinsorHiPm = 950L
 
+  // Poisson bootstrap: replicates + hash salt prefix
+  val BootstrapB = 32
+  val BootstrapSalt = "bs"
+
   // KMV distinct sketch: buffer size (±1/√k relative error), hash salt
   val KmvK = 64
   val KmvSalt = "kmv"

@@ -405,6 +405,12 @@ object SparkEntry {
           cents(col("p_retailprice")).as("price_cents"),
           col("p_size").cast("long").as("psize")),
         "price_cents", "psize")),
+    "q_bootstrap" -> ((s, dir) =>
+      // Poisson bootstrap of the mean order price: B deterministic
+      // hash-Poisson reweightings, each replicate mean exact int64 —
+      // the sampling distribution without materializing a resample
+      operators.Sketches.poissonBootstrap(t(s, dir, "orders"),
+        col("o_orderkey"), cents(col("o_totalprice")), BootstrapB, BootstrapSalt)),
     "q_mannwhitney" -> ((s, dir) =>
       // exact AUC of price as a separator of open vs settled orders:
       // doubled midranks keep the tie handling in pure int64
@@ -1435,6 +1441,7 @@ object SparkEntry {
     "q_gini" -> Oracles.qGini,
     "q_ks_test" -> Oracles.qKsTest,
     "q_mannwhitney" -> Oracles.qMannWhitney,
+    "q_bootstrap" -> Oracles.qBootstrap,
     "q_skyline" -> Oracles.qSkyline,
     "q_share" -> Oracles.qShare,
     "q_nested_explode" -> Oracles.qNestedExplode,

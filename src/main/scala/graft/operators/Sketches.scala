@@ -202,6 +202,60 @@ object Sketches {
       .agg((min(col("b")) * lit(width)).as("est"))
   }
 
+  /** Poisson(1) CDF thresholds scaled to the affine-hash space
+    * [0, MinhashP), shared verbatim by the Spark staircase and the
+    * generated oracle SQL (one JVM computation, inlined into both —
+    * nothing cross-engine). Truncated at k=9 (tail mass ~1e-6 collapses
+    * into the last step).
+    */
+  private[graft] val PoissonThresholds: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val cum = (0 to 8).scanLeft(0.0) { (acc, k) =>
+      acc + e / (1 to k).foldLeft(1.0)(_ * _)
+    }.drop(1)
+    cum.map(c => math.floor(c * HashFunctions.MinhashP).toLong)
+  }
+
+  private def poissonWeight(h: Column): Column =
+    PoissonThresholds.zipWithIndex.foldRight(lit(PoissonThresholds.length.toLong)) {
+      case ((t, k), rest) => when(h < t, lit(k.toLong)).otherwise(rest)
+    }
+
+  /** Poisson bootstrap (the distributed bootstrap — Chamandy et al.):
+    * replicate b reweights every row by an independent Poisson(1) draw,
+    * approximating resampling-with-replacement without ever
+    * materializing a resample. Draws are salted-hash lookups into the
+    * Poisson CDF — deterministic, engine-portable, and independent
+    * across replicates by the salt. Each replicate's mean is exact
+    * int64 (`Σw·x div Σw`); the spread of the B means IS the sampling
+    * distribution of the mean, read CIs off its quantiles.
+    *
+    * Scale: one map-side ×B explode (no shuffle grows), aggregate state
+    * = B rows; ONE md5 per row — the per-replicate draws are cheap
+    * affine maps over the base hash (the MinHash-family trick, which
+    * also keeps the projection inside janino's codegen method limits —
+    * B chained md5s did not). Returns `(rep, n_eff, mean_cents)` × B.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+                       b: Int, salt: String): DataFrame = {
+    require(b >= 2)
+    val coeffs = HashFunctions.minhashCoeffs(b)
+    val reps = (0 until b).map { i =>
+      val (a, c) = coeffs(i)
+      struct(lit(i.toLong).as("rep"),
+        poissonWeight(HashFunctions.affineHash(col("__h"), a, c)).as("w"))
+    }
+    df.select(value.cast("long").as("__x"),
+        HashFunctions.shingleHash(
+          concat(lit(salt + ":"), key.cast("string"))).as("__h"))
+      .select(col("__x"), explode(array(reps: _*)).as("r"))
+      .groupBy(col("r.rep").as("rep"))
+      .agg(sum(col("r.w")).as("n_eff"),
+        sum(col("r.w") * col("__x")).as("__wx"))
+      .select(col("rep"), col("n_eff"),
+        expr("__wx div n_eff").as("mean_cents"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, exact: the max CDF gap
     * between groups A and B over an integer-valued measure,
     * `KS = max_v |F_A(v) − F_B(v)|`, computed as pure int64

@@ -1174,6 +1174,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((3L, 1L, 500000L), (3L, 2L, 500000L)))
   }
 
+  test("poissonBootstrap: weights follow Poisson(1), replicate means bracket the truth") {
+    import graft.operators.Sketches
+    val df = (1L to 2000L).map(i => (i, 100L + (i % 50))).toDF("k", "v")
+    val reps = Sketches.poissonBootstrap(df, col("k"), col("v"), 16, "bs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reps.length === 16)
+    // effective n concentrates near the true n (Poisson(1) mean 1)
+    reps.foreach { case (_, nEff, _) =>
+      assert(nEff > 1700 && nEff < 2300, s"n_eff $nEff implausible for n=2000") }
+    // true mean = 100 + avg(i % 50) ≈ 124.5; replicate means stay close
+    // and are not all identical (they ARE resamples)
+    reps.foreach { case (_, _, m) => assert(m > 115 && m < 135, s"mean $m") }
+    assert(reps.map(_._3).distinct.length > 1)
+  }
+
   test("mannWhitney: AUC 1e6 when A dominates, 5e5 for identical, exact ties") {
     import graft.operators.Sketches
     val dom = ((1L to 10L).map(i => ("a", i + 100L)) ++ (1L to 20L).map(i => ("b", i)))
