@@ -860,6 +860,16 @@ object Oracles {
     * [[graft.operators.TextOps.bigramPredictability]]: same bigram-start
     * context counts, same int64 ppm divisions.
     */
+  /** Feature-hash twin: same salted 32-bit hash mod bucket count. */
+  def textFeatureHash: String = {
+    val h = hex8Expr(s"('$FeatureHashSalt:' || t)")
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks)
+       |SELECT doc_id, CAST($h AS BIGINT) % $FeatureHashBuckets AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM tok GROUP BY 1, 2""".stripMargin
+  }
+
   def textBigramPred: String =
     s"""WITH $toksCte, $shingCte,
        |pr AS (SELECT doc_id, unnest(sh) AS g FROM shing),

@@ -110,6 +110,10 @@ object Params {
   val BootstrapB = 32
   val BootstrapSalt = "bs"
 
+  // hashing-trick featurization: fixed bucket count + salt
+  val FeatureHashBuckets = 64
+  val FeatureHashSalt = "fh"
+
   // KMV distinct sketch: buffer size (±1/√k relative error), hash salt
   val KmvK = 64
   val KmvSalt = "kmv"

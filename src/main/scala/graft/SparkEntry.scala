@@ -1217,6 +1217,11 @@ object SparkEntry {
       TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)._2
         .select(col("freq"), explode(col("syms")).as("sym"))
         .groupBy(col("sym")).agg(sum(col("freq")).as("n"))),
+    "text_feature_hash" -> ((s, dir) =>
+      // hashing-trick featurization: vocabulary-free stable feature ids,
+      // sparse (doc, bucket, n) output
+      TextOps.featureHash(t(s, dir, "documents"), "doc_id", "text",
+        FeatureHashBuckets, FeatureHashSalt)),
     "text_bigram_pred" -> ((s, dir) =>
       // LM-shaped fluency signal: mean P(next|prev) under the corpus
       // bigram model, exact integer ppm (no ln — portable)
@@ -1418,6 +1423,7 @@ object SparkEntry {
     "text_pack" -> Oracles.textPack,
     "text_pmi" -> Oracles.textPmi,
     "text_bigram_pred" -> Oracles.textBigramPred,
+    "text_feature_hash" -> Oracles.textFeatureHash,
     "text_bm25" -> Oracles.textBm25,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_rrf_fuse" -> Oracles.textRrfFuse,

@@ -346,6 +346,27 @@ object TextOps {
       .distinct()
   }
 
+  /** Feature hashing (the hashing trick): project each document's token
+    * counts onto a FIXED F-bucket space via a salted hash — the
+    * vocabulary-free featurization that needs no fitted dictionary, no
+    * second pass, and no vocabulary-sized state; collisions are the
+    * accepted tradeoff (Weinberger et al. 2009). Output is the sparse
+    * form `(doc_id, bucket, n)` — one explode + one keyed aggregate;
+    * the dense F-vector is a groupBy-collect away when a trainer wants
+    * it. Deterministic md5 bucketing, so feature ids are stable across
+    * runs, engines, and corpus growth — the same stability argument as
+    * [[graft.operators.Sampling.split]].
+    */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int, salt: String): DataFrame = {
+    require(buckets >= 2)
+    docs.select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"),
+        pmod(graft.functions.HashFunctions.hash32(col("t"), salt),
+          lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-doc bigram predictability under the corpus bigram model: the
     * mean of P(w₂|w₁) = c(w₁w₂)/c(w₁·) over the doc's adjacent pairs,
     * in exact ppm — a language-model-shaped fluency signal with NO
