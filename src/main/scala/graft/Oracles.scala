@@ -1662,6 +1662,22 @@ object Oracles {
        |FROM r GROUP BY rep""".stripMargin
   }
 
+  /** Bootstrap-CI twin: type-1 permille ranks over the replicate means
+    * from [[qBootstrap]]'s CTE.
+    */
+  def qBootstrapCi: String = {
+    val inner = qBootstrap
+    s"""WITH reps AS ($inner),
+       |rk AS (SELECT mean_cents,
+       |  row_number() OVER (ORDER BY mean_cents) AS rn FROM reps)
+       |SELECT CAST(count(*) AS BIGINT) AS b,
+       |  CAST(min(CASE WHEN rn = greatest(($WinsorLoPm * $BootstrapB + 999) // 1000, 1)
+       |    THEN mean_cents END) AS BIGINT) AS lo_cents,
+       |  CAST(min(CASE WHEN rn = greatest(($WinsorHiPm * $BootstrapB + 999) // 1000, 1)
+       |    THEN mean_cents END) AS BIGINT) AS hi_cents
+       |FROM rk""".stripMargin
+  }
+
   /** Mann–Whitney twin of [[graft.operators.Sketches.mannWhitney]]:
     * same doubled midranks (2·cum − c + 1) per tied value block.
     */

@@ -411,6 +411,23 @@ object SparkEntry {
       // the sampling distribution without materializing a resample
       operators.Sketches.poissonBootstrap(t(s, dir, "orders"),
         col("o_orderkey"), cents(col("o_totalprice")), BootstrapB, BootstrapSalt)),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // the bootstrap read-out: type-1 [p05, p95] band over the B
+      // replicate means (a B-row table — the heavy lifting happened in
+      // the reweighting pass)
+      val reps = operators.Sketches.poissonBootstrap(t(s, dir, "orders"),
+        col("o_orderkey"), cents(col("o_totalprice")), BootstrapB, BootstrapSalt)
+      reps.select(col("mean_cents"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("mean_cents"))))
+        .agg(count(lit(1)).as("b"),
+          min(when(col("__rn") === greatest(
+            expr(s"(${WinsorLoPm}L * $BootstrapB + 999) div 1000"), lit(1L)),
+            col("mean_cents"))).as("lo_cents"),
+          min(when(col("__rn") === greatest(
+            expr(s"(${WinsorHiPm}L * $BootstrapB + 999) div 1000"), lit(1L)),
+            col("mean_cents"))).as("hi_cents"))
+    }),
     "q_mannwhitney" -> ((s, dir) =>
       // exact AUC of price as a separator of open vs settled orders:
       // doubled midranks keep the tie handling in pure int64
@@ -1448,6 +1465,7 @@ object SparkEntry {
     "q_ks_test" -> Oracles.qKsTest,
     "q_mannwhitney" -> Oracles.qMannWhitney,
     "q_bootstrap" -> Oracles.qBootstrap,
+    "q_bootstrap_ci" -> Oracles.qBootstrapCi,
     "q_skyline" -> Oracles.qSkyline,
     "q_share" -> Oracles.qShare,
     "q_nested_explode" -> Oracles.qNestedExplode,
