@@ -239,19 +239,27 @@ object Sketches {
   def poissonBootstrap(df: DataFrame, key: Column, value: Column,
                        b: Int, salt: String): DataFrame = {
     require(b >= 2)
-    val coeffs = HashFunctions.minhashCoeffs(b)
-    val reps = (0 until b).map { i =>
-      val (a, c) = coeffs(i)
-      struct(lit(i.toLong).as("rep"),
-        poissonWeight(HashFunctions.affineHash(col("__h"), a, c)).as("w"))
-    }
+    // explode the bare replicate index FIRST and derive the affine
+    // coefficients arithmetically from it (the same formulas as
+    // HashFunctions.minhashCoeffs, which the oracle inlines) — a
+    // 32-struct array with a staircase per struct is ONE giant
+    // expression that falls out of whole-stage codegen (measured: the
+    // whole stage ran interpreted); this shape keeps every projection
+    // small and codegen'd, with a single 10-branch staircase per
+    // (row, replicate)
+    val p = HashFunctions.MinhashP
     df.select(value.cast("long").as("__x"),
         HashFunctions.shingleHash(
           concat(lit(salt + ":"), key.cast("string"))).as("__h"))
-      .select(col("__x"), explode(array(reps: _*)).as("r"))
-      .groupBy(col("r.rep").as("rep"))
-      .agg(sum(col("r.w")).as("n_eff"),
-        sum(col("r.w") * col("__x")).as("__wx"))
+      .select(col("__x"), col("__h"),
+        explode(sequence(lit(0L), lit((b - 1).toLong))).as("rep"))
+      .withColumn("__hr", pmod(
+        col("__h") * pmod(lit(2654435761L) * (col("rep") + 1L) + 101L, lit(p))
+          + pmod(lit(40503L) * (col("rep") + 1L) + 7919L, lit(p)), lit(p)))
+      .withColumn("__w", poissonWeight(col("__hr")))
+      .groupBy(col("rep"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__x")).as("__wx"))
       .select(col("rep"), col("n_eff"),
         expr("__wx div n_eff").as("mean_cents"))
   }
