@@ -390,23 +390,26 @@ object Similarity {
   def sq8Codes(emb: DataFrame, idCol: String, vecCol: String,
                dims: Int): DataFrame = {
     require(dims >= 1)
+    // stats as two ARRAYS + an exploded dim index: a 64-struct array of
+    // per-dim expressions is one giant tree that falls out of
+    // whole-stage codegen (the bootstrap lesson, SURVEY §5.6); this
+    // shape keeps each projection small and codegen'd
     val stats = emb.agg(
-      min(element_at(col(vecCol), 1)).cast("double").as("mn0"),
-      ((1 until dims).map(d =>
-        min(element_at(col(vecCol), d + 1)).cast("double").as(s"mn$d")) ++
-       (0 until dims).map(d =>
-        max(element_at(col(vecCol), d + 1)).cast("double").as(s"mx$d"))): _*)
-    val codes = (0 until dims).map { d =>
-      val v = element_at(col(vecCol), d + 1).cast("double")
-      val mn = col(s"mn$d"); val mx = col(s"mx$d")
-      struct(lit(d.toLong).as("d"),
-        when(mx === mn, lit(0L)).otherwise(
-          least(floor((v - mn) * lit(255.0) / (mx - mn)).cast("long"), lit(255L)))
-          .as("code"))
-    }
+      array((0 until dims).map(d =>
+        min(element_at(col(vecCol), d + 1)).cast("double")): _*).as("__mns"),
+      array((0 until dims).map(d =>
+        max(element_at(col(vecCol), d + 1)).cast("double")): _*).as("__mxs"))
     emb.crossJoin(broadcast(stats))
-      .select(col(idCol), explode(array(codes: _*)).as("c"))
-      .select(col(idCol), col("c.d").as("d"), col("c.code").as("code"))
+      .select(col(idCol), col(vecCol), col("__mns"), col("__mxs"),
+        explode(sequence(lit(0L), lit((dims - 1).toLong))).as("d"))
+      .withColumn("__mn", element_at(col("__mns"), (col("d") + 1).cast("int")))
+      .withColumn("__mx", element_at(col("__mxs"), (col("d") + 1).cast("int")))
+      .withColumn("__v",
+        element_at(col(vecCol), (col("d") + 1).cast("int")).cast("double"))
+      .select(col(idCol), col("d"),
+        when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+          least(floor((col("__v") - col("__mn")) * lit(255.0)
+            / (col("__mx") - col("__mn"))).cast("long"), lit(255L))).as("code"))
   }
 
   /** Matryoshka (coarse-to-fine) top-k: rank in the truncated
