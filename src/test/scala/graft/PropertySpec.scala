@@ -177,6 +177,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: skyline2D equals brute-force dominance on random points") {
+    import graft.operators.Skyline
+    trials(912L, n = 6) { rnd =>
+      val pts = (0 until 60).map(i =>
+        (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val got = Skyline.skyline2D(pts.toDF("k", "price_cents", "psize"),
+          "price_cents", "psize")
+        .collect().map(_.getLong(0)).toSet
+      val want = pts.filter { case (_, p, s) =>
+        !pts.exists { case (_, p2, s2) =>
+          p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+      }.map(_._1).toSet
+      assert(got === want)
+    }
+  }
+
+  test("property: ksTest and mannWhitney match brute-force references") {
+    import graft.operators.Sketches
+    trials(913L, n = 6) { rnd =>
+      val a = (0 until 30).map(_ => rnd.nextInt(15).toLong)
+      val bb = (0 until 40).map(_ => rnd.nextInt(15).toLong)
+      val df = (a.map(("a", _)) ++ bb.map(("b", _))).toDF("g", "v")
+      // KS reference
+      val vs = (a ++ bb).distinct.sorted
+      val ksWant = vs.map { v =>
+        math.abs(a.count(_ <= v).toLong * bb.size - bb.count(_ <= v).toLong * a.size)
+      }.max * 1000000L / (a.size.toLong * bb.size)
+      assert(Sketches.ksTest(df, col("g"), "a", col("v"))
+        .collect().head.getLong(2) === ksWant)
+      // Mann-Whitney reference: 2U = Σ over pairs of 2·[a>b] + 1·[a=b]
+      val u2 = (for (x <- a; y <- bb) yield
+        (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+      val r = Sketches.mannWhitney(df, col("g"), "a", col("v")).collect().head
+      assert(r.getLong(2) === u2, s"u2 ${r.getLong(2)} want $u2")
+    }
+  }
+
   test("property: mergeInto equals a per-key reference MERGE on random data") {
     trials(909L, n = 6) { rnd =>
       val base = (0 until 40).map(i => (i.toLong, rnd.nextInt(100).toLong))
