@@ -1775,6 +1775,27 @@ object Oracles {
       |  CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT) AS med7
       |FROM w""".stripMargin
 
+  /** CUSUM twin: same integer max(0, ·) folds around the integer mean. */
+  def qCusum: String =
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT list(total_cents ORDER BY mkey) AS vals,
+      |    list(mkey ORDER BY mkey) AS ks, count(*) AS n,
+      |    sum(total_cents) // count(*) AS ref FROM m),
+      |idx AS (SELECT unnest(range(1, n + 1)) AS i FROM a)
+      |SELECT CAST(ks[CAST(i AS INT)] AS BIGINT) AS mkey,
+      |  CAST(vals[CAST(i AS INT)] AS BIGINT) AS total_cents,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals[1:CAST(i AS INT)]),
+      |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (x - ref))) AS BIGINT) AS cusum_hi,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals[1:CAST(i AS INT)]),
+      |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (ref - x))) AS BIGINT) AS cusum_lo,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), vals[1:CAST(i AS INT)]),
+      |      (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (x - ref))) > ref
+      |    OR list_reduce(list_prepend(CAST(0 AS BIGINT), vals[1:CAST(i AS INT)]),
+      |      (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (ref - x))) > ref AS shift
+      |FROM idx CROSS JOIN a""".stripMargin
+
   /** EWMA twin: list_reduce seeds with the first element, matching the
     * Spark fold's sentinel; floor-div each step IS the spec.
     */

@@ -248,6 +248,31 @@ object SparkEntry {
       EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)
         .unpivot(Array(col("y"), col("m"), col("d")),
           EventTypes.map(col).toArray, "event_type", "n")),
+    "q_cusum" -> ((s, dir) => {
+      // integer CUSUM change detection over the monthly series: track
+      // S⁺ = max(0, S⁺ + (x − ref)) and S⁻ = max(0, S⁻ + (ref − x))
+      // around the series' own integer mean; a month where either side
+      // exceeds one full mean's worth of cumulative deviation flags the
+      // shift — the same bounded post-aggregate array-fold shape as
+      // q_ewma
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      monthly.agg(array_sort(collect_list(struct(col("mkey"), col("total_cents"))))
+          .as("series"),
+          expr("sum(total_cents) div count(1)").as("ref"))
+        .select(col("series"), col("ref"), posexplode(col("series")))
+        .select(col("col.mkey").as("mkey"),
+          col("col.total_cents").as("total_cents"),
+          expr("aggregate(slice(series, 1, pos + 1), 0L, (acc, r) -> " +
+            "greatest(0L, acc + (r.total_cents - ref)))").as("cusum_hi"),
+          expr("aggregate(slice(series, 1, pos + 1), 0L, (acc, r) -> " +
+            "greatest(0L, acc + (ref - r.total_cents)))").as("cusum_lo"),
+          col("ref"))
+        .select(col("mkey"), col("total_cents"), col("cusum_hi"), col("cusum_lo"),
+          (col("cusum_hi") > col("ref") || col("cusum_lo") > col("ref")).as("shift"))
+    }),
     "q_ewma" -> ((s, dir) => {
       // integer exponential smoothing (α = 1/4): the recurrence
       // s' = (3s + x) div 4 folds over the SORTED monthly series — a
@@ -1365,6 +1390,7 @@ object SparkEntry {
     "q_moving_avg" -> Oracles.qMovingAvg,
     "q_rolling_median" -> Oracles.qRollingMedian,
     "q_ewma" -> Oracles.qEwma,
+    "q_cusum" -> Oracles.qCusum,
     "events_new_users" -> Oracles.eventsNewUsers,
     "q_ntile" -> Oracles.qNtile,
     "q_rollup" -> Oracles.qRollup,
