@@ -1162,6 +1162,20 @@ object Oracles {
        |  FROM events)
        |WHERE event_type = '$AsofTarget'""".stripMargin
 
+  /** Burst twin of [[graft.operators.EventOps.bursts]]. */
+  def eventsBursts: String =
+    s"""WITH h AS (SELECT event_type AS entity, epoch_ms(ts) // 3600000 AS hour,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT entity, hour, cnt,
+       |    CAST(COALESCE(sum(cnt) OVER tw, 0) AS BIGINT) AS trail_sum,
+       |    CAST(COALESCE(count(cnt) OVER tw, 0) AS BIGINT) AS trail_n
+       |  FROM h WINDOW tw AS (PARTITION BY entity ORDER BY hour
+       |    ROWS BETWEEN $BurstTrailHours PRECEDING AND 1 PRECEDING))
+       |SELECT entity, CAST(hour AS BIGINT) AS hour, cnt, trail_sum, trail_n,
+       |  trail_n >= $BurstMinTrail AND cnt * trail_n > $BurstK * trail_sum AS burst
+       |FROM w""".stripMargin
+
   /** Attribution twin of [[graft.operators.EventOps.attribution]]. */
   def eventsAttribution: String =
     s"""WITH tg AS (SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms

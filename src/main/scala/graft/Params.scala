@@ -139,6 +139,11 @@ object Params {
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 
+  // burst detection: trailing observed-hour window, ratio, cold-start floor
+  val BurstTrailHours = 24
+  val BurstK = 2L
+  val BurstMinTrail = 6L
+
   // event pivot / as-of
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
   val AsofTarget = "purchase"

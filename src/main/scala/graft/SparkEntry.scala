@@ -1335,6 +1335,11 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"),
         from_json(col("props"), "k LONG", java.util.Map.of[String, String]())
           .getField("k").as("k"))),
+    "events_bursts" -> ((s, dir) =>
+      // alerting: hours where a type's count doubles its trailing
+      // observed-hour baseline, integer cross-multiplied
+      EventOps.bursts(t(s, dir, "events"), "event_type", "ts",
+        BurstTrailHours, BurstK, BurstMinTrail)),
     "events_attribution" -> ((s, dir) =>
       // linear multi-touch: clicks in the 30min window before a purchase
       // split its credit equally, exact integer ppm
@@ -1483,6 +1488,7 @@ object SparkEntry {
     "events_asof" -> Oracles.eventsAsof,
     "events_transitions" -> Oracles.eventsTransitions,
     "events_attribution" -> Oracles.eventsAttribution,
+    "events_bursts" -> Oracles.eventsBursts,
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,
     "q_ldiversity" -> Oracles.qLdiversity,

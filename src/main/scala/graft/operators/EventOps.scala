@@ -193,6 +193,35 @@ object EventOps {
     }
   }
 
+  /** Burst detection: an (entity, hour) is bursting when its count
+    * exceeds `k×` its own trailing-window hourly mean —
+    * `cnt · n_trail > k · sum_trail` in exact integer cross-multiplied
+    * form (no rate doubles). The alerting primitive behind abuse/
+    * incident detection; hours with fewer than `minTrail` observed
+    * trailing hours stay unflagged (cold start). One keyed aggregate +
+    * one per-entity window pass — the window partitions on the entity,
+    * never globally.
+    */
+  def bursts(events: DataFrame, entityCol: String, tsCol: String,
+             trailHours: Int, k: Long, minTrail: Long): DataFrame = {
+    require(trailHours >= 1 && k >= 1 && minTrail >= 1)
+    val hourly = events
+      .select(col(entityCol).as("entity"),
+        expr(s"unix_millis($tsCol) div 3600000").as("hour"))
+      .groupBy(col("entity"), col("hour")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("hour"))
+      .rowsBetween(-trailHours, -1)
+    hourly
+      .withColumn("trail_sum", sum(col("cnt")).over(w))
+      .withColumn("trail_n", count(col("cnt")).over(w))
+      .select(col("entity"), col("hour"), col("cnt"),
+        coalesce(col("trail_sum"), lit(0L)).as("trail_sum"),
+        coalesce(col("trail_n"), lit(0L)).as("trail_n"))
+      .withColumn("burst",
+        col("trail_n") >= minTrail &&
+          col("cnt") * col("trail_n") > lit(k) * col("trail_sum"))
+  }
+
   /** Linear multi-touch attribution: every `matchType` event within
     * `windowMs` BEFORE a `targetType` event of the same user shares that
     * conversion's credit equally — the credit ledger behind marketing
