@@ -2036,6 +2036,24 @@ object Oracles {
        |SELECT node, pr FROM pr$PrIters""".stripMargin
   }
 
+  /** Association-rules twin of
+    * [[graft.operators.Frequency.associationRules]].
+    */
+  def qAssocRules: String =
+    s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+       |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+       |p AS (SELECT a.i, bb.i AS j, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinPairs)
+       |SELECT p.i AS item_a, p.j AS item_b, n_ab,
+       |  CAST(n_ab * 1000000 // n_baskets AS BIGINT) AS supp_ppm,
+       |  CAST(n_ab * 1000000 // na.n_i AS BIGINT) AS conf_ab_ppm,
+       |  CAST(n_ab * 1000000 // nbb.n_i AS BIGINT) AS conf_ba_ppm,
+       |  CAST((n_ab * n_baskets * 1000000) // (na.n_i * nbb.n_i) AS BIGINT) AS lift_ppm
+       |FROM p JOIN itn na ON na.i = p.i JOIN itn nbb ON nbb.i = p.j
+       |CROSS JOIN nb""".stripMargin
+
   /** k-core-peeling twin: the same fixed peel rounds, unrolled. */
   def qKcore: String = {
     val rounds = (1 to KcoreRounds).map { r =>

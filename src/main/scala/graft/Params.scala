@@ -95,6 +95,9 @@ object Params {
   val KcoreK = 5L
   val KcoreRounds = 3
 
+  // association rules: min co-occurrence count for a pair to surface
+  val AssocMinPairs = 3L
+
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3

@@ -1108,6 +1108,12 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_assoc_rules" -> ((s, dir) =>
+      // market-basket pairs over order baskets: support / directed
+      // confidence / lift in exact ppm, tail pruned at the pair agg
+      operators.Frequency.associationRules(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", AssocMinPairs)),
     "q_kcore" -> ((s, dir) => {
       // k-core peeling on the symmetric trading graph: nodes that keep
       // >= k surviving partners after KcoreRounds peels
@@ -1514,6 +1520,7 @@ object SparkEntry {
     "q_ppr" -> Oracles.qPpr,
     "q_hits" -> Oracles.qHits,
     "q_kcore" -> Oracles.qKcore,
+    "q_assoc_rules" -> Oracles.qAssocRules,
     "q_triangles" -> Oracles.qTriangles,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,

@@ -86,4 +86,44 @@ object Frequency {
       .where(col("n") * lit(thresholdDenom) > col("n_total"))
       .select(col("item"), col("n"), col("n_total"))
   }
+
+  /** Market-basket association rules for item PAIRS: support, directed
+    * confidence, and lift, all exact integer ppm —
+    * `lift > 1e6` ⇔ the items co-occur more than independence predicts.
+    * The standard retail/affinity shape (Apriori's k=2 tier, which is
+    * where real-world basket analysis overwhelmingly lives).
+    *
+    * Pairs form per basket via the same ordered self-join as the
+    * triangle counter's wedge step — fan-out bounded by basket size,
+    * and `minPairCount` prunes the long tail right at the pair
+    * aggregate. One basket-keyed join + two keyed aggregates; item
+    * counts join back onto the (filtered, small) pair table.
+    * Overflow bound: `n_ab·N·1e6 < 2^63` — n_ab ≤ N means N below ~3M
+    * baskets for the worst pair; pre-aggregate or sample beyond (lift
+    * is a ratio estimate; it converges long before that).
+    */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1)
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .localCheckpoint(false) // three consumers: N, item counts, pair join
+    val nB = bi.agg(count_distinct(col("b")).as("n_baskets"))
+    val itemN = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
+      .where(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    // item counts join KEYED (an item catalog is not broadcastable at
+    // 100 TB); AQE turns them into broadcasts when they do fit
+    pairs
+      .join(itemN.select(col("i"), col("n_i").as("n_a")), "i")
+      .join(itemN.select(col("i").as("j"), col("n_i").as("n_b")), "j")
+      .crossJoin(broadcast(nB))
+      .select(col("i").as("item_a"), col("j").as("item_b"),
+        col("n_ab"),
+        expr("n_ab * 1000000L div n_baskets").as("supp_ppm"),
+        expr("n_ab * 1000000L div n_a").as("conf_ab_ppm"),
+        expr("n_ab * 1000000L div n_b").as("conf_ba_ppm"),
+        expr("(n_ab * n_baskets * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+  }
 }

@@ -1013,6 +1013,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("associationRules computes exact support/confidence/lift") {
+    import graft.operators.Frequency
+    // 4 baskets; {1,2} together in 2 of them, item 3 alone once
+    val b = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (40L, 3L)).toDF("bk", "item")
+    val out = Frequency.associationRules(b, "bk", "item", 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // n_ab=2, N=4, n_1=3, n_2=2: supp=500000, conf(1→2)=666666,
+    // conf(2→1)=1000000, lift=(2*4*1e6)/(3*2)=1333333
+    assert(out === Map((1L, 2L) -> ((2L, 500000L, 666666L, 1000000L, 1333333L))))
+  }
+
   test("kCorePeel removes cascade casualties, keeps the core intact") {
     import graft.operators.PageRank
     // K4 core {0,1,2,3} + a chain 3-4-5: node 4 has deg 2 only via the
