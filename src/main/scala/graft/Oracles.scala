@@ -613,6 +613,18 @@ object Oracles {
       |  CAST(row_number() OVER (ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS grank
       |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)""".stripMargin
 
+  /** Spatial twin of [[graft.operators.RangeJoin.gridNeighborJoin]]:
+    * brute theta on the small oracle side — independent ground truth
+    * for the grid bucketing.
+    */
+  def qSpatialJoin: String =
+    s"""WITH p AS (SELECT p_partkey AS id, p_partkey % 97 AS x,
+       |  (p_partkey // 97) % 89 AS y FROM part)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(b.x - a.x AS BIGINT) AS dx, CAST(b.y - a.y AS BIGINT) AS dy
+       |FROM p a JOIN p b ON a.id < b.id
+       |  AND abs(a.x - b.x) <= $SpatialR AND abs(a.y - b.y) <= $SpatialR""".stripMargin
+
   def qSaltedJoin: String =
     """WITH dim AS (SELECT n_nationkey % 10 AS grp, min(n_name) AS label FROM nation GROUP BY 1)
       |SELECT grp, label, CAST(count(*) AS BIGINT) AS n,

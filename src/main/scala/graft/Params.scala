@@ -98,6 +98,9 @@ object Params {
   // association rules: min co-occurrence count for a pair to surface
   val AssocMinPairs = 3L
 
+  // spatial grid join: Chebyshev radius (= grid cell size)
+  val SpatialR = 3L
+
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3

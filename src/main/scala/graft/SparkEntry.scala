@@ -859,6 +859,15 @@ object SparkEntry {
         .select(col("band_id"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
 
+    "q_spatial_join" -> ((s, dir) =>
+      // proximity self-join on a synthetic integer grid derived from
+      // part keys: all pairs within Chebyshev radius SpatialR via the
+      // 3x3 grid-bucket equi-join (never a theta join)
+      operators.RangeJoin.gridNeighborJoin(
+        t(s, dir, "part").select(col("p_partkey"),
+          (col("p_partkey") % 97).as("x"),
+          (expr("p_partkey div 97") % 89).as("y")),
+        "p_partkey", "x", "y", SpatialR)),
     "q_salted_join" -> ((s, dir) => {
       // 10 hot keys over all of lineitem — the manual salt-replicate
       // join spreads each over SaltFactor partitions; the aggregate
@@ -1442,6 +1451,7 @@ object SparkEntry {
     "q_interval_join" -> Oracles.qIntervalJoin,
     "q_salted_join" -> Oracles.qSaltedJoin,
     "q_fuzzy_join" -> Oracles.qFuzzyJoin,
+    "q_spatial_join" -> Oracles.qSpatialJoin,
     "q_quartiles" -> Oracles.qQuartiles,
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,

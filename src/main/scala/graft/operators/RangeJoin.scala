@@ -96,4 +96,40 @@ object RangeJoin {
         col("__b") === floor(greatest(col(lLo), col(rLo)) / w).cast("long"))
       .drop("__b")
   }
+
+  /** Spatial self-join: all point pairs within Chebyshev (L∞) radius
+    * `r` on an integer grid — the proximity join behind co-location
+    * analytics and spatial dedup, as a GRID-BUCKETED equi-join (the 2-D
+    * sibling of the interval buckets above, and the same
+    * bucket-don't-theta philosophy as every join in this file).
+    *
+    * Cell size = r: a point's neighbors within r live in its 3×3 cell
+    * block, so ONE side replicates ×9 to its block and the other keys
+    * on its own cell — each candidate pair meets exactly once (the
+    * right side's cell is unique), then the exact |dx|,|dy| filter
+    * decides. Work is bounded by points-per-cell density, never a
+    * cartesian; a hot cell is ordinary equi-join skew (AQE). Integer
+    * coordinates must be non-negative (floor-div cell ids stay exact);
+    * shift upstream if needed. Emits (id_a, id_b, dx, dy), id_a < id_b.
+    */
+  def gridNeighborJoin(pts: DataFrame, idCol: String, xCol: String,
+                       yCol: String, r: Long): DataFrame = {
+    require(r >= 1)
+    val p = pts.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val right = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val left = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        expr(s"x div ${r}L").as("bx"), expr(s"y div ${r}L").as("by"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("bx") + col("o.ox")).as("cx"), (col("by") + col("o.oy")).as("cy"))
+    left.join(right, Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
+      .select(col("id_a"), col("id_b"),
+        (col("xb") - col("xa")).as("dx"), (col("yb") - col("ya")).as("dy"))
+  }
 }

@@ -1013,6 +1013,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "c")) === ((1L, r4(math.log(1.0 * 36 / (4 * 3 * 1))))))
   }
 
+  test("gridNeighborJoin finds each in-radius pair exactly once") {
+    import graft.operators.RangeJoin
+    // points straddling cell boundaries (r=2 → cells of 2): (0,0)-(2,2)
+    // are in DIFFERENT cells but within radius; (0,0)-(3,0) are not
+    val pts = Seq((1L, 0L, 0L), (2L, 2L, 2L), (3L, 3L, 0L), (4L, 0L, 2L),
+      (5L, 10L, 10L)).toDF("id", "x", "y")
+    val got = RangeJoin.gridNeighborJoin(pts, "id", "x", "y", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // brute force reference
+    val p = Seq((1L, 0L, 0L), (2L, 2L, 2L), (3L, 3L, 0L), (4L, 0L, 2L),
+      (5L, 10L, 10L))
+    val want = (for {
+      (a, ax, ay) <- p; (b, bx, by) <- p
+      if a < b && math.abs(ax - bx) <= 2 && math.abs(ay - by) <= 2
+    } yield (a, b)).sorted
+    assert(got.toSeq === want, s"got ${got.toSeq} want $want")
+    assert(got.length === got.distinct.length, "no pair may appear twice")
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
