@@ -625,6 +625,23 @@ object Oracles {
        |FROM p a JOIN p b ON a.id < b.id
        |  AND abs(a.x - b.x) <= $SpatialR AND abs(a.y - b.y) <= $SpatialR""".stripMargin
 
+  /** Density twin of [[graft.operators.Spatial.dbscanLabel]]: brute
+    * theta-join neighbor counts, then the same core/border/noise rule.
+    */
+  def qDbscanCore: String =
+    s"""WITH p AS (SELECT p_partkey AS id, p_partkey % 97 AS x,
+       |  (p_partkey // 97) % 89 AS y FROM part),
+       |e AS (SELECT a.id AS id, b.id AS nb FROM p a JOIN p b
+       |  ON a.id <> b.id AND abs(a.x - b.x) <= $SpatialR AND abs(a.y - b.y) <= $SpatialR),
+       |c AS (SELECT p.id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_nb FROM p
+       |  LEFT JOIN (SELECT id, count(*) AS n FROM e GROUP BY 1) cnt USING (id)),
+       |core AS (SELECT id FROM c WHERE n_nb >= $DbscanMinPts)
+       |SELECT c.id, c.n_nb,
+       |  CASE WHEN c.n_nb >= $DbscanMinPts THEN 'core'
+       |       WHEN c.id IN (SELECT e.id FROM e JOIN core ON e.nb = core.id) THEN 'border'
+       |       ELSE 'noise' END AS label
+       |FROM c""".stripMargin
+
   def qSaltedJoin: String =
     """WITH dim AS (SELECT n_nationkey % 10 AS grp, min(n_name) AS label FROM nation GROUP BY 1)
       |SELECT grp, label, CAST(count(*) AS BIGINT) AS n,

@@ -100,6 +100,8 @@ object Params {
 
   // spatial grid join: Chebyshev radius (= grid cell size)
   val SpatialR = 3L
+  // DBSCAN density labeling: min in-radius neighbors for a core point
+  val DbscanMinPts = 40
 
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100

@@ -868,6 +868,15 @@ object SparkEntry {
           (col("p_partkey") % 97).as("x"),
           (expr("p_partkey div 97") % 89).as("y")),
         "p_partkey", "x", "y", SpatialR)),
+
+    "q_dbscan_core" -> ((s, dir) =>
+      // DBSCAN density split on the same synthetic grid: exact neighbor
+      // counts within Chebyshev SpatialR, then core/border/noise labels
+      operators.Spatial.dbscanLabel(
+        t(s, dir, "part").select(col("p_partkey"),
+          (col("p_partkey") % 97).as("x"),
+          (expr("p_partkey div 97") % 89).as("y")),
+        "p_partkey", "x", "y", SpatialR, DbscanMinPts)),
     "q_salted_join" -> ((s, dir) => {
       // 10 hot keys over all of lineitem — the manual salt-replicate
       // join spreads each over SaltFactor partitions; the aggregate
@@ -1452,6 +1461,7 @@ object SparkEntry {
     "q_salted_join" -> Oracles.qSaltedJoin,
     "q_fuzzy_join" -> Oracles.qFuzzyJoin,
     "q_spatial_join" -> Oracles.qSpatialJoin,
+    "q_dbscan_core" -> Oracles.qDbscanCore,
     "q_quartiles" -> Oracles.qQuartiles,
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,

@@ -1032,6 +1032,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length === got.distinct.length, "no pair may appear twice")
   }
 
+  test("dbscanLabel splits core/border/noise with exact neighbor counts") {
+    import graft.operators.Spatial
+    // tight 4-point square at origin (each has 3 neighbors at r=2),
+    // one point at (4,0): within r of (2,0) and (2,2) only → 2 neighbors,
+    // border; one isolated point → 0 neighbors, noise. minPts=3.
+    val pts = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L),
+      (5L, 4L, 0L), (6L, 20L, 20L)).toDF("id", "x", "y")
+    val got = Spatial.dbscanLabel(pts, "id", "x", "y", 2L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, "core"), (2L, 4L, "core"), (3L, 3L, "core"),
+      (4L, 4L, "core"), (5L, 2L, "border"), (6L, 0L, "noise")))
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
