@@ -642,6 +642,31 @@ object Oracles {
        |       ELSE 'noise' END AS label
        |FROM c""".stripMargin
 
+  /** Clustering twin of [[graft.operators.Spatial.dbscanCluster]]:
+    * transitive closure over the brute-force core-core edge list via a
+    * recursive CTE, min reachable core id = the cluster label, then the
+    * same min-over-core-neighbors border attachment.
+    */
+  def qDbscanCluster: String =
+    s"""WITH RECURSIVE p AS (SELECT p_partkey AS id, p_partkey % 97 AS x,
+       |  (p_partkey // 97) % 89 AS y FROM part),
+       |e AS (SELECT a.id AS id, b.id AS nb FROM p a JOIN p b
+       |  ON a.id <> b.id AND abs(a.x - b.x) <= $SpatialR AND abs(a.y - b.y) <= $SpatialR),
+       |core AS (SELECT id FROM e GROUP BY id HAVING count(*) >= $DbscanMinPts),
+       |ce AS (SELECT e.id, e.nb FROM e JOIN core a ON e.id = a.id
+       |  JOIN core b ON e.nb = b.id),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM core
+       |  UNION
+       |  SELECT ce.id, r.lab FROM ce JOIN reach r ON ce.nb = r.id),
+       |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY 1),
+       |border AS (SELECT e.id, min(cl.cluster) AS cluster FROM e
+       |  JOIN cl ON e.nb = cl.id
+       |  WHERE e.id NOT IN (SELECT id FROM core) GROUP BY 1)
+       |SELECT id, CAST(cluster AS BIGINT) AS cluster, 'core' AS role FROM cl
+       |UNION ALL
+       |SELECT id, CAST(cluster AS BIGINT) AS cluster, 'border' AS role FROM border""".stripMargin
+
   def qSaltedJoin: String =
     """WITH dim AS (SELECT n_nationkey % 10 AS grp, min(n_name) AS label FROM nation GROUP BY 1)
       |SELECT grp, label, CAST(count(*) AS BIGINT) AS n,

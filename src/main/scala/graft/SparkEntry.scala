@@ -877,6 +877,16 @@ object SparkEntry {
           (col("p_partkey") % 97).as("x"),
           (expr("p_partkey div 97") % 89).as("y")),
         "p_partkey", "x", "y", SpatialR, DbscanMinPts)),
+
+    "q_dbscan_cluster" -> ((s, dir) =>
+      // full DBSCAN assignment: CC over the core-core in-radius graph
+      // (checkpointed min-label loop), borders attach to their smallest
+      // core-neighbor cluster, noise dropped
+      operators.Spatial.dbscanCluster(
+        t(s, dir, "part").select(col("p_partkey"),
+          (col("p_partkey") % 97).as("x"),
+          (expr("p_partkey div 97") % 89).as("y")),
+        "p_partkey", "x", "y", SpatialR, DbscanMinPts)),
     "q_salted_join" -> ((s, dir) => {
       // 10 hot keys over all of lineitem — the manual salt-replicate
       // join spreads each over SaltFactor partitions; the aggregate
@@ -1462,6 +1472,7 @@ object SparkEntry {
     "q_fuzzy_join" -> Oracles.qFuzzyJoin,
     "q_spatial_join" -> Oracles.qSpatialJoin,
     "q_dbscan_core" -> Oracles.qDbscanCore,
+    "q_dbscan_cluster" -> Oracles.qDbscanCluster,
     "q_quartiles" -> Oracles.qQuartiles,
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,

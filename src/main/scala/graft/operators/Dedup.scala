@@ -251,11 +251,14 @@ object Dedup {
     * RELIABLE `checkpoint()` (driver-/storage-backed), not
     * `localCheckpoint`: on a multi-hour corpus-scale run a lost executor
     * must not kill the job, and lineage stays flat however many rounds
-    * run. Rounds needed = graph diameter (near-dup clusters are shallow).
+    * run. Rounds needed = graph diameter (near-dup clusters are
+    * shallow); pass `doubling = true` for high-diameter graphs to add
+    * a path-halving shortcut per round → O(log diameter) rounds.
     * The driver only ever sees a single boolean (changed?) per round,
     * never data.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+               doubling: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
       // a driver-local tmp dir is only a valid checkpoint target in local
@@ -297,7 +300,8 @@ object Dedup {
     var iter = 1
     var changed = true
     while (changed && iter < maxIter) {
-      val next = ccRound(edges, labels)
+      val prop = ccRound(edges, labels)
+      val next = (if (doubling) halveRound(prop) else prop)
         .checkpoint() // eager: materializes the round once, reliably
       // cheap scan of the checkpointed output — not a recompute; coalesce
       // covers the empty-graph case (max over zero rows is null)
@@ -308,6 +312,27 @@ object Dedup {
     edges.unpersist()
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Path-halving step for the `doubling = true` variant of
+    * [[clusters]]: after each one-hop propagation, shortcut
+    * label(u) ← min(label(u), label(label(u))) with one self-join on
+    * the label table. One-hop propagation alone needs diameter rounds —
+    * right for shallow near-dup graphs, hopeless for high-diameter
+    * graphs (spatial grids, road-network-shaped link graphs) where
+    * label chains grow a constant per round. With the halving step the
+    * labeled horizon compounds geometrically → O(log diameter) rounds.
+    * Every label is a node id inside the same component (invariant of
+    * both steps), so the shortcut join always hits; the round's changed
+    * flag ORs in the halving change so the fixpoint test still covers
+    * the full round. Fixpoint ⇒ every label is a self-labeled root and
+    * roots absorb their whole component ⇒ label = component min.
+    */
+  private[graft] def halveRound(l: DataFrame): DataFrame =
+    l.join(l.select(col("u").as("p_u"), col("label").as("p_label")),
+        col("label") === col("p_u"))
+      .select(col("u"),
+        least(col("label"), col("p_label")).as("label"),
+        (col("chg") || col("p_label") < col("label")).as("chg"))
 
   /** One min-label-propagation round: neighbor-label contributions union
     * each node's own label, then a single aggregate derives (new label,

@@ -51,4 +51,43 @@ object Spatial {
           .when(col("has_core_nb"), lit("border"))
           .otherwise(lit("noise")).as("label"))
   }
+
+  /** Full DBSCAN cluster assignment: connected components over the
+    * core–core in-radius graph (cluster id = smallest core id in the
+    * component, via [[Dedup.clusters]]' checkpointed min-label loop),
+    * then each border point attaches to the smallest cluster id among
+    * its core neighbors — the standard deterministic tie-break for the
+    * inherently order-dependent border rule. Noise points are dropped.
+    *
+    * Emits (id, cluster, role ∈ core|border). A core with no core
+    * neighbor is still its own singleton cluster (the CC loop only sees
+    * nodes with edges, so singletons are coalesced back to themselves).
+    */
+  def dbscanCluster(pts: DataFrame, idCol: String, xCol: String,
+                    yCol: String, r: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1)
+    val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val coreIds = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
+      .where(col("n_nb") >= minPts).select("id")
+    // pair graph restricted to core×core: two long-keyed equi-joins
+    val corePairs = pairs
+      .join(coreIds.select(col("id").as("id_a")), Seq("id_a"))
+      .join(coreIds.select(col("id").as("id_b")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // doubling: a grid graph's core-core component diameter grows with
+    // the grid, so one-hop propagation (diameter rounds) is the wrong
+    // loop here — path halving converges in O(log diameter) rounds
+    val cc = Dedup.clusters(corePairs, doubling = true)
+      .select(col("doc_id").as("id"), col("cluster_id").as("cluster"))
+    val coreClusters = coreIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderClusters = sym
+      .join(coreClusters.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .join(coreIds, Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    coreClusters.withColumn("role", lit("core"))
+      .unionByName(borderClusters.withColumn("role", lit("border")))
+  }
 }

@@ -1047,6 +1047,38 @@ class OperatorsSpec extends SparkSpec {
       (4L, 4L, "core"), (5L, 2L, "border"), (6L, 0L, "noise")))
   }
 
+  test("clusters with doubling converges on a 64-node path in O(log d) rounds") {
+    import graft.operators.Dedup
+    // diameter-63 path: one-hop propagation needs ~62 rounds; the
+    // path-halving variant must finish (and prove convergence) in <12
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(edges, maxIter = 12, doubling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === (0L to 63L).map(i => (i, 0L)))
+  }
+
+  test("dbscanCluster assigns components, borders, and singleton cores") {
+    import graft.operators.Spatial
+    // square A (ids 1-4, all core) + border 5 hanging off it; square B
+    // (ids 6-9, all core) far away; a star at 100,100: core 20 whose
+    // only neighbors are borders (singleton-cluster coalesce path);
+    // id 30 is noise and must be absent. r=2, minPts=3.
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L), (5L, 4L, 0L),
+      (6L, 20L, 20L), (7L, 22L, 20L), (8L, 20L, 22L), (9L, 22L, 22L),
+      (20L, 100L, 100L), (21L, 102L, 102L), (22L, 98L, 98L), (23L, 102L, 98L),
+      (30L, 200L, 200L)).toDF("id", "x", "y")
+    val got = Spatial.dbscanCluster(pts, "id", "x", "y", 2L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core"), (4L, 1L, "core"),
+      (5L, 1L, "border"),
+      (6L, 6L, "core"), (7L, 6L, "core"), (8L, 6L, "core"), (9L, 6L, "core"),
+      (20L, 20L, "core"),
+      (21L, 20L, "border"), (22L, 20L, "border"), (23L, 20L, "border")))
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
