@@ -667,6 +667,22 @@ object Oracles {
        |UNION ALL
        |SELECT id, CAST(cluster AS BIGINT) AS cluster, 'border' AS role FROM border""".stripMargin
 
+  /** Twin of [[graft.operators.LinkPredict.scores]] on the
+    * supplier→part affiliation graph: same hub cap, same filtered-graph
+    * degrees, same integer ppm Jaccard.
+    */
+  def qLinkPredict: String =
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS w FROM lineitem),
+       |cd AS (SELECT w FROM e GROUP BY w HAVING count(*) <= $CnMaxDeg),
+       |k AS (SELECT e.u, e.w FROM e JOIN cd USING (w)),
+       |deg AS (SELECT u, count(*) AS d FROM k GROUP BY 1),
+       |cn AS (SELECT a.u AS u_a, b.u AS u_b, count(*) AS n_common
+       |  FROM k a JOIN k b ON a.w = b.w AND a.u < b.u GROUP BY 1, 2
+       |  HAVING count(*) >= $CnMinCommon)
+       |SELECT cn.u_a, cn.u_b, CAST(cn.n_common AS BIGINT) AS n_common,
+       |  CAST(cn.n_common * 1000000 // (da.d + db.d - cn.n_common) AS BIGINT) AS jaccard_ppm
+       |FROM cn JOIN deg da ON cn.u_a = da.u JOIN deg db ON cn.u_b = db.u""".stripMargin
+
   def qSaltedJoin: String =
     """WITH dim AS (SELECT n_nationkey % 10 AS grp, min(n_name) AS label FROM nation GROUP BY 1)
       |SELECT grp, label, CAST(count(*) AS BIGINT) AS n,

@@ -102,6 +102,9 @@ object Params {
   val SpatialR = 3L
   // DBSCAN density labeling: min in-radius neighbors for a core point
   val DbscanMinPts = 40
+  // link prediction: hub-center degree cap, min shared centers per pair
+  val CnMaxDeg = 50
+  val CnMinCommon = 3L
 
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100

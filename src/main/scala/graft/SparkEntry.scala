@@ -1136,6 +1136,13 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_link_predict" -> ((s, dir) =>
+      // supplier-pair similarity by shared supplied parts: capped wedge
+      // enumeration + exact integer Jaccard (ppm) on the filtered graph
+      operators.LinkPredict.scores(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("u"),
+          col("l_partkey").as("w")),
+        CnMaxDeg, CnMinCommon)),
     "q_assoc_rules" -> ((s, dir) =>
       // market-basket pairs over order baskets: support / directed
       // confidence / lift in exact ppm, tail pruned at the pair agg
@@ -1473,6 +1480,7 @@ object SparkEntry {
     "q_spatial_join" -> Oracles.qSpatialJoin,
     "q_dbscan_core" -> Oracles.qDbscanCore,
     "q_dbscan_cluster" -> Oracles.qDbscanCluster,
+    "q_link_predict" -> Oracles.qLinkPredict,
     "q_quartiles" -> Oracles.qQuartiles,
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,

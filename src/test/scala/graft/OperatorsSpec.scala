@@ -1079,6 +1079,20 @@ class OperatorsSpec extends SparkSpec {
       (21L, 20L, "border"), (22L, 20L, "border"), (23L, 20L, "border")))
   }
 
+  test("linkPredict scores drop hub centers and use filtered-graph Jaccard") {
+    import graft.operators.LinkPredict
+    // center 10 {1,2} and 12 {2,3} are kept (deg ≤ 2); center 11 {1,2,3}
+    // is a hub and must vanish from BOTH counts and degrees: without the
+    // cap (1,2) would score n=2 and (1,3) would exist at all
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+      (2L, 12L), (3L, 12L)).toDF("u", "w")
+    val got = LinkPredict.scores(edges, maxDeg = 2, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // filtered degrees: d1=1, d2=2, d3=1 → jaccard 1/(1+2-1) = 0.5
+    assert(got.toSeq === Seq((1L, 2L, 1L, 500000L), (2L, 3L, 1L, 500000L)))
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
