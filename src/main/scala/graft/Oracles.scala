@@ -1883,6 +1883,25 @@ object Oracles {
   /** EWMA twin: list_reduce seeds with the first element, matching the
     * Spark fold's sentinel; floor-div each step IS the spec.
     */
+  /** Twin of `q_acf`: same n²-scaled integer mean-centering, HUGEINT
+    * products (DuckDB's exact wide integer, = Spark's DECIMAL(38,0)
+    * here), and the same truncating ppm division (`//` and Spark's
+    * `div` both truncate toward zero).
+    */
+  def qAcf: String =
+    s"""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+       |    sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) // 100000000 AS x
+       |  FROM orders GROUP BY 1),
+       |st AS (SELECT count(*) AS n, sum(x) AS sx FROM m),
+       |c AS (SELECT m.mkey, CAST(st.n * m.x - st.sx AS HUGEINT) AS cx FROM m, st),
+       |d AS (SELECT sum(cx * cx) AS den FROM c),
+       |nk AS (SELECT k.k, count(*) AS n_pairs, sum(a.cx * b.cx) AS num
+       |  FROM range(1, $AcfMaxLag + 1) k(k)
+       |  JOIN c a ON true JOIN c b ON b.mkey = a.mkey + k.k GROUP BY 1)
+       |SELECT CAST(nk.k AS BIGINT) AS k, CAST(nk.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(nk.num * 1000000 // d.den AS BIGINT) AS acf_ppm
+       |FROM nk, d""".stripMargin
+
   def qEwma: String =
     """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
       |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -105,6 +105,8 @@ object Params {
   // link prediction: hub-center degree cap, min shared centers per pair
   val CnMaxDeg = 50
   val CnMinCommon = 3L
+  // autocorrelation: max lag (months) over the monthly revenue series
+  val AcfMaxLag = 6
 
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100

@@ -273,6 +273,23 @@ object SparkEntry {
         .select(col("mkey"), col("total_cents"), col("cusum_hi"), col("cusum_lo"),
           (col("cusum_hi") > col("ref") || col("cusum_lo") > col("ref")).as("shift"))
     }),
+    "q_acf" -> ((s, dir) => {
+      // exact-integer autocorrelation of the monthly revenue series at
+      // lags 1..AcfMaxLag: with S = Σx and n months, the identity
+      // n²(x_t−x̄)(x_{t+k}−x̄) = (n·x_t−S)(n·x_{t+k}−S) keeps every
+      // intermediate an integer — DECIMAL(38,0) products so the math
+      // survives any scale factor — and one truncating ppm division at
+      // the end is bit-identical across engines. The only fact-table
+      // work is the monthly partial aggregate; the lag self-join runs
+      // on the bounded post-aggregate series.
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("tc"))
+        .select(col("mkey"), expr("tc div 100000000").as("x")) // M$ units
+      operators.TimeSeries.acf(monthly, AcfMaxLag)
+    }),
+
     "q_ewma" -> ((s, dir) => {
       // integer exponential smoothing (α = 1/4): the recurrence
       // s' = (3s + x) div 4 folds over the SORTED monthly series — a
@@ -1436,6 +1453,7 @@ object SparkEntry {
     "q_moving_avg" -> Oracles.qMovingAvg,
     "q_rolling_median" -> Oracles.qRollingMedian,
     "q_ewma" -> Oracles.qEwma,
+    "q_acf" -> Oracles.qAcf,
     "q_cusum" -> Oracles.qCusum,
     "events_new_users" -> Oracles.eventsNewUsers,
     "q_ntile" -> Oracles.qNtile,

@@ -1093,6 +1093,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1L, 500000L), (2L, 3L, 1L, 500000L)))
   }
 
+  test("acf computes exact integer autocorrelation with truncating ppm") {
+    import graft.operators.TimeSeries
+    // x = [1,2,4,8]: S=15, cx = 4x−15 = [−11,−7,1,17], den = 460
+    // k=1: 77−7+17 = 87 → 87e6 div 460 = 189130 (exact .43 truncated)
+    // k=2: −11−119 = −130 → −130e6 div 460 = −282608 — TRUNCATION toward
+    // zero, not floor(−282609): pins the cross-engine division contract
+    val series = Seq((0L, 1L), (1L, 2L), (2L, 4L), (3L, 8L)).toDF("mkey", "x")
+    val got = TimeSeries.acf(series, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L, 189130L), (2L, 2L, -282608L)))
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
