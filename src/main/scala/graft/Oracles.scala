@@ -1902,6 +1902,20 @@ object Oracles {
        |  CAST(nk.num * 1000000 // d.den AS BIGINT) AS acf_ppm
        |FROM nk, d""".stripMargin
 
+  /** Twin of `q_seasonal`: same phase classes, same `Σ // n` integer
+    * baseline (both engines truncate; sums are non-negative so it's
+    * floor on both).
+    */
+  def qSeasonal: String =
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT mkey % 12 AS phase, CAST(sum(x) // count(*) AS BIGINT) AS baseline
+      |  FROM m GROUP BY 1)
+      |SELECT m.mkey, CAST(m.mkey % 12 AS BIGINT) AS phase, m.x, b.baseline,
+      |  CAST(m.x - b.baseline AS BIGINT) AS residual
+      |FROM m JOIN b ON m.mkey % 12 = b.phase""".stripMargin
+
   def qEwma: String =
     """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
       |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -290,6 +290,16 @@ object SparkEntry {
       operators.TimeSeries.acf(monthly, AcfMaxLag)
     }),
 
+    "q_seasonal" -> ((s, dir) => {
+      // calendar-seasonality split of monthly revenue: per month-of-year
+      // integer baseline (Σ div n) + deseasonalized residual, exact cents
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      operators.TimeSeries.seasonalBaseline(monthly, 12)
+    }),
+
     "q_ewma" -> ((s, dir) => {
       // integer exponential smoothing (α = 1/4): the recurrence
       // s' = (3s + x) div 4 folds over the SORTED monthly series — a
@@ -1454,6 +1464,7 @@ object SparkEntry {
     "q_rolling_median" -> Oracles.qRollingMedian,
     "q_ewma" -> Oracles.qEwma,
     "q_acf" -> Oracles.qAcf,
+    "q_seasonal" -> Oracles.qSeasonal,
     "q_cusum" -> Oracles.qCusum,
     "events_new_users" -> Oracles.eventsNewUsers,
     "q_ntile" -> Oracles.qNtile,

@@ -35,4 +35,23 @@ object TimeSeries {
       .select(col("k"), col("n_pairs"),
         expr("num * 1000000 div den").as("acf_ppm"))
   }
+
+  /** Seasonal decomposition by phase baseline: each period's phase
+    * (mkey mod `period`) gets the integer mean of its phase class
+    * (`Σx div count` — exact, floor for the non-negative measures this
+    * serves), and the residual x − baseline is the deseasonalized
+    * series. The phase aggregate is `period` rows, so the join back is
+    * a broadcast; the fact table was already reduced to the series by
+    * the caller. Emits (mkey, phase, x, baseline, residual).
+    */
+  def seasonalBaseline(series: DataFrame, period: Int): DataFrame = {
+    require(period >= 1)
+    val s = series.select(col("mkey"), col("x"),
+      pmod(col("mkey"), lit(period.toLong)).as("phase"))
+    val base = s.groupBy("phase")
+      .agg(expr("sum(x) div count(1)").as("baseline"))
+    s.join(broadcast(base), Seq("phase"))
+      .select(col("mkey"), col("phase"), col("x"), col("baseline"),
+        (col("x") - col("baseline")).as("residual"))
+  }
 }

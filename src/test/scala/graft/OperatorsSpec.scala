@@ -1105,6 +1105,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 3L, 189130L), (2L, 2L, -282608L)))
   }
 
+  test("seasonalBaseline computes integer phase means and residuals") {
+    import graft.operators.TimeSeries
+    // period 2: phase0 = {10,15} → 25 div 2 = 12 (truncated), phase1 =
+    // {20,24} → 22; residuals −2,−2,3,2
+    val series = Seq((0L, 10L), (1L, 20L), (2L, 15L), (3L, 24L)).toDF("mkey", "x")
+    val got = TimeSeries.seasonalBaseline(series, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 0L, 10L, 12L, -2L), (1L, 1L, 20L, 22L, -2L),
+      (2L, 0L, 15L, 12L, 3L), (3L, 1L, 24L, 22L, 2L)))
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
