@@ -35,7 +35,9 @@ object LinkPredict {
       col("w").cast("long").as("w")).distinct()
     val keptCenters = e.groupBy("w").agg(count(lit(1)).as("cd"))
       .where(col("cd") <= maxDeg).select("w")
-    val k = e.join(keptCenters, Seq("w"))
+    // lazy localCheckpoint: the filtered edge list is read three times
+    // (degrees + both wedge-join sides) — dedup + hub filter run once
+    val k = e.join(keptCenters, Seq("w")).localCheckpoint(false)
     val deg = k.groupBy("u").agg(count(lit(1)).as("d"))
     val cn = k.as("a").join(k.as("b"),
         col("a.w") === col("b.w") && col("a.u") < col("b.u"))

@@ -32,7 +32,10 @@ object Spatial {
   def dbscanLabel(pts: DataFrame, idCol: String, xCol: String,
                   yCol: String, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1)
+    // lazy localCheckpoint: the pair list is read by both the neighbor
+    // count and the border-detection join — one grid join, not two
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
+      .localCheckpoint(false)
     // each undirected pair once from the join → both directions for
     // per-point counting (cheap select+union, no extra shuffle yet)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
@@ -66,11 +69,17 @@ object Spatial {
   def dbscanCluster(pts: DataFrame, idCol: String, xCol: String,
                     yCol: String, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1)
+    // lazy localCheckpoint: the pair list feeds core detection, the
+    // core-core edge build AND border attachment — without a reuse
+    // point the grid join would recompute per branch (same tradeoff as
+    // Triangles; the CC loop inside keeps its own reliable checkpoints)
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
+      .localCheckpoint(false)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val coreIds = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
       .where(col("n_nb") >= minPts).select("id")
+      .localCheckpoint(false)
     // pair graph restricted to core×core: two long-keyed equi-joins
     val corePairs = pairs
       .join(coreIds.select(col("id").as("id_a")), Seq("id_a"))
