@@ -153,6 +153,23 @@ class PlanSpec extends SparkSpec {
       s"both windows partition on the key and must reuse one exchange, got $exchanges:\n$plan")
   }
 
+  test("spatial grid join and DBSCAN plan as cell equi-joins, never a nested loop") {
+    for (q <- Seq("q_spatial_join", "q_dbscan_core", "q_dbscan_cluster")) {
+      val plan = explain(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q: the 3x3 grid block must make proximity an equi-join on (cx, cy):\n$plan")
+      assert(plan.contains("Join"), s"$q: expected an equi-join on the cell id:\n$plan")
+    }
+  }
+
+  test("link prediction wedge join is an equi-join with map-side pair counts") {
+    val plan = explain("q_link_predict")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"hub-capped wedge enumeration must stay an equi-join on the center key:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counting must partially aggregate map-side before the pair shuffle:\n$plan")
+  }
+
   test("interval overlap join plans as a bucket equi-join, never a nested loop") {
     val plan = explain("q_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
