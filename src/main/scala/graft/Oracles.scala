@@ -1287,6 +1287,36 @@ object Oracles {
        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= $LdivL AS diverse
        |FROM customer GROUP BY 1, 2""".stripMargin
 
+  /** Twin of [[graft.operators.Quality.tCloseness]]: same zero-filled
+    * class×band cumulative grid, same cross-multiplied integer EMD and
+    * truncating ppm division (HUGEINT = Spark's DECIMAL(38,0) here).
+    */
+  def qTcloseness: String =
+    s"""WITH base AS (SELECT CAST(c_mktsegment AS VARCHAR) AS segment,
+       |    CAST(c_nationkey AS VARCHAR) AS nation,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band FROM customer),
+       |g AS (SELECT band, count(*) AS gc FROM base GROUP BY 1),
+       |tot AS (SELECT sum(gc) AS n_total, count(*) AS n_bands FROM g),
+       |gcum AS (SELECT band, sum(gc) OVER (ORDER BY band) AS gcum FROM g),
+       |cls AS (SELECT segment, nation, count(*) AS n FROM base GROUP BY 1, 2),
+       |cb AS (SELECT segment, nation, band, count(*) AS cc FROM base GROUP BY 1, 2, 3),
+       |ccum AS (SELECT cls.segment, cls.nation, cls.n, gcum.band, gcum.gcum,
+       |    sum(coalesce(cb.cc, 0)) OVER (PARTITION BY cls.segment, cls.nation
+       |      ORDER BY gcum.band) AS ccum
+       |  FROM cls CROSS JOIN gcum
+       |  LEFT JOIN cb ON cb.segment = cls.segment AND cb.nation = cls.nation
+       |    AND cb.band = gcum.band),
+       |emd AS (SELECT segment, nation, n,
+       |    sum(abs(ccum * tot.n_total - gcum * n)) AS raw,
+       |    max(tot.n_total) AS n_total, max(tot.n_bands) AS n_bands
+       |  FROM ccum, tot GROUP BY 1, 2, 3)
+       |SELECT segment, nation, CAST(n AS BIGINT) AS n,
+       |  CAST(CAST(raw AS HUGEINT) * 1000000
+       |    // (n * n_total * greatest(n_bands - 1, 1)) AS BIGINT) AS emd_ppm,
+       |  CAST(CAST(raw AS HUGEINT) * 1000000
+       |    // (n * n_total * greatest(n_bands - 1, 1)) <= $TclosePpm AS BOOLEAN) AS close
+       |FROM emd""".stripMargin
+
   def eventsExtract: String =
     """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events"""
 

@@ -107,6 +107,8 @@ object Params {
   val CnMinCommon = 3L
   // autocorrelation: max lag (months) over the monthly revenue series
   val AcfMaxLag = 6
+  // t-closeness: max EMD (ppm) between class and global band shares
+  val TclosePpm = 200000L
 
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100

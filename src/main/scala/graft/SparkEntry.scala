@@ -1114,6 +1114,13 @@ object SparkEntry {
       Quality.lDiversity(t(s, dir, "customer"), Seq(
           "segment" -> col("c_mktsegment"), "nation" -> col("c_nationkey")),
         floor(col("c_acctbal") / lit(1000.0)).cast("long"), LdivL)),
+    "q_tcloseness" -> ((s, dir) =>
+      // t-closeness audit on the same (segment, nation) classes and
+      // balance bands as q_ldiversity: exact integer EMD vs the global
+      // band distribution, release gate at TclosePpm
+      operators.Quality.tCloseness(t(s, dir, "customer"), Seq(
+          "segment" -> col("c_mktsegment"), "nation" -> col("c_nationkey")),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long"), TclosePpm)),
     "q_countmin" -> ((s, dir) => {
       // count-min sketch vs truth: estimates for every token whose true
       // count clears CmMinCount — n_est >= n_true always (overcount-only
@@ -1566,6 +1573,7 @@ object SparkEntry {
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,
     "q_ldiversity" -> Oracles.qLdiversity,
+    "q_tcloseness" -> Oracles.qTcloseness,
     "q_winsorize" -> Oracles.qWinsorize,
     "q_gini" -> Oracles.qGini,
     "q_ks_test" -> Oracles.qKsTest,

@@ -206,6 +206,50 @@ object Quality {
       .withColumn("diverse", col("n_sens") >= l)
   }
 
+  /** t-closeness audit — the release gate l-diversity can't give: a
+    * class may span many sensitive values yet still skew far from the
+    * population (e.g. all high balances). Per QI class, the Earth
+    * Mover's Distance between the class's distribution over the ORDERED
+    * sensitive bands and the global one; for 1-D ordered bands EMD is
+    * the mean absolute cumulative-share gap, and cross-multiplying the
+    * cumulative counts (|cum_c·N − cum·n_c|) keeps it exact-integer to
+    * one final truncating ppm division (DECIMAL(38,0), any scale).
+    *
+    * Cost shape: the fact table is reduced by two keyed aggregates
+    * (global band census, class×band census); everything after runs on
+    * the bounded class×band grid (built by a cross join of two
+    * post-aggregate tables, zero-filled so absent bands still hold the
+    * cumulative line). A single-band corpus has EMD 0 by definition
+    * (greatest(B−1, 1) guards the denominator).
+    */
+  def tCloseness(df: DataFrame, qis: Seq[(String, Column)],
+                 sensitiveBand: Column, tPpm: Long): DataFrame = {
+    require(qis.nonEmpty && tPpm >= 0, "need at least one QI column and t >= 0")
+    val names = qis.map(_._1)
+    val base = df.select(qis.map { case (n, c) => c.cast("string").as(n) } :+
+      sensitiveBand.cast("long").as("band"): _*)
+    val g = base.groupBy("band").agg(count(lit(1)).as("gc"))
+      .localCheckpoint(false)
+    val tot = g.agg(sum(col("gc")).as("n_total"), count(lit(1)).as("n_bands"))
+    val gcum = g.select(col("band"), sum(col("gc"))
+      .over(Window.partitionBy(lit(0)).orderBy("band")).as("gcum"))
+    val cls = base.groupBy(names.map(col): _*).agg(count(lit(1)).as("n"))
+    val cb = base.groupBy(names.map(col) :+ col("band"): _*)
+      .agg(count(lit(1)).as("cc"))
+    val ccum = cls.crossJoin(gcum)
+      .join(cb, names :+ "band", "left")
+      .withColumn("ccum", sum(coalesce(col("cc"), lit(0L)))
+        .over(Window.partitionBy(names.map(col): _*).orderBy("band")))
+    ccum.crossJoin(broadcast(tot))
+      .groupBy(names.map(col) :+ col("n") :+ col("n_total") :+ col("n_bands"): _*)
+      .agg(sum(abs(col("ccum") * col("n_total") - col("gcum") * col("n")))
+        .as("raw"))
+      .select(names.map(col) :+ col("n") :+
+        expr("CAST(raw AS DECIMAL(38,0)) * 1000000 div " +
+          "(n * n_total * greatest(n_bands - 1, 1))").as("emd_ppm"): _*)
+      .withColumn("close", col("emd_ppm") <= tPpm)
+  }
+
   /** Per-rule violation census in ONE pass: `(rule, n_viol)`, including
     * rules with zero violations (an explode-and-count would silently
     * drop those — and a clean run is exactly when the audit matters).

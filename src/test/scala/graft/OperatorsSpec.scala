@@ -1118,6 +1118,22 @@ class OperatorsSpec extends SparkSpec {
       (2L, 0L, 15L, 12L, 3L), (3L, 1L, 24L, 22L, 2L)))
   }
 
+  test("tCloseness computes exact integer EMD per class with zero-fill") {
+    import graft.operators.Quality
+    // global bands 0:2, 1:2, 2:2 (N=6, B=3), gcum = 2,4,6
+    // class A [0,0,1,1]: ccum 2,4,4 → |12−8|+|24−16|+|24−24| = 12
+    //   → 12e6 div (4·6·2) = 250000
+    // class B [2,2]: ccum 0,0,2 (zero-filled!) → 4+8+0 = 12
+    //   → 12e6 div (2·6·2) = 500000
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+      ("B", 2L), ("B", 2L)).toDF("grp", "band")
+    val got = Quality.tCloseness(df, Seq("grp" -> col("grp")),
+        col("band"), tPpm = 300000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(("A", 4L, 250000L, true), ("B", 2L, 500000L, false)))
+  }
+
   test("associationRules computes exact support/confidence/lift") {
     import graft.operators.Frequency
     // 4 baskets; {1,2} together in 2 of them, item 3 alone once
