@@ -84,15 +84,20 @@ object Multimodal {
 
   /** REAL resize for image payloads: decode → deterministic
     * nearest-neighbor rescale → PNG re-encode, all on the JVM's built-in
-    * imaging stack (headless-safe). Non-decodable payloads fall back to
-    * the stub's byte transform so the stage keeps the any-input
-    * contract. Same mapPartitions batch shape as every codec stage.
+    * imaging stack (headless-safe). Rows whose `modality` is not
+    * "image" (audio, video, …) pass through UNTOUCHED — a mixed media
+    * table must never have its non-image payloads rewritten into fake
+    * image bytes with forged width/height. Image rows whose payload
+    * fails to decode fall back to the stub's byte transform so the
+    * stage keeps the any-input contract for its own modality. Same
+    * mapPartitions batch shape as every codec stage.
     */
   def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        ImageCodec.resizePng(r.payload, targetW, targetH) match {
+        if (r.modality != "image") r
+        else ImageCodec.resizePng(r.payload, targetW, targetH) match {
           case Some(out) => r.copy(width = targetW, height = targetH, payload = out)
           case None =>
             val outLen = math.max(1, (targetW.toLong * targetH / 64L).toInt)

@@ -237,13 +237,13 @@ object EventOps {
     */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, targetType: String, matchType: String,
-                  windowMs: Long): DataFrame = {
+                  windowMs: Long, idCol: String = "event_id"): DataFrame = {
     require(windowMs > 0)
     val targets = events.filter(col(typeCol) === targetType)
-      .select(col(userCol).as("user_id"), col("event_id").as("conv_id"),
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
         unix_millis(col(tsCol)).as("conv_ms"))
     val touches = events.filter(col(typeCol) === matchType)
-      .select(col(userCol).as("user_id"), col("event_id").as("touch_id"),
+      .select(col(userCol).as("user_id"), col(idCol).as("touch_id"),
         unix_millis(col(tsCol)).as("touch_ms"))
     val pairs = targets.join(touches, "user_id")
       .where(col("touch_ms") >= col("conv_ms") - windowMs &&

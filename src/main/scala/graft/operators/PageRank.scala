@@ -194,7 +194,12 @@ object PageRank {
     *   pr'(v) = [v∈S]·(15·unit + 85·D) div (100·|S|) + Σ_{u→v} transfer
     *
     * Seeds outside the graph's node set are ignored (they could never
-    * receive mass anyway); `seeds`' first column is the node id.
+    * receive mass anyway); `seeds`' first column is the node id. The
+    * surviving seed set must be NON-EMPTY — an empty (or fully
+    * out-of-graph) seed set would make every `div ns` null and return
+    * all-null ranks, so it fails fast with one cheap isEmpty probe
+    * (which doubles as the materializer of the seed checkpoint every
+    * later round reuses).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            checkpointRounds: Boolean = true): DataFrame = {
@@ -208,6 +213,9 @@ object PageRank {
     val sd = seeds.select(col(seeds.columns.head).cast("long").as("node")).distinct()
       .join(nodes, "node").withColumn("__seed", lit(1L))
       .localCheckpoint(false)
+    require(!sd.isEmpty,
+      "personalizedPageRank: seed set is empty after intersecting with the " +
+        "graph's nodes — every rank would be null; pass at least one in-graph seed")
     val ns = sd.agg(count(lit(1)).as("ns"))
     val hasSinks = !nodes
       .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")

@@ -280,8 +280,12 @@ object Sketches {
     */
   def ksTest(df: DataFrame, group: Column, aLabel: String,
              value: Column): DataFrame = {
-    // NB: globalCumsum reserves "__v" internally — keep clear of it
+    // NB: globalCumsum reserves "__v" internally — keep clear of it.
+    // NULL group labels belong to neither cohort: drop them EXPLICITLY
+    // (they'd otherwise vanish into two false when() branches), and an
+    // empty cohort raises instead of returning a null statistic.
     val perV = df.select(group.as("__g"), value.cast("long").as("__ksv"))
+      .where(col("__g").isNotNull)
       .groupBy(col("__ksv"))
       .agg(sum(when(col("__g") === aLabel, 1L).otherwise(0L)).as("__na"),
         sum(when(col("__g") =!= aLabel, 1L).otherwise(0L)).as("__nb"))
@@ -292,7 +296,12 @@ object Sketches {
       .select(col("n_a"), col("n_b"),
         abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("__d"))
       .groupBy(col("n_a"), col("n_b"))
-      .agg(expr("max(__d) * 1000000L div (n_a * n_b)").as("ks_ppm"))
+      .agg(max(col("__d")).as("__dmax"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0,
+          raise_error(lit("ksTest: both cohorts must be non-empty " +
+            "(after dropping NULL group labels)")))
+          .otherwise(expr("__dmax * 1000000L div (n_a * n_b)")).as("ks_ppm"))
   }
 
   /** Mann–Whitney U / exact AUC between two groups: `U/(n_A·n_B)` is
@@ -308,7 +317,10 @@ object Sketches {
     */
   def mannWhitney(df: DataFrame, group: Column, aLabel: String,
                   value: Column): DataFrame = {
+    // NULL group labels dropped explicitly; empty cohort raises (same
+    // contract as [[ksTest]])
     val perV = df.select(group.as("__g"), value.cast("long").as("__mwv"))
+      .where(col("__g").isNotNull)
       .groupBy(col("__mwv"))
       .agg(sum(when(col("__g") === aLabel, 1L).otherwise(0L)).as("__na"),
         sum(when(col("__g") =!= aLabel, 1L).otherwise(0L)).as("__nb"))
@@ -323,7 +335,10 @@ object Sketches {
       .select(col("n_a"), col("n_b"),
         (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2"))
       .select(col("n_a"), col("n_b"), col("u2"),
-        expr("(u2 * 1000000L) div (2L * n_a * n_b)").as("auc_ppm"))
+        when(col("n_a") === 0 || col("n_b") === 0,
+          raise_error(lit("mannWhitney: both cohorts must be non-empty " +
+            "(after dropping NULL group labels)")))
+          .otherwise(expr("(u2 * 1000000L) div (2L * n_a * n_b)")).as("auc_ppm"))
   }
 
   /** Gini concentration coefficient over a per-key measure, exact:

@@ -462,10 +462,16 @@ object TextOps {
     *
     * Scoring is Okapi BM25 with k1 = 6/5, b = 3/4 and the Robertson idf
     * ratio (N − df + ½)/(df + ½) kept as an exact rational: with those
-    * constants every numerator/denominator is a pure int64 product
+    * constants every numerator/denominator is a pure integer product
     * (`num = 44·tf·Σdl·(2N−2df+1)`, `den = (20·tf·Σdl + 6·Σdl +
     * 18·dl·N)·(2df+1)`), and the per-(term,doc) score becomes ONE
-    * correctly-rounded IEEE divide floored to ppm. Per-doc totals are then
+    * correctly-rounded IEEE divide floored to ppm. The products are
+    * computed in DECIMAL(38,0), not int64: at ~10M docs / 10¹⁰ tokens
+    * `num ≈ 44·tf·Σdl·2N ≈ 10²⁹` wraps a silent int64 under non-ANSI
+    * Spark; decimal keeps the rational exact to 10³⁸ (unreachable for
+    * any real corpus — a 10¹² doc / 10¹⁴ token crawl peaks ≈ 10³⁹, at
+    * which point non-ANSI decimal overflow yields NULL scores, a loud
+    * failure in the top-k, never a wrong ranking). Per-doc totals are then
     * INTEGER sums — no double summation anywhere, so results are
     * engine-identical regardless of partitioning (the q_stats_suite
     * lesson). The log-idf variant is a one-expression swap; the rational
@@ -496,10 +502,15 @@ object TextOps {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = postings.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("term"))
-    val num = lit(44L) * col("tf") * col("sum_dl") *
+    // DECIMAL(38,0) factors: int64 products wrap past ~10M docs; the
+    // inner (2N−2df+1)/(2df+1) terms stay int64 (bounded by 2N+1)
+    val d38 = "decimal(38,0)"
+    val num = lit(44L).cast(d38) * col("tf") * col("sum_dl") *
       (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
-    val den = (lit(20L) * col("tf") * col("sum_dl") + lit(6L) * col("sum_dl")
-      + lit(18L) * col("dl") * col("n_docs")) * (lit(2L) * col("df") + lit(1L))
+    val den = (lit(20L).cast(d38) * col("tf") * col("sum_dl") +
+      lit(6L).cast(d38) * col("sum_dl") +
+      lit(18L).cast(d38) * col("dl") * col("n_docs")) *
+      (lit(2L) * col("df") + lit(1L))
     // prune FIRST: the broadcast query-term semi-restriction cuts the
     // postings to the query vocabulary before any wide join runs — at
     // corpus scale the df join then moves only the pruned slice

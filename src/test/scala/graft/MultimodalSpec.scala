@@ -144,10 +144,16 @@ class MultimodalSpec extends SparkSpec {
       val (w, h, _) = graft.multimodal.ImageCodec.decodePng(r.payload).get
       assert((w, h) === ((5, 4)), "re-encoded payload must decode at target size")
     }
-    // non-decodable payload falls back to the stub transform, not a crash
-    val junk = Seq(Multimodal.MediaRow(99L, "blob", 1, 1, Array[Byte](1, 2, 3))).toDS()
+    // non-decodable IMAGE payload falls back to the stub transform, not a crash
+    val junk = Seq(Multimodal.MediaRow(99L, "image", 1, 1, Array[Byte](1, 2, 3))).toDS()
     val fb = Multimodal.resizeImages(junk, 8, 8).collect().head
     assert(fb.width === 8 && fb.payload.nonEmpty)
+    // non-image modalities in a mixed table pass through UNTOUCHED —
+    // an audio payload must not come back as fake image bytes
+    val audio = Multimodal.MediaRow(7L, "audio", 3, 2, Array[Byte](9, 8, 7))
+    val thru = Multimodal.resizeImages(Seq(audio).toDS(), 8, 8).collect().head
+    assert(thru.width === 3 && thru.height === 2 &&
+      thru.payload.toSeq === Seq[Byte](9, 8, 7))
   }
 
   test("real GIF frame sampling: demuxed frames with decoded dims and crc") {

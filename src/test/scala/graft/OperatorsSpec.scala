@@ -1340,6 +1340,50 @@ class OperatorsSpec extends SparkSpec {
     assert((r3.getLong(2), r3.getLong(3)) === ((1L, 125000L)))
   }
 
+  test("ksTest/mannWhitney: NULL group labels dropped, empty cohort raises") {
+    import graft.operators.Sketches
+    // a null-labeled row belongs to neither cohort and must not shift counts
+    val withNull = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), (null, 99L))
+      .toDF("g", "v")
+    val ks = Sketches.ksTest(withNull, col("g"), "a", col("v")).collect().head
+    assert((ks.getLong(0), ks.getLong(1)) === ((2L, 2L)),
+      "null-group row must be excluded from both cohorts")
+    val mw = Sketches.mannWhitney(withNull, col("g"), "a", col("v")).collect().head
+    assert((mw.getLong(0), mw.getLong(1), mw.getLong(3)) === ((2L, 2L, 125000L)))
+    // an empty cohort is an error, not a null statistic
+    val oneSided = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Sketches.ksTest(oneSided, col("g"), "a", col("v")).collect()
+    }
+    assert(e1.getMessage.contains("non-empty"))
+    val e2 = intercept[Exception] {
+      Sketches.mannWhitney(oneSided, col("g"), "a", col("v")).collect()
+    }
+    assert(e2.getMessage.contains("non-empty"))
+  }
+
+  test("personalizedPageRank: empty / out-of-graph seed set fails fast") {
+    import graft.operators.PageRank
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(edges, Seq(99L).toDF("node"), 2)
+    }
+    assert(e.getMessage.contains("seed set is empty"))
+  }
+
+  test("attribution: idCol parameter works on a non-event_id schema") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    val ev = Seq(
+      (10L, t(0), 7L, "click"),
+      (11L, t(20), 7L, "purchase")
+    ).toDF("eid", "ts", "user_id", "event_type")
+    val out = EventOps.attribution(ev, "user_id", "ts", "event_type",
+        "purchase", "click", 30 * 60000L, idCol = "eid")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((11L, 10L, 1000000L)))
+  }
+
   test("ksTest: identical distributions → 0; disjoint supports → 1e6") {
     import graft.operators.Sketches
     val same = (1L to 50L).flatMap(i => Seq(("a", i % 10), ("b", i % 10)))
