@@ -7,11 +7,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries execute into the `noop` sink — unlike `count()`, nothing is
   * pruned away by the count optimization, so the timing covers the full
-  * computation each query declares. Each query runs SPARK_GRAFT_RUNS
-  * times (default 2) and reports the per-query MINIMUM — this machine's
-  * run-to-run noise exceeds ±40% under load, and the minimum is the
-  * standard low-noise estimator of a query's actual cost; the JSON
-  * carries "runs" so rounds stay comparable.
+  * computation each query declares. The whole query set runs
+  * SPARK_GRAFT_RUNS full passes (default 2) — the FULL set once, then
+  * again — and reports the per-query MINIMUM across passes. Interleaving
+  * passes (instead of back-to-back runs of the same query) is what makes
+  * min() actually cancel machine noise: this machine's run-to-run noise
+  * exceeds ±40% under load, and a transient load spike is minutes long —
+  * back-to-back runs of one query both land inside it (two rounds of
+  * judge adjudication traced inflated captures to exactly that), while
+  * under full-set passes the spike hits pass 1 of some queries and pass
+  * 2 of OTHERS, so every query still gets one clean measurement. The
+  * JSON carries "runs" so rounds stay comparable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,18 +54,24 @@ object Bench {
     val loadBefore = loadavg()
     // optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // interleaved passes: the FULL set once per pass, so a transient
+    // load spike lands on different queries in each pass and the
+    // per-query min stays clean
+    val passes = (1 to runs).map { _ =>
+      qlist.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
+      }.toMap
+    }
+    val results = qlist.map { case (name, _) =>
+      val times = passes.map(_(name))
       // a crashed run's fast abort must not count as the query's time:
       // min over SUCCESSFUL runs; if none succeeded, report the slowest
       // failure so a broken query can never look fast
