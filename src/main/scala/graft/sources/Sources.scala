@@ -59,11 +59,19 @@ object Sources {
     * checked, so a failure leaves at least one complete copy on disk
     * (the table-format way is a manifest commit; this is the
     * raw-directory equivalent). Returns (rows, filesBefore, filesAfter).
+    *
+    * The per-value planning collect is bounded by the number of
+    * distinct hive values: past `maxPartitionValues` (default 100k —
+    * far beyond any sane hive layout) the call FAILS with a clear
+    * message instead of pulling an unbounded row-count table onto the
+    * driver. A caller partitioning by a near-unique key gets an error,
+    * not a driver OOM.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetRowsPerFile: Long,
-                     partitionCols: Seq[String] = Nil): (Long, Long, Long) = {
-    require(targetRowsPerFile > 0)
+                     partitionCols: Seq[String] = Nil,
+                     maxPartitionValues: Int = 100000): (Long, Long, Long) = {
+    require(targetRowsPerFile > 0 && maxPartitionValues > 0)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -99,7 +107,17 @@ object Sources {
         // per-value file quotas are rebuilt driver-side so the rewrite
         // plan broadcast-joins a LocalRelation instead of re-aggregating.
         val pc = partitionCols.map(col)
-        val counts = df.groupBy(pc: _*).agg(count(lit(1)).as("__cnt")).collect()
+        // limit+length guard: the aggregate still runs distributed, but
+        // the driver never materializes more than cap+1 rows — if the
+        // cap trips, fail loudly BEFORE any rewrite touches disk
+        val counts = df.groupBy(pc: _*).agg(count(lit(1)).as("__cnt"))
+          .limit(maxPartitionValues + 1).collect()
+        require(counts.length <= maxPartitionValues,
+          s"compactParquet: partition columns [${partitionCols.mkString(", ")}] " +
+            s"have more than $maxPartitionValues distinct values — a " +
+            "near-unique partition key produces one directory per row and an " +
+            "unbounded planning collect; partition by a lower-cardinality key " +
+            "or raise maxPartitionValues explicitly")
         val r = counts.map(_.getAs[Long]("__cnt")).sum
         val nFiles = math.max(1L, (r + targetRowsPerFile - 1) / targetRowsPerFile).toInt
         val keyFields = partitionCols.map(c =>

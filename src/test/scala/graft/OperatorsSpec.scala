@@ -752,6 +752,20 @@ class OperatorsSpec extends SparkSpec {
     assert(kept === Set(Some("b"), None))
   }
 
+  test("compactParquet fails loudly on a near-unique partition key") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_hc").toString
+    val df = spark.range(0, 50).select(col("id").as("p"), col("id").as("v"))
+    df.write.mode("overwrite").partitionBy("p").parquet(tmp)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sources.compactParquet(spark, tmp, 1000L, Seq("p"),
+        maxPartitionValues = 10)
+    }
+    assert(e.getMessage.contains("more than 10 distinct values"))
+    // the guard must trip BEFORE any rewrite: the original layout survives
+    assert(new java.io.File(s"$tmp/p=0").exists(), "input must be untouched")
+    assert(!new java.io.File(s"${tmp}_tmp").exists(), "no partial rewrite left behind")
+  }
+
   test("compactParquet keeps rows whose partition value is NULL") {
     // review r4: the count-sized-salt join back to the data must be
     // null-SAFE — hive layouts store null keys in
