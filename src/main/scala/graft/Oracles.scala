@@ -1562,6 +1562,56 @@ object Oracles {
        |SELECT n_sketches, union_est FROM y CROSS JOIN e""".stripMargin
   }
 
+  /** Quantile-sketch twin of
+    * [[graft.operators.QuantileSketch.sketch]]+`estimate`: the bottom-k
+    * rows by salted row hash replay as a rank window over (h, v); the
+    * nearest-rank percentiles are integer order statistics over those k
+    * sampled values.
+    */
+  def qKllQuantiles: String = {
+    val h = hex8Expr(s"('$KllSalt:' || CAST(o_orderkey AS VARCHAR))")
+    val pcols = KllPs.map(p =>
+      s"CAST(max(CASE WHEN vr = greatest(1, ($p * n + 99) // 100) THEN v END) AS BIGINT) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+       |  CAST($h AS BIGINT) AS h,
+       |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |s AS (SELECT yearkey, v,
+       |  row_number() OVER (PARTITION BY yearkey ORDER BY h, v) AS rn FROM b),
+       |kk AS (SELECT yearkey, v FROM s WHERE rn <= $KllK),
+       |r AS (SELECT yearkey, v,
+       |  row_number() OVER (PARTITION BY yearkey ORDER BY v) AS vr,
+       |  count(*) OVER (PARTITION BY yearkey) AS n FROM kk)
+       |SELECT yearkey, CAST(max(n) AS BIGINT) AS n_sample,
+       |  $pcols
+       |FROM r GROUP BY yearkey""".stripMargin
+  }
+
+  /** Quantile-sketch-union twin: merged per-year bottom-k state equals
+    * the GLOBAL bottom-k state (any of the union's k smallest pairs is
+    * among its own year's k smallest), so the replay is one global rank
+    * window — no per-group stage needed.
+    */
+  def qKllUnion: String = {
+    val h = hex8Expr(s"('$KllSalt:' || CAST(o_orderkey AS VARCHAR))")
+    val pcols = KllPs.map(p =>
+      s"CAST(max(CASE WHEN vr = greatest(1, ($p * n + 99) // 100) THEN v END) AS BIGINT) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH y AS (SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_sketches
+       |  FROM orders),
+       |b AS (SELECT CAST($h AS BIGINT) AS h,
+       |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |s AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM b),
+       |kk AS (SELECT v FROM s WHERE rn <= $KllK),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS vr,
+       |  count(*) OVER () AS n FROM kk),
+       |e AS (SELECT CAST(max(n) AS BIGINT) AS n_sample,
+       |  $pcols
+       |FROM r)
+       |SELECT n_sketches, n_sample, ${KllPs.map(p => s"p$p").mkString(", ")}
+       |FROM y CROSS JOIN e""".stripMargin
+  }
+
   /** Four-clause MERGE twin of [[graft.etl.Staging.mergeInto]]: same
     * full-outer join and the same clause order (matched update before
     * matched delete).

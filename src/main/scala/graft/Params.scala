@@ -133,6 +133,12 @@ object Params {
   val KmvK = 64
   val KmvSalt = "kmv"
 
+  // mergeable quantile sketch: bottom-k row-sample size (O(1/√k) rank
+  // error), hash salt, and the reported percentiles
+  val KllK = 512
+  val KllSalt = "qsk"
+  val KllPs = Seq(25, 50, 75, 95)
+
   // PMI collocations: score the top-N bigrams by count
   val PmiTopN = 50
 

@@ -645,6 +645,25 @@ object SparkEntry {
       Sketches.kmvDistinct(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey", col("o_custkey"),
         KmvK, KmvSalt)),
+    "q_kll_quantiles" -> ((s, dir) =>
+      // mergeable bounded-state quantile sketch: per-year price
+      // percentiles from k sampled rows — no per-group sort-shuffle
+      // (q_quartiles) and no a-priori value range (q_quantile_est);
+      // deterministic bottom-k-by-hash state, oracle-replayed exactly
+      operators.QuantileSketch.estimate(
+        operators.QuantileSketch.sketch(t(s, dir, "orders"),
+          year(col("o_orderdate")).cast("long"), "yearkey",
+          col("o_orderkey"), cents(col("o_totalprice")), KllK, KllSalt),
+        "qs", KllPs)),
+    "q_kll_union" -> ((s, dir) =>
+      // sketch algebra: per-year quantile sketches merge into the
+      // all-years percentile estimate WITHOUT rescanning orders — the
+      // merged bottom-k state is exactly the union's state
+      operators.QuantileSketch.union(
+        operators.QuantileSketch.sketch(t(s, dir, "orders"),
+          year(col("o_orderdate")).cast("long"), "yearkey",
+          col("o_orderkey"), cents(col("o_totalprice")), KllK, KllSalt),
+        "qs", KllK, KllPs)),
     "q_global_rank" -> ((s, dir) =>
       // global sequential rank over a total order WITHOUT the
       // single-partition window trap (range partition + offsets)
@@ -1529,6 +1548,8 @@ object SparkEntry {
     "q_bfs_reach" -> Oracles.qBfsReach,
     "q_kmv_distinct" -> Oracles.qKmvDistinct,
     "q_kmv_union" -> Oracles.qKmvUnion,
+    "q_kll_quantiles" -> Oracles.qKllQuantiles,
+    "q_kll_union" -> Oracles.qKllUnion,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     // the merge's oracle IS the full rebuild — incremental must equal it

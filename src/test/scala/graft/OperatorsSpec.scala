@@ -1291,6 +1291,50 @@ class OperatorsSpec extends SparkSpec {
       "consensus covers at least the docs any single signal paired")
   }
 
+  test("quantile sketch: estimates within sampling error of exact quantiles") {
+    import graft.operators.QuantileSketch
+    // uniform 1..100000 with unique keys: the true p-th percentile is
+    // 1000·p; a k=1024 bottom-k sample's rank error concentrates at
+    // ~1.28/√k ≈ 4% (99th pct of |binomial deviation|) — assert 6%
+    val df = spark.range(1, 100001).select(
+      lit(0L).as("g"), col("id").as("k"), col("id").as("v"))
+    val est = QuantileSketch.estimate(
+      QuantileSketch.sketch(df, col("g"), "g", col("k"), col("v"), 1024, "spec"),
+      "qs", Seq(25, 50, 75, 95)).collect().head
+    assert(est.getLong(1) === 1024L, "sample must fill to k")
+    Seq((2, 25000L), (3, 50000L), (4, 75000L), (5, 95000L)).foreach {
+      case (i, truth) =>
+        val e = est.getLong(i)
+        assert(math.abs(e - truth) <= 6000,
+          s"p at col $i: estimate $e vs exact $truth exceeds sampling bound")
+    }
+  }
+
+  test("quantile sketch: union of group sketches equals the global sketch") {
+    import graft.operators.QuantileSketch
+    val df = spark.range(0, 20000).select(
+      (col("id") % 7).as("g"), col("id").as("k"), (col("id") * 37 % 9973).as("v"))
+    val perGroup = QuantileSketch.sketch(df, col("g"), "g", col("k"), col("v"),
+      256, "spec")
+    val viaUnion = QuantileSketch.union(perGroup, "qs", 256, Seq(50, 95))
+      .collect().head
+    val direct = QuantileSketch.estimate(
+      QuantileSketch.sketch(df, lit(0L), "g", col("k"), col("v"), 256, "spec"),
+      "qs", Seq(50, 95)).collect().head
+    assert(viaUnion.getLong(0) === 7L)
+    // EXACT algebra: merged state reproduces the global sketch's
+    // estimates bit-for-bit, not approximately
+    assert((viaUnion.getLong(1), viaUnion.getLong(2), viaUnion.getLong(3))
+      === ((direct.getLong(1), direct.getLong(2), direct.getLong(3))))
+    // and the state itself is partitioning-invariant: order-independent
+    // aggregation must give identical arrays under any physical layout
+    val a = perGroup.orderBy("g").collect().map(_.getSeq[Any](1))
+    val b = QuantileSketch.sketch(df.repartition(13), col("g"), "g",
+        col("k"), col("v"), 256, "spec")
+      .orderBy("g").collect().map(_.getSeq[Any](1))
+    assert(a.toSeq === b.toSeq, "sketch state must not depend on partitioning")
+  }
+
   test("kmvUnion merged sketch equals the sketch of the union") {
     import graft.operators.Sketches
     val df = (1L to 500L).map(i => (i % 5, i)).toDF("g", "v")
