@@ -475,6 +475,41 @@ object Oracles {
        |  FROM sc)
        |WHERE rnk <= $AnnK""".stripMargin
 
+  /** SemDeDup twin of [[graft.operators.Dedup.semanticDedup]]: replay
+    * the k-means training rounds, assign cells with the trained
+    * centroids, verify within-cell pairwise cosine at the threshold,
+    * recursive-CTE connected components, keep each cluster's member
+    * with the highest round-4 cosine to its own cell centroid.
+    */
+  def dedupSemantic: String = {
+    val T = KmeansIters
+    val centDot = (1 to EmbDims)
+      .map(i => s"CAST(a.embedding[$i] AS DOUBLE) * m.c${i - 1}").mkString(" + ")
+    val centN2 = (0 until EmbDims).map(i => s"m.c$i * m.c$i").mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansCtes(T)},
+       |${kmeansAsgCte(T)},
+       |prs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM asg$T a JOIN asg$T b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosExpr("a.embedding", "b.embedding")} >= $SemMinCos),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+       |dc AS (SELECT a.vec_id AS doc_id,
+       |  round(($centDot) / (sqrt(${dotChainN("a.embedding", "a.embedding", EmbDims)}) * sqrt($centN2)), 4) AS dcent
+       |  FROM asg$T a JOIN m$T m ON m.cell = a.cell),
+       |sc AS (SELECT cc.cluster_id, cc.doc_id, dc.dcent,
+       |  row_number() OVER (PARTITION BY cc.cluster_id ORDER BY dc.dcent DESC, cc.doc_id) AS rk
+       |  FROM cc JOIN dc USING (doc_id))
+       |SELECT cluster_id, min(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       |  min(CASE WHEN rk = 1 THEN dcent END) AS keep_cos,
+       |  CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM sc GROUP BY cluster_id""".stripMargin
+  }
+
   /** PQ encode twin: per subspace, argmax of (sub-dot − ‖c‖²/2) over the
     * generated codebook constants; ties resolve to the lowest code via
     * the CASE order, matching the Spark when-chain.

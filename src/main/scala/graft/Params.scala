@@ -33,6 +33,11 @@ object Params {
   val EmbMinCos = 0.45
   val AnnK = 10
   val IvfCells = 8
+  // SemDeDup within-cell near-dup threshold: the synthetic embeddings'
+  // within-cell cosine tops out ≈0.49, so 0.4 yields a real (non-empty)
+  // verified-pair set at every SF while staying a high bar vs the ≈0.2
+  // in-cell p90
+  val SemMinCos = 0.4
   val IvfNprobe = 2    // probed cells for the recall-tunable IVF query
   val KmeansIters = 3  // training iterations for the oracle-checked fit
   val PqSub = 8        // product-quantization subspaces (64 dims → 8×8)

@@ -790,6 +790,15 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", EmbMinCos,
         EmbPlanes, EmbBands, EmbDims)),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup end-to-end: train the cell quantizer with the k-means
+      // loop, then within-cell near-dup prune keeping each group's most
+      // prototypical member — the full semantic-dedup composition
+      val emb = t(s, dir, "embeddings")
+      val (cents2, _, _) = Similarity.kmeansFit(emb, "embedding",
+        H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", cents2, SemMinCos)
+    }),
 
     // ---- §2.4 similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
@@ -1516,6 +1525,7 @@ object SparkEntry {
     "dedup_incremental" -> Oracles.dedupIncremental,
     "text_pii_scrub" -> Oracles.textPiiScrub,
     "dedup_embedding" -> Oracles.dedupEmbedding,
+    "dedup_semantic" -> Oracles.dedupSemantic,
     "ann_brute_topk" -> Oracles.annBruteTopK,
     "ann_lsh_topk" -> Oracles.annLshTopK,
     "ann_mrl_topk" -> Oracles.annMrlTopK,

@@ -516,6 +516,60 @@ object Dedup {
       .where(col("cos") >= minCos)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with trained k-means
+    * centroids, prune near-duplicates WITHIN each cell, and keep each
+    * duplicate group's most prototypical member (highest cosine to its
+    * cell centroid; ties → smallest id). The composition the paper runs
+    * over LAION/CC: `kmeansFit` provides `cents`; this stage assigns,
+    * pairs, clusters, and picks.
+    *
+    * Scale shape: assignment is a map-side codegen'd argmax against
+    * literal centroids (no join). The pair stage is all-pairs WITHIN a
+    * cell only — quadratic in cell occupancy, never in the corpus, and
+    * the paper's own scale lever applies: grow the cell count with the
+    * corpus so occupancy stays bounded (50k cells for LAION-440M). Near
+    * -dup groups come from [[clusters]] (pointer-doubling CC over the
+    * verified pairs); the keep rank is a per-cluster window over cluster
+    * members only. Output: `(cluster_id, keep_id, keep_cos, n_vecs)`.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-centroid norms as Scala literals: same left-fold order as the
+    // oracle's SQL sum, so the rounded cosine is engine-identical
+    val centNorm = cents.map(w => math.sqrt(w.map(x => x * x).sum))
+    val asg = emb.select(col(idCol).as("doc_id"), col(vecCol).as("v"),
+        V.norm(col(vecCol)).as("nv"),
+        Similarity.cellFor(col(vecCol), cents).cast("long").as("cell"))
+      .localCheckpoint(false) // three consumers: both pair sides + keep rank
+    val a = asg.select(col("cell"), col("doc_id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = asg.select(col("cell"), col("doc_id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(V.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+    val cl = clusters(pairs.select(col("doc_a"), col("doc_b")))
+    // cosine to the OWN cell's centroid: all centroid dots are literal
+    // expressions; element_at picks the assigned cell's value
+    val dcent = asg.select(col("doc_id"),
+      round(element_at(
+          array(cents.zip(centNorm).map { case (w, nw) =>
+            V.dotConst(col("v"), w) / (col("nv") * lit(nw)) }: _*),
+          (col("cell") + 1).cast("int")), 4).as("dcent"))
+    val scored = cl.join(dcent, "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("dcent").desc, col("doc_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("__rk") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("__rk") === 1, col("dcent"))).as("keep_cos"),
+        count(lit(1)).as("n_vecs"))
+  }
+
   /** Exact duplicate-span audit (the substring-level dedup signal of Lee
     * et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", at word granularity): every n-token span that appears in

@@ -164,6 +164,20 @@ class OperatorsSpec extends SparkSpec {
     assert(nFix.forall(_ > 0L) && nFix.sum === emb.count())
   }
 
+  test("semanticDedup keeps each group's most prototypical member") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (1L, Array(10f, 0.1f)), (2L, Array(10f, 0.2f)), // cell 0 near-dups
+      (3L, Array(0.1f, 10f)), (4L, Array(0.2f, 10f)), // cell 1 near-dups
+      (5L, Array(7f, -7f)) // cell 0, isolated (cos to 1,2 ≈ 0.69)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // {1,2}: keep 1 (highest cosine to centroid (1,0)); {3,4}: keep 3;
+    // 5 pairs with nothing → absent from the prune ledger entirely
+    assert(out === Set((1L, 1L, 2L), (3L, 3L, 2L)))
+  }
+
   test("embedding near-dup finds only the close pair") {
     val vecs = Seq(
       (0L, Array.fill(8)(0.5f)),
