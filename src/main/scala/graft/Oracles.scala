@@ -1758,6 +1758,32 @@ object Oracles {
        |SELECT node, dist FROM v$BfsHops""".stripMargin
   }
 
+  /** Weighted-SSSP twin of [[graft.operators.Sssp.weightedDistances]]:
+    * dense Bellman–Ford round replay — R chained min-plus CTEs. The
+    * Spark side's frontier restriction and early exit don't change the
+    * result: after R rounds both hold the min weight over ≤R-edge paths.
+    */
+  def qSssp: String = {
+    val rounds = (1 to SsspRounds).map { h =>
+      s"""d$h AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${h - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, d.dist + e.w AS dist
+         |  FROM d${h - 1} d JOIN edges e ON e.src = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey + $PrCustOffset AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT sk AS src, ck AS dst, (sk + ck) % 10 + 1 AS w FROM pairs
+       |  UNION ALL SELECT ck, sk, (sk + ck) % 10 + 1 FROM pairs),
+       |d0 AS MATERIALIZED (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_suppkey % $BfsSeedMod = 0),
+       |$rounds
+       |SELECT node, dist FROM d$SsspRounds""".stripMargin
+  }
+
   def etlUpsert: String =
     """SELECT o_orderkey,
       |  CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0

@@ -118,6 +118,9 @@ object Params {
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3
+  // weighted SSSP: relaxation-round bound (longer-but-lighter paths keep
+  // improving past the hop radius, so the min-plus bound exceeds BfsHops)
+  val SsspRounds = 6
 
   // l-diversity: min distinct sensitive values per released QI class
   val LdivL = 3L

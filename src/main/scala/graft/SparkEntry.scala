@@ -1273,6 +1273,24 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"))
       operators.Bfs.hopDistances(edges, seeds, BfsHops)
     }),
+    "q_sssp" -> ((s, dir) => {
+      // weighted recursive-CTE workload: min-plus shortest paths from
+      // the seed suppliers over the trading graph, edge weight a
+      // deterministic 1..10 from the endpoint keys (symmetric by
+      // construction), frontier-iterated with early exit
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), (col("o_custkey") + lit(PrCustOffset)).as("ck"))
+        .distinct()
+      val w = (col("sk") + col("ck")) % 10 + 1
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"), w.as("w"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst"), w.as("w")))
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_suppkey") % BfsSeedMod === 0)
+        .select(col("s_suppkey").as("node"))
+      operators.Sssp.weightedDistances(edges, seeds, SsspRounds)
+    }),
 
     // ---- §2.8 deterministic sampling ----
     "sample_bernoulli" -> ((s, dir) =>
@@ -1556,6 +1574,7 @@ object SparkEntry {
     "etl_snapshot_diff" -> Oracles.etlSnapshotDiff,
     "q_label_prop" -> Oracles.qLabelProp,
     "q_bfs_reach" -> Oracles.qBfsReach,
+    "q_sssp" -> Oracles.qSssp,
     "q_kmv_distinct" -> Oracles.qKmvDistinct,
     "q_kmv_union" -> Oracles.qKmvUnion,
     "q_kll_quantiles" -> Oracles.qKllQuantiles,

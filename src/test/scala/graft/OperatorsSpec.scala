@@ -1681,6 +1681,25 @@ class OperatorsSpec extends SparkSpec {
     assert(shallow === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("weightedDistances: light long path wins, rounds bound path length") {
+    import graft.operators.Sssp
+    // 1→4 direct costs 10; the 3-edge detour 1→2→3→4 costs 3; 8→9 is a
+    // disconnected component the seed must never reach
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (8L, 9L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def run(r: Int): Map[Long, Long] = Sssp.weightedDistances(edges, seeds, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // converged (early exit well before 6): detour wins
+    assert(run(6) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // R bounds the EDGE COUNT of candidate paths, exactly: after 1
+    // round node 4 only has the heavy direct edge; the detour needs 3
+    assert(run(1) === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    val r2 = run(2)
+    assert(r2(4L) === 10L && r2(3L) === 2L)
+    assert(run(3)(4L) === 3L, "3 rounds admit the 3-edge detour")
+  }
+
   test("KMV sketch: exact under k, dedups duplicates, sane estimate over k") {
     // 40 distinct values (< k=64) under 10× duplication → exact 40: the
     // buffer must dedup or duplicates would fill it and force estimation
