@@ -841,6 +841,43 @@ object Oracles {
   private def hits(words: Seq[String]): String =
     s"len(list_filter(ts, t -> list_contains(${stopList(words)}, t)))"
 
+  /** Domain-stats twin of [[graft.operators.UrlOps.domainStats]]: same
+    * synthetic URL, same host regex, registered domain via negative
+    * list slicing (≡ Spark's substring_index from the right).
+    */
+  def textDomainStats: String = {
+    val tldIn = graft.operators.UrlOps.MultiTlds.map(s => s"'$s'").mkString(", ")
+    s"""WITH $toksCte,
+       |u AS (SELECT d.doc_id,
+       |  (CASE WHEN d.doc_id % 3 = 0 THEN 'https://'
+       |        WHEN d.doc_id % 3 = 1 THEN 'http://' ELSE '' END) ||
+       |  (CASE WHEN d.doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+       |  d.source || '.' ||
+       |  (CASE WHEN d.doc_id % 5 = 0 THEN 'co.uk'
+       |        WHEN d.doc_id % 5 = 1 THEN 'org' ELSE 'com' END) ||
+       |  (CASE WHEN d.doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+       |  '/p/' || CAST(d.doc_id AS VARCHAR) ||
+       |  (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=rss' ELSE '' END) AS url,
+       |  len(ts) AS n_tok
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+       |h AS (SELECT doc_id, n_tok,
+       |  lower(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+       |  FROM u),
+       |dd AS (SELECT doc_id, n_tok,
+       |  CASE WHEN array_to_string(string_split(host, '.')[-2:], '.') IN ($tldIn)
+       |    THEN array_to_string(string_split(host, '.')[-3:], '.')
+       |    ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+       |  FROM h),
+       |st AS (SELECT domain, CAST(count(*) AS BIGINT) AS domain_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS domain_tokens FROM dd GROUP BY domain),
+       |tot AS (SELECT count(*) AS n_total FROM dd)
+       |SELECT dd.domain, dd.doc_id, CAST(dd.n_tok AS BIGINT) AS n_tok,
+       |  st.domain_docs, st.domain_tokens,
+       |  CAST(st.domain_tokens // st.domain_docs AS BIGINT) AS domain_tok_mean,
+       |  CAST(st.domain_docs * 1000000 // tot.n_total AS BIGINT) AS domain_share_ppm
+       |FROM dd JOIN st USING (domain) CROSS JOIN tot""".stripMargin
+  }
+
   def textTokenCount: String =
     s"""WITH $toksCte
        |SELECT d.doc_id, CAST(len(ts) AS BIGINT) AS n_ws,

@@ -1342,6 +1342,27 @@ object SparkEntry {
       TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text", VocabTopN)),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestInCluster(t(s, dir, "documents"), "doc_id", "text", JaccardMin)),
+    "text_domain_stats" -> ((s, dir) => {
+      // host/domain-level curation: the documents table has no URL
+      // column, so the query synthesizes a deterministic URL per doc
+      // (scheme / www / multi-part-TLD / port / path / query variants —
+      // exercising the whole expression-level parser), then groups
+      // curation stats by registered domain and joins them back as
+      // doc-level features
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("https://"))
+          .when(id % 3 === 1, lit("http://")).otherwise(lit("")),
+        when(id % 4 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit("."),
+        when(id % 5 === 0, lit("co.uk"))
+          .when(id % 5 === 1, lit("org")).otherwise(lit("com")),
+        when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), id.cast("string"),
+        when(id % 2 === 0, lit("?ref=rss")).otherwise(lit("")))
+      operators.UrlOps.domainStats(
+        t(s, dir, "documents").withColumn("url", url), "doc_id", "url", "text")
+    }),
     "dedup_prefix_filter" -> ((s, dir) =>
       // EXACT all-pairs token-Jaccard join (prefix + length filtering) —
       // the recall-lossless complement to dedup_minhash_lsh
@@ -1594,6 +1615,7 @@ object SparkEntry {
     "text_dedup_lines" -> Oracles.textDedupLines,
     "text_oov" -> Oracles.textOov,
     "dedup_keep_best" -> Oracles.dedupKeepBest,
+    "text_domain_stats" -> Oracles.textDomainStats,
     "text_token_count" -> Oracles.textTokenCount,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,

@@ -1681,6 +1681,32 @@ class OperatorsSpec extends SparkSpec {
     assert(shallow === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("UrlOps: host parsing, registered domains, per-domain stats join-back") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "https://user@www.Example.co.uk:8080/p/1?x=1", "a b c"),
+      (2L, "example.com/path", "a b"),
+      (3L, "http://sub.deep.example.com", "a"),
+      (4L, "localhost", "a b c d")
+    ).toDF("doc_id", "url", "text")
+    val parsed = docs.select(col("doc_id"), UrlOps.host(col("url")).as("h"),
+        UrlOps.registeredDomain(UrlOps.host(col("url"))).as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(parsed === Set(
+      (1L, "www.example.co.uk", "example.co.uk"), // userinfo/port/path cut, multi-TLD
+      (2L, "example.com", "example.com"),         // scheme-less
+      (3L, "sub.deep.example.com", "example.com"), // deep subdomain collapses
+      (4L, "localhost", "localhost")))             // single label passes through
+    val stats = UrlOps.domainStats(docs, "doc_id", "url", "text")
+      .collect().map(r => (r.getLong(1),
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // example.com groups docs 2+3: 3 tokens over 2 docs, mean 1, 50% share
+    assert(stats(2L) === (("example.com", 2L, 2L, 3L, 1L, 500000L)))
+    assert(stats(3L) === (("example.com", 1L, 2L, 3L, 1L, 500000L)))
+    assert(stats(1L) === (("example.co.uk", 3L, 1L, 3L, 3L, 250000L)))
+    assert(stats(4L) === (("localhost", 4L, 1L, 4L, 4L, 250000L)))
+  }
+
   test("weightedDistances: light long path wins, rounds bound path length") {
     import graft.operators.Sssp
     // 1→4 direct costs 10; the 3-edge detour 1→2→3→4 costs 3; 8→9 is a
