@@ -23,6 +23,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("retrieval")) { retrieval(spark, args); spark.stop(); return }
+    if (args.headOption.contains("prefix")) { prefixProbe(spark, args); spark.stop(); return }
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val iters = args.lift(1).map(_.toInt).getOrElse(graft.Params.BpeMerges)
     // n pseudo-words, 4–12 chars of hex (truncation collisions collapse
@@ -38,6 +39,56 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"probe":"bpe","n_words":$n,"iters":$iters,"merges":${m.length},"sym_rows":$vocab,"secs":$secs%.2f}""")
     spark.stop()
+  }
+
+  /** `probe=prefix [vocabWords]`: the dedup_prefix_filter bench cost has
+    * twice been argued (r4, r5 plan audits) to be DENSITY-bound — the
+    * testdata's 931-shingle vocabulary keeps prefix postings ~140 docs
+    * long, so the candidate join explodes; a realistic Zipf vocabulary
+    * should collapse it. This probe DEMONSTRATES that: same doc count
+    * and doc length, one corpus with the testdata's dense vocabulary and
+    * one with a `vocabWords`-word Zipf(1) vocabulary (rank = V^u, u an
+    * md5 uniform — the web-corpus rank-frequency shape), then for each:
+    * the exact candidate-row census Σ_h C(prefix_df(h), 2) (the size of
+    * the candidate join before any positional filtering) and the
+    * end-to-end runtime/pairs of the real operator.
+    */
+  private def prefixProbe(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.GlobalRank
+    val vocabN = args.lift(1).map(_.toInt).getOrElse(50000)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val uniform = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val nDocs = uniform.count()
+    val docLen = 40
+    val zipf = spark.range(nDocs).select(col("id").as("doc_id"),
+      expr(s"""array_join(transform(sequence(1, $docLen), j ->
+        concat('w', cast(pow($vocabN, cast(conv(substring(md5(concat(cast(id as string), ':', cast(j as string))), 1, 8), 16, 10) as double) / 4294967296.0) as long))), ' ')""")
+        .as("text"))
+    val (num, den) = (Params.JaccardMinNum, Params.JaccardMinDen)
+    for ((name, d) <- Seq(("uniform", uniform), ("zipf", zipf))) {
+      // candidate census replicates the operator's prefix construction:
+      // distinct shingles → global rarity rank → per-doc sorted set →
+      // prefix slice; candidates before positional filtering = Σ C(p,2)
+      val toks = d.select(col("doc_id"),
+        explode(array_distinct(functions.TextFunctions.shingles(col("text"), 2))).as("tok"))
+      val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val vocabSize = dfreq.count()
+      val vocab = GlobalRank.globalRank(dfreq, Seq(col("df").asc, col("tok").asc))
+        .select(col("tok"), col("grank").as("r"))
+      val prefix = toks.join(vocab, "tok")
+        .groupBy(col("doc_id")).agg(array_sort(collect_list(col("r"))).as("rs"))
+        .select(col("doc_id"), col("rs"), size(col("rs")).cast("long").as("sz"))
+        .select(explode(slice(col("rs"), lit(1),
+          (col("sz") - expr(s"(sz * $num + ${den - 1}) div $den") + lit(1)).cast("int")))
+          .as("h"))
+      val candRows = prefix.groupBy(col("h")).agg(count(lit(1)).as("p"))
+        .agg(coalesce(sum(expr("p * (p - 1) div 2")), lit(0L))).collect()(0).getLong(0)
+      val t0 = System.nanoTime()
+      val pairs = operators.Dedup.prefixFilterJaccard(d, "doc_id", "text", num, den).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"prefix","corpus":"$name","n_docs":$nDocs,"vocab_shingles":$vocabSize,"cand_rows":$candRows,"pairs":$pairs,"secs":$secs%.2f}""")
+    }
   }
 
   /** `probe=retrieval [r]`: replicate the sf0.01 documents r× (worst-case
