@@ -131,8 +131,11 @@ object QuantileSketch {
   def union(sketches: DataFrame, stateCol: String, k: Int, ps: Seq[Int]): DataFrame = {
     require(k >= 2, "quantile sketch needs k >= 2")
     val fn = udaf(new BottomKSampleAggregator(k))
-    val n = sketches.agg(count(lit(1)).as("n_sketches"))
-    val merged = sketches.select(explode(col(stateCol)).as("p"))
+    // two consumers (sketch count + merge): materialize the tiny state
+    // once so a freshly-built sketch never re-scans its base table
+    val st = sketches.localCheckpoint(false)
+    val n = st.agg(count(lit(1)).as("n_sketches"))
+    val merged = st.select(explode(col(stateCol)).as("p"))
       .select(col("p.h").as("__h"), col("p.v").as("__v"))
       .agg(fn(col("__h"), col("__v")).cast("array<struct<h:bigint,v:bigint>>").as("qs"))
     n.crossJoin(estimate(merged, "qs", ps))

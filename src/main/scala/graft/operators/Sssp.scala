@@ -37,8 +37,15 @@ object Sssp {
     * (node, dist) for every node reachable within `maxRounds` edges of
     * any seed; seeds are dist 0.
     */
-  def weightedDistances(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
+  /** `checkpointRounds = false` is for plan audits only: it leaves the
+    * full multi-round lineage visible (and re-computes shared stages),
+    * exactly like [[PageRank.pageRank]]'s flag.
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+                        checkpointRounds: Boolean = true): DataFrame = {
     require(maxRounds >= 1, "need at least one relaxation round")
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointRounds) df.localCheckpoint(false) else df
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).localCheckpoint(false)
     var dist = seeds.select(col("node").cast("long"), lit(0L).as("dist"))
@@ -50,15 +57,13 @@ object Sssp {
       val relax = frontier.join(e, col("node") === col("src"))
         .select(col("dst"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("dst").as("node")).agg(min(col("cand")).as("cand"))
-      val improved = relax.join(dist, Seq("node"), "left")
+      val improved = cp(relax.join(dist, Seq("node"), "left")
         .where(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint(false) // three consumers: probe, update, next frontier
+        .select(col("node"), col("cand").as("dist"))) // 3 consumers: probe, update, frontier
       if (improved.isEmpty) done = true
       else {
-        dist = dist.join(improved, Seq("node"), "left_anti")
-          .unionByName(improved)
-          .localCheckpoint(false)
+        dist = cp(dist.join(improved, Seq("node"), "left_anti")
+          .unionByName(improved))
         frontier = improved
       }
       round += 1

@@ -337,6 +337,53 @@ class PlanSpec extends SparkSpec {
       s"candidate aggregate should do map-side partial min of positions:\n$plan")
   }
 
+  test("quantile sketch partial-aggregates map-side; union never rescans the base") {
+    val plan = explain("q_kll_quantiles")
+    assert(plan.contains("partial_bottomksampleaggregator"),
+      s"expected map-side partial sketch aggregation:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"bounded-buffer sketch must not fall back to a sort/window:\n$plan")
+    // union path: exactly one scan of the orders parquet — the merge
+    // re-feeds sketch STATE, it must not read the base table again
+    val up = explain("q_kll_union")
+    val scans = "Scan parquet".r.findAllIn(up).length
+    assert(scans <= 1, s"sketch union must not rescan the base table:\n$up")
+  }
+
+  test("sssp round: frontier join keyed, relax min partial-aggregated, no cartesian") {
+    // the production path checkpoints each round (the final plan is an
+    // RDD scan); unroll two rounds without checkpoints to pin the
+    // per-round shape, the pagerank-audit pattern
+    val edges = Tables.load(spark, sfDir, "orders").limit(200)
+      .select((col("o_orderkey") % 50L).as("src"), (col("o_custkey") % 50L).as("dst"),
+        (col("o_orderkey") % 5L + 1L).as("w"))
+    val seeds = Seq(0L, 1L).toDF("node")
+    val plan = graft.operators.Sssp
+      .weightedDistances(edges, seeds, 2, checkpointRounds = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"min-plus rounds must stay keyed equi-joins:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"relaxation must pre-aggregate candidate distances map-side:\n$plan")
+  }
+
+  test("semantic dedup: within-cell pairs and keep-rank stay keyed, no nested loop") {
+    val plan = explain("dedup_semantic")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup's pair stage must be a cell equi-join:\n$plan")
+  }
+
+  test("domain stats: per-domain aggregate partial map-side, join back keyed") {
+    val plan = explain("text_domain_stats")
+    assert(!plan.contains("CartesianProduct"),
+      s"domain stats must never plan a cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-domain aggregate should combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"),
+      s"stats join back must be keyed:\n$plan")
+  }
+
   test("count-min build shuffles only sketch-sized state (map-side partial counts)") {
     val items = Tables.load(spark, sfDir, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
