@@ -465,13 +465,16 @@ object TextOps {
     * constants every numerator/denominator is a pure integer product
     * (`num = 44·tf·Σdl·(2N−2df+1)`, `den = (20·tf·Σdl + 6·Σdl +
     * 18·dl·N)·(2df+1)`), and the per-(term,doc) score becomes ONE
-    * correctly-rounded IEEE divide floored to ppm. The products are
-    * computed in DECIMAL(38,0), not int64: at ~10M docs / 10¹⁰ tokens
-    * `num ≈ 44·tf·Σdl·2N ≈ 10²⁹` wraps a silent int64 under non-ANSI
-    * Spark; decimal keeps the rational exact to 10³⁸ (unreachable for
-    * any real corpus — a 10¹² doc / 10¹⁴ token crawl peaks ≈ 10³⁹, at
-    * which point non-ANSI decimal overflow yields NULL scores, a loud
-    * failure in the top-k, never a wrong ranking). Per-doc totals are then
+    * correctly-rounded IEEE divide floored to ppm. The products pick
+    * their arithmetic ADAPTIVELY: collected corpus stats (N, Σdl,
+    * max dl) bound the worst-case product, and the plan uses fast
+    * codegen int64 whenever that bound fits — at ~10M docs / 10¹⁰
+    * tokens `num ≈ 44·tf·Σdl·2N ≈ 10²⁹` would wrap a silent int64
+    * under non-ANSI Spark, so past the bound the products switch to
+    * DECIMAL(38,0) (exact to 10³⁸, unreachable for any real corpus;
+    * non-ANSI decimal overflow past that yields NULL scores — a loud
+    * failure in the top-k, never a wrong ranking). Both paths produce
+    * identical ppm. Per-doc totals are then
     * INTEGER sums — no double summation anywhere, so results are
     * engine-identical regardless of partitioning (the q_stats_suite
     * lesson). The log-idf variant is a one-expression swap; the rational
@@ -481,9 +484,10 @@ object TextOps {
     * shuffle each, partial-agg map-side). The scoring join shuffles
     * postings once on the term — the SAME key the df join needs, so the
     * exchange is reused — and the doc-length join keys on doc_id. The
-    * 1-row corpus stats and the query-term set (N/queryMod docs) broadcast.
-    * Top-k per query is a window over per-query groups, never a global
-    * sort.
+    * corpus stats are eagerly collected scalars inlined as literals (the
+    * collect doubles as the postings-checkpoint materializer); the
+    * query-term set (N/queryMod docs) broadcasts. Top-k per query is a
+    * window over per-query groups, never a global sort.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryMod: Int, k: Int): DataFrame = {
@@ -499,18 +503,45 @@ object TextOps {
       .localCheckpoint(false)
     val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // corpus stats collected EAGERLY (one tiny aggregate; it doubles as
+    // the materializer of the postings checkpoint every later stage
+    // reuses) and inlined as codegen literals — and max(dl) bounds the
+    // worst-case score products, which picks the arithmetic path below
+    val statsRow = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+      max(col("dl")).as("max_dl")).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val maxDl = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
     val qterms = postings.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("term"))
-    // DECIMAL(38,0) factors: int64 products wrap past ~10M docs; the
-    // inner (2N−2df+1)/(2df+1) terms stay int64 (bounded by 2N+1)
-    val d38 = "decimal(38,0)"
-    val num = lit(44L).cast(d38) * col("tf") * col("sum_dl") *
-      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
-    val den = (lit(20L).cast(d38) * col("tf") * col("sum_dl") +
-      lit(6L).cast(d38) * col("sum_dl") +
-      lit(18L).cast(d38) * col("dl") * col("n_docs")) *
-      (lit(2L) * col("df") + lit(1L))
+    // ADAPTIVE exact arithmetic: int64 products (fast, codegen longs)
+    // whenever the worst case provably fits — tf ≤ max_dl and df ≤ N
+    // bound num by 44·maxdl·Σdl·(2N+1) and den by
+    // (20·maxdl·Σdl + 6·Σdl + 18·maxdl·N)·(2N+1) — else DECIMAL(38,0)
+    // (exact to 10³⁸, unreachable; non-ANSI overflow past that yields
+    // NULL scores — loud, never a wrong ranking). The int64 bound trips
+    // around ~10M docs / 10¹⁰ tokens; both paths produce identical ppm
+    // (same exact integers, one IEEE divide), so the switch is
+    // invisible to results — only to speed.
+    val numBound = BigInt(44) * maxDl * sumDl * (2 * BigInt(nDocs) + 1)
+    val denBound = (BigInt(20) * maxDl * sumDl + BigInt(6) * sumDl +
+      BigInt(18) * maxDl * nDocs) * (2 * BigInt(nDocs) + 1)
+    val fitsInt64 = numBound < BigInt(Long.MaxValue) && denBound < BigInt(Long.MaxValue)
+    val (num, den) =
+      if (fitsInt64) (
+        lit(44L) * col("tf") * lit(sumDl) *
+          (lit(2L * nDocs + 1L) - lit(2L) * col("df")),
+        (lit(20L) * col("tf") * lit(sumDl) + lit(6L * sumDl)
+          + lit(18L * nDocs) * col("dl")) * (lit(2L) * col("df") + lit(1L)))
+      else {
+        val d38 = "decimal(38,0)"
+        (lit(44L).cast(d38) * col("tf") * lit(sumDl) *
+          (lit(2L * nDocs + 1L) - lit(2L) * col("df")),
+         (lit(20L).cast(d38) * col("tf") * lit(sumDl) +
+           lit(6L).cast(d38) * lit(sumDl) +
+           lit(18L).cast(d38) * col("dl") * lit(nDocs)) *
+           (lit(2L) * col("df") + lit(1L)))
+      }
     // prune FIRST: the broadcast query-term semi-restriction cuts the
     // postings to the query vocabulary before any wide join runs — at
     // corpus scale the df join then moves only the pruned slice
@@ -519,7 +550,6 @@ object TextOps {
       .where(col("doc_id") =!= col("query_id"))
       .join(dfreq, "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         floor(lit(1000000.0) * (num.cast("double") / den.cast("double")))
           .cast("long").as("ppm"))
