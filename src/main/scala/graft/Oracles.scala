@@ -2602,4 +2602,83 @@ object Oracles {
        |nq AS (SELECT count(*) AS n_total FROM tok)
        |SELECT term, CAST(n AS BIGINT) AS n, CAST(n_total AS BIGINT) AS n_total
        |FROM tc CROSS JOIN nq WHERE n * $HhDenom > n_total""".stripMargin
+
+  /** 60-bit signature of an md5 over column `c`: Horner fold of the first
+    * 15 hex digits (== Spark's conv(substring(md5(c),1,15),16,10)).
+    */
+  private def sig60(c: String): String =
+    (0 until 15).map(j => s"(instr('$hex', substr(md5($c), ${j + 1}, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  /** Dataset fingerprint twin: identical canonical row string (`|`-joined
+    * exact renderings), identical 60-bit md5 signature, same commutative
+    * combiners per returnflag + rollup total. DuckDB sums BIGINT into
+    * HUGEINT, so the mod-2^60 reduction is exact there just as the
+    * DECIMAL(38,0) sum is on the Spark side.
+    */
+  def qDatasetFingerprint: String =
+    s"""WITH rows_ AS (SELECT l_returnflag AS grp,
+       |    concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+       |      CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+       |      CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+       |      CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS canon
+       |  FROM lineitem),
+       |s AS (SELECT grp, CAST(${sig60("canon")} AS BIGINT) AS sig FROM rows_)
+       |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(sig) AS BIGINT) AS xor_sig,
+       |  CAST(sum(sig) % ${operators.Audit.SigModulus} AS BIGINT) AS sum_sig,
+       |  min(sig) AS min_sig, max(sig) AS max_sig
+       |FROM s GROUP BY ROLLUP(grp)""".stripMargin
+
+  /** Join-size audit twin: the self-join per-key census, top keys by
+    * output contribution + a NULL-key grand total.
+    */
+  def qJoinSizeAudit: String =
+    s"""WITH la AS (SELECT CAST(l_partkey AS BIGINT) AS join_key,
+       |    CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+       |per AS (SELECT join_key, n AS left_rows, n AS right_rows,
+       |    n * n AS out_rows FROM la)
+       |SELECT * FROM (SELECT join_key, left_rows, right_rows, out_rows
+       |  FROM per ORDER BY out_rows DESC, join_key LIMIT $AuditTopK)
+       |UNION ALL
+       |SELECT CAST(NULL AS BIGINT), CAST(sum(left_rows) AS BIGINT),
+       |  CAST(sum(right_rows) AS BIGINT), CAST(sum(out_rows) AS BIGINT)
+       |FROM per""".stripMargin
+
+  /** Entity-resolution twin: same synthesized dirty registry, same
+    * exact-duplicate collapse to distinct names (name_id = min record
+    * id), same block + length-band + levenshtein edges over names,
+    * recursive-CTE connected components (the [[dedupCluster]] shape),
+    * unmatched names keep their own name_id, records inherit the
+    * entity through their name, canonical name = minimum-id member's.
+    */
+  def erResolve: String =
+    s"""WITH RECURSIVE recs AS (
+       |  SELECT CAST(p_partkey * 2 AS BIGINT) AS rid, p_name AS name FROM part
+       |  UNION ALL
+       |  SELECT CAST(p_partkey * 2 + 1 AS BIGINT),
+       |    substring(p_name, 1, length(p_name) - 1)
+       |  FROM part WHERE p_partkey % $ErTwinMod = 0),
+       |names AS (SELECT name, min(rid) AS name_id FROM recs GROUP BY name),
+       |e0 AS (SELECT a.name_id AS u, b.name_id AS v FROM names a JOIN names b
+       |    ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+       |   AND a.name_id < b.name_id
+       |   AND abs(length(a.name) - length(b.name)) <= $ErMaxDist
+       |  WHERE levenshtein(a.name, b.name) <= $ErMaxDist),
+       |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |cc AS (SELECT u AS name_id, min(r) AS cluster_id FROM reach GROUP BY u),
+       |lab AS (SELECT recs.rid, recs.name, ne.entity_id
+       |  FROM recs JOIN (SELECT names.name,
+       |      coalesce(cc.cluster_id, names.name_id) AS entity_id
+       |    FROM names LEFT JOIN cc USING (name_id)) ne USING (name)),
+       |rk AS (SELECT entity_id, name,
+       |    row_number() OVER (PARTITION BY entity_id ORDER BY rid) AS rn
+       |  FROM lab)
+       |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(CASE WHEN rn = 1 THEN name END) AS canonical_name
+       |FROM rk GROUP BY entity_id""".stripMargin
 }

@@ -233,6 +233,14 @@ object Params {
     (0 until 20).map(k => (s"src$k", (k + 1).toLong * (k + 1) * 1000000L / denom))
   }
 
+  // entity resolution: edit-distance match threshold and which records
+  // get a truncated-name twin (p_partkey % ErTwinMod == 0)
+  val ErMaxDist = 2
+  val ErTwinMod = 3L
+
+  // join-size audit: heaviest keys reported alongside the total row
+  val AuditTopK = 20
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

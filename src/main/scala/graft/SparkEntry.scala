@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, EventOps, Frequency, Joins, Quality, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Audit, Dedup, EventOps, Frequency, Joins, Linkage, Quality, Sampling, Similarity, Sketches, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -1100,6 +1100,37 @@ object SparkEntry {
       Marts.mergeAggState(state, batch, Seq("o_custkey"))
         .withColumn("mean_centicents", expr("(sum_cents * 100L) div n"))
     }),
+    "q_dataset_fingerprint" -> ((s, dir) =>
+      // order-invariant copy-validation checksum over lineitem, per
+      // returnflag + rollup total; signature columns are all exact
+      // renderings (ints, date, money as cents) so both engines hash
+      // the identical canonical string
+      Audit.datasetFingerprint(t(s, dir, "lineitem"), "l_returnflag",
+        Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), cents(col("l_extendedprice")),
+          col("l_shipdate").cast("date")))),
+    "q_join_size_audit" -> ((s, dir) => {
+      // candidate-pair explosion audit: exact output size of the
+      // lineitem self-join on l_partkey (the blocking-key shape every
+      // dedup family starts from), per heaviest key + grand total —
+      // without running the join
+      val li = t(s, dir, "lineitem")
+      Audit.joinSizeAudit(li, "l_partkey", li, "l_partkey", AuditTopK)
+    }),
+    "er_resolve" -> ((s, dir) => {
+      // entity resolution E2E on a synthesized dirty registry: every
+      // part is a base record, every ErTwinMod-th part adds a twin with
+      // the last character truncated (edit distance 1); block on first
+      // name token → levenshtein ≤ ErMaxDist pairs → CC → survivorship
+      val part = t(s, dir, "part")
+      val base = part.select((col("p_partkey") * 2).as("rec_id"),
+        col("p_name").as("rec_name"))
+      val twins = part.where(col("p_partkey") % ErTwinMod === 0)
+        .select((col("p_partkey") * 2 + 1).as("rec_id"),
+          expr("substring(p_name, 1, length(p_name) - 1)").as("rec_name"))
+      Linkage.resolveEntities(base.unionByName(twins), "rec_id",
+        "rec_name", ErMaxDist)
+    }),
     "q_bloom_anti" -> ((s, dir) => {
       // anti join with a bloom pre-filter: only might-contain rows enter
       // the exact anti-join shuffle; a bloom "no" is a definitive keep.
@@ -1600,6 +1631,9 @@ object SparkEntry {
     "q_kmv_union" -> Oracles.qKmvUnion,
     "q_kll_quantiles" -> Oracles.qKllQuantiles,
     "q_kll_union" -> Oracles.qKllUnion,
+    "q_dataset_fingerprint" -> Oracles.qDatasetFingerprint,
+    "q_join_size_audit" -> Oracles.qJoinSizeAudit,
+    "er_resolve" -> Oracles.erResolve,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
     // the merge's oracle IS the full rebuild — incremental must equal it

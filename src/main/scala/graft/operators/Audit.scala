@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-level audit primitives for validating copies and sizing joins
+  * BEFORE paying for them — the operational layer a 100 TB pipeline
+  * needs around every migration, backfill, and join.
+  */
+object Audit {
+
+  /** 2^60 — the signature modulus. Signatures are 60-bit (15 md5 hex
+    * chars), so sums reduced mod 2^60 and xors stay in [0, 2^60) and
+    * never touch the long sign bit in any engine.
+    */
+  val SigModulus: Long = 1L << 60
+
+  /** Portable 60-bit row signature: md5 over a `|`-joined canonical
+    * rendering of the given columns, each cast to string with NULL
+    * mapped to a `^` sentinel (a bare concat_ws SKIPS nulls, which
+    * would make `("a", null, "b")` collide with `("a", "b", null)`).
+    * Callers pick columns whose string rendering is engine-portable —
+    * integers, dates, strings; money goes through exact cents first
+    * (doubles/decimals render differently across engines).
+    */
+  def rowSignature(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|",
+        cols.map(c => coalesce(c.cast("string"), lit("^"))): _*)), 1, 15),
+      16, 10).cast("long")
+
+  /** Order-invariant dataset fingerprint, per group + grand total
+    * (rollup): row count, XOR and mod-2^60 SUM of the row signatures,
+    * min/max signature. Any row lost, duplicated, or altered flips the
+    * fingerprint; any reordering or repartitioning leaves it unchanged
+    * (every combiner is commutative) — so two sides of a 100 TB copy
+    * can each compute it independently and compare five numbers.
+    *
+    * Scale shape: one narrow map pass (md5 per row) + one partial-agg
+    * shuffle of constant-size state per group. The sum rides
+    * DECIMAL(38,0) before the final mod, so it is exact to ~10^19 rows.
+    * XOR alone would let any value appearing an even number of times
+    * cancel out; count + sum + min/max close that hole.
+    */
+  def datasetFingerprint(df: DataFrame, groupCol: String,
+                         cols: Seq[Column]): DataFrame =
+    df.select(col(groupCol).as("grp"), rowSignature(cols).as("sig"))
+      .rollup(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(sig)").as("xor_sig"),
+        (sum(col("sig").cast("decimal(38,0)")) % lit(SigModulus))
+          .cast("long").as("sum_sig"),
+        min(col("sig")).as("min_sig"),
+        max(col("sig")).as("max_sig"))
+
+  /** Exact join-output cardinality and skew profile WITHOUT running the
+    * join: per-key counts on both sides, one tiny count⋈count join,
+    * out_rows = left_rows · right_rows per key. Returns the `topK`
+    * heaviest keys (by output contribution, ties → smallest key) plus a
+    * grand-total row (join_key NULL) summing all matched keys.
+    *
+    * This is the candidate-census shape from the prefix-filter probe as
+    * a first-class operator: at 100 TB the audit shuffles two count
+    * tables (distinct keys × 24 bytes) instead of the full payload, and
+    * tells you whether the real join is runnable — and which keys need
+    * salting — before you pay for it. Products and totals are exact
+    * while per-key count products stay under 2^63 (i.e. both sides
+    * under ~3·10^9 rows PER KEY — beyond that the join output itself
+    * would be over 9·10^18 rows, which no one runs); the grand total
+    * additionally requires the summed output under 2^63, the same
+    * documented int64 contract as hits/associationRules.
+    */
+  def joinSizeAudit(left: DataFrame, keyL: String,
+                    right: DataFrame, keyR: String, topK: Int): DataFrame = {
+    require(topK > 0, "joinSizeAudit: topK must be positive")
+    val la = left.groupBy(col(keyL).cast("long").as("join_key"))
+      .agg(count(lit(1)).as("left_rows"))
+    val ra = right.groupBy(col(keyR).cast("long").as("join_key"))
+      .agg(count(lit(1)).as("right_rows"))
+    val per = la.join(ra, Seq("join_key"))
+      .withColumn("out_rows", col("left_rows") * col("right_rows"))
+    val top = per
+      .orderBy(col("out_rows").desc, col("join_key"))
+      .limit(topK)
+    val total = per.agg(
+      lit(null).cast("long").as("join_key"),
+      sum(col("left_rows")).as("left_rows"),
+      sum(col("right_rows")).as("right_rows"),
+      sum(col("out_rows")).as("out_rows"))
+    top.unionByName(total)
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.etl.{Marts, Staging}
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, EventOps, Quality, Similarity, Sketches}
+import graft.operators.{Audit, Dedup, EventOps, Linkage, Quality, Similarity, Sketches}
 
 /** Unit-level behavior checks for the operator library on crafted inputs
   * (the testdata-scale value checks live in the DuckDB oracle gate).
@@ -1740,6 +1740,58 @@ class OperatorsSpec extends SparkSpec {
     val est = Sketches.kmvDistinct(big, col("g"), "g", col("v"), 64, "t")
       .collect().head.getLong(1)
     assert(est > 3000L && est < 7000L, s"estimate $est far from 5000")
+  }
+
+  test("datasetFingerprint: order/partition-invariant, change-sensitive, null-safe") {
+    val base = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"))
+    val cols = Seq(col("id"), col("v"))
+    def fp(rows: Seq[(Long, String, String)]) =
+      Audit.datasetFingerprint(rows.toDF("id", "v", "grp"), "grp", cols)
+        .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val ref = fp(base)
+    assert(ref.size === 3) // g1, g2, rollup total
+    // any reordering/repartitioning leaves all five combiners unchanged
+    val shuffled = Audit.datasetFingerprint(
+      base.reverse.toDF("id", "v", "grp").repartition(7), "grp", cols)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(shuffled === ref)
+    // one altered byte flips the g1 fingerprint (and the total)
+    assert(fp(Seq((1L, "a", "g1"), (2L, "B", "g1"), (3L, "c", "g2"))) !== ref)
+    // null-position sentinel: ("a", null) and (null, "a") must NOT
+    // collide (a bare concat_ws would join both to "a")
+    val nulls = Seq((Some("a"), None: Option[String]), (None: Option[String], Some("a")))
+      .toDF("x", "y")
+      .select(Audit.rowSignature(Seq(col("x"), col("y"))).as("sig"))
+    assert(nulls.distinct().count() === 2L)
+  }
+
+  test("joinSizeAudit: exact per-key products, topK cap, total = real join size") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")   // 3 is unmatched
+    val right = Seq(1L, 1L, 2L, 2L, 2L, 2L, 2L, 4L).toDF("k") // 4 unmatched
+    val out = Audit.joinSizeAudit(left, "k", right, "k", 1)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // topK=1 keeps only key 1 (3·2=6 beats 1·5=5); the total row still
+    // sums ALL matched keys and equals the materialized join size
+    val real = left.join(right, "k").count()
+    assert(real === 11L)
+    assert(out === Set((Some(1L), 3L, 2L, 6L), (None, 4L, 7L, 11L)))
+  }
+
+  test("resolveEntities: dup collapse + fuzzy merge, blocking bounds recall") {
+    val recs = Seq(
+      (11L, "acme corp"), (10L, "acme corp"),  // exact dups (min id 10)
+      (12L, "acme corpx"),                     // edit distance 1 → merges
+      (20L, "zenith ltd"),                     // singleton
+      (30L, "beta one"), (31L, "zeta one"))    // distance 1 but different
+                                               // blocks → NOT merged
+    val out = Linkage.resolveEntities(recs.toDF("rec_id", "rec_name"),
+        "rec_id", "rec_name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((10L, 3L, "acme corp"), (20L, 1L, "zenith ltd"),
+      (30L, 1L, "beta one"), (31L, 1L, "zeta one")))
   }
 
   test("kAnonymity census and kSuppress star small QI groups") {

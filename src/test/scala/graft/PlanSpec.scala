@@ -384,6 +384,36 @@ class PlanSpec extends SparkSpec {
       s"stats join back must be keyed:\n$plan")
   }
 
+  test("dataset fingerprint: one constant-state shuffle with map-side partials") {
+    val plan = explain("q_dataset_fingerprint")
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"fingerprint should shuffle once (the rollup agg), state is constant-size:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"fingerprint combiners must partial-aggregate map-side:\n$plan")
+  }
+
+  test("join-size audit: count tables join keyed, raw payload never joins") {
+    val plan = explain("q_join_size_audit")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"audit must never plan a cartesian:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-key counts must combine map-side BEFORE any join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"),
+      s"count⋈count must be a keyed join:\n$plan")
+  }
+
+  test("entity resolution: label and survivorship joins keyed, no cartesian") {
+    val plan = explain("er_resolve")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"er_resolve must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"),
+      s"record→entity label join must be keyed:\n$plan")
+  }
+
   test("count-min build shuffles only sketch-sized state (map-side partial counts)") {
     val items = Tables.load(spark, sfDir, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
