@@ -2603,6 +2603,43 @@ object Oracles {
        |SELECT term, CAST(n AS BIGINT) AS n, CAST(n_total AS BIGINT) AS n_total
        |FROM tc CROSS JOIN nq WHERE n * $HhDenom > n_total""".stripMargin
 
+  /** KMV pairwise set-algebra twin: replay each year's k-smallest
+    * distinct hash set, then per year pair the k smallest of the union
+    * (M), the both-sides member count c, and the same exact-int64
+    * estimate formulas ([[qKmvUnion]]'s order-statistic estimator,
+    * c·union_est // |M| intersection, c·10^6 // |M| Jaccard ppm).
+    */
+  def qKmvIntersect: String = {
+    val h = hex8Expr(s"('$KmvSalt:' || CAST(o_custkey AS VARCHAR))")
+    s"""WITH hv AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y,
+       |    CAST($h AS BIGINT) AS h FROM orders),
+       |sa AS (SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn
+       |  FROM hv),
+       |sk AS (SELECT y, h FROM sa WHERE rn <= $KmvK),
+       |ys AS (SELECT DISTINCT y FROM sk),
+       |pr AS (SELECT a.y AS ya, b.y AS yb FROM ys a JOIN ys b ON a.y < b.y),
+       |und AS (SELECT DISTINCT pr.ya, pr.yb, sk.h FROM pr
+       |  JOIN sk ON sk.y = pr.ya OR sk.y = pr.yb),
+       |rk AS (SELECT ya, yb, h,
+       |    row_number() OVER (PARTITION BY ya, yb ORDER BY h) AS rn FROM und),
+       |m AS (SELECT ya, yb, h, rn FROM rk WHERE rn <= $KmvK),
+       |st AS (SELECT ya, yb, CAST(count(*) AS BIGINT) AS kk,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS hk FROM m GROUP BY ya, yb),
+       |cm AS (SELECT m.ya, m.yb, CAST(count(*) AS BIGINT) AS c FROM m
+       |  JOIN sk a ON a.y = m.ya AND a.h = m.h
+       |  JOIN sk b ON b.y = m.yb AND b.h = m.h
+       |  GROUP BY m.ya, m.yb),
+       |est AS (SELECT st.ya, st.yb, st.kk, coalesce(cm.c, 0) AS c,
+       |    CAST(CASE WHEN st.kk < $KmvK THEN st.kk
+       |      ELSE ((${KmvK - 1} * 4294967296) // (st.hk + 1)) END AS BIGINT)
+       |      AS union_est
+       |  FROM st LEFT JOIN cm ON cm.ya = st.ya AND cm.yb = st.yb)
+       |SELECT ya AS grp_a, yb AS grp_b, union_est,
+       |  CAST((c * union_est) // kk AS BIGINT) AS intersect_est,
+       |  CAST((c * 1000000) // kk AS BIGINT) AS jaccard_ppm
+       |FROM est""".stripMargin
+  }
+
   /** 60-bit signature of an md5 over column `c`: Horner fold of the first
     * 15 hex digits (== Spark's conv(substring(md5(c),1,15),16,10)).
     */

@@ -241,6 +241,9 @@ object Params {
   // join-size audit: heaviest keys reported alongside the total row
   val AuditTopK = 20
 
+  // fingerprint merge: the incremental-batch split point on l_shipdate
+  val FpMergeCut = "1995-06-01 00:00:00"
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

@@ -1117,6 +1117,29 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       Audit.joinSizeAudit(li, "l_partkey", li, "l_partkey", AuditTopK)
     }),
+    "q_fingerprint_merge" -> ((s, dir) => {
+      // mergeable-fingerprint algebra: fingerprint two disjoint shipdate
+      // halves independently, merge the STATES — must equal the full
+      // recompute (the oracle IS the full recompute, like etl_scd2_merge)
+      val li = t(s, dir, "lineitem")
+      val cut = ts(FpMergeCut)
+      val cols = Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), cents(col("l_extendedprice")),
+        col("l_shipdate").cast("date"))
+      Audit.mergeFingerprints(
+        Audit.datasetFingerprint(li.filter(col("l_shipdate") < cut),
+          "l_returnflag", cols),
+        Audit.datasetFingerprint(li.filter(col("l_shipdate") >= cut),
+          "l_returnflag", cols))
+    }),
+    "q_kmv_intersect" -> ((s, dir) =>
+      // sketch set algebra, completed: pairwise union/intersection/
+      // Jaccard estimates across the per-year custkey sketches — from
+      // sketch state alone, never rescanning orders
+      operators.Sketches.kmvIntersect(
+        operators.Sketches.kmvSketch(t(s, dir, "orders"),
+          year(col("o_orderdate")).cast("long"), "yearkey",
+          col("o_custkey"), KmvK, KmvSalt), "yearkey", "hs", KmvK)),
     "er_resolve" -> ((s, dir) => {
       // entity resolution E2E on a synthesized dirty registry: every
       // part is a base record, every ErTwinMod-th part adds a twin with
@@ -1632,7 +1655,10 @@ object SparkEntry {
     "q_kll_quantiles" -> Oracles.qKllQuantiles,
     "q_kll_union" -> Oracles.qKllUnion,
     "q_dataset_fingerprint" -> Oracles.qDatasetFingerprint,
+    // the merge's oracle IS the full recompute — merged state must equal it
+    "q_fingerprint_merge" -> Oracles.qDatasetFingerprint,
     "q_join_size_audit" -> Oracles.qJoinSizeAudit,
+    "q_kmv_intersect" -> Oracles.qKmvIntersect,
     "er_resolve" -> Oracles.erResolve,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,

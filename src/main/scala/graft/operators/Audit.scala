@@ -52,6 +52,36 @@ object Audit {
         min(col("sig")).as("min_sig"),
         max(col("sig")).as("max_sig"))
 
+  /** Exact merge of two [[datasetFingerprint]] outputs: the fingerprint
+    * of A ∪ B from the fingerprints of A and B alone — every combiner
+    * is commutative AND associative (n adds, xor xors, sum adds mod
+    * 2^60, min/max fold), so fingerprints are mergeable state like the
+    * KMV/quantile sketches. That makes incremental copy-validation one
+    * tiny merge per batch instead of a full rescan: fingerprint each
+    * day's increment, fold it into the standing fingerprint, compare
+    * against the other side's.
+    *
+    * Groups join null-safely (the rollup total row has a NULL grp and
+    * must merge with its twin); a group present on one side only passes
+    * through with the other side's identities (0, 0, 0, null, null).
+    */
+  def mergeFingerprints(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("grp").as("grp_a"), col("n_rows").as("n_a"),
+      col("xor_sig").as("x_a"), col("sum_sig").as("s_a"),
+      col("min_sig").as("mn_a"), col("max_sig").as("mx_a"))
+    val r = b.select(col("grp").as("grp_b"), col("n_rows").as("n_b"),
+      col("xor_sig").as("x_b"), col("sum_sig").as("s_b"),
+      col("min_sig").as("mn_b"), col("max_sig").as("mx_b"))
+    l.join(r, col("grp_a") <=> col("grp_b"), "full_outer")
+      .select(coalesce(col("grp_a"), col("grp_b")).as("grp"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_rows"),
+        expr("coalesce(x_a, 0L) ^ coalesce(x_b, 0L)").as("xor_sig"),
+        pmod(coalesce(col("s_a"), lit(0L)) + coalesce(col("s_b"), lit(0L)),
+          lit(SigModulus)).as("sum_sig"),
+        least(col("mn_a"), col("mn_b")).as("min_sig"),
+        greatest(col("mx_a"), col("mx_b")).as("max_sig"))
+  }
+
   /** Exact join-output cardinality and skew profile WITHOUT running the
     * join: per-key counts on both sides, one tiny count⋈count join,
     * out_rows = left_rows · right_rows per key. Returns the `topK`

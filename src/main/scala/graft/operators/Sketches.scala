@@ -168,6 +168,40 @@ object Sketches {
     n.crossJoin(est)
   }
 
+  /** KMV set algebra, completed: for every PAIR of stored sketches
+    * (grp_a < grp_b), the union, intersection, and Jaccard estimates —
+    * purely from sketch state, never rescanning the base data. Per
+    * pair: M = the k smallest hashes of S_a ∪ S_b (which IS the union's
+    * KMV sketch, exactly — see [[kmvUnion]]); c = |M ∩ S_a ∩ S_b|
+    * counts M's members seen by BOTH sides; then Jaccard ≈ c/|M| (the
+    * classic KMV ratio estimator) and ∩-est = c·union_est div |M|, all
+    * in exact int64 (ppm for the ratio). When the union holds fewer
+    * than k distinct hashes every number is EXACT — M is the whole
+    * union — and the same formulas degrade to exact counts.
+    *
+    * The pair join is over the SKETCH table (one row per group,
+    * ≤ k longs each), so its cost is groups²·k — independent of data
+    * size; that is the point of sketch algebra at 100 TB: answer every
+    * pairwise set question from per-partition state built in one pass.
+    * Output: `(grp_a, grp_b, union_est, intersect_est, jaccard_ppm)`.
+    */
+  def kmvIntersect(sketches: DataFrame, as: String, hsCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val a = sketches.select(col(as).as("grp_a"), col(hsCol).as("hs_a"))
+    val b = sketches.select(col(as).as("grp_b"), col(hsCol).as("hs_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("m", slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, k))
+      .withColumn("kk", size(col("m")).cast("long"))
+      .withColumn("c", size(array_intersect(col("m"),
+        array_intersect(col("hs_a"), col("hs_b")))).cast("long"))
+      .withColumn("union_est", when(col("kk") < k, col("kk"))
+        .otherwise(expr(s"((${k - 1}L * 4294967296L) div (element_at(m, $k) + 1L))")))
+      .select(col("grp_a"), col("grp_b"), col("union_est"),
+        expr("(c * union_est) div kk").as("intersect_est"),
+        expr("(c * 1000000L) div kk").as("jaccard_ppm"))
+  }
+
   /** Percentile estimates from an equi-width histogram over a LONG
     * measure: bucket counts in one scan (groupBy on the floor-div
     * bucket, sketch-sized state), then for each p in `ps` the estimate

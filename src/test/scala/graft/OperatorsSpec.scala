@@ -1794,6 +1794,48 @@ class OperatorsSpec extends SparkSpec {
       (30L, 1L, "beta one"), (31L, 1L, "zeta one")))
   }
 
+  test("mergeFingerprints(fp(A), fp(B)) equals fp(A ∪ B), incl. one-sided groups") {
+    val cols = Seq(col("id"), col("v"))
+    def fp(rows: Seq[(Long, String, String)]) =
+      Audit.datasetFingerprint(rows.toDF("id", "v", "grp"), "grp", cols)
+    val a = Seq((1L, "a", "g1"), (2L, "b", "g1"), (5L, "e", "g2"))
+    val b = Seq((3L, "c", "g2"), (4L, "d", "g3")) // g1 absent, g3 new
+    val merged = Audit.mergeFingerprints(fp(a), fp(b))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val full = fp(a ++ b)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(merged === full)
+    assert(merged.size === 4) // g1, g2, g3, rollup total
+  }
+
+  test("kmvIntersect: exact under k, estimator consistent over k") {
+    // both groups under k ⇒ M is the whole union and every number exact:
+    // |A|=40, |B|=40, |A∪B|=60, |A∩B|=20, jaccard = 20/60
+    val small = ((1 to 40).map(i => ("a", i.toLong))
+      ++ (21 to 60).map(i => ("b", i.toLong))).toDF("g", "v")
+    val sk = Sketches.kmvSketch(small, col("g"), "g", col("v"), 64, "t")
+    val ex = Sketches.kmvIntersect(sk, "g", "hs", 64).collect().head
+    assert((ex.getString(0), ex.getString(1)) === (("a", "b")))
+    assert(ex.getLong(2) === 60L)      // union exact
+    assert(ex.getLong(3) === 20L)      // intersection exact
+    assert(ex.getLong(4) === 333333L)  // (20·10^6) div 60
+    // far over k: 5000 ∪ 5000 with 2500 shared — ±40% on each estimate
+    // is generous over the 1/√64 = 12.5% 1σ and deterministic for this
+    // fixed data + salt, so the bound can't flake
+    val big = ((1 to 5000).map(i => ("a", i.toLong))
+      ++ (2501 to 7500).map(i => ("b", i.toLong))).toDF("g", "v")
+    val est = Sketches.kmvIntersect(
+      Sketches.kmvSketch(big, col("g"), "g", col("v"), 64, "t"), "g", "hs", 64)
+      .collect().head
+    val (u, i, j) = (est.getLong(2), est.getLong(3), est.getLong(4))
+    assert(u > 4500L && u < 10500L, s"union estimate $u far from 7500")
+    assert(i > 1000L && i < 4000L, s"intersect estimate $i far from 2500")
+    assert(j > 150000L && j < 550000L, s"jaccard ppm $j far from 333333")
+    assert(i <= u && j <= 1000000L)
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
