@@ -24,6 +24,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("retrieval")) { retrieval(spark, args); spark.stop(); return }
     if (args.headOption.contains("prefix")) { prefixProbe(spark, args); spark.stop(); return }
+    if (args.headOption.contains("er")) { erProbe(spark); spark.stop(); return }
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val iters = args.lift(1).map(_.toInt).getOrElse(graft.Params.BpeMerges)
     // n pseudo-words, 4–12 chars of hex (truncation collisions collapse
@@ -89,6 +90,45 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"prefix","corpus":"$name","n_docs":$nDocs,"vocab_shingles":$vocabSize,"cand_rows":$candRows,"pairs":$pairs,"secs":$secs%.2f}""")
     }
+  }
+
+  /** `probe=er`: measure WHY entity resolution collapses exact
+    * duplicates before fuzzy matching. On the er_resolve registry
+    * (part names + truncated twins) at the env SF dir, count the
+    * blocked candidate pairs and the levenshtein edges at RECORD level
+    * (what a naive blocked matcher joins) vs NAME level (what
+    * [[operators.Linkage.resolveEntities]] joins after the collapse).
+    * Power-law name multiplicity means record-level edge counts grow as
+    * Σ C(m_i, 2) cliques — quadratic in per-name multiplicity — while
+    * the name level is bounded by distinct names alone.
+    */
+  private def erProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val part = Tables.load(spark, sfDir, "part")
+    val recs = part.select((col("p_partkey") * 2).as("rid"), col("p_name").as("name"))
+      .unionByName(part.where(col("p_partkey") % Params.ErTwinMod === 0)
+        .select((col("p_partkey") * 2 + 1).as("rid"),
+          expr("substring(p_name, 1, length(p_name) - 1)").as("name")))
+      .localCheckpoint(true)
+    val names = recs.groupBy(col("name")).agg(min(col("rid")).as("rid"))
+      .select(col("rid"), col("name")).localCheckpoint(true)
+    def counts(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val b = d.select(col("rid"), col("name"),
+        substring_index(col("name"), " ", 1).as("bk"))
+      val cand = b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.rid") < col("b.rid") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= Params.ErMaxDist)
+      (cand.count(),
+        cand.where(levenshtein(col("a.name"), col("b.name")) <= Params.ErMaxDist).count())
+    }
+    val (rc, re) = counts(recs)
+    val (nc, ne) = counts(names)
+    val t0 = System.nanoTime()
+    val ents = operators.Linkage.resolveEntities(recs, "rid", "name",
+      Params.ErMaxDist).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"er","n_records":${recs.count()},"n_names":${names.count()},"record_cand":$rc,"record_edges":$re,"name_cand":$nc,"name_edges":$ne,"entities":$ents,"resolve_secs":$secs%.2f}""")
   }
 
   /** `probe=retrieval [r]`: replicate the sf0.01 documents r× (worst-case
