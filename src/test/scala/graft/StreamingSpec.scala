@@ -474,4 +474,54 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(fin === Set((2L, "b2"), (3L, "c2")))
   }
+
+  test("streaming near-dup: batch parity, first-claimant pairing, state eviction") {
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    val near = "spark shuffles the partitions and sorts each group by key before merging output"
+    val far = "completely different words about gardens flowers bees and honey production"
+    val far2 = "unrelated second filler text that keeps the watermark moving along nicely here"
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = stream.toDS().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "10 minutes")
+    val q = DedupStream.nearDupCandidates(docs, "doc_id", "text", "ts",
+        horizonMs = 3600000L)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    def pairs(): Set[(Long, Long)] = spark.table("neardup_stream")
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // batch 1: near pair (1,2) in-batch + a disjoint doc
+      stream.addData((1L, near, ts("2024-01-01 00:00:00")),
+        (2L, near + " tail", ts("2024-01-01 00:00:30")),
+        (3L, far, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // streaming pairs == the batch twin's candidates on the same docs
+      val batchPairs = graft.operators.Dedup.minhashCandidates(
+          Seq((1L, near), (2L, near + " tail"), (3L, far)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs() === batchPairs && batchPairs === Set((1L, 2L)))
+      // batch 2: cross-batch near-dup pairs with the FIRST claimant (1)
+      stream.addData((4L, near + " more", ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (1L, 4L)))
+      // batches 3+4: move the watermark past the horizon (claims from
+      // 00:05 time out at 01:05; watermark reaches 09:50), firing evictions
+      stream.addData((6L, far2, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      stream.addData((7L, "entirely separate topic covering ovens bread flour yeast and baking times", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // batch 5: a new near-dup arrives AFTER eviction — no pair against
+      // doc 1 (its claims are gone); doc 5 re-claims the bands fresh
+      stream.addData((5L, near + " late", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (1L, 4L)))
+      // batch 6: the NEXT near-dup pairs with the new claimant, not doc 1
+      stream.addData((8L, near + " newest", ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (1L, 4L), (5L, 8L)))
+    } finally q.stop()
+  }
 }
