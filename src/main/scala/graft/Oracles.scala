@@ -2640,6 +2640,54 @@ object Oracles {
        |FROM est""".stripMargin
   }
 
+  /** Correlation-matrix twin, generated from the same measure list as
+    * the Spark side: DuckDB's sum(BIGINT) accumulates in HUGEINT (exact
+    * like the Spark DECIMAL(38,0) sums); the final divide/sqrt run in
+    * double where both engines are correctly-rounded IEEE, then
+    * round(_, 4).
+    */
+  def qCorrMatrix: String = {
+    val vars = Seq(
+      "qty" -> "CAST(FLOOR(l_quantity) AS BIGINT)",
+      "price_cents" -> "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)",
+      "disc_ppm" -> "CAST(FLOOR(l_discount * 1000000) AS BIGINT)",
+      "tax_ppm" -> "CAST(FLOOR(l_tax * 1000000) AS BIGINT)")
+    val names = vars.map(_._1)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val sums = (names.map(n => s"sum(CAST($n AS HUGEINT)) AS s_$n")
+      ++ names.map(n => s"sum(CAST($n AS HUGEINT) * $n) AS ss_$n")
+      ++ pairs.map { case (a, b) => s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" })
+      .mkString(",\n  ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS var_a, '$b' AS var_b,
+         |  round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |    sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE) *
+         |         CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 4) AS corr FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT ${vars.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+       |  FROM lineitem),
+       |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |  $sums FROM m)
+       |$rows""".stripMargin
+  }
+
+  /** Exactly-K weighted sample twin: the same salted-hash uniform and
+    * ln(u)/w A-ES priority, per-source top-K by (priority DESC, id).
+    */
+  def sampleTopkWeighted: String = {
+    val h = hex8Expr(s"('$WkSalt:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH w AS (SELECT doc_id, source,
+       |    CAST(length(text) AS BIGINT) AS wt,
+       |    (CAST($h AS BIGINT) + 1) / 4294967296.0 AS u
+       |  FROM documents),
+       |p AS (SELECT source, doc_id, wt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ln(u) / wt DESC, doc_id) AS rn FROM w)
+       |SELECT source, doc_id, wt FROM p WHERE rn <= $WkK""".stripMargin
+  }
+
   /** 60-bit signature of an md5 over column `c`: Horner fold of the first
     * 15 hex digits (== Spark's conv(substring(md5(c),1,15),16,10)).
     */

@@ -244,6 +244,10 @@ object Params {
   // fingerprint merge: the incremental-batch split point on l_shipdate
   val FpMergeCut = "1995-06-01 00:00:00"
 
+  // exactly-K weighted sampling: per-source budget and draw salt
+  val WkK = 20
+  val WkSalt = "wk"
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

@@ -1117,6 +1117,22 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       Audit.joinSizeAudit(li, "l_partkey", li, "l_partkey", AuditTopK)
     }),
+    "q_corr_matrix" -> ((s, dir) =>
+      // one-pass pairwise Pearson over four exact-integer lineitem
+      // measures: all moments in DECIMAL(38,0), the only doubles are
+      // correctly-rounded IEEE steps shared by both engines
+      Sketches.corrMatrix(t(s, dir, "lineitem"), Seq(
+        "qty" -> floor(col("l_quantity")),
+        "price_cents" -> cents(col("l_extendedprice")),
+        "disc_ppm" -> floor(col("l_discount") * lit(1000000.0)),
+        "tax_ppm" -> floor(col("l_tax") * lit(1000000.0))))),
+    "sample_topk_weighted" -> ((s, dir) =>
+      // exactly-K quality-weighted sample per source (A-ES): the
+      // fixed-budget counterpart of sample_weighted's per-row rates
+      Sampling.weightedK(t(s, dir, "documents"), Seq(col("source")),
+          col("doc_id"), length(col("text")), WkK, WkSalt)
+        .select(col("source"), col("doc_id"),
+          length(col("text")).cast("long").as("wt"))),
     "q_fingerprint_merge" -> ((s, dir) => {
       // mergeable-fingerprint algebra: fingerprint two disjoint shipdate
       // halves independently, merge the STATES — must equal the full
@@ -1654,6 +1670,8 @@ object SparkEntry {
     "q_kmv_union" -> Oracles.qKmvUnion,
     "q_kll_quantiles" -> Oracles.qKllQuantiles,
     "q_kll_union" -> Oracles.qKllUnion,
+    "q_corr_matrix" -> Oracles.qCorrMatrix,
+    "sample_topk_weighted" -> Oracles.sampleTopkWeighted,
     "q_dataset_fingerprint" -> Oracles.qDatasetFingerprint,
     // the merge's oracle IS the full recompute — merged state must equal it
     "q_fingerprint_merge" -> Oracles.qDatasetFingerprint,

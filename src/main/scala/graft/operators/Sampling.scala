@@ -99,6 +99,45 @@ object Sampling {
     df.withColumn("__srn", row_number().over(w)).filter(col("__srn") <= k).drop("__srn")
   }
 
+  /** Exactly-K weighted sample per stratum (Efraimidis–Spirtsis A-ES):
+    * each row draws the deterministic uniform u = (hash32(key)+1)/2³²
+    * and gets priority ln(u)/w — keeping the K LARGEST priorities per
+    * stratum is distributionally identical to sequential
+    * without-replacement draws ∝ w (the u^(1/w) key order, taken in log
+    * space so heavy weights damp toward 0 = the maximum). This is the
+    * fixed-BUDGET counterpart of [[weighted]] (per-row keep
+    * probability): "exactly K docs per source, quality-weighted" is the
+    * training-mixture contract.
+    *
+    * Determinism contract: u is the salted md5 hash (engine-portable,
+    * append-stable like [[split]]); the only non-integer step is
+    * ln(u)/w, whose cross-engine wobble is ≤1 ulp — it can reorder two
+    * priorities only if they agree to ~15 significant digits, which
+    * distinct 32-bit u draws don't do (ties on EQUAL (u, w) are broken
+    * by the key). Scale shape: one hash + one ln per row map-side, then
+    * the same per-stratum top-K window as [[stratifiedK]] — no global
+    * sort, skew bounded by stratum size (salt the stratum first if one
+    * stratum dominates).
+    *
+    * `weight` must be strictly positive (enforced in-plan: a zero or
+    * negative weight raises rather than silently sampling wrong).
+    */
+  def weightedK(df: DataFrame, strata: Seq[Column], key: Column,
+                weight: Column, k: Int, salt: String): DataFrame = {
+    require(k > 0, "weightedK: k must be positive")
+    val w = weight.cast("double")
+    val guarded = when(w > 0.0, w).otherwise(
+      raise_error(concat(lit("weightedK: non-positive weight for key "),
+        key.cast("string"))))
+    val u = (H.hash32(key, salt) + lit(1L)).cast("double") / lit(4294967296.0)
+    val pri = log(u) / guarded
+    val win = Window.partitionBy(strata: _*).orderBy(col("__wpri").desc, key)
+    df.withColumn("__wpri", pri)
+      .withColumn("__wrn", row_number().over(win))
+      .filter(col("__wrn") <= k)
+      .drop("__wpri", "__wrn")
+  }
+
   /** Deterministic train/val/test assignment: the salted 32-bit hash of
     * the key lands in one of the permille ranges — so the split is (a)
     * reproducible run-to-run and engine-to-engine, (b) DISJOINT and

@@ -168,6 +168,54 @@ object Sketches {
     n.crossJoin(est)
   }
 
+  /** Pairwise Pearson correlation matrix over integer measures in ONE
+    * pass: every Σx, Σx², Σxy accumulates in DECIMAL(38,0) (exact to
+    * ~10³⁸ — row counts × products of 10¹⁴ never reach it), and the
+    * final corr per pair divides the exact integer moments in double
+    * where every step (decimal→double cast, multiply, divide, sqrt) is
+    * correctly-rounded IEEE, so engines agree bit-for-bit before the
+    * round(_, 4). The n²-scaled identity (n·Σxy − Σx·Σy over
+    * √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))) never forms a mean, so there is no
+    * float summation anywhere — the q_stats_suite lesson applied to
+    * v(v−1)/2 pairs at once.
+    *
+    * Scale shape: one scan, one partial-aggregated Exchange of a single
+    * constant-size row (2v + v(v−1)/2 + 1 decimals), then the pair
+    * explode runs on that one row. Output: `(var_a, var_b, corr)`.
+    * Zero-variance measures yield NULL corr (the denominator is guarded
+    * before the divide — ANSI mode turns 0/0 into an error, not NaN),
+    * the conventional undefined-correlation answer.
+    */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.size >= 2, "corrMatrix needs at least two measures")
+    val names = vars.map(_._1)
+    require(names.distinct.size == names.size, "measure names must be unique")
+    val d = df.select(vars.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val aggs =
+      names.map(n => sum(dec(col(n))).as(s"s_$n")) ++
+      names.map(n => sum(dec(col(n) * col(n))).as(s"ss_$n")) ++
+      pairs.map { case (a, b) => sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") }
+    val g = d.agg(count(lit(1)).cast("decimal(38,0)").as("n"), aggs: _*)
+    def corr(a: String, b: String): Column = {
+      val num = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+      val dx = (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+      val dy = (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+      // guard BEFORE dividing: under ANSI mode x/0.0 raises rather than
+      // yielding NaN, and zero variance must mean NULL, not an error
+      val den = sqrt(dx * dy)
+      when(den > lit(0.0), round(num / den, 4)).otherwise(lit(null).cast("double"))
+    }
+    g.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("var_a"), lit(b).as("var_b"), corr(a, b).as("corr"))
+      }: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("p.corr").as("corr"))
+  }
+
   /** KMV set algebra, completed: for every PAIR of stored sketches
     * (grp_a < grp_b), the union, intersection, and Jaccard estimates —
     * purely from sketch state, never rescanning the base data. Per

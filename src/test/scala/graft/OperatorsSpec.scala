@@ -1836,6 +1836,47 @@ class OperatorsSpec extends SparkSpec {
     assert(i <= u && j <= 1000000L)
   }
 
+  test("corrMatrix: exact ±1 on linear measures, null on zero variance") {
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L),
+      (4L, 8L, -4L, 5L)).toDF("x", "y2", "yneg", "konst")
+    val out = Sketches.corrMatrix(df, Seq("x" -> col("x"), "y2" -> col("y2"),
+        "yneg" -> col("yneg"), "konst" -> col("konst")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(("x", "y2")) === Some(1.0))    // y = 2x
+    assert(out(("x", "yneg")) === Some(-1.0)) // y = -x
+    assert(out(("y2", "yneg")) === Some(-1.0))
+    assert(out(("x", "konst")) === None)      // zero variance → undefined
+    assert(out.size === 6)
+  }
+
+  test("weightedK: exact K per stratum, weights steer selection, bad weight raises") {
+    // stratum A: ids 1..50 at weight 1 plus ids 51..60 at weight 10000 —
+    // the heavy tier should sweep the K=5 sample (deterministic for this
+    // fixed salt; each heavy doc is ~10000× likelier per A-ES draw)
+    val rows = ((1 to 50).map(i => ("A", i.toLong, 1L))
+      ++ (51 to 60).map(i => ("A", i.toLong, 10000L))
+      ++ (61 to 70).map(i => ("B", i.toLong, 7L)))
+    val df = rows.toDF("src", "id", "w")
+    val out = operators.Sampling.weightedK(df, Seq(col("src")), col("id"),
+        col("w"), 5, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.count(_._1 == "A") === 5 && out.count(_._1 == "B") === 5)
+    assert(out.filter(_._1 == "A").forall(_._2 >= 51L),
+      s"heavy-weight tier should dominate stratum A: $out")
+    // rerun = identical sample (salted-hash determinism)
+    val again = operators.Sampling.weightedK(df, Seq(col("src")), col("id"),
+        col("w"), 5, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again === out)
+    val ex = intercept[Exception] {
+      operators.Sampling.weightedK(
+        Seq(("A", 1L, 0L)).toDF("src", "id", "w"),
+        Seq(col("src")), col("id"), col("w"), 5, "t").collect()
+    }
+    assert(ex.getMessage.contains("non-positive weight"))
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
