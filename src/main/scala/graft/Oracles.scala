@@ -2107,6 +2107,33 @@ object Oracles {
       |    (acc, x) -> (acc * 3 + x) // 4) AS BIGINT) AS ewma_cents
       |FROM idx CROSS JOIN a""".stripMargin
 
+  /** Holt twin: the (level, trend) recurrence replayed as a recursive
+    * CTE over the sorted series — one row per step, every column
+    * computed from the PREVIOUS row (a list_reduce struct accumulator
+    * was tried first and rejected: DuckDB mutates the accumulator
+    * field-by-field, so the trend expression saw the already-updated
+    * level). `//`/`div` truncate identically on the (possibly negative)
+    * trend intermediates.
+    */
+  def qHolt: String =
+    """WITH RECURSIVE m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT list(mkey ORDER BY mkey) AS ks,
+      |    list(total_cents ORDER BY mkey) AS xs, count(*) AS n FROM m),
+      |hw(i, l, b) AS (
+      |  SELECT 1, xs[1], CAST(0 AS BIGINT) FROM a
+      |  UNION ALL
+      |  SELECT hw.i + 1,
+      |    (xs[hw.i + 1] + 3*(hw.l + hw.b)) // 4,
+      |    (((xs[hw.i + 1] + 3*(hw.l + hw.b)) // 4) - hw.l + 3*hw.b) // 4
+      |  FROM hw CROSS JOIN a WHERE hw.i < a.n)
+      |SELECT CAST(ks[hw.i] AS BIGINT) AS mkey,
+      |  CAST(xs[hw.i] AS BIGINT) AS total_cents,
+      |  CAST(hw.l AS BIGINT) AS level_cents, CAST(hw.b AS BIGINT) AS trend_cents,
+      |  CAST(hw.l + hw.b AS BIGINT) AS forecast_cents
+      |FROM hw CROSS JOIN a""".stripMargin
+
   def eventsNewUsers: String =
     """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
@@ -2482,6 +2509,34 @@ object Oracles {
         s"((((o_orderkey % 65536) >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" + ")
     s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM orders"
+  }
+
+  /** Skipping-audit twin: same Morton interleave, same total-order file
+    * assignment (row_number replays the distributed globalRank), same
+    * per-file min/max prune logic for both layouts.
+    */
+  def qSkippingAudit: String = {
+    val zterms = (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    def layout(name: String, ord: String): String =
+      s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN max_y < $SkipYLo OR min_y > $SkipYHi THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+         |  CAST(sum(CASE WHEN max_y < $SkipYLo OR min_y > $SkipYHi THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
+         |  CAST(sum(CASE WHEN max_y < $SkipYLo OR min_y > $SkipYHi THEN n_match ELSE 0 END) AS BIGINT) AS matched_in_skipped
+         |FROM (SELECT file_id, count(*) AS n_rows, min(y) AS min_y, max(y) AS max_y,
+         |    sum(CASE WHEN y BETWEEN $SkipYLo AND $SkipYHi THEN 1 ELSE 0 END) AS n_match
+         |  FROM (SELECT y, ((row_number() OVER (ORDER BY $ord, k) - 1) * $SkipFiles) // nn AS file_id
+         |    FROM z CROSS JOIN n)
+         |  GROUP BY file_id)""".stripMargin
+    s"""WITH b AS (SELECT o_custkey % 65536 AS x, o_orderkey % 65536 AS y,
+       |    o_orderkey AS k FROM orders),
+       |n AS (SELECT count(*) AS nn FROM b),
+       |z AS (SELECT x, y, k, CAST($zterms AS BIGINT) AS zo FROM b)
+       |${layout("zorder", "zo")}
+       |UNION ALL
+       |${layout("linear", "x")}""".stripMargin
   }
 
   /** Profile census: one UNION ALL branch per profiled column, each

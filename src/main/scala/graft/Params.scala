@@ -248,6 +248,12 @@ object Params {
   val WkK = 20
   val WkSalt = "wk"
 
+  // skipping audit: file count and the y-band predicate (a 1/16 slice
+  // of the 16-bit y space — the secondary-dimension query shape)
+  val SkipFiles = 64
+  val SkipYLo = 8192L
+  val SkipYHi = 12287L
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

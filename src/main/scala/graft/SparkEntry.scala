@@ -300,6 +300,18 @@ object SparkEntry {
       operators.TimeSeries.seasonalBaseline(monthly, 12)
     }),
 
+    "q_holt" -> ((s, dir) =>
+      // Holt double smoothing over the monthly revenue series — level +
+      // trend + one-step forecast, exact-integer (TimeSeries.holtSmooth)
+      operators.TimeSeries.holtSmooth(
+        t(s, dir, "orders")
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("total_cents")),
+        "mkey", "total_cents")
+        .withColumnRenamed("level", "level_cents")
+        .withColumnRenamed("trend", "trend_cents")
+        .withColumnRenamed("forecast", "forecast_cents")),
     "q_ewma" -> ((s, dir) => {
       // integer exponential smoothing (α = 1/4): the recurrence
       // s' = (3s + x) div 4 folds over the SORTED monthly series — a
@@ -1246,6 +1258,13 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderkey"),
         operators.Layout.zValue(col("o_custkey") % 65536, col("o_orderkey") % 65536)
           .as("zval"))),
+    "q_skipping_audit" -> ((s, dir) =>
+      // the measured payoff of the Z-order layout: per-file min/max
+      // stats vs a y-band predicate, zorder vs linear-on-x layouts;
+      // matched_in_skipped must be 0 (min/max pruning never lies)
+      operators.Layout.skippingAudit(t(s, dir, "orders"),
+        col("o_custkey") % 65536, col("o_orderkey") % 65536,
+        col("o_orderkey"), SkipFiles, 16, SkipYLo, SkipYHi)),
     "q_triangles" -> ((s, dir) => {
       // per-part triangle counts over the "parts bought together" graph;
       // degree orientation bounds the wedge fan-out (operators.Triangles)
@@ -1607,6 +1626,7 @@ object SparkEntry {
     "q_moving_avg" -> Oracles.qMovingAvg,
     "q_rolling_median" -> Oracles.qRollingMedian,
     "q_ewma" -> Oracles.qEwma,
+    "q_holt" -> Oracles.qHolt,
     "q_acf" -> Oracles.qAcf,
     "q_seasonal" -> Oracles.qSeasonal,
     "q_cusum" -> Oracles.qCusum,
@@ -1671,6 +1691,7 @@ object SparkEntry {
     "q_kll_quantiles" -> Oracles.qKllQuantiles,
     "q_kll_union" -> Oracles.qKllUnion,
     "q_corr_matrix" -> Oracles.qCorrMatrix,
+    "q_skipping_audit" -> Oracles.qSkippingAudit,
     "sample_topk_weighted" -> Oracles.sampleTopkWeighted,
     "q_dataset_fingerprint" -> Oracles.qDatasetFingerprint,
     // the merge's oracle IS the full recompute — merged state must equal it

@@ -31,6 +31,57 @@ object Layout {
     terms.reduce(_ + _).cast("long")
   }
 
+  /** Data-skipping audit — the measured PAYOFF of [[zValue]] layout: for
+    * each of two layouts of the same rows (`zorder` on the Morton value,
+    * `linear` sorted by x alone), assign rows to `files` equal-size
+    * files in layout order, collect per-file min/max stats on y, and
+    * report how many files a y-band predicate `[yLo, yHi]` can skip on
+    * stats alone, plus the rows the surviving files must scan.
+    *
+    * This is the secondary-dimension query that motivates Z-order: a
+    * linear-on-x layout leaves every file spanning the full y range
+    * (zero skips), while the Morton layout fixes the top y bits within
+    * each contiguous Z-range, so ~(1 − band/2^t) of files prune. File
+    * assignment uses [[GlobalRank.globalRank]] (range-partition +
+    * per-partition offsets — never a single-partition window) with
+    * `keyCol` as the unique tiebreak so the assignment is total-order
+    * deterministic and engine-replayable. `matched_in_skipped` is the
+    * audit's own correctness witness: rows matching the predicate
+    * inside skipped files — MUST be 0 by construction of min/max
+    * pruning (spec-pinned).
+    *
+    * Output: one row per layout `(layout, n_files, files_skipped,
+    * rows_scanned, rows_matched, matched_in_skipped)`.
+    */
+  def skippingAudit(df: DataFrame, xCol: Column, yCol: Column, keyCol: Column,
+                    files: Int, bits: Int, yLo: Long, yHi: Long): DataFrame = {
+    require(files > 0 && yLo <= yHi)
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+      keyCol.cast("long").as("k"))
+    // one bounded scalar: file boundaries need the total row count (the
+    // same O(1) driver-side action globalRank itself performs)
+    val n = base.count()
+    require(n > 0, "skippingAudit: empty input")
+    val matched = (c: Column) => c >= yLo && c <= yHi
+    def audit(name: String, ord: Column): DataFrame =
+      GlobalRank.globalRank(base.withColumn("__ord", ord),
+          Seq(col("__ord").asc, col("k").asc))
+        .withColumn("file_id", expr(s"((grank - 1) * $files) div ${n}L"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"), min(col("y")).as("min_y"),
+          max(col("y")).as("max_y"),
+          sum(when(matched(col("y")), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("skipped", col("max_y") < yLo || col("min_y") > yHi)
+        .agg(lit(name).as("layout"),
+          count(lit(1)).as("n_files"),
+          sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
+          sum(when(!col("skipped"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("n_match")).as("rows_matched"),
+          sum(when(col("skipped"), col("n_match")).otherwise(0L)).as("matched_in_skipped"))
+    audit("zorder", zValue(col("x"), col("y"), bits))
+      .unionByName(audit("linear", col("x")))
+  }
+
   /** Rewrite `df` Z-ordered on (xCol, yCol): range-partition by the
     * Z-value (each output file owns a contiguous Z-range = a small 2-D
     * bounding box) and sort within partitions so row-group stats are

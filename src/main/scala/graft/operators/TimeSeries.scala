@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Holt double exponential smoothing (α = β = 1/4), exact-integer:
+    * `l' = (x + 3(l+b)) div 4`, `b' = (l' − l + 3b) div 4`, initialized
+    * at (x₀, 0). Same bounded array-fold shape as the EWMA query: the
+    * series collects to one sorted array post-aggregate, the sequential
+    * recurrence runs inside `aggregate(...)` per prefix, and every
+    * intermediate is exact int64 (Spark `div` and DuckDB `//` truncate
+    * identically, which matters because the trend goes negative).
+    * Input: one row per period `(keyCol, valCol)` — already aggregated;
+    * values must be non-negative (a −1 sentinel marks the fold's seed,
+    * the same convention as the EWMA query).
+    * Output: `(keyCol, valCol, level, trend, forecast)`.
+    */
+  def holtSmooth(series: DataFrame, keyCol: String, valCol: String): DataFrame =
+    series
+      .agg(array_sort(collect_list(struct(col(keyCol).as("k"), col(valCol).as("v"))))
+        .as("series"))
+      .select(col("series"), posexplode(col("series")))
+      .select(col("col.k").as(keyCol), col("col.v").as(valCol),
+        expr("aggregate(slice(series, 1, pos + 1), " +
+          "named_struct('l', -1L, 'b', 0L), (acc, r) -> " +
+          "if(acc.l < 0L, named_struct('l', r.v, 'b', 0L), " +
+          "named_struct('l', (r.v + 3L*(acc.l + acc.b)) div 4L, " +
+          "'b', (((r.v + 3L*(acc.l + acc.b)) div 4L) - acc.l " +
+          "+ 3L*acc.b) div 4L)))").as("h"))
+      .select(col(keyCol), col(valCol),
+        col("h.l").as("level"), col("h.b").as("trend"),
+        (col("h.l") + col("h.b")).as("forecast"))
+
   /** Autocorrelation at lags 1..maxLag of an integer series, exact to
     * the last bit: with S = Σx and n rows, n²(x_t−x̄)(x_{t+k}−x̄) =
     * (n·x_t−S)(n·x_{t+k}−S), so numerator and denominator are exact

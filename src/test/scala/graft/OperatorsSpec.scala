@@ -1877,6 +1877,43 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-positive weight"))
   }
 
+  test("skippingAudit: zorder prunes the y-band, linear cannot, pruning never lies") {
+    // 64×64 grid, 16 files of 256 rows each; predicate = one 8-row y band
+    val grid = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64, i.toLong))
+      .toDF("x", "y", "k")
+    val out = operators.Layout.skippingAudit(grid, col("x"), col("y"),
+        col("k"), files = 16, bits = 6, yLo = 16L, yHi = 23L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (zf, zskip, zscan, zmatch, zbad) = out("zorder")
+    val (lf, lskip, lscan, lmatch, lbad) = out("linear")
+    assert(zf === 16L && lf === 16L)
+    // row-major y means linear-on-x interleaves all y values through
+    // every file: nothing prunes; the Morton layout keeps y-locality
+    assert(lskip === 0L && lscan === 4096L)
+    assert(zskip > 0L && zscan < 4096L)
+    // same query answer from both layouts, and min/max pruning NEVER
+    // skips a file containing a match
+    assert(zmatch === 512L && lmatch === 512L)
+    assert(zbad === 0L && lbad === 0L)
+  }
+
+  test("holtSmooth: hand-computed truncating recurrence, constant series is a fixpoint") {
+    // [100, 200, 300]: l₁=100 b₁=0; l₂=(200+300)div4=125, b₂=25div4=6;
+    // l₃=(300+3·131)div4=173, b₃=(48+18)div4=16
+    val ramp = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "v")
+    val out = operators.TimeSeries.holtSmooth(ramp, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out === Seq((1L, 100L, 0L, 100L), (2L, 125L, 6L, 131L),
+      (3L, 173L, 16L, 189L)))
+    // constant series: level pins to the constant, trend stays 0
+    val const = (1 to 5).map(i => (i.toLong, 400L)).toDF("k", "v")
+    val c = operators.TimeSeries.holtSmooth(const, "k", "v")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(c === Set((400L, 0L)))
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")

@@ -414,6 +414,14 @@ class PlanSpec extends SparkSpec {
       s"record→entity label join must be keyed:\n$plan")
   }
 
+  test("correlation matrix: one constant-row shuffle, moments partial map-side") {
+    val plan = explain("q_corr_matrix")
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"corr matrix should shuffle exactly one constant-size row:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"moment sums must combine map-side:\n$plan")
+  }
+
   test("count-min build shuffles only sketch-sized state (map-side partial counts)") {
     val items = Tables.load(spark, sfDir, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
