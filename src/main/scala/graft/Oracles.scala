@@ -2134,6 +2134,50 @@ object Oracles {
       |  CAST(hw.l + hw.b AS BIGINT) AS forecast_cents
       |FROM hw CROSS JOIN a""".stripMargin
 
+  /** Holt–Winters twin: the (level, trend, seasonal[12]) recurrence as
+    * a recursive CTE with a LIST-typed seasonal state column — the
+    * per-step slot update is a list comprehension (list_transform has
+    * no index arg), every other convention identical to [[qHolt]].
+    */
+  def qHoltWinters: String =
+    """WITH RECURSIVE m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT list(mkey ORDER BY mkey) AS ks,
+      |    list(total_cents ORDER BY mkey) AS xs, count(*) AS n FROM m),
+      |hw(i, l, b, s) AS (
+      |  SELECT 1, xs[1], CAST(0 AS BIGINT), [0::BIGINT FOR j IN range(1, 13)] FROM a
+      |  UNION ALL
+      |  SELECT hw.i + 1,
+      |    (xs[hw.i + 1] - hw.s[(hw.i % 12) + 1] + 3*(hw.l + hw.b)) // 4,
+      |    (((xs[hw.i + 1] - hw.s[(hw.i % 12) + 1] + 3*(hw.l + hw.b)) // 4) - hw.l + 3*hw.b) // 4,
+      |    [CASE WHEN j = (hw.i % 12) + 1
+      |       THEN (xs[hw.i + 1] - ((xs[hw.i + 1] - hw.s[(hw.i % 12) + 1] + 3*(hw.l + hw.b)) // 4)
+      |             + 3*hw.s[(hw.i % 12) + 1]) // 4
+      |       ELSE hw.s[CAST(j AS INT)] END FOR j IN range(1, 13)]
+      |  FROM hw CROSS JOIN a WHERE hw.i < a.n)
+      |SELECT CAST(ks[hw.i] AS BIGINT) AS mkey, CAST(xs[hw.i] AS BIGINT) AS total_cents,
+      |  CAST(hw.l AS BIGINT) AS level_cents, CAST(hw.b AS BIGINT) AS trend_cents,
+      |  CAST(hw.s[((hw.i - 1) % 12) + 1] AS BIGINT) AS seasonal_cents,
+      |  CAST(hw.l + hw.b + hw.s[(hw.i % 12) + 1] AS BIGINT) AS forecast_cents
+      |FROM hw CROSS JOIN a""".stripMargin
+
+  /** chi2Drift twin: HUGEINT (int128) where Spark uses DECIMAL(38,0)
+    * for the squared term; the numerator is a square (non-negative), so
+    * `//` vs `div` agree regardless of rounding-direction convention.
+    */
+  def qDriftChi2: String =
+    s"""WITH o AS (SELECT year(o_orderdate) AS y, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS c FROM orders),
+       |r AS (SELECT c // ${Params.DriftBucketCents} AS bucket, count(*) AS n_ref FROM o WHERE y <= ${Params.DriftSplitYear} GROUP BY 1),
+       |cu AS (SELECT c // ${Params.DriftBucketCents} AS bucket, count(*) AS n_cur FROM o WHERE y > ${Params.DriftSplitYear} GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bucket, cu.bucket) AS bucket, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |      FROM r FULL OUTER JOIN cu ON r.bucket = cu.bucket),
+       |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       |  CAST((CAST(t_cur*n_ref - t_ref*n_cur AS HUGEINT) * CAST(t_cur*n_ref - t_ref*n_cur AS HUGEINT) * 1000000)
+       |    // (CAST(n_ref + n_cur AS HUGEINT) * t_ref * t_cur) AS BIGINT) AS contrib_ppm
+       |FROM j CROSS JOIN t""".stripMargin
+
   def eventsNewUsers: String =
     """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)

@@ -53,6 +53,12 @@ object Params {
   val TopThresholdN = 5
   val HistWidth = 50000.0
 
+  // chi-squared snapshot drift: orders split into ref (≤ year) / cur
+  // (> year) snapshots, price bucketed by exact int64 division on cents
+  // (50k-dollar buckets — the HistWidth bucketing without the double)
+  val DriftSplitYear = 1997
+  val DriftBucketCents = 5000000L
+
   // events
   val SessionGapMs = 1800000L
 

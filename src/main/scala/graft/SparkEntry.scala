@@ -312,6 +312,31 @@ object SparkEntry {
         .withColumnRenamed("level", "level_cents")
         .withColumnRenamed("trend", "trend_cents")
         .withColumnRenamed("forecast", "forecast_cents")),
+    "q_holt_winters" -> ((s, dir) =>
+      // Holt–Winters triple smoothing, annual (period-12) seasonality
+      // over the same monthly revenue series as q_holt
+      operators.TimeSeries.holtWinters(
+        t(s, dir, "orders")
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("total_cents")),
+        "mkey", "total_cents", 12)
+        .withColumnRenamed("level", "level_cents")
+        .withColumnRenamed("trend", "trend_cents")
+        .withColumnRenamed("seasonal", "seasonal_cents")
+        .withColumnRenamed("forecast", "forecast_cents")),
+    "q_drift_chi2" -> ((s, dir) => {
+      // price-distribution drift between two order-year snapshots:
+      // χ² over fixed-width 50k-cent buckets (the mart_histogram
+      // bucketing), exact-rational per-bucket contributions
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"),
+          cents(col("o_totalprice")).as("c"))
+      Sketches.chi2Drift(
+        o.where(col("y") <= lit(DriftSplitYear)),
+        o.where(col("y") > lit(DriftSplitYear)),
+        expr(s"c div $DriftBucketCents"))
+    }),
     "q_ewma" -> ((s, dir) => {
       // integer exponential smoothing (α = 1/4): the recurrence
       // s' = (3s + x) div 4 folds over the SORTED monthly series — a
@@ -1627,6 +1652,8 @@ object SparkEntry {
     "q_rolling_median" -> Oracles.qRollingMedian,
     "q_ewma" -> Oracles.qEwma,
     "q_holt" -> Oracles.qHolt,
+    "q_holt_winters" -> Oracles.qHoltWinters,
+    "q_drift_chi2" -> Oracles.qDriftChi2,
     "q_acf" -> Oracles.qAcf,
     "q_seasonal" -> Oracles.qSeasonal,
     "q_cusum" -> Oracles.qCusum,

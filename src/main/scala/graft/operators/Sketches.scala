@@ -423,6 +423,50 @@ object Sketches {
           .otherwise(expr("(u2 * 1000000L) div (2L * n_a * n_b)")).as("auc_ppm"))
   }
 
+  /** Two-sample chi-squared drift statistic between a reference and a
+    * current snapshot over a shared bucketing, exact-rational: with
+    * per-bucket counts (O_r, O_c) and totals (T_r, T_c), the pooled
+    * two-sample statistic is
+    * `χ² = Σ_b (T_c·O_r − T_r·O_c)² / ((O_r+O_c)·T_r·T_c)` — the
+    * algebraic form of the textbook Σ(O−E)²/E over both snapshots with
+    * the √(T_c/T_r) scaling multiplied through, so every intermediate
+    * is an integer and the only division is the final ppm floor
+    * (DECIMAL(38,0) for the square: (T_c·O_r)² overflows int64 past
+    * ~3M×3M rows; exact to ~10¹⁹×10¹⁹ in decimal). The standard
+    * schema-level drift gate next to [[ksTest]] (which needs an
+    * ordered measure; χ² works on any bucketing, categorical
+    * included). Callers pass the bucket EXPRESSION — `v div width`
+    * for fixed-width numeric bucketing, the column itself for
+    * categorical drift. Distributed shape: two per-bucket partial
+    * aggregates (bucket-count rows only — never the payload), one
+    * full-outer bucket join, one broadcast of the two totals. Buckets
+    * absent from one snapshot count 0 there (maximal drift
+    * contribution), so new/vanished categories are flagged, not
+    * dropped. Returns one row per bucket
+    * `(bucket, n_ref, n_cur, contrib_ppm)`; `Σ contrib_ppm / 1e6` is
+    * the χ² statistic (df = buckets − 1). Both snapshots must be
+    * non-empty (raises otherwise).
+    */
+  def chi2Drift(ref: DataFrame, cur: DataFrame, bucket: Column): DataFrame = {
+    val r = ref.groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+    val j = r.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        when(col("t_ref") === 0 || col("t_cur") === 0,
+          raise_error(lit("chi2Drift: both snapshots must be non-empty")))
+          .otherwise(expr(
+            "CAST(t_cur*n_ref - t_ref*n_cur AS DECIMAL(38,0)) " +
+              "* CAST(t_cur*n_ref - t_ref*n_cur AS DECIMAL(38,0)) " +
+              "* 1000000 div (CAST((n_ref + n_cur) AS DECIMAL(38,0)) " +
+              "* t_ref * t_cur)").cast("long"))
+          .as("contrib_ppm"))
+  }
+
   /** Gini concentration coefficient over a per-key measure, exact:
     * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending — the
     * inequality KPI for spend/traffic/token-count concentration.

@@ -38,6 +38,54 @@ object TimeSeries {
         col("h.l").as("level"), col("h.b").as("trend"),
         (col("h.l") + col("h.b")).as("forecast"))
 
+  /** Holt–Winters triple (additive-seasonal) smoothing, α = β = γ =
+    * 1/4, exact-integer — extends [[holtSmooth]] with a seasonal state
+    * ARRAY of `period` slots carried through the fold: with
+    * s = seasonal[i mod period],
+    * `l' = (x − s + 3(l+b)) div 4`, `b' = (l' − l + 3b) div 4`,
+    * `s' = (x − l' + 3s) div 4`, seeded at (x₀, 0, zeros) — the
+    * zero-seeded seasonal warms up over the first cycles, the exact
+    * analogue of [[holtSmooth]]'s (x₀, 0) seed, so no separate
+    * first-season initialization pass is needed and every intermediate
+    * stays int64 (`div` truncation matches DuckDB `//` on the negative
+    * trend/seasonal intermediates, same contract as the EWMA/Holt
+    * folds). One-step forecast = l' + b' + seasonal'[next phase].
+    * Input: one row per period (keyCol, valCol), already aggregated
+    * upstream — the O(n²) prefix-fold runs on the bounded series, not
+    * the fact table. Output:
+    * (keyCol, valCol, level, trend, seasonal, forecast).
+    */
+  def holtWinters(series: DataFrame, keyCol: String, valCol: String,
+                  period: Int): DataFrame = {
+    require(period >= 1, s"holtWinters: period must be >= 1, got $period")
+    // the level update, repeated inline wherever l' is needed (the
+    // lambda can't bind intermediates) — phase is 0-based `acc.i % p`
+    val lNew = "((r.v - element_at(acc.s, (acc.i % " + period + ") + 1) " +
+      "+ 3L*(acc.l + acc.b)) div 4L)"
+    series
+      .agg(array_sort(collect_list(struct(col(keyCol).as("k"), col(valCol).as("v"))))
+        .as("series"))
+      .select(col("series"), posexplode(col("series")))
+      .select(col("col.k").as(keyCol), col("col.v").as(valCol), col("pos"),
+        expr("aggregate(slice(series, 1, pos + 1), " +
+          "named_struct('l', -1L, 'b', 0L, 'i', 0, " +
+          s"'s', array_repeat(0L, $period)), (acc, r) -> " +
+          "if(acc.l < 0L, " +
+          "named_struct('l', r.v, 'b', 0L, 'i', 1, 's', acc.s), " +
+          "named_struct(" +
+          s"'l', $lNew, " +
+          s"'b', ($lNew - acc.l + 3L*acc.b) div 4L, " +
+          "'i', acc.i + 1, " +
+          s"'s', transform(acc.s, (x, j) -> if(j = acc.i % $period, " +
+          s"(r.v - $lNew + 3L*element_at(acc.s, (acc.i % $period) + 1)) div 4L, " +
+          "x)))))").as("h"))
+      .select(col(keyCol), col(valCol),
+        col("h.l").as("level"), col("h.b").as("trend"),
+        expr(s"element_at(h.s, (pos % $period) + 1)").as("seasonal"),
+        (col("h.l") + col("h.b") +
+          expr(s"element_at(h.s, ((pos + 1) % $period) + 1)")).as("forecast"))
+  }
+
   /** Autocorrelation at lags 1..maxLag of an integer series, exact to
     * the last bit: with S = Σx and n rows, n²(x_t−x̄)(x_{t+k}−x̄) =
     * (n·x_t−S)(n·x_{t+k}−S), so numerator and denominator are exact

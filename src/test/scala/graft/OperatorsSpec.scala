@@ -1914,6 +1914,51 @@ class OperatorsSpec extends SparkSpec {
     assert(c === Set((400L, 0L)))
   }
 
+  test("holtWinters: hand-computed period-2 recurrence, constant series is a fixpoint") {
+    // xs=[100,40,80,120], p=2, zero-seeded seasonal:
+    // r1: l=100 b=0 s=[0,0];            r2: l=(40+300)div4=85,
+    //   b=(85-100)div4=-3, s[2]=(40-85)div4=-11;
+    // r3: l=(80+3·82)div4=81, b=(-4-9)div4=-3, s[1]=(80-81)div4=0;
+    // r4: l=(131+3·78)div4=91, b=(10-9)div4=0, s[2]=(29-33)div4=-1
+    val xs = Seq((1L, 100L), (2L, 40L), (3L, 80L), (4L, 120L)).toDF("k", "v")
+    val out = operators.TimeSeries.holtWinters(xs, "k", "v", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, 100L, 0L, 0L, 100L), // forecast₁ = l+b+s[next]=100
+      (2L, 85L, -3L, -11L, 82L), // forecast₂ = 85-3+s[1]=82
+      (3L, 81L, -3L, 0L, 67L), // forecast₃ = 81-3+s[2]=67
+      (4L, 91L, 0L, -1L, 91L)))
+    // constant series: level pins, trend and every seasonal slot stay 0
+    val const = (1 to 7).map(i => (i.toLong, 400L)).toDF("k", "v")
+    val c = operators.TimeSeries.holtWinters(const, "k", "v", 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(c === Set((400L, 0L, 0L)))
+  }
+
+  test("chi2Drift: hand-checked contributions, cur-only bucket flagged, empty snapshot raises") {
+    // ref={a,a,b} (T_r=3), cur={a,b,b,c} (T_c=4):
+    // a: (4·2−3·1)²·1e6 div (3·12) = 694444; b: (4−6)²·1e6 div 36 =
+    // 111111; c (ref-absent): 9e6 div 12 = 750000 — matches the
+    // textbook Σ(O−E)²/E pooled form to the ppm floor
+    val ref = Seq("a", "a", "b").toDF("v")
+    val cur = Seq("a", "b", "b", "c").toDF("v")
+    val buck = hash(col("v")) // any deterministic long bucketing
+    val byV = Sketches.chi2Drift(ref, cur, buck)
+      .join(cur.select(col("v"), buck.cast("long").as("bucket")).distinct(), Seq("bucket"))
+      .collect().map(r => (r.getAs[String]("v"),
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"), r.getAs[Long]("contrib_ppm"))))
+      .toMap
+    assert(byV("a") === ((2L, 1L, 694444L)))
+    assert(byV("b") === ((1L, 2L, 111111L)))
+    assert(byV("c") === ((0L, 1L, 750000L)))
+    val e = intercept[Exception] {
+      Sketches.chi2Drift(ref.where(lit(false)), cur, buck).collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
