@@ -1620,6 +1620,16 @@ object SparkEntry {
     // ---- §2.7 multimodal ----
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(s, t(s, dir, "documents"))),
+    "multimodal_image_neardup" -> ((s, dir) => {
+      // image near-dup over real PNG decode: every doc renders with a
+      // one-pixel-perturbed twin, aHash + pigeonhole pairs find them
+      // (rows-only by design: no PNG decode exists DuckDB-side; the
+      // hash/pair semantics are spec-pinned on constructed images)
+      import s.implicits._
+      Multimodal.imageNearDup(
+        Multimodal.mediaFromDocumentsPngTwins(t(s, dir, "documents"), 16, 12),
+        Params.SimhashMaxDist)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

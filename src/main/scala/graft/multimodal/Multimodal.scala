@@ -279,6 +279,63 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash signature table for image rows: decode → 8×8
+    * average-hash ([[ImageCodec.aHashPng]]) → the (media_id, sim_lo,
+    * sim_hi, b0..b3) schema shared with the text simhash family, so
+    * [[graft.operators.Dedup.signaturePairs]] does the candidate
+    * generation. Non-image and undecodable rows are DROPPED, not
+    * byte-stubbed: a perceptual hash over non-pixel bytes would
+    * manufacture fake near-dup pairs between unrelated payloads (the
+    * opposite failure mode from the feature-extract stages, whose
+    * any-input contract degrades to byte features). One mapPartitions
+    * decode pass; the only shuffle downstream is the pigeonhole
+    * block-key exchange.
+    */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    graft.operators.Dedup.pigeonholeBlocks(
+      media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.modality != "image") None
+          else ImageCodec.aHashPng(r.payload).map { case (lo, hi) =>
+            (r.media_id, lo, hi)
+          }
+        }
+      }.toDF("media_id", "sim_lo", "sim_hi"))
+  }
+
+  /** Image near-duplicate pairs at hamming distance <= maxDist over the
+    * aHash signature — the multimodal twin of the text simhash dedup:
+    * same 16-bit pigeonhole completeness bound (<=3), same bounded
+    * N/65536 bucket self-join, decode cost paid once in the signature
+    * pass.
+    */
+  def imageNearDup(media: Dataset[MediaRow], maxDist: Int = 3): DataFrame =
+    graft.operators.Dedup.signaturePairs(imageAHash(media), "media_id", maxDist)
+
+  /** Ingestion-side demo table for [[imageNearDup]]: each document
+    * renders TWICE at fixed dims as a grayscale byte-raster
+    * ([[ImageCodec.encodePngGray]] — luma IS the content, so perceptual
+    * distance tracks content distance) — media_id 2·doc_id from the
+    * text, 2·doc_id+1 from the text with its first byte shifted (a
+    * one-pixel perturbation), so the corpus contains a deterministic
+    * near-identical twin per document and unrelated documents sit ~32
+    * hamming bits apart.
+    */
+  def mediaFromDocumentsPngTwins(docs: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val twin = seed.clone()
+        if (twin.nonEmpty) twin(0) = (twin(0) + 1).toByte
+        Seq(
+          MediaRow(id * 2, "image", w, h, ImageCodec.encodePngGray(w, h, seed)),
+          MediaRow(id * 2 + 1, "image", w, h, ImageCodec.encodePngGray(w, h, twin)))
+      }
+    }
+  }
+
   /** Full plumbing demo: documents → mixed PNG/WAV media table → real
     * decode of both modalities.
     */
@@ -293,6 +350,33 @@ object Multimodal {
   * external dependency, safe on headless executors.
   */
 object ImageCodec {
+
+  /** Deterministic grayscale byte-raster from seed bytes, PNG-encoded:
+    * pixel (x,y) = seed[(y·w+x) mod len] in all three channels. Unlike
+    * [[frame]] (whose seed-independent green pattern dominates luma and
+    * makes every same-dim render perceptually near-identical — measured:
+    * 106k aHash pairs across 1000 frame-rendered docs), the raster's
+    * luma IS the seed, so perceptual distance tracks content distance:
+    * a one-byte edit moves one pixel, unrelated seeds give ~32-bit
+    * expected hamming.
+    */
+  def encodePngGray(width: Int, height: Int, seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val b = if (seed.isEmpty) 0 else seed((y * width + x) % seed.length) & 0xff
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Deterministic tiny RGB image from seed bytes, PNG-encoded. */
   def encodePng(width: Int, height: Int, seed: Array[Byte]): Array[Byte] = {
@@ -394,6 +478,46 @@ object ImageCodec {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", bos)
         Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 8×8 average-hash (aHash) of a decodable image payload: sample a
+    * fixed 8×8 grid (nearest-neighbor — every cell stays in-bounds down
+    * to 1×1 images), integer ITU-R 601 luma per sample (299r+587g+114b,
+    * no doubles), bit = luma > integer mean. Returns the 64-bit
+    * perceptual signature packed as two non-negative 32-bit halves
+    * (lo = bits 0..31) — the same sign-safe packing as the text simhash
+    * family, so the pigeonhole pair machinery is shared. None when the
+    * payload doesn't decode.
+    */
+  def aHashPng(payload: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = new Array[Long](64)
+        var i = 0
+        var total = 0L
+        while (i < 64) {
+          val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+          s(i) = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          total += s(i)
+          i += 1
+        }
+        val mean = total / 64
+        var lo = 0L
+        var hi = 0L
+        i = 0
+        while (i < 64) {
+          if (s(i) > mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        Some((lo, hi))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -461,23 +461,31 @@ object Dedup {
     def pack(from: Int): Column = (0 until 32).map { b =>
       when(col(s"w${from + b}") >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b)
     }.reduce(_ + _)
-    agg.select(col(idCol), pack(0).as("sim_lo"), pack(32).as("sim_hi"))
-      .withColumn("b0", col("sim_lo").bitwiseAND(lit(65535L)))
+    pigeonholeBlocks(agg.select(col(idCol), pack(0).as("sim_lo"), pack(32).as("sim_hi")))
+  }
+
+  /** 4×16-bit pigeonhole block columns (b0..b3) from a packed
+    * (sim_lo, sim_hi) 64-bit signature — the candidate-generation keys
+    * [[signaturePairs]] buckets on. Shared by every 64-bit perceptual
+    * signature family (text simhash here, image average-hash in
+    * graft.multimodal).
+    */
+  def pigeonholeBlocks(sig: DataFrame): DataFrame =
+    sig.withColumn("b0", col("sim_lo").bitwiseAND(lit(65535L)))
       .withColumn("b1", shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L)))
       .withColumn("b2", col("sim_hi").bitwiseAND(lit(65535L)))
       .withColumn("b3", shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L)))
-  }
 
-  /** SimHash near-dup pairs with hamming distance <= maxDist (<=3 is
-    * complete under the 4-block pigeonhole: any pair within distance 3
-    * shares at least one exact 16-bit block). The exchange is keyed on
-    * (block_id, block_value) — tiny keys, buckets bounded by N/65536 per
-    * block position.
+  /** Near-dup pairs at hamming distance <= maxDist over ANY 64-bit
+    * signature table with the (idCol, sim_lo, sim_hi, b0..b3) schema
+    * (<=3 is complete under the 4-block pigeonhole: any pair within
+    * distance 3 shares at least one exact 16-bit block). The exchange
+    * is keyed on (block_id, block_value) — tiny keys, buckets bounded
+    * by N/65536 per block position.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+  def signaturePairs(sig: DataFrame, idCol: String,
+                     maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole is only complete for distance <= 3")
-    val sig = simhash(docs, idCol, textCol)
     val blocks = sig.select(col(idCol), col("sim_lo"), col("sim_hi"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "bv")))
     val a = blocks.as("a")
@@ -492,6 +500,13 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxDist)
   }
+
+  /** SimHash near-dup pairs: [[simhash]] signatures through
+    * [[signaturePairs]].
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame =
+    signaturePairs(simhash(docs, idCol, textCol), idCol, maxDist)
 
   /** Embedding near-dup pairs: banded random-hyperplane LSH (bands of
     * `rows` sign-bits, OR across bands) for candidates, exact cosine

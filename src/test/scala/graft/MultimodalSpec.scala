@@ -187,4 +187,49 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.feature.length === 8))
     assert(feats.forall(_.feature.forall(v => v >= 0f && v <= 1f)))
   }
+
+  test("aHash: constructed half-bright image gives the exact bit pattern") {
+    // 16×16, top half luma 200, bottom half luma 40: mean=120, the 32
+    // top-half samples (bits 0..31) exceed it, the bottom half doesn't
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = if (y < 8) 200 else 40
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (lo, hi) = graft.multimodal.ImageCodec.aHashPng(bos.toByteArray).get
+    assert(lo === 0xffffffffL && hi === 0L)
+    // identical payload → identical hash; non-image bytes → None
+    assert(graft.multimodal.ImageCodec.aHashPng(bos.toByteArray).get === ((lo, hi)))
+    assert(graft.multimodal.ImageCodec.aHashPng("not a png".getBytes).isEmpty)
+  }
+
+  test("imageNearDup pairs the one-pixel twin, not the unrelated image; audio rows dropped") {
+    // A and A' differ in one seed byte; B is an unrelated pattern
+    val seedA = Array.tabulate[Byte](192)(i => (i * 7 + 3).toByte)
+    val seedA2 = seedA.clone(); seedA2(0) = (seedA2(0) + 1).toByte
+    val seedB = Array.tabulate[Byte](192)(i => (i * 131 + 57).toByte)
+    def png(seed: Array[Byte]) = graft.multimodal.ImageCodec.encodePngGray(16, 12, seed)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", 16, 12, png(seedA)),
+      Multimodal.MediaRow(2L, "image", 16, 12, png(seedA2)),
+      Multimodal.MediaRow(3L, "image", 16, 12, png(seedB)),
+      // a WAV row must be dropped by the signature pass, never paired
+      Multimodal.MediaRow(4L, "audio", 100, 1,
+        graft.multimodal.AudioCodec.encodeWav(8000f,
+          graft.multimodal.AudioCodec.pcmFromSeed(seedA, 100)))).toDS()
+    val sigs = Multimodal.imageAHash(media).collect()
+    assert(sigs.map(_.getAs[Long]("media_id")).toSet === Set(1L, 2L, 3L))
+    val pairs = Multimodal.imageNearDup(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // distributed hamming agrees with a local popcount on the signatures
+    val byId = sigs.map(r => r.getAs[Long]("media_id") ->
+      (r.getAs[Long]("sim_lo"), r.getAs[Long]("sim_hi"))).toMap
+    val expect = java.lang.Long.bitCount(byId(1L)._1 ^ byId(2L)._1) +
+      java.lang.Long.bitCount(byId(1L)._2 ^ byId(2L)._2)
+    assert(pairs.head._3 === expect.toLong)
+  }
 }
