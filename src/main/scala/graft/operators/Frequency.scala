@@ -29,22 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
-  /** Per-partition Misra–Gries candidate generation. `k` counters give
-    * the superset guarantee for thresholds above n/(k+1).
+  /** Misra–Gries update folding `items` into an EXISTING counter map —
+    * the state-carrying core shared by the per-partition batch sketch
+    * below and the streaming shard state
+    * ([[graft.streaming.FrequencyStream]]): MG summaries compose by
+    * continuing the same fold, so cross-batch state is just the counter
+    * map. Decrement-all keeps the map at ≤ k entries; the drain is
+    * amortized O(1) per item.
     */
-  private[graft] def misraGries(items: Iterator[String], k: Int): Iterator[String] = {
-    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+  private[graft] def mgUpdate(counters: scala.collection.mutable.HashMap[String, Long],
+                              items: Iterator[String], k: Int): Unit =
     items.foreach { it =>
       if (counters.contains(it)) counters(it) += 1L
       else if (counters.size < k) counters(it) = 1L
       else {
-        // decrement-all: drop zeroed counters; amortized O(1) per item
         val dead = List.newBuilder[String]
         counters.mapValuesInPlace((_, v) => v - 1L)
         counters.foreach { case (key, v) => if (v <= 0L) dead += key }
         dead.result().foreach(counters.remove)
       }
     }
+
+  /** Per-partition Misra–Gries candidate generation. `k` counters give
+    * the superset guarantee for thresholds above n/(k+1).
+    */
+  private[graft] def misraGries(items: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    mgUpdate(counters, items, k)
     counters.keysIterator
   }
 

@@ -524,4 +524,49 @@ class StreamingSpec extends SparkSpec {
       assert(pairs() === Set((1L, 2L), (1L, 4L), (5L, 8L)))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: MG state bounded at k, hot item never lost across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // one shard, k=3 → anything above n/4 of the stream must survive
+    val q = graft.streaming.FrequencyStream.heavyHittersStream(
+        stream.toDF(), col("value"), nShards = 1, k = 3)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    // update-mode memory sink appends each trigger's emission; the
+    // latest summary is the rows at the shard's max n_shard
+    def latest(): Map[String, Long] = {
+      val all = spark.table("hh_stream")
+        .collect().map(r => (r.getAs[String]("item"),
+          r.getAs[Long]("mg_count"), r.getAs[Long]("n_shard")))
+      if (all.isEmpty) Map.empty
+      else {
+        val nMax = all.map(_._3).max
+        all.filter(_._3 == nMax).map(t => t._1 -> t._2).toMap
+      }
+    }
+    try {
+      // batch 1: "a"×6 among 5 distinct fillers (n=11)
+      stream.addData(Seq.fill(6)("a") ++ Seq("x1", "x2", "x3", "x4", "x5"): _*)
+      q.processAllAvailable()
+      val s1 = latest()
+      assert(s1.size <= 3, "state must stay at <= k counters")
+      assert(s1.contains("a"), "item at 6/11 > n/4 must survive batch 1")
+      assert(s1("a") <= 6L, "mg_count is a lower bound")
+      // batch 2: "b" surges, "a" keeps flowing, more filler noise (n=22)
+      stream.addData(Seq.fill(4)("b") ++ Seq.fill(3)("a")
+        ++ Seq("y1", "y2", "y3", "y4"): _*)
+      q.processAllAvailable()
+      val s2 = latest()
+      assert(s2.size <= 3)
+      // a: 9/22, b: 4/22 — only `a` is guaranteed (> n/4); check both
+      // the guarantee and that the cross-batch fold kept the lead
+      assert(s2.contains("a"), "hot item above n/4 must survive the fold")
+      assert(s2("a") <= 9L && s2("a") >= 9L - 22L / 4L,
+        "mg_count within the n/(k+1) MG error band")
+      // emitted n_shard is the exact cross-batch row count
+      val nShard = spark.table("hh_stream").agg(max("n_shard")).head().getLong(0)
+      assert(nShard === 22L)
+    } finally q.stop()
+  }
 }
