@@ -2178,6 +2178,50 @@ object Oracles {
        |    // (CAST(n_ref + n_cur AS HUGEINT) * t_ref * t_cur) AS BIGINT) AS contrib_ppm
        |FROM j CROSS JOIN t""".stripMargin
 
+  /** trendFit twin: identical moment sums and truncating rational
+    * divisions in HUGEINT; the den=0 NULL guard is part of the portable
+    * contract (DuckDB `//` by zero errors where Spark nulls).
+    */
+  def qTrendFit: String =
+    """WITH m AS (SELECT o_orderpriority,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1, 2),
+      |a AS (SELECT o_orderpriority, count(*) AS n,
+      |    sum(CAST(mkey AS HUGEINT)) AS sx, sum(CAST(total_cents AS HUGEINT)) AS sy,
+      |    sum(CAST(mkey AS HUGEINT) * total_cents) AS sxy,
+      |    sum(CAST(mkey AS HUGEINT) * mkey) AS sxx
+      |  FROM m GROUP BY 1),
+      |d AS (SELECT o_orderpriority, n, sx, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM a)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE CAST(num * 1000000 // den AS BIGINT) END AS slope_ppm,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE CAST((sy * den - num * sx) // (n * den) AS BIGINT) END AS intercept
+      |FROM d""".stripMargin
+
+  /** temperatureSample twin: the integer-sqrt weight derivation and the
+    * same md5 hash32 keep rule as [[sampleBernoulli]]/[[sampleMixture]].
+    */
+  def sampleTemperature: String = {
+    val h = hex8Expr("('graft-temp:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH avail AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+       |          FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc,
+       |    CAST(sum(CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS tsq
+       |  FROM avail),
+       |rates AS (SELECT avail.source,
+       |    (1000000 * CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)) // tsq AS w_ppm,
+       |    least(1000000, (((tc * ${Params.TempBudgetPct}) // 100)
+       |      * ((1000000 * CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)) // tsq)) // c) AS rate_ppm
+       |  FROM avail CROSS JOIN tot)
+       |SELECT doc_id, d.source, n_chars,
+       |  CAST(w_ppm AS BIGINT) AS w_ppm, CAST(rate_ppm AS BIGINT) AS rate_ppm
+       |FROM documents d JOIN rates ON d.source = rates.source
+       |WHERE CAST($h AS BIGINT) * 1000000 < rate_ppm * 4294967296""".stripMargin
+  }
+
   def eventsNewUsers: String =
     """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)

@@ -59,6 +59,9 @@ object Params {
   val DriftSplitYear = 1997
   val DriftBucketCents = 5000000L
 
+  // temperature (α=1/2) mixture sampling budget, % of corpus char mass
+  val TempBudgetPct = 50L
+
   // events
   val SessionGapMs = 1800000L
 

@@ -325,6 +325,22 @@ object SparkEntry {
         .withColumnRenamed("trend", "trend_cents")
         .withColumnRenamed("seasonal", "seasonal_cents")
         .withColumnRenamed("forecast", "forecast_cents")),
+    "q_trend_fit" -> ((s, dir) =>
+      // per-priority monthly-revenue OLS trend: slope in ppm-cents per
+      // month, intercept in cents — exact rational closed form
+      operators.TimeSeries.trendFit(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("mkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("total_cents")),
+        "o_orderpriority", "mkey", "total_cents")),
+    "sample_temperature" -> ((s, dir) =>
+      // α=1/2 domain-rebalanced sample of documents by source mass
+      Sampling.temperatureSample(t(s, dir, "documents"), "source",
+          col("doc_id"), col("n_chars"), TempBudgetPct, "graft-temp")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("w_ppm"), col("rate_ppm"))),
     "q_drift_chi2" -> ((s, dir) => {
       // price-distribution drift between two order-year snapshots:
       // χ² over fixed-width 50k-cent buckets (the mart_histogram
@@ -1664,6 +1680,8 @@ object SparkEntry {
     "q_holt" -> Oracles.qHolt,
     "q_holt_winters" -> Oracles.qHoltWinters,
     "q_drift_chi2" -> Oracles.qDriftChi2,
+    "q_trend_fit" -> Oracles.qTrendFit,
+    "sample_temperature" -> Oracles.sampleTemperature,
     "q_acf" -> Oracles.qAcf,
     "q_seasonal" -> Oracles.qSeasonal,
     "q_cusum" -> Oracles.qCusum,

@@ -88,6 +88,50 @@ object Sampling {
       .where(H.hash32(k, salt) * lit(1000000L) < col("rate_ppm") * lit(4294967296L))
   }
 
+  /** Temperature (α = 1/2) mixture sampling: the domain-rebalancing
+    * sampler where the target mixture is COMPUTED from the corpus
+    * instead of handed in — per-source target weight ∝ √(mass_s), the
+    * standard temperature-sampling flattening that upweights small
+    * domains/languages relative to their natural share without letting
+    * any one source dominate (α=1 is the natural mixture, α→0 uniform;
+    * 1/2 is the exponent whose sqrt stays exactly computable — a
+    * free-exponent pow() is not even correctly-rounded). Each source's
+    * √mass is FLOORED TO AN INTEGER before anything sums it:
+    * `floor(sqrt(n))` equals the exact integer sqrt for n ≤ ~4·10¹⁵
+    * (a correctly-rounded double sqrt of an int64 can only cross an
+    * integer k when n is within ~k·2⁻⁵² of k², impossible for integer
+    * n < k²), so the weight computation
+    * `w_s = 1e6·isqrt_s div Σ isqrt` is pure int64 — no
+    * order-dependent double summation anywhere (a double Σ√c_t would
+    * wobble with partition order and flip boundary rows). Weights
+    * become keep-rates exactly as [[mixtureSample]]:
+    * `rate_s = min(1e6, (budget·w_s) div mass_s)` ppm, and the keep
+    * decision is the same salted-hash draw as [[bernoulli]] (map-side,
+    * deterministic). One per-source aggregate + two broadcasts; the
+    * corpus itself never shuffles.
+    *
+    * Output: kept rows + their source's `w_ppm` (computed target) and
+    * `rate_ppm`.
+    */
+  def temperatureSample(df: DataFrame, sourceCol: String, key: Column,
+                        sizeCol: Column, budgetPct: Long, salt: String): DataFrame = {
+    require(budgetPct > 0, "budget must be positive")
+    val avail = df.groupBy(col(sourceCol)).agg(sum(sizeCol.cast("long")).as("__c"))
+      .localCheckpoint(false)
+    val isq = floor(sqrt(col("__c").cast("double"))).cast("long")
+    val total = avail.agg(sum(col("__c")).as("__tc"), sum(isq).as("__tsq"))
+    val rates = avail.join(broadcast(total))
+      .select(col(sourceCol), col("__c"), col("__tc"),
+        expr("(1000000L * floor(sqrt(cast(__c as double)))) div __tsq")
+          .cast("long").as("w_ppm"))
+      .select(col(sourceCol), col("w_ppm"),
+        least(lit(1000000L),
+          expr(s"(((__tc * ${budgetPct}L) div 100L) * w_ppm) div __c")).as("rate_ppm"))
+    val k = coalesce(key.cast("string"), lit("\u0000<null-key>"))
+    df.join(broadcast(rates), sourceCol)
+      .where(H.hash32(k, salt) * lit(1000000L) < col("rate_ppm") * lit(4294967296L))
+  }
+
   /** Fixed-size per-stratum sample: the k rows with the smallest salted
     * key hash in each stratum — reservoir-sampling semantics, but
     * deterministic. One shuffle on the stratum key; with map-side

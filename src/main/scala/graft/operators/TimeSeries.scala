@@ -112,6 +112,39 @@ object TimeSeries {
         expr("num * 1000000 div den").as("acf_ppm"))
   }
 
+  /** Per-group exact OLS trend fit over an integer series: slope and
+    * intercept of the least-squares line from the closed form
+    * `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` — every moment an exact
+    * DECIMAL(38,0) sum in ONE partial-aggregate pass per group (the
+    * n²-cancellation trick the ACF uses: no mean-centering pass, no
+    * doubles), then two truncating divisions:
+    * `slope_ppm = num·1e6 div den` and
+    * `intercept = (Σy·den − num·Σx) div (n·den)` (the exact rational
+    * form of ȳ − slope·x̄). Degenerate groups (single point, or all x
+    * equal → den = 0) yield NULL slope/intercept explicitly — a bare
+    * div would null-divide in Spark but ERROR in DuckDB, so the guard
+    * is part of the portable contract. The trend-per-segment companion
+    * to [[holtSmooth]]'s smoothing: one shuffle on the group key,
+    * constant state per group.
+    */
+  def trendFit(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("decimal(38,0)")).as("__sx"),
+        sum(col(yCol).cast("decimal(38,0)")).as("__sy"),
+        sum(col(xCol).cast("decimal(38,0)") * col(yCol)).as("__sxy"),
+        sum(col(xCol).cast("decimal(38,0)") * col(xCol)).as("__sxx"))
+      .select(col(groupCol), col("n"), col("__sx"), col("__sy"),
+        expr("n * __sxy - __sx * __sy").as("__num"),
+        expr("n * __sxx - __sx * __sx").as("__den"))
+      .select(col(groupCol), col("n"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(expr("__num * 1000000 div __den")).as("slope_ppm"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(expr("(__sy * __den - __num * __sx) div (n * __den)"))
+          .as("intercept"))
+
   /** Seasonal decomposition by phase baseline: each period's phase
     * (mkey mod `period`) gets the integer mean of its phase class
     * (`Σx div count` — exact, floor for the non-negative measures this

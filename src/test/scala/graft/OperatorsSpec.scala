@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.etl.{Marts, Staging}
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Audit, Dedup, EventOps, Linkage, Quality, Similarity, Sketches}
+import graft.operators.{Audit, Dedup, EventOps, Linkage, Quality, Sampling, Similarity, Sketches}
 
 /** Unit-level behavior checks for the operator library on crafted inputs
   * (the testdata-scale value checks live in the DuckDB oracle gate).
@@ -1957,6 +1957,40 @@ class OperatorsSpec extends SparkSpec {
       Sketches.chi2Drift(ref.where(lit(false)), cur, buck).collect()
     }
     assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("trendFit: perfect line recovered exactly, degenerate groups yield NULL") {
+    // g1: y=2x−1 exactly → slope_ppm=2e6, intercept=−1
+    // g2: single point → den=0; g3: all x equal → den=0
+    val pts = Seq(("g1", 1L, 1L), ("g1", 2L, 3L), ("g1", 3L, 5L),
+      ("g2", 5L, 7L), ("g3", 4L, 1L), ("g3", 4L, 9L)).toDF("g", "x", "y")
+    val out = operators.TimeSeries.trendFit(pts, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("g1") === ((3L, Some(2000000L), Some(-1L))))
+    assert(out("g2") === ((1L, None, None)))
+    assert(out("g3") === ((2L, None, None)))
+  }
+
+  test("temperatureSample: sqrt-flattened rates lift the small source, all-integer weights") {
+    // A mass 100, B mass 400 → isqrt 10/20, tsq 30: w=333333/666666 ppm;
+    // budget 50% of 500 = 250 mass → rate_A = 250·333333 div 100 =
+    // 833332 ppm, rate_B = 250·666666 div 400 = 416666 ppm — the small
+    // source keeps a HIGHER fraction (the α=1/2 flattening), while the
+    // natural mixture would keep both at the same rate
+    val docs = ((1 to 10).map(i => (i.toLong, "A", 10L))
+      ++ (11 to 30).map(i => (i.toLong, "B", 20L))).toDF("id", "source", "sz")
+    val out = Sampling.temperatureSample(docs, "source", col("id"), col("sz"),
+      budgetPct = 50L, salt = "t")
+    val rates = out.select("source", "w_ppm", "rate_ppm").distinct()
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("A") === ((333333L, 833332L)))
+    assert(rates("B") === ((666666L, 416666L)))
+    // deterministic: the same call yields the same kept set
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureSample(docs, "source", col("id"), col("sz"),
+      50L, "t").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2 && ids1.nonEmpty)
   }
 
   test("kAnonymity census and kSuppress star small QI groups") {
