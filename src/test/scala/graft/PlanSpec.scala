@@ -604,4 +604,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"bounds table must broadcast:\n$plan")
   }
+
+  test("chi2 drift: bucket-count tables only — the order payload never shuffles") {
+    val plan = explain("q_drift_chi2")
+    // both snapshot scans partial-aggregate to (bucket, count) map-side
+    // before their exchange; totals come back as a 1-row broadcast
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial counts:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("bucket"),
+      s"only bucket-keyed joins allowed:\n$plan")
+    assert(!plan.contains("o_totalprice], Exchange") &&
+      !plan.contains("CartesianProduct"),
+      s"payload must not shuffle and no cartesian:\n$plan")
+  }
+
+  test("image near-dup: pigeonhole equi-join, never a nested-loop pair product") {
+    val plan = explain("multimodal_image_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair generation must stay an equi-join on (blk, bv):\n$plan")
+  }
+
+  test("temperature sampling: rate table broadcasts; the corpus never shuffles") {
+    val plan = explain("sample_temperature")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast back onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge for a 20-row rate table:\n$plan")
+  }
+
+  test("trend fit: one group shuffle with map-side partial moments") {
+    val plan = explain("q_trend_fit")
+    assert(plan.contains("partial_"),
+      s"moments must partial-aggregate map-side:\n$plan")
+    // series prep (priority×month) + trend fit = the only exchanges;
+    // a mean-centering implementation would need a third pass
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected <=2 key exchanges (series, fit), got $exchanges:\n$plan")
+  }
 }
