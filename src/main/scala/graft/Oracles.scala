@@ -2222,6 +2222,41 @@ object Oracles {
        |WHERE CAST($h AS BIGINT) * 1000000 < rate_ppm * 4294967296""".stripMargin
   }
 
+  def qSlidingDistinct: String =
+    s"""WITH f AS (SELECT epoch_ms(ts) // 86400000 AS p, user_id AS a FROM events),
+       |present AS (SELECT DISTINCT p AS period FROM f),
+       |x AS (SELECT p + off AS period, a
+       |      FROM f CROSS JOIN (SELECT unnest(range(0, ${Params.SlidingWindowDays})) AS off) o)
+       |SELECT CAST(period AS BIGINT) AS period,
+       |  CAST(count(DISTINCT a) AS BIGINT) AS n_distinct
+       |FROM x JOIN present USING (period) GROUP BY period""".stripMargin
+
+  /** kmvSlidingDistinct twin: each window's bottom-k replayed from the
+    * base rows (the union of per-day bottom-k sets re-truncated IS the
+    * window's exact bottom-k, so the full recompute is the oracle).
+    */
+  def qKmvSliding: String = {
+    val w = Params.SlidingWindowDays
+    val h = hex8Expr(s"('$KmvSalt:' || CAST(user_id AS VARCHAR))")
+    s"""WITH f AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS p,
+       |    CAST($h AS BIGINT) AS h FROM events),
+       |present AS (SELECT DISTINCT p AS period FROM f),
+       |np AS (SELECT p1.period, CAST(count(*) AS BIGINT) AS n_periods
+       |  FROM present p1 JOIN present p2
+       |    ON p2.period BETWEEN p1.period - ${w - 1} AND p1.period GROUP BY 1),
+       |d AS (SELECT DISTINCT period, h FROM present JOIN f
+       |    ON f.p BETWEEN period - ${w - 1} AND period),
+       |r AS (SELECT period, h,
+       |    row_number() OVER (PARTITION BY period ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY period) AS cnt FROM d),
+       |est AS (SELECT period, CAST(CASE WHEN max(cnt) < $KmvK THEN max(cnt)
+       |    ELSE ((${KmvK - 1} * 4294967296) // (max(CASE WHEN rn = $KmvK THEN h END) + 1))
+       |    END AS BIGINT) AS window_est
+       |  FROM r GROUP BY period)
+       |SELECT CAST(est.period AS BIGINT) AS period, n_periods, window_est
+       |FROM est JOIN np ON est.period = np.period""".stripMargin
+  }
+
   def eventsNewUsers: String =
     """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)

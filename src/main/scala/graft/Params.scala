@@ -62,6 +62,9 @@ object Params {
   // temperature (α=1/2) mixture sampling budget, % of corpus char mass
   val TempBudgetPct = 50L
 
+  // rolling-distinct (WAU-style) window, calendar days
+  val SlidingWindowDays = 7
+
   // events
   val SessionGapMs = 1800000L
 

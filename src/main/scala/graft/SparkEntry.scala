@@ -1598,6 +1598,18 @@ object SparkEntry {
         SlideSizeMs, SlideHopMs)),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), "user_id", "ts", SessionGapMs)),
+    "q_sliding_distinct" -> ((s, dir) =>
+      // rolling 7-day distinct users (WAU), exact — ×7 window explode
+      EventOps.slidingDistinct(t(s, dir, "events"),
+        expr("unix_millis(ts) div 86400000"), col("user_id"),
+        SlidingWindowDays)),
+    "q_kmv_sliding" -> ((s, dir) =>
+      // same rolling windows from per-day KMV sketch state — the
+      // bounded-state form: facts shuffle once into day sketches, each
+      // window merges 7 arrays of 64 longs
+      Sketches.kmvSlidingDistinct(t(s, dir, "events"),
+        expr("unix_millis(ts) div 86400000"), col("user_id"),
+        SlidingWindowDays, KmvK, KmvSalt)),
     "events_extract" -> ((s, dir) =>
       EventOps.extractIntField(t(s, dir, "events"), "props", "k")
         .select(col("event_id"), col("k"))),
@@ -1686,6 +1698,8 @@ object SparkEntry {
     "q_seasonal" -> Oracles.qSeasonal,
     "q_cusum" -> Oracles.qCusum,
     "events_new_users" -> Oracles.eventsNewUsers,
+    "q_sliding_distinct" -> Oracles.qSlidingDistinct,
+    "q_kmv_sliding" -> Oracles.qKmvSliding,
     "q_ntile" -> Oracles.qNtile,
     "q_rollup" -> Oracles.qRollup,
     "q_grouping_sets" -> Oracles.qGroupingSets,

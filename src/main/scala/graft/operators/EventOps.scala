@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,32 @@ object EventOps {
         ((expr(s"__ms div ${hopMs}L") - col("__i")) * hopMs).as("w_start"))
       .groupBy(col(typeCol), col("w_start"))
       .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** EXACT sliding-window distinct actors (rolling WAU/MAU): each
+    * event's period explodes into the `windowPeriods` window-end keys it
+    * belongs to, then one `count(DISTINCT actor)` per window — bounded
+    * ×window fan-out in codegen before the single shuffle, like
+    * [[slidingCounts]] but with within-window actor dedup. Windows are
+    * reported for PRESENT periods only (the broadcast semi-join), so a
+    * calendar gap doesn't emit phantom trailing windows. Exactness
+    * costs per-window distinct state ∝ actors×windows at the shuffle;
+    * the bounded-state companion at corpus scale is
+    * [[Sketches.kmvSlidingDistinct]] (per-period sketch rows, window
+    * merge over k longs — the fact table shuffles ONCE, not ×window).
+    */
+  def slidingDistinct(events: DataFrame, period: Column, actor: Column,
+                      windowPeriods: Int): DataFrame = {
+    require(windowPeriods >= 1, "window must be >= 1 periods")
+    val flat = events.select(period.cast("long").as("__p"), actor.as("__a"))
+    val present = flat.select(col("__p").as("period")).distinct()
+    flat
+      .select(col("__a"),
+        explode(sequence(col("__p"), col("__p") + lit(windowPeriods - 1L)))
+          .as("period"))
+      .join(broadcast(present), "period")
+      .groupBy(col("period"))
+      .agg(countDistinct(col("__a")).as("n_distinct"))
   }
 
   /** As-of join, composed without a join: for each target event, the most

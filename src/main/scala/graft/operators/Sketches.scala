@@ -150,6 +150,36 @@ object Sketches {
       .groupBy(col(as)).agg(fn(col("__h")).as("hs"))
   }
 
+  /** Sliding-window distinct estimate from per-period KMV states — the
+    * bounded-state rolling-MAU shape: the fact stream reduces ONCE to
+    * one sketch row per period (k longs each, map-side partials), and
+    * every window estimate merges the in-range sketches with pure array
+    * ops (flatten → distinct → sort → first k — the union of bottom-k
+    * sets re-truncated IS the window union's exact bottom-k, same
+    * argument as [[kmvUnion]]). A RANGE frame over the period value
+    * keeps calendar semantics with missing periods (a ROWS frame would
+    * silently stretch the window across gaps). The window is
+    * unpartitioned but runs on the PERIOD-LEVEL table (one row per
+    * period — series-sized, the [[TimeSeries]] contract), never the
+    * facts; the exact twin at moderate scale is the ×window explode
+    * (`q_sliding_distinct`), and this is what replaces it when
+    * per-window distinct state stops fitting. Output:
+    * (period, n_periods, window_est).
+    */
+  def kmvSlidingDistinct(df: DataFrame, period: Column, value: Column,
+                         windowPeriods: Int, k: Int, salt: String): DataFrame = {
+    require(windowPeriods >= 1, "window must be >= 1 periods")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("period")).rangeBetween(-(windowPeriods - 1L), 0L)
+    kmvSketch(df, period, "period", value, k, salt)
+      .select(col("period"),
+        count(lit(1)).over(w).as("n_periods"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("hs")).over(w)))),
+          1, k).as("hs"))
+      .select(col("period"), col("n_periods"),
+        kmvEstimate("hs", k).as("window_est"))
+  }
+
   /** KMV set algebra: merge per-group sketches into the UNION's distinct
     * estimate — without touching the base data (the point of keeping
     * sketch state). Merging re-feeds the stored hashes through the same

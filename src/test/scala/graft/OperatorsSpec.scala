@@ -1993,6 +1993,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ids1 === ids2 && ids1.nonEmpty)
   }
 
+  test("slidingDistinct: calendar windows across a gap, no phantom periods") {
+    // days 1,2,9; w=3: d1 sees {a,b}, d2 sees {a,b,c}, d9 (after the
+    // gap) sees only day-9 actors {a}; days 3..11 emit nothing
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "a"), (9L, "a"))
+      .toDF("p", "u")
+    val out = EventOps.slidingDistinct(ev, col("p"), col("u"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 2L -> 3L, 9L -> 1L))
+  }
+
+  test("kmvSlidingDistinct: window merge equals the window's direct sketch, exact below k") {
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "a"), (9L, "a"))
+      .toDF("p", "u")
+    // k=64 >> distincts: estimates are exact counts == the exact twin
+    val big = Sketches.kmvSlidingDistinct(ev, col("p"), col("u"), 3, 64, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(big.map(t => (t._1, t._3)).toMap === Map(1L -> 2L, 2L -> 3L, 9L -> 1L))
+    assert(big.map(t => (t._1, t._2)).toMap === Map(1L -> 1L, 2L -> 2L, 9L -> 1L),
+      "n_periods counts PRESENT periods in range only")
+    // k=2 < distincts: the day-2 window's merged estimate must equal a
+    // direct single-group sketch of the same rows (merge ≡ recompute)
+    val merged = Sketches.kmvSlidingDistinct(ev, col("p"), col("u"), 3, 2, "s")
+      .where(col("period") === 2L).collect().head.getLong(2)
+    val direct = Sketches.kmvDistinct(ev.where(col("p") <= 2L),
+      lit(1L), "g", col("u"), 2, "s").collect().head.getLong(1)
+    assert(merged === direct)
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
