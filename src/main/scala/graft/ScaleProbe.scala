@@ -19,12 +19,15 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // events.parquet is TIMESTAMP(NANOS) — reads throw without this
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("retrieval")) { retrieval(spark, args); spark.stop(); return }
     if (args.headOption.contains("prefix")) { prefixProbe(spark, args); spark.stop(); return }
     if (args.headOption.contains("er")) { erProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("sliding")) { slidingProbe(spark, args); spark.stop(); return }
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val iters = args.lift(1).map(_.toInt).getOrElse(graft.Params.BpeMerges)
     // n pseudo-words, 4–12 chars of hex (truncation collisions collapse
@@ -129,6 +132,56 @@ object ScaleProbe {
       Params.ErMaxDist).count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"probe":"er","n_records":${recs.count()},"n_names":${names.count()},"record_cand":$rc,"record_edges":$re,"name_cand":$nc,"name_edges":$ne,"entities":$ents,"resolve_secs":$secs%.2f}""")
+  }
+
+  /** `probe=sliding [windowDays...]`: the exact rolling-distinct's
+    * shuffle volume grows ×window (every event replicated into each
+    * window it belongs to, then per-window distinct state), while the
+    * KMV form's post-sketch volume is k longs per DAY regardless of
+    * window width. The sf events (100k rows / 30 days) can't show the
+    * runtime divergence, so the probe synthesizes a year of events —
+    * 2M rows, 365 days, ~200k users, md5-placed so day×user incidence
+    * is realistic — and measures both forms at growing windows:
+    * exploded-row count + runtime (exact) vs sketch-row count +
+    * runtime (KMV), plus the max estimate error — the evidence for
+    * when to switch forms.
+    */
+  private def slidingProbe(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val windows = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(7, 30, 90)
+    val nEvents = 2000000L
+    val ev = spark.range(nEvents).select(
+        expr("cast(conv(substring(md5(concat('d:', cast(id as string))), 1, 8), 16, 10) as long) % 365")
+          .as("day"),
+        expr("cast(conv(substring(md5(concat('u:', cast(id as string))), 1, 8), 16, 10) as long) % 200000")
+          .as("user_id"))
+      .localCheckpoint(true)
+    val day = col("day")
+    // untimed warmup (also materializes the checkpoint)
+    operators.EventOps.slidingDistinct(ev, day, col("user_id"), 2).count()
+    operators.Sketches.kmvSlidingDistinct(ev, day, col("user_id"), 2,
+      Params.KmvK, Params.KmvSalt).count()
+    for (w <- windows) {
+      val t0 = System.nanoTime()
+      val exact = operators.EventOps.slidingDistinct(ev, day, col("user_id"), w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val est = operators.Sketches.kmvSlidingDistinct(ev, day, col("user_id"), w,
+          Params.KmvK, Params.KmvSalt)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val kmvSec = (System.nanoTime() - t1) / 1e9
+      def maxErr(e: Map[Long, Long]): Long = exact.keys.map { p =>
+        math.abs(e(p) - exact(p)) * 1000000L / math.max(exact(p), 1L)
+      }.max
+      // error at a production-sized k too: state is still only
+      // n_days×k longs, and the 1/√k error shrinks 4×
+      val est1k = operators.Sketches.kmvSlidingDistinct(ev, day,
+          col("user_id"), w, 1024, Params.KmvSalt)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val days = exact.size
+      println(f"""{"probe":"sliding","window":$w,"n_events":$nEvents,"n_days":$days,"exact_exploded_rows":${nEvents * w},"kmv_sketch_rows":$days,"exact_secs":$exactSec%.2f,"kmv_secs":$kmvSec%.2f,"max_err_ppm_k64":${maxErr(est)},"max_err_ppm_k1024":${maxErr(est1k)}}""")
+    }
   }
 
   /** `probe=retrieval [r]`: replicate the sf0.01 documents r× (worst-case
