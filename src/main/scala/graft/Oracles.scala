@@ -2438,6 +2438,38 @@ object Oracles {
     * an integer floor-division, every combine an exact BIGINT sum, so
     * Spark and DuckDB agree bit-for-bit.
     */
+  /** pageRankWeighted twin: the same generated-round replay as
+    * [[qPagerank]] with weighted shares `(pr·85·w) // (100·Σw_src)`;
+    * the symmetric trading graph has no sinks, so no dangling CTE —
+    * matching the operator's probed fast path exactly.
+    */
+  def qPagerankWeighted: String = {
+    val u = graft.operators.PageRank.MassUnit
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node,
+         |  CAST(sum((p.pr * 85 * e.w) // (100 * e.wsum)) AS BIGINT) AS inbound
+         |  FROM ed e JOIN pr${k - 1} p ON e.src = p.node GROUP BY e.dst),
+         |pr$k AS (SELECT nodes.node,
+         |  CAST((15 * $u) // (100 * nn) + COALESCE(inbound, 0) AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT l_suppkey AS sk, o_custkey AS ck,
+       |    count(DISTINCT l_orderkey) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |edges AS (SELECT sk AS src, ck + $PrCustOffset AS dst, w FROM pairs
+       |          UNION ALL SELECT ck + $PrCustOffset, sk, w FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+       |ed AS (SELECT edges.src, edges.dst, edges.w, wdeg.wsum
+       |       FROM edges JOIN wdeg USING (src)),
+       |n AS (SELECT count(*) AS nn FROM nodes),
+       |pr0 AS (SELECT node, CAST($u // nn AS BIGINT) AS pr FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT node, pr FROM pr$PrIters""".stripMargin
+  }
+
   def qPagerank: String = {
     val u = graft.operators.PageRank.MassUnit
     val iters = (1 to PrIters).map { k =>

@@ -1328,6 +1328,20 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.PageRank.pageRank(edges, PrIters)
     }),
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // volume-weighted variant: each trading pair's edge carries its
+      // distinct-order count, so rank flows ∝ trade volume, not 1/deg
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+      val edges = pairs.select(col("sk").as("src"),
+          (col("ck") + lit(PrCustOffset)).as("dst"), col("w"))
+        .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"),
+          col("sk").as("dst"), col("w")))
+      operators.PageRank.pageRankWeighted(edges, PrIters)
+    }),
     "q_link_predict" -> ((s, dir) =>
       // supplier-pair similarity by shared supplied parts: capped wedge
       // enumeration + exact integer Jaccard (ppm) on the filtered graph
@@ -1833,6 +1847,7 @@ object SparkEntry {
     // the merge's oracle IS the full rebuild — incremental must equal it
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,
+    "q_pagerank_weighted" -> Oracles.qPagerankWeighted,
     "q_ppr" -> Oracles.qPpr,
     "q_hits" -> Oracles.qHits,
     "q_kcore" -> Oracles.qKcore,

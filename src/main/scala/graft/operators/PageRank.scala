@@ -121,6 +121,68 @@ object PageRank {
     ranks
   }
 
+  /** Edge-WEIGHTED PageRank: transition probability ∝ edge weight
+    * instead of 1/degree — the variant for trading volumes, link
+    * frequencies, co-occurrence counts. `edges` must have long columns
+    * (`src`, `dst`, `w`) with strictly positive weights; each round's
+    * per-edge transfer is `(pr·85·w) div (100·Σw_src)` — the weighted
+    * share of the damped rank, exact int64 under the documented bound
+    * `max_w · MassUnit · 85 < 2⁶³` (max_w ≤ ~10⁵; weights are relative
+    * per source, so pre-dividing heavy weight columns by a constant
+    * loses nothing). Same distributed shape, checkpoint discipline,
+    * sink handling (single-pass sentinel-group dangling collection) and
+    * determinism contract as [[pageRank]]; parallel edges are legal and
+    * contribute additively.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+                       checkpointRounds: Boolean = true): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val edgesWithW = e.join(wdeg, "src").localCheckpoint(false)
+    val n = nodes.agg(count(lit(1)).as("nn"))
+    val hasSinks = !nodes
+      .join(wdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .isEmpty
+    var ranks = nodes.join(broadcast(n))
+      .select(col("node"), expr(s"${MassUnit}L div nn").as("pr"))
+    val Sentinel = Long.MinValue
+    for (_ <- 1 to iters) {
+      if (!hasSinks) {
+        val contribs = edgesWithW
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("(pr * 85L * w) div (100L * wsum)").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+        ranks = nodes.join(broadcast(n))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (expr(s"(15L * ${MassUnit}L) div (100L * nn)")
+              + coalesce(col("inbound"), lit(0L))).as("pr"))
+      } else {
+        val agg0 = ranks
+          .join(edgesWithW.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(coalesce(col("dst"), lit(Sentinel)).as("gnode"),
+            when(col("dst").isNull, col("pr"))
+              .otherwise(expr("(pr * 85L * w) div (100L * wsum)")).as("c"))
+          .groupBy(col("gnode").as("node")).agg(sum(col("c")).as("inbound"))
+        val cagg = if (checkpointRounds) agg0.localCheckpoint(false) else agg0
+        val dmass = cagg.where(col("node") === Sentinel)
+          .agg(coalesce(sum(col("inbound")), lit(0L)).as("dm"))
+        ranks = nodes.join(broadcast(n)).join(broadcast(dmass))
+          .join(cagg.where(col("node") =!= Sentinel), Seq("node"), "left")
+          .select(col("node"),
+            (expr(s"(15L * ${MassUnit}L) div (100L * nn)")
+              + expr("(85L * dm) div (100L * nn)")
+              + coalesce(col("inbound"), lit(0L))).as("pr"))
+      }
+    }
+    ranks
+  }
+
   /** k-core peeling, fixed rounds: repeatedly drop nodes whose degree in
     * the SURVIVING subgraph is below k — round r's survivors are a sound
     * over-approximation of the k-core that tightens monotonically, and on

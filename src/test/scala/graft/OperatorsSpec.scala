@@ -1993,6 +1993,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ids1 === ids2 && ids1.nonEmpty)
   }
 
+  test("pageRankWeighted: unit weights reproduce pageRank exactly, heavy edges attract rank") {
+    import graft.operators.PageRank
+    // sink graph (node 4 has no outbound) exercises the sentinel path
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val unw = PageRank.pageRank(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w1 = PageRank.pageRankWeighted(edges.withColumn("w", lit(1L)), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 === unw, "w=1 must be bit-identical to the unweighted rank")
+    // same symmetric topology, but 1→2 carries 9× the weight of 1→3:
+    // node 2 must outrank node 3 (unweighted would tie them)
+    val sym = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = PageRank.pageRankWeighted(sym, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr(2L) > pr(3L), s"heavy edge must attract rank: $pr")
+    val tie = PageRank.pageRank(sym.select("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tie(2L) === tie(3L), "unweighted rank ties the symmetric pair")
+  }
+
   test("slidingDistinct: calendar windows across a gap, no phantom periods") {
     // days 1,2,9; w=3: d1 sees {a,b}, d2 sees {a,b,c}, d9 (after the
     // gap) sees only day-9 actors {a}; days 3..11 emit nothing
