@@ -214,6 +214,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chi2Drift is symmetric and matches the brute-force pooled form") {
+    import graft.operators.Sketches
+    trials(417L, n = 6) { rnd =>
+      val ref = (0 until 40).map(_ => rnd.nextInt(5).toLong).toDF("v")
+      val cur = (0 until 55).map(_ => rnd.nextInt(6).toLong).toDF("v")
+      def run(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        Sketches.chi2Drift(a, b, col("v"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val fwd = run(ref, cur)
+      val rev = run(cur, ref)
+      // (T_c·O_r − T_r·O_c)² is swap-invariant: same contribution per
+      // bucket, counts mirrored
+      assert(fwd.keySet === rev.keySet)
+      fwd.foreach { case (b, (nr, nc, c)) =>
+        assert(rev(b) === ((nc, nr, c)), s"bucket $b asymmetric") }
+      // brute-force pooled reference, integer arithmetic
+      val ra = ref.collect().map(_.getLong(0))
+      val ca = cur.collect().map(_.getLong(0))
+      val (tr, tc) = (ra.length.toLong, ca.length.toLong)
+      (ra ++ ca).distinct.foreach { v =>
+        val (or, oc) = (ra.count(_ == v).toLong, ca.count(_ == v).toLong)
+        val d = BigInt(tc * or - tr * oc)
+        val want = (d * d * 1000000 / (BigInt(or + oc) * tr * tc)).toLong
+        assert(fwd(v)._3 === want, s"bucket $v: ${fwd(v)._3} want $want")
+      }
+    }
+  }
+
+  test("property: kmvSlidingDistinct at window=1 equals the per-period sketch") {
+    import graft.operators.Sketches
+    trials(833L, n = 5) { rnd =>
+      val ev = (0 until 120).map(_ => (rnd.nextInt(6).toLong, s"u${rnd.nextInt(40)}"))
+        .toDF("p", "u")
+      val win1 = Sketches.kmvSlidingDistinct(ev, col("p"), col("u"), 1, 8, "s")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val per = Sketches.kmvDistinct(ev, col("p"), "period", col("u"), 8, "s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(win1 === per)
+    }
+  }
+
   test("property: mergeInto equals a per-key reference MERGE on random data") {
     trials(909L, n = 6) { rnd =>
       val base = (0 until 40).map(i => (i.toLong, rnd.nextInt(100).toLong))
