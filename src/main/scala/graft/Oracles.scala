@@ -2257,6 +2257,40 @@ object Oracles {
        |FROM est JOIN np ON est.period = np.period""".stripMargin
   }
 
+  /** slidingQuantiles twin: each window's bottom-k sample replayed from
+    * base rows (rank by (h, v) within the window — the aggregator's
+    * exact ordering — keep k, nearest-rank order statistics), plus the
+    * present-period window count, mirroring [[qKmvSliding]]'s shape.
+    */
+  def qKllSliding: String = {
+    val w = Params.SlidingWindowDays
+    val h = hex8Expr(s"('$KllSalt:' || CAST(event_id AS VARCHAR))")
+    val pcols = KllPs.map(p =>
+      s"CAST(max(CASE WHEN vr = greatest(1, ($p * n + 99) // 100) THEN v END) AS BIGINT) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH f AS (SELECT epoch_ms(ts) // 86400000 AS p,
+       |    CAST($h AS BIGINT) AS h,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+       |present AS (SELECT DISTINCT p AS period FROM f),
+       |np AS (SELECT p1.period, CAST(count(*) AS BIGINT) AS n_periods
+       |  FROM present p1 JOIN present p2
+       |    ON p2.period BETWEEN p1.period - ${w - 1} AND p1.period GROUP BY 1),
+       |m AS (SELECT period, h, v FROM present JOIN f
+       |    ON f.p BETWEEN period - ${w - 1} AND period),
+       |s AS (SELECT period, v,
+       |  row_number() OVER (PARTITION BY period ORDER BY h, v) AS rn FROM m),
+       |kk AS (SELECT period, v FROM s WHERE rn <= $KllK),
+       |r AS (SELECT period, v,
+       |  row_number() OVER (PARTITION BY period ORDER BY v) AS vr,
+       |  count(*) OVER (PARTITION BY period) AS n FROM kk),
+       |est AS (SELECT period, CAST(max(n) AS BIGINT) AS n_sample,
+       |  $pcols
+       |  FROM r GROUP BY period)
+       |SELECT CAST(est.period AS BIGINT) AS period, n_periods, n_sample,
+       |  ${KllPs.map(p => s"p$p").mkString(", ")}
+       |FROM est JOIN np ON est.period = np.period""".stripMargin
+  }
+
   def eventsNewUsers: String =
     """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)

@@ -1624,6 +1624,12 @@ object SparkEntry {
       Sketches.kmvSlidingDistinct(t(s, dir, "events"),
         expr("unix_millis(ts) div 86400000"), col("user_id"),
         SlidingWindowDays, KmvK, KmvSalt)),
+    "q_kll_sliding" -> ((s, dir) =>
+      // rolling 7-day value percentiles from per-day quantile-sketch
+      // state — the bounded-state rolling p50/p95 ops metric
+      operators.QuantileSketch.slidingQuantiles(t(s, dir, "events"),
+        expr("unix_millis(ts) div 86400000"), col("event_id"),
+        cents(col("value")), SlidingWindowDays, KllK, KllSalt, KllPs)),
     "events_extract" -> ((s, dir) =>
       EventOps.extractIntField(t(s, dir, "events"), "props", "k")
         .select(col("event_id"), col("k"))),
@@ -1714,6 +1720,7 @@ object SparkEntry {
     "events_new_users" -> Oracles.eventsNewUsers,
     "q_sliding_distinct" -> Oracles.qSlidingDistinct,
     "q_kmv_sliding" -> Oracles.qKmvSliding,
+    "q_kll_sliding" -> Oracles.qKllSliding,
     "q_ntile" -> Oracles.qNtile,
     "q_rollup" -> Oracles.qRollup,
     "q_grouping_sets" -> Oracles.qGroupingSets,

@@ -121,6 +121,33 @@ object QuantileSketch {
     withVals.select(keep ++ (size(col("__vals")).cast("long").as("n_sample") +: est): _*)
   }
 
+  /** Sliding-window quantiles from per-period sketch state — the
+    * rolling p50/p99 ops metric in bounded state: the facts reduce ONCE
+    * to k (hash, value) pairs per period, and each window's sample is
+    * recovered with pure array ops (flatten the in-range states → sort
+    * by (h, v) — the aggregator's exact ordering — → first k: every
+    * pair among the window's k smallest lives in its own period's
+    * bottom-k, so the merged sample IS the window's sample, the same
+    * exact algebra as [[union]]). RANGE frame for calendar semantics
+    * across gaps, unpartitioned but period-level (the
+    * [[Sketches.kmvSlidingDistinct]] contract — one row per period,
+    * never facts). Output: (period, n_periods, n_sample, p…).
+    */
+  def slidingQuantiles(df: DataFrame, period: Column, key: Column,
+                       value: Column, windowPeriods: Int, k: Int,
+                       salt: String, ps: Seq[Int]): DataFrame = {
+    require(windowPeriods >= 1, "window must be >= 1 periods")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("period")).rangeBetween(-(windowPeriods - 1L), 0L)
+    estimate(
+      sketch(df, period, "period", key, value, k, salt)
+        .select(col("period"),
+          count(lit(1)).over(w).as("n_periods"),
+          slice(array_sort(flatten(collect_list(col("qs")).over(w))), 1, k)
+            .as("qs")),
+      "qs", ps)
+  }
+
   /** Sketch union algebra: merge per-group sketch state into the global
     * sketch — without touching the base data. Re-feeding stored (h, v)
     * pairs through the same bounded aggregator yields EXACTLY the

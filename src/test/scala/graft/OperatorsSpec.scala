@@ -2043,6 +2043,32 @@ class OperatorsSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("slidingQuantiles: window merge equals the window's direct sketch, exact below k") {
+    import graft.operators.QuantileSketch
+    // 3 periods with known values; k=4 < window row count forces real
+    // sampling; window 2 at period 2 must equal a direct sketch of the
+    // period-1..2 rows (merge ≡ recompute)
+    val rows = (1 to 30).map(i => (i.toLong % 3 + 1, i.toLong, i.toLong * 10))
+      .toDF("p", "id", "v")
+    val win = QuantileSketch.slidingQuantiles(rows, col("p"), col("id"),
+        col("v"), 2, 4, "s", Seq(50, 100))
+      .where(col("period") === 2L).collect().head
+    val direct = QuantileSketch.estimate(
+        QuantileSketch.sketch(rows.where(col("p") <= 2L), lit(1L), "g",
+          col("id"), col("v"), 4, "s"), "qs", Seq(50, 100))
+      .collect().head
+    assert((win.getLong(2), win.getLong(3), win.getLong(4))
+      === ((direct.getLong(1), direct.getLong(2), direct.getLong(3))))
+    // k >= all rows: sliding quantiles are EXACT order statistics
+    val exact = QuantileSketch.slidingQuantiles(rows, col("p"), col("id"),
+        col("v"), 3, 64, "s", Seq(50, 100))
+      .where(col("period") === 3L).collect().head
+    val vals = (1 to 30).map(_ * 10L).sorted
+    assert(exact.getLong(2) === 30L)
+    assert(exact.getLong(4) === vals.last, "p100 is the window max")
+    assert(exact.getLong(3) === vals((50 * 30 + 99) / 100 - 1), "p50 nearest-rank")
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
