@@ -478,10 +478,11 @@ object Sketches {
     * non-empty (raises otherwise).
     */
   def chi2Drift(ref: DataFrame, cur: DataFrame, bucket: Column): DataFrame = {
-    val r = ref.groupBy(bucket.cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_ref"))
-    val c = cur.groupBy(bucket.cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_cur"))
+    // bucket keeps its own type — a cast("long") here would ANSI-throw
+    // on categorical (string) bucketing, which this gate explicitly
+    // supports (caught by the streaming-guard spec)
+    val r = ref.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_cur"))
     val j = r.join(c, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
     val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))

@@ -525,6 +525,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chi2 guard: in-distribution batch scores low, shifted batch spikes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // reference: uniform over a..d
+    val ref = (0 until 100).map(i => s"${('a' + i % 4).toChar}").toDF("value")
+    val scores = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val q = graft.streaming.DriftStream.chi2Guard(
+      stream.toDF(), ref, col("value"),
+      (id, chi2, nb, nr) => scores.synchronized { scores(id) = (chi2, nb, nr) })
+    try {
+      // batch ~reference-shaped → small statistic
+      stream.addData(Seq("a", "b", "c", "d", "a", "b", "c", "d"): _*)
+      q.processAllAvailable()
+      // batch all-"e" (a bucket the reference has NEVER seen) → spike
+      stream.addData(Seq.fill(8)("e"): _*)
+      q.processAllAvailable()
+      val s = scores.synchronized(scores.toMap)
+      assert(s.size === 2)
+      val (inDist, shifted) = (s(0L), s(1L))
+      assert(inDist._3 === 8L && shifted._3 === 8L)
+      // uniform batch vs uniform ref: χ²=0 exactly (counts proportional);
+      // the disjoint batch is maximal: χ² = N (here 108·1e6 over ppm-floor)
+      assert(inDist._1 === 0L, s"in-distribution batch must score 0, got $inDist")
+      assert(shifted._1 > 100L * 1000000L,
+        s"disjoint-support batch must spike, got $shifted")
+      assert(shifted._2 === 5L, "e joins the 4 reference buckets in the census")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: MG state bounded at k, hot item never lost across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
