@@ -1304,6 +1304,29 @@ object Oracles {
        |  FROM events)
        |WHERE event_type = '$AsofTarget'""".stripMargin
 
+  /** Nearest-event twin of [[graft.operators.EventOps.nearestEvent]]:
+    * same two frames over the same (ts_ms, event_id) sort, same
+    * tie-to-prior pick.
+    */
+  def eventsNearest: String =
+    s"""SELECT event_id, user_id, ts_ms, prev_ms, next_ms, nearest_ms,
+       |  abs(nearest_ms - ts_ms) AS gap_ms FROM (
+       |  SELECT event_id, user_id, event_type, ts_ms, prev_ms, next_ms,
+       |    CASE WHEN prev_ms IS NULL THEN next_ms
+       |      WHEN next_ms IS NULL THEN prev_ms
+       |      WHEN ts_ms - prev_ms <= next_ms - ts_ms THEN prev_ms
+       |      ELSE next_ms END AS nearest_ms
+       |  FROM (
+       |    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+       |      max(CASE WHEN event_type = '$AsofMatch' THEN epoch_ms(ts) END) OVER (
+       |        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+       |        ROWS UNBOUNDED PRECEDING) AS prev_ms,
+       |      min(CASE WHEN event_type = '$AsofMatch' THEN epoch_ms(ts) END) OVER (
+       |        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+       |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ms
+       |    FROM events))
+       |WHERE event_type = '$AsofTarget'""".stripMargin
+
   /** Burst twin of [[graft.operators.EventOps.bursts]]. */
   def eventsBursts: String =
     s"""WITH h AS (SELECT event_type AS entity, epoch_ms(ts) // 3600000 AS hour,
@@ -1340,6 +1363,31 @@ object Oracles {
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
        |SELECT ft AS from_type, tt AS to_type, count(*) AS n
        |FROM x WHERE tt IS NOT NULL AND gap <= $SessionGapMs GROUP BY 1, 2""".stripMargin
+
+  /** Randomized-response twin of
+    * [[graft.operators.Quality.randomizedResponse]]: replays the salted
+    * flips bit-for-bit, then the same clamped HUGEINT debias (DuckDB's
+    * int128 standing in for Spark's DECIMAL(38,0)).
+    */
+  def qRandResponse: String = {
+    val h = hex8Expr(s"('$RrSalt:' || CAST(o_orderkey AS VARCHAR))")
+    s"""WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS bit,
+       |    CASE WHEN CAST($h AS BIGINT) * 1000000 <
+       |      $RrFlipPpm * 4294967296 THEN 1 ELSE 0 END AS flip
+       |  FROM orders),
+       |g AS (SELECT y, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN bit <> flip THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS reported_cnt
+       |  FROM b GROUP BY y)
+       |SELECT y AS grp, n, reported_cnt,
+       |  CAST(least(1000000, (greatest(CAST(0 AS HUGEINT),
+       |      CAST(reported_cnt AS HUGEINT) * 1000000
+       |        - CAST(n AS HUGEINT) * $RrFlipPpm) * 1000000)
+       |    // (CAST(n AS HUGEINT) * ${1000000L - 2 * RrFlipPpm})) AS BIGINT)
+       |    AS est_true_ppm
+       |FROM g""".stripMargin
+  }
 
   def qKanon: String =
     s"""WITH g AS (SELECT CAST(c_mktsegment AS VARCHAR) AS segment,
@@ -2881,6 +2929,50 @@ object Oracles {
        |SELECT ya AS grp_a, yb AS grp_b, union_est,
        |  CAST((c * union_est) // kk AS BIGINT) AS intersect_est,
        |  CAST((c * 1000000) // kk AS BIGINT) AS jaccard_ppm
+       |FROM est""".stripMargin
+  }
+
+  /** kmvDiff twin: the intersect replay plus per-side membership counts
+    * of the union's bottom-k, so a-only/b-only fall out as ca−c / cb−c
+    * — membership decisions replayed exactly like the Spark side's
+    * array_intersect over stored sketches.
+    */
+  def qKmvDiff: String = {
+    val h = hex8Expr(s"('$KmvSalt:' || CAST(o_custkey AS VARCHAR))")
+    s"""WITH hv AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y,
+       |    CAST($h AS BIGINT) AS h FROM orders),
+       |sa AS (SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn
+       |  FROM hv),
+       |sk AS (SELECT y, h FROM sa WHERE rn <= $KmvK),
+       |ys AS (SELECT DISTINCT y FROM sk),
+       |pr AS (SELECT a.y AS ya, b.y AS yb FROM ys a JOIN ys b ON a.y < b.y),
+       |und AS (SELECT DISTINCT pr.ya, pr.yb, sk.h FROM pr
+       |  JOIN sk ON sk.y = pr.ya OR sk.y = pr.yb),
+       |rk AS (SELECT ya, yb, h,
+       |    row_number() OVER (PARTITION BY ya, yb ORDER BY h) AS rn FROM und),
+       |m AS (SELECT ya, yb, h, rn FROM rk WHERE rn <= $KmvK),
+       |st AS (SELECT ya, yb, CAST(count(*) AS BIGINT) AS kk,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS hk FROM m GROUP BY ya, yb),
+       |cm AS (SELECT m.ya, m.yb, CAST(count(*) AS BIGINT) AS c FROM m
+       |  JOIN sk a ON a.y = m.ya AND a.h = m.h
+       |  JOIN sk b ON b.y = m.yb AND b.h = m.h
+       |  GROUP BY m.ya, m.yb),
+       |cma AS (SELECT m.ya, m.yb, CAST(count(*) AS BIGINT) AS ca FROM m
+       |  JOIN sk a ON a.y = m.ya AND a.h = m.h GROUP BY m.ya, m.yb),
+       |cmb AS (SELECT m.ya, m.yb, CAST(count(*) AS BIGINT) AS cb FROM m
+       |  JOIN sk b ON b.y = m.yb AND b.h = m.h GROUP BY m.ya, m.yb),
+       |est AS (SELECT st.ya, st.yb, st.kk, coalesce(cm.c, 0) AS c,
+       |    coalesce(cma.ca, 0) AS ca, coalesce(cmb.cb, 0) AS cb,
+       |    CAST(CASE WHEN st.kk < $KmvK THEN st.kk
+       |      ELSE ((${KmvK - 1} * 4294967296) // (st.hk + 1)) END AS BIGINT)
+       |      AS union_est
+       |  FROM st LEFT JOIN cm ON cm.ya = st.ya AND cm.yb = st.yb
+       |  LEFT JOIN cma ON cma.ya = st.ya AND cma.yb = st.yb
+       |  LEFT JOIN cmb ON cmb.ya = st.ya AND cmb.yb = st.yb)
+       |SELECT ya AS grp_a, yb AS grp_b, union_est,
+       |  CAST(((ca - c) * union_est) // kk AS BIGINT) AS a_only_est,
+       |  CAST(((cb - c) * union_est) // kk AS BIGINT) AS b_only_est,
+       |  CAST((c * union_est) // kk AS BIGINT) AS intersect_est
        |FROM est""".stripMargin
   }
 

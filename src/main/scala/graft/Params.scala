@@ -191,6 +191,11 @@ object Params {
   val AsofMatch = "click"
   val FunnelSteps: Seq[String] = Seq("click", "view", "purchase")
 
+  // randomized response: flip probability (ppm) and salt — shared by the
+  // Spark release and the oracle's replay
+  val RrFlipPpm = 250000L
+  val RrSalt = "rr"
+
   // decontamination containment threshold |A∩B|/|A| >= num/den
   val ContMinNum = 1L
   val ContMinDen = 2L

@@ -1209,6 +1209,15 @@ object SparkEntry {
         operators.Sketches.kmvSketch(t(s, dir, "orders"),
           year(col("o_orderdate")).cast("long"), "yearkey",
           col("o_custkey"), KmvK, KmvSalt), "yearkey", "hs", KmvK)),
+    "q_kmv_diff" -> ((s, dir) =>
+      // sketch set algebra, final piece: churn-style difference
+      // estimates (customers active in year a but not b, and vice
+      // versa) from the same per-year sketch state — the union's
+      // bottom-k partitions exactly into a-only/b-only/both
+      operators.Sketches.kmvDiff(
+        operators.Sketches.kmvSketch(t(s, dir, "orders"),
+          year(col("o_orderdate")).cast("long"), "yearkey",
+          col("o_custkey"), KmvK, KmvSalt), "yearkey", "hs", KmvK)),
     "er_resolve" -> ((s, dir) => {
       // entity resolution E2E on a synthesized dirty registry: every
       // part is a base record, every ErTwinMod-th part adds a twin with
@@ -1251,6 +1260,12 @@ object SparkEntry {
       // contract gate audit: per-rule violation counts in one pass,
       // zero-violation rules included (a clean run still gets its row)
       Quality.audit(t(s, dir, "orders"), qcRules)),
+    "q_rand_response" -> ((s, dir) =>
+      // local-privacy release: is-urgent bit randomized per order, true
+      // per-year urgency rate recovered by the exact Warner debias
+      Quality.randomizedResponse(t(s, dir, "orders"),
+        year(col("o_orderdate")).cast("long"), col("o_orderkey"),
+        col("o_orderpriority") === "1-URGENT", RrFlipPpm, RrSalt)),
     "q_kanon" -> ((s, dir) =>
       // k-anonymity suppression: QI combinations smaller than KanonK are
       // generalized to '*' before release — census broadcasts back, the
@@ -1654,6 +1669,11 @@ object SparkEntry {
     "events_asof" -> ((s, dir) =>
       EventOps.asofPriorEvent(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch)),
+    "events_nearest" -> ((s, dir) =>
+      // nearest click to each purchase in EITHER direction — two frame
+      // scans on one per-user sort, ties to the prior event
+      EventOps.nearestEvent(t(s, dir, "events"), "user_id", "ts", "event_type",
+        AsofTarget, AsofMatch)),
     "events_transitions" -> ((s, dir) =>
       // within-session Markov transition counts — one user-keyed window
       // pass, no session ids materialized
@@ -1788,6 +1808,7 @@ object SparkEntry {
     "q_fingerprint_merge" -> Oracles.qDatasetFingerprint,
     "q_join_size_audit" -> Oracles.qJoinSizeAudit,
     "q_kmv_intersect" -> Oracles.qKmvIntersect,
+    "q_kmv_diff" -> Oracles.qKmvDiff,
     "er_resolve" -> Oracles.erResolve,
     "etl_scd2" -> Oracles.etlScd2,
     "etl_scd2_lookup" -> Oracles.etlScd2Lookup,
@@ -1828,11 +1849,13 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
+    "events_nearest" -> Oracles.eventsNearest,
     "events_transitions" -> Oracles.eventsTransitions,
     "events_attribution" -> Oracles.eventsAttribution,
     "events_bursts" -> Oracles.eventsBursts,
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,
+    "q_rand_response" -> Oracles.qRandResponse,
     "q_ldiversity" -> Oracles.qLdiversity,
     "q_tcloseness" -> Oracles.qTcloseness,
     "q_winsorize" -> Oracles.qWinsorize,

@@ -134,6 +134,42 @@ object EventOps {
         (col("ts_ms") - col("asof_ms")).as("gap_ms"))
   }
 
+  /** Nearest-event join, either direction: for each target event, the
+    * `matchType` event from the same user with the smallest |Δt| —
+    * before OR after (the "closest telemetry reading to each incident"
+    * shape; [[asofPriorEvent]] is the backward-only half). Composed as
+    * TWO frame scans over the same per-user sort — a running
+    * `max(CASE …)` over the preceding frame and a running `min(CASE …)`
+    * over the following frame — then a three-way null-safe pick; ties
+    * break to the prior event (deterministic, matches the replayed
+    * oracle). One sort per user partition, no range join, no state:
+    * the same scalable pattern as the as-of, paying one extra window
+    * function on an already-sorted partition.
+    */
+  def nearestEvent(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, targetType: String,
+                   matchType: String): DataFrame = {
+    val base = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events.withColumn("ts_ms", unix_millis(col(tsCol)))
+      .withColumn("prev_ms",
+        max(when(col(typeCol) === matchType, col("ts_ms"))).over(wPrev))
+      .withColumn("next_ms",
+        min(when(col(typeCol) === matchType, col("ts_ms"))).over(wNext))
+      .filter(col(typeCol) === targetType)
+      .withColumn("nearest_ms",
+        when(col("prev_ms").isNull, col("next_ms"))
+          .when(col("next_ms").isNull, col("prev_ms"))
+          .when(col("ts_ms") - col("prev_ms") <= col("next_ms") - col("ts_ms"),
+            col("prev_ms"))
+          .otherwise(col("next_ms")))
+      .select(col("event_id"), col(userCol), col("ts_ms"), col("prev_ms"),
+        col("next_ms"), col("nearest_ms"),
+        abs(col("nearest_ms") - col("ts_ms")).as("gap_ms"))
+  }
+
   /** Markov transition matrix over within-session event sequences:
     * counts of (from_type → to_type) for consecutive event pairs whose
     * gap is ≤ `gapMs` — the clickstream summary behind next-action

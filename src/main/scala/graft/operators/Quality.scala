@@ -137,6 +137,45 @@ object Quality {
         col("med"), col("mad"))
   }
 
+  /** Warner randomized response, the local-privacy release: each row's
+    * sensitive bit is reported FLIPPED with probability p (the
+    * respondent's plausible deniability — ε = ln((1−p)/p) local DP), and
+    * the per-group true rate is recovered by the exact debias
+    * `(r̂ − p) / (1 − 2p)` over the reported count. Flips are salted-hash
+    * draws (`hash32(id) · 1e6 < p_ppm · 2³²`), so the release is
+    * reproducible for the oracle and the specs; a production release
+    * would key the salt secretly, which changes no plan shape.
+    *
+    * Arithmetic: the debias products run in DECIMAL(38,0) (n·10¹² wraps
+    * int64 past ~9M rows/group) and the estimate CLAMPS to [0, 1e6] ppm
+    * before the integral divide — sampling noise can push the raw
+    * estimator outside the meaningful range, and the clamp also keeps
+    * the floor division sign-free (truncate-vs-floor never diverges
+    * cross-engine on non-negatives). One map-side flip + one grouped
+    * count: the sensitive column itself never shuffles.
+    * Output: `(grp, n, reported_cnt, est_true_ppm)`.
+    */
+  def randomizedResponse(df: DataFrame, group: Column, id: Column,
+                         bit: Column, pPpm: Long, salt: String): DataFrame = {
+    require(pPpm > 0 && pPpm < 500000,
+      "flip probability must be in (0, 0.5): at p = 0.5 the report carries " +
+        "zero signal and the debias divides by zero")
+    val flip = graft.functions.HashFunctions.hash32(id, salt) * lit(1000000L) <
+      lit(pPpm) * lit(4294967296L)
+    df.select(group.as("grp"),
+        when(bit.cast("boolean") =!= flip, 1L).otherwise(0L).as("rep"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("rep")).as("reported_cnt"))
+      .select(col("grp"), col("n"), col("reported_cnt"),
+        least(lit(1000000L), expr(
+          s"""(greatest(cast(0 as decimal(38,0)),
+             |  cast(reported_cnt as decimal(38,0)) * 1000000
+             |    - cast(n as decimal(38,0)) * ${pPpm}) * 1000000)
+             | div (cast(n as decimal(38,0)) * ${1000000L - 2 * pPpm})"""
+            .stripMargin.replaceAll("\n", " ")))
+          .as("est_true_ppm"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: one row per QI
     * combination with its population and whether it meets the k floor —
     * the standard re-identification risk census a privacy gate runs

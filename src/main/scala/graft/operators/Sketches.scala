@@ -280,6 +280,40 @@ object Sketches {
         expr("(c * 1000000L) div kk").as("jaccard_ppm"))
   }
 
+  /** KMV set algebra, final piece: the DIFFERENCE estimates. For every
+    * pair of stored sketches the union's bottom-k M partitions into
+    * a-only / b-only / both — every membership decision is EXACT (any
+    * h ∈ M that hashes an element of A is necessarily in A's own
+    * bottom-k: fewer than k union hashes sit below it, so fewer than k
+    * of A's do), so the three disjoint counts scale by the union
+    * estimate into `|A\B|`, `|B\A|`, `|A∩B|`. Under k everything
+    * degrades to exact counts, and the three parts always sum to
+    * union_est up to the two integer floors.
+    *
+    * Same groups²·k sketch-table join as [[kmvIntersect]] — the scan
+    * that built the sketches is never repaid. Output:
+    * `(grp_a, grp_b, union_est, a_only_est, b_only_est, intersect_est)`.
+    */
+  def kmvDiff(sketches: DataFrame, as: String, hsCol: String,
+              k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val a = sketches.select(col(as).as("grp_a"), col(hsCol).as("hs_a"))
+    val b = sketches.select(col(as).as("grp_b"), col(hsCol).as("hs_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("m", slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, k))
+      .withColumn("kk", size(col("m")).cast("long"))
+      .withColumn("c_both", size(array_intersect(col("m"),
+        array_intersect(col("hs_a"), col("hs_b")))).cast("long"))
+      .withColumn("c_a", size(array_intersect(col("m"), col("hs_a"))).cast("long"))
+      .withColumn("c_b", size(array_intersect(col("m"), col("hs_b"))).cast("long"))
+      .withColumn("union_est", when(col("kk") < k, col("kk"))
+        .otherwise(expr(s"((${k - 1}L * 4294967296L) div (element_at(m, $k) + 1L))")))
+      .select(col("grp_a"), col("grp_b"), col("union_est"),
+        expr("((c_a - c_both) * union_est) div kk").as("a_only_est"),
+        expr("((c_b - c_both) * union_est) div kk").as("b_only_est"),
+        expr("(c_both * union_est) div kk").as("intersect_est"))
+  }
+
   /** Percentile estimates from an equi-width histogram over a LONG
     * measure: bucket counts in one scan (groupBy on the floor-div
     * bucket, sketch-sized state), then for each p in `ps` the estimate

@@ -387,6 +387,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) === None)
   }
 
+  test("nearest-event join picks the smaller |Δt| side, ties to prior, nulls degrade") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 7: click 00:00, purchase 00:10, click 00:14 → next is nearer (4m < 10m)
+      (1L, ts("2024-01-01 00:00:00"), 7L, "click"),
+      (2L, ts("2024-01-01 00:10:00"), 7L, "purchase"),
+      (3L, ts("2024-01-01 00:14:00"), 7L, "click"),
+      // user 8: click 00:00, purchase 00:05, click 00:10 → exact tie, prior wins
+      (4L, ts("2024-01-01 00:00:00"), 8L, "click"),
+      (5L, ts("2024-01-01 00:05:00"), 8L, "purchase"),
+      (6L, ts("2024-01-01 00:10:00"), 8L, "click"),
+      // user 9: purchase before any click → forward match only
+      (7L, ts("2024-01-01 00:01:00"), 9L, "purchase"),
+      (8L, ts("2024-01-01 00:30:00"), 9L, "click"),
+      // user 10: no clicks at all → all nulls
+      (9L, ts("2024-01-01 00:02:00"), 10L, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.nearestEvent(ev, "user_id", "ts", "event_type", "purchase", "click")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        (Option(r.getAs[Any]("nearest_ms")), Option(r.getAs[Any]("gap_ms"))))).toMap
+    def ms(s: String) = ts(s).getTime
+    assert(out(2L) === ((Some(ms("2024-01-01 00:14:00")), Some(4L * 60000))))
+    assert(out(5L) === ((Some(ms("2024-01-01 00:00:00")), Some(5L * 60000))))
+    assert(out(7L) === ((Some(ms("2024-01-01 00:30:00")), Some(29L * 60000))))
+    assert(out(9L) === ((None, None)))
+  }
+
   test("line dedup keeps first occurrence corpus-wide and stitches docs back") {
     import graft.operators.TextOps
     val docs = Seq(
@@ -1836,6 +1863,34 @@ class OperatorsSpec extends SparkSpec {
     assert(i <= u && j <= 1000000L)
   }
 
+  test("kmvDiff: exact partition under k, parts sum to union over k") {
+    // both groups under k ⇒ exact: |A\B|=20, |B\A|=20, |A∩B|=20, ∪=60
+    val small = ((1 to 40).map(i => ("a", i.toLong))
+      ++ (21 to 60).map(i => ("b", i.toLong))).toDF("g", "v")
+    val sk = Sketches.kmvSketch(small, col("g"), "g", col("v"), 64, "t")
+    val ex = Sketches.kmvDiff(sk, "g", "hs", 64).collect().head
+    assert((ex.getString(0), ex.getString(1)) === (("a", "b")))
+    assert(ex.getLong(2) === 60L)  // union exact
+    assert(ex.getLong(3) === 20L)  // a-only exact
+    assert(ex.getLong(4) === 20L)  // b-only exact
+    assert(ex.getLong(5) === 20L)  // intersect exact
+    // over k: the three parts must partition the union estimate up to
+    // the integer floors, and each lands within a generous band
+    val big = ((1 to 5000).map(i => ("a", i.toLong))
+      ++ (2501 to 7500).map(i => ("b", i.toLong))).toDF("g", "v")
+    val est = Sketches.kmvDiff(
+      Sketches.kmvSketch(big, col("g"), "g", col("v"), 64, "t"), "g", "hs", 64)
+      .collect().head
+    val (u, ao, bo, both) = (est.getLong(2), est.getLong(3), est.getLong(4),
+      est.getLong(5))
+    assert(u > 4500L && u < 10500L, s"union estimate $u far from 7500")
+    assert(ao > 800L && ao < 4500L, s"a-only estimate $ao far from 2500")
+    assert(bo > 800L && bo < 4500L, s"b-only estimate $bo far from 2500")
+    assert(both > 800L && both < 4500L, s"intersect estimate $both far from 2500")
+    val sum = ao + bo + both
+    assert(sum <= u && u - sum <= 2L, s"parts $sum must tile union $u")
+  }
+
   test("corrMatrix: exact ±1 on linear measures, null on zero variance") {
     val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L),
       (4L, 8L, -4L, 5L)).toDF("x", "y2", "yneg", "konst")
@@ -2067,6 +2122,30 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.getLong(2) === 30L)
     assert(exact.getLong(4) === vals.last, "p100 is the window max")
     assert(exact.getLong(3) === vals((50 * 30 + 99) / 100 - 1), "p50 nearest-rank")
+  }
+
+  test("randomizedResponse: debias recovers known rates, clamp holds at the edges") {
+    // group "h": 70% true bits; "all1": 100%; "all0": 0% — n=2000 each,
+    // p=0.25 ⇒ debias noise 1σ ≈ √(np(1−p))/(n(1−2p)) ≈ 1.9% of scale;
+    // the salted flips are FIXED, so a ±6% band cannot flake
+    val rows = (1 to 2000).flatMap(i => Seq(
+      (s"h$i", "h", i % 10 < 7), (s"o$i", "all1", true), (s"z$i", "all0", false)))
+    val df = rows.toDF("id", "g", "bit")
+    val out = Quality.randomizedResponse(df, col("g"), col("id"), col("bit"),
+        250000L, "rr-spec")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("h")._1 === 2000L)
+    // reported rate sits between the flipped-down truth and truth itself
+    assert(math.abs(out("h")._3 - 700000L) < 60000L,
+      s"debiased estimate ${out("h")._3} far from the true 700000 ppm")
+    assert(math.abs(out("all1")._3 - 1000000L) < 60000L)
+    assert(out("all1")._3 <= 1000000L, "clamp must cap at 1e6")
+    assert(out("all0")._3 < 60000L, "clamp must floor at 0")
+    // p >= 0.5 carries no signal — rejected up front
+    assertThrows[IllegalArgumentException] {
+      Quality.randomizedResponse(df, col("g"), col("id"), col("bit"), 500000L, "s")
+    }
   }
 
   test("kAnonymity census and kSuppress star small QI groups") {
