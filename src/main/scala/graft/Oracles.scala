@@ -1875,6 +1875,15 @@ object Oracles {
       |              ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
       |FROM orders""".stripMargin
 
+  /** IVM-join twin: the oracle IS the full recompute — the delta rule's
+    * whole claim is exact equality with it.
+    */
+  def etlIvmJoin: String =
+    """SELECT o_custkey AS custkey, o_orderkey,
+      |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |  c_mktsegment AS segment
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** SCD-2 twin: prune no-change log rows by a lag-compare (direct value
     * compare — equivalent to the Spark side's md5 fingerprint for a
     * single non-null tracked column), then lead() for the half-open

@@ -180,6 +180,9 @@ object Params {
   // incremental aggregate-state merge: batch cutover date
   val AggMergeCut = "1997-01-01 00:00:00"
 
+  // IVM join: dimension keys ≡ 0 (mod this) arrive as the late batch
+  val IvmDimMod = 10L
+
   // burst detection: trailing observed-hour window, ratio, cold-start floor
   val BurstTrailHours = 24
   val BurstK = 2L

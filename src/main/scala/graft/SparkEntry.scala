@@ -566,6 +566,27 @@ object SparkEntry {
       Staging.upsert(orders, updates, Seq("o_orderkey"))
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
+    "etl_ivm_join" -> ((s, dir) => {
+      // incremental refresh of the orders⋈customer view: new orders
+      // arrive past the cut AND a slice of the dimension arrives late;
+      // only the three delta terms execute — V_old streams into the
+      // union un-rejoined. Oracle = the full recompute, which the
+      // delta rule must equal exactly
+      val a = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderdate"))
+      val cut = ts(AggMergeCut)
+      val aOld = a.filter(col("o_orderdate") < cut).drop("o_orderdate")
+      val aDelta = a.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"))
+      val bDelta = c.filter(pmod(col("custkey"), lit(IvmDimMod)) === 0)
+      val bOld = c.filter(pmod(col("custkey"), lit(IvmDimMod)) =!= 0)
+      val vOld = aOld.join(bOld, Seq("custkey"))
+      Staging.ivmJoin(vOld, aOld, aDelta, bOld, bDelta, Seq("custkey"))
+        .select(col("custkey"), col("o_orderkey"), col("price_cents"),
+          col("segment"))
+    }),
     "etl_merge_full" -> ((s, dir) => {
       // 4-clause MERGE over a trimmed orders snapshot: source rows for
       // keys %7=0 (updates in place) plus new keys (+1e9 for %7=3);
@@ -1789,6 +1810,7 @@ object SparkEntry {
     "q_gap_fill" -> Oracles.qGapFill,
     "q_outliers" -> Oracles.qOutliers,
     "etl_upsert" -> Oracles.etlUpsert,
+    "etl_ivm_join" -> Oracles.etlIvmJoin,
     "etl_merge_full" -> Oracles.etlMergeFull,
     "etl_forget" -> Oracles.etlForget,
     "etl_cdc_apply" -> Oracles.etlCdcApply,

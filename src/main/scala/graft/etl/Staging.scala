@@ -62,6 +62,34 @@ object Staging {
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** Incremental view maintenance for an INNER-join view, insert-only
+    * bases: with V_old = A_old ⋈ B_old already materialized, the
+    * refreshed view is
+    *
+    *   V_new = V_old ∪ (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * — the classic delta rule: every new view row contains at least one
+    * delta row, and each of the three delta terms covers exactly one
+    * (Δ, old) signature, so the union is disjoint and complete. The
+    * standing join A_old ⋈ B_old is NEVER re-executed — at 100 TB that
+    * is the whole point: the daily bill is deltas × bases (with a
+    * broadcastable ΔB the big base never shuffles at all; ΔA ⋈ B_old is
+    * the one keyed shuffle, and bucketing both on the key removes even
+    * that), while V_old streams straight into the union untouched.
+    *
+    * Inputs must share the view's schema conventions: `aOld`/`aDelta`
+    * one side, `bOld`/`bDelta` the other, joined on `keys`. The caller
+    * supplies V_old (in production the stored table; in the verified
+    * query it is built once from the old snapshots).
+    */
+  def ivmJoin(vOld: DataFrame, aOld: DataFrame, aDelta: DataFrame,
+              bOld: DataFrame, bDelta: DataFrame,
+              keys: Seq[String]): DataFrame =
+    vOld
+      .unionByName(aDelta.join(bOld, keys))
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+
   /** Full ANSI-style MERGE: the four-clause generalization of [[upsert]]
     * (which is MERGE with unconditional matched-update + not-matched-
     * insert). One co-partitioned full-outer join on the business key

@@ -1612,6 +1612,23 @@ class OperatorsSpec extends SparkSpec {
       9L -> (("i", 90L))))  // inserted
   }
 
+  test("ivmJoin delta rule equals the full recompute, terms are disjoint") {
+    // A split 3 old / 2 delta; B split 2 old / 2 delta; keys overlap so
+    // every delta term is non-empty
+    val aOld = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "av")
+    val aDelta = Seq((2L, "a2new"), (4L, "a4")).toDF("k", "av")
+    val bOld = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val bDelta = Seq((3L, "b3"), (4L, "b4")).toDF("k", "bv")
+    val vOld = aOld.join(bOld, Seq("k"))
+    val inc = Staging.ivmJoin(vOld, aOld, aDelta, bOld, bDelta, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val full = aOld.unionByName(aDelta).join(bOld.unionByName(bDelta), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // exact multiset equality — and no row arrived twice (disjoint terms)
+    assert(inc.sorted === full.sorted)
+    assert(inc.size === inc.distinct.size, "delta terms must not double-count")
+  }
+
   test("fuzzyLookup resolves dirty probes to the nearest catalog entry") {
     import graft.operators.Joins
     val catalog = Seq("red widget", "red widgets", "red gear", "blue bolt")
