@@ -22,24 +22,25 @@ object EventStreams {
   case class SessionOut(user_id: Long, n_events: Long, start_ms: Long, duration_ms: Long)
 
   /** File-based streaming source over the events parquet layout: new
-    * files appearing under `dir` become micro-batches. The ns timestamp
-    * arrives as long (spark.sql.legacy.parquet.nanosAsLong) and is
-    * normalized to a microsecond TimestampType exactly like the batch
-    * loader ([[graft.Tables.events]]), so batch and stream share plans.
+    * files appearing under `dir` become micro-batches. A streaming read
+    * needs a fixed schema up front, but the generator has shipped `ts`
+    * as both TIMESTAMP(NANOS)-read-as-long and plain timestamp[us] —
+    * so the schema is taken from a one-off batch probe of the existing
+    * files, and `ts` is then normalized to a microsecond TimestampType
+    * exactly like the batch loader ([[graft.Tables.normalizeTs]]), so
+    * batch and stream share plans. (The probe lists the directory once
+    * at stream-construction time — negligible next to the stream
+    * itself, and new files must match the launch schema anyway.)
     * `maxFilesPerTrigger` bounds per-batch work on a backfill.
     */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
                        maxFilesPerTrigger: Int = 16): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windowed counts per event type with a watermark.
