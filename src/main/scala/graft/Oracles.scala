@@ -3111,4 +3111,79 @@ object Oracles {
        |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
        |  min(CASE WHEN rn = 1 THEN name END) AS canonical_name
        |FROM rk GROUP BY entity_id""".stripMargin
+
+  /** equidepthHist twin: same total order (cents, orderkey), same
+    * `(rank−1)·B div N` bucket rule — trunc vs floor agree (all ranks
+    * positive), so the full-sort window here must equal the
+    * range-partitioned two-pass exactly.
+    */
+  def qEquidepthHist: String =
+    s"""WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+       |    o_orderkey AS t FROM orders),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v, t) AS rk,
+       |    count(*) OVER () AS n_total FROM v)
+       |SELECT CAST((rk - 1) * $EqdepthBuckets // n_total AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** benford twin: the expected-ppm CASE is generated from the same
+    * [[graft.operators.Audit.BenfordPpm]] constants the Spark side
+    * compiles in — one source of truth, two engines.
+    */
+  def qBenford: String = {
+    val cases = graft.operators.Audit.BenfordPpm
+      .map { case (d, ppm) => s"WHEN $d THEN $ppm" }.mkString(" ")
+    s"""WITH v AS (SELECT o_orderpriority AS grp,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE floor(o_totalprice * 100) > 0),
+       |c AS (SELECT grp, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+       |g AS (SELECT grp, sum(n) AS n_total FROM c GROUP BY 1),
+       |f AS (SELECT g.grp, d.digit, g.n_total, COALESCE(c.n, 0) AS n
+       |  FROM g CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit) d
+       |  LEFT JOIN c ON c.grp = g.grp AND c.digit = d.digit),
+       |s AS (SELECT grp, digit, n, (1000000 * n) // n_total AS obs_ppm,
+       |    CASE digit $cases END AS exp_ppm FROM f)
+       |SELECT grp, digit, n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(sum(abs(obs_ppm - exp_ppm)) OVER (PARTITION BY grp) // 9 AS BIGINT)
+       |    AS mad_ppm
+       |FROM s""".stripMargin
+  }
+
+  /** theilSen twin: all pairwise slopes of the q_trend_fit monthly
+    * series, exact ppm integer division (trunc in both engines), exact
+    * two-middle-ranks median.
+    */
+  def qTheilsen: String =
+    """WITH m AS (SELECT o_orderpriority AS grp,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (SELECT a.grp, a.x AS x, b.x AS x2,
+      |    ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope_ppm
+      |  FROM m a JOIN m b ON a.grp = b.grp AND b.x > a.x),
+      |r AS (SELECT grp, slope_ppm,
+      |    row_number() OVER (PARTITION BY grp ORDER BY slope_ppm, x, x2) AS rn,
+      |    count(*) OVER (PARTITION BY grp) AS cnt FROM p)
+      |SELECT grp, CAST(max(cnt) AS BIGINT) AS n_pairs,
+      |  round(avg(slope_ppm), 4) AS slope_ppm_med
+      |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |GROUP BY grp""".stripMargin
+
+  /** epochShuffle twin: same salted md5 order key, same shard mod, same
+    * (h, doc_id) tie-broken rank within (epoch, shard).
+    */
+  def sampleEpochShuffle: String = {
+    val h = hex8Expr(
+      s"('$EpochSalt:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")
+    s"""WITH e AS (SELECT doc_id, CAST(o.epoch AS BIGINT) AS epoch
+       |  FROM documents CROSS JOIN
+       |    (SELECT unnest(range(0, $EpochShuffleEpochs)) AS epoch) o),
+       |s AS (SELECT doc_id, epoch, CAST($h AS BIGINT) AS h FROM e)
+       |SELECT epoch, CAST(h % $EpochShuffleShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, h % $EpochShuffleShards
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
+       |FROM s""".stripMargin
+  }
 }

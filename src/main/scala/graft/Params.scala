@@ -274,6 +274,14 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // equi-depth histogram buckets
+  val EqdepthBuckets = 8
+
+  // deterministic per-epoch training-order shuffle
+  val EpochShuffleEpochs = 2
+  val EpochShuffleShards = 8
+  val EpochSalt = "graft-epoch"
+
   // q1/q3/q5 date cuts
   val Q1Cutoff = "1998-09-02 00:00:00"
   val Q3Date = "1996-07-01 00:00:00"

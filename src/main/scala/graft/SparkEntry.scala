@@ -1327,6 +1327,33 @@ object SparkEntry {
       // state) instead of a global sort; error <= one bucket width
       Sketches.histogramQuantiles(t(s, dir, "orders"),
         cents(col("o_totalprice")), QuantWidthCents, QuantPs)),
+    "q_equidepth_hist" -> ((s, dir) =>
+      // equal-count price buckets with exact [lo,hi] ranges — the
+      // skew-proof histogram: ranks via the range-partitioned
+      // GlobalRank, never a single-partition sort
+      Sketches.equidepthHist(t(s, dir, "orders"),
+        cents(col("o_totalprice")), col("o_orderkey"), EqdepthBuckets)),
+    "q_benford" -> ((s, dir) =>
+      // first-digit conformity of order totals per priority class —
+      // the fabricated-amounts screen; absent digits still score
+      Audit.benford(t(s, dir, "orders"), col("o_orderpriority"),
+        cents(col("o_totalprice")))),
+    "q_theilsen" -> ((s, dir) =>
+      // robust monthly-revenue trend per priority: median pairwise
+      // slope over the same series OLS (q_trend_fit) fits — one wild
+      // month barely moves it
+      operators.TimeSeries.theilSen(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("mkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("total_cents")),
+        "o_orderpriority", "mkey", "total_cents")),
+    "sample_epoch_shuffle" -> ((s, dir) =>
+      // two independent deterministic training orders of the corpus,
+      // sharded so no global sort exists anywhere
+      Sampling.epochShuffle(t(s, dir, "documents"), col("doc_id"),
+        EpochShuffleEpochs, EpochShuffleShards, EpochSalt)),
     "q_zorder" -> ((s, dir) =>
       // Morton Z-value for 2-D layout clustering (operators.Layout): the
       // mapping itself is oracle-checked here; the write discipline
@@ -1829,6 +1856,10 @@ object SparkEntry {
     // the merge's oracle IS the full recompute — merged state must equal it
     "q_fingerprint_merge" -> Oracles.qDatasetFingerprint,
     "q_join_size_audit" -> Oracles.qJoinSizeAudit,
+    "q_equidepth_hist" -> Oracles.qEquidepthHist,
+    "q_benford" -> Oracles.qBenford,
+    "q_theilsen" -> Oracles.qTheilsen,
+    "sample_epoch_shuffle" -> Oracles.sampleEpochShuffle,
     "q_kmv_intersect" -> Oracles.qKmvIntersect,
     "q_kmv_diff" -> Oracles.qKmvDiff,
     "er_resolve" -> Oracles.erResolve,

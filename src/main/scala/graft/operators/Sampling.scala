@@ -204,4 +204,39 @@ object Sampling {
         .when(h < valThr, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic per-epoch training order: every epoch draws an
+    * independent pseudo-random permutation of the corpus from the salted
+    * hash h = md5(salt:epoch:key) — same corpus + salt always yields the
+    * same order (resumable runs re-derive it; no rand(), no persisted
+    * shuffle files), and each epoch's order is uncorrelated with the
+    * last (the epoch number is INSIDE the hash).
+    *
+    * The global sort a naive `ORDER BY h` implies is the scale trap —
+    * so the permutation is sharded: shard = h mod `shards` (which
+    * shard-assignment is itself part of the permutation's randomness),
+    * position = rank of h within the shard. Readers consume shards in
+    * any order / in parallel — the standard sharded-shuffle contract
+    * of training-data loaders — and each (epoch, shard) sorts locally
+    * under a partitioned window: one shuffle, no single-partition sort.
+    * `shards` should be ≥ cluster parallelism and small enough that a
+    * shard fits an executor's sort buffer (corpus/shards rows each).
+    */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int, shards: Int,
+                   salt: String): DataFrame = {
+    require(epochs >= 1 && shards >= 1)
+    val k = coalesce(key.cast("string"), lit(" <null-key>"))
+    val exploded = df.select(key.as("doc_id"), k.as("__k"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("__h", H.hash32(
+        concat(col("epoch").cast("string"), lit(":"), col("__k")), salt))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    // doc_id tie-break: 32-bit hash collisions are rare but real at
+    // corpus scale, and the order must be total for reproducibility
+    exploded
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__h").asc, col("doc_id").asc)).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
 }

@@ -348,6 +348,33 @@ object Sketches {
       .agg((min(col("b")) * lit(width)).as("est"))
   }
 
+  /** Equi-depth histogram: B buckets of (as near as possible) EQUAL row
+    * count, each reporting its exact [lo, hi] value range — the
+    * histogram an optimizer or profiler actually wants for skewed
+    * measures, where [[histogramQuantiles]]' fixed-width buckets put
+    * 99% of the mass in one bar. Bucket of rank r (1-based) is
+    * `(r−1)·B div N`, so bucket sizes differ by at most one row,
+    * exactly — no sampled boundaries.
+    *
+    * Ranks come from [[GlobalRank.globalRank]] (range-partition + tiny
+    * per-partition offsets), NOT a global single-partition window — the
+    * whole point of an equi-depth profile is that it gets run on the
+    * tables too big for anything else. `tieBreak` must make the order
+    * total or bucket membership at value boundaries is nondeterministic.
+    * One range shuffle + one B-row aggregate.
+    */
+  def equidepthHist(df: DataFrame, value: Column, tieBreak: Column,
+                    buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val base = df.select(value.cast("long").as("v"), tieBreak.as("t"))
+    val ranked = GlobalRank.globalRank(base, Seq(col("v").asc, col("t").asc))
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"(grank - 1) * $buckets div n_total"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** Poisson(1) CDF thresholds scaled to the affine-hash space
     * [0, MinhashP), shared verbatim by the Spark staircase and the
     * generated oracle SQL (one JVM computation, inlined into both —

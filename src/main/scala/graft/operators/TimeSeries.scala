@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact-integer series statistics over a bounded, post-aggregate
@@ -144,6 +145,44 @@ object TimeSeries {
         when(col("__den") === 0, lit(null).cast("long"))
           .otherwise(expr("(__sy * __den - __num * __sx) div (n * __den)"))
           .as("intercept"))
+
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    * (y_j−y_i)/(x_j−x_i), i<j — the standard outlier-immune alternative
+    * to OLS ([[trendFit]]): one wild month moves OLS arbitrarily but
+    * shifts the pairwise-slope median by at most one rank. Slopes are
+    * exact ppm integers (`(Δy·10⁶) div Δx` — trunc-toward-zero in both
+    * engines); the median is the exact two-middle-ranks form of
+    * [[graft.etl.Marts.exactMedian]].
+    *
+    * Scale shape: the caller has already reduced the fact table to a
+    * per-group series, so the self-join is O(L²) pairs per group where
+    * L is the SERIES length (a few hundred points for years of monthly
+    * data) — bounded by the time axis, never by corpus size. One
+    * group-keyed shuffle for the pair join, one for the median window.
+    */
+  def theilSen(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val b = a.select(col("grp"), col("x").as("x2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("grp")).filter(col("x2") > col("x"))
+      .select(col("grp"), col("x"), col("x2"),
+        ((col("y2") - col("y")) * lit(1000000L)).as("__num"),
+        (col("x2") - col("x")).as("__den"))
+      .withColumn("slope_ppm", expr("__num div __den"))
+    // (x, x2) is unique per pair → a deterministic total order; ties in
+    // slope value make the rank choice irrelevant to the median VALUE
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("slope_ppm").asc, col("x").asc, col("x2").asc)
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2") ||
+        col("__rn") === expr("(__cnt + 2) div 2"))
+      .groupBy(col("grp"))
+      .agg(max(col("__cnt")).as("n_pairs"),
+        round(avg(col("slope_ppm")), 4).as("slope_ppm_med"))
+  }
 
   /** Seasonal decomposition by phase baseline: each period's phase
     * (mkey mod `period`) gets the integer mean of its phase class

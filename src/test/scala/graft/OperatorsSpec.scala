@@ -2165,6 +2165,76 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("benford scores digit shares, counts absent digits, exact MAD") {
+    // group "b": digits 1,1,2 → digit 3..9 absent but still scored
+    val df = Seq(("b", 120L), ("b", 11L), ("b", 2L), ("b", 0L), ("b", -5L))
+      .toDF("g", "v")
+    val out = Audit.benford(df, col("g"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet === (1L to 9L).toSet, "all nine digits must have rows")
+    assert(out(1L)._1 === 2L && out(2L)._1 === 1L && out(3L)._1 === 0L)
+    assert(out(1L)._2 === 666666L && out(2L)._2 === 333333L && out(9L)._2 === 0L)
+    // MAD replayed from the same integers the operator used
+    val madExp = Audit.BenfordPpm.map { case (d, exp) =>
+      math.abs(out(d.toLong)._2 - exp)
+    }.sum / 9
+    assert(out(5L)._4 === madExp)
+  }
+
+  test("theilSen ignores the outlier month that drags OLS") {
+    // clean slope 2/month; one wild point at x=10 (y=1000 instead of 20)
+    val pts = (0L to 9L).map(x => ("a", x, if (x == 9L) 1000L else 2 * x))
+    val series = pts.toDF("g", "x", "y")
+    val ts = operators.TimeSeries.theilSen(series, "g", "x", "y")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(ts._1 === 45L, "10 points → 45 pairs")
+    // 36 clean pairs have slope exactly 2e6 ppm; 9 outlier pairs are
+    // huge — the median stays on the clean mass
+    assert(ts._2 === 2000000.0)
+    val ols = operators.TimeSeries.trendFit(series, "g", "x", "y")
+      .collect().head.getAs[Long]("slope_ppm")
+    assert(ols > 10000000L, s"OLS should be dragged far above 2e6, got $ols")
+  }
+
+  test("equidepthHist buckets differ by at most one row, exact ranges") {
+    // 10 rows into 4 buckets → sizes 3,2,3,2; values 10·i keep ranges apart
+    val df = (1L to 10L).map(i => (i * 10, i)).toDF("v", "k")
+    val out = Sketches.equidepthHist(df, col("v"), col("k"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).toSeq === Seq(3L, 2L, 3L, 2L))
+    assert(out.head === ((0L, 3L, 10L, 30L)) && out.last === ((3L, 2L, 90L, 100L)))
+    // contiguous, non-overlapping coverage
+    out.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3) }
+  }
+
+  test("epochShuffle: per-epoch permutation, decorrelated across epochs") {
+    val docs = (1L to 200L).map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.epochShuffle(docs, col("doc_id"), 2, 4, "spec-epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 400)
+    // every epoch holds the whole corpus exactly once
+    (0L to 1L).foreach { e =>
+      assert(out.filter(_._1 == e).map(_._4).toSet === (1L to 200L).toSet)
+    }
+    // positions are 1..n contiguous within every (epoch, shard)
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // the two epochs draw different orders (shard assignment included)
+    val byDoc = out.groupBy(_._4).map { case (d, rs) =>
+      d -> rs.sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    }
+    assert(byDoc.count { case (_, s) => s.head != s.last } > 150,
+      "epoch 0 and epoch 1 orders must be essentially uncorrelated")
+    // deterministic: a second run reproduces the exact table
+    val again = Sampling.epochShuffle(docs, col("doc_id"), 2, 4, "spec-epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")
