@@ -1355,6 +1355,43 @@ object Oracles {
        |  CAST(1000000 // k.k AS BIGINT) AS credit_ppm
        |FROM p JOIN k USING (conv_id)""".stripMargin
 
+  /** attributionDecay twin: the same capped power-of-two decay ladder
+    * (`<<` + `//` are exact in both engines) and per-conversion
+    * normalizer.
+    */
+  def eventsAttributionDecay: String =
+    s"""WITH tg AS (SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms
+       |  FROM events WHERE event_type = '$AsofTarget'),
+       |tc AS (SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS touch_ms
+       |  FROM events WHERE event_type = '$AsofMatch'),
+       |p AS (SELECT tg.user_id, conv_id, touch_id,
+       |    CAST(1000000 // (1 << CAST(least((conv_ms - touch_ms) // $AttrHalflifeMs, 19) AS INTEGER)) AS BIGINT) AS w
+       |  FROM tg JOIN tc ON tc.user_id = tg.user_id
+       |    AND touch_ms >= conv_ms - $SessionGapMs AND touch_ms < conv_ms),
+       |n AS (SELECT conv_id, sum(w) AS tw FROM p GROUP BY 1)
+       |SELECT p.user_id, p.conv_id, p.touch_id, CAST(p.w AS BIGINT) AS w_ppm,
+       |  CAST((1000000 * p.w) // n.tw AS BIGINT) AS credit_ppm
+       |FROM p JOIN n USING (conv_id)""".stripMargin
+
+  /** phraseSearch twin: DuckDB's parallel unnest zips (term, 0-based
+    * position); the k−1 positional joins are generated from the same
+    * [[Params.PhraseQuery]] the Spark side compiles in.
+    */
+  def textPhraseSearch: String = {
+    val ph = PhraseQuery
+    val joins = ph.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN (SELECT doc_id, pos - $i AS pos FROM p WHERE term = '$t') a$i USING (doc_id, pos)"
+    }.mkString("\n       |  ")
+    s"""WITH $toksCte,
+       |p AS (SELECT doc_id, unnest(ts) AS term,
+       |    CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM toks),
+       |m AS (SELECT a0.doc_id FROM
+       |    (SELECT doc_id, pos FROM p WHERE term = '${ph.head}') a0
+       |  $joins)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def eventsTransitions: String =
     s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
        |x AS (SELECT event_type AS ft,

@@ -274,6 +274,13 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // time-decay attribution: credit halves every 5 min of touch age
+  // (inside the 30-min SessionGapMs window → up to 6 halvings)
+  val AttrHalflifeMs = 300000L
+
+  // positional phrase search query
+  val PhraseQuery: Seq[String] = Seq("join", "vector")
+
   // equi-depth histogram buckets
   val EqdepthBuckets = 8
 

@@ -1625,6 +1625,11 @@ object SparkEntry {
       // Okapi scoring (inverted-index aggregates + one term-keyed join)
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25QueryMod, Bm25K)),
+    "text_phrase_search" -> ((s, dir) =>
+      // positional-postings phrase match: docs containing the phrase
+      // contiguously, postings pruned to the phrase terms up front
+      TextOps.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        PhraseQuery)),
     "text_jaccard_topk" -> ((s, dir) =>
       // set-overlap retrieval: exact shingle-Jaccard top-k through the
       // inverted shingle index (sparse candidates, integer ppm)
@@ -1712,6 +1717,11 @@ object SparkEntry {
       // split its credit equally, exact integer ppm
       EventOps.attribution(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch, SessionGapMs)),
+    "events_attribution_decay" -> ((s, dir) =>
+      // recency-weighted multi-touch: credit halves per 5 min of age,
+      // exact power-of-two ladder — the e^-λt that hash-matches
+      EventOps.attributionDecay(t(s, dir, "events"), "user_id", "ts",
+        "event_type", AsofTarget, AsofMatch, SessionGapMs, AttrHalflifeMs)),
     "events_pivot" -> ((s, dir) =>
       EventOps.dailyPivot(t(s, dir, "events"), "ts", "event_type", EventTypes)),
     "events_asof" -> ((s, dir) =>
@@ -1905,6 +1915,8 @@ object SparkEntry {
     "events_nearest" -> Oracles.eventsNearest,
     "events_transitions" -> Oracles.eventsTransitions,
     "events_attribution" -> Oracles.eventsAttribution,
+    "events_attribution_decay" -> Oracles.eventsAttributionDecay,
+    "text_phrase_search" -> Oracles.textPhraseSearch,
     "events_bursts" -> Oracles.eventsBursts,
     "events_funnel" -> Oracles.eventsFunnel,
     "q_kanon" -> Oracles.qKanon,

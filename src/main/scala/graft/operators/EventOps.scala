@@ -316,4 +316,41 @@ object EventOps {
       .select(col("user_id"), col("conv_id"), col("touch_id"),
         expr("1000000L div k").as("credit_ppm"))
   }
+
+  /** Time-decay multi-touch attribution: a touch's share of the
+    * conversion halves every `halflifeMs` of age — recency-weighted
+    * spend allocation, where [[attribution]] is the uniform special
+    * case. Exact integers throughout: raw weight = 10⁶ div 2^steps with
+    * steps = age div halflife capped at 19 (so the weight never
+    * truncates to zero — a touch inside the window always keeps ≥1
+    * weight unit and the per-conversion normalizer can't hit zero),
+    * then credit_ppm = 10⁶·w div Σw. A power-of-two decay ladder is
+    * what makes the "exponential" exact and engine-portable — e^(−λt)
+    * in doubles would never hash-match across engines.
+    *
+    * Same user-keyed pair join and conversion-keyed normalizer shape
+    * (exchange reused) as [[attribution]] — no window sort anywhere.
+    */
+  def attributionDecay(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, targetType: String, matchType: String,
+                       windowMs: Long, halflifeMs: Long,
+                       idCol: String = "event_id"): DataFrame = {
+    require(windowMs > 0 && halflifeMs > 0)
+    val targets = events.filter(col(typeCol) === targetType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        unix_millis(col(tsCol)).as("conv_ms"))
+    val touches = events.filter(col(typeCol) === matchType)
+      .select(col(userCol).as("user_id"), col(idCol).as("touch_id"),
+        unix_millis(col(tsCol)).as("touch_ms"))
+    val pairs = targets.join(touches, "user_id")
+      .where(col("touch_ms") >= col("conv_ms") - windowMs &&
+        col("touch_ms") < col("conv_ms"))
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        expr(s"1000000L div shiftleft(1L, cast(least((conv_ms - touch_ms) div ${halflifeMs}L, 19L) as int))")
+          .as("w"))
+    val norm = pairs.groupBy(col("conv_id")).agg(sum(col("w")).as("tw"))
+    pairs.join(norm, "conv_id")
+      .select(col("user_id"), col("conv_id"), col("touch_id"), col("w").as("w_ppm"),
+        expr("(1000000L * w) div tw").as("credit_ppm"))
+  }
 }

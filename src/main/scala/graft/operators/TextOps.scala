@@ -560,4 +560,35 @@ object TextOps {
           .orderBy(col("score_ppm").desc, col("doc_id").asc)).cast("long"))
       .where(col("rnk") <= k)
   }
+
+  /** Exact phrase search over a positional index: docs containing the
+    * token sequence `phrase` contiguously, with the occurrence count
+    * (overlapping occurrences each count — position-defined, no
+    * regex ambiguity). The positional-postings intersection every
+    * search engine runs: anchor on the first term's (doc, pos)
+    * postings, then for the i-th term equi-join (doc, pos+i) — k−1
+    * joins for a k-token phrase, each keyed on (doc_id, pos).
+    *
+    * Scale: the index is pruned to the PHRASE'S terms before any join
+    * (`isin` pushes into the scan), so candidate volume is those
+    * terms' postings — never the corpus token table. A stopword-only
+    * phrase degrades to the stopwords' postings size, exactly as in
+    * any positional index; phrase terms are deduped before the prune
+    * so repeated-token phrases ("the the") scan once.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(T.tokens(col(textCol))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+    val anchors = toks.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchors) {
+      case (acc, (t, i)) =>
+        acc.join(toks.where(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

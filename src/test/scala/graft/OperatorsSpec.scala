@@ -1483,6 +1483,51 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((11L, 10L, 1000000L)))
   }
 
+  test("attributionDecay halves credit per halflife and caps the ladder") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    // touches 2, 7 and 12 min before the conversion; halflife 5 min →
+    // steps 0, 1, 2 → weights 1e6, 5e5, 25e4 → credits 4/7, 2/7, 1/7
+    val ev = Seq(
+      (1L, t(0), 7L, "click"), (2L, t(5), 7L, "click"),
+      (3L, t(10), 7L, "click"), (9L, t(12), 7L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.attributionDecay(ev, "user_id", "ts", "event_type",
+        "purchase", "click", 30 * 60000L, 5 * 60000L)
+      .collect().map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(3L) === ((1000000L, 571428L)))
+    assert(out(2L) === ((500000L, 285714L)))
+    assert(out(1L) === ((250000L, 142857L)))
+    // halflife >= window → zero halvings → degrades to uniform linear
+    val uni = EventOps.attributionDecay(ev, "user_id", "ts", "event_type",
+        "purchase", "click", 30 * 60000L, 60 * 60000L)
+      .collect().map(_.getLong(4)).toSet
+    assert(uni === Set(333333L))
+    // an ancient touch still keeps >= 1 weight unit (capped ladder)
+    val far = Seq((1L, t(0), 7L, "click"), (9L, t(200), 7L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val w = EventOps.attributionDecay(far, "user_id", "ts", "event_type",
+        "purchase", "click", 300 * 60000L, 60000L).collect().head
+    assert(w.getLong(3) === 1L && w.getLong(4) === 1000000L)
+  }
+
+  test("phraseSearch counts overlapping occurrences, handles repeats") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b a b a"),      // [a,b,a] matches at 0 and 2 (overlap)
+      (2L, "a b c"),          // no [a,b,a]
+      (3L, "x a b a y"),      // one match
+      (4L, "b b b")           // repeated-token phrase target
+    ).toDF("doc_id", "text")
+    val aba = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aba === Map(1L -> 2L, 3L -> 1L))
+    val bb = TextOps.phraseSearch(docs, "doc_id", "text", Seq("b", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bb === Map(4L -> 2L))
+    assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
+  }
+
   test("ksTest: identical distributions → 0; disjoint supports → 1e6") {
     import graft.operators.Sketches
     val same = (1L to 50L).flatMap(i => Seq(("a", i % 10), ("b", i % 10)))
