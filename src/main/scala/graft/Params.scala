@@ -274,6 +274,13 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // content-defined chunking: 16-byte rolling window, 5 mask bits
+  // (expected ~32-byte chunks), chunk length clamped to [16, 128]
+  val CdcWindow = 16
+  val CdcMaskBits = 5
+  val CdcMinLen = 16
+  val CdcMaxLen = 128
+
   // time-decay attribution: credit halves every 5 min of touch age
   // (inside the 30-min SessionGapMs window → up to 6 halvings)
   val AttrHalflifeMs = 300000L

@@ -1746,6 +1746,22 @@ object SparkEntry {
     // ---- §2.7 multimodal ----
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(s, t(s, dir, "documents"))),
+    "multimodal_cdc_chunks" -> ((s, dir) => {
+      // chunk-level dedup census over real binary payloads (PNG/WAV/
+      // GIF): content-defined boundaries → md5 groupBy — how much
+      // payload mass dedups away without any pairwise byte compare
+      // (rows-only by design: a rolling byte hash has no SQL twin;
+      // chunking semantics are spec-pinned incl. the insertion-resync
+      // property)
+      import s.implicits._
+      Multimodal.cdcChunks(
+          Multimodal.mediaFromDocumentsMixed(t(s, dir, "documents")),
+          CdcWindow, CdcMaskBits, CdcMinLen, CdcMaxLen).toDF()
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("media_id")).as("n_media"),
+          max(col("length")).as("chunk_bytes"))
+    }),
     "multimodal_image_neardup" -> ((s, dir) => {
       // image near-dup over real PNG decode: every doc renders with a
       // one-pixel-perturbed twin, aHash + pigeonhole pairs find them

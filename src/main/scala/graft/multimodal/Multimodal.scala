@@ -344,6 +344,79 @@ object Multimodal {
     decodeMedia(mediaFromDocumentsMixed(docs)).toDF()
       .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
   }
+
+  /** One content-defined chunk of a binary payload. */
+  case class CdcChunk(media_id: Long, chunk_idx: Long, offset: Long,
+                      length: Long, chunk_md5: String)
+
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family): split
+    * each payload at positions where a rolling hash of the LAST
+    * `window` bytes has its low `maskBits` bits zero — so boundary
+    * placement depends only on local content, never on byte offsets.
+    * That is the property fixed-size blocking lacks: insert 10 bytes at
+    * the front of a file and every fixed block shifts (0% dedup), while
+    * CDC boundaries re-synchronize after ~one chunk and every later
+    * chunk hashes identically (spec-pinned). Chunk-level md5s then make
+    * binary dedup a plain groupBy — the blob-store/transfer-dedup
+    * primitive for the multimodal columns whose payloads repeat
+    * (re-crawled images, re-encoded shards) without ever comparing
+    * byte ranges pairwise.
+    *
+    * The sliding hash runs CONTINUOUSLY over the payload (subtract the
+    * outgoing byte, never reset at a cut) — resetting at chunk starts
+    * would make each boundary depend on the previous cut and slow
+    * re-sync. Cuts obey [minLen, maxLen]: a cut candidate inside
+    * minLen is skipped (its content still influences later windows),
+    * and maxLen forces a cut so pathological content (all zeros — the
+    * hash never masks out) cannot produce unbounded chunks. Expected
+    * chunk length ≈ 2^maskBits bytes between min and max.
+    *
+    * Scale shape: one `flatMap` pass, per-row work linear in payload
+    * bytes, output ~bytes/2^maskBits rows — the same bytes-bound batch
+    * shape as every codec stage here. All arithmetic is wrapping
+    * two's-complement 64-bit, identical on every JVM.
+    */
+  def cdcChunks(media: Dataset[MediaRow], window: Int, maskBits: Int,
+                minLen: Int, maxLen: Int): Dataset[CdcChunk] = {
+    import media.sparkSession.implicits._
+    require(window >= 2 && maskBits >= 1, "degenerate rolling-hash config")
+    require(minLen >= window && maxLen > minLen,
+      "need window <= minLen < maxLen (a sub-window chunk has no full hash)")
+    val B = 0x100000001b3L // FNV-ish odd multiplier; wrapping mul is the hash
+    val mask = (1L << maskBits) - 1L
+    media.flatMap { r =>
+      val bytes = r.payload
+      // B^(window-1) for the outgoing-byte subtraction, wrapping
+      var bw = 1L
+      var j = 1
+      while (j < window) { bw *= B; j += 1 }
+      val out = Vector.newBuilder[CdcChunk]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var start = 0
+      var idx = 0L
+      def emit(end: Int): Unit = {
+        md.reset()
+        md.update(bytes, start, end - start)
+        val hex = md.digest().map("%02x".format(_)).mkString
+        out += CdcChunk(r.media_id, idx, start.toLong, (end - start).toLong, hex)
+        idx += 1
+        start = end
+      }
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val in = bytes(i) & 0xffL
+        h = if (i < window) h * B + in
+            else (h - (bytes(i - window) & 0xffL) * bw) * B + in
+        val len = i - start + 1
+        if (len >= maxLen || (len >= minLen && i >= window - 1 && (h & mask) == 0L))
+          emit(i + 1)
+        i += 1
+      }
+      if (start < bytes.length) emit(bytes.length)
+      out.result()
+    }
+  }
 }
 
 /** Real PNG encode/decode on the JVM's built-in ImageIO — no native or

@@ -232,4 +232,61 @@ class MultimodalSpec extends SparkSpec {
       java.lang.Long.bitCount(byId(1L)._2 ^ byId(2L)._2)
     assert(pairs.head._3 === expect.toLong)
   }
+
+  test("cdcChunks: bounds hold, offsets tile the payload, dedup by content") {
+    def bytesOf(seed: Int, n: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(n)(rnd.nextInt(256).toByte)
+    }
+    val a = bytesOf(7, 2000)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", 1, 1, a),
+      Multimodal.MediaRow(2L, "image", 1, 1, a.clone()),
+      Multimodal.MediaRow(3L, "image", 1, 1, bytesOf(8, 1500))).toDS()
+    val out = Multimodal.cdcChunks(media, 16, 5, 16, 128).collect()
+    val byId = out.groupBy(_.media_id).map { case (id, cs) =>
+      id -> cs.sortBy(_.chunk_idx)
+    }
+    // offsets tile each payload exactly: contiguous, lengths sum to size
+    byId.foreach { case (id, cs) =>
+      val size = if (id == 3L) 1500L else 2000L
+      assert(cs.head.offset === 0L && cs.map(_.length).sum === size)
+      cs.sliding(2).foreach {
+        case Array(x, y) => assert(x.offset + x.length === y.offset)
+        case _ =>
+      }
+      // every chunk obeys [min, max] except possibly the final tail
+      cs.dropRight(1).foreach(c => assert(c.length >= 16 && c.length <= 128))
+      assert(cs.last.length <= 128)
+    }
+    // identical payloads chunk identically; different content doesn't
+    assert(byId(1L).map(c => (c.offset, c.length, c.chunk_md5)) ===
+      byId(2L).map(c => (c.offset, c.length, c.chunk_md5)))
+    assert(byId(1L).map(_.chunk_md5).toSet.intersect(
+      byId(3L).map(_.chunk_md5).toSet).isEmpty)
+  }
+
+  test("cdcChunks re-synchronize after a front insertion; fixed blocks don't") {
+    def bytesOf(seed: Int, n: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(n)(rnd.nextInt(256).toByte)
+    }
+    val base = bytesOf(11, 4000)
+    val shifted = bytesOf(99, 11) ++ base
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", 1, 1, base),
+      Multimodal.MediaRow(2L, "image", 1, 1, shifted)).toDS()
+    val out = Multimodal.cdcChunks(media, 16, 5, 16, 128).collect()
+    val h1 = out.filter(_.media_id == 1L).map(_.chunk_md5)
+    val h2 = out.filter(_.media_id == 2L).map(_.chunk_md5).toSet
+    // boundaries depend on local content only: after the insertion the
+    // cut points re-sync and the long tail of chunks dedups exactly
+    val shared = h1.count(h2.contains)
+    assert(shared >= h1.length - 3,
+      s"only $shared of ${h1.length} chunks survived an 11-byte insertion")
+    // the fixed-size strawman: same data cut every 64 bytes shares ~0
+    val fixed1 = base.grouped(64).map(_.toSeq).toSet
+    val fixedShared = shifted.grouped(64).map(_.toSeq).count(fixed1.contains)
+    assert(fixedShared <= 2, "fixed blocking should lose almost everything")
+  }
 }

@@ -554,6 +554,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: state after any prefix equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = (0 until 120).map(i => Event(i, ts(f"2024-01-01 00:${i % 60}%02d:00"),
+      i % 7, if (i % 2 == 0) "a" else "b", (i * 37 % 101).toDouble))
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.QuantileStream.sketchStream(stream.toDF(),
+        col("event_type"), "grp", col("event_id"), col("value"), 16, "qs-spec")
+      .writeStream.format("memory").queryName("stream_qsketch")
+      .outputMode("complete").start()
+    try {
+      // two out-of-order micro-batches — order must not matter
+      stream.addData(evs.drop(70): _*)
+      q.processAllAvailable()
+      stream.addData(evs.take(70): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_qsketch")
+      val batch = graft.operators.QuantileSketch.sketch(evs.toDF(),
+        col("event_type"), "grp", col("event_id"), col("value"), 16, "qs-spec")
+      def stateOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("grp"), expr("transform(qs, x -> struct(x.h, x.v))").as("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Any](1).toVector).toMap
+      assert(stateOf(streamed) === stateOf(batch),
+        "streaming state must be bit-identical to the batch sketch")
+      // bounded state: never more than k pairs per group
+      streamed.select(size(col("qs"))).collect().foreach(r => assert(r.getInt(0) <= 16))
+      // and the estimates flow through the same batch estimator
+      val est = graft.operators.QuantileSketch.estimate(streamed, "qs", Seq(50, 90))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(est.keySet === Set("a", "b"))
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: MG state bounded at k, hot item never lost across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
