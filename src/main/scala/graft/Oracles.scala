@@ -2747,6 +2747,89 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** clusteringCoef twin: the [[qTriangles]] pipeline extended with the
+    * degree-≥2 frame LEFT-joined against per-node triangle counts.
+    */
+  def qClusteringCoef: String =
+    """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+      |      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |        (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+      |ed AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+      |              THEN e.u ELSE e.v END AS s,
+      |              CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+      |              THEN e.v ELSE e.u END AS t
+      |       FROM e JOIN deg d1 ON e.u = d1.n JOIN deg d2 ON e.v = d2.n),
+      |tri AS (SELECT e1.s AS a, e1.t AS x, e2.t AS y
+      |        FROM ed e1 JOIN ed e2 ON e1.s = e2.s AND e1.t < e2.t
+      |        JOIN e ON e.u = e1.t AND e.v = e2.t),
+      |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+      |  (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri
+      |   UNION ALL SELECT y FROM tri) GROUP BY 1)
+      |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS d,
+      |  COALESCE(tc.n_tri, 0) AS n_tri,
+      |  CAST((2000000 * COALESCE(tc.n_tri, 0)) // (deg.d * (deg.d - 1)) AS BIGINT)
+      |    AS coef_ppm
+      |FROM deg LEFT JOIN tc ON tc.node = deg.n WHERE deg.d >= 2""".stripMargin
+
+  /** gopherRules twin: same exact-integer measurements and flag bands,
+    * constants interpolated from [[Params]].
+    */
+  def textGopherRules: String = {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksCte,
+       |m AS (SELECT doc_id, len(ts) AS n_words,
+       |    COALESCE(list_sum(list_transform(ts, t -> len(t))), 0) AS sumlen,
+       |    len(list_intersect(list_distinct(ts), [$stopList])) AS n_stop,
+       |    len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+       |  FROM toks),
+       |x AS (SELECT doc_id, n_words, n_stop,
+       |    CASE WHEN n_words > 0 THEN (100 * sumlen) // n_words END AS mean_len_x100,
+       |    CASE WHEN n_words > 0 THEN (1000000 * n_alpha) // n_words END AS alpha_ppm
+       |  FROM m)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(mean_len_x100 AS BIGINT) AS mean_len_x100,
+       |  CAST(n_stop AS BIGINT) AS n_stop, CAST(alpha_ppm AS BIGINT) AS alpha_ppm,
+       |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS pass_words,
+       |  COALESCE(mean_len_x100 >= $GopherMinMeanLenX100
+       |    AND mean_len_x100 <= $GopherMaxMeanLenX100, false) AS pass_len,
+       |  n_stop >= $GopherMinStop AS pass_stop,
+       |  COALESCE(alpha_ppm >= $GopherMinAlphaPpm, false) AS pass_alpha,
+       |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+       |    AND COALESCE(mean_len_x100 >= $GopherMinMeanLenX100
+       |      AND mean_len_x100 <= $GopherMaxMeanLenX100, false)
+       |    AND n_stop >= $GopherMinStop
+       |    AND COALESCE(alpha_ppm >= $GopherMinAlphaPpm, false) AS pass_all
+       |FROM x""".stripMargin
+  }
+
+  /** funnelLatency twin: the [[eventsFunnel]] first-reach CTE chain,
+    * then completion duration = last-step minus step-1 anchor, reduced
+    * with the exact type-1 quartile ranks.
+    */
+  def eventsFunnelLatency: String = {
+    val ctes = FunnelSteps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"s${i + 1} AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t FROM events e " +
+          s"JOIN s$i p ON e.user_id = p.user_id WHERE e.event_type = '$st' AND epoch_ms(e.ts) > p.t GROUP BY e.user_id)"
+    }.mkString(",\n")
+    val last = s"s${FunnelSteps.size}"
+    s"""WITH $ctes,
+       |d AS (SELECT $last.user_id, $last.t - s1.t AS dur_ms
+       |  FROM $last JOIN s1 USING (user_id)),
+       |r AS (SELECT dur_ms,
+       |    row_number() OVER (ORDER BY dur_ms, user_id) AS rn,
+       |    count(*) OVER () AS cnt FROM d)
+       |SELECT CAST(1 AS BIGINT) AS g, CAST(max(cnt) AS BIGINT) AS n_completed,
+       |  min(CASE WHEN rn = (cnt + 3) // 4 THEN dur_ms END) AS p25_ms,
+       |  min(CASE WHEN rn = (cnt + 1) // 2 THEN dur_ms END) AS p50_ms,
+       |  min(CASE WHEN rn = (3 * cnt + 3) // 4 THEN dur_ms END) AS p75_ms
+       |FROM r""".stripMargin
+  }
+
   /** Brute-force all-pairs token-set Jaccard — the independent oracle for
     * the prefix-filter join (which must find EXACTLY these pairs). The
     * length filter in the join condition only prunes work; the WHERE

@@ -274,6 +274,16 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // Gopher-style quality rules (bands scaled to the synthetic corpus:
+  // short lowercase word-soup docs, mean word length ~4)
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLenX100 = 300L
+  val GopherMaxMeanLenX100 = 1000L
+  val GopherStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  val GopherMinStop = 2L
+  val GopherMinAlphaPpm = 800000L
+
   // content-defined chunking: 16-byte rolling window, 5 mask bits
   // (expected ~32-byte chunks), chunk length clamped to [16, 128]
   val CdcWindow = 16

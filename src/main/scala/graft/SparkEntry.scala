@@ -1379,6 +1379,17 @@ object SparkEntry {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       operators.Triangles.perNodeCounts(edges)
     }),
+    "q_clustering_coef" -> ((s, dir) => {
+      // local clustering coefficient over the co-purchase graph: how
+      // clique-like each part's neighborhood is, exact ppm; zero-tri
+      // nodes score 0 rather than vanish
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      operators.Triangles.clusteringCoef(edges)
+    }),
     "q_pagerank" -> ((s, dir) => {
       // fixed-point integer PageRank over the supplier↔customer graph
       // (both arc directions of each trading pair); bit-identical on any
@@ -1630,6 +1641,13 @@ object SparkEntry {
       // contiguously, postings pruned to the phrase terms up front
       TextOps.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
         PhraseQuery)),
+    "text_gopher_rules" -> ((s, dir) =>
+      // published Gopher quality battery in exact integers: evidence
+      // columns + per-rule flags + composite gate, all map-side
+      TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        GopherMinWords, GopherMaxWords, GopherMinMeanLenX100,
+        GopherMaxMeanLenX100, GopherStopwords, GopherMinStop,
+        GopherMinAlphaPpm)),
     "text_jaccard_topk" -> ((s, dir) =>
       // set-overlap retrieval: exact shingle-Jaccard top-k through the
       // inverted shingle index (sparse candidates, integer ppm)
@@ -1742,6 +1760,11 @@ object SparkEntry {
       // granularity — raw ns/us timestamps truncate differently per engine)
       EventOps.funnel(t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
         "user_id", "ts_ms", "event_type", FunnelSteps)),
+    "events_funnel_latency" -> ((s, dir) =>
+      // click→…→purchase wall time for full-funnel completers, exact
+      // ms quartiles via the range-partitioned rank (no global window)
+      EventOps.funnelLatency(t(s, dir, "events"), "user_id", "ts",
+        "event_type", FunnelSteps)),
 
     // ---- §2.7 multimodal ----
     "multimodal_features" -> ((s, dir) =>
@@ -1935,6 +1958,9 @@ object SparkEntry {
     "text_phrase_search" -> Oracles.textPhraseSearch,
     "events_bursts" -> Oracles.eventsBursts,
     "events_funnel" -> Oracles.eventsFunnel,
+    "events_funnel_latency" -> Oracles.eventsFunnelLatency,
+    "q_clustering_coef" -> Oracles.qClusteringCoef,
+    "text_gopher_rules" -> Oracles.textGopherRules,
     "q_kanon" -> Oracles.qKanon,
     "q_rand_response" -> Oracles.qRandResponse,
     "q_ldiversity" -> Oracles.qLdiversity,

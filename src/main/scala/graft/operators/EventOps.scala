@@ -255,6 +255,49 @@ object EventOps {
     }
   }
 
+  /** Funnel completion latency: for every user who walks the whole
+    * ordered funnel ([[funnel]]'s first-reach semantics — each step's
+    * timestamp is the FIRST occurrence strictly after the previous
+    * step), the wall time from the step-1 anchor to completion, reduced
+    * to exact quartiles in ms — the "how long does click→purchase
+    * take" companion to the step-count funnel. Same per-step
+    * reached-set chain as [[funnel]] (user-keyed joins, min-aggregates);
+    * the step-1 table anchors both the chain and the final duration
+    * join, so it is checkpointed once. The quartile pass is the
+    * [[graft.etl.Marts.exactQuartiles]] rank idiom over ONE group —
+    * completions, not events, and emitted with the completion count.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a latency needs at least two funnel steps")
+    val s0 = events.filter(col(typeCol) === steps.head)
+      .select(col(userCol).as("user_id"), unix_millis(col(tsCol)).as("__ms"))
+      .groupBy(col("user_id")).agg(min(col("__ms")).as("__t0"))
+      .localCheckpoint(false)
+    val reached = steps.tail.foldLeft(s0.select(col("user_id"), col("__t0").as("__t"))) {
+      (acc, st) =>
+        events.filter(col(typeCol) === st)
+          .select(col(userCol).as("user_id"), unix_millis(col(tsCol)).as("__ms"))
+          .join(acc, "user_id")
+          .where(col("__ms") > col("__t"))
+          .groupBy(col("user_id")).agg(min(col("__ms")).as("__t"))
+    }
+    val durs = reached.join(s0, "user_id")
+      .select(col("user_id"), (col("__t") - col("__t0")).as("dur_ms"))
+    // the completed cohort is one row per user — still fact-sized at
+    // scale, so ranks come from the range-partitioned GlobalRank, not
+    // a single-partition ORDER BY window
+    val ranked = GlobalRank.globalRank(durs,
+      Seq(col("dur_ms").asc, col("user_id").asc), "grank")
+    val n = broadcast(ranked.agg(count(lit(1)).as("__cnt")))
+    ranked.crossJoin(n)
+      .groupBy(lit(1L).as("g"))
+      .agg(max(col("__cnt")).as("n_completed"),
+        min(when(col("grank") === expr("(__cnt + 3) div 4"), col("dur_ms"))).as("p25_ms"),
+        min(when(col("grank") === expr("(__cnt + 1) div 2"), col("dur_ms"))).as("p50_ms"),
+        min(when(col("grank") === expr("(3 * __cnt + 3) div 4"), col("dur_ms"))).as("p75_ms"))
+  }
+
   /** Burst detection: an (entity, hour) is bursting when its count
     * exceeds `k×` its own trailing-window hourly mean —
     * `cnt · n_trail > k · sum_trail` in exact integer cross-multiplied

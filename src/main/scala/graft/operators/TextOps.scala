@@ -591,4 +591,53 @@ object TextOps {
     }
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    * the published heuristic battery most LLM curation stacks start
+    * from): word-count band, mean-word-length band, minimum distinct
+    * stopwords, minimum alphabetic-word share. Emits the underlying
+    * exact-integer measurements next to per-rule booleans plus the
+    * composite gate — keep the evidence, not just the verdict, so a
+    * threshold change replays from this table without re-tokenizing
+    * the corpus.
+    *
+    * All measurements are exact integers (mean length ×100, alpha
+    * share in ppm, both trunc-div) — no doubles anywhere, so any
+    * engine replays the flags bit-identically. Entirely map-side: one
+    * tokenize + array folds per row, no shuffle, composes with
+    * pushdown.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long, maxWords: Long,
+                  minMeanLenX100: Long, maxMeanLenX100: Long,
+                  stopwords: Seq[String], minStop: Long,
+                  minAlphaPpm: Long): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords)
+    require(stopwords.nonEmpty && minStop >= 0)
+    val measured = docs
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        size(col("__ts")).cast("long").as("n_words"),
+        aggregate(col("__ts"), lit(0L), (acc, t) => acc + length(t)).as("__sumlen"),
+        size(array_intersect(array_distinct(col("__ts")),
+          lit(stopwords.toArray))).cast("long").as("n_stop"),
+        size(filter(col("__ts"), t => t.rlike("[a-z]"))).cast("long").as("__n_alpha"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0, expr("(100 * __sumlen) div n_words"))
+          .as("mean_len_x100"),
+        col("n_stop"),
+        when(col("n_words") > 0, expr("(1000000 * __n_alpha) div n_words"))
+          .as("alpha_ppm"))
+    measured
+      .withColumn("pass_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_len", coalesce(
+        col("mean_len_x100") >= minMeanLenX100 &&
+          col("mean_len_x100") <= maxMeanLenX100, lit(false)))
+      .withColumn("pass_stop", col("n_stop") >= minStop)
+      .withColumn("pass_alpha",
+        coalesce(col("alpha_ppm") >= minAlphaPpm, lit(false)))
+      .withColumn("pass_all",
+        col("pass_words") && col("pass_len") && col("pass_stop") && col("pass_alpha"))
+  }
 }

@@ -69,4 +69,34 @@ object Triangles {
     tri.select(explode(array(col("a"), col("b"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (d(v)·(d(v)−1))
+    * in exact ppm — how close each node's neighborhood is to a clique,
+    * the standard cohesion feature for community/fraud scoring on
+    * co-occurrence graphs. Nodes in no triangle still score (coef 0):
+    * the frame is the degree-≥2 node list LEFT-joined with
+    * [[perNodeCounts]], because "never closes a wedge" is signal, not
+    * absence. Degree-1 nodes have no defined coefficient and are
+    * excluded rather than nulled.
+    *
+    * Cost on top of the triangle pass: one more degree aggregate over
+    * the canonical edge set and a node-keyed join — both bounded by
+    * edges, and the triangle side is the O(√m)-oriented counter, so
+    * the scale posture is [[perNodeCounts]]'s.
+    */
+  def clusteringCoef(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.where(col("d") >= 2)
+      .join(perNodeCounts(e.select(col("u").as("src"), col("v").as("dst"))),
+        Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("d"), col("n_tri"),
+        expr("(2000000 * n_tri) div (d * (d - 1))").as("coef_ppm"))
+  }
 }

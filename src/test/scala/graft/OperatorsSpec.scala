@@ -1528,6 +1528,71 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("clusteringCoef: clique scores 1e6, wedge center 0, degree-1 excluded") {
+    import graft.operators.Triangles
+    // triangle {1,2,3} + pendant 4 on node 1 + wedge 5-6-7 (no closure)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val out = Triangles.clusteringCoef(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // node 1: d=3, one triangle → 2·1e6/(3·2) = 333333
+    assert(out(1L) === ((3L, 1L, 333333L)))
+    assert(out(2L) === ((2L, 1L, 1000000L)) && out(3L) === ((2L, 1L, 1000000L)))
+    // wedge center: degree 2, zero triangles → present with coef 0
+    assert(out(6L) === ((2L, 0L, 0L)))
+    // degree-1 nodes have no defined coefficient
+    assert(!out.contains(4L) && !out.contains(5L) && !out.contains(7L))
+  }
+
+  test("gopherRules: each rule fails independently, evidence exact") {
+    import graft.operators.TextOps
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a $twenty"),                                // passes all
+      (2L, "the a tiny doc"),                                // fails words
+      (3L, ("the a " + (1 to 20).map(_ => "extraordinarily").mkString(" "))), // fails len
+      (4L, s"$twenty zz yy"),                                // fails stop
+      (5L, ("the a " + (1 to 20).map(_ => "12345").mkString(" ")))) // fails alpha
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text", 20L, 100000L,
+        100L, 800L, Seq("the", "a", "and"), 2L, 800000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(out(1L) === ((true, true, true, true, true)))
+    assert(out(2L)._1 === false && out(2L)._5 === false)
+    assert(out(3L)._2 === false && out(3L)._1 === true)
+    assert(out(4L)._3 === false && out(4L)._1 === true)
+    assert(out(5L)._4 === false && out(5L)._3 === true)
+    // evidence: doc 1 has 22 words, mean (5+1+sum|w_i|)·100/22
+    val row1 = TextOps.gopherRules(docs, "doc_id", "text", 20L, 100000L,
+        100L, 800L, Seq("the", "a", "and"), 2L, 800000L)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(row1.getAs[Long]("n_words") === 22L)
+    val sumLen = 3 + 1 + (1 to 20).map(i => s"w$i".length).sum
+    assert(row1.getAs[Long]("mean_len_x100") === 100L * sumLen / 22L)
+  }
+
+  test("funnelLatency: first-reach chain durations, exact quartiles") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    // users 1..4 complete a→b with durations 10, 20, 30, 40 min;
+    // user 5 only reaches a; user 6 has b BEFORE a (no completion)
+    val ev = (Seq((1L, 0, "a"), (1L, 10, "b"), (2L, 0, "a"), (2L, 20, "b"),
+      (3L, 0, "a"), (3L, 30, "b"), (4L, 0, "a"), (4L, 40, "b"),
+      (5L, 0, "a"), (6L, 5, "b"), (6L, 10, "a"))
+      ++ Seq((1L, 50, "b"))) // later duplicate completion must not count
+      .zipWithIndex.map { case ((u, m, ty), i) => (i.toLong, t(m), u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.funnelLatency(ev, "user_id", "ts", "event_type",
+      Seq("a", "b")).collect().head
+    assert(out.getLong(1) === 4L, "4 completers")
+    // durations ms: 600k, 1200k, 1800k, 2400k → type-1 quartile ranks
+    // (n=4): p25 @1, p50 @2, p75 @3
+    assert((out.getLong(2), out.getLong(3), out.getLong(4)) ===
+      ((600000L, 1200000L, 1800000L)))
+  }
+
   test("ksTest: identical distributions → 0; disjoint supports → 1e6") {
     import graft.operators.Sketches
     val same = (1L to 50L).flatMap(i => Seq(("a", i % 10), ("b", i % 10)))
