@@ -2747,6 +2747,53 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** randProject twin: same md5-derived binary-fraction matrix
+    * ([[HashFunctions.projectionWeights]]) inlined as literal chains.
+    */
+  def embRandProj: String = {
+    val ws = HashFunctions.projectionWeights(JlDims, EmbDims)
+    val cols = ws.zipWithIndex
+      .map { case (w, j) => s"round(${dotConstChain("embedding", w)}, 4) AS d$j" }
+      .mkString(",\n       |  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM embeddings""".stripMargin
+  }
+
+  /** joinSizeEst twin: same salted key sample, same exact products and
+    * inverse-rate scale-up (HUGEINT // thr ≡ decimal floor-div — both
+    * positive).
+    */
+  def qJoinSizeEst: String = {
+    val thr = JseRatePpm * 4294967296L / 1000000L
+    val h = hex8Expr(s"('$JseSalt:' || CAST(l_partkey AS VARCHAR))")
+    s"""WITH lk AS (SELECT l_partkey AS join_key FROM lineitem
+       |  WHERE CAST($h AS BIGINT) < $thr),
+       |a AS (SELECT join_key, CAST(count(*) AS BIGINT) AS n FROM lk GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys_sampled,
+       |  CAST(COALESCE(sum(n * n), 0) AS BIGINT) AS sampled_rows,
+       |  CAST((CAST(COALESCE(sum(n * n), 0) AS HUGEINT) * 4294967296) // $thr
+       |    AS BIGINT) AS est_rows
+       |FROM a""".stripMargin
+  }
+
+  /** Hierarchy.flatten twin: the native recursive CTE this operator
+    * re-expresses — DuckDB recurses to the natural forest depth, the
+    * Spark loop's early-stop must land on the same closure.
+    */
+  def qRecursiveBom: String =
+    """WITH RECURSIVE eh AS (SELECT CAST(p_partkey AS BIGINT) AS child,
+      |    CAST(p_partkey // 10 AS BIGINT) AS parent,
+      |    CAST(p_size % 5 + 1 AS BIGINT) AS qty
+      |  FROM part WHERE p_partkey >= 10),
+      |r AS (
+      |  SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth, qty
+      |  FROM eh
+      |  UNION ALL
+      |  SELECT r.node, eh.parent, r.depth + 1, r.qty * eh.qty
+      |  FROM r JOIN eh ON r.ancestor = eh.child)
+      |SELECT node, ancestor, depth, qty FROM r""".stripMargin
+
   /** clusteringCoef twin: the [[qTriangles]] pipeline extended with the
     * degree-≥2 frame LEFT-joined against per-node triangle counts.
     */

@@ -274,6 +274,16 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // Johnson–Lindenstrauss projection width (64 → 8 coordinates)
+  val JlDims = 8
+
+  // sampled join-size estimate: 1/8 deterministic key sample
+  val JseRatePpm = 125000L
+  val JseSalt = "jse"
+
+  // recursive BOM flatten: decimal-digit forest over part, depth cap
+  val BomMaxDepth = 8
+
   // Gopher-style quality rules (bands scaled to the synthetic corpus:
   // short lowercase word-soup docs, mean word length ~4)
   val GopherMinWords = 20L

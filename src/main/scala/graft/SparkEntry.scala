@@ -928,6 +928,11 @@ object SparkEntry {
         .select(col("cell"), col("dim").cast("long").as("dim"),
           round(col("sv") / col("n"), 4).as("c"), col("n"))
     }),
+    "emb_rand_proj" -> ((s, dir) =>
+      // JL random projection 64→8: fixed md5-derived matrix, one
+      // codegen'd dotConst per output coordinate, map-side only
+      Similarity.randProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", EmbDims, JlDims)),
     "emb_sq8_codes" -> ((s, dir) =>
       // 4x scalar quantization: global per-dim min/max broadcast, pure
       // map-side coding
@@ -1190,6 +1195,24 @@ object SparkEntry {
       // without running the join
       val li = t(s, dir, "lineitem")
       Audit.joinSizeAudit(li, "l_partkey", li, "l_partkey", AuditTopK)
+    }),
+    "q_join_size_est" -> ((s, dir) => {
+      // sampled twin of q_join_size_audit: 1/8 deterministic key
+      // sample, exact products on the sample, inverse-rate scale-up —
+      // the probe you can afford when the key is near-unique
+      val li = t(s, dir, "lineitem")
+      Audit.joinSizeEst(li, "l_partkey", li, "l_partkey", JseRatePpm, JseSalt)
+    }),
+    "q_recursive_bom" -> ((s, dir) => {
+      // WITH RECURSIVE workload, Spark-first: decimal-digit forest over
+      // part (child k → parent k div 10), path-product quantities;
+      // frontier loop never grows on a forest, early-stops when drained
+      val edges = t(s, dir, "part")
+        .where(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey div 10").as("parent"),
+          (col("p_size") % 5 + 1).cast("long").as("qty"))
+      operators.Hierarchy.flatten(edges, BomMaxDepth)
     }),
     "q_corr_matrix" -> ((s, dir) =>
       // one-pass pairwise Pearson over four exact-integer lineitem
@@ -1870,6 +1893,9 @@ object SparkEntry {
     "ann_ivf_trained" -> Oracles.annIvfTrained,
     "emb_pq_codes" -> Oracles.embPqCodes,
     "emb_sq8_codes" -> Oracles.embSq8Codes,
+    "emb_rand_proj" -> Oracles.embRandProj,
+    "q_join_size_est" -> Oracles.qJoinSizeEst,
+    "q_recursive_bom" -> Oracles.qRecursiveBom,
     "emb_pq_adc" -> Oracles.embPqAdc,
     "emb_ivf_pq_adc" -> Oracles.embIvfPqAdc,
     "emb_kmeans_step" -> Oracles.embKmeansStep,

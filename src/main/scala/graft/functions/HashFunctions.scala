@@ -95,6 +95,15 @@ object HashFunctions {
       (0 until dims).map(i => (md5HexDigit(s"cent:$c:$i") - 7.5) / 8.0)
     }
 
+  /** Johnson–Lindenstrauss projection weights (salt "jl"), same exact
+    * binary-fraction derivation as [[hyperplaneWeights]] — a fixed
+    * pseudo-random projection matrix any engine re-derives inline.
+    */
+  def projectionWeights(outDims: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until outDims).map { p =>
+      (0 until dims).map(i => (md5HexDigit(s"jl:$p:$i") - 7.5) / 8.0)
+    }
+
   /** Product-quantization codebooks, derived the same way (salt "pq"):
     * subspace m, code c → a subDims-dim sub-centroid. All values are
     * exact binary fractions ((2d-15)/16), so dot products and squared

@@ -120,6 +120,40 @@ object Audit {
     top.unionByName(total)
   }
 
+  /** Sampled join-size estimate — [[joinSizeAudit]]'s exact per-key
+    * count tables are themselves huge when the key is high-cardinality;
+    * this estimates the same output size from a deterministic KEY
+    * sample: keep only keys whose salted hash clears `ratePpm`, compute
+    * exact per-key products for those, scale by the inverse rate. The
+    * key filter is map-side on BOTH inputs before any aggregation, so
+    * the whole probe costs ~rate × the exact audit — the classic
+    * sketch-for-planning trade. Sampling KEYS (not rows) is what keeps
+    * the estimator unbiased for joins: a row sample would need
+    * rate² correction per key and explode the variance on hot keys.
+    *
+    * Deterministic md5 draw = replayable estimate (same inputs, same
+    * number, any engine). The scaled sum rides DECIMAL(38,0) — a hot
+    * sampled key can already hold ~10⁹×10⁹ products. Emits
+    * (n_keys_sampled, sampled_rows, est_rows).
+    */
+  def joinSizeEst(left: DataFrame, keyL: String, right: DataFrame,
+                  keyR: String, ratePpm: Long, salt: String): DataFrame = {
+    require(ratePpm > 0 && ratePpm <= 1000000L, "rate must be in (0, 1e6] ppm")
+    val thr = ratePpm * 4294967296L / 1000000L
+    def sampledCounts(df: DataFrame, k: String) =
+      df.select(col(k).cast("long").as("join_key"))
+        .where(graft.functions.HashFunctions.hash32(col("join_key"), salt) < thr)
+        .groupBy(col("join_key")).agg(count(lit(1)).as("n"))
+    val per = sampledCounts(left, keyL)
+      .join(sampledCounts(right, keyR).withColumnRenamed("n", "m"), "join_key")
+      .select(col("join_key"), (col("n") * col("m")).as("out_rows"))
+    per.agg(count(lit(1)).as("n_keys_sampled"),
+        coalesce(sum(col("out_rows")), lit(0L)).as("sampled_rows"))
+      .select(col("n_keys_sampled"), col("sampled_rows"),
+        expr(s"cast(floor((cast(sampled_rows as decimal(38,0)) * 4294967296) / $thr) as long)")
+          .as("est_rows"))
+  }
+
   /** Expected Benford first-digit shares, ppm: round(10⁶·log10(1+1/d)).
     * The nine roundings sum to exactly 1 000 000, so obs−exp deviations
     * are comparable digit-by-digit with no residual drift.

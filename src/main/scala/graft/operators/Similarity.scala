@@ -445,4 +445,24 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     sc.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
+
+  /** Johnson–Lindenstrauss random projection: compress `dims`-d
+    * embeddings to `outDims` coordinates through a fixed md5-derived
+    * ±binary-fraction matrix ([[H.projectionWeights]]) — the cheap
+    * distance-preserving dim reduction used before clustering or
+    * coarse ANN when even SQ8 codes are too wide. Each output
+    * coordinate is one [[V.dotConst]] against a literal weight array:
+    * entirely map-side, whole-stage-codegen'd, no shuffle, no fitted
+    * state (unlike PCA, nothing to train or ship). Rounded to 4dp,
+    * the engine-portable float contract of the ANN family.
+    */
+  def randProject(embs: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, outDims: Int): DataFrame = {
+    require(outDims >= 1 && outDims <= dims,
+      "projection must reduce (or keep) dimensionality")
+    val ws = H.projectionWeights(outDims, dims)
+    embs.select(col(idCol) +: ws.zipWithIndex.map { case (w, j) =>
+      round(V.dotConst(col(vecCol), w), 4).as(s"d$j")
+    }: _*)
+  }
 }

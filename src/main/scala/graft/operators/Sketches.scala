@@ -129,7 +129,7 @@ object Sketches {
     * Output: `(as, n_est)`.
     */
   /** The KMV order-statistic estimate from a sketch array column. */
-  private def kmvEstimate(hsName: String, k: Int): Column =
+  private[graft] def kmvEstimate(hsName: String, k: Int): Column =
     when(size(col(hsName)) < k, size(col(hsName)).cast("long"))
       .otherwise(expr(s"((${k - 1}L * 4294967296L) div (element_at($hsName, $k) + 1L))"))
 

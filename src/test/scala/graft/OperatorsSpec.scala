@@ -1528,6 +1528,52 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("randProject: one-hot vectors read the matrix column exactly; linear") {
+    import graft.functions.{HashFunctions => H}
+    val ws = H.projectionWeights(4, 6)
+    val oneHot = Array.fill(6)(0f)
+    val e2 = oneHot.clone(); e2(2) = 1f
+    val two = oneHot.clone(); two(0) = 2f; two(2) = 1f
+    val df = Seq((1L, e2.toSeq), (2L, two.toSeq)).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.randProject(df, "vec_id", "embedding", 6, 4)
+      .collect().map(r => r.getLong(0) -> (0 until 4).map(j => r.getDouble(j + 1))).toMap
+    (0 until 4).foreach { j =>
+      assert(out(1L)(j) === BigDecimal(ws(j)(2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // linearity: proj(2·e0 + e2) = 2·w[j][0] + w[j][2]
+      assert(out(2L)(j) === BigDecimal(2 * ws(j)(0) + ws(j)(2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("joinSizeEst: full-rate sample is exact; subsample deterministic") {
+    val rows = (1L to 300L).map(i => Tuple1(i % 20)).toDF("k")
+    // rate 1e6 → every key sampled → estimate IS the exact join size
+    val full = Audit.joinSizeEst(rows, "k", rows, "k", 1000000L, "jse-spec")
+      .collect().head
+    assert(full.getLong(0) === 20L)
+    assert(full.getLong(1) === full.getLong(2), "thr = 2^32 → no scale-up")
+    assert(full.getLong(1) === 20L * 15L * 15L)
+    // 1/4 sample: deterministic across runs, scaled by the inverse rate
+    val a = Audit.joinSizeEst(rows, "k", rows, "k", 250000L, "jse-spec").collect().head
+    val b = Audit.joinSizeEst(rows, "k", rows, "k", 250000L, "jse-spec").collect().head
+    assert(a.toSeq === b.toSeq)
+    assert(a.getLong(0) < 20L && a.getLong(0) > 0L)
+    assert(a.getLong(2) === a.getLong(1) * 4294967296L / (250000L * 4294967296L / 1000000L))
+  }
+
+  test("Hierarchy.flatten: path products to every ancestor, early stop") {
+    import graft.operators.Hierarchy
+    val edges = Seq((100L, 10L, 2L), (101L, 10L, 5L), (10L, 1L, 3L),
+      (200L, 20L, 7L)).toDF("child", "parent", "qty")
+    val out = Hierarchy.flatten(edges, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      (100L, 10L, 1L, 2L), (100L, 1L, 2L, 6L),
+      (101L, 10L, 1L, 5L), (101L, 1L, 2L, 15L),
+      (10L, 1L, 1L, 3L), (200L, 20L, 1L, 7L)))
+  }
+
   test("clusteringCoef: clique scores 1e6, wedge center 0, degree-1 excluded") {
     import graft.operators.Triangles
     // triangle {1,2,3} + pendant 4 on node 1 + wedge 5-6-7 (no closure)

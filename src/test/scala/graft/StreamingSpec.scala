@@ -586,6 +586,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct: state equals batch sketch, estimate tracks") {
+    implicit val sqlCtx = spark.sqlContext
+    // 80 distinct users per type across 200 events, arriving out of order
+    val evs = (0 until 200).map(i => Event(i, ts(f"2024-01-01 00:${i % 60}%02d:00"),
+      i % 80, if (i % 2 == 0) "a" else "b", 1.0))
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.SketchStream.kmvDistinctStream(stream.toDF(),
+        col("event_type"), "grp", col("user_id"), 16, "kmv-stream-spec")
+      .writeStream.format("memory").queryName("stream_kmv")
+      .outputMode("complete").start()
+    try {
+      stream.addData(evs.drop(120): _*)
+      q.processAllAvailable()
+      stream.addData(evs.take(120): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_kmv")
+      val batchState = graft.operators.Sketches.kmvSketch(evs.toDF(),
+        col("event_type"), "grp", col("user_id"), 16, "kmv-stream-spec")
+      def st(df: org.apache.spark.sql.DataFrame) = df.select(col("grp"), col("hs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(st(streamed) === st(batchState),
+        "streaming KMV state must be bit-identical to the batch sketch")
+      // the emitted estimate is the batch estimator on that state
+      val est = streamed.select(col("grp"), col("n_est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchEst = graft.operators.Sketches.kmvDistinct(evs.toDF(),
+          col("event_type"), "grp", col("user_id"), 16, "kmv-stream-spec")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est === batchEst)
+      // 40 true distinct per type; k=16 estimate within a loose 3x band
+      est.values.foreach(v => assert(v > 13L && v < 120L, s"estimate $v wild"))
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: MG state bounded at k, hot item never lost across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
