@@ -24,6 +24,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("explain")) { explainAudit(spark, args); spark.stop(); return }
+    if (args.headOption.contains("jse")) { jseProbe(spark, args); spark.stop(); return }
     if (args.headOption.contains("retrieval")) { retrieval(spark, args); spark.stop(); return }
     if (args.headOption.contains("prefix")) { prefixProbe(spark, args); spark.stop(); return }
     if (args.headOption.contains("er")) { erProbe(spark); spark.stop(); return }
@@ -43,6 +45,48 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"probe":"bpe","n_words":$n,"iters":$iters,"merges":${m.length},"sym_rows":$vocab,"secs":$secs%.2f}""")
     spark.stop()
+  }
+
+  /** `probe=explain <sfDir> <key...>`: compile the named registry
+    * queries and flag any physical plan containing a CartesianProduct
+    * or BroadcastNestedLoopJoin — the two shapes that mean an equi-join
+    * degenerated. Eyeball SUSPECT lines before trusting them: 1-row
+    * broadcast scalars (corpus totals crossJoined back) legitimately
+    * plan as BNLJ and are fine; a fact-×-fact product is not.
+    */
+  private def explainAudit(spark: SparkSession, args: Array[String]): Unit = {
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val keys = if (args.length > 2) args.drop(2).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    var suspect = 0
+    keys.foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+      if (bad.nonEmpty) { suspect += 1; println(s"SUSPECT $k: ${bad.mkString(",")}") }
+    }
+    println(s"""{"probe":"explain","n_queries":${keys.size},"suspect":$suspect}""")
+  }
+
+  /** `probe=jse <sfDir>`: sampled join-size estimate vs the exact audit
+    * on the lineitem l_partkey self-join — accuracy (est/exact ppm
+    * error) and wall time for both, the measured basis for "the probe
+    * you can afford".
+    */
+  private def jseProbe(spark: SparkSession, args: Array[String]): Unit = {
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val li = Tables.load(spark, dir, "lineitem")
+    val t0 = System.nanoTime()
+    val exact = operators.Audit.joinSizeAudit(li, "l_partkey", li, "l_partkey", 1)
+      .where(org.apache.spark.sql.functions.col("join_key").isNull)
+      .collect()(0).getAs[Long]("out_rows")
+    val tExact = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val est = operators.Audit.joinSizeEst(li, "l_partkey", li, "l_partkey",
+      Params.JseRatePpm, Params.JseSalt).collect()(0).getAs[Long]("est_rows")
+    val tEst = (System.nanoTime() - t1) / 1e9
+    val errPpm = math.abs(est - exact) * 1000000L / exact
+    println(f"""{"probe":"jse","exact_rows":$exact,"est_rows":$est,"err_ppm":$errPpm,"exact_secs":$tExact%.2f,"est_secs":$tEst%.2f}""")
   }
 
   /** `probe=prefix [vocabWords]`: the dedup_prefix_filter bench cost has
