@@ -2747,6 +2747,56 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** overwritePartitions twin: partitions in the batch (%17=3 months)
+    * come back with the batch's rows, everything else untouched — the
+    * batch here rewrites every row of its partitions, so a CASE
+    * reproduces the wholesale replace.
+    */
+  def etlOverwritePartitions: String =
+    """WITH b AS (SELECT o_orderkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT o_orderkey, mkey,
+      |  CASE WHEN mkey % 17 = 3 THEN price_cents + 55 ELSE price_cents END
+      |    AS price_cents
+      |FROM b""".stripMargin
+
+  /** pctChange twin: the same lag-1/lag-12 exact-ppm growth. */
+  def qPctChange: String =
+    """WITH m AS (SELECT o_orderpriority,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT o_orderpriority, mkey, total_cents,
+      |    lag(total_cents, 1) OVER w AS ls, lag(total_cents, 12) OVER w AS lc
+      |  FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mkey))
+      |SELECT o_orderpriority, mkey, total_cents,
+      |  CAST((total_cents - ls) * 1000000 // ls AS BIGINT) AS short_ppm,
+      |  CAST((total_cents - lc) * 1000000 // lc AS BIGINT) AS cycle_ppm
+      |FROM l""".stripMargin
+
+  /** cohortLtv twin: same epoch-week cohorts as [[qCohortRetention]],
+    * running sum per cohort, per-user curve by integer division.
+    */
+  def qCohortLtv: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk,
+      |    CAST(floor(value * 100) AS BIGINT) AS v_cents FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+      |sz AS (SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+      |  FROM fw GROUP BY 1),
+      |wkly AS (SELECT fw.cohort_wk, ev.wk - fw.cohort_wk AS wk_offset,
+      |    CAST(sum(v_cents) AS BIGINT) AS wk_cents
+      |  FROM ev JOIN fw ON ev.user_id = fw.user_id GROUP BY 1, 2),
+      |c AS (SELECT cohort_wk, wk_offset, wk_cents,
+      |    CAST(sum(wk_cents) OVER (PARTITION BY cohort_wk ORDER BY wk_offset
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM wkly)
+      |SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk,
+      |  CAST(wk_offset AS BIGINT) AS wk_offset, wk_cents, cum_cents,
+      |  CAST(cum_cents // cohort_size AS BIGINT) AS ltv_cents
+      |FROM c JOIN sz ON c.cohort_wk = sz.cohort_wk""".stripMargin
+
   /** randProject twin: same md5-derived binary-fraction matrix
     * ([[HashFunctions.projectionWeights]]) inlined as literal chains.
     */

@@ -1150,6 +1150,48 @@ object SparkEntry {
           first(col("price_cents")).over(w).as("first_cents"),
           nth_value(col("price_cents"), 2).over(w).as("second_cents"))
     }),
+    "etl_overwrite_partitions" -> ((s, dir) => {
+      // idempotent reprocess: month partitions present in the batch are
+      // replaced wholesale (row deletes included), the rest stream
+      // through; the batch's partition list broadcasts
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val batch = base.filter(col("mkey") % 17 === 3)
+        .withColumn("price_cents", col("price_cents") + 55L)
+      Staging.overwritePartitions(base, batch, Seq("mkey"))
+    }),
+    "q_pct_change" -> ((s, dir) =>
+      // MoM + YoY growth of monthly revenue per priority, exact ppm
+      operators.TimeSeries.pctChange(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("mkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("total_cents")),
+        "o_orderpriority", "mkey", "total_cents", 1, 12)),
+    "q_cohort_ltv" -> ((s, dir) => {
+      // cumulative value per acquisition cohort by week age, plus the
+      // per-user LTV curve (cum cents div cohort size) — exact integers
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"),
+          floor(col("value") * 100).cast("long").as("v_cents"))
+      val firstw = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = firstw.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val weekly = ev.join(firstw, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(sum(col("v_cents")).as("wk_cents"))
+      // running sum over a per-cohort window: frames are bounded by the
+      // week span, never by users or events
+      val w = Window.partitionBy(col("cohort_wk")).orderBy(col("wk_offset").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly.withColumn("cum_cents", sum(col("wk_cents")).over(w))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("wk_offset"), col("wk_cents"),
+          col("cum_cents"), expr("cum_cents div cohort_size").as("ltv_cents"))
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // cohort = a user's first activity week; the retention matrix
       // counts distinct users per (cohort, weeks-since). Weeks are
@@ -2007,6 +2049,9 @@ object SparkEntry {
     "q_stats_suite" -> Oracles.qStatsSuite,
     "q_window_suite" -> Oracles.qWindowSuite,
     "q_cohort_retention" -> Oracles.qCohortRetention,
+    "etl_overwrite_partitions" -> Oracles.etlOverwritePartitions,
+    "q_pct_change" -> Oracles.qPctChange,
+    "q_cohort_ltv" -> Oracles.qCohortLtv,
     // the merge's oracle IS the full rebuild — incremental must equal it
     "agg_incremental_merge" -> Oracles.aggIncrementalMerge,
     "q_pagerank" -> Oracles.qPagerank,

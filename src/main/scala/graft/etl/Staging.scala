@@ -62,6 +62,28 @@ object Staging {
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** Dynamic partition overwrite (Hive/Spark
+    * `INSERT OVERWRITE … PARTITION` semantics) as dataframe algebra:
+    * every partition PRESENT in the batch is replaced WHOLESALE —
+    * including dropping snapshot rows the batch no longer carries, which
+    * is what distinguishes this from a row-keyed [[upsert]] — and
+    * untouched partitions stream through unmodified. The idempotent
+    * reprocess primitive: re-running yesterday's extract replaces
+    * yesterday's partitions exactly, never duplicates.
+    *
+    * Same two-shuffle shape as [[upsert]] but keyed on the PARTITION
+    * columns: the batch's distinct partition list is tiny and
+    * broadcasts into the anti-join, so the snapshot never shuffles at
+    * all — on a partitioned table the anti-join also prunes those
+    * partitions at the scan.
+    */
+  def overwritePartitions(snapshot: DataFrame, batch: DataFrame,
+                          partCols: Seq[String]): DataFrame =
+    batch.unionByName(
+      snapshot.join(
+        broadcast(batch.select(partCols.map(col): _*).distinct()),
+        partCols, "left_anti"))
+
   /** Incremental view maintenance for an INNER-join view, insert-only
     * bases: with V_old = A_old ⋈ B_old already materialized, the
     * refreshed view is

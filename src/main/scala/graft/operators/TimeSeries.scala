@@ -146,6 +146,29 @@ object TimeSeries {
           .otherwise(expr("(__sy * __den - __num * __sx) div (n * __den)"))
           .as("intercept"))
 
+  /** Period-over-period change: for each (group, period) the exact-ppm
+    * growth vs the previous period (`lagShort`, e.g. 1 = MoM) and vs
+    * the same period a cycle ago (`lagCycle`, e.g. 12 = YoY) — the
+    * BI-dashboard staple, exact integers so every engine agrees on
+    * every cell. First-`lag` periods report NULL (no base), division
+    * is by the LAGGED value (`(y−y₋ₗ)·10⁶ div y₋ₗ` — trunc in both
+    * engines, sign-correct for declines). One bounded per-group window
+    * pass over the already-aggregated series.
+    */
+  def pctChange(series: DataFrame, groupCol: String, xCol: String,
+                yCol: String, lagShort: Int, lagCycle: Int): DataFrame = {
+    require(lagShort >= 1 && lagCycle > lagShort)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__x").asc)
+    series
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .withColumn("__ls", lag(col("__y"), lagShort).over(w))
+      .withColumn("__lc", lag(col("__y"), lagCycle).over(w))
+      .select(col(groupCol), col("__x").as(xCol), col("__y").as(yCol),
+        expr("(__y - __ls) * 1000000L div __ls").as("short_ppm"),
+        expr("(__y - __lc) * 1000000L div __lc").as("cycle_ppm"))
+  }
+
   /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes
     * (y_j−y_i)/(x_j−x_i), i<j — the standard outlier-immune alternative
     * to OLS ([[trendFit]]): one wild month moves OLS arbitrarily but

@@ -1528,6 +1528,31 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("overwritePartitions replaces wholesale: deletes inside, new parts, untouched pass") {
+    val snap = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("id", "part", "v")
+    // batch rewrites partition 10 WITHOUT id=2 (a delete) and brings a
+    // brand-new partition 30; partition 20 is untouched
+    val batch = Seq((1L, 10L, 111L), (9L, 30L, 900L)).toDF("id", "part", "v")
+    val out = Staging.overwritePartitions(snap, batch, Seq("part"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 10L, 111L), (9L, 30L, 900L), (3L, 20L, 300L)))
+  }
+
+  test("pctChange: exact ppm growth vs lag-1 and lag-cycle, nulls at the head") {
+    import graft.operators.TimeSeries
+    val series = Seq(("a", 1L, 100L), ("a", 2L, 110L), ("a", 3L, 99L),
+      ("a", 4L, 99L)).toDF("g", "x", "y")
+    val out = TimeSeries.pctChange(series, "g", "x", "y", 1, 3)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) === ((None, None)))
+    assert(out(2L) === ((Some(100000L), None)))
+    assert(out(3L)._1 === Some(-100000L), "decline must come out negative")
+    assert(out(4L) === ((Some(0L), Some(-10000L))), "lag-3 vs x=1: (99-100)/100")
+  }
+
   test("randProject: one-hot vectors read the matrix column exactly; linear") {
     import graft.functions.{HashFunctions => H}
     val ws = H.projectionWeights(4, 6)
