@@ -2747,6 +2747,30 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** rfm twin: same per-user census, same `(rank−1)·5 div N + 1`
+    * quintile rule with user-id tie-breaks per dimension.
+    */
+  def eventsRfm: String =
+    """WITH per AS (SELECT user_id,
+      |    max(epoch_ms(ts) // 86400000) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT user_id,
+      |    (SELECT max(last_day) FROM per) - last_day AS recency_days,
+      |    freq, monetary_cents FROM per),
+      |n AS (SELECT count(*) AS n FROM b),
+      |s AS (SELECT b.user_id, recency_days, freq, monetary_cents,
+      |    (row_number() OVER (ORDER BY recency_days DESC, user_id) - 1) * 5 // n.n + 1 AS r_score,
+      |    (row_number() OVER (ORDER BY freq ASC, user_id) - 1) * 5 // n.n + 1 AS f_score,
+      |    (row_number() OVER (ORDER BY monetary_cents ASC, user_id) - 1) * 5 // n.n + 1 AS m_score
+      |  FROM b CROSS JOIN n)
+      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq,
+      |  monetary_cents, CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score, CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+      |FROM s""".stripMargin
+
   /** overwritePartitions twin: partitions in the batch (%17=3 months)
     * come back with the batch's rows, everything else untouched — the
     * batch here rewrites every row of its partitions, so a CASE

@@ -1800,6 +1800,10 @@ object SparkEntry {
       // split its credit equally, exact integer ppm
       EventOps.attribution(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch, SessionGapMs)),
+    "events_rfm" -> ((s, dir) =>
+      // recency/frequency/monetary quintile segmentation — boundaries
+      // are exact equi-depth ranks via GlobalRank, never a global ntile
+      EventOps.rfm(t(s, dir, "events"), "user_id", "ts", "value")),
     "events_attribution_decay" -> ((s, dir) =>
       // recency-weighted multi-touch: credit halves per 5 min of age,
       // exact power-of-two ladder — the e^-λt that hash-matches
@@ -2023,6 +2027,7 @@ object SparkEntry {
     "events_transitions" -> Oracles.eventsTransitions,
     "events_attribution" -> Oracles.eventsAttribution,
     "events_attribution_decay" -> Oracles.eventsAttributionDecay,
+    "events_rfm" -> Oracles.eventsRfm,
     "text_phrase_search" -> Oracles.textPhraseSearch,
     "events_bursts" -> Oracles.eventsBursts,
     "events_funnel" -> Oracles.eventsFunnel,

@@ -298,6 +298,48 @@ object EventOps {
         min(when(col("grank") === expr("(3 * __cnt + 3) div 4"), col("dur_ms"))).as("p75_ms"))
   }
 
+  /** RFM segmentation — the classic customer-value census: per user,
+    * Recency (days since last event, against the dataset's own max day
+    * so the result is replayable), Frequency (event count), Monetary
+    * (exact cents), each scored into population quintiles and packed
+    * into the familiar 3-digit segment code (555 = recent + frequent +
+    * big spender). Quintile boundaries are exact equi-depth ranks —
+    * `(rank−1)·5 div N + 1` with a user-id tie-break, the
+    * [[Sketches.equidepthHist]] rule — NOT ntile over a global window:
+    * the user census is fact-sized, so each dimension's rank comes
+    * from the range-partitioned [[GlobalRank]] (three rank passes over
+    * the one-row-per-user table, which the checkpoint materializes
+    * once).
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String): DataFrame = {
+    val per = events.select(col(userCol).as("user_id"),
+        unix_millis(col(tsCol)).as("__ms"),
+        floor(col(valueCol) * 100).cast("long").as("__cents"))
+      .groupBy(col("user_id"))
+      .agg(max(expr("__ms div 86400000")).as("last_day"),
+        count(lit(1)).as("freq"), sum(col("__cents")).as("monetary_cents"))
+    val ref = broadcast(per.agg(max(col("last_day")).as("__ref")))
+    val base = per.crossJoin(ref)
+      .select(col("user_id"), (col("__ref") - col("last_day")).as("recency_days"),
+        col("freq"), col("monetary_cents"))
+      .localCheckpoint(false) // three rank passes + the final join read it
+    val n = broadcast(base.agg(count(lit(1)).as("__n")))
+    // orientation: higher score = better customer — most RECENT (rank
+    // by recency DESC puts oldest first), most frequent, biggest spend
+    def quint(order: Column, out: String): DataFrame =
+      GlobalRank.globalRank(base, Seq(order, col("user_id").asc), "__rk")
+        .crossJoin(n)
+        .select(col("user_id"), (expr("(__rk - 1) * 5 div __n") + 1L).as(out))
+    base
+      .join(quint(col("recency_days").desc, "r_score"), "user_id")
+      .join(quint(col("freq").asc, "f_score"), "user_id")
+      .join(quint(col("monetary_cents").asc, "m_score"), "user_id")
+      .select(col("user_id"), col("recency_days"), col("freq"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+  }
+
   /** Burst detection: an (entity, hour) is bursting when its count
     * exceeds `k×` its own trailing-window hourly mean —
     * `cnt · n_trail > k · sum_trail` in exact integer cross-multiplied

@@ -1528,6 +1528,25 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("rfm: orientation puts the best customer at 5s, quintiles equi-depth") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(86400000L * day)
+    // 10 users: user i has its last event on day i, i events, value 10·i
+    val ev = (1 to 10).flatMap(u => (1 to u).map(k =>
+      ((u * 100 + k).toLong, t(if (k == u) u else 1), u.toLong, "e", u * 10.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.rfm(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // user 10: most recent (recency 0), most frequent, biggest spend → 555
+    assert(out(10L) === ((0L, 5L, 5L, 5L, 555L)))
+    // user 1: oldest, fewest, least → 111
+    assert(out(1L)._5 === 111L)
+    // equi-depth: each quintile of 10 users holds exactly 2 per dim
+    val fCounts = out.values.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(fCounts === (1 to 5).map(s => s.toLong -> 2).toMap)
+  }
+
   test("overwritePartitions replaces wholesale: deletes inside, new parts, untouched pass") {
     val snap = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
       .toDF("id", "part", "v")

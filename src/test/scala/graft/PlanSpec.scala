@@ -643,4 +643,55 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"expected <=2 key exchanges (series, fit), got $exchanges:\n$plan")
   }
+
+  test("epoch shuffle: exactly one exchange (the epoch-shard window)") {
+    val df = graft.operators.Sampling.epochShuffle(
+      Tables.load(spark, sfDir, "documents"), col("doc_id"), 2, 8, "pin")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"hash + shard + rank should need ONE shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("rangepartitioning(epoch"),
+      "per-shard ranks must not trigger a global sort")
+  }
+
+  test("partition overwrite: broadcast anti join, snapshot never sorts") {
+    val plan = explain("etl_overwrite_partitions")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"partition list must broadcast into the anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the snapshot must not shuffle for the partition filter:\n$plan")
+  }
+
+  test("phrase search: postings prune to phrase terms before keyed joins") {
+    val plan = explain("text_phrase_search")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"positional joins must stay equi-joins:\n$plan")
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"the phrase-term prune must appear as a filter:\n$plan")
+  }
+
+  test("equi-depth ranks are pre-materialized two-pass, no window survives") {
+    // globalRank materializes ranks behind an eager localCheckpoint
+    // (range partition + per-partition offsets INSIDE it), so the
+    // consuming plan must read the checkpoint and contain NO Window at
+    // all — a Window here would mean someone reintroduced the global
+    // sort the two-pass exists to avoid
+    val plan = explain("q_equidepth_hist")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"ranks must come from the checkpointed two-pass:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window may survive into the consuming plan:\n$plan")
+  }
+
+  test("rfm: three rank passes read the checkpointed census, all keyed joins") {
+    val plan = explain("events_rfm")
+    assert(!plan.contains("CartesianProduct"),
+      s"rfm joins must stay keyed:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"quintile ranks must come from the checkpointed two-pass:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no global-ntile window may appear:\n$plan")
+  }
 }
