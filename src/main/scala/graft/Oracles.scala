@@ -2747,6 +2747,76 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** attributionUShaped twin: same rank window and 40/20/40 ladder. */
+  def eventsAttributionUShaped: String =
+    s"""WITH tg AS (SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms
+       |  FROM events WHERE event_type = '$AsofTarget'),
+       |tc AS (SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS touch_ms
+       |  FROM events WHERE event_type = '$AsofMatch'),
+       |p AS (SELECT tg.user_id, conv_id, touch_id, touch_ms
+       |  FROM tg JOIN tc ON tc.user_id = tg.user_id
+       |    AND touch_ms >= conv_ms - $SessionGapMs AND touch_ms < conv_ms),
+       |r AS (SELECT user_id, conv_id, touch_id,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY touch_ms, touch_id) AS rn,
+       |    count(*) OVER (PARTITION BY conv_id) AS k FROM p)
+       |SELECT user_id, conv_id, touch_id,
+       |  CAST(CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
+       |    WHEN rn = 1 OR rn = k THEN 400000
+       |    ELSE 200000 // (k - 2) END AS BIGINT) AS credit_ppm
+       |FROM r""".stripMargin
+
+  /** fkAudit twin: the same three relations, LEFT ANTI as NOT IN over
+    * non-null parent keys (null child keys orphan in both engines).
+    */
+  def etlFkAudit: String = {
+    def rel(name: String, childSql: String, parentSql: String) =
+      s"""SELECT '$name' AS relation,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ($childSql)) AS n_child,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ($childSql) c
+         |    WHERE c.k IS NULL OR c.k NOT IN (SELECT k FROM ($parentSql) WHERE k IS NOT NULL))
+         |    AS n_orphan""".stripMargin
+    val rels = Seq(
+      rel("lineitem.l_orderkey->orders",
+        "SELECT l_orderkey AS k FROM lineitem",
+        "SELECT DISTINCT o_orderkey AS k FROM orders"),
+      rel("orders.o_custkey->customer",
+        "SELECT o_custkey AS k FROM orders",
+        "SELECT DISTINCT c_custkey AS k FROM customer"),
+      rel("lineitem.l_partkey->part_even",
+        "SELECT l_partkey AS k FROM lineitem",
+        "SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey % 2 = 0"))
+    s"""SELECT relation, n_child, n_orphan,
+       |  CAST(1000000 * n_orphan // n_child AS BIGINT) AS orphan_ppm
+       |FROM (${rels.mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** liftTable twin: same integer score encoding, equi-depth rank rule,
+    * bounded cumulative window, HUGEINT lift ratio.
+    */
+  def qLiftTable: String =
+    s"""WITH $toksCte,
+       |q AS (SELECT d.doc_id,
+       |    CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s,
+       |    list_contains(ts, '$LiftLabelToken') AS pos
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+       |r AS (SELECT s, pos, doc_id,
+       |    row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+       |    count(*) OVER () AS n_tot,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) OVER () AS pos_tot FROM q),
+       |d AS (SELECT (rk - 1) * $LiftBuckets // n_tot AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    max(n_tot) AS nt, max(pos_tot) AS pt FROM r GROUP BY 1),
+       |c AS (SELECT *,
+       |    sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_pos FROM d)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, cum_pos,
+       |  CAST(1000000 * cum_pos // cum_n AS BIGINT) AS precision_ppm,
+       |  CAST(1000000 * cum_pos // pt AS BIGINT) AS recall_ppm,
+       |  CAST((CAST(n_pos AS HUGEINT) * nt * 1000) // (n * pt) AS BIGINT) AS lift_pm
+       |FROM c""".stripMargin
+
   /** rfm twin: same per-user census, same `(rank−1)·5 div N + 1`
     * quintile rule with user-id tie-breaks per dimension.
     */

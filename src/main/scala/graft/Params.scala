@@ -274,6 +274,10 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // decile lift table: quality score vs token-membership label
+  val LiftBuckets = 10
+  val LiftLabelToken = "spark"
+
   // Johnson–Lindenstrauss projection width (64 → 8 coordinates)
   val JlDims = 8
 

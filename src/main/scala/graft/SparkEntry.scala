@@ -1800,6 +1800,32 @@ object SparkEntry {
       // split its credit equally, exact integer ppm
       EventOps.attribution(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch, SessionGapMs)),
+    "events_attribution_ushaped" -> ((s, dir) =>
+      // 40/20/40 position-based credit: first + last touch anchor,
+      // middles split exactly (deterministic truncated shares)
+      EventOps.attributionUShaped(t(s, dir, "events"), "user_id", "ts",
+        "event_type", AsofTarget, AsofMatch, SessionGapMs)),
+    "etl_fk_audit" -> ((s, dir) => {
+      // referential-integrity census over the star, plus one
+      // deliberately-broken demo relation (parent limited to even part
+      // keys) so orphan accounting is exercised, not just asserted zero
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      Audit.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", li, col("l_orderkey"),
+          orders, col("o_orderkey")),
+        ("orders.o_custkey->customer", orders, col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey")),
+        ("lineitem.l_partkey->part_even", li, col("l_partkey"),
+          t(s, dir, "part").where(col("p_partkey") % 2 === 0), col("p_partkey"))))
+    }),
+    "q_lift_table" -> ((s, dir) =>
+      // decile lift/PR of the quality score against a token label: does
+      // the top decile concentrate the docs that mention the token
+      Quality.liftTable(t(s, dir, "documents"),
+        round(T.qualityScore(col("text")) * 10000).cast("long"),
+        array_contains(T.tokens(col("text")), LiftLabelToken),
+        col("doc_id"), LiftBuckets)),
     "events_rfm" -> ((s, dir) =>
       // recency/frequency/monetary quintile segmentation — boundaries
       // are exact equi-depth ranks via GlobalRank, never a global ntile
@@ -2028,6 +2054,9 @@ object SparkEntry {
     "events_attribution" -> Oracles.eventsAttribution,
     "events_attribution_decay" -> Oracles.eventsAttributionDecay,
     "events_rfm" -> Oracles.eventsRfm,
+    "events_attribution_ushaped" -> Oracles.eventsAttributionUShaped,
+    "etl_fk_audit" -> Oracles.etlFkAudit,
+    "q_lift_table" -> Oracles.qLiftTable,
     "text_phrase_search" -> Oracles.textPhraseSearch,
     "events_bursts" -> Oracles.eventsBursts,
     "events_funnel" -> Oracles.eventsFunnel,

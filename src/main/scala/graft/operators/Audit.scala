@@ -154,6 +154,28 @@ object Audit {
           .as("est_rows"))
   }
 
+  /** Referential-integrity census: for each named (child, childKey,
+    * parent, parentKey) relation, the child row count, orphan count
+    * (child keys with no parent — a LEFT ANTI against the parent's
+    * distinct keys) and orphan rate in exact ppm — the FK conformance
+    * gate a star schema runs after every load. Null child keys count
+    * as orphans (they reference nothing). Each relation is one
+    * anti-join; the parent key list is distinct-ed first so the join
+    * ships keys, not payloads. Emits one row per relation.
+    */
+  def fkAudit(relations: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame = {
+    require(relations.nonEmpty)
+    relations.map { case (name, child, ck, parent, pk) =>
+      val c = child.select(ck.cast("long").as("k"))
+      val orphans = c.join(parent.select(pk.cast("long").as("k"))
+        .where(col("k").isNotNull).distinct(), Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphan"),
+          expr("1000000L * n_orphan div n_child").as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Expected Benford first-digit shares, ppm: round(10⁶·log10(1+1/d)).
     * The nine roundings sum to exactly 1 000 000, so obs−exp deviations
     * are comparable digit-by-digit with no residual drift.

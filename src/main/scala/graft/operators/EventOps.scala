@@ -298,6 +298,44 @@ object EventOps {
         min(when(col("grank") === expr("(3 * __cnt + 3) div 4"), col("dur_ms"))).as("p75_ms"))
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
+    * third industry-standard model beside [[attribution]] (linear) and
+    * [[attributionDecay]] (time-decay): the FIRST touch (discovery) and
+    * the LAST touch (closer) each take 400 000 ppm, the middles split
+    * the remaining 200 000 by exact integer division (k−2 may not
+    * divide it; the ≤(k−3) ppm remainder stays unassigned —
+    * deterministic truncation, never over-allocation). Degenerate
+    * funnels: one touch takes all 10⁶, two touches split 50/50.
+    *
+    * The per-conversion rank window is partitioned by conv_id —
+    * bounded by a single conversion's touches, never fact-sized.
+    */
+  def attributionUShaped(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, targetType: String, matchType: String,
+                         windowMs: Long, idCol: String = "event_id"): DataFrame = {
+    require(windowMs > 0)
+    val targets = events.filter(col(typeCol) === targetType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        unix_millis(col(tsCol)).as("conv_ms"))
+    val touches = events.filter(col(typeCol) === matchType)
+      .select(col(userCol).as("user_id"), col(idCol).as("touch_id"),
+        unix_millis(col(tsCol)).as("touch_ms"))
+    val pairs = targets.join(touches, "user_id")
+      .where(col("touch_ms") >= col("conv_ms") - windowMs &&
+        col("touch_ms") < col("conv_ms"))
+      .select(col("user_id"), col("conv_id"), col("touch_id"), col("touch_ms"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ms").asc, col("touch_id").asc)
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        when(col("__k") === 1, lit(1000000L))
+          .when(col("__k") === 2, lit(500000L))
+          .when(col("__rn") === 1 || col("__rn") === col("__k"), lit(400000L))
+          .otherwise(expr("200000L div (__k - 2)")).as("credit_ppm"))
+  }
+
   /** RFM segmentation — the classic customer-value census: per user,
     * Recency (days since last event, against the dataset's own max day
     * so the result is replayable), Frequency (event count), Monetary

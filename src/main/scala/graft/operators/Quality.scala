@@ -309,4 +309,47 @@ object Quality {
     one.select(col("n_rows"), explode(array(rows: _*)).as("r"))
       .select(col("r.rule"), col("r.n_viol"), col("n_rows"))
   }
+
+  /** Decile lift / precision-recall table — the model-eval census for a
+    * quality or relevance SCORE against a binary label: rank the
+    * population by score (descending), cut into B equal-count buckets
+    * (the [[Sketches.equidepthHist]] rank rule), and per bucket report
+    * positives, cumulative precision/recall in exact ppm, and the lift
+    * vs the base rate in exact permille. This is how a curation score
+    * gets audited before it gates a corpus: "does the top decile
+    * actually concentrate the signal".
+    *
+    * `scoreInt` must be an integer-encoded score (e.g. quality×10⁴) —
+    * integer sort keys are what keep the rank order engine-portable.
+    * Ranks come from the range-partitioned [[GlobalRank]]; the only
+    * window runs over the B bucket rows. The lift ratio rides
+    * DECIMAL(38,0) (n_pos·n_tot·10³ overflows int64 past ~3·10⁹ rows).
+    */
+  def liftTable(df: DataFrame, scoreInt: Column, label: Column,
+                tieBreak: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val base = df.select(scoreInt.cast("long").as("s"),
+      label.cast("boolean").as("pos"), tieBreak.as("t"))
+    val ranked = GlobalRank.globalRank(base,
+      Seq(col("s").desc, col("t").asc), "grank")
+    val tot = broadcast(ranked.agg(count(lit(1)).as("n_tot"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("pos_tot")))
+    val dec = ranked.crossJoin(tot)
+      .withColumn("bucket", expr(s"(grank - 1) * $buckets div n_tot"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        max(col("n_tot")).as("__nt"), max(col("pos_tot")).as("__pt"))
+    // single-partition window is fine HERE: the frame is B bucket rows
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("__cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
+        expr("1000000L * cum_pos div __cum_n").as("precision_ppm"),
+        expr("1000000L * cum_pos div __pt").as("recall_ppm"),
+        expr("cast((cast(n_pos as decimal(38,0)) * __nt * 1000) div (n * __pt) as long)")
+          .as("lift_pm"))
+  }
 }

@@ -1528,6 +1528,48 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("attributionUShaped: 40/20/40 ladder, exact truncated middles, degenerate k") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    // user 7: five touches then a purchase → 400k, 66666×3, 400k
+    val ev = ((1 to 5).map(i => (i.toLong, t(i), 7L, "click"))
+      ++ Seq((9L, t(10), 7L, "purchase"),
+        (11L, t(0), 8L, "click"), (12L, t(5), 8L, "purchase"),     // k=1
+        (21L, t(0), 9L, "click"), (22L, t(1), 9L, "click"),
+        (23L, t(5), 9L, "purchase")))                               // k=2
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.attributionUShaped(ev, "user_id", "ts", "event_type",
+        "purchase", "click", 30 * 60000L)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(out(1L) === 400000L && out(5L) === 400000L)
+    assert(out(2L) === 66666L && out(3L) === 66666L && out(4L) === 66666L)
+    assert(out(11L) === 1000000L)
+    assert(out(21L) === 500000L && out(22L) === 500000L)
+  }
+
+  test("fkAudit: orphans counted exactly, null child keys orphan") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).map(Tuple1(_)).toDF("k")
+    val parent = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("pk")
+    val out = Audit.fkAudit(Seq(("c->p", child, col("k"), parent, col("pk"))))
+      .collect().head
+    assert((out.getString(0), out.getLong(1), out.getLong(2), out.getLong(3)) ===
+      (("c->p", 4L, 2L, 500000L)))
+  }
+
+  test("liftTable: perfect separation concentrates lift in the top bucket") {
+    import graft.operators.Quality
+    // 20 rows, scores 20..1; positives = the 5 highest scores
+    val df = (1L to 20L).map(i => (i, 21L - i, i <= 5)).toDF("id", "s", "pos")
+    val out = Quality.liftTable(df, col("s"), col("pos"), col("id"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    // bucket 0 = top 4 scores: all positive; bucket 1 has the 5th
+    assert(out(0) === ((0L, 4L, 4L, 4L, 1000000L, 800000L, 4000L)))
+    assert(out(1)._3 === 1L && out(1)._6 === 1000000L, "recall completes in b1")
+    assert(out(4)._3 === 0L && out(4)._7 === 0L, "bottom bucket: no positives")
+    // lift_pm in bucket 0: (4 pos / 4 rows) / (5/20 base) = 4x → 4000 pm
+  }
+
   test("rfm: orientation puts the best customer at 5s, quintiles equi-depth") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(86400000L * day)
