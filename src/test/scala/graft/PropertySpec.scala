@@ -177,6 +177,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cdcChunks tile any payload; identical bytes chunk identically") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val payloads = (0 until 12).map { i =>
+      // sizes across the min/max regimes, incl. empty and sub-window
+      val n = Seq(0, 5, 17, 64, 333, 1000, 4096)(i % 7) + (i / 7) * 13
+      i.toLong -> Array.fill(n)(rnd.nextInt(256).toByte)
+    }
+    val media = payloads.map { case (id, p) =>
+      Multimodal.MediaRow(id, "blob", 1, 1, p) }.toDS()
+    val out = Multimodal.cdcChunks(media, 16, 4, 16, 96).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.chunk_idx)).toMap
+    payloads.foreach { case (id, p) =>
+      val cs = out.getOrElse(id, Array.empty)
+      if (p.isEmpty) assert(cs.isEmpty)
+      else {
+        assert(cs.head.offset === 0L && cs.map(_.length).sum === p.length.toLong)
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(a.offset + a.length === b.offset)
+          case _ =>
+        }
+        cs.dropRight(1).foreach(c => assert(c.length >= 16L && c.length <= 96L))
+        // chunk md5 recomputes from the bytes it claims to cover
+        cs.foreach { c =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(p, c.offset.toInt, c.length.toInt)
+          assert(md.digest().map("%02x".format(_)).mkString === c.chunk_md5)
+        }
+      }
+    }
+  }
+
+  test("property: theilSen recovers an exact linear slope; pctChange flat is zero") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    (1 to 5).foreach { _ =>
+      val slope = rnd.nextInt(2001) - 1000 // ppm-scale slopes, signed
+      val b = rnd.nextInt(1000).toLong
+      val pts = (0L to 20L).map(x => ("g", x, b + slope * x))
+      val got = TimeSeries.theilSen(pts.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().head.getDouble(2)
+      assert(got === slope * 1000000.0,
+        s"exact linear data must yield the exact slope: got $got want ${slope}e6")
+    }
+    val flat = (1L to 15L).map(x => ("g", x, 42L))
+    val pc = TimeSeries.pctChange(flat.toDF("g", "x", "y"), "g", "x", "y", 1, 12)
+      .where(col("x") > 12).collect()
+    pc.foreach(r => assert(r.getLong(3) === 0L && r.getLong(4) === 0L))
+  }
+
+  test("property: epochShuffle is a partition of the corpus for any shard count") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    Seq(1, 3, 16).foreach { shards =>
+      val docs = (1L to 97L).map(Tuple1(_)).toDF("doc_id")
+      val out = Sampling.epochShuffle(docs, col("doc_id"), 1, shards, s"ps-$shards")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._3).toSet === (1L to 97L).toSet)
+      assert(out.length === 97)
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq,
+          "positions must be dense 1..n within every shard")
+      }
+    }
+  }
+
   test("property: skyline2D equals brute-force dominance on random points") {
     import graft.operators.Skyline
     trials(912L, n = 6) { rnd =>
