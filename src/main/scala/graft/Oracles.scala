@@ -2747,6 +2747,64 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** exactMode twin: same count + (n desc, value asc) tie-break. */
+  def qMode: String =
+    """WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+      |    o_orderpriority AS mode_value, CAST(count(*) AS BIGINT) AS n_mode
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY yearkey
+      |    ORDER BY n_mode DESC, mode_value) AS rn FROM c)
+      |SELECT yearkey, mode_value, n_mode FROM r WHERE rn = 1""".stripMargin
+
+  /** deterministic listagg twin: sorted distinct values, same separator. */
+  def qStringAgg: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** higherMoments twin: integer floor mean, exact HUGEINT centered
+    * power sums, the identical ÷/×/sqrt-only double formula.
+    */
+  def qHigherMoments: String =
+    """WITH v AS (SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+      |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) // count(*) AS mu FROM v GROUP BY 1),
+      |c AS (SELECT v.grp, m.n, m.mu,
+      |    sum(CAST(x - mu AS HUGEINT) * (x - mu)) AS t2,
+      |    sum(CAST(x - mu AS HUGEINT) * (x - mu) * (x - mu)) AS t3,
+      |    sum(CAST(x - mu AS HUGEINT) * (x - mu) * (x - mu) * (x - mu)) AS t4
+      |  FROM v JOIN m ON v.grp = m.grp GROUP BY 1, 2, 3)
+      |SELECT grp, n, CAST(mu AS BIGINT) AS mu,
+      |  round((CAST(t3 AS DOUBLE) / n) /
+      |    ((CAST(t2 AS DOUBLE) / n) * sqrt(CAST(t2 AS DOUBLE) / n)), 4) AS skewness,
+      |  round((CAST(t4 AS DOUBLE) / n) /
+      |    ((CAST(t2 AS DOUBLE) / n) * (CAST(t2 AS DOUBLE) / n)) - 3.0, 4) AS kurtosis
+      |FROM c""".stripMargin
+
+  /** maxConcurrency twin: same sweep points, same total order, same
+    * per-day max over the running gauge.
+    */
+  def eventsConcurrency: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+       |f AS (SELECT user_id, event_id, ts_ms,
+       |    CASE WHEN ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+       |         OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |sid AS (SELECT user_id, ts_ms,
+       |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+       |sess AS (SELECT user_id AS u, session_id AS sid,
+       |    min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+       |  FROM sid GROUP BY 1, 2),
+       |pts AS (SELECT start_ms AS ms, 1 AS delta, u, sid FROM sess
+       |  UNION ALL SELECT end_ms + 1, -1, u, sid FROM sess),
+       |sw AS (SELECT ms, sum(delta) OVER (ORDER BY ms, delta, u, sid
+       |    ROWS UNBOUNDED PRECEDING) AS conc FROM pts)
+       |SELECT CAST(ms // 86400000 AS BIGINT) AS day,
+       |  CAST(max(conc) AS BIGINT) AS max_concurrent
+       |FROM sw GROUP BY 1""".stripMargin
+
   /** attributionUShaped twin: same rank window and 40/20/40 ladder. */
   def eventsAttributionUShaped: String =
     s"""WITH tg AS (SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms

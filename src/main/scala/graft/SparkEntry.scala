@@ -442,6 +442,28 @@ object SparkEntry {
       Marts.exactMedian(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey",
         col("o_totalprice"), col("o_orderkey"))),
+    "q_mode" -> ((s, dir) =>
+      // most frequent priority per year, smallest-value tie-break
+      Marts.exactMode(t(s, dir, "orders"),
+        year(col("o_orderdate")).cast("long"), "yearkey",
+        col("o_orderpriority"))),
+    "q_string_agg" -> ((s, dir) =>
+      // deterministic listagg: sorted distinct statuses per year —
+      // bounded by the value domain, never by row count
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"))),
+    "q_higher_moments" -> ((s, dir) =>
+      // skew/kurtosis about the integer floor mean: exact decimal
+      // centered power sums, one fixed-order IEEE formula (no pow)
+      Sketches.higherMoments(t(s, dir, "orders"), col("o_orderpriority"),
+        "grp", cents(col("o_totalprice")))),
+    "events_concurrency" -> ((s, dir) =>
+      // sweep-line peak occupancy per day over sessionized intervals,
+      // running-summed by the two-pass globalCumsum
+      EventOps.maxConcurrency(t(s, dir, "events"), "user_id", "ts",
+        SessionGapMs)),
     "q_quartiles" -> ((s, dir) =>
       Marts.exactQuartiles(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey",
@@ -1938,6 +1960,10 @@ object SparkEntry {
     "q_grouping_sets" -> Oracles.qGroupingSets,
     "q_cube" -> Oracles.qCube,
     "q_median" -> Oracles.qMedian,
+    "q_mode" -> Oracles.qMode,
+    "q_string_agg" -> Oracles.qStringAgg,
+    "q_higher_moments" -> Oracles.qHigherMoments,
+    "events_concurrency" -> Oracles.eventsConcurrency,
     "q_distinct_count" -> Oracles.qDistinctCount,
     "q_running_total" -> Oracles.qRunningTotal,
     "q_global_rank" -> Oracles.qGlobalRank,

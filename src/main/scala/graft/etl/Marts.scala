@@ -98,6 +98,22 @@ object Marts {
       .groupBy(col(as))
       .agg(round(avg(col("__v")), 4).as("median"))
 
+  /** Exact per-group mode: the most frequent value, ties broken toward
+    * the smallest value — deterministic, so replayable anywhere. One
+    * (group, value)-keyed count + a window over the group's distinct
+    * values (bounded by the value domain, not the row count).
+    */
+  def exactMode(df: DataFrame, group: Column, as: String,
+                value: Column): DataFrame =
+    df.select(group.as(as), value.as("mode_value"))
+      .groupBy(col(as), col("mode_value"))
+      .agg(count(lit(1)).as("n_mode"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(as))
+          .orderBy(col("n_mode").desc, col("mode_value").asc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+
   /** Exact per-group quartiles (type-1: the value AT rank ceil(q·n), no
     * interpolation — portable exact integers decide the rank). Same
     * single (group)-keyed shuffle as [[exactMedian]]; the three quantiles

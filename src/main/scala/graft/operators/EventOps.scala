@@ -298,6 +298,37 @@ object EventOps {
         min(when(col("grank") === expr("(3 * __cnt + 3) div 4"), col("dur_ms"))).as("p75_ms"))
   }
 
+  /** Peak concurrency (occupancy) per day — the classic sweep-line over
+    * session intervals: +1 at each session start, −1 one ms past its
+    * end (inclusive-end sessions: a session ending at t still overlaps
+    * one starting at t), running-summed over the GLOBAL time order to
+    * get the live-session gauge at every change point, then max'd per
+    * day. "How many concurrent users/connections/jobs did we peak at"
+    * — capacity planning's first question.
+    *
+    * The global running sum is the [[GlobalRank.globalCumsum]] two-pass
+    * (range partition + per-partition offsets), NOT a single-partition
+    * window — change points are 2× sessions, fact-sized. Days with no
+    * change points emit no row (the gauge didn't move; the previous
+    * day's closing value carries implicitly).
+    */
+  def maxConcurrency(events: DataFrame, userCol: String, tsCol: String,
+                     gapMs: Long): DataFrame = {
+    val sess = sessionize(events, userCol, tsCol, gapMs)
+      .select(col(userCol).as("u"), col("session_id").as("sid"),
+        col("start_ms"), (col("start_ms") + col("duration_ms")).as("end_ms"))
+      .localCheckpoint(false) // feeds both sweep endpoints
+    val pts = sess.select(col("start_ms").as("ms"), lit(1L).as("delta"),
+        col("u"), col("sid"))
+      .unionByName(sess.select((col("end_ms") + 1L).as("ms"),
+        lit(-1L).as("delta"), col("u"), col("sid")))
+    val swept = GlobalRank.globalCumsum(pts,
+      Seq(col("ms").asc, col("delta").asc, col("u").asc, col("sid").asc),
+      col("delta"), "conc")
+    swept.groupBy(expr("ms div 86400000").as("day"))
+      .agg(max(col("conc")).as("max_concurrent"))
+  }
+
   /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
     * third industry-standard model beside [[attribution]] (linear) and
     * [[attributionDecay]] (time-decay): the FIRST touch (discovery) and

@@ -348,6 +348,42 @@ object Sketches {
       .agg((min(col("b")) * lit(width)).as("est"))
   }
 
+  /** Higher-moment statistics per group: skewness and excess kurtosis
+    * about the INTEGER floor mean μ = Σx div n — the documented center
+    * (the O(1/n) offset vs the exact mean is irrelevant for a shape
+    * census, and an integer center is what keeps the centered power
+    * sums EXACT). Two passes: the tiny (group, n, μ) table joins back
+    * and the centered sums Σd², Σd³, Σd⁴ accumulate in DECIMAL(38,0)
+    * (d ≤ 4·10⁷ cents ⇒ Σd⁴ ≲ 10³⁶ at SF 0.1 — inside exact range;
+    * past ~10³⁸ the sums null out loudly rather than wrap).
+    *
+    * The final skew/kurt are ONE fixed-order double formula over those
+    * exact sums, using only correctly-rounded IEEE ops (÷, ×, sqrt —
+    * deliberately no pow(), whose libm last-ulp differences would break
+    * cross-engine hashing), rounded to 4dp like the cosine family.
+    */
+  def higherMoments(df: DataFrame, group: Column, as: String,
+                    value: Column): DataFrame = {
+    val base = df.select(group.as(as), value.cast("long").as("__v"))
+    val mu = base.groupBy(col(as))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s1"))
+      .select(col(as), col("n"), expr("__s1 div n").as("mu"))
+    base.join(mu, as)
+      .withColumn("__d", col("__v") - col("mu"))
+      .groupBy(col(as))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+        sum(expr("cast(__d as decimal(38,0)) * __d")).as("__t2"),
+        sum(expr("cast(__d as decimal(38,0)) * __d * __d")).as("__t3"),
+        sum(expr("cast(__d as decimal(38,0)) * __d * __d * __d")).as("__t4"))
+      .select(col(as), col("n"), col("mu"),
+        expr("round((cast(__t3 as double) / n) / " +
+          "((cast(__t2 as double) / n) * sqrt(cast(__t2 as double) / n)), 4)")
+          .as("skewness"),
+        expr("round((cast(__t4 as double) / n) / " +
+          "((cast(__t2 as double) / n) * (cast(__t2 as double) / n)) - 3.0, 4)")
+          .as("kurtosis"))
+  }
+
   /** Equi-depth histogram: B buckets of (as near as possible) EQUAL row
     * count, each reporting its exact [lo, hi] value range — the
     * histogram an optimizer or profiler actually wants for skewed

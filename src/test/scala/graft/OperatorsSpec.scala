@@ -1528,6 +1528,43 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("exactMode breaks count ties toward the smallest value") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("k", "v")
+    val out = Marts.exactMode(df, col("k"), "k", col("v")).collect().head
+    assert((out.getString(1), out.getLong(2)) === (("a", 2L)))
+  }
+
+  test("higherMoments: symmetric data scores skew 0, three-point kurtosis -1.5") {
+    import graft.operators.Sketches
+    val df = Seq(-300L, 0L, 300L).map(v => ("g", v)).toDF("k", "v")
+    val out = Sketches.higherMoments(df, col("k"), "grp", col("v")).collect().head
+    assert(out.getLong(1) === 3L && out.getLong(2) === 0L)
+    assert(out.getDouble(3) === 0.0)
+    assert(out.getDouble(4) === -1.5)
+  }
+
+  test("maxConcurrency: sweep-line counts overlapping sessions exactly") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    // three users: sessions [0,10], [5,15], [12,20] (gap 30min keeps each
+    // user to one session) → concurrency peaks at 2 (0-15 band twice)
+    val ev = Seq((1L, 0, 1L), (2L, 10, 1L), (3L, 5, 2L), (4L, 15, 2L),
+      (5L, 12, 3L), (6L, 20, 3L))
+      .map { case (id, m, u) => (id, t(m), u, "e") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.maxConcurrency(ev, "user_id", "ts", 30 * 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((0L, 2L)), s"got ${out.mkString(",")}")
+    // touching boundary still overlaps (inclusive ends): [0,10] ∩ [10,20]
+    val ev2 = Seq((1L, 0, 1L), (2L, 10, 1L), (3L, 10, 2L), (4L, 20, 2L))
+      .map { case (id, m, u) => (id, t(m), u, "e") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out2 = EventOps.maxConcurrency(ev2, "user_id", "ts", 30 * 60000L)
+      .collect().head.getLong(1)
+    assert(out2 === 2L)
+  }
+
   test("attributionUShaped: 40/20/40 ladder, exact truncated middles, degenerate k") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(60000L * min)
