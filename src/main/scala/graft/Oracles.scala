@@ -2747,6 +2747,55 @@ object Oracles {
       |   UNION ALL SELECT y FROM tri)
       |GROUP BY 1""".stripMargin
 
+  /** htEstimate twin: same salted draw, same inverse-rate scale-up. */
+  def sampleHtEstimate: String = {
+    val thr = HtRatePpm * 4294967296L / 1000000L
+    val h = hex8Expr(s"('$HtSalt:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH s AS (SELECT n_chars FROM documents
+       |  WHERE CAST($h AS BIGINT) < $thr)
+       |SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sampled_sum,
+       |  CAST((CAST(COALESCE(sum(n_chars), 0) AS HUGEINT) * 4294967296) // $thr
+       |    AS BIGINT) AS est_total
+       |FROM s""".stripMargin
+  }
+
+  /** urlDedup twin: the same synthesized per-doc URL variants and the
+    * same expression-for-expression canonicalization.
+    */
+  def textUrlDedup: String = {
+    val url = """concat(
+      |    CASE WHEN doc_id % 3 = 0 THEN 'https://'
+      |         WHEN doc_id % 3 = 1 THEN 'http://' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,
+      |    'site', CAST((doc_id // 4) % 7 AS VARCHAR), '.com',
+      |    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+      |    '/a/', CAST(doc_id // 4 AS VARCHAR),
+      |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1'
+      |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2&utm_source=feed'
+      |         WHEN doc_id % 4 = 2 THEN '?a=1&utm_campaign=x&b=2#frag'
+      |         ELSE '?b=2&a=1' END)""".stripMargin
+    s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
+       |c AS (SELECT doc_id,
+       |    regexp_replace(lower(regexp_extract(url,
+       |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+       |      '^www\\.', '')
+       |    || regexp_replace(regexp_extract(url,
+       |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/?#]*([^?#]*)', 1),
+       |      '/+$$', '')
+       |    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+       |  FROM (SELECT doc_id, url,
+       |      array_to_string(list_sort(list_filter(
+       |        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |        p -> p <> '' AND NOT regexp_matches(p,
+       |          '^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$$'))), '&') AS q
+       |    FROM u))
+       |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+       |  min(doc_id) AS keep_id
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   /** exactMode twin: same count + (n desc, value asc) tie-break. */
   def qMode: String =
     """WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,

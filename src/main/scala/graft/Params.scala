@@ -274,6 +274,10 @@ object Params {
   val SkipYLo = 8192L
   val SkipYHi = 12287L
 
+  // Horvitz–Thompson estimate: 1/8 deterministic sample
+  val HtRatePpm = 125000L
+  val HtSalt = "ht"
+
   // decile lift table: quality score vs token-membership label
   val LiftBuckets = 10
   val LiftLabelToken = "spark"

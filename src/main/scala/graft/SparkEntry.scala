@@ -1647,6 +1647,32 @@ object SparkEntry {
       TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text", VocabTopN)),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestInCluster(t(s, dir, "documents"), "doc_id", "text", JaccardMin)),
+    "sample_ht_estimate" -> ((s, dir) =>
+      // corpus char-mass total estimated from the 1/8 salted-hash
+      // sample — unbiased, replayable on any engine
+      Sampling.htEstimate(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars"), HtRatePpm, HtSalt)),
+    "text_url_dedup" -> ((s, dir) => {
+      // canonical-URL dedup: per doc a URL whose scheme / www / port /
+      // tracking params / param order / fragment vary by id, while
+      // (source, id div 4) fixes the underlying page — the census must
+      // collapse every variant group to one canonical key
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("https://"))
+          .when(id % 3 === 1, lit("http://")).otherwise(lit("")),
+        when(id % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), expr("(doc_id div 4) % 7").cast("string"), lit(".com"),
+        when(id % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/a/"), expr("doc_id div 4").cast("string"),
+        when(id % 5 === 0, lit("/")).otherwise(lit("")),
+        when(id % 4 === 0, lit("?b=2&a=1"))
+          .when(id % 4 === 1, lit("?a=1&b=2&utm_source=feed"))
+          .when(id % 4 === 2, lit("?a=1&utm_campaign=x&b=2#frag"))
+          .otherwise(lit("?b=2&a=1")))
+      operators.UrlOps.urlDedup(
+        t(s, dir, "documents").withColumn("url", url), "doc_id", "url")
+    }),
     "text_domain_stats" -> ((s, dir) => {
       // host/domain-level curation: the documents table has no URL
       // column, so the query synthesizes a deterministic URL per doc
@@ -2052,6 +2078,8 @@ object SparkEntry {
     "text_oov" -> Oracles.textOov,
     "dedup_keep_best" -> Oracles.dedupKeepBest,
     "text_domain_stats" -> Oracles.textDomainStats,
+    "sample_ht_estimate" -> Oracles.sampleHtEstimate,
+    "text_url_dedup" -> Oracles.textUrlDedup,
     "text_token_count" -> Oracles.textTokenCount,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,

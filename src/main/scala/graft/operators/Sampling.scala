@@ -205,6 +205,29 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Horvitz–Thompson total estimator over the deterministic bernoulli
+    * sample: Σ v/π for sampled rows, π = ratePpm constant — the
+    * closing half of the sampling loop ("estimate corpus statistics
+    * from the sample you can afford"), unbiased by construction, and
+    * because the draw is the salted-hash [[bernoulli]], the estimate
+    * is REPLAYABLE: same corpus + salt + rate → the same number on any
+    * engine, unlike a rand() survey. The scaled sum rides
+    * DECIMAL(38,0) ([[graft.operators.Audit.joinSizeEst]]'s contract).
+    * Emits one row: (n_sampled, sampled_sum, est_total).
+    */
+  def htEstimate(df: DataFrame, key: Column, value: Column, ratePpm: Long,
+                 salt: String): DataFrame = {
+    require(ratePpm > 0 && ratePpm <= 1000000L, "rate must be in (0, 1e6] ppm")
+    val thr = ratePpm * 4294967296L / 1000000L
+    val k = coalesce(key.cast("string"), lit(" <null-key>"))
+    df.where(H.hash32(k, salt) < thr)
+      .agg(count(lit(1)).as("n_sampled"),
+        coalesce(sum(value.cast("long")), lit(0L)).as("sampled_sum"))
+      .select(col("n_sampled"), col("sampled_sum"),
+        expr(s"cast(floor((cast(sampled_sum as decimal(38,0)) * 4294967296) / $thr) as long)")
+          .as("est_total"))
+  }
+
   /** Deterministic per-epoch training order: every epoch draws an
     * independent pseudo-random permutation of the corpus from the salted
     * hash h = md5(salt:epoch:key) — same corpus + salt always yields the

@@ -65,4 +65,41 @@ object UrlOps {
         expr("domain_docs * 1000000L div n_total").as("domain_share_ppm"))
     base.join(stats, "domain")
   }
+
+  /** Tracking query parameters dropped during canonicalization — the
+    * params that vary per click without changing the page.
+    */
+  val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$"
+
+  /** Canonical URL for crawl dedup: scheme and fragment dropped
+    * (http/https collapse — same page), host lowercased with a leading
+    * `www.` and any port stripped, trailing path slashes trimmed,
+    * tracking params ([[TrackingParamRe]]) removed and the REMAINING
+    * query params SORTED — so `?b=2&a=1` and `?a=1&utm_x=..&b=2#top`
+    * canonicalize identically. This is the re-crawl dedup key: the
+    * same page fetched through different campaign links must collapse
+    * BEFORE content hashing ever runs. All expression-level
+    * (regexp + array HOFs inside codegen), no UDF.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url,
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val q = array_join(array_sort(params), "&")
+    concat(h, path, when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Canonical-URL dedup census: `(canonical_url, n_variants, keep_id)`
+    * — one groupBy on the canonical key (map-side canonicalization,
+    * one shuffle of the key + id, never the payload).
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
 }

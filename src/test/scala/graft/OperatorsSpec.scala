@@ -1528,6 +1528,36 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("canonicalUrl collapses every per-click variant of the same page") {
+    import graft.operators.UrlOps
+    val urls = Seq(
+      "https://www.Site.com:443/a/b/?b=2&a=1",
+      "http://site.com/a/b?a=1&b=2&utm_source=mail",
+      "site.com/a/b///?utm_campaign=x&b=2&a=1#section",
+      "https://site.com/a/b?ref=tw&a=1&b=2")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val canon = urls.select(UrlOps.canonicalUrl(col("url"))).as[String]
+      .collect().toSet
+    assert(canon === Set("site.com/a/b?a=1&b=2"),
+      s"all four variants must canonicalize identically, got $canon")
+    // a genuinely different page must NOT collapse
+    val other = Seq((9L, "https://site.com/a/b?a=2&b=2")).toDF("id", "url")
+      .select(UrlOps.canonicalUrl(col("url"))).as[String].collect().head
+    assert(other === "site.com/a/b?a=2&b=2")
+  }
+
+  test("htEstimate: full-rate sample is the exact total; subsample deterministic") {
+    val df = (1L to 100L).map(i => (i, i * 3)).toDF("id", "v")
+    val full = Sampling.htEstimate(df, col("id"), col("v"), 1000000L, "ht-spec")
+      .collect().head
+    assert(full.getLong(0) === 100L)
+    assert(full.getLong(1) === 3L * 5050L && full.getLong(2) === full.getLong(1))
+    val a = Sampling.htEstimate(df, col("id"), col("v"), 250000L, "ht-spec").collect().head
+    val b = Sampling.htEstimate(df, col("id"), col("v"), 250000L, "ht-spec").collect().head
+    assert(a.toSeq === b.toSeq)
+    assert(a.getLong(0) > 0L && a.getLong(0) < 100L)
+  }
+
   test("exactMode breaks count ties toward the smallest value") {
     val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
       .toDF("k", "v")
