@@ -1466,6 +1466,21 @@ object SparkEntry {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       operators.Triangles.perNodeCounts(edges)
     }),
+    "q_msf" -> ((s, dir) => {
+      // Borůvka minimum spanning forest of the co-purchase graph under
+      // distinct md5 edge weights (rows-only by declared design: no
+      // SQL twin for iterative union–find; Kruskal-parity property
+      // specs pin correctness on random graphs)
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        .withColumn("w", H.hash32(
+          concat(col("src").cast("string"), lit(":"), col("dst").cast("string")),
+          "msf"))
+      operators.Msf.msf(edges)
+    }),
     "q_clustering_coef" -> ((s, dir) => {
       // local clustering coefficient over the co-purchase graph: how
       // clique-like each part's neighborhood is, exact ppm; zero-tri

@@ -1528,6 +1528,22 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.phraseSearch(docs, "doc_id", "text", Seq("z", "q")).isEmpty)
   }
 
+  test("msf: hand graph — cheapest edges win, cycles excluded, forest per component") {
+    import graft.operators.Msf
+    // component A: square 1-2-3-4 with diagonal; component B: pair 8-9
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 10L), (1L, 3L, 9L),
+      (8L, 9L, 5L)).toDF("src", "dst", "w")
+    val out = Msf.msf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (8L, 9L, 5L)))
+    // parallel edges keep the min; self loops drop
+    val out2 = Msf.msf(Seq((1L, 2L, 7L), (2L, 1L, 3L), (1L, 1L, 1L))
+        .toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 === Set((1L, 2L, 3L)))
+  }
+
   test("canonicalUrl collapses every per-click variant of the same page") {
     import graft.operators.UrlOps
     val urls = Seq(

@@ -177,6 +177,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Borůvka MSF equals local Kruskal on random distinct-weight graphs") {
+    import graft.operators.Msf
+    import spark.implicits._
+    def kruskal(n: Int, es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.sortBy(e => (e._3, e._1, e._2)).flatMap { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru min rv) = ru max rv; Some((u, v, w)) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      val n = 30 + trial * 10
+      // sparse enough to leave several components on the last trial
+      val m = if (trial == 4) n else n * 3
+      val es = (0 until m).map { i =>
+        val u = rnd.nextInt(n).toLong
+        var v = rnd.nextInt(n).toLong
+        while (v == u) v = rnd.nextInt(n).toLong
+        (u min v, u max v, 0L)
+      }.distinct.zipWithIndex
+        // distinct weights via a fixed pseudo-random permutation
+        .map { case ((u, v, _), i) => (u, v, ((i * 2654435761L) % 1000003L)) }
+      val got = Msf.msf(es.toDF("src", "dst", "w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = kruskal(n, es)
+      assert(got === want,
+        s"trial $trial: Borůvka/Kruskal diverge: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
   test("property: cdcChunks tile any payload; identical bytes chunk identically") {
     import graft.multimodal.Multimodal
     import spark.implicits._
