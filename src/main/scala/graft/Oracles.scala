@@ -2924,6 +2924,24 @@ object Oracles {
        |  CAST((CAST(n_pos AS HUGEINT) * nt * 1000) // (n * pt) AS BIGINT) AS lift_pm
        |FROM c""".stripMargin
 
+  /** stickiness twin: same offset explode, same three conditional
+    * distincts in one aggregate.
+    */
+  def eventsStickiness: String =
+    s"""WITH f AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS d, user_id AS u
+       |  FROM events),
+       |p AS (SELECT DISTINCT d AS day FROM f),
+       |x AS (SELECT f.d + o.off AS day, u, off FROM f CROSS JOIN
+       |  (SELECT unnest(range(0, $StickyMauDays)) AS off) o),
+       |j AS (SELECT x.day, u, off FROM x JOIN p ON x.day = p.day)
+       |SELECT CAST(day AS BIGINT) AS day,
+       |  CAST(count(DISTINCT CASE WHEN off = 0 THEN u END) AS BIGINT) AS dau,
+       |  CAST(count(DISTINCT CASE WHEN off < $StickyWauDays THEN u END) AS BIGINT) AS wau,
+       |  CAST(count(DISTINCT u) AS BIGINT) AS mau,
+       |  CAST(1000000 * count(DISTINCT CASE WHEN off = 0 THEN u END)
+       |    // count(DISTINCT u) AS BIGINT) AS stickiness_ppm
+       |FROM j GROUP BY day""".stripMargin
+
   /** rfm twin: same per-user census, same `(rank−1)·5 div N + 1`
     * quintile rule with user-id tie-breaks per dimension.
     */

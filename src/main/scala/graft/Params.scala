@@ -64,6 +64,9 @@ object Params {
 
   // rolling-distinct (WAU-style) window, calendar days
   val SlidingWindowDays = 7
+  // stickiness census windows (trailing week / trailing 28 days)
+  val StickyWauDays = 7
+  val StickyMauDays = 28
 
   // events
   val SessionGapMs = 1800000L

@@ -1889,6 +1889,11 @@ object SparkEntry {
         round(T.qualityScore(col("text")) * 10000).cast("long"),
         array_contains(T.tokens(col("text")), LiftLabelToken),
         col("doc_id"), LiftBuckets)),
+    "events_stickiness" -> ((s, dir) =>
+      // DAU/WAU/MAU engagement census with the DAU/MAU ratio — three
+      // trailing windows out of one offset explode + one aggregate
+      EventOps.stickiness(t(s, dir, "events"), "user_id", "ts",
+        StickyWauDays, StickyMauDays)),
     "events_rfm" -> ((s, dir) =>
       // recency/frequency/monetary quintile segmentation — boundaries
       // are exact equi-depth ranks via GlobalRank, never a global ntile
@@ -2123,6 +2128,7 @@ object SparkEntry {
     "events_attribution" -> Oracles.eventsAttribution,
     "events_attribution_decay" -> Oracles.eventsAttributionDecay,
     "events_rfm" -> Oracles.eventsRfm,
+    "events_stickiness" -> Oracles.eventsStickiness,
     "events_attribution_ushaped" -> Oracles.eventsAttributionUShaped,
     "etl_fk_audit" -> Oracles.etlFkAudit,
     "q_lift_table" -> Oracles.qLiftTable,

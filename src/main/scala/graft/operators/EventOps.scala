@@ -298,6 +298,33 @@ object EventOps {
         min(when(col("grank") === expr("(3 * __cnt + 3) div 4"), col("dur_ms"))).as("p75_ms"))
   }
 
+  /** DAU / WAU / MAU + stickiness — the product-analytics engagement
+    * census: for every active day, distinct users that day, over the
+    * trailing week, and over the trailing `mauDays`, plus the DAU/MAU
+    * stickiness ratio in exact ppm. One distinct (day, user) reduction,
+    * one bounded ×`mauDays` offset explode (the
+    * [[Sketches.kmvSlidingDistinct]] exact-form shape — swap to the
+    * KMV variant when the window or user cardinality outgrows it),
+    * then ONE aggregate with three conditional distincts — the three
+    * windows never scan separately.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 wauDays: Int, mauDays: Int): DataFrame = {
+    require(wauDays >= 1 && mauDays > wauDays)
+    val f = events.select(expr(s"unix_millis($tsCol) div 86400000").as("d"),
+      col(userCol).as("u")).distinct().localCheckpoint(false)
+    val present = f.select(col("d").as("day")).distinct()
+    val x = f.withColumn("off", explode(sequence(lit(0L), lit(mauDays - 1L))))
+      .select((col("d") + col("off")).as("day"), col("u"), col("off"))
+      .join(present, "day")
+    x.groupBy(col("day"))
+      .agg(countDistinct(when(col("off") === 0, col("u"))).as("dau"),
+        countDistinct(when(col("off") < wauDays, col("u"))).as("wau"),
+        countDistinct(col("u")).as("mau"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("1000000L * dau div mau").as("stickiness_ppm"))
+  }
+
   /** Peak concurrency (occupancy) per day — the classic sweep-line over
     * session intervals: +1 at each session start, −1 one ms past its
     * end (inclusive-end sessions: a session ending at t still overlaps

@@ -1653,6 +1653,22 @@ class OperatorsSpec extends SparkSpec {
     // lift_pm in bucket 0: (4 pos / 4 rows) / (5/20 base) = 4x → 4000 pm
   }
 
+  test("stickiness: windows count trailing distincts, ratio exact") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(86400000L * day)
+    // day 0: users 1,2; day 1: user 2; day 8: user 3 (day 1 outside its WAU)
+    val ev = Seq((1L, t(0), 1L), (2L, t(0), 2L), (3L, t(1), 2L), (4L, t(8), 3L))
+      .map { case (id, ts, u) => (id, ts, u, "e", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.stickiness(ev, "user_id", "ts", 7, 28)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) === ((2L, 2L, 2L, 1000000L)))
+    assert(out(1L) === ((1L, 2L, 2L, 500000L)))
+    // day 8: dau {3}; wau covers days 2..8 → {3}; mau covers 0..8 → all
+    assert(out(8L) === ((1L, 1L, 3L, 333333L)))
+  }
+
   test("rfm: orientation puts the best customer at 5s, quintiles equi-depth") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(86400000L * day)
