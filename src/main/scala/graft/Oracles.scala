@@ -2893,7 +2893,8 @@ object Oracles {
         "SELECT l_partkey AS k FROM lineitem",
         "SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey % 2 = 0"))
     s"""SELECT relation, n_child, n_orphan,
-       |  CAST(1000000 * n_orphan // n_child AS BIGINT) AS orphan_ppm
+       |  CAST(CASE WHEN n_child = 0 THEN NULL
+       |    ELSE 1000000 * n_orphan // n_child END AS BIGINT) AS orphan_ppm
        |FROM (${rels.mkString(" UNION ALL ")})""".stripMargin
   }
 
@@ -2920,8 +2921,11 @@ object Oracles {
        |      AS cum_pos FROM d)
        |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, cum_pos,
        |  CAST(1000000 * cum_pos // cum_n AS BIGINT) AS precision_ppm,
-       |  CAST(1000000 * cum_pos // pt AS BIGINT) AS recall_ppm,
-       |  CAST((CAST(n_pos AS HUGEINT) * nt * 1000) // (n * pt) AS BIGINT) AS lift_pm
+       |  CAST(CASE WHEN pt = 0 THEN NULL
+       |    ELSE 1000000 * cum_pos // pt END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN pt = 0 THEN NULL
+       |    ELSE (CAST(n_pos AS HUGEINT) * nt * 1000) // (n * pt) END AS BIGINT)
+       |    AS lift_pm
        |FROM c""".stripMargin
 
   /** stickiness twin: same offset explode, same three conditional

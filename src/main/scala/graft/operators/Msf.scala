@@ -93,6 +93,16 @@ object Msf {
       }
       round += 1
     }
+    // components at least halve per round, so hitting the bound means
+    // maxRounds < log2(components) — a silently partial forest would
+    // be a wrong answer, so refuse instead
+    require(done || round > maxRounds && {
+      val remaining = e
+        .join(comp.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(comp.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .where(col("cu") =!= col("cv")).isEmpty
+      remaining
+    }, s"Msf.msf: not converged after $maxRounds rounds — raise maxRounds")
     if (forest == null)
       e.limit(0).withColumn("round", lit(0L))
     else forest

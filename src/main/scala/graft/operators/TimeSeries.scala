@@ -150,7 +150,11 @@ object TimeSeries {
     * growth vs the previous period (`lagShort`, e.g. 1 = MoM) and vs
     * the same period a cycle ago (`lagCycle`, e.g. 12 = YoY) — the
     * BI-dashboard staple, exact integers so every engine agrees on
-    * every cell. First-`lag` periods report NULL (no base), division
+    * every cell. Lags are ROW lags over the PRESENT periods — a gap in
+    * the series makes "previous period" mean "previous observed
+    * period"; run [[graft.etl.Marts]]' calendar gap-fill upstream when
+    * strict calendar lags are wanted. First-`lag` periods report NULL
+    * (no base), division
     * is by the LAGGED value (`(y−y₋ₗ)·10⁶ div y₋ₗ` — trunc in both
     * engines, sign-correct for declines). One bounded per-group window
     * pass over the already-aggregated series.
