@@ -3067,6 +3067,18 @@ object Oracles {
       |  FROM r JOIN eh ON r.ancestor = eh.child)
       |SELECT node, ancestor, depth, qty FROM r""".stripMargin
 
+  /** degree-histogram twin: same canonical edges, same census. */
+  def qDegreeHist: String =
+    """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+      |      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM
+      |        (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+      |t AS (SELECT count(*) AS n_total FROM deg)
+      |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(1000000 * count(*) // max(n_total) AS BIGINT) AS share_ppm
+      |FROM deg CROSS JOIN t GROUP BY degree""".stripMargin
+
   /** clusteringCoef twin: the [[qTriangles]] pipeline extended with the
     * degree-≥2 frame LEFT-joined against per-node triangle counts.
     */

@@ -1466,6 +1466,24 @@ object SparkEntry {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       operators.Triangles.perNodeCounts(edges)
     }),
+    "q_degree_hist" -> ((s, dir) => {
+      // degree-distribution census of the co-purchase graph: per degree
+      // the node count and exact ppm share — the first thing anyone
+      // asks of a graph (skew! hubs!) and the input to the CnMaxDeg-
+      // style caps the wedge/link ops rely on
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val tot = deg.agg(count(lit(1)).as("n_total"))
+      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(tot))
+        .select(col("degree"), col("n_nodes"),
+          expr("1000000L * n_nodes div n_total").as("share_ppm"))
+    }),
     "q_msf" -> ((s, dir) => {
       // Borůvka minimum spanning forest of the co-purchase graph under
       // distinct md5 edge weights (rows-only by declared design: no
@@ -2170,6 +2188,7 @@ object SparkEntry {
     "q_kcore" -> Oracles.qKcore,
     "q_assoc_rules" -> Oracles.qAssocRules,
     "q_triangles" -> Oracles.qTriangles,
+    "q_degree_hist" -> Oracles.qDegreeHist,
     "q_zorder" -> Oracles.qZorder,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
