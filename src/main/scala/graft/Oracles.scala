@@ -2928,6 +2928,24 @@ object Oracles {
        |    AS lift_pm
        |FROM c""".stripMargin
 
+  /** conversionPaths twin: same total order inside each conversion's
+    * path, same (count desc, path asc) top-K.
+    */
+  def eventsPaths: String =
+    s"""WITH tg AS (SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms
+       |  FROM events WHERE event_type = '$AsofTarget'),
+       |tc AS (SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS touch_ms,
+       |    event_type AS t FROM events WHERE event_type <> '$AsofTarget'),
+       |p AS (SELECT conv_id,
+       |    string_agg(t, '>' ORDER BY touch_ms, touch_id) AS path
+       |  FROM tg JOIN tc ON tc.user_id = tg.user_id
+       |    AND touch_ms >= conv_ms - $SessionGapMs AND touch_ms < conv_ms
+       |  GROUP BY conv_id),
+       |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_conversions
+       |  FROM p GROUP BY 1)
+       |SELECT path, n_conversions FROM c
+       |ORDER BY n_conversions DESC, path LIMIT $PathTopK""".stripMargin
+
   /** stickiness twin: same offset explode, same three conditional
     * distincts in one aggregate.
     */

@@ -64,6 +64,9 @@ object Params {
 
   // rolling-distinct (WAU-style) window, calendar days
   val SlidingWindowDays = 7
+  // conversion-path census: top-K paths
+  val PathTopK = 20
+
   // stickiness census windows (trailing week / trailing 28 days)
   val StickyWauDays = 7
   val StickyMauDays = 28

@@ -1907,6 +1907,10 @@ object SparkEntry {
         round(T.qualityScore(col("text")) * 10000).cast("long"),
         array_contains(T.tokens(col("text")), LiftLabelToken),
         col("doc_id"), LiftBuckets)),
+    "events_paths" -> ((s, dir) =>
+      // top pre-purchase event-type journeys inside the session window
+      EventOps.conversionPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_type", AsofTarget, SessionGapMs, PathTopK)),
     "events_stickiness" -> ((s, dir) =>
       // DAU/WAU/MAU engagement census with the DAU/MAU ratio — three
       // trailing windows out of one offset explode + one aggregate
@@ -2147,6 +2151,7 @@ object SparkEntry {
     "events_attribution_decay" -> Oracles.eventsAttributionDecay,
     "events_rfm" -> Oracles.eventsRfm,
     "events_stickiness" -> Oracles.eventsStickiness,
+    "events_paths" -> Oracles.eventsPaths,
     "events_attribution_ushaped" -> Oracles.eventsAttributionUShaped,
     "etl_fk_audit" -> Oracles.etlFkAudit,
     "q_lift_table" -> Oracles.qLiftTable,

@@ -298,6 +298,43 @@ object EventOps {
         min(when(col("grank") === expr("(3 * __cnt + 3) div 4"), col("dur_ms"))).as("p75_ms"))
   }
 
+  /** Top conversion paths: for every conversion, the `>`-joined
+    * sequence of event types that preceded it inside the window
+    * (ordered by time with an event-id tie-break — total order, so the
+    * path string is deterministic), then the K most frequent paths with
+    * a (count desc, path asc) tie-break. The "which journeys actually
+    * convert" census behind every funnel redesign.
+    *
+    * Scale: the touch↔conversion pair join is the [[attribution]]
+    * user-keyed shape; each conversion's path builds from a bounded
+    * in-window touch list (sort_array over a per-conversion
+    * collect_list — state bounded by the window, not history), and the
+    * top-K is a TakeOrdered over the path census, never a global sort.
+    * Conversions with zero in-window touches have no path and are
+    * excluded (count them with [[funnel]] instead).
+    */
+  def conversionPaths(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, targetType: String, windowMs: Long,
+                      topK: Int, idCol: String = "event_id"): DataFrame = {
+    require(windowMs > 0 && topK > 0)
+    val targets = events.filter(col(typeCol) === targetType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        unix_millis(col(tsCol)).as("conv_ms"))
+    val touches = events.filter(col(typeCol) =!= targetType)
+      .select(col(userCol).as("user_id"), col(idCol).as("touch_id"),
+        unix_millis(col(tsCol)).as("touch_ms"), col(typeCol).as("t"))
+    val paths = targets.join(touches, "user_id")
+      .where(col("touch_ms") >= col("conv_ms") - windowMs &&
+        col("touch_ms") < col("conv_ms"))
+      .groupBy(col("conv_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(touch_ms, touch_id, t))), x -> x.t)"),
+        ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("n_conversions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** DAU / WAU / MAU + stickiness — the product-analytics engagement
     * census: for every active day, distinct users that day, over the
     * trailing week, and over the trailing `mauDays`, plus the DAU/MAU

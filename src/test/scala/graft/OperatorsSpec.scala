@@ -1653,6 +1653,25 @@ class OperatorsSpec extends SparkSpec {
     // lift_pm in bucket 0: (4 pos / 4 rows) / (5/20 base) = 4x → 4000 pm
   }
 
+  test("conversionPaths: ordered journeys, top-K ties broken on path") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    val ev = Seq(
+      // user 7: click > view > buy
+      (1L, t(0), 7L, "click"), (2L, t(5), 7L, "view"), (9L, t(10), 7L, "buy"),
+      // user 8: click > view > buy (same path — counts twice)
+      (11L, t(0), 8L, "click"), (12L, t(5), 8L, "view"), (19L, t(10), 8L, "buy"),
+      // user 5: view > click > buy (different order = different path)
+      (21L, t(0), 5L, "view"), (22L, t(5), 5L, "click"), (29L, t(10), 5L, "buy"),
+      // user 6: touchless buy — no path row
+      (31L, t(10), 6L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.conversionPaths(ev, "user_id", "ts", "event_type",
+        "buy", 30 * 60000L, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("click>view", 2L), ("view>click", 1L)))
+  }
+
   test("stickiness: windows count trailing distincts, ratio exact") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(86400000L * day)
