@@ -2796,6 +2796,22 @@ object Oracles {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  /** weightedMedian twin: per-group running weights in one window,
+    * same `2·cum ≥ total` lower-median rule.
+    */
+  def qWeightedMedian: String =
+    """WITH b AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yearkey,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS w,
+      |    l_orderkey * 8 + l_linenumber AS t FROM lineitem),
+      |r AS (SELECT yearkey, v, w,
+      |    sum(w) OVER (PARTITION BY yearkey ORDER BY v, t
+      |      ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    sum(w) OVER (PARTITION BY yearkey) AS totw FROM b)
+      |SELECT yearkey, CAST(max(totw) AS BIGINT) AS total_weight,
+      |  CAST(min(CASE WHEN 2 * cumw >= totw THEN v END) AS BIGINT) AS wmedian
+      |FROM r GROUP BY yearkey""".stripMargin
+
   /** exactMode twin: same count + (n desc, value asc) tie-break. */
   def qMode: String =
     """WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,

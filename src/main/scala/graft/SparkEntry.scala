@@ -442,6 +442,14 @@ object SparkEntry {
       Marts.exactMedian(t(s, dir, "orders"),
         year(col("o_orderdate")).cast("long"), "yearkey",
         col("o_totalprice"), col("o_orderkey"))),
+    "q_weighted_median" -> ((s, dir) =>
+      // quantity-weighted median line price per ship year — per-group
+      // cumulatives out of the global two-pass cumsum, no per-group
+      // single-partition sort
+      Sketches.weightedMedian(t(s, dir, "lineitem"),
+        year(col("l_shipdate")).cast("long"), "yearkey",
+        cents(col("l_extendedprice")), col("l_quantity"),
+        col("l_orderkey") * 8 + col("l_linenumber"))),
     "q_mode" -> ((s, dir) =>
       // most frequent priority per year, smallest-value tie-break
       Marts.exactMode(t(s, dir, "orders"),
@@ -2029,6 +2037,7 @@ object SparkEntry {
     "q_cube" -> Oracles.qCube,
     "q_median" -> Oracles.qMedian,
     "q_mode" -> Oracles.qMode,
+    "q_weighted_median" -> Oracles.qWeightedMedian,
     "q_string_agg" -> Oracles.qStringAgg,
     "q_higher_moments" -> Oracles.qHigherMoments,
     "events_concurrency" -> Oracles.eventsConcurrency,

@@ -364,12 +364,12 @@ object Sketches {
     */
   def higherMoments(df: DataFrame, group: Column, as: String,
                     value: Column): DataFrame = {
-    val base = df.select(group.as(as), value.cast("long").as("__v"))
+    val base = df.select(group.as(as), value.cast("long").as("__wmv"))
     val mu = base.groupBy(col(as))
-      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s1"))
+      .agg(count(lit(1)).as("n"), sum(col("__wmv")).as("__s1"))
       .select(col(as), col("n"), expr("__s1 div n").as("mu"))
     base.join(mu, as)
-      .withColumn("__d", col("__v") - col("mu"))
+      .withColumn("__d", col("__wmv") - col("mu"))
       .groupBy(col(as))
       .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
         sum(expr("cast(__d as decimal(38,0)) * __d")).as("__t2"),
@@ -382,6 +382,40 @@ object Sketches {
         expr("round((cast(__t4 as double) / n) / " +
           "((cast(__t2 as double) / n) * (cast(__t2 as double) / n)) - 3.0, 4)")
           .as("kurtosis"))
+  }
+
+  /** Exact weighted (lower) median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — the
+    * quantity-weighted "typical price" that a row-median misstates
+    * whenever weights skew. All integer arithmetic
+    * (`2·cum ≥ total` avoids any halving division).
+    *
+    * Scale shape: groups here are FEW and HUGE (years), so a
+    * per-group ORDER BY window would put each year in one partition —
+    * the trap. Instead the running weight comes from the global
+    * two-pass [[GlobalRank.globalCumsum]] over (group, value, tie),
+    * and per-group cumulatives are recovered by subtracting each
+    * group's starting offset (a window over the GROUP-COUNT-sized
+    * totals table — bounded, like histogramQuantiles' bucket window).
+    * `tieBreak` must complete a total order.
+    */
+  def weightedMedian(df: DataFrame, group: Column, as: String, value: Column,
+                     weight: Column, tieBreak: Column): DataFrame = {
+    val base = df.select(group.as(as), value.cast("long").as("__wmv"),
+      weight.cast("long").as("__w"), tieBreak.as("__t"))
+    val cum = GlobalRank.globalCumsum(base,
+      Seq(col(as).asc, col("__wmv").asc, col("__t").asc), col("__w"), "__gcum")
+    val tot = base.groupBy(col(as)).agg(sum(col("__w")).as("__totw"))
+      .withColumn("__off", coalesce(
+        sum(col("__totw")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(as).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    cum.join(broadcast(tot), as)
+      .where((col("__gcum") - col("__off")) * 2 >= col("__totw"))
+      .groupBy(col(as))
+      .agg(max(col("__totw")).as("total_weight"),
+        min(col("__wmv")).as("wmedian"))
   }
 
   /** Equi-depth histogram: B buckets of (as near as possible) EQUAL row

@@ -1581,6 +1581,19 @@ class OperatorsSpec extends SparkSpec {
     assert((out.getString(1), out.getLong(2)) === (("a", 2L)))
   }
 
+  test("weightedMedian: weights move the median off the row median") {
+    import graft.operators.Sketches
+    // values 10,20,30 with weights 1,1,10 → weighted median 30 (row
+    // median would be 20); second group checks the exact-half boundary
+    val df = Seq(("a", 10L, 1L, 1L), ("a", 20L, 1L, 2L), ("a", 30L, 10L, 3L),
+      ("b", 5L, 2L, 4L), ("b", 7L, 2L, 5L)).toDF("g", "v", "w", "t")
+    val out = Sketches.weightedMedian(df, col("g"), "g", col("v"), col("w"), col("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") === ((12L, 30L)))
+    // total 4, cum at v=5 is 2 → 2·2 ≥ 4 → lower median 5
+    assert(out("b") === ((4L, 5L)))
+  }
+
   test("higherMoments: symmetric data scores skew 0, three-point kurtosis -1.5") {
     import graft.operators.Sketches
     val df = Seq(-300L, 0L, 300L).map(v => ("g", v)).toDF("k", "v")
