@@ -2962,6 +2962,16 @@ object Oracles {
        |SELECT path, n_conversions FROM c
        |ORDER BY n_conversions DESC, path LIMIT $PathTopK""".stripMargin
 
+  /** growth-curve twin: first-seen week per user, cumulative uniques. */
+  def eventsGrowth: String =
+    """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 604800000) AS wk
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT wk, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+      |SELECT CAST(wk AS BIGINT) AS wk, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_users
+      |FROM n""".stripMargin
+
   /** stickiness twin: same offset explode, same three conditional
     * distincts in one aggregate.
     */

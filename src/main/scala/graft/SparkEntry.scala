@@ -1919,6 +1919,19 @@ object SparkEntry {
       // top pre-purchase event-type journeys inside the session window
       EventOps.conversionPaths(t(s, dir, "events"), "user_id", "ts",
         "event_type", AsofTarget, SessionGapMs, PathTopK)),
+    "events_growth" -> ((s, dir) => {
+      // audience growth curve: per week the first-seen users and the
+      // running total of uniques to date — the week table is bounded,
+      // so the cumulative window is the histogramQuantiles idiom
+      val firsts = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+        .groupBy(col("user_id")).agg(min(col("wk")).as("wk"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("new_users"))
+      import org.apache.spark.sql.expressions.Window
+      firsts.withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("wk").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
     "events_stickiness" -> ((s, dir) =>
       // DAU/WAU/MAU engagement census with the DAU/MAU ratio — three
       // trailing windows out of one offset explode + one aggregate
@@ -2160,6 +2173,7 @@ object SparkEntry {
     "events_attribution_decay" -> Oracles.eventsAttributionDecay,
     "events_rfm" -> Oracles.eventsRfm,
     "events_stickiness" -> Oracles.eventsStickiness,
+    "events_growth" -> Oracles.eventsGrowth,
     "events_paths" -> Oracles.eventsPaths,
     "events_attribution_ushaped" -> Oracles.eventsAttributionUShaped,
     "etl_fk_audit" -> Oracles.etlFkAudit,

@@ -1685,6 +1685,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Array(("click>view", 2L), ("view>click", 1L)))
   }
 
+  test("growth curve: first-seen weeks accumulate to total uniques") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(86400000L * day)
+    // wk0: users 1,2; wk1: user 2 again (not new) + user 3
+    val ev = Seq((1L, t(0), 1L), (2L, t(1), 2L), (3L, t(8), 2L), (4L, t(9), 3L))
+      .map { case (id, ts, u) => (id, ts, u, "e", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val firsts = ev.select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("wk"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("new_users"))
+    import org.apache.spark.sql.expressions.Window
+    val curve = firsts.withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("wk").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve === Array((0L, 2L, 2L), (1L, 1L, 3L)))
+  }
+
   test("stickiness: windows count trailing distincts, ratio exact") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(86400000L * day)
