@@ -586,6 +586,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("throttle: one event per key per cooldown, cross-batch state, timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.ThrottleStream.throttle(
+        stream.toDS(), cooldownMs = 5 * 60000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+    def ids() = spark.table("throttled").select("event_id")
+      .as[Long].collect().toSet
+    try {
+      // batch 1, key (7, alert): t=0 passes, 1 and 2 suppress (inside
+      // cooldown), 10 passes; key (8, alert) is independent
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "alert", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 7, "alert", 1.0),
+        Event(3, ts("2024-01-01 00:02:00"), 7, "alert", 1.0),
+        Event(4, ts("2024-01-01 00:10:00"), 7, "alert", 1.0),
+        Event(5, ts("2024-01-01 00:01:00"), 8, "alert", 1.0))
+      q.processAllAvailable()
+      assert(ids() === Set(1L, 4L, 5L))
+      // batch 2: t=12 suppresses against the PASSED t=10; t=16 passes
+      stream.addData(
+        Event(6, ts("2024-01-01 00:12:00"), 7, "alert", 1.0),
+        Event(7, ts("2024-01-01 00:16:00"), 7, "alert", 1.0))
+      q.processAllAvailable()
+      assert(ids() === Set(1L, 4L, 5L, 7L))
+      // far future: key state has long timed out → passes immediately
+      stream.addData(Event(8, ts("2024-01-01 03:00:00"), 7, "alert", 1.0))
+      q.processAllAvailable()
+      assert(ids() === Set(1L, 4L, 5L, 7L, 8L))
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct: state equals batch sketch, estimate tracks") {
     implicit val sqlCtx = spark.sqlContext
     // 80 distinct users per type across 200 events, arriving out of order
