@@ -803,6 +803,17 @@ object SparkEntry {
           cents(col("o_totalprice")).as("price_cents"), col("rk"))),
 
     // ---- §2.3 dedup ----
+    "dedup_source_stats" -> ((s, dir) =>
+      // per-source duplication census: corpus-wide exact-dup rate by
+      // origin — the first column of every curation dashboard (which
+      // feeds are copy-paste farms); one (source)-keyed aggregate over
+      // content digests, never the payload
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          expr("1000000L * (n_docs - n_unique) div n_docs").as("dup_ppm"))),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_span_audit" -> ((s, dir) =>
@@ -2061,6 +2072,7 @@ object SparkEntry {
     "mart_top_agg" -> Oracles.martTopPerGroup,
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
+    "dedup_source_stats" -> "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, CAST(1000000 * (count(*) - count(DISTINCT md5(text))) // count(*) AS BIGINT) AS dup_ppm FROM documents GROUP BY source",
     "dedup_minhash_n3" -> Oracles.dedupMinhashN3,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_cluster" -> Oracles.dedupCluster,
