@@ -2841,10 +2841,14 @@ object Oracles {
       |    sum(CAST(x - mu AS HUGEINT) * (x - mu) * (x - mu) * (x - mu)) AS t4
       |  FROM v JOIN m ON v.grp = m.grp GROUP BY 1, 2, 3)
       |SELECT grp, n, CAST(mu AS BIGINT) AS mu,
-      |  round((CAST(t3 AS DOUBLE) / n) /
-      |    ((CAST(t2 AS DOUBLE) / n) * sqrt(CAST(t2 AS DOUBLE) / n)), 4) AS skewness,
-      |  round((CAST(t4 AS DOUBLE) / n) /
-      |    ((CAST(t2 AS DOUBLE) / n) * (CAST(t2 AS DOUBLE) / n)) - 3.0, 4) AS kurtosis
+      |  CASE WHEN n < 2 OR t2 = 0 THEN NULL ELSE
+      |    round((CAST(t3 AS DOUBLE) / n) /
+      |      ((CAST(t2 AS DOUBLE) / n) * sqrt(CAST(t2 AS DOUBLE) / n)), 4)
+      |  END AS skewness,
+      |  CASE WHEN n < 2 OR t2 = 0 THEN NULL ELSE
+      |    round((CAST(t4 AS DOUBLE) / n) /
+      |      ((CAST(t2 AS DOUBLE) / n) * (CAST(t2 AS DOUBLE) / n)) - 3.0, 4)
+      |  END AS kurtosis
       |FROM c""".stripMargin
 
   /** maxConcurrency twin: same sweep points, same total order, same

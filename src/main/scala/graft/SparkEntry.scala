@@ -262,6 +262,8 @@ object SparkEntry {
       monthly.agg(array_sort(collect_list(struct(col("mkey"), col("total_cents"))))
           .as("series"),
           expr("sum(total_cents) div count(1)").as("ref"))
+        .select(operators.TimeSeries.boundedSeries(col("series"), "q_cusum")
+          .as("series"), col("ref"))
         .select(col("series"), col("ref"), posexplode(col("series")))
         .select(col("col.mkey").as("mkey"),
           col("col.total_cents").as("total_cents"),
@@ -363,6 +365,8 @@ object SparkEntry {
           .cast("long").as("mkey"))
         .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
       monthly.agg(array_sort(collect_list(struct(col("mkey"), col("total_cents"))))
+          .as("series"))
+        .select(operators.TimeSeries.boundedSeries(col("series"), "q_ewma")
           .as("series"))
         .select(col("series"), posexplode(col("series")))
         .select(col("col.mkey").as("mkey"),

@@ -140,8 +140,11 @@ object Audit {
                   keyR: String, ratePpm: Long, salt: String): DataFrame = {
     require(ratePpm > 0 && ratePpm <= 1000000L, "rate must be in (0, 1e6] ppm")
     val thr = ratePpm * 4294967296L / 1000000L
+    // hash the RAW key (hash32 string-casts internally, matching the
+    // oracle's CAST(k AS VARCHAR)) — a numeric cast here would null out
+    // non-numeric keys and silently return est 0 for string-keyed joins
     def sampledCounts(df: DataFrame, k: String) =
-      df.select(col(k).cast("long").as("join_key"))
+      df.select(col(k).as("join_key"))
         .where(graft.functions.HashFunctions.hash32(col("join_key"), salt) < thr)
         .groupBy(col("join_key")).agg(count(lit(1)).as("n"))
     val per = sampledCounts(left, keyL)
@@ -166,8 +169,11 @@ object Audit {
   def fkAudit(relations: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame = {
     require(relations.nonEmpty)
     relations.map { case (name, child, ck, parent, pk) =>
-      val c = child.select(ck.cast("long").as("k"))
-      val orphans = c.join(parent.select(pk.cast("long").as("k"))
+      // join on the RAW key columns (Spark coerces mixed numeric widths
+      // in the equality itself) — a numeric cast here would null out
+      // string keys and report every child row as an orphan
+      val c = child.select(ck.as("k"))
+      val orphans = c.join(parent.select(pk.as("k"))
         .where(col("k").isNotNull).distinct(), Seq("k"), "left_anti")
       c.agg(count(lit(1)).as("n_child"))
         .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))

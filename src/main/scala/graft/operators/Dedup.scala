@@ -194,6 +194,21 @@ object Dedup {
         (col("sz") - expr(s"(sz * $minNum + ${minDen - 1}) div $minDen") + lit(1)).cast("int")))
         .as(Seq("pos0", "h")))
       .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"), col("h"))
+    // ASYMMETRIC INDEX PREFIX (PPJoin's indexing/probing split): each
+    // unordered pair is generated exactly once, with the size-larger
+    // doc (ties broken by id) PROBING the size-smaller doc's INDEX.
+    // The indexed side only needs its first
+    // Li = sz − ceil(2τ/(1+τ)·sz) + 1 tokens, because the required
+    // overlap α(x,y) = ceil(τ/(1+τ)(|x|+|y|)) ≥ ceil(2τ/(1+τ)·|y|)
+    // when |y| ≤ |x| — the FIRST common token (smallest global rank)
+    // sits at position ≤ sz − α + 1 in BOTH sets, hence inside the
+    // probe prefix of x AND this shorter index prefix of y. At τ=1/2
+    // Li ≈ sz/3 vs the probe's sz/2 — on a dense uniform vocabulary
+    // (every posting long) the candidate join shrinks by the same
+    // ratio, and the first-common-token argument keeps the positional
+    // (pa, pb) bound sound unchanged.
+    val idx = prefix.where(col("pos") <= col("sz") -
+      expr(s"(sz * ${2 * minNum} + ${minNum + minDen - 1}) div ${minNum + minDen}") + lit(1))
     // positional (PPJoin) filter: positions in the rarity-sorted order are
     // monotone in the GLOBAL token rank, so the lowest-rank common prefix
     // token attains min(pa) and min(pb) simultaneously and no common
@@ -209,11 +224,15 @@ object Dedup {
     // aggregate's input shrinks by the rows that already fail the bound.
     val ubound = lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb"))
     val needed = expr(s"((sza + szb) * $minNum + ${minNum + minDen - 1}) div ${minNum + minDen}")
+    // probe side a = the (size, id)-larger doc, index side b = the
+    // smaller: a strict total order, so each unordered pair still
+    // appears exactly once; output ids are re-normalized at the end
     val cands = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
         col("pos").as("pa"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+      .join(idx.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
         col("pos").as("pb"), col("h")), "h")
-      .where(col("doc_a") < col("doc_b") &&
+      .where((col("szb") < col("sza") ||
+          (col("szb") === col("sza") && col("doc_b") < col("doc_a"))) &&
         col("sza") * lit(minDen) >= col("szb") * lit(minNum) &&
         col("szb") * lit(minDen) >= col("sza") * lit(minNum) &&
         ubound >= needed)
@@ -234,7 +253,10 @@ object Dedup {
       // similarity as exact integer ppm (floor division), not
       // round(double,4): integer ratios can land exactly on a .xxxx5
       // boundary where engines' round() algorithms disagree (SURVEY §6)
-      .select(col("doc_a"), col("doc_b"),
+      // — ids re-normalized to doc_a < doc_b (the join oriented them
+      // by size for the asymmetric index, not by id)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         expr("(li * 1000000L) div (la + lb - li)").as("jac_ppm"))
   }
 

@@ -11,13 +11,23 @@ import org.apache.spark.sql.functions._
   * components contract along them. Component count at least halves per
   * round ⇒ ≤ log₂(V) rounds.
   *
-  * Per round: two comp-label joins over the edge set (equi, keyed),
-  * one min-struct aggregate per component side, and a component-level
-  * connected-components relabel ([[Dedup.clusters]], pointer-doubling
-  * — the merge graph is one edge per component, so the CC input
-  * SHRINKS with the component count, not the data). Frontier tables
-  * are lazily checkpointed per round so the iterated plan never nests
-  * (the [[Bfs]]/[[PageRank]] contract); the loop early-stops the first
+  * The iterated state is the EDGE table itself, carrying each
+  * endpoint's current component label (`cu`, `cv`) — there is no
+  * node-level label table at all. Per round: one explode+min-struct
+  * aggregate picks each component's cheapest outgoing edge, a
+  * component-level connected-components pass ([[Dedup.clusters]],
+  * pointer-doubling — the merge graph is one edge per component, so
+  * the CC input SHRINKS with the component count, not the data)
+  * labels the merged components, and two keyed left-joins against
+  * that (small) relabel table rewrite `cu`/`cv` in place. Edges whose
+  * endpoints land in the same component are DROPPED and parallel
+  * component-pair edges contract to their (w, u, v)-minimum — the
+  * frontier shrinks geometrically instead of re-joining the full edge
+  * set against a node-label table every round (the r6 shape, measured
+  * 22.9 s at sf0.1; this one cuts the per-round materializations from
+  * four fact-sized to one shrinking one). Frontier tables are lazily
+  * checkpointed per round so the iterated plan never nests (the
+  * [[Bfs]]/[[PageRank]] contract); the loop early-stops the first
   * round no cross-component edge remains.
   *
   * Contraction reuses [[Dedup.clusters]] (pointer-doubling, reliable
@@ -39,73 +49,84 @@ object Msf {
     */
   def msf(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1)
-    val e = edges
+    // frontier: cross-component edges only, labeled with their
+    // endpoints' CURRENT components; initially every node is its own
+    // component, so the labels are just the endpoints
+    var ec = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"),
         col("w").cast("long").as("w"))
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .select(col("u"), col("v"), col("w"),
+        col("u").as("cu"), col("v").as("cv"))
       .localCheckpoint(false)
-    var comp = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint(false)
-    var forest: DataFrame = null
-    var done = false
+    val pieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 1
-    while (!done && round <= maxRounds) {
-      val labeled = e
-        .join(comp.select(col("node").as("u"), col("comp").as("cu")), "u")
-        .join(comp.select(col("node").as("v"), col("comp").as("cv")), "v")
+    // count(), not isEmpty: a take-based probe materializes only ONE
+    // partition of the lazy checkpoint and every later consumer then
+    // recomputes the rest from the full cross-round lineage — the
+    // classic partial-materialization blowup; an aggregate probe
+    // materializes every partition exactly once
+    var remaining = ec.count()
+    while (remaining > 0 && round <= maxRounds) {
+      // each component nominates its cheapest outgoing edge: emit the
+      // edge once per side (single pass — explode, not a self-union
+      // that would scan the frontier twice), min-struct per component
+      val picked = ec
+        .select(explode(array(
+          struct(col("cu").as("c"), col("w"), col("u"), col("v"),
+            col("cu"), col("cv")),
+          struct(col("cv").as("c"), col("w"), col("u"), col("v"),
+            col("cu"), col("cv")))).as("s"))
+        .groupBy(col("s.c"))
+        .agg(min(col("s")).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
+          col("m.cu").as("cu"), col("m.cv").as("cv"))
+        .distinct() // the edge both of its components picked enters once
+        .localCheckpoint(false) // consumers: forest piece + merge edges
+      // the picked edges carry their component pair, so the merge graph
+      // needs NO node-label join — it's a projection of picked
+      val relabel = Dedup.clusters(
+          picked.select(least(col("cu"), col("cv")).as("doc_a"),
+            greatest(col("cu"), col("cv")).as("doc_b")),
+          doubling = true)
+        .select(col("doc_id").as("old"), col("cluster_id").as("newc"))
+      pieces += picked.select(col("u"), col("v"), col("w"),
+        lit(round.toLong).as("round"))
+      // contract: rewrite both endpoint labels via the (component-sized,
+      // not node-sized) relabel table, drop now-internal edges, and
+      // collapse parallel component-pair edges to their (w,u,v)-minimum
+      // — only that edge can ever be picked later, so the frontier
+      // keeps shrinking without changing the answer
+      ec = ec
+        .join(relabel.select(col("old").as("cu"), col("newc").as("ncu")),
+          Seq("cu"), "left")
+        .join(relabel.select(col("old").as("cv"), col("newc").as("ncv")),
+          Seq("cv"), "left")
+        .select(col("u"), col("v"), col("w"),
+          coalesce(col("ncu"), col("cu")).as("cu"),
+          coalesce(col("ncv"), col("cv")).as("cv"))
         .where(col("cu") =!= col("cv"))
-        .localCheckpoint(false) // two consumers: done-probe + both pick sides
-      // count(), not isEmpty: a take-based probe materializes only ONE
-      // partition of the lazy checkpoint and every later consumer then
-      // recomputes the rest from the full cross-round lineage — the
-      // classic partial-materialization blowup; an aggregate probe
-      // materializes every partition exactly once
-      if (labeled.count() == 0) done = true
-      else {
-        val cand = labeled.select(col("cu").as("c"), col("w"), col("u"), col("v"))
-          .unionByName(labeled.select(col("cv").as("c"), col("w"), col("u"), col("v")))
-        val picked = cand.groupBy(col("c"))
-          .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-          .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
-          .distinct() // the edge both of its components picked enters once
-          .localCheckpoint(false) // consumers: forest union + contraction
-        val add = picked.withColumn("round", lit(round.toLong))
-        forest = if (forest == null) add
-          else forest.unionByName(add).localCheckpoint(false)
-        // contract: CC over the component-level merge edges, then
-        // relabel every node's component; components untouched this
-        // round keep their label (left join + coalesce)
-        val mergeEdges = picked
-          .join(comp.select(col("node").as("u"), col("comp").as("ca")), "u")
-          .join(comp.select(col("node").as("v"), col("comp").as("cb")), "v")
-          .select(least(col("ca"), col("cb")).as("doc_a"),
-            greatest(col("ca"), col("cb")).as("doc_b"))
-        val relabel = Dedup.clusters(mergeEdges, doubling = true)
-          .select(col("doc_id").as("comp"), col("cluster_id"))
-        comp = comp.join(relabel, Seq("comp"), "left")
-          .select(col("node"),
-            coalesce(col("cluster_id"), col("comp")).as("comp"))
-          .localCheckpoint(false)
-      }
+        .groupBy(least(col("cu"), col("cv")).as("ca"),
+          greatest(col("cu"), col("cv")).as("cb"))
+        .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
+          col("ca").as("cu"), col("cb").as("cv"))
+        .localCheckpoint(false)
+      remaining = ec.count()
       round += 1
     }
-    // components at least halve per round, so hitting the bound means
-    // maxRounds < log2(components) — a silently partial forest would
-    // be a wrong answer, so refuse instead
-    require(done || round > maxRounds && {
-      val remaining = e
-        .join(comp.select(col("node").as("u"), col("comp").as("cu")), "u")
-        .join(comp.select(col("node").as("v"), col("comp").as("cv")), "v")
-        .where(col("cu") =!= col("cv")).isEmpty
-      remaining
-    }, s"Msf.msf: not converged after $maxRounds rounds — raise maxRounds")
-    if (forest == null)
-      e.limit(0).withColumn("round", lit(0L))
-    else forest
+    // components at least halve per round, so hitting the bound with
+    // frontier edges left means maxRounds < log2(components) — a
+    // silently partial forest would be a wrong answer, so refuse
+    require(remaining == 0,
+      s"Msf.msf: not converged after $maxRounds rounds — raise maxRounds")
+    if (pieces.isEmpty)
+      edges.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
+        .limit(0).withColumn("round", lit(0L))
+    else pieces.reduce(_ unionByName _)
   }
 
 }

@@ -376,11 +376,17 @@ object Sketches {
         sum(expr("cast(__d as decimal(38,0)) * __d * __d")).as("__t3"),
         sum(expr("cast(__d as decimal(38,0)) * __d * __d * __d")).as("__t4"))
       .select(col(as), col("n"), col("mu"),
-        expr("round((cast(__t3 as double) / n) / " +
-          "((cast(__t2 as double) / n) * sqrt(cast(__t2 as double) / n)), 4)")
+        // degenerate groups (single row, or constant value ⇒ t2 = 0)
+        // have no defined shape: emit NULL explicitly — the raw formula
+        // would produce 0/0 = NaN, whose rendering differs across
+        // engines and would break oracle parity
+        expr("case when n < 2 or __t2 = 0 then cast(null as double) else " +
+          "round((cast(__t3 as double) / n) / " +
+          "((cast(__t2 as double) / n) * sqrt(cast(__t2 as double) / n)), 4) end")
           .as("skewness"),
-        expr("round((cast(__t4 as double) / n) / " +
-          "((cast(__t2 as double) / n) * (cast(__t2 as double) / n)) - 3.0, 4)")
+        expr("case when n < 2 or __t2 = 0 then cast(null as double) else " +
+          "round((cast(__t4 as double) / n) / " +
+          "((cast(__t2 as double) / n) * (cast(__t2 as double) / n)) - 3.0, 4) end")
           .as("kurtosis"))
   }
 

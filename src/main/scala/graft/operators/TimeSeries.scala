@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   * with one partial aggregate first.
   */
 object TimeSeries {
+
+  /** Default bound for [[boundedSeries]] — generous for any calendar
+    * axis (10k monthly periods ≈ 800 years) while failing long before
+    * a quadratic prefix-fold over a mistakenly-unaggregated fact table
+    * could wedge an executor. */
+  val DefaultMaxSeriesLen = 10000
+
+  /** Loud bound for the collect-to-array fold family ([[holtSmooth]],
+    * [[holtWinters]], and the EWMA/CUSUM query forms): these folds are
+    * only correct AND only cheap because the caller reduced the fact
+    * table to one bounded row per period before collecting — the whole
+    * series lands in a single row and the prefix recurrence is O(n²).
+    * That precondition was previously prose per-operator; this makes it
+    * executable: past `maxLen` the plan raises at execution (same
+    * inside-the-plan `raise_error` contract as
+    * [[Similarity.bruteForceTopK]]'s maxQueries guard — composing and
+    * explaining stay lazy, running a misuse fails loudly instead of
+    * silently building a corpus-sized array on one executor).
+    */
+  def boundedSeries(series: Column, op: String,
+                    maxLen: Int = DefaultMaxSeriesLen): Column =
+    when(size(series) > maxLen, raise_error(concat(
+      lit(s"$op: series exceeds maxSeriesLen=$maxLen rows — this fold " +
+        "collects the whole series into one row and runs a quadratic " +
+        "prefix recurrence; aggregate the fact table down to a bounded " +
+        "(calendar-sized) series first")))).otherwise(series)
 
   /** Holt double exponential smoothing (α = β = 1/4), exact-integer:
     * `l' = (x + 3(l+b)) div 4`, `b' = (l' − l + 3b) div 4`, initialized
@@ -23,10 +49,12 @@ object TimeSeries {
     * the same convention as the EWMA query).
     * Output: `(keyCol, valCol, level, trend, forecast)`.
     */
-  def holtSmooth(series: DataFrame, keyCol: String, valCol: String): DataFrame =
+  def holtSmooth(series: DataFrame, keyCol: String, valCol: String,
+                 maxSeriesLen: Int = DefaultMaxSeriesLen): DataFrame =
     series
       .agg(array_sort(collect_list(struct(col(keyCol).as("k"), col(valCol).as("v"))))
         .as("series"))
+      .select(boundedSeries(col("series"), "holtSmooth", maxSeriesLen).as("series"))
       .select(col("series"), posexplode(col("series")))
       .select(col("col.k").as(keyCol), col("col.v").as(valCol),
         expr("aggregate(slice(series, 1, pos + 1), " +
@@ -57,7 +85,8 @@ object TimeSeries {
     * (keyCol, valCol, level, trend, seasonal, forecast).
     */
   def holtWinters(series: DataFrame, keyCol: String, valCol: String,
-                  period: Int): DataFrame = {
+                  period: Int,
+                  maxSeriesLen: Int = DefaultMaxSeriesLen): DataFrame = {
     require(period >= 1, s"holtWinters: period must be >= 1, got $period")
     // the level update, repeated inline wherever l' is needed (the
     // lambda can't bind intermediates) — phase is 0-based `acc.i % p`
@@ -66,6 +95,7 @@ object TimeSeries {
     series
       .agg(array_sort(collect_list(struct(col(keyCol).as("k"), col(valCol).as("v"))))
         .as("series"))
+      .select(boundedSeries(col("series"), "holtWinters", maxSeriesLen).as("series"))
       .select(col("series"), posexplode(col("series")))
       .select(col("col.k").as(keyCol), col("col.v").as(valCol), col("pos"),
         expr("aggregate(slice(series, 1, pos + 1), " +

@@ -31,11 +31,23 @@ object EventStreams {
     * batch and stream share plans. (The probe lists the directory once
     * at stream-construction time — negligible next to the stream
     * itself, and new files must match the launch schema anyway.)
-    * `maxFilesPerTrigger` bounds per-batch work on a backfill.
+    * `maxFilesPerTrigger` bounds per-batch work on a backfill. If the
+    * directory is empty (or absent) at stream-construction time — a
+    * stream legitimately started before its producer's first file —
+    * the probe falls back to the generator's canonical schema
+    * (microsecond ts; [[graft.Tables.normalizeTs]] is the identity on
+    * it), so startup order never matters.
     */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
                        maxFilesPerTrigger: Int = 16): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+    import org.apache.spark.sql.types._
+    val fallback = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => fallback }
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(schema)

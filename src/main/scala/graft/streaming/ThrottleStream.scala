@@ -20,6 +20,14 @@ import EventStreams.Event
   * event-time timeout once a key stays silent past its cooldown — a key
   * that can no longer suppress anything holds no state, so state is
   * bounded by keys active inside one cooldown, not by history.
+  *
+  * Sizing note: each trigger sorts a key's micro-batch group in executor
+  * memory (the in-order scan is what the pass/suppress decision needs),
+  * so a single key's PER-TRIGGER volume must fit on one executor. On a
+  * live feed that's one cooldown's worth of one key — trivial; on a
+  * historical REPLAY a hot key's entire backlog can land in one trigger,
+  * so cap trigger size (the source's `maxFilesPerTrigger` /
+  * `maxOffsetsPerTrigger`) when throttling a backfill.
   */
 object ThrottleStream {
 

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executable forms of the contracts the 100 TB posture depends on but
+  * that no value-oracle can see: estimator accuracy bands for the
+  * declared rows-only queries, storage reclamation of the CC family's
+  * per-round reliable checkpoints, and the loud-failure guards on the
+  * deliberately-bounded kernels.
+  */
+class ScaleContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- rows-only queries get quantitative pins (VERDICT r6 item 4) ----
+
+  test("q_approx_distinct: HLL estimate within ±5% of the exact twin per year") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_distinct_count")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet, "year frames must agree")
+    exact.foreach { case (year, n) =>
+      val est = approx(year)
+      // Spark's HLL++ at default rsd 0.05; a silently-degraded sketch
+      // (wrong column, broken merge, truncated register state) lands far
+      // outside this band long before rows-only checks would notice
+      assert(math.abs(est - n) <= math.max(1L, math.ceil(n * 0.05).toLong),
+        s"year $year: HLL estimate $est outside ±5% of exact $n")
+    }
+  }
+
+  test("multimodal_image_neardup: pair set equals the brute-force hamming " +
+    "oracle and contains every constructed twin pair") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.mediaFromDocumentsPngTwins(docs, 16, 12)
+    val got = Multimodal.imageNearDup(media, Params.SimhashMaxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle over the aHash signatures: ALL pairs within
+    // maxDist — pins the pigeonhole banding to exact recall AND precision
+    val sigs = Multimodal.imageAHash(media).collect()
+      .map(r => (r.getAs[Long]("media_id"),
+        r.getAs[Long]("sim_lo"), r.getAs[Long]("sim_hi")))
+    val expect = (for {
+      (ia, la, ha) <- sigs; (ib, lb, hb) <- sigs
+      if ia < ib &&
+        java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <=
+          Params.SimhashMaxDist
+    } yield (ia, ib)).toSet
+    assert(got === expect,
+      s"banding vs brute force: missing=${(expect -- got).take(5)} " +
+        s"extra=${(got -- expect).take(5)}")
+    // ground truth from construction: every doc's one-pixel twin
+    // (media ids 2·doc, 2·doc+1) must be recovered
+    val twins = docs.select(col("doc_id")).collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(0) * 2 + 1)).toSet
+    assert(twins.subsetOf(got),
+      s"missing twin pairs: ${(twins -- got).take(5)}")
+  }
+
+  test("q_msf: forest weight and shape match Kruskal on the driver query graph") {
+    // the driver gate for q_msf is rows-only; this pins the actual
+    // forest: same edge count and same TOTAL weight as a local Kruskal
+    // union-find over the same (deterministic md5-weighted) graph
+    val forest = SparkEntry.queries("q_msf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = {
+      val pairs = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        .withColumn("w", graft.functions.HashFunctions.hash32(
+          concat(col("src").cast("string"), lit(":"), col("dst").cast("string")),
+          "msf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var kruskalW = 0L; var kruskalN = 0
+    edges.sortBy { case (u, v, w) => (w, math.min(u, v), math.max(u, v)) }
+      .foreach { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(ru) = rv; kruskalW += w; kruskalN += 1 }
+      }
+    assert(forest.length === kruskalN, "forest edge count vs Kruskal")
+    assert(forest.map(_._3).sum === kruskalW, "forest total weight vs Kruskal")
+  }
+
+  // ---- storage contract: CC per-round checkpoints are reclaimed ----
+
+  test("Dedup.clusters reclaims per-round reliable checkpoint dirs via the " +
+    "context cleaner") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(dir.toString)
+    try {
+      assert(spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        === "true", "session must opt into checkpoint cleaning")
+      def rddDirs(): Set[String] = {
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("rdd-"))
+            .map(_.toString).toSet
+        } finally walk.close()
+      }
+      // scope the result so no spec-level reference pins the final RDD
+      def run(): Set[String] = {
+        // a 9-node path needs several doubling rounds => several
+        // per-round checkpoint dirs
+        val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+        val out = operators.Dedup.clusters(pairs, doubling = true)
+        assert(out.collect().forall(_.getLong(1) == 1L))
+        rddDirs()
+      }
+      val written = run()
+      assert(written.size >= 2,
+        s"expected multiple per-round checkpoint dirs, saw $written")
+      // reclamation is asynchronous: the cleaner acts on GC'd RDD refs
+      val deadline = System.currentTimeMillis() + 60000
+      var left = rddDirs()
+      while (left.nonEmpty && System.currentTimeMillis() < deadline) {
+        System.gc()
+        Thread.sleep(250)
+        left = rddDirs()
+      }
+      assert(left.isEmpty,
+        s"per-round checkpoint dirs not reclaimed within 60s: $left")
+    } finally {
+      // never leave the context pointing at the deleted temp dir
+      sc.setCheckpointDir(prev.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_rest").toString))
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  // ---- loud-failure guard on the bounded series folds ----
+
+  test("boundedSeries: an over-long series fails loudly, a bounded one passes") {
+    val series = (1L to 50L).map(i => (i, i * 10)).toDF("k", "v")
+    // within bound: normal result
+    assert(operators.TimeSeries.holtSmooth(series, "k", "v").count() === 50)
+    // past bound: the plan itself raises at execution (not at compose time)
+    val guarded = operators.TimeSeries.holtSmooth(series, "k", "v",
+      maxSeriesLen = 10)
+    val e = intercept[Exception] { guarded.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxSeriesLen")),
+      s"expected the boundedSeries raise_error, got: ${messages(e)}")
+  }
+}
