@@ -278,11 +278,26 @@ object Dedup {
     * a path-halving shortcut per round → O(log diameter) rounds.
     * The driver only ever sees a single boolean (changed?) per round,
     * never data.
+    *
+    * `reliableCkpt = false` switches the per-round barrier to an EAGER
+    * `localCheckpoint(true)` — same lineage truncation and same
+    * materialize-once contract, but executor-cached instead of written
+    * to the checkpoint dir. That forfeits executor-loss recovery, so it
+    * is ONLY for callers nested inside a loop whose own frontier is
+    * already local-checkpointed ([[Msf]]'s per-round contraction: the
+    * outer Borůvka state dies with an executor either way, and the
+    * contraction CC runs on the component-level merge graph many times
+    * per job — the per-round storage round-trip is its dominant cost).
+    * Top-level corpus-scale CC (near-dup clustering, DBSCAN, consensus)
+    * keeps the reliable default.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20,
-               doubling: Boolean = false): DataFrame = {
+               doubling: Boolean = false,
+               reliableCkpt: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+    def barrier(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint() else df.localCheckpoint(true)
+    if (reliableCkpt && spark.sparkContext.getCheckpointDir.isEmpty) {
       // a driver-local tmp dir is only a valid checkpoint target in local
       // mode; on a cluster the caller must point this at durable shared
       // storage or the reliability story is silently void
@@ -300,7 +315,8 @@ object Dedup {
     // sets it); otherwise each round's labels accumulate in the
     // checkpoint dir for the life of the app — at one dir per round per
     // corpus-scale run that is real storage, so warn loudly.
-    if (spark.conf.getOption("spark.cleaner.referenceTracking.cleanCheckpoints")
+    if (reliableCkpt &&
+        spark.conf.getOption("spark.cleaner.referenceTracking.cleanCheckpoints")
           .forall(_ != "true")) {
       Console.err.println(
         "graft.Dedup.clusters: set spark.cleaner.referenceTracking." +
@@ -316,15 +332,14 @@ object Dedup {
     // round 1 fused into initialization: with label(v) = v initially the
     // first propagation is just min(u, min(neighbors)) — one aggregate,
     // no join, no separate identity-labels materialization
-    var labels = edges.groupBy(col("u"))
-      .agg(least(col("u"), min(col("v"))).as("label"))
-      .checkpoint()
+    var labels = barrier(edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label")))
     var iter = 1
     var changed = true
     while (changed && iter < maxIter) {
       val prop = ccRound(edges, labels)
-      val next = (if (doubling) halveRound(prop) else prop)
-        .checkpoint() // eager: materializes the round once, reliably
+      // eager barrier: materializes the round once (reliably by default)
+      val next = barrier(if (doubling) halveRound(prop) else prop)
       // cheap scan of the checkpointed output — not a recompute; coalesce
       // covers the empty-graph case (max over zero rows is null)
       changed = next.agg(coalesce(max(col("chg")), lit(false))).first.getBoolean(0)

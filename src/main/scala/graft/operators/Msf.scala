@@ -69,7 +69,9 @@ object Msf {
     // classic partial-materialization blowup; an aggregate probe
     // materializes every partition exactly once
     var remaining = ec.count()
+    val dbg = sys.env.contains("GRAFT_MSF_DEBUG")
     while (remaining > 0 && round <= maxRounds) {
+      val tR0 = System.nanoTime()
       // each component nominates its cheapest outgoing edge: emit the
       // edge once per side (single pass — explode, not a self-union
       // that would scan the frontier twice), min-struct per component
@@ -85,13 +87,11 @@ object Msf {
           col("m.cu").as("cu"), col("m.cv").as("cv"))
         .distinct() // the edge both of its components picked enters once
         .localCheckpoint(false) // consumers: forest piece + merge edges
+      val tPick = System.nanoTime()
       // the picked edges carry their component pair, so the merge graph
       // needs NO node-label join — it's a projection of picked
-      val relabel = Dedup.clusters(
-          picked.select(least(col("cu"), col("cv")).as("doc_a"),
-            greatest(col("cu"), col("cv")).as("doc_b")),
-          doubling = true)
-        .select(col("doc_id").as("old"), col("cluster_id").as("newc"))
+      val relabel = contractPicks(picked)
+      val tCc = System.nanoTime()
       pieces += picked.select(col("u"), col("v"), col("w"),
         lit(round.toLong).as("round"))
       // contract: rewrite both endpoint labels via the (component-sized,
@@ -115,6 +115,9 @@ object Msf {
           col("ca").as("cu"), col("cb").as("cv"))
         .localCheckpoint(false)
       remaining = ec.count()
+      if (dbg) println(f"[msf] round $round rem=$remaining " +
+        f"pick=${(tPick - tR0) / 1e9}%.2f cc=${(tCc - tPick) / 1e9}%.2f " +
+        f"rest=${(System.nanoTime() - tCc) / 1e9}%.2f")
       round += 1
     }
     // components at least halve per round, so hitting the bound with
@@ -127,6 +130,67 @@ object Msf {
           col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
         .limit(0).withColumn("round", lit(0L))
     else pieces.reduce(_ unionByName _)
+  }
+
+  /** Root labels for one round's merge graph — the specialized CC that
+    * replaces a generic per-round [[Dedup.clusters]] call (measured: the
+    * generic CC's per-round barriers and probes were ~half of q_msf).
+    *
+    * Structure it exploits: a component's min INCIDENT merge edge is
+    * always its OWN pick (its pick is minimal over ALL its outgoing
+    * edges, so no other component's pick into it can be lighter), so
+    * parent(c) := partner on c's min incident (w,u,v) merge edge is the
+    * textbook Borůvka pointer graph — every merge edge appears as a
+    * pointer, chains descend in the edge total order, and each merge
+    * component carries EXACTLY one cycle, a mutual-pick 2-cycle, broken
+    * to a self-pointing root at the smaller id. Labels then converge by
+    * pure pointer doubling l(c) ← l(l(c)) with NO further edge joins —
+    * and the doubling is BATCHED: `hop` composition joins stack lazily
+    * into one plan between materializations, so a batch costs one
+    * eager local checkpoint plus one fixpoint probe (2 actions for
+    * depth ≤ 2^hops) where the generic CC paid a barrier + probe per
+    * single hop. Depth is typically tiny (min-edge trees are shallow);
+    * an adversarial long chain just takes more batches, each widening
+    * the horizon 2^hops-fold.
+    *
+    * Eager LOCAL checkpoints, deliberately: the outer frontier is
+    * lazily local-checkpointed, so executor-loss durability is not a
+    * property this loop can offer anyway (the [[Bfs]]/[[PageRank]]
+    * contract), and the label table is component-sized, not data-sized.
+    */
+  private def contractPicks(picked: DataFrame, hops: Int = 3): DataFrame = {
+    val nbr = picked.select(explode(array(
+        struct(col("cu").as("c"), col("w"), col("u"), col("v"),
+          col("cv").as("d")),
+        struct(col("cv").as("c"), col("w"), col("u"), col("v"),
+          col("cu").as("d")))).as("s"))
+      .select(col("s.c").as("c"), struct(col("s.w").as("w"), col("s.u").as("u"),
+        col("s.v").as("v"), col("s.d").as("d")).as("m"))
+    val par = nbr.groupBy(col("c")).agg(min(col("m")).as("m"))
+      .select(col("c"), col("m.d").as("p"))
+    // break the one mutual-pick 2-cycle per component: both ends see
+    // parent-of-parent == self and agree on the smaller id as root
+    var l = par.join(par.select(col("c").as("p"), col("p").as("pp")), Seq("p"))
+      .select(col("c"),
+        when(col("pp") === col("c"), least(col("c"), col("p")))
+          .otherwise(col("p")).as("l"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      var cur = l
+      for (_ <- 1 to hops)
+        cur = cur.as("x")
+          .join(cur.select(col("c").as("__lc"), col("l").as("__ll")),
+            col("x.l") === col("__lc"))
+          .select(col("x.c").as("c"), col("__ll").as("l"))
+      cur = cur.localCheckpoint(true)
+      converged = cur.as("x")
+        .join(cur.select(col("c").as("__lc"), col("l").as("__ll")),
+          col("x.l") === col("__lc"))
+        .where(col("__ll") =!= col("x.l")).isEmpty
+      l = cur
+    }
+    l.select(col("c").as("old"), col("l").as("newc"))
   }
 
 }
