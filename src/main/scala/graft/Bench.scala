@@ -67,7 +67,19 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        name -> (((System.nanoTime() - t0) / 1e9, ok))
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop every cached/locally-checkpointed block the query left in
+        // the block manager: operators persist() and localCheckpoint()
+        // internally and those blocks are dead once the noop write
+        // finishes (each pass rebuilds the DataFrame from scratch), but
+        // without this they ACCUMULATE across the 200+ query set — by
+        // the time the alphabetically-late graph family runs, the
+        // executor store carries every earlier query's leftovers and the
+        // measurement pays their eviction + GC. A real deployment runs
+        // one query per job; per-query isolation is the honest timing.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> ((elapsed, ok))
       }.toMap
     }
     val results = qlist.map { case (name, _) =>

@@ -1944,8 +1944,9 @@ object SparkEntry {
         .groupBy(col("wk")).agg(count(lit(1)).as("new_users"))
       import org.apache.spark.sql.expressions.Window
       firsts.withColumn("cum_users",
-        sum(col("new_users")).over(Window.orderBy(col("wk").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sum(col("new_users")).over(
+          Window.partitionBy(lit(0)).orderBy(col("wk").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
     "events_stickiness" -> ((s, dir) =>
       // DAU/WAU/MAU engagement census with the DAU/MAU ratio — three

@@ -341,7 +341,8 @@ object Quality {
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         max(col("n_tot")).as("__nt"), max(col("pos_tot")).as("__pt"))
     // single-partition window is fine HERE: the frame is B bucket rows
-    val w = Window.orderBy(col("bucket").asc)
+    // (constant partition = the declared-bounded marker PlanSpec polices)
+    val w = Window.partitionBy(lit(0)).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dec
       .withColumn("__cum_n", sum(col("n")).over(w))

@@ -138,6 +138,7 @@ object QuantileSketch {
                        salt: String, ps: Seq[Int]): DataFrame = {
     require(windowPeriods >= 1, "window must be >= 1 periods")
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)) // declared-bounded: period-level table
       .orderBy(col("period")).rangeBetween(-(windowPeriods - 1L), 0L)
     estimate(
       sketch(df, period, "period", key, value, k, salt)

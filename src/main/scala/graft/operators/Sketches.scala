@@ -170,6 +170,7 @@ object Sketches {
                          windowPeriods: Int, k: Int, salt: String): DataFrame = {
     require(windowPeriods >= 1, "window must be >= 1 periods")
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)) // declared-bounded: period-level table
       .orderBy(col("period")).rangeBetween(-(windowPeriods - 1L), 0L)
     kmvSketch(df, period, "period", value, k, salt)
       .select(col("period"),
@@ -336,10 +337,12 @@ object Sketches {
       .select(expr(s"(v - pmod(v, ${width}L)) div ${width}L").as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
     // single-partition window is fine HERE: the frame is n_buckets rows
+    // (constant partition = the repo's declared-bounded marker, policed
+    // by PlanSpec's global-window budget)
     val cum = buckets.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("b"))
+      sum(col("cnt")).over(Window.partitionBy(lit(0)).orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy(lit(0))))
     val pdf = df.sparkSession.createDataFrame(
       ps.map(p => Tuple1(p.toLong))).toDF("p")
     cum.join(broadcast(pdf),
@@ -414,6 +417,7 @@ object Sketches {
     val tot = base.groupBy(col(as)).agg(sum(col("__w")).as("__totw"))
       .withColumn("__off", coalesce(
         sum(col("__totw")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)) // declared-bounded: group-count rows
           .orderBy(col(as).asc)
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))

@@ -694,4 +694,53 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"no global-ntile window may appear:\n$plan")
   }
+
+  /** Analyzed-plan Window nodes whose partitionSpec is EMPTY — each one
+    * becomes "WindowExec: No Partition Defined" at runtime, i.e. the
+    * whole input moves to ONE task. Counted on the ANALYZED plan, not
+    * the optimized one, deliberately: the repo's convention for a
+    * window that is single-partition ON PURPOSE (bounded post-aggregate
+    * frames — bucket tables, week tables, top-N vocab) is an explicit
+    * `Window.partitionBy(lit(0))` marker. The optimizer constant-folds
+    * that marker away, so at the analyzed level marked windows are
+    * distinguishable from accidental `Window.orderBy(...)` globals —
+    * which is exactly the distinction this budget polices.
+    */
+  private def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }.size
+
+  test("global-window budget: no driver query plans an unmarked single-partition window") {
+    // Zero budget: every deliberate bounded-frame window carries the
+    // partitionBy(lit(0)) marker (greppable + reviewable), fact-sized
+    // total orders go through GlobalRank's two-pass, and an operator
+    // that accidentally writes row_number().over(Window.orderBy(...))
+    // on data-sized input fails HERE instead of shipping as a runtime
+    // warning.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = globalWindows(fn(spark, sfDir))
+        if (n > 0) Some(name -> n) else None
+    }.toMap
+    assert(offenders === Map.empty[String, Int],
+      s"unmarked single-partition windows; either partition the window " +
+        s"or, if the frame is provably bounded, declare it with " +
+        s"Window.partitionBy(lit(0)): ${offenders.toSeq.sortBy(_._1)}")
+  }
+
+  test("global-window detector catches a deliberately global fact-sized window") {
+    // negative control: the detector the budget test relies on must
+    // actually fire on the anti-pattern it polices
+    import org.apache.spark.sql.expressions.Window
+    val broken = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rk", row_number().over(Window.orderBy(col("l_extendedprice"))))
+    assert(globalWindows(broken) === 1)
+    // and GlobalRank — the sanctioned replacement — plans zero
+    val ok = graft.operators.GlobalRank.globalRank(
+      Tables.load(spark, sfDir, "lineitem").select(col("l_extendedprice")),
+      Seq(col("l_extendedprice").asc), "rk")
+    assert(globalWindows(ok) === 0)
+  }
 }
