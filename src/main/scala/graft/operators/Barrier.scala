@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graft.DatasetBridge
+
+/** Checkpoint barriers for ITERATED plans — every loop that
+  * checkpoints per round and feeds the result back into a join must
+  * barrier through here, not through raw `checkpoint`/`localCheckpoint`.
+  *
+  * Raw checkpoints carry the origin plan's estimated `sizeInBytes`
+  * into the new leaf; a loop that self-joins the checkpointed table
+  * (path-halving CC, pointer doubling) then COMPOUNDS the estimate
+  * geometrically — after k rounds it is a BigInt with ~2^k bits and
+  * the driver stalls inside Catalyst's stats arithmetic (see
+  * [[DatasetBridge.freshLeaf]] for the measured pathology). These
+  * wrappers re-leaf the checkpointed frame with default statistics;
+  * AQE re-derives broadcast decisions from actual runtime sizes.
+  */
+object Barrier {
+
+  /** Local (executor-cached) checkpoint + stats reset. `eager = false`
+    * materializes on first downstream action — right for per-round
+    * frontiers consumed exactly once downstream; `eager = true`
+    * materializes NOW — right when the caller immediately probes the
+    * result (fixpoint checks).
+    */
+  def local(df: DataFrame, eager: Boolean = false): DataFrame =
+    DatasetBridge.freshLeaf(df.localCheckpoint(eager))
+
+  /** Reliable (checkpoint-dir-backed) checkpoint + stats reset — the
+    * executor-loss-tolerant form for corpus-scale CC loops.
+    */
+  def reliable(df: DataFrame): DataFrame =
+    DatasetBridge.freshLeaf(df.checkpoint())
+}

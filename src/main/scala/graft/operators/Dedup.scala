@@ -295,8 +295,12 @@ object Dedup {
                doubling: Boolean = false,
                reliableCkpt: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
+    // stats-resetting barriers ([[Barrier]]): with doubling=true the
+    // halving step SELF-JOINS the label table, and a raw checkpoint's
+    // carried size estimate would square per round — 2^rounds bits of
+    // BigInt by round 15, all burned in the driver's stats arithmetic
     def barrier(df: DataFrame): DataFrame =
-      if (reliableCkpt) df.checkpoint() else df.localCheckpoint(true)
+      if (reliableCkpt) Barrier.reliable(df) else Barrier.local(df, eager = true)
     if (reliableCkpt && spark.sparkContext.getCheckpointDir.isEmpty) {
       // a driver-local tmp dir is only a valid checkpoint target in local
       // mode; on a cluster the caller must point this at durable shared

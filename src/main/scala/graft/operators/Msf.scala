@@ -60,7 +60,7 @@ object Msf {
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .select(col("u"), col("v"), col("w"),
         col("u").as("cu"), col("v").as("cv"))
-      .localCheckpoint(false)
+      .transform(Barrier.local(_))
     val pieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 1
     // count(), not isEmpty: a take-based probe materializes only ONE
@@ -86,7 +86,7 @@ object Msf {
         .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
           col("m.cu").as("cu"), col("m.cv").as("cv"))
         .distinct() // the edge both of its components picked enters once
-        .localCheckpoint(false) // consumers: forest piece + merge edges
+        .transform(Barrier.local(_)) // consumers: forest piece + merge edges
       val tPick = System.nanoTime()
       // the picked edges carry their component pair, so the merge graph
       // needs NO node-label join — it's a projection of picked
@@ -113,7 +113,7 @@ object Msf {
         .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
         .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
           col("ca").as("cu"), col("cb").as("cv"))
-        .localCheckpoint(false)
+        .transform(Barrier.local(_))
       remaining = ec.count()
       if (dbg) println(f"[msf] round $round rem=$remaining " +
         f"pick=${(tPick - tR0) / 1e9}%.2f cc=${(tCc - tPick) / 1e9}%.2f " +
@@ -157,6 +157,11 @@ object Msf {
     * lazily local-checkpointed, so executor-loss durability is not a
     * property this loop can offer anyway (the [[Bfs]]/[[PageRank]]
     * contract), and the label table is component-sized, not data-sized.
+    * The barriers MUST be the stats-resetting [[Barrier]] form: each
+    * batch multiplies the leaf's carried size estimate 8-fold (2^hops
+    * self-join leaves), so raw localCheckpoints compound it to ~8^k-bit
+    * BigInts and the driver stalls in Catalyst stats arithmetic — the
+    * measured 23 s → 1235 s q_msf regression at sf0.1.
     */
   private def contractPicks(picked: DataFrame, hops: Int = 3): DataFrame = {
     val nbr = picked.select(explode(array(
@@ -170,20 +175,30 @@ object Msf {
       .select(col("c"), col("m.d").as("p"))
     // break the one mutual-pick 2-cycle per component: both ends see
     // parent-of-parent == self and agree on the smaller id as root
-    var l = par.join(par.select(col("c").as("p"), col("p").as("pp")), Seq("p"))
-      .select(col("c"),
-        when(col("pp") === col("c"), least(col("c"), col("p")))
-          .otherwise(col("p")).as("l"))
-      .localCheckpoint(true)
+    var l = Barrier.local(
+      par.join(par.select(col("c").as("p"), col("p").as("pp")), Seq("p"))
+        .select(col("c"),
+          when(col("pp") === col("c"), least(col("c"), col("p")))
+            .otherwise(col("p")).as("l")),
+      eager = true)
     var converged = false
+    var batches = 0
     while (!converged) {
+      // horizon widens 2^hops-fold per batch, so hitting this bound is
+      // impossible on a well-formed pointer forest (depth ≤ component
+      // count < 2^(hops·64)) — it means a >2-cycle survived the break,
+      // where doubling would spin forever; refuse instead
+      batches += 1
+      require(batches <= 64,
+        "Msf.contractPicks: pointer doubling did not converge — " +
+          "the merge graph carries a cycle longer than a mutual pick")
       var cur = l
       for (_ <- 1 to hops)
         cur = cur.as("x")
           .join(cur.select(col("c").as("__lc"), col("l").as("__ll")),
             col("x.l") === col("__lc"))
           .select(col("x.c").as("c"), col("__ll").as("l"))
-      cur = cur.localCheckpoint(true)
+      cur = Barrier.local(cur, eager = true)
       converged = cur.as("x")
         .join(cur.select(col("c").as("__lc"), col("l").as("__ll")),
           col("x.l") === col("__lc"))

@@ -140,6 +140,41 @@ class ScaleContractSpec extends SparkSpec {
     }
   }
 
+  // ---- iterated-barrier stats contract ----
+
+  test("Barrier keeps plan-size statistics flat across self-join batches; " +
+    "raw localCheckpoint compounds them geometrically") {
+    import org.apache.spark.sql.graft.DatasetBridge
+    def batch(df: org.apache.spark.sql.DataFrame) = {
+      var cur = df
+      for (_ <- 1 to 3)
+        cur = cur.as("x")
+          .join(cur.select(col("c").as("__lc"), col("l").as("__ll")),
+            col("x.l") === col("__lc"))
+          .select(col("x.c").as("c"), col("__ll").as("l"))
+      cur
+    }
+    var good = (1L to 50L).map(i => (i, i % 7)).toDF("c", "l")
+      .localCheckpoint(true)
+    var bad = good
+    for (_ <- 1 to 4) {
+      good = operators.Barrier.local(batch(good), eager = true)
+      bad = batch(bad).localCheckpoint(true)
+    }
+    // checkpoint carries origin sizeInBytes; 8 self-join leaves per
+    // batch multiply it → ~8^k-bit BigInts that stall the driver in
+    // Catalyst stats arithmetic (the measured q_msf 23 s → 1235 s
+    // regression). The Barrier re-leaf resets to defaultSizeInBytes.
+    val goodBits = DatasetBridge.statsBits(good)
+    val badBits = DatasetBridge.statsBits(bad)
+    assert(goodBits < 128,
+      s"Barrier must reset carried statistics, got $goodBits bits")
+    assert(badBits > 10000,
+      s"negative control: raw localCheckpoint should compound stats " +
+        s"(got only $badBits bits — if Spark stopped carrying origin " +
+        s"stats, Barrier's re-leaf may no longer be needed)")
+  }
+
   // ---- loud-failure guard on the bounded series folds ----
 
   test("boundedSeries: an over-long series fails loudly, a bounded one passes") {
