@@ -336,11 +336,15 @@ object Dedup {
     // round 1 fused into initialization: with label(v) = v initially the
     // first propagation is just min(u, min(neighbors)) — one aggregate,
     // no join, no separate identity-labels materialization
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    val t0 = System.nanoTime()
     var labels = barrier(edges.groupBy(col("u"))
       .agg(least(col("u"), min(col("v"))).as("label")))
+    if (dbg) println(f"[cc] init ${(System.nanoTime() - t0) / 1e9}%.2f")
     var iter = 1
     var changed = true
     while (changed && iter < maxIter) {
+      val tR = System.nanoTime()
       val prop = ccRound(edges, labels)
       // eager barrier: materializes the round once (reliably by default)
       val next = barrier(if (doubling) halveRound(prop) else prop)
@@ -348,6 +352,8 @@ object Dedup {
       // covers the empty-graph case (max over zero rows is null)
       changed = next.agg(coalesce(max(col("chg")), lit(false))).first.getBoolean(0)
       labels = next.drop("chg")
+      if (dbg) println(f"[cc] round $iter chg=$changed " +
+        f"${(System.nanoTime() - tR) / 1e9}%.2f")
       iter += 1
     }
     edges.unpersist()

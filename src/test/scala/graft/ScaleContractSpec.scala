@@ -58,37 +58,41 @@ class ScaleContractSpec extends SparkSpec {
       s"missing twin pairs: ${(twins -- got).take(5)}")
   }
 
-  test("q_msf: forest weight and shape match Kruskal on the driver query graph") {
-    // the driver gate for q_msf is rows-only; this pins the actual
-    // forest: same edge count and same TOTAL weight as a local Kruskal
-    // union-find over the same (deterministic md5-weighted) graph
-    val forest = SparkEntry.queries("q_msf")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val edges = {
-      val pairs = Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      pairs.as("x").join(pairs.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
-        .withColumn("w", graft.functions.HashFunctions.hash32(
-          concat(col("src").cast("string"), lit(":"), col("dst").cast("string")),
-          "msf"))
+  // the driver gate for q_msf is rows-only; this pins the actual
+  // forest: same edge count and same TOTAL weight as a local Kruskal
+  // union-find over the same (deterministic md5-weighted) graph.
+  // Checked at TWO scales: sf0.01's merge graphs run several Borůvka
+  // rounds with multi-batch pointer doubling — the regime where a
+  // contraction bug (cycle break, horizon batching) would first show.
+  for (sf <- Seq(sfDir, "/root/testdata/sf0.01"))
+    test(s"q_msf: forest weight and shape match Kruskal ($sf)") {
+      val forest = SparkEntry.queries("q_msf")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    }
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    var kruskalW = 0L; var kruskalN = 0
-    edges.sortBy { case (u, v, w) => (w, math.min(u, v), math.max(u, v)) }
-      .foreach { case (u, v, w) =>
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) { parent(ru) = rv; kruskalW += w; kruskalN += 1 }
+      val edges = {
+        val pairs = Tables.load(spark, sf, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        pairs.as("x").join(pairs.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+          .withColumn("w", graft.functions.HashFunctions.hash32(
+            concat(col("src").cast("string"), lit(":"), col("dst").cast("string")),
+            "msf"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       }
-    assert(forest.length === kruskalN, "forest edge count vs Kruskal")
-    assert(forest.map(_._3).sum === kruskalW, "forest total weight vs Kruskal")
-  }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      var kruskalW = 0L; var kruskalN = 0
+      edges.sortBy { case (u, v, w) => (w, math.min(u, v), math.max(u, v)) }
+        .foreach { case (u, v, w) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { parent(ru) = rv; kruskalW += w; kruskalN += 1 }
+        }
+      assert(forest.length === kruskalN, "forest edge count vs Kruskal")
+      assert(forest.map(_._3).sum === kruskalW, "forest total weight vs Kruskal")
+    }
 
   // ---- storage contract: CC per-round checkpoints are reclaimed ----
 

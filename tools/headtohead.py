@@ -115,7 +115,8 @@ def main():
     print("[build] sbt package")
     subprocess.run(["sbt", "-batch", "package"], cwd="/root/repo", check=True,
                    capture_output=True)
-    jar = next(Path("/root/repo/target/scala-2.13").glob("*.jar"))
+    jar = next(p for p in Path("/root/repo/target/scala-2.13").glob("*.jar")
+               if not p.name.endswith("-tests.jar"))
     ref_out, gr_out = BASE / "ref", BASE / "graft"
     for i in range(RUNS):
         tr = run_ref(ref_out)
