@@ -1202,6 +1202,36 @@ object Oracles {
        |FROM (SELECT doc_id, CAST($h AS BIGINT) AS h FROM documents)""".stripMargin
   }
 
+  /** DSIR twin of [[graft.operators.Sampling.dsirTopK]]: same md5-prefix
+    * feature buckets, same add-one smoothed log ratio quantized to int64
+    * 10⁻⁴ nats (the float surfaces ONLY inside round(ln·10⁴) — the
+    * per-doc fold is exact-integer, so aggregation order can't flake).
+    */
+  def sampleDsir: String = {
+    val hb = hex8Expr("t")
+    s"""WITH $toksCte, $shingCte,
+       |feat AS (SELECT doc_id, unnest(ts) AS t FROM toks
+       |  UNION ALL SELECT doc_id, unnest(sh) AS t FROM shing),
+       |fb AS (SELECT doc_id, CAST($hb AS BIGINT) % $DsirBuckets AS b FROM feat),
+       |dbk AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM fb GROUP BY 1, 2),
+       |rawb AS (SELECT b, CAST(sum(c) AS BIGINT) AS rc FROM dbk GROUP BY 1),
+       |tgtb AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc
+       |  FROM dbk JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(rc) FROM rawb) AS rtot,
+       |  (SELECT coalesce(sum(tc), 0) FROM tgtb) AS ttot),
+       |lam AS (SELECT rawb.b, CAST(round(
+       |    (ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE) / CAST(ttot + $DsirBuckets AS DOUBLE))
+       |     - ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + $DsirBuckets AS DOUBLE))) * 10000)
+       |    AS BIGINT) AS lam4
+       |  FROM rawb LEFT JOIN tgtb ON tgtb.b = rawb.b CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(sum(c * lam4) AS BIGINT) AS score4
+       |  FROM dbk JOIN lam USING (b) GROUP BY 1)
+       |SELECT doc_id, score4,
+       |  CAST(row_number() OVER (ORDER BY score4 DESC, doc_id) AS BIGINT) AS rk
+       |FROM sc ORDER BY score4 DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
   def sampleBernoulli: String = {
     val thr = math.floor(SampleRate * 4294967296.0).toLong
     val h = hex8Expr("('" + SampleSalt + ":' || CAST(doc_id AS VARCHAR))")

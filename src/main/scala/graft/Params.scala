@@ -82,6 +82,10 @@ object Params {
   val SampleSalt = "smp"
   val StratumK = 100
 
+  // DSIR importance resampling: hashed-feature bucket count + selection K
+  val DsirBuckets = 4096L
+  val DsirTopK = 100
+
   // train/val/test split: cumulative permille (900/50 → 90/5/5)
   val SplitTrainPm = 900L
   val SplitValPm = 50L

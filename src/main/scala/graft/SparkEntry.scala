@@ -1670,6 +1670,14 @@ object SparkEntry {
       Sampling.weighted(d, col("doc_id"), col("qscore"), SampleSalt)
         .select(col("doc_id"), col("qscore"))
     }),
+    "sample_dsir" -> ((s, dir) => {
+      // domain-matched data selection: score the whole corpus by hashed
+      // n-gram importance ratio against the English subset as the
+      // target domain, keep the top-K lookalikes
+      val docs = t(s, dir, "documents")
+      Sampling.dsirTopK(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", DsirBuckets, DsirTopK)
+    }),
     "sample_split" -> ((s, dir) =>
       // deterministic train/val/test assignment (90/5/5 permille hash
       // ranges): disjoint, exhaustive, stable under corpus growth
@@ -2149,6 +2157,7 @@ object SparkEntry {
     "etl_scd2_merge" -> Oracles.etlScd2,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_split" -> Oracles.sampleSplit,
+    "sample_dsir" -> Oracles.sampleDsir,
     "sample_stratified" -> Oracles.sampleStratified,
     "sample_weighted" -> Oracles.sampleWeighted,
     "sample_mixture" -> Oracles.sampleMixture,

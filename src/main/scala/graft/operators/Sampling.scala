@@ -262,4 +262,63 @@ object Sampling {
           .orderBy(col("__h").asc, col("doc_id").asc)).cast("long"))
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score each raw document by how much
+    * its hashed n-gram profile resembles a TARGET corpus rather than
+    * the raw corpus, keep the top-K — the standard way to skim
+    * domain-matched training data out of a web-scale crawl.
+    *
+    * Features are unigrams + word bigrams hashed into `buckets` buckets
+    * (the hashing is what makes this corpus-scale: the model state is
+    * two B-row count tables, never a vocabulary). Per-bucket log
+    * importance ratio uses add-one smoothing over the bucket space,
+    *   λ_b = ln((t_b + 1)/(T + B)) − ln((r_b + 1)/(R + B)),
+    * QUANTIZED to an int64 in 10⁻⁴ nats; a document's score is the
+    * exact-integer Σ c_b·λ4_b, so the fold is order-insensitive
+    * (engine-portable — a float sum would hash-flake on partial-agg
+    * order, SURVEY §6). Shuffles: one (doc, bucket) count aggregate on
+    * the raw corpus, one bucket census each side; the λ table is
+    * B rows and BROADCASTS back, so scoring is map-side on the count
+    * table. Selection is TakeOrdered top-K (no global sort); the rank
+    * window then runs on K rows (constant partition, declared bounded).
+    * Output: (doc_id, score4, rk) — score4 in 10⁻⁴ nats.
+    */
+  def dsirTopK(raw: DataFrame, target: DataFrame, idCol: String,
+               textCol: String, buckets: Long, k: Int): DataFrame = {
+    require(buckets >= 2 && k >= 1)
+    import graft.functions.{TextFunctions => T}
+    // unsalted md5 prefix, the minhash/simhash oracle-twin hash family
+    def feats(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+        explode(concat(T.tokens(col(textCol)),
+          T.shingles(col(textCol), 2))).as("t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    // two consumers (raw census + per-doc score): materialize once
+    val db = feats(raw).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val rawB = db.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tgtB = feats(target).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tot = rawB.agg(sum(col("rc")).as("rtot"))
+      .crossJoin(tgtB.agg(coalesce(sum(col("tc")), lit(0L)).as("ttot")))
+    // raw-side buckets only: a bucket no raw feature hits can't score a
+    // raw document, so the left join keeps λ exactly where it's needed
+    val lam = rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
+                   (col("ttot") + lit(buckets)).cast("double")) -
+               log((col("rc") + lit(1)).cast("double") /
+                   (col("rtot") + lit(buckets)).cast("double"))) * 10000)
+          .cast("long").as("lam4"))
+    val sc = db.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lam4")).as("score4"))
+      .orderBy(col("score4").desc, col("doc_id").asc)
+      .limit(k) // TakeOrdered: per-partition top-K, never a global sort
+    sc.withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)) // declared bounded: K rows
+          .orderBy(col("score4").desc, col("doc_id").asc)).cast("long"))
+  }
 }

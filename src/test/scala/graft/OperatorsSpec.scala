@@ -2626,6 +2626,33 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("dsirTopK over-selects the target domain and ranks deterministically") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = graft.operators.Sampling.dsirTopK(docs,
+      docs.filter($"lang" === "en"), "doc_id", "text",
+      Params.DsirBuckets, Params.DsirTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === Params.DsirTopK)
+    // rank is a contiguous 1..K total order aligned with (score desc, id)
+    assert(out.map(_._3).toSeq === (1L to Params.DsirTopK.toLong))
+    assert(out.sortBy(t => (-t._2, t._1)).map(_._3).toSeq ===
+      (1L to Params.DsirTopK.toLong))
+    // the whole point: importance weights must pull the selection toward
+    // the target domain — en share in the top-K strictly above base rate
+    val langOf = docs.select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enSel = out.count(t => langOf(t._1) == "en").toDouble / out.length
+    val enBase = langOf.valuesIterator.count(_ == "en").toDouble / langOf.size
+    assert(enSel > enBase,
+      s"selection en-share $enSel must exceed corpus base rate $enBase")
+    // determinism: a second run returns the identical selection
+    val again = graft.operators.Sampling.dsirTopK(docs,
+      docs.filter($"lang" === "en"), "doc_id", "text",
+      Params.DsirBuckets, Params.DsirTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("kAnonymity census and kSuppress star small QI groups") {
     val df = (1 to 12).map(i => (i.toLong, if (i <= 9) "A" else "B", i % 2))
       .toDF("id", "seg", "par")

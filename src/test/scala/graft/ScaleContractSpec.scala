@@ -126,8 +126,10 @@ class ScaleContractSpec extends SparkSpec {
       val written = run()
       assert(written.size >= 2,
         s"expected multiple per-round checkpoint dirs, saw $written")
-      // reclamation is asynchronous: the cleaner acts on GC'd RDD refs
-      val deadline = System.currentTimeMillis() + 60000
+      // reclamation is asynchronous: the cleaner acts on GC'd RDD refs;
+      // generous deadline — under a loaded suite JVM one GC cycle can
+      // lag tens of seconds, and a slow pass must not read as a leak
+      val deadline = System.currentTimeMillis() + 120000
       var left = rddDirs()
       while (left.nonEmpty && System.currentTimeMillis() < deadline) {
         System.gc()
