@@ -712,22 +712,65 @@ class PlanSpec extends SparkSpec {
         if w.partitionSpec.isEmpty => w
     }.size
 
-  test("global-window budget: no driver query plans an unmarked single-partition window") {
-    // Zero budget: every deliberate bounded-frame window carries the
-    // partitionBy(lit(0)) marker (greppable + reviewable), fact-sized
-    // total orders go through GlobalRank's two-pass, and an operator
-    // that accidentally writes row_number().over(Window.orderBy(...))
-    // on data-sized input fails HERE instead of shipping as a runtime
-    // warning.
+  /** Nested-loop joins whose BROADCAST side is NOT one of the three
+    * shapes this library sanctions: (a) a global (groupless) aggregate —
+    * the 1-row scalar-stats injection idiom; (b) a literal local table
+    * of ≤ 64 rows (percentile lists, constant calendars); (c) a
+    * broadcast semi/anti lookup (the small side is the lookup set by
+    * construction — GDPR forget sets, decontamination benchmarks).
+    * Anything else is a fact×fact nested loop: quadratic at scale.
+    */
+  private def unsanctionedBnlj(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti, ExistenceJoin}
+    df.queryExecution.sparkPlan.collect {
+      case b: BroadcastNestedLoopJoinExec =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        val scalarAgg = build.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }.nonEmpty
+        val smallLiteral = build.collectFirst {
+          case l: LocalTableScanExec if l.rows.lengthCompare(64) <= 0 => l
+        }.nonEmpty
+        val semiAnti = b.joinType match {
+          case LeftSemi | LeftAnti | _: ExistenceJoin => true
+          case _ => false
+        }
+        if (scalarAgg || smallLiteral || semiAnti) 0 else 1
+    }.sum
+  }
+
+  test("global-window + nested-loop budget: one sweep over every driver query") {
+    // Zero budget on BOTH anti-patterns. Windows: every deliberate
+    // bounded-frame window carries the partitionBy(lit(0)) marker
+    // (greppable + reviewable), fact-sized total orders go through
+    // GlobalRank's two-pass, and an operator that accidentally writes
+    // row_number().over(Window.orderBy(...)) on data-sized input fails
+    // HERE instead of shipping as a runtime warning. Nested loops:
+    // every BroadcastNestedLoopJoin must be a sanctioned scalar-inject /
+    // literal-table / semi-anti-lookup shape ([[unsanctionedBnlj]]) —
+    // a new operator that accidentally thetas two fact tables fails
+    // here instead of going quadratic at scale.
+    // Three BNLJs are bounded by CONSTRUCTION, not by a plan shape the
+    // classifier can see: the KMV set-algebra queries pair per-GROUP
+    // sketches (groups = order years, each a 64-long array — the whole
+    // point of sketch algebra is that this table is tiny), and
+    // t-closeness crosses in its ≤BalanceBands-row band distribution.
+    val bnljWhitelist = Map("q_kmv_diff" -> 1, "q_kmv_intersect" -> 1,
+      "q_tcloseness" -> 1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val n = globalWindows(fn(spark, sfDir))
-        if (n > 0) Some(name -> n) else None
+        val df = fn(spark, sfDir)
+        val w = globalWindows(df)
+        val b = unsanctionedBnlj(df) - bnljWhitelist.getOrElse(name, 0)
+        if (w > 0 || b > 0) Some(name -> ((w, b))) else None
     }.toMap
-    assert(offenders === Map.empty[String, Int],
-      s"unmarked single-partition windows; either partition the window " +
-        s"or, if the frame is provably bounded, declare it with " +
-        s"Window.partitionBy(lit(0)): ${offenders.toSeq.sortBy(_._1)}")
+    assert(offenders === Map.empty[String, (Int, Int)],
+      s"(unmarked-global-windows, unsanctioned-nested-loops) per query: " +
+        s"${offenders.toSeq.sortBy(_._1)}")
   }
 
   test("global-window detector catches a deliberately global fact-sized window") {
