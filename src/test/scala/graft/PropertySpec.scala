@@ -207,6 +207,29 @@ class PropertySpec extends SparkSpec {
       assert(got === want,
         s"trial $trial: Borůvka/Kruskal diverge: extra=${got -- want} missing=${want -- got}")
     }
+    // adversarial shape 1: a long PATH with strictly decreasing weights —
+    // every node's min edge points DOWN the chain, so the per-round
+    // pointer trees are as deep as they can get and the contraction's
+    // batched doubling must run multiple batches to find the roots
+    val chain = (0L until 300L).map(i => (i, i + 1, 100000L - i * 3))
+    val gotChain = Msf.msf(chain.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotChain === kruskal(301, chain).toSet,
+      "deep-chain graph: Borůvka/Kruskal diverge")
+    // adversarial shape 2: ALL weights tied — the (w, u, v) total order's
+    // (u, v) tie-break alone must make picks consistent (the mutual-pick
+    // 2-cycle argument the contraction's cycle break relies on)
+    val rnd2 = new scala.util.Random(77)
+    val tied = (0 until 160).map { _ =>
+      val u = rnd2.nextInt(60).toLong
+      var v = rnd2.nextInt(60).toLong
+      while (v == u) v = rnd2.nextInt(60).toLong
+      (u min v, u max v, 42L)
+    }.distinct
+    val gotTied = Msf.msf(tied.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTied === kruskal(60, tied),
+      "tied-weight graph: Borůvka/Kruskal diverge")
   }
 
   test("property: cdcChunks tile any payload; identical bytes chunk identically") {
