@@ -86,6 +86,9 @@ object Params {
   val DsirBuckets = 4096L
   val DsirTopK = 100
 
+  // binaryFile ingestion fixture: files = doc_ids below this bound
+  val BinSrcMaxId = 256L
+
   // train/val/test split: cumulative permille (900/50 → 90/5/5)
   val SplitTrainPm = 900L
   val SplitValPm = 50L

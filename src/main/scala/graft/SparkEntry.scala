@@ -1999,6 +1999,32 @@ object SparkEntry {
     // ---- §2.7 multimodal ----
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(s, t(s, dir, "documents"))),
+    "src_binaryfile_ingest" -> ((s, dir) => {
+      // raw multimodal ingestion: materialize a deterministic PNG file
+      // tree once (executor-side, idempotent) and read it back through
+      // Spark's binaryFile source — path/length metadata from the
+      // source, pixel dimensions from the REAL decode. The fixture is
+      // bounded to BinSrcMaxId files: the query exercises the plumbing
+      // (glob filter, per-file rows, binary content column), not
+      // file-count throughput (see Sources.readBinaryFiles on why a
+      // corpus takes this hop exactly once).
+      import s.implicits._
+      val media = Multimodal.mediaFromDocumentsPng(
+        t(s, dir, "documents").where(col("doc_id") < BinSrcMaxId))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_binsrc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Multimodal.materializeTree(media, root, "png")
+      sources.Sources.readBinaryFiles(s, root, "media_*.png")
+        .select(regexp_extract(col("path"), "media_(\\d+)\\.png$", 1)
+            .cast("long").as("media_id"),
+          col("length").as("n_bytes"), col("content"))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (id, n, bytes) =>
+          val (w, h) = multimodal.ImageCodec.decodePng(bytes)
+            .map(t => (t._1.toLong, t._2.toLong)).getOrElse((-1L, -1L))
+          (id, n, w, h)
+        }.toDF("media_id", "n_bytes", "width", "height")
+    }),
     "multimodal_cdc_chunks" -> ((s, dir) => {
       // chunk-level dedup census over real binary payloads (PNG/WAV/
       // GIF): content-defined boundaries → md5 groupBy — how much

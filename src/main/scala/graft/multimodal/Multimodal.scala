@@ -187,6 +187,31 @@ object Multimodal {
     }
   }
 
+  /** Materialize each payload as an individual `media_<id>.<ext>` file
+    * under `dir` — the fixture builder for the raw binary-file
+    * ingestion path ([[graft.sources.Sources.readBinaryFiles]]).
+    * Executor-side and idempotent per file (write to a per-task temp
+    * name, rename into place; a loser of a concurrent race deletes its
+    * temp), so repeated runs against the same dir are cheap no-ops.
+    * In local mode the dir is driver-local; on a cluster it must be
+    * shared storage — the same contract as any file sink.
+    */
+  def materializeTree(media: Dataset[MediaRow], dir: String, ext: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    media.foreachPartition { rows: Iterator[MediaRow] =>
+      rows.foreach { r =>
+        val f = new java.io.File(dir, f"media_${r.media_id}%06d.$ext")
+        if (!f.exists()) {
+          val tmp = java.io.File.createTempFile(s".m${r.media_id}_", ".part",
+            new java.io.File(dir))
+          val os = new java.io.FileOutputStream(tmp)
+          try os.write(r.payload) finally os.close()
+          if (!tmp.renameTo(f)) tmp.delete() // lost the race: file exists
+        }
+      }
+    }
+  }
+
   /** REAL decode for image payloads (PNG via javax.imageio): dimensions
     * and checksum come from the decoded pixels, not the container bytes.
     * Non-decodable payloads (other modalities) fall back to the stub's

@@ -43,6 +43,23 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Raw binary-file ingestion — Spark's built-in `binaryFile` source,
+    * the standard first hop for a multimodal corpus that lands as
+    * individual image/audio/video FILES rather than packed tables: one
+    * row per file with (path, modificationTime, length, content).
+    *
+    * Scale posture: the source parallelizes over files (bin-packed by
+    * `spark.sql.files.maxPartitionBytes` / `openCostInBytes`), and the
+    * ONLY pushdown it supports is the path glob + a `length` filter —
+    * so at corpus scale the pattern is exactly this hop ONCE, straight
+    * into a packed columnar table (payload + typed metadata, the §2.7
+    * model), never repeated scans of the file tree; millions of tiny
+    * files also pay a driver listing storm, which is what
+    * [[compactParquet]]-style packing exists to end.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   /** Small-file compaction: rewrite a parquet directory to
     * ≈`targetRowsPerFile` rows per file. Micro-batch sinks and
     * fine-grained partitioned writes accumulate thousands of tiny files;

@@ -22,6 +22,21 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8").startsWith("the fast key"))
   }
 
+  test("binaryFile ingestion: the file tree roundtrips with source " +
+    "metadata + real decode agreeing with construction") {
+    val out = SparkEntry.queries("src_binaryfile_ingest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one row per materialized file, and for EVERY file: n_bytes is the
+    // exact payload length (source metadata) and width/height are the
+    // construction's dims recovered from the BYTES by the real decode
+    val expect = Multimodal.mediaFromDocumentsPng(
+        docs.where($"doc_id" < Params.BinSrcMaxId))
+      .collect().map(m => (m.media_id, m.payload.length.toLong,
+        m.width.toLong, m.height.toLong))
+    assert(out.toSet === expect.toSet)
+    assert(out.length === expect.length)
+  }
+
   test("real PNG codec: decode recovers encoded dimensions from the bytes") {
     val media = Multimodal.mediaFromDocumentsPng(docs.limit(20)).collect()
     // payloads are genuine PNG containers (magic bytes), varied sizes
