@@ -2302,6 +2302,64 @@ object Oracles {
        |    // (CAST(n_ref + n_cur AS HUGEINT) * t_ref * t_cur) AS BIGINT) AS contrib_ppm
        |FROM j CROSS JOIN t""".stripMargin
 
+  /** jsdDrift twin: the float surfaces only inside round(ln·10⁴) (the
+    * PMI discipline); HUGEINT where Spark uses DECIMAL(38,0); every
+    * integer division has a non-negative numerator (greatest-0 clamp on
+    * the KL sums), so `//` vs `div` convention never matters.
+    */
+  def qJsdDrift: String =
+    s"""WITH r AS (SELECT event_type AS bucket, count(*) AS n_ref FROM events
+       |    WHERE ts < TIMESTAMP '${Params.JsdSplitTs}' GROUP BY 1),
+       |cu AS (SELECT event_type AS bucket, count(*) AS n_cur FROM events
+       |    WHERE ts >= TIMESTAMP '${Params.JsdSplitTs}' GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bucket, cu.bucket) AS bucket,
+       |      COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |    FROM r FULL OUTER JOIN cu ON r.bucket = cu.bucket),
+       |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+       |      CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j),
+       |terms AS (SELECT t_ref, t_cur,
+       |    CASE WHEN n_ref > 0 THEN n_ref * CAST(round(ln(
+       |        CAST(2*n_ref*t_cur AS DOUBLE)
+       |        / CAST(n_ref*t_cur + n_cur*t_ref AS DOUBLE)) * 10000) AS BIGINT)
+       |      ELSE 0 END AS p_term,
+       |    CASE WHEN n_cur > 0 THEN n_cur * CAST(round(ln(
+       |        CAST(2*n_cur*t_ref AS DOUBLE)
+       |        / CAST(n_ref*t_cur + n_cur*t_ref AS DOUBLE)) * 10000) AS BIGINT)
+       |      ELSE 0 END AS q_term
+       |  FROM j CROSS JOIN t)
+       |SELECT count(*) AS n_buckets, t_ref, t_cur,
+       |  CAST(CAST(greatest(0, sum(p_term)) AS HUGEINT) * 1000000 // t_ref AS BIGINT) AS kl_pm_e10,
+       |  CAST(CAST(greatest(0, sum(q_term)) AS HUGEINT) * 1000000 // t_cur AS BIGINT) AS kl_qm_e10,
+       |  (CAST(CAST(greatest(0, sum(p_term)) AS HUGEINT) * 1000000 // t_ref AS BIGINT)
+       |   + CAST(CAST(greatest(0, sum(q_term)) AS HUGEINT) * 1000000 // t_cur AS BIGINT)) // 2 AS jsd_e10
+       |FROM terms GROUP BY t_ref, t_cur""".stripMargin
+
+  /** partitionModularity twin: non-negative numerators throughout (the
+    * two Q terms are emitted separately, never subtracted), HUGEINT for
+    * the d_c² square.
+    */
+  def qModularity: String =
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT s.s_nationkey AS l_src, c.c_nationkey AS l_dst
+       |    FROM pairs p JOIN supplier s ON p.sk = s.s_suppkey
+       |    JOIN customer c ON p.ck = c.c_custkey),
+       |lab AS (SELECT s_nationkey AS label FROM supplier
+       |    UNION ALL SELECT c_nationkey FROM customer),
+       |w AS (SELECT l_src AS label, count(*) AS e_within FROM e
+       |    WHERE l_src = l_dst GROUP BY 1),
+       |d AS (SELECT label, count(*) AS degree_sum FROM
+       |    (SELECT l_src AS label FROM e UNION ALL SELECT l_dst FROM e) GROUP BY 1),
+       |n AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+       |m AS (SELECT count(*) AS m FROM e)
+       |SELECT n.label, n_nodes, COALESCE(degree_sum, 0) AS degree_sum,
+       |  COALESCE(e_within, 0) AS e_within,
+       |  COALESCE(e_within, 0) * 1000000 // m AS within_ppm,
+       |  CAST(CAST(COALESCE(degree_sum, 0) AS HUGEINT) * COALESCE(degree_sum, 0)
+       |    * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT) AS expected_ppm
+       |FROM n LEFT JOIN d ON n.label = d.label
+       |LEFT JOIN w ON n.label = w.label CROSS JOIN m""".stripMargin
+
   /** trendFit twin: identical moment sums and truncating rational
     * divisions in HUGEINT; the den=0 NULL guard is part of the portable
     * contract (DuckDB `//` by zero errors where Spark nulls).

@@ -58,6 +58,9 @@ object Params {
   // (50k-dollar buckets — the HistWidth bucketing without the double)
   val DriftSplitYear = 1997
   val DriftBucketCents = 5000000L
+  // JSD drift gate: events split into ref/cur halves at this instant;
+  // the bucketing is categorical (event_type)
+  val JsdSplitTs = "2024-01-16 00:00:00"
 
   // temperature (α=1/2) mixture sampling budget, % of corpus char mass
   val TempBudgetPct = 50L

@@ -355,6 +355,34 @@ object SparkEntry {
         o.where(col("y") > lit(DriftSplitYear)),
         expr(s"c div $DriftBucketCents"))
     }),
+    "q_jsd_drift" -> ((s, dir) => {
+      // corpus-mix drift as LLM pipelines track it: Jensen–Shannon
+      // divergence of the event-type distribution between the two
+      // calendar halves of the stream — the categorical companion to
+      // q_drift_chi2's numeric bucketing, bounded and symmetric
+      val e = t(s, dir, "events").select(col("ts"), col("event_type"))
+      Sketches.jsdDrift(
+        e.where(col("ts") < ts(JsdSplitTs)),
+        e.where(col("ts") >= ts(JsdSplitTs)),
+        col("event_type"))
+    }),
+    "q_modularity" -> ((s, dir) => {
+      // nation-homophily audit of the supplier–customer trading graph:
+      // does linkage concentrate inside nations beyond what a
+      // degree-preserving rewiring predicts? Σ(within−expected)/1e6 = Q
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"),
+        (col("ck") + lit(PrCustOffset)).as("dst"))
+      val labels = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
+        .unionAll(t(s, dir, "customer")
+          .select((col("c_custkey") + lit(PrCustOffset)).as("node"),
+            col("c_nationkey").as("label")))
+      operators.Modularity.partitionModularity(edges, labels)
+    }),
     "q_ewma" -> ((s, dir) => {
       // integer exponential smoothing (α = 1/4): the recurrence
       // s' = (3s + x) div 4 folds over the SORTED monthly series — a
@@ -2085,6 +2113,8 @@ object SparkEntry {
     "q_holt" -> Oracles.qHolt,
     "q_holt_winters" -> Oracles.qHoltWinters,
     "q_drift_chi2" -> Oracles.qDriftChi2,
+    "q_jsd_drift" -> Oracles.qJsdDrift,
+    "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,
     "q_acf" -> Oracles.qAcf,

@@ -639,6 +639,67 @@ object Sketches {
           .as("contrib_ppm"))
   }
 
+  /** Jensen–Shannon divergence drift gate between two snapshots over a
+    * shared (categorical or bucketed) measure — the bounded, symmetric
+    * companion to [[chi2Drift]] and the statistic LLM-corpus mix
+    * monitoring actually tracks (JSD of the source/domain distribution
+    * between two crawl snapshots). With per-bucket counts (a, b) and
+    * totals (A, B): P=a/A, Q=b/B, M=(P+Q)/2 and
+    * `JSD = ½·KL(P‖M) + ½·KL(Q‖M)`, where each per-bucket log ratio
+    * reduces to an INTEGER ratio: P/M = 2aB/(aB+bA), Q/M = 2bA/(aB+bA).
+    *
+    * Engine-portable fixed point, the [[TextOps.pmi]] discipline: the
+    * float surfaces ONLY inside `round(ln(int-ratio)·10⁴)` — everything
+    * before (count products) and after (weighted sums, the final ppm
+    * floors) is exact integer arithmetic, and every division has a
+    * non-negative numerator (KL ≥ 0; sums are clamped at 0 because a
+    * sub-rounding-resolution drift, < 0.5·10⁻⁴ nats, may round
+    * fractionally negative). Buckets absent from one snapshot
+    * contribute their full mass to the OTHER side's KL term via M —
+    * JSD never divides by zero, the reason it's the right gate for
+    * vanishing/appearing categories.
+    *
+    * Distributed shape: identical to chi2Drift — two per-bucket partial
+    * aggregates, one full-outer bucket join, one 2-column broadcast of
+    * the totals, then a single global reduce. Returns ONE row:
+    * (n_buckets, t_ref, t_cur, kl_pm_e10, kl_qm_e10, jsd_e10) — nats
+    * ×10¹⁰; jsd_e10/10¹⁰ ∈ [0, ln 2]. Int64-safe to ~10¹²-row
+    * snapshots (|Σ a·ln_e4| ≤ A·14·10⁴; the ×10⁶ ppm step runs in
+    * DECIMAL(38,0)).
+    */
+  def jsdDrift(ref: DataFrame, cur: DataFrame, bucket: Column): DataFrame = {
+    val r = ref.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_cur"))
+    val j = r.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val terms = j.crossJoin(broadcast(tot))
+      .select(col("t_ref"), col("t_cur"),
+        when(col("t_ref") === 0 || col("t_cur") === 0,
+          raise_error(lit("jsdDrift: both snapshots must be non-empty")))
+          .otherwise(when(col("n_ref") > 0, expr(
+            "n_ref * CAST(round(ln(CAST(2*n_ref*t_cur AS DOUBLE) " +
+              "/ CAST(n_ref*t_cur + n_cur*t_ref AS DOUBLE)) * 10000) AS BIGINT)"))
+            .otherwise(lit(0L))).as("p_term"),
+        when(col("n_cur") > 0, expr(
+          "n_cur * CAST(round(ln(CAST(2*n_cur*t_ref AS DOUBLE) " +
+            "/ CAST(n_ref*t_cur + n_cur*t_ref AS DOUBLE)) * 10000) AS BIGINT)"))
+          .otherwise(lit(0L)).as("q_term"))
+    terms
+      .groupBy(col("t_ref"), col("t_cur"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("p_term")).as("sp"), sum(col("q_term")).as("sq"))
+      .select(col("n_buckets"), col("t_ref"), col("t_cur"),
+        expr("CAST(CAST(greatest(0L, sp) AS DECIMAL(38,0)) * 1000000 " +
+          "div t_ref AS BIGINT)").as("kl_pm_e10"),
+        expr("CAST(CAST(greatest(0L, sq) AS DECIMAL(38,0)) * 1000000 " +
+          "div t_cur AS BIGINT)").as("kl_qm_e10"),
+        expr("(CAST(CAST(greatest(0L, sp) AS DECIMAL(38,0)) * 1000000 " +
+          "div t_ref AS BIGINT) " +
+          "+ CAST(CAST(greatest(0L, sq) AS DECIMAL(38,0)) * 1000000 " +
+          "div t_cur AS BIGINT)) div 2").as("jsd_e10"))
+  }
+
   /** Gini concentration coefficient over a per-key measure, exact:
     * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending — the
     * inequality KPI for spend/traffic/token-count concentration.

@@ -2665,4 +2665,62 @@ class OperatorsSpec extends SparkSpec {
     assert(sup === ((1 to 9).map(i => (i.toLong, "A"))
       ++ (10 to 12).map(i => (i.toLong, "*"))).toSet)
   }
+
+  test("partitionModularity: two bridged triangles, hand-computed Q terms") {
+    // triangles {1,2,3} and {4,5,6} plus the bridge 3–4: m=7,
+    // e_A=e_B=3, d_A=d_B=7 → within = 3e6 div 7 = 428571,
+    // expected = 49e6 div 196 = 250000; Q = 2(428571−250000)/1e6 ≈ .357
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("node", "label")
+    val out = operators.Modularity.partitionModularity(edges, labels)
+      .collect().map(r => (r.getAs[String]("label"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("degree_sum"), r.getAs[Long]("e_within"),
+        r.getAs[Long]("within_ppm"), r.getAs[Long]("expected_ppm"))).toSet
+    assert(out === Set(("A", 3L, 7L, 3L, 428571L, 250000L),
+      ("B", 3L, 7L, 3L, 428571L, 250000L)))
+  }
+
+  test("partitionModularity: perfect split has zero cross edges, Q > 0") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("node", "label")
+    val out = operators.Modularity.partitionModularity(edges, labels)
+      .collect().map(r => (r.getAs[Long]("within_ppm"), r.getAs[Long]("expected_ppm")))
+    // each label: within = 1e6 div 2 = 500000, expected = 4e6 div 16 = 250000
+    assert(out.toSet === Set((500000L, 250000L)))
+  }
+
+  test("jsdDrift: hand-computed symmetric 3:1 flip") {
+    // ref x:3 y:1, cur x:1 y:3 (A=B=4): ln(1.5)→4055e-4, ln(.5)→−6931e-4,
+    // sp = sq = 3·4055 − 6931 = 5234 → kl_e10 = 5234·1e6 div 4
+    val ref = Seq("x", "x", "x", "y").toDF("v")
+    val cur = Seq("x", "y", "y", "y").toDF("v")
+    val r = Sketches.jsdDrift(ref, cur, col("v")).collect().head
+    assert(r.getAs[Long]("n_buckets") === 2L)
+    assert(r.getAs[Long]("t_ref") === 4L && r.getAs[Long]("t_cur") === 4L)
+    assert(r.getAs[Long]("kl_pm_e10") === 1308500000L)
+    assert(r.getAs[Long]("kl_qm_e10") === 1308500000L)
+    assert(r.getAs[Long]("jsd_e10") === 1308500000L)
+  }
+
+  test("jsdDrift: identical distributions score exactly zero") {
+    val d = Seq("x", "x", "y").toDF("v")
+    val r = Sketches.jsdDrift(d, d, col("v")).collect().head
+    assert(r.getAs[Long]("jsd_e10") === 0L)
+  }
+
+  test("jsdDrift: disjoint buckets cap at ln2, empty snapshot raises") {
+    // fully disjoint supports: JSD = ln 2 → e10 = 6931·1e6 div 1 per
+    // side with a single bucket each
+    val ref = Seq("only_ref").toDF("v")
+    val cur = Seq("only_cur").toDF("v")
+    val r = Sketches.jsdDrift(ref, cur, col("v")).collect().head
+    assert(r.getAs[Long]("n_buckets") === 2L)
+    assert(r.getAs[Long]("jsd_e10") === 6931000000L) // ln2 to e4 rounding
+    val e = intercept[Exception] {
+      Sketches.jsdDrift(ref, cur.where(col("v") === "nope"), col("v")).collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
 }
