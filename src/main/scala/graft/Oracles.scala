@@ -1202,6 +1202,41 @@ object Oracles {
        |FROM (SELECT doc_id, CAST($h AS BIGINT) AS h FROM documents)""".stripMargin
   }
 
+  /** Grouped-split twin: [[sampleSplit]]'s hash thresholds with the
+    * SOURCE as the hash key under its own salt.
+    */
+  def sampleSplitGrouped: String = {
+    val h = hex8Expr("('" + GroupSplitSalt + ":' || source)")
+    val trainThr = SplitTrainPm * 4294967296L / 1000L
+    val valThr = (SplitTrainPm + SplitValPm) * 4294967296L / 1000L
+    s"""SELECT doc_id, source, CASE WHEN h < $trainThr THEN 'train'
+       |  WHEN h < $valThr THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, source, CAST($h AS BIGINT) AS h FROM documents)""".stripMargin
+  }
+
+  /** mixBudget twin: identical water-filling rounds; HUGEINT where Spark
+    * rides DECIMAL(38,0); every `//` numerator non-negative.
+    */
+  def sampleMixBudget: String =
+    s"""WITH avail AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+       |    FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS tot, count(*) AS n_src FROM avail),
+       |base AS (SELECT source, avail, avail * ${Params.PlanMaxEpochs} AS cap,
+       |    tot * ${Params.PlanBudgetPct} // 100 // n_src AS alloc0
+       |  FROM avail CROSS JOIN tot),
+       |b2 AS (SELECT source, avail, cap, least(cap, alloc0) AS alloc1,
+       |    greatest(0, alloc0 - cap) AS shortfall,
+       |    greatest(0, cap - alloc0) AS headroom FROM base),
+       |pool AS (SELECT CAST(sum(shortfall) AS BIGINT) AS pool,
+       |    CAST(sum(headroom) AS BIGINT) AS hsum FROM b2),
+       |fin AS (SELECT source, avail, cap,
+       |    alloc1 + CASE WHEN hsum > 0 THEN least(headroom,
+       |        CAST(CAST(pool AS HUGEINT) * headroom // hsum AS BIGINT))
+       |      ELSE 0 END AS alloc
+       |  FROM b2 CROSS JOIN pool)
+       |SELECT source, avail, cap, CAST(alloc AS BIGINT) AS alloc,
+       |  CAST(alloc * 1000000 // avail AS BIGINT) AS epochs_ppm FROM fin""".stripMargin
+
   /** DSIR twin of [[graft.operators.Sampling.dsirTopK]]: same md5-prefix
     * feature buckets, same add-one smoothed log ratio quantized to int64
     * 10⁻⁴ nats (the float surfaces ONLY inside round(ln·10⁴) — the

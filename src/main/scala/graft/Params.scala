@@ -65,6 +65,14 @@ object Params {
   // temperature (α=1/2) mixture sampling budget, % of corpus char mass
   val TempBudgetPct = 50L
 
+  // training-mix budget allocation: total budget as % of corpus char
+  // mass (>100 exercises the epoch logic) and the per-source epoch cap
+  val PlanBudgetPct = 170L
+  val PlanMaxEpochs = 2L
+  // leakage-safe split: hash key is the SOURCE domain, own salt so the
+  // assignment is independent of the per-doc split
+  val GroupSplitSalt = "gspl"
+
   // rolling-distinct (WAU-style) window, calendar days
   val SlidingWindowDays = 7
   // conversion-path census: top-K paths

@@ -1712,6 +1712,19 @@ object SparkEntry {
       Sampling.split(t(s, dir, "documents"), col("doc_id"), SplitSalt,
           SplitTrainPm, SplitValPm)
         .select(col("doc_id"), col("split"))),
+    "sample_split_grouped" -> ((s, dir) =>
+      // leakage-safe variant of sample_split: the hash key is the doc's
+      // SOURCE domain, so a domain's docs can never straddle train/test
+      // — near-duplicates cluster within domains, and splitting by doc
+      // would leak them across the boundary
+      Sampling.split(t(s, dir, "documents"), col("source"), GroupSplitSalt,
+          SplitTrainPm, SplitValPm)
+        .select(col("doc_id"), col("source"), col("split"))),
+    "sample_mix_budget" -> ((s, dir) =>
+      // pre-sampling mix plan: 170% of corpus char mass spread uniform
+      // across sources, ≤2 epochs each, one water-filling redistribution
+      Sampling.mixBudget(t(s, dir, "documents"), "source", col("n_chars"),
+        PlanBudgetPct, PlanMaxEpochs)),
     "sample_mixture" -> ((s, dir) =>
       // domain-mixture curation: per-source keep-rates so the sample
       // approaches the target mixture under a char budget, rates capped
@@ -2213,6 +2226,8 @@ object SparkEntry {
     "etl_scd2_merge" -> Oracles.etlScd2,
     "sample_bernoulli" -> Oracles.sampleBernoulli,
     "sample_split" -> Oracles.sampleSplit,
+    "sample_split_grouped" -> Oracles.sampleSplitGrouped,
+    "sample_mix_budget" -> Oracles.sampleMixBudget,
     "sample_dsir" -> Oracles.sampleDsir,
     "sample_stratified" -> Oracles.sampleStratified,
     "sample_weighted" -> Oracles.sampleWeighted,

@@ -205,6 +205,54 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Training-mix token-budget allocation: split a total budget of
+    * `budgetPct`% of the corpus size across sources, uniform target
+    * share, each source capped at `maxEpochs` passes over its available
+    * mass — the planning step every LLM data mix runs before sampling
+    * (you cannot take 5 epochs of a small source just because its
+    * target share asks for it). Water-filling with ONE redistribution
+    * round, documented: sources whose cap is below the uniform share
+    * release their shortfall, which is re-split proportional to the
+    * uncapped sources' remaining headroom (`least(headroom, L·h div H)`
+    * — exact, never exceeds a cap; if the budget exceeds total capacity
+    * the pool saturates and the shortfall column reports what's left).
+    * A second round would re-redistribute crumbs from sources capped BY
+    * the redistribution — sub-ppm at realistic shapes, so one round is
+    * the contract (the `epochs_ppm` column makes any violation visible).
+    *
+    * All integer: the only products ride DECIMAL(38,0) (leftover ×
+    * headroom overflows int64 past ~10⁹ token corpora), every division
+    * has a non-negative numerator. Distributed shape: one source-keyed
+    * partial aggregate, then two single-row broadcasts — nothing
+    * row-sized shuffles twice. Returns one row per source:
+    * (source, avail, cap, alloc, epochs_ppm).
+    */
+  def mixBudget(df: DataFrame, sourceCol: String, sizeCol: Column,
+                budgetPct: Long, maxEpochs: Long): DataFrame = {
+    require(budgetPct > 0 && maxEpochs >= 1)
+    val avail = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(sizeCol).as("avail"))
+    val tot = avail.agg(sum(col("avail")).as("tot"), count(lit(1)).as("n_src"))
+    val base = avail.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail"),
+        (col("avail") * lit(maxEpochs)).as("cap"),
+        expr(s"tot * $budgetPct div 100 div n_src").as("alloc0"))
+      .select(col("source"), col("avail"), col("cap"),
+        least(col("cap"), col("alloc0")).as("alloc1"),
+        greatest(lit(0L), col("alloc0") - col("cap")).as("shortfall"),
+        greatest(lit(0L), col("cap") - col("alloc0")).as("headroom"))
+    val pool = base.agg(sum(col("shortfall")).as("pool"),
+      sum(col("headroom")).as("hsum"))
+    base.crossJoin(broadcast(pool))
+      .select(col("source"), col("avail"), col("cap"),
+        (col("alloc1") + when(col("hsum") > 0,
+          least(col("headroom"), expr(
+            "CAST(CAST(pool AS DECIMAL(38,0)) * headroom div hsum AS BIGINT)")))
+          .otherwise(lit(0L))).as("alloc"))
+      .select(col("source"), col("avail"), col("cap"), col("alloc"),
+        expr("alloc * 1000000L div avail").as("epochs_ppm"))
+  }
+
   /** Horvitz–Thompson total estimator over the deterministic bernoulli
     * sample: Σ v/π for sampled rows, π = ratePpm constant — the
     * closing half of the sampling loop ("estimate corpus statistics

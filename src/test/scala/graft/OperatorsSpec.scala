@@ -2666,6 +2666,46 @@ class OperatorsSpec extends SparkSpec {
       ++ (10 to 12).map(i => (i.toLong, "*"))).toSet)
   }
 
+  test("mixBudget: epoch cap releases shortfall to uncapped headroom") {
+    // avail A:100 B:100 C:20, 2-epoch caps 200/200/40, budget 150% of
+    // 220 = 330, uniform share 110. C caps at 40 (shortfall 70); A,B
+    // headroom 90 each → each gets least(90, 70·90 div 180) = 35.
+    val df = Seq(("A", 100L), ("B", 100L), ("C", 20L))
+      .toDF("src", "sz")
+    val out = Sampling.mixBudget(df, "src", col("sz"), 150L, 2L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("avail"),
+        r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+        r.getAs[Long]("epochs_ppm"))).toSet
+    assert(out === Set(("A", 100L, 200L, 145L, 1450000L),
+      ("B", 100L, 200L, 145L, 1450000L),
+      ("C", 20L, 40L, 40L, 2000000L)))
+    // the full budget is placed: Σ alloc = 330 = floor(220·150/100)
+    assert(out.toSeq.map(_._4).sum === 330L)
+  }
+
+  test("mixBudget: saturated pool allocates every cap, never beyond") {
+    // budget 500% of 30 = 150 vs total capacity 2×30 = 60: every source
+    // caps, hsum = 0 → the CASE guard holds and alloc == cap everywhere
+    val df = Seq(("A", 10L), ("B", 20L)).toDF("src", "sz")
+    val out = Sampling.mixBudget(df, "src", col("sz"), 500L, 2L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("alloc"),
+        r.getAs[Long]("epochs_ppm"))).toSet
+    assert(out === Set(("A", 20L, 2000000L), ("B", 40L, 2000000L)))
+  }
+
+  test("split keyed by source never straddles a domain across splits") {
+    val docs = (1 to 200).map(i => (i.toLong, s"d${i % 10}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.split(docs, col("source"), "gspl", 600L, 200L)
+    // every domain maps to exactly one split
+    val perDomain = out.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perDomain.forall(_.getAs[Long]("n") === 1L))
+    // and with 10 domains at 60/20/20 permille, more than one split is
+    // actually populated (the property is leakage-safety, not collapse)
+    assert(out.select(col("split")).distinct().count() >= 2)
+  }
+
   test("partitionModularity: two bridged triangles, hand-computed Q terms") {
     // triangles {1,2,3} and {4,5,6} plus the bridge 3–4: m=7,
     // e_A=e_B=3, d_A=d_B=7 → within = 3e6 div 7 = 428571,
