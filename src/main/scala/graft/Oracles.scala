@@ -1202,6 +1202,18 @@ object Oracles {
        |FROM (SELECT doc_id, CAST($h AS BIGINT) AS h FROM documents)""".stripMargin
   }
 
+  /** text_nfc twin: DuckDB's nfc_normalize against the native graft_nfc
+    * expression — chr(769) = U+0301 combining acute, chr(233) = é.
+    * Both engines count length() in Unicode codepoints.
+    */
+  def textNfc: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+      |  CAST(length(decomp) AS BIGINT) AS len_decomp,
+      |  CAST(length(nfc_normalize(decomp)) AS BIGINT) AS len_nfc,
+      |  nfc_normalize(decomp) = replace(text, 'e', chr(233)) AS composed_ok
+      |FROM (SELECT doc_id, text,
+      |    replace(text, 'e', 'e' || chr(769)) AS decomp FROM documents)""".stripMargin
+
   /** Grouped-split twin: [[sampleSplit]]'s hash thresholds with the
     * SOURCE as the hash key under its own salt.
     */

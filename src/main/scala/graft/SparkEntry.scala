@@ -1824,6 +1824,20 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"), T.rollingHash(col("text")).as("roll"))),
+    "text_nfc" -> ((s, dir) => {
+      // Unicode canonicalization through the native graft_nfc expression:
+      // a decomposed variant of each doc (every 'e' + combining acute
+      // U+0301) must compose back byte-identical to the precomposed 'é'
+      // replacement, and the codepoint count must shrink to the original
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("decomp", expr("replace(text, 'e', 'e\u0301')"))
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(col("decomp")).cast("long").as("len_decomp"),
+        length(T.nfc(col("decomp"))).cast("long").as("len_nfc"),
+        (T.nfc(col("decomp")) === expr("replace(text, 'e', '\u00e9')"))
+          .as("composed_ok"))
+    }),
     "text_winnow" -> ((s, dir) =>
       // winnowing (MOSS) fingerprint selection: positional substring-run
       // detection at ~2/(w+1) the gram density
@@ -2245,6 +2259,7 @@ object SparkEntry {
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
     "text_fingerprint" -> Oracles.textFingerprint,
+    "text_nfc" -> Oracles.textNfc,
     "text_winnow" -> Oracles.textWinnow,
     "text_pack" -> Oracles.textPack,
     "text_pmi" -> Oracles.textPmi,

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode NFC canonicalization — the native codegen'd
+    * [[graft.plans.NfcNormalize]] expression (Spark has no built-in
+    * normalizer; a UDF would leave whole-stage codegen). Run before any
+    * hash-keyed text operator: decomposed "e"+U+0301 vs precomposed é
+    * are byte-different and silently split dedup/vocab keys.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Whitespace tokens with empties removed (split keeps trailing ""). */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

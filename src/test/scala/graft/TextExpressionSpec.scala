@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.plans.TextExpressions
+
+/** The native graft_nfc expression must actually compose decomposed
+  * sequences (not just pass strings through), be a zero-copy identity on
+  * already-normal input, stay null-safe, and register as a SQL function.
+  * The Decomposed/Composed literals use explicit \\u escapes so a
+  * normalizing editor cannot silently collapse what they assert.
+  */
+class TextExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Decomposed = "cafe\u0301"  // e + combining acute: 5 codepoints
+  private val Composed = "caf\u00e9"     // precomposed é: 4 codepoints
+
+  test("graft_nfc composes decomposed accents to precomposed form") {
+    val df = Seq(Decomposed).toDF("s")
+    val out = df.select(T.nfc($"s").as("n"), length(T.nfc($"s")).as("len"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq === Seq((Composed, 4)))
+    assert(Decomposed.length === 5 && Composed.length === 4) // really distinct
+  }
+
+  test("graft_nfc is the identity on already-NFC input, null-safe") {
+    val df = Seq(Some("plain ascii"), Some(Composed), None).toDF("s")
+    val out = df.select(T.nfc($"s")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq === Seq("plain ascii", Composed, null))
+  }
+
+  test("graft_nfc agrees between codegen'd plan and direct kernel") {
+    val samples = Seq("é", "àb̂c", "Å", "x", "")
+    val viaPlan = samples.toDF("s").select(T.nfc($"s")).collect().map(_.getString(0))
+    val viaKernel = samples.map(s =>
+      graft.plans.NfcCodec.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString)
+    assert(viaPlan.toSeq === viaKernel)
+    // and both match java.text.Normalizer ground truth
+    assert(viaKernel === samples.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+  }
+
+  test("graft_nfc callable from SQL after registration; rejects non-string") {
+    TextExpressions.register(spark)
+    val n = spark.sql(s"SELECT graft_nfc('é') AS x")
+      .collect().head.getString(0)
+    assert(n === "é")
+    val e = intercept[Exception] {
+      Seq(1L).toDF("v").select(T.nfc($"v")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+}
