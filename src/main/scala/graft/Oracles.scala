@@ -2381,6 +2381,33 @@ object Oracles {
        |   + CAST(CAST(greatest(0, sum(q_term)) AS HUGEINT) * 1000000 // t_cur AS BIGINT)) // 2 AS jsd_e10
        |FROM terms GROUP BY t_ref, t_cur""".stripMargin
 
+  /** randomWalks twin: WITH RECURSIVE replay of the hash-deterministic
+    * walk — the same md5-derived neighbor pick ([[hex8Expr]]) over the
+    * same rank-ordered adjacency; dead-end termination falls out of the
+    * deg inner join in both engines.
+    */
+  def qRandomWalks: String = {
+    val h = hex8Expr("('" + Params.WalkSalt + ":' || CAST(w.walk_id AS VARCHAR) " +
+      "|| ':' || CAST(w.step + 1 AS VARCHAR) || ':' || CAST(w.node AS VARCHAR))")
+    s"""WITH RECURSIVE pairs AS (SELECT DISTINCT l_suppkey AS sk,
+       |    o_custkey + ${Params.PrCustOffset} AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ed AS (SELECT sk AS src, ck AS dst FROM pairs
+       |  UNION ALL SELECT ck, sk FROM pairs),
+       |adj AS (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk FROM ed),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+       |w(walk_id, step, node) AS (
+       |  SELECT s_suppkey, CAST(0 AS BIGINT), s_suppkey FROM supplier
+       |    WHERE s_suppkey % ${Params.WalkSeedMod} = 0
+       |  UNION ALL
+       |  SELECT w.walk_id, w.step + 1, a.dst
+       |  FROM w JOIN deg d ON d.src = w.node
+       |  JOIN adj a ON a.src = w.node AND a.rnk = ($h) % d.deg
+       |  WHERE w.step < ${Params.WalkSteps})
+       |SELECT walk_id, step, node FROM w""".stripMargin
+  }
+
   /** partitionModularity twin: non-negative numerators throughout (the
     * two Q terms are emitted separately, never subtracted), HUGEINT for
     * the d_c² square.

@@ -154,6 +154,12 @@ object Params {
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3
+
+  // deterministic random walks (DeepWalk corpus): length + hash salt +
+  // seed density (denser than the BFS seed set so small SFs still walk)
+  val WalkSteps = 4
+  val WalkSalt = "rw"
+  val WalkSeedMod = 20
   // weighted SSSP: relaxation-round bound (longer-but-lighter paths keep
   // improving past the hop radius, so the min-plus bound exceeds BfsHops)
   val SsspRounds = 6

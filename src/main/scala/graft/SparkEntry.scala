@@ -366,6 +366,22 @@ object SparkEntry {
         e.where(col("ts") >= ts(JsdSplitTs)),
         col("event_type"))
     }),
+    "q_random_walks" -> ((s, dir) => {
+      // DeepWalk-style training corpus: hash-deterministic 4-step walks
+      // over the undirected trading graph from every 100th supplier —
+      // replayable on any engine (the oracle is WITH RECURSIVE)
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (col("o_custkey") + lit(PrCustOffset)).as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .unionAll(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % WalkSeedMod === 0)
+        .select(col("s_suppkey").as("node"))
+      operators.Walks.randomWalks(edges, seeds, WalkSteps, WalkSalt)
+    }),
     "q_modularity" -> ((s, dir) => {
       // nation-homophily audit of the supplier–customer trading graph:
       // does linkage concentrate inside nations beyond what a
@@ -2141,6 +2157,7 @@ object SparkEntry {
     "q_holt_winters" -> Oracles.qHoltWinters,
     "q_drift_chi2" -> Oracles.qDriftChi2,
     "q_jsd_drift" -> Oracles.qJsdDrift,
+    "q_random_walks" -> Oracles.qRandomWalks,
     "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,

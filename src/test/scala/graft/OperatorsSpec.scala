@@ -2706,6 +2706,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select(col("split")).distinct().count() >= 2)
   }
 
+  test("randomWalks: deterministic, edge-valid, full length when connected") {
+    // complete digraph on 5 nodes: every walk runs all steps and every
+    // hop must be a real edge; two runs must be identical (salted hash,
+    // not rand)
+    val edges = (for { a <- 1 to 5; b <- 1 to 5 if a != b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    def run() = operators.Walks.randomWalks(edges, seeds, 3, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = run()
+    assert(w === run()) // replay-deterministic
+    assert(w.count(_._2 == 0L) === 2 && w.size === 8) // 2 walks × steps 0..3
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (wid <- Seq(1L, 2L); i <- 0 until 3) {
+      val a = w.find(x => x._1 == wid && x._2 == i).get._3
+      val b = w.find(x => x._1 == wid && x._2 == i + 1).get._3
+      assert(edgeSet.contains((a, b)), s"walk $wid hop $i: ($a,$b) not an edge")
+    }
+  }
+
+  test("randomWalks: a dead-end node stops the walk early") {
+    // directed chain 1→2→3; node 3 has no out-edges, so the walk is
+    // forced (single neighbors make the hash pick irrelevant) and stops
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = operators.Walks.randomWalks(edges, Seq(1L).toDF("node"), 5, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L)))
+  }
+
   test("partitionModularity: two bridged triangles, hand-computed Q terms") {
     // triangles {1,2,3} and {4,5,6} plus the bridge 3–4: m=7,
     // e_A=e_B=3, d_A=d_B=7 → within = 3e6 div 7 = 428571,
