@@ -2381,6 +2381,55 @@ object Oracles {
        |   + CAST(CAST(greatest(0, sum(q_term)) AS HUGEINT) * 1000000 // t_cur AS BIGINT)) // 2 AS jsd_e10
        |FROM terms GROUP BY t_ref, t_cur""".stripMargin
 
+  /** welchT twin: the IEEE fragments come VERBATIM from
+    * [[graft.operators.Experiment]] (shared vals — the op tree cannot
+    * drift between engines); only the integer-division operator is
+    * dialect-local.
+    */
+  def qAbTtest: String = {
+    import graft.operators.Experiment.{SeaFrag, SebFrag, tE6Frag, dfE6Frag}
+    s"""WITH m AS (SELECT user_id,
+       |    CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS m
+       |  FROM events GROUP BY 1),
+       |a AS (SELECT
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN m ELSE 0 END) AS BIGINT) AS s1a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN m ELSE 0 END) AS BIGINT) AS s1b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN m*m ELSE 0 END) AS BIGINT) AS s2a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN m*m ELSE 0 END) AS BIGINT) AS s2b
+       |  FROM m)
+       |SELECT na AS n_a, nb AS n_b, s1a AS sum_a, s1b AS sum_b,
+       |  CAST(CAST(CAST(s1a AS DECIMAL(38,0))*nb - CAST(s1b AS DECIMAL(38,0))*na AS HUGEINT)
+       |    * 1000000 // CAST(CAST(na AS DECIMAL(38,0))*nb AS HUGEINT) AS BIGINT) AS diff_ppm,
+       |  ${tE6Frag(SeaFrag, SebFrag)} AS t_e6,
+       |  ${dfE6Frag(SeaFrag, SebFrag)} AS df_e6
+       |FROM a""".stripMargin
+  }
+
+  /** cuped twin: same shared-fragment contract as [[qAbTtest]]. */
+  def qCuped: String = {
+    import graft.operators.Experiment.{ThetaNumFrag, ThetaDenFrag, adjE4Frag}
+    s"""WITH e AS (SELECT user_id, ts,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+       |u AS (SELECT user_id,
+       |    CAST(COALESCE(sum(CASE WHEN ts < TIMESTAMP '${Params.JsdSplitTs}' THEN c END), 0) AS BIGINT) AS x,
+       |    CAST(COALESCE(sum(CASE WHEN ts >= TIMESTAMP '${Params.JsdSplitTs}' THEN c END), 0) AS BIGINT) AS y
+       |  FROM e GROUP BY 1),
+       |p AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |    CAST(sum(x*y) AS BIGINT) AS sxy FROM u),
+       |arms AS (SELECT user_id % 2 AS arm, count(*) AS n_arm,
+       |    CAST(sum(x) AS BIGINT) AS sx_arm, CAST(sum(y) AS BIGINT) AS sy_arm
+       |  FROM u GROUP BY 1)
+       |SELECT arm, n_arm AS n, sx_arm AS sum_pre, sy_arm AS sum_post,
+       |  CAST(CAST($ThetaNumFrag AS HUGEINT) * 1000000
+       |    // CAST($ThetaDenFrag AS HUGEINT) AS BIGINT) AS theta_e6,
+       |  CAST(floor(CAST(sy_arm AS DOUBLE)/CAST(n_arm AS DOUBLE) * 1e4) AS BIGINT) AS mean_post_e4,
+       |  ${adjE4Frag(ThetaNumFrag, ThetaDenFrag)} AS mean_adj_e4
+       |FROM arms CROSS JOIN p""".stripMargin
+  }
+
   /** randomWalks twin: WITH RECURSIVE replay of the hash-deterministic
     * walk — the same md5-derived neighbor pick ([[hex8Expr]]) over the
     * same rank-ordered adjacency; dead-end termination falls out of the

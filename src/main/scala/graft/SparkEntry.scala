@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Audit, Dedup, EventOps, Frequency, Joins, Linkage, Quality, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Audit, Dedup, EventOps, Experiment, Frequency, Joins, Linkage, Quality, Sampling, Similarity, Sketches, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -365,6 +365,26 @@ object SparkEntry {
         e.where(col("ts") < ts(JsdSplitTs)),
         e.where(col("ts") >= ts(JsdSplitTs)),
         col("event_type"))
+    }),
+    "q_ab_ttest" -> ((s, dir) => {
+      // hash-split A/B readout: per-user total event value in cents,
+      // arms by user parity (deterministic stand-in for an assignment),
+      // Welch's unequal-variance t + Satterthwaite df from exact sums
+      val m = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("m"))
+      Experiment.welchT(m, col("user_id") % 2, col("m"))
+    }),
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance reduction: pre-period per-user value (before the
+      // split instant) is the covariate; the post-period value is the
+      // experiment metric; theta fitted on the pooled units
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), cents(col("value")).as("c"))
+      val u = e.groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("ts") < ts(JsdSplitTs), col("c"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("ts") >= ts(JsdSplitTs), col("c"))), lit(0L)).as("y"))
+      Experiment.cuped(u, col("user_id") % 2, col("x"), col("y"))
     }),
     "q_random_walks" -> ((s, dir) => {
       // DeepWalk-style training corpus: hash-deterministic 4-step walks
@@ -2158,6 +2178,8 @@ object SparkEntry {
     "q_drift_chi2" -> Oracles.qDriftChi2,
     "q_jsd_drift" -> Oracles.qJsdDrift,
     "q_random_walks" -> Oracles.qRandomWalks,
+    "q_ab_ttest" -> Oracles.qAbTtest,
+    "q_cuped" -> Oracles.qCuped,
     "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A/B experimentation statistics — the readout layer for any
+  * assignment produced by [[Sampling.split]]-style hashing: Welch's
+  * unequal-variance t statistic and CUPED variance reduction.
+  *
+  * Engine-portability discipline (the [[graft.SparkEntry]] stats-suite
+  * contract): ONE partial-aggregating pass collects exact int64 sums
+  * (n, Σx, Σy, Σx², Σxy per arm — order-independent, identical in any
+  * engine), then each statistic is derived ONCE from those identical
+  * integers with an IEEE double expression spelled with the same op
+  * tree in the DuckDB twin, and floor-scaled (floor of identical
+  * doubles is portable; round() is not). Integer ratios that stay
+  * exact (mean difference, θ) are emitted as truncating fixed-point
+  * divisions instead — DuckDB `//` and Spark `div` both truncate
+  * toward zero, verified including negatives.
+  */
+object Experiment {
+
+  /** IEEE / integer fragments shared VERBATIM with the DuckDB twins in
+    * [[graft.Oracles]] — every token is valid in both dialects, so the
+    * two engines evaluate the same op tree (only the integer-division
+    * operator differs per dialect and stays inline at each use site).
+    */
+  private[graft] val SeaFrag =
+    "((CAST(na AS DOUBLE)*CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)*CAST(s1a AS DOUBLE)) / (CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)-1)) / CAST(na AS DOUBLE))"
+  private[graft] val SebFrag =
+    "((CAST(nb AS DOUBLE)*CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)*CAST(s1b AS DOUBLE)) / (CAST(nb AS DOUBLE)*(CAST(nb AS DOUBLE)-1)) / CAST(nb AS DOUBLE))"
+  private[graft] def tE6Frag(sea: String, seb: String): String =
+    s"CAST(floor((CAST(s1a AS DOUBLE)/CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE)/CAST(nb AS DOUBLE)) / sqrt($sea + $seb) * 1e6) AS BIGINT)"
+  private[graft] def dfE6Frag(sea: String, seb: String): String =
+    s"CAST(floor(($sea + $seb)*($sea + $seb) / ($sea*$sea/(CAST(na AS DOUBLE)-1) + $seb*$seb/(CAST(nb AS DOUBLE)-1)) * 1e6) AS BIGINT)"
+  private[graft] val ThetaNumFrag =
+    "(CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy)"
+  private[graft] val ThetaDenFrag =
+    "(CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx)"
+  private[graft] def adjE4Frag(tnum: String, tden: String): String =
+    s"CAST(floor((CAST(sy_arm AS DOUBLE)/CAST(n_arm AS DOUBLE) - (CAST($tnum AS DOUBLE)/CAST($tden AS DOUBLE)) * (CAST(sx_arm AS DOUBLE)/CAST(n_arm AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) * 1e4) AS BIGINT)"
+
+  /** Welch's t over one row per experimental unit: (arm ∈ {0,1},
+    * metric int64). Output one row:
+    * (n_a, n_b, sum_a, sum_b, diff_ppm, t_e6, df_e6) — diff exact ppm
+    * (mean_a − mean_b), t and Welch–Satterthwaite df floor-scaled 10⁶.
+    * Both arms need ≥ 2 units and nonzero pooled variance (raises
+    * otherwise — a one-unit arm has no variance estimate).
+    */
+  def welchT(units: DataFrame, arm: Column, metric: Column): DataFrame = {
+    val agg = units.select(arm.cast("long").as("arm"), metric.as("m"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 0, col("m")).otherwise(0L)).as("s1a"),
+        sum(when(col("arm") =!= 0, col("m")).otherwise(0L)).as("s1b"),
+        sum(when(col("arm") === 0, col("m") * col("m")).otherwise(0L)).as("s2a"),
+        sum(when(col("arm") =!= 0, col("m") * col("m")).otherwise(0L)).as("s2b"))
+    // IEEE fragments over the exact sums — spelled identically in the
+    // DuckDB twin (Oracles.qAbTtest); sea/seb are variances OF THE MEAN
+    val (sea, seb) = (SeaFrag, SebFrag)
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      col("s1a").as("sum_a"), col("s1b").as("sum_b"),
+      when(col("na") < 2 || col("nb") < 2,
+        raise_error(lit("welchT: both arms need >= 2 units")))
+        .otherwise(expr(
+          "CAST((CAST(s1a AS DECIMAL(38,0))*nb - CAST(s1b AS DECIMAL(38,0))*na) " +
+            "* 1000000 div (CAST(na AS DECIMAL(38,0))*nb) AS BIGINT)"))
+        .as("diff_ppm"),
+      // every derived column carries the guard: CaseWhen short-circuits,
+      // so the (na−1)=0 ANSI divide-by-zero never evaluates on the
+      // raise path
+      when(col("na") < 2 || col("nb") < 2,
+        raise_error(lit("welchT: both arms need >= 2 units")))
+        .otherwise(expr(tE6Frag(sea, seb))).as("t_e6"),
+      when(col("na") < 2 || col("nb") < 2,
+        raise_error(lit("welchT: both arms need >= 2 units")))
+        .otherwise(expr(dfE6Frag(sea, seb))).as("df_e6"))
+  }
+
+  /** CUPED (controlled-experiment-using-pre-experiment-data) adjusted
+    * means over one row per unit: (arm, x = pre-period covariate,
+    * y = experiment metric), both int64. θ = cov(x,y)/var(x) is fitted
+    * on the POOLED units (the standard choice — θ from pre-period data
+    * is independent of assignment), exact integer num/den; each arm
+    * reports its raw and adjusted mean:
+    * ŷ_arm = ȳ_arm − θ·(x̄_arm − x̄). Output one row per arm:
+    * (arm, n, sum_pre, sum_post, theta_e6, mean_post_e4, mean_adj_e4).
+    * theta_e6 is an exact truncating fixed-point ratio; the adjusted
+    * mean is the IEEE-discipline double over exact sums.
+    */
+  def cuped(units: DataFrame, arm: Column, pre: Column, post: Column): DataFrame = {
+    val u = units.select(arm.cast("long").as("arm"),
+      pre.as("x"), post.as("y"))
+    val pooled = u.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val arms = u.groupBy(col("arm")).agg(count(lit(1)).as("n_arm"),
+      sum(col("x")).as("sx_arm"), sum(col("y")).as("sy_arm"))
+    val (tnum, tden) = (ThetaNumFrag, ThetaDenFrag)
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_arm").as("n"),
+        col("sx_arm").as("sum_pre"), col("sy_arm").as("sum_post"),
+        when(expr(tden) === 0,
+          raise_error(lit("cuped: zero pre-period variance")))
+          .otherwise(expr(s"CAST($tnum * 1000000 div $tden AS BIGINT)"))
+          .as("theta_e6"),
+        expr("CAST(floor(CAST(sy_arm AS DOUBLE)/CAST(n_arm AS DOUBLE) * 1e4) AS BIGINT)")
+          .as("mean_post_e4"),
+        when(expr(tden) === 0,
+          raise_error(lit("cuped: zero pre-period variance")))
+          .otherwise(expr(adjE4Frag(tnum, tden))).as("mean_adj_e4"))
+  }
+}

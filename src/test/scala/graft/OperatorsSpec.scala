@@ -2706,6 +2706,48 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select(col("split")).distinct().count() >= 2)
   }
 
+  test("welchT: hand-computed unequal-variance t, df, and exact diff") {
+    // arm0 [10,14]: var 8, se² 4; arm1 [20,26,23]: var 9, se² 3
+    // t = (12−23)/√7 → floor e6 = −4157610; Welch df = 49/20.5 → 2390243
+    val units = Seq((0L, 10L), (0L, 14L), (1L, 20L), (1L, 26L), (1L, 23L))
+      .toDF("arm", "m")
+    val r = operators.Experiment.welchT(units, col("arm"), col("m")).collect().head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("sum_a") === 24L && r.getAs[Long]("sum_b") === 69L)
+    assert(r.getAs[Long]("diff_ppm") === -11000000L) // exact mean diff
+    assert(r.getAs[Long]("t_e6") === -4157610L)
+    assert(r.getAs[Long]("df_e6") === 2390243L)
+  }
+
+  test("welchT: a one-unit arm raises instead of fabricating a variance") {
+    val units = Seq((0L, 10L), (1L, 20L), (1L, 26L)).toDF("arm", "m")
+    val e = intercept[Exception] {
+      operators.Experiment.welchT(units, col("arm"), col("m")).collect()
+    }
+    assert(e.getMessage.contains(">= 2 units"))
+  }
+
+  test("cuped: perfect covariate collapses both arm means to the same value") {
+    // y = 2x + 1 exactly → θ = 2 (exact e6), and both arms' adjusted
+    // means land on ȳ-at-x̄ = 6 despite raw means 4 vs 8
+    val units = Seq((0L, 1L, 3L), (0L, 2L, 5L), (1L, 3L, 7L), (1L, 4L, 9L))
+      .toDF("arm", "x", "y")
+    val out = operators.Experiment.cuped(units, col("arm"), col("x"), col("y"))
+      .collect().map(r => (r.getAs[Long]("arm"), r.getAs[Long]("n"),
+        r.getAs[Long]("theta_e6"), r.getAs[Long]("mean_post_e4"),
+        r.getAs[Long]("mean_adj_e4"))).toSet
+    assert(out === Set((0L, 2L, 2000000L, 40000L, 60000L),
+      (1L, 2L, 2000000L, 80000L, 60000L)))
+  }
+
+  test("cuped: zero pre-period variance raises") {
+    val units = Seq((0L, 5L, 3L), (1L, 5L, 7L)).toDF("arm", "x", "y")
+    val e = intercept[Exception] {
+      operators.Experiment.cuped(units, col("arm"), col("x"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("zero pre-period variance"))
+  }
+
   test("randomWalks: deterministic, edge-valid, full length when connected") {
     // complete digraph on 5 nodes: every walk runs all steps and every
     // hop must be a real edge; two runs must be identical (salted hash,
