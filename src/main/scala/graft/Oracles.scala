@@ -3897,4 +3897,204 @@ object Oracles {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
        |FROM s""".stripMargin
   }
+
+  /** Wilson-interval twin of [[graft.operators.Experiment.wilsonCI]] —
+    * the bound fragments come VERBATIM from the shared
+    * [[graft.operators.Experiment.wilsonFrag]] (every token valid in
+    * both dialects), clamped to [0, 10⁶] on both sides identically.
+    */
+  def qWilsonCi: String = {
+    import graft.operators.Experiment.wilsonFrag
+    s"""WITH a AS (SELECT o_orderpriority AS grp,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM orders GROUP BY 1)
+       |SELECT grp, n, k AS n_pos,
+       |  CAST(k * 1000000 // n AS BIGINT) AS p_ppm,
+       |  greatest(CAST(0 AS BIGINT), ${wilsonFrag("-")}) AS lo_ppm,
+       |  least(CAST(1000000 AS BIGINT), ${wilsonFrag("+")}) AS hi_ppm
+       |FROM a""".stripMargin
+  }
+
+  /** Skew-audit twin of [[graft.operators.Audit.keySkewAudit]]: count
+    * per key, global top-k by (cnt desc, key), ceil via add-then-
+    * truncate (both engines truncate toward zero).
+    */
+  def qSkewAudit: String =
+    s"""WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+       |  CAST(count(*) AS BIGINT) AS n_keys FROM c),
+       |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT $SkewTopK)
+       |SELECT key, cnt, n_total, n_keys,
+       |  CAST(cnt * 1000000 // n_total AS BIGINT) AS share_ppm,
+       |  greatest(CAST(1 AS BIGINT),
+       |    CAST((cnt * $SkewSaltPartitions + n_total - 1) // n_total AS BIGINT))
+       |    AS salt_factor
+       |FROM top CROSS JOIN t""".stripMargin
+
+  /** Source-overlap twin of
+    * [[graft.operators.Dedup.sourceOverlapMatrix]]: distinct
+    * (source, md5) sets, digest-joined pair intersections over a full
+    * pair frame so zero overlaps stay visible.
+    */
+  def dedupOverlapMatrix: String =
+    s"""WITH sh AS (SELECT DISTINCT source AS src, md5(text) AS h FROM documents),
+       |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+       |iv AS (SELECT a.src AS src_a, b.src AS src_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2),
+       |fr AS (SELECT a.src AS src_a, b.src AS src_b, a.sz AS n_a, b.sz AS n_b
+       |  FROM sz a JOIN sz b ON a.src < b.src)
+       |SELECT fr.src_a, fr.src_b, n_a, n_b,
+       |  COALESCE(n_common, 0) AS n_common,
+       |  CAST(COALESCE(n_common, 0) * 1000000 // (n_a + n_b - COALESCE(n_common, 0)) AS BIGINT) AS jaccard_ppm,
+       |  CAST(COALESCE(n_common, 0) * 1000000 // n_a AS BIGINT) AS contain_a_ppm,
+       |  CAST(COALESCE(n_common, 0) * 1000000 // n_b AS BIGINT) AS contain_b_ppm
+       |FROM fr LEFT JOIN iv ON fr.src_a = iv.src_a AND fr.src_b = iv.src_b""".stripMargin
+
+  /** Sweep-line twin of [[graft.operators.Intervals.coverage]]: same
+    * two windows (running max-end over the preceding frame → island
+    * flags → running sum), same half-open day intervals.
+    */
+  def qIntervalCoverage: String =
+    s"""WITH base AS (SELECT l_suppkey AS grp,
+       |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+       |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+       |      + CAST(floor(l_quantity) AS BIGINT) AS BIGINT) AS e
+       |  FROM lineitem),
+       |m AS (SELECT grp, s, e,
+       |    max(e) OVER (PARTITION BY grp ORDER BY s ASC, e ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM base),
+       |fl AS (SELECT grp, s, e,
+       |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS opens FROM m),
+       |isl AS (SELECT grp, s, e,
+       |    sum(opens) OVER (PARTITION BY grp ORDER BY s ASC, e ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM fl),
+       |g AS (SELECT grp, island, CAST(count(*) AS BIGINT) AS n_iv,
+       |    min(s) AS i_s, max(e) AS i_e FROM isl GROUP BY 1, 2)
+       |SELECT grp, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       |  CAST(count(*) AS BIGINT) AS n_islands,
+       |  CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+       |  CAST(max(i_e) - min(i_s) AS BIGINT) AS span,
+       |  CAST(sum(i_e - i_s) * 1000000 // (max(i_e) - min(i_s)) AS BIGINT) AS util_ppm
+       |FROM g GROUP BY grp""".stripMargin
+
+  /** Product-limit twin of [[graft.operators.Survival.kaplanMeier]]:
+    * the survival recurrence S_k = S_{k−1}·(r−d) // r replays as a
+    * WITH RECURSIVE over the row-numbered event steps — identical
+    * integer sequence to the Spark fold.
+    */
+  def qKaplanMeier: String =
+    s"""WITH RECURSIVE units AS (
+       |  SELECT CAST(CASE WHEN l_shipdate <= TIMESTAMP '$KmCutoff'
+       |      THEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+       |      ELSE CAST(TIMESTAMP '$KmCutoff' AS DATE) - CAST(o_orderdate AS DATE)
+       |    END AS BIGINT) AS t,
+       |    CASE WHEN l_shipdate <= TIMESTAMP '$KmCutoff' THEN 1 ELSE 0 END AS obs
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate <= TIMESTAMP '$KmCutoff'
+       |    AND l_shipdate >= o_orderdate),
+       |pt AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+       |    CAST(sum(1 - obs) AS BIGINT) AS c FROM units GROUP BY 1),
+       |ar AS (SELECT t, d, c, CAST(sum(d + c) OVER (ORDER BY t DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+       |  FROM pt),
+       |st AS (SELECT t, r, d, c,
+       |    row_number() OVER (ORDER BY t ASC) AS i FROM ar WHERE d > 0),
+       |rec(i, surv) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+       |  UNION ALL
+       |  SELECT st.i, rec.surv * (st.r - st.d) // st.r
+       |  FROM rec JOIN st ON st.i = rec.i + 1)
+       |SELECT st.t, st.r AS n_risk, st.d AS n_event, st.c AS n_censor,
+       |  CAST(rec.surv AS BIGINT) AS surv_e6
+       |FROM st JOIN rec ON rec.i = st.i""".stripMargin
+
+  /** IR-metrics twin of [[graft.operators.TextOps.rankMetrics]] over
+    * the BM25 ranking scored against the Jaccard top-k relevance set —
+    * composes the [[bm25Ctes]]/[[jacCtes]] rankings, then the same
+    * integer metric algebra (per-rank discounts floored individually,
+    * truncating ratios, IDCG as a list fold over the ideal prefix).
+    */
+  def textRankMetrics: String =
+    s"""WITH $toksCte,
+       |$bm25Ctes,
+       |$jacCtes,
+       |sys AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= $Bm25K),
+       |rel AS (SELECT query_id, doc_id FROM jr WHERE rnk <= $Bm25K),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM rel GROUP BY 1),
+       |lab AS (SELECT s.query_id, s.doc_id, s.rnk,
+       |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM sys s LEFT JOIN rel r
+       |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id),
+       |h AS (SELECT query_id, doc_id, rnk, rel,
+       |    sum(rel) OVER (PARTITION BY query_id ORDER BY rnk ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+       |  FROM lab),
+       |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret,
+       |    CAST(sum(rel) AS BIGINT) AS n_hit,
+       |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+       |    CAST(sum(CASE WHEN rel = 1 THEN hits * 1000000 // rnk ELSE 0 END) AS BIGINT) AS ap_num,
+       |    CAST(sum(CASE WHEN rel = 1 THEN CAST(floor(1000000.0
+       |      / log2(CAST(rnk AS DOUBLE) + 1.0)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_e6
+       |  FROM h GROUP BY 1),
+       |j AS (SELECT pq.query_id, COALESCE(n_rel, 0) AS n_rel, n_ret, n_hit,
+       |    first_rel, ap_num, dcg_e6,
+       |    least(COALESCE(n_rel, 0), $Bm25K) AS m
+       |  FROM pq LEFT JOIN nrel ON pq.query_id = nrel.query_id)
+       |SELECT query_id, n_rel, n_ret, n_hit,
+       |  CAST(n_hit * 1000000 // $Bm25K AS BIGINT) AS prec_ppm,
+       |  CASE WHEN n_rel > 0 THEN CAST(n_hit * 1000000 // n_rel AS BIGINT)
+       |    ELSE 0 END AS recall_ppm,
+       |  COALESCE(CAST(1000000 // first_rel AS BIGINT), 0) AS mrr_e6,
+       |  CASE WHEN m > 0 THEN CAST(ap_num // m AS BIGINT) ELSE 0 END AS ap_e6,
+       |  dcg_e6,
+       |  CASE WHEN m > 0 AND CAST(list_sum(list_transform(range(1, m + 1),
+       |      rr -> CAST(floor(1000000.0 / log2(CAST(rr AS DOUBLE) + 1.0)) AS BIGINT)))
+       |      AS BIGINT) > 0
+       |    THEN CAST(dcg_e6 * 1000000 // CAST(list_sum(list_transform(range(1, m + 1),
+       |      rr -> CAST(floor(1000000.0 / log2(CAST(rr AS DOUBLE) + 1.0)) AS BIGINT)))
+       |      AS BIGINT) AS BIGINT)
+       |    ELSE 0 END AS ndcg_ppm
+       |FROM j""".stripMargin
+
+  /** Harmonic-centrality twin of
+    * [[graft.operators.Bfs.harmonicCentrality]]: the qBfsReach
+    * round-unrolled level BFS, generalized to (seed, node) keyed
+    * state; zero-reach seeds emit explicit 0 rows.
+    */
+  def qHarmonic: String = {
+    val rounds = (1 to BfsHops).map { h =>
+      s"""n$h AS MATERIALIZED (SELECT seed, node, CAST($h AS BIGINT) AS dist FROM (
+         |  SELECT DISTINCT f.seed, e.dst AS node
+         |  FROM f${h - 1} f JOIN edges e ON e.src = f.node) x
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |    WHERE v.seed = x.seed AND v.node = x.node)),
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h),
+         |f$h AS MATERIALIZED (SELECT seed, node FROM n$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey + $PrCustOffset AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT sk AS src, ck AS dst FROM pairs
+       |          UNION ALL SELECT ck, sk FROM pairs),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS seed, CAST(s_suppkey AS BIGINT) AS node,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_suppkey % $HarmonicSeedMod = 0),
+       |f0 AS (SELECT seed, node FROM v0),
+       |$rounds,
+       |reached AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       |    CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+       |  FROM v$BfsHops WHERE dist > 0 GROUP BY 1)
+       |SELECT s.seed, COALESCE(n_reached, 0) AS n_reached,
+       |  COALESCE(harmonic_e6, 0) AS harmonic_e6
+       |FROM (SELECT CAST(s_suppkey AS BIGINT) AS seed FROM supplier
+       |  WHERE s_suppkey % $HarmonicSeedMod = 0) s
+       |LEFT JOIN reached ON s.seed = reached.seed""".stripMargin
+  }
 }

@@ -151,6 +151,17 @@ object Params {
   // t-closeness: max EMD (ppm) between class and global band shares
   val TclosePpm = 200000L
 
+  // join-key skew audit: hottest keys reported, target shuffle width
+  val SkewTopK = 10
+  val SkewSaltPartitions = 32
+
+  // Kaplan–Meier: administrative-censoring study cutoff — lines shipped
+  // by the cutoff are observed fulfillments, open lines censor at it
+  val KmCutoff = "1997-06-30 00:00:00"
+
+  // truncated harmonic centrality: seed suppliers (key % mod = 0)
+  val HarmonicSeedMod = 20
+
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100
   val BfsHops = 3

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{ImdbPipeline, ImdbSynthetic, Marts, Staging, Star}
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.multimodal.Multimodal
-import graft.operators.{Audit, Dedup, EventOps, Experiment, Frequency, Joins, Linkage, Quality, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Audit, Dedup, EventOps, Experiment, Frequency, Intervals, Joins, Linkage, Quality, Sampling, Similarity, Sketches, Survival, TextOps}
 import Params._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -386,6 +386,12 @@ object SparkEntry {
         coalesce(sum(when(col("ts") >= ts(JsdSplitTs), col("c"))), lit(0L)).as("y"))
       Experiment.cuped(u, col("user_id") % 2, col("x"), col("y"))
     }),
+    "q_wilson_ci" -> ((s, dir) =>
+      // per-priority finalized-order rate with the Wilson 95% score
+      // interval — the small-stratum-safe proportion gate; exact (n, k)
+      // per group, bounds floor-scaled ppm from the shared IEEE fragment
+      Experiment.wilsonCI(t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_orderstatus") === "F")),
     "q_random_walks" -> ((s, dir) => {
       // DeepWalk-style training corpus: hash-deterministic 4-step walks
       // over the undirected trading graph from every 100th supplier —
@@ -882,6 +888,11 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_unique"))
         .select(col("source"), col("n_docs"), col("n_unique"),
           expr("1000000L * (n_docs - n_unique) div n_docs").as("dup_ppm"))),
+    "dedup_overlap_matrix" -> ((s, dir) =>
+      // source×source content-overlap matrix: Jaccard + both
+      // containments per source pair over distinct content digests —
+      // the provenance audit behind corpus mix weights
+      Dedup.sourceOverlapMatrix(t(s, dir, "documents"), "source", "text")),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_span_audit" -> ((s, dir) =>
@@ -1101,6 +1112,16 @@ object SparkEntry {
           iv, "lo", "hi", bucketWidth = 2000.0)
         .select(col("band_id"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q_interval_coverage" -> ((s, dir) =>
+      // merged-interval coverage per supplier: fulfillment windows
+      // [shipdate, shipdate + quantity days) overlap heavily, so the
+      // sweep-line island merge is what makes "days committed" honest —
+      // raw length sums double-count every overlap
+      Intervals.coverage(
+        t(s, dir, "lineitem").select(col("l_suppkey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).as("d0"),
+          floor(col("l_quantity")).cast("long").as("q")),
+        col("l_suppkey"), col("d0"), col("d0") + col("q"))),
 
     "q_spatial_join" -> ((s, dir) =>
       // proximity self-join on a synthetic integer grid derived from
@@ -1313,6 +1334,24 @@ object SparkEntry {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    "q_kaplan_meier" -> ((s, dir) => {
+      // order-fulfillment survival: duration = days from order to line
+      // shipment, administratively censored at the KmCutoff study end —
+      // lines shipped by the cutoff are observed events, open lines
+      // censor at (cutoff − order date). Restricted to coherent lines
+      // (ship ≥ order; the synthetic generator emits some free-floating
+      // ship dates) so durations are honest nonnegatives.
+      val c = ts(KmCutoff)
+      val j = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") <= c && col("l_shipdate") >= col("o_orderdate"))
+      Survival.kaplanMeier(j,
+        when(col("l_shipdate") <= c,
+          datediff(col("l_shipdate"), col("o_orderdate")))
+          .otherwise(datediff(c, col("o_orderdate"))),
+        when(col("l_shipdate") <= c, 1L).otherwise(0L))
+    }),
     "agg_incremental_merge" -> ((s, dir) => {
       // incremental mart refresh: fold the new batch's aggregate state
       // into the standing state instead of rescanning history — must
@@ -1354,6 +1393,12 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       Audit.joinSizeEst(li, "l_partkey", li, "l_partkey", JseRatePpm, JseSalt)
     }),
+    "q_skew_audit" -> ((s, dir) =>
+      // pre-flight shuffle-key skew diagnosis on the lineitem supplier
+      // key: hottest keys, their table share, and the salt factor a
+      // salted join would need — decided from counts, before any join
+      Audit.keySkewAudit(t(s, dir, "lineitem"), col("l_suppkey"),
+        SkewTopK, SkewSaltPartitions)),
     "q_recursive_bom" -> ((s, dir) => {
       // WITH RECURSIVE workload, Spark-first: decimal-digit forest over
       // part (child k → parent k div 10), path-product quantities;
@@ -1698,6 +1743,22 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"))
       operators.Bfs.hopDistances(edges, seeds, BfsHops)
     }),
+    "q_harmonic" -> ((s, dir) => {
+      // sampled truncated harmonic centrality: Σ 1/hop-dist (exact e6)
+      // per seed supplier over the trading graph — per-seed BFS keyed
+      // (seed, node), one pass for every seed at once
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), (col("o_custkey") + lit(PrCustOffset)).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_suppkey") % HarmonicSeedMod === 0)
+        .select(col("s_suppkey").as("node"))
+      operators.Bfs.harmonicCentrality(edges, seeds, BfsHops)
+    }),
     "q_sssp" -> ((s, dir) => {
       // weighted recursive-CTE workload: min-plus shortest paths from
       // the seed suppliers over the trading graph, edge weight a
@@ -1929,6 +1990,18 @@ object SparkEntry {
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)),
         Bm25K, RrfC)
+    }),
+    "text_rank_metrics" -> ((s, dir) => {
+      // retrieval evaluation: score the BM25 ranking against the exact
+      // shingle-Jaccard top-k as the relevance set — P@k, R@k, MRR, AP,
+      // nDCG per query, all exact integers (per-rank discounts floored
+      // individually, ratios truncating)
+      val docs = t(s, dir, "documents")
+      TextOps.rankMetrics(
+        TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)
+          .select(col("query_id"), col("doc_id")),
+        Bm25K)
     }),
     "text_bpe_encode" -> ((s, dir) => {
       // tokenize the corpus with the trained BPE: per-doc encoded length
@@ -2180,6 +2253,7 @@ object SparkEntry {
     "q_random_walks" -> Oracles.qRandomWalks,
     "q_ab_ttest" -> Oracles.qAbTtest,
     "q_cuped" -> Oracles.qCuped,
+    "q_wilson_ci" -> Oracles.qWilsonCi,
     "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,
@@ -2208,6 +2282,7 @@ object SparkEntry {
     "dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
     "dedup_source_stats" -> "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, CAST(1000000 * (count(*) - count(DISTINCT md5(text))) // count(*) AS BIGINT) AS dup_ppm FROM documents GROUP BY source",
+    "dedup_overlap_matrix" -> Oracles.dedupOverlapMatrix,
     "dedup_minhash_n3" -> Oracles.dedupMinhashN3,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_cluster" -> Oracles.dedupCluster,
@@ -2230,12 +2305,14 @@ object SparkEntry {
     "emb_sq8_codes" -> Oracles.embSq8Codes,
     "emb_rand_proj" -> Oracles.embRandProj,
     "q_join_size_est" -> Oracles.qJoinSizeEst,
+    "q_skew_audit" -> Oracles.qSkewAudit,
     "q_recursive_bom" -> Oracles.qRecursiveBom,
     "emb_pq_adc" -> Oracles.embPqAdc,
     "emb_ivf_pq_adc" -> Oracles.embIvfPqAdc,
     "emb_kmeans_step" -> Oracles.embKmeansStep,
     "emb_kmeans_train" -> Oracles.embKmeansTrain,
     "q_range_join" -> Oracles.qRangeJoin,
+    "q_interval_coverage" -> Oracles.qIntervalCoverage,
     "q_interval_join" -> Oracles.qIntervalJoin,
     "q_salted_join" -> Oracles.qSaltedJoin,
     "q_fuzzy_join" -> Oracles.qFuzzyJoin,
@@ -2254,6 +2331,7 @@ object SparkEntry {
     "etl_snapshot_diff" -> Oracles.etlSnapshotDiff,
     "q_label_prop" -> Oracles.qLabelProp,
     "q_bfs_reach" -> Oracles.qBfsReach,
+    "q_harmonic" -> Oracles.qHarmonic,
     "q_sssp" -> Oracles.qSssp,
     "q_kmv_distinct" -> Oracles.qKmvDistinct,
     "q_kmv_union" -> Oracles.qKmvUnion,
@@ -2307,6 +2385,7 @@ object SparkEntry {
     "text_bm25" -> Oracles.textBm25,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_rrf_fuse" -> Oracles.textRrfFuse,
+    "text_rank_metrics" -> Oracles.textRankMetrics,
     "text_bpe_train" -> Oracles.textBpeTrain,
     "text_bpe_vocab" -> Oracles.textBpeVocab,
     "text_bpe_encode" -> Oracles.textBpeEncode,
@@ -2355,6 +2434,7 @@ object SparkEntry {
     "q_stats_suite" -> Oracles.qStatsSuite,
     "q_window_suite" -> Oracles.qWindowSuite,
     "q_cohort_retention" -> Oracles.qCohortRetention,
+    "q_kaplan_meier" -> Oracles.qKaplanMeier,
     "etl_overwrite_partitions" -> Oracles.etlOverwritePartitions,
     "q_pct_change" -> Oracles.qPctChange,
     "q_cohort_ltv" -> Oracles.qCohortLtv,

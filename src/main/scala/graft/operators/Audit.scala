@@ -236,4 +236,41 @@ object Audit {
       .select(col("grp"), col("digit"), col("n"), col("obs_ppm"),
         col("exp_ppm"), col("mad_ppm"))
   }
+
+  /** Join-key skew diagnosis: the pre-flight audit that decides whether
+    * a shuffle key needs salting BEFORE a 100 TB join hangs on one
+    * straggler. For the top-k hottest keys it reports the key's row
+    * count, its share of the table in ppm, and `salt_factor` — how many
+    * AVERAGE shuffle partitions (at `numPartitions`) that single key's
+    * rows would fill, i.e. the replication factor
+    * [[Joins.saltedJoin]]-style salting needs to level it
+    * (`ceil(cnt · P / total)`, floored at 1). A salt_factor of 1 means
+    * the key fits inside one average partition — no salting needed; 8
+    * means the hottest reducer gets 8× the average and the join should
+    * salt ≥ 8 ways.
+    *
+    * Scale shape: one partial-agg count per key (map-side combine), then
+    * a global top-k which Spark executes as TakeOrderedAndProject —
+    * per-partition heaps merged on the driver, never a full sort. The
+    * grand total rides the same aggregate re-read, broadcast as a
+    * 1-row cross join.
+    */
+  def keySkewAudit(df: DataFrame, key: Column, topK: Int,
+                   numPartitions: Int): DataFrame = {
+    require(topK > 0 && numPartitions > 0)
+    val counts = df.select(key.as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // two consumers: total + top-k
+    val total = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"), col("n_total"), col("n_keys"),
+        expr("cnt * 1000000L div n_total").as("share_ppm"),
+        // ceil(cnt·P / total) spelled add-then-truncate: `div` truncates
+        // toward zero in both engines, so the negate trick would floor
+        greatest(lit(1L),
+          expr(s"(cnt * $numPartitions + n_total - 1) div n_total"))
+          .as("salt_factor"))
+  }
 }

@@ -670,4 +670,43 @@ object Dedup {
         sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ppm", expr("n_dup * 1000000L div n_spans"))
   }
+
+  /** Source×source content-overlap matrix: for every ordered source pair
+    * (a < b), how many distinct document texts appear in BOTH — the
+    * provenance audit a corpus mixer runs before weighting sources
+    * (double-counted mass inflates a source's apparent contribution and
+    * re-surfaces dedup'd text under a different license). Emits one row
+    * per pair: distinct-hash sizes, |A∩B|, exact Jaccard ppm and both
+    * containments (overlap ÷ each side — the asymmetric signal that
+    * says WHICH source is the subset). Zero-overlap pairs are emitted
+    * too (the frame is the source list crossed with itself, tiny by
+    * definition), so a disjointness claim is a visible 0, not a missing
+    * row.
+    *
+    * Scale shape: docs collapse to distinct (source, 16-byte digest)
+    * first — one shuffle keyed on the digest, payloads never move. The
+    * pair join is digest-keyed (only hashes present in ≥2 sources pair),
+    * and the per-source size table broadcasts (sources are a handful).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
+                          textCol: String): DataFrame = {
+    val sh = docs.select(col(sourceCol).as("src"), md5(col(textCol)).as("h"))
+      .distinct()
+      .localCheckpoint(false) // three consumers: sizes + both join sides
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("src").as("src_a"), col("h"))
+      .join(sh.select(col("src").as("src_b"), col("h")), "h")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val frame = broadcast(sizes.select(col("src").as("src_a"), col("sz").as("n_a")))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("sz").as("n_b"))),
+        col("src_a") < col("src_b"))
+    frame.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("n_common * 1000000L div (n_a + n_b - n_common)").as("jaccard_ppm"),
+        expr("n_common * 1000000L div n_a").as("contain_a_ppm"),
+        expr("n_common * 1000000L div n_b").as("contain_b_ppm"))
+  }
 }

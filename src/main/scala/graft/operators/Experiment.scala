@@ -40,6 +40,43 @@ object Experiment {
   private[graft] def adjE4Frag(tnum: String, tden: String): String =
     s"CAST(floor((CAST(sy_arm AS DOUBLE)/CAST(n_arm AS DOUBLE) - (CAST($tnum AS DOUBLE)/CAST($tden AS DOUBLE)) * (CAST(sx_arm AS DOUBLE)/CAST(n_arm AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) * 1e4) AS BIGINT)"
 
+  /** Wilson-interval IEEE fragment, shared verbatim with
+    * [[graft.Oracles.qWilsonCi]]: z = 1.96 (95%), so z² = 3.8416,
+    * z²/2 = 1.9208, z²/4 = 0.9604 — all spelled as literals so both
+    * engines evaluate the identical double op tree over the exact
+    * integer (n, k) pair. `sign` is "-" (lower) or "+" (upper).
+    */
+  private[graft] def wilsonFrag(sign: String): String =
+    "CAST(floor(((CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) + 1.9208/CAST(n AS DOUBLE) " +
+      s"$sign 1.96*sqrt((CAST(k AS DOUBLE)/CAST(n AS DOUBLE))*(1.0-CAST(k AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) " +
+      "+ 0.9604/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))) " +
+      "/ (1.0 + 3.8416/CAST(n AS DOUBLE)) * 1e6) AS BIGINT)"
+
+  /** Per-group binomial proportion with the Wilson 95% score interval —
+    * the release gate for any pass-rate / defect-rate / conversion
+    * metric: unlike the naive normal interval it never leaves [0,1] and
+    * stays calibrated at small n or extreme p, so a tiny stratum can't
+    * fake a confident rate. One partial-agg pass collects exact (n, k)
+    * per group; the bounds are one IEEE expression over those integers,
+    * floor-scaled to ppm (portable), shared token-for-token with the
+    * DuckDB twin. Emits (grp, n, n_pos, p_ppm, lo_ppm, hi_ppm).
+    *
+    * Scale: a single groupBy with two int64 counters of state — the
+    * cheapest shape Spark has; no window, no second pass.
+    */
+  def wilsonCI(df: DataFrame, group: Column, success: Column): DataFrame =
+    df.select(group.as("grp"), success.cast("boolean").as("ok"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("k"))
+      .select(col("grp"), col("n"), col("k").as("n_pos"),
+        expr("k * 1000000L div n").as("p_ppm"),
+        // Wilson lower bound can dip fractionally below 0 in IEEE at
+        // k=0 (−2e−16 · 1e6 floors to −1); clamp both bounds to the
+        // [0, 1e6] range the score interval guarantees mathematically
+        greatest(lit(0L), expr(wilsonFrag("-"))).as("lo_ppm"),
+        least(lit(1000000L), expr(wilsonFrag("+"))).as("hi_ppm"))
+
   /** Welch's t over one row per experimental unit: (arm ∈ {0,1},
     * metric int64). Output one row:
     * (n_a, n_b, sum_a, sum_b, diff_ppm, t_e6, df_e6) — diff exact ppm

@@ -640,4 +640,64 @@ object TextOps {
       .withColumn("pass_all",
         col("pass_words") && col("pass_len") && col("pass_stop") && col("pass_alpha"))
   }
+
+  /** Retrieval-quality readout: score a per-query ranking against a
+    * binary relevance set with the standard IR metrics — P@k, R@k,
+    * MRR, AP and nDCG@k — the evaluation loop that decides which
+    * ranker ([[bm25TopK]], [[jaccardTopK]], [[rrfFuse]]) actually
+    * retrieves. `system` needs (query_id, doc_id, rnk) — rnk 1-based,
+    * ties already broken; `relevant` needs (query_id, doc_id).
+    *
+    * Exact-integer discipline: hit counts and ranks are integers; the
+    * only doubles are the per-rank DCG discounts floor(10⁶/log2(r+1)),
+    * each floored INDIVIDUALLY at its small-integer rank before any
+    * summation — so DCG/IDCG are integer sums and every ratio is a
+    * truncating div, engine-identical regardless of partitioning.
+    * IDCG folds the ideal prefix r = 1..min(n_rel, k) with
+    * `aggregate(sequence(...))` — no join against a rank table.
+    *
+    * Queries with an empty relevant set emit zeroed metrics (they
+    * score nothing but stay visible — silently dropping them inflates
+    * every mean). Scale shape: one broadcast-able label join (the
+    * relevant set is ≤ queries × k_rel), one per-query window over ≤ k
+    * rows, one aggregate.
+    */
+  def rankMetrics(system: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val rel = relevant.select(col("query_id"), col("doc_id"),
+      lit(1L).as("rel"))
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val labeled = system.where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+      .join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .withColumn("hits", sum(col("rel")).over(
+        Window.partitionBy(col("query_id")).orderBy(col("rnk").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perQ = labeled.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(col("rel")).as("n_hit"),
+        min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+        sum(when(col("rel") === 1,
+          expr("hits * 1000000L div rnk")).otherwise(0L)).as("ap_num"),
+        sum(when(col("rel") === 1,
+          expr("cast(floor(1000000.0 / log2(cast(rnk as double) + 1.0)) as long)"))
+          .otherwise(0L)).as("dcg_e6"))
+    perQ.join(broadcast(nrel), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("m", least(col("n_rel"), lit(k.toLong)))
+      .withColumn("idcg_e6", when(col("m") > 0,
+        expr("aggregate(sequence(1L, m), 0L, (s, r) -> " +
+          "s + cast(floor(1000000.0 / log2(cast(r as double) + 1.0)) as long))"))
+        .otherwise(0L))
+      .select(col("query_id"), col("n_rel"), col("n_ret"), col("n_hit"),
+        expr(s"n_hit * 1000000L div $k").as("prec_ppm"),
+        when(col("n_rel") > 0, expr("n_hit * 1000000L div n_rel"))
+          .otherwise(0L).as("recall_ppm"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("mrr_e6"),
+        when(col("m") > 0, expr("ap_num div m")).otherwise(0L).as("ap_e6"),
+        col("dcg_e6"),
+        when(col("idcg_e6") > 0, expr("dcg_e6 * 1000000L div idcg_e6"))
+          .otherwise(0L).as("ndcg_ppm"))
+  }
 }

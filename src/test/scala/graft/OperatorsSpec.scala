@@ -2834,4 +2834,105 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("wilsonCI: hand-checked 95% bounds, clamped at the extremes") {
+    import graft.operators.Experiment
+    val df = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("a", 0)) ++
+      Seq.fill(4)(("z", 0)) ++ Seq.fill(4)(("f", 1))).toDF("g", "ok")
+    val out = Experiment.wilsonCI(df, col("g"), col("ok") === 1)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("p_ppm"), r.getAs[Long]("lo_ppm"), r.getAs[Long]("hi_ppm"))))
+      .toMap
+    assert(out("a") === ((500000L, 150035L, 849964L)))
+    assert(out("z") === ((0L, 0L, 489900L)))      // lower clamped at 0
+    assert(out("f") === ((1000000L, 510099L, 1000000L))) // upper clamped at 1e6
+  }
+
+  test("keySkewAudit: hottest keys, shares, ceil salt factor") {
+    val df = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).toDF("k")
+    val out = Audit.keySkewAudit(df, col("k"), topK = 2, numPartitions = 4)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("salt_factor")))
+    // key 1: 8/10 rows → fills ceil(8·4/10) = 4 average partitions;
+    // tie between keys 2 and 3 breaks to the smaller key
+    assert(out.toSet === Set((1L, 8L, 800000L, 4L), (2L, 1L, 100000L, 1L)))
+  }
+
+  test("sourceOverlapMatrix: jaccard + containments, zero pairs visible") {
+    val docs = Seq(("a", "t1"), ("a", "t2"), ("a", "t3"), ("a", "t3"),
+      ("b", "t2"), ("b", "t3"), ("b", "t4"), ("c", "t9"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlapMatrix(docs, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("jaccard_ppm"),
+          r.getAs[Long]("contain_a_ppm")))).toMap
+    assert(out.size === 3) // full pair frame: (a,b) (a,c) (b,c)
+    assert(out(("a", "b")) === ((2L, 500000L, 666666L))) // 2 of 4 distinct
+    assert(out(("a", "c")) === ((0L, 0L, 0L)))
+    assert(out(("b", "c")) === ((0L, 0L, 0L)))
+  }
+
+  test("interval coverage: islands merge, overlaps never double-count") {
+    import graft.operators.Intervals
+    val df = Seq(("g", 0L, 10L), ("g", 5L, 12L), ("g", 20L, 25L))
+      .toDF("grp0", "s0", "e0")
+    val r = Intervals.coverage(df, col("grp0"), col("s0"), col("e0"))
+      .collect().head
+    assert(r.getAs[Long]("n_intervals") === 3L)
+    assert(r.getAs[Long]("n_islands") === 2L)
+    assert(r.getAs[Long]("covered") === 17L) // 12 + 5, NOT 10+7+5 = 22
+    assert(r.getAs[Long]("span") === 25L)
+    assert(r.getAs[Long]("util_ppm") === 680000L)
+  }
+
+  test("kaplanMeier: textbook product-limit with censoring") {
+    import graft.operators.Survival
+    // durations (t, observed): censored units stay at risk through
+    // their duration, then drop without stepping the curve
+    val units = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L))
+      .toDF("t0", "obs0")
+    val out = Survival.kaplanMeier(units, col("t0"), col("obs0"))
+      .collect().map(r => (r.getAs[Long]("t"), (r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"), r.getAs[Long]("n_censor"),
+        r.getAs[Long]("surv_e6")))).toMap
+    assert(out.size === 3) // t=4 is censor-only: no curve step
+    assert(out(1L) === ((5L, 1L, 0L, 800000L)))
+    assert(out(2L) === ((4L, 1L, 1L, 600000L)))
+    assert(out(3L) === ((2L, 1L, 0L, 300000L)))
+  }
+
+  test("rankMetrics: P/R/MRR/AP/nDCG hand-checked; empty relevant set zeroes") {
+    import graft.operators.TextOps
+    val sys = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L)).toDF("query_id", "doc_id", "rnk")
+    val rel = Seq((1L, 20L), (1L, 30L), (1L, 40L)).toDF("query_id", "doc_id")
+    val out = TextOps.rankMetrics(sys, rel, k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_rel") === 3L)
+    assert(q1.getAs[Long]("n_hit") === 2L)
+    assert(q1.getAs[Long]("prec_ppm") === 666666L)
+    assert(q1.getAs[Long]("recall_ppm") === 666666L)
+    assert(q1.getAs[Long]("mrr_e6") === 500000L)  // first hit at rank 2
+    assert(q1.getAs[Long]("ap_e6") === 388888L)
+    assert(q1.getAs[Long]("dcg_e6") === 1130929L)
+    assert(q1.getAs[Long]("ndcg_ppm") === 530721L)
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_rel") === 0L)
+    assert(Seq("prec_ppm", "recall_ppm", "mrr_e6", "ap_e6", "ndcg_ppm")
+      .forall(c => q2.getAs[Long](c) === 0L))
+  }
+
+  test("harmonic centrality: per-seed hop rings, zero-reach seed visible") {
+    import graft.operators.Bfs
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L, 99L).toDF("node")
+    val out = Bfs.harmonicCentrality(edges, seeds, maxHops = 2)
+      .collect().map(r => (r.getAs[Long]("seed"),
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_e6")))).toMap
+    assert(out(1L) === ((2L, 1500000L)))  // node 2 at d1, node 3 at d2
+    assert(out(4L) === ((3L, 2500000L)))  // 3,5 at d1; 2 at d2
+    assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
+  }
 }

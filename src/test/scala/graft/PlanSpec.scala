@@ -759,8 +759,11 @@ class PlanSpec extends SparkSpec {
     // sketches (groups = order years, each a 64-long array — the whole
     // point of sketch algebra is that this table is tiny), and
     // t-closeness crosses in its ≤BalanceBands-row band distribution.
+    // dedup_overlap_matrix crosses the per-SOURCE size table with
+    // itself (src_a < src_b) — sources are a handful by definition,
+    // same group-level-tiny contract as the KMV pair algebra.
     val bnljWhitelist = Map("q_kmv_diff" -> 1, "q_kmv_intersect" -> 1,
-      "q_tcloseness" -> 1)
+      "q_tcloseness" -> 1, "dedup_overlap_matrix" -> 1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sfDir)
