@@ -3916,6 +3916,77 @@ object Oracles {
        |FROM a""".stripMargin
   }
 
+  /** Post-stratification twin of
+    * [[graft.operators.Experiment.stratifiedAte]]: per-stratum exact
+    * cross-multiplied contrasts, population-weighted truncating
+    * contributions, and the `__ate__` integer-sum row.
+    */
+  def qStratifiedAte: String =
+    s"""WITH per AS (SELECT o_orderpriority AS grp,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN o_custkey % 2 = 0
+       |      THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_t,
+       |    CAST(sum(CASE WHEN o_custkey % 2 <> 0
+       |      THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_c
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM per),
+       |r1 AS (SELECT grp, n, n_t, n_c,
+       |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+       |      CAST(CAST(CAST(s_t AS DECIMAL(38,0))*n_c - CAST(s_c AS DECIMAL(38,0))*n_t AS HUGEINT)
+       |        * 100 // CAST(CAST(n_t AS DECIMAL(38,0))*n_c AS HUGEINT) AS BIGINT) END AS diff_e2,
+       |    n_all
+       |  FROM per CROSS JOIN tot),
+       |r2 AS (SELECT grp, n, n_t, n_c, diff_e2,
+       |    CAST(CAST(diff_e2 AS HUGEINT) * n // n_all AS BIGINT) AS contrib_e2
+       |  FROM r1)
+       |SELECT grp, n, n_t, n_c, diff_e2, contrib_e2 FROM r2
+       |UNION ALL
+       |SELECT '__ate__', CAST(sum(n) AS BIGINT), CAST(sum(n_t) AS BIGINT),
+       |  CAST(sum(n_c) AS BIGINT), CAST(sum(contrib_e2) AS BIGINT),
+       |  CAST(sum(contrib_e2) AS BIGINT) FROM r2""".stripMargin
+
+  /** DiD twin of [[graft.operators.Experiment.did]]: the four exact
+    * arm×period cell sums, then the shared-fragment IEEE estimate.
+    */
+  def qDid: String = {
+    import graft.operators.Experiment.DidE4Frag
+    s"""WITH o AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN ts >= TIMESTAMP '$JsdSplitTs' THEN 1 ELSE 0 END AS p,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS m FROM events),
+       |c AS (SELECT
+       |    CAST(sum(CASE WHEN a = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ta,
+       |    CAST(sum(CASE WHEN a = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       |    CAST(sum(CASE WHEN a = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ca,
+       |    CAST(sum(CASE WHEN a = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+       |    CAST(sum(CASE WHEN a = 1 AND p = 0 THEN m ELSE 0 END) AS BIGINT) AS s_ta,
+       |    CAST(sum(CASE WHEN a = 1 AND p = 1 THEN m ELSE 0 END) AS BIGINT) AS s_tp,
+       |    CAST(sum(CASE WHEN a = 0 AND p = 0 THEN m ELSE 0 END) AS BIGINT) AS s_ca,
+       |    CAST(sum(CASE WHEN a = 0 AND p = 1 THEN m ELSE 0 END) AS BIGINT) AS s_cp
+       |  FROM o)
+       |SELECT n_ta, n_tp, n_ca, n_cp, s_ta, s_tp, s_ca, s_cp,
+       |  $DidE4Frag AS did_e4
+       |FROM c""".stripMargin
+  }
+
+  /** Bin-packing twin of [[graft.operators.Layout.compactionPlan]]:
+    * running size before each manifest chunk, truncating-divided by the
+    * target.
+    */
+  def qCompactionPlan: String =
+    s"""WITH mf AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+       |    CAST(month(l_shipdate) AS BIGINT) AS key,
+       |    CAST(count(*) AS BIGINT) AS sz
+       |  FROM lineitem GROUP BY 1, 2),
+       |w AS (SELECT grp, key, sz,
+       |    COALESCE(sum(sz) OVER (PARTITION BY grp ORDER BY key ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM mf)
+       |SELECT grp, key, sz,
+       |  CAST(cum_before // $CompactTargetRows AS BIGINT) AS bucket
+       |FROM w""".stripMargin
+
   /** Skew-audit twin of [[graft.operators.Audit.keySkewAudit]]: count
     * per key, global top-k by (cnt desc, key), ceil via add-then-
     * truncate (both engines truncate toward zero).

@@ -151,6 +151,9 @@ object Params {
   // t-closeness: max EMD (ppm) between class and global band shares
   val TclosePpm = 200000L
 
+  // compaction plan: target rows per write bucket
+  val CompactTargetRows = 4000L
+
   // join-key skew audit: hottest keys reported, target shuffle width
   val SkewTopK = 10
   val SkewSaltPartitions = 32

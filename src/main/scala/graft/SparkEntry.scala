@@ -392,6 +392,18 @@ object SparkEntry {
       // per group, bounds floor-scaled ppm from the shared IEEE fragment
       Experiment.wilsonCI(t(s, dir, "orders"), col("o_orderpriority"),
         col("o_orderstatus") === "F")),
+    "q_stratified_ate" -> ((s, dir) =>
+      // post-stratification treatment effect: priority strata net out
+      // the stratum mix; per-stratum contrasts + the standardized
+      // __ate__ row, all exact truncating integers
+      Experiment.stratifiedAte(t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_custkey") % 2 === 0, cents(col("o_totalprice")))),
+    "q_did" -> ((s, dir) =>
+      // difference-in-differences launch readout: user-parity arms,
+      // pre/post at the JSD split instant, per-event cents metric —
+      // the control arm nets out shared drift
+      Experiment.did(t(s, dir, "events"), col("user_id") % 2 === 0,
+        col("ts") >= ts(JsdSplitTs), cents(col("value")))),
     "q_random_walks" -> ((s, dir) => {
       // DeepWalk-style training corpus: hash-deterministic 4-step walks
       // over the undirected trading graph from every 100th supplier —
@@ -1399,6 +1411,16 @@ object SparkEntry {
       // salted join would need — decided from counts, before any join
       Audit.keySkewAudit(t(s, dir, "lineitem"), col("l_suppkey"),
         SkewTopK, SkewSaltPartitions)),
+    "q_compaction_plan" -> ((s, dir) =>
+      // small-file compaction planning from the (year, month, rows)
+      // manifest: stream months in order, cut a write bucket each time
+      // the running size crosses a CompactTargetRows multiple
+      operators.Layout.compactionPlan(
+        t(s, dir, "lineitem").groupBy(
+            year(col("l_shipdate")).cast("long").as("y"),
+            month(col("l_shipdate")).cast("long").as("m"))
+          .agg(count(lit(1)).as("n")),
+        col("y"), col("m"), col("n"), CompactTargetRows)),
     "q_recursive_bom" -> ((s, dir) => {
       // WITH RECURSIVE workload, Spark-first: decimal-digit forest over
       // part (child k → parent k div 10), path-product quantities;
@@ -2254,6 +2276,8 @@ object SparkEntry {
     "q_ab_ttest" -> Oracles.qAbTtest,
     "q_cuped" -> Oracles.qCuped,
     "q_wilson_ci" -> Oracles.qWilsonCi,
+    "q_stratified_ate" -> Oracles.qStratifiedAte,
+    "q_did" -> Oracles.qDid,
     "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,
@@ -2306,6 +2330,7 @@ object SparkEntry {
     "emb_rand_proj" -> Oracles.embRandProj,
     "q_join_size_est" -> Oracles.qJoinSizeEst,
     "q_skew_audit" -> Oracles.qSkewAudit,
+    "q_compaction_plan" -> Oracles.qCompactionPlan,
     "q_recursive_bom" -> Oracles.qRecursiveBom,
     "emb_pq_adc" -> Oracles.embPqAdc,
     "emb_ivf_pq_adc" -> Oracles.embIvfPqAdc,

@@ -115,6 +115,92 @@ object Experiment {
         .otherwise(expr(dfE6Frag(sea, seb))).as("df_e6"))
   }
 
+  /** Post-stratification (standardization) treatment-effect readout:
+    * within each stratum the treated/control mean difference is
+    * confounder-free by design, and the overall effect reweights each
+    * stratum by its population share — the observational-data
+    * counterpart to [[welchT]]'s randomized readout.
+    *
+    * One row per stratum: (grp, n, n_t, n_c, diff_e2, contrib_e2) —
+    * diff is the within-stratum mean difference in hundredths of the
+    * metric unit as an EXACT cross-multiplied truncating ratio,
+    * contrib its population-weighted share `diff·n div N`. A final
+    * `__ate__` row carries Σ contrib in BOTH diff/contrib columns —
+    * the standardized average treatment effect. Every step is integer
+    * (per-stratum terms truncate before the final integer sum), so the
+    * result is independent of partitioning AND of stratum enumeration
+    * order — a float Σ over strata would not be.
+    *
+    * Strata missing an arm have no within-stratum contrast: diff and
+    * contrib are NULL and the stratum is excluded from the ATE sum
+    * (the standard common-support restriction, visible as the NULL).
+    */
+  def stratifiedAte(units: DataFrame, stratum: Column, treated: Column,
+                    metric: Column): DataFrame = {
+    val per = units.select(stratum.cast("string").as("grp"),
+        when(treated, 1L).otherwise(0L).as("tr"), metric.as("m"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("tr")).as("n_t"),
+        sum(lit(1L) - col("tr")).as("n_c"),
+        sum(when(col("tr") === 1, col("m")).otherwise(0L)).as("s_t"),
+        sum(when(col("tr") === 0, col("m")).otherwise(0L)).as("s_c"))
+    val tot = per.agg(sum(col("n")).as("n_all"))
+    val rows = per.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("n_t"), col("n_c"),
+        when(col("n_t") > 0 && col("n_c") > 0, expr(
+          "CAST((CAST(s_t AS DECIMAL(38,0))*n_c - CAST(s_c AS DECIMAL(38,0))*n_t)" +
+            " * 100 div (CAST(n_t AS DECIMAL(38,0))*n_c) AS BIGINT)"))
+          .as("diff_e2"),
+        col("n_all"))
+      .withColumn("contrib_e2",
+        expr("CAST(CAST(diff_e2 AS DECIMAL(38,0)) * n div n_all AS BIGINT)"))
+      .drop("n_all")
+    val ate = rows.agg(sum(col("n")).as("n"), sum(col("n_t")).as("n_t"),
+        sum(col("n_c")).as("n_c"),
+        sum(col("contrib_e2")).as("ate"))
+      .select(lit("__ate__").as("grp"), col("n"), col("n_t"), col("n_c"),
+        col("ate").as("diff_e2"), col("ate").as("contrib_e2"))
+    rows.unionByName(ate)
+  }
+
+  /** Difference-in-differences IEEE fragment, shared verbatim with the
+    * DuckDB twin: (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) over the
+    * four exact (n, Σ) cell sums, floor-scaled 10⁴.
+    */
+  private[graft] val DidE4Frag =
+    "CAST(floor(((CAST(s_tp AS DOUBLE)/CAST(n_tp AS DOUBLE) - CAST(s_ta AS DOUBLE)/CAST(n_ta AS DOUBLE)) " +
+      "- (CAST(s_cp AS DOUBLE)/CAST(n_cp AS DOUBLE) - CAST(s_ca AS DOUBLE)/CAST(n_ca AS DOUBLE))) * 1e4) AS BIGINT)"
+
+  /** Difference-in-differences over one row per (unit-period)
+    * observation: (arm ∈ {0,1}, post ∈ {0,1}, metric int64). The
+    * parallel-trends workhorse for launch readouts without
+    * randomization: the control arm's pre→post drift nets out shared
+    * seasonality/shocks. One partial-agg pass collects the four cell
+    * (n, Σ); the estimate is one shared-fragment IEEE expression over
+    * those integers. Output one row: the four cells' n/sums +
+    * did_e4. All four cells must be populated (raises otherwise).
+    */
+  def did(obs: DataFrame, arm: Column, post: Column, metric: Column): DataFrame = {
+    val agg = obs.select(when(arm, 1L).otherwise(0L).as("a"),
+        when(post, 1L).otherwise(0L).as("p"), metric.as("m"))
+      .agg(
+        sum(when(col("a") === 1 && col("p") === 0, 1L).otherwise(0L)).as("n_ta"),
+        sum(when(col("a") === 1 && col("p") === 1, 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("a") === 0 && col("p") === 0, 1L).otherwise(0L)).as("n_ca"),
+        sum(when(col("a") === 0 && col("p") === 1, 1L).otherwise(0L)).as("n_cp"),
+        sum(when(col("a") === 1 && col("p") === 0, col("m")).otherwise(0L)).as("s_ta"),
+        sum(when(col("a") === 1 && col("p") === 1, col("m")).otherwise(0L)).as("s_tp"),
+        sum(when(col("a") === 0 && col("p") === 0, col("m")).otherwise(0L)).as("s_ca"),
+        sum(when(col("a") === 0 && col("p") === 1, col("m")).otherwise(0L)).as("s_cp"))
+    val empty = col("n_ta") === 0 || col("n_tp") === 0 ||
+      col("n_ca") === 0 || col("n_cp") === 0
+    agg.select(col("n_ta"), col("n_tp"), col("n_ca"), col("n_cp"),
+      col("s_ta"), col("s_tp"), col("s_ca"), col("s_cp"),
+      when(empty, raise_error(lit("did: all four arm×period cells need units")))
+        .otherwise(expr(DidE4Frag)).as("did_e4"))
+  }
+
   /** CUPED (controlled-experiment-using-pre-experiment-data) adjusted
     * means over one row per unit: (arm, x = pre-period covariate,
     * y = experiment metric), both int64. θ = cov(x,y)/var(x) is fitted

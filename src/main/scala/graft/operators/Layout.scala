@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering.
@@ -95,4 +96,32 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Compaction bin-packing plan: assign each chunk (a partition's
+    * monthly slice, a small file's row count — any (group, key, size)
+    * manifest) to a target-sized write bucket by streaming chunks in
+    * key order and cutting a new bucket whenever the running size
+    * BEFORE the chunk crosses a multiple of `targetSize`:
+    * `bucket = cum_before div targetSize`. The small-file killer's
+    * planning half — [[graft.SparkEntry]]'s `sink_compact` is the
+    * execution half; at 100 TB you PLAN the file groups from the
+    * manifest (cheap metadata) and hand each bucket to one writer
+    * task, instead of rewriting whole partitions blind.
+    *
+    * Emits (grp, key, sz, bucket) — deterministic, exact integers.
+    * Scale shape: one window per group over the manifest (metadata
+    * rows, not data rows); a first chunk larger than `targetSize`
+    * still gets its own bucket (streaming FFD semantics).
+    */
+  def compactionPlan(manifest: DataFrame, group: Column, key: Column,
+                     size: Column, targetSize: Long): DataFrame = {
+    require(targetSize > 0)
+    manifest.select(group.as("grp"), key.as("key"), size.cast("long").as("sz"))
+      .withColumn("cum_before", coalesce(
+        sum(col("sz")).over(Window.partitionBy(col("grp"))
+          .orderBy(col("key").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("key"), col("sz"),
+        expr(s"cum_before div ${targetSize}L").as("bucket"))
+  }
 }

@@ -2923,6 +2923,47 @@ class OperatorsSpec extends SparkSpec {
       .forall(c => q2.getAs[Long](c) === 0L))
   }
 
+  test("stratifiedAte: weighted contrasts, missing-arm stratum excluded") {
+    import graft.operators.Experiment
+    val units = Seq(
+      ("x", 1, 10L), ("x", 1, 20L), ("x", 0, 0L),   // diff +15.00
+      ("y", 1, 5L), ("y", 0, 10L), ("y", 0, 20L),   // diff −10.00
+      ("z", 1, 7L)                                   // no control: excluded
+    ).toDF("st", "tr", "m")
+    val out = Experiment.stratifiedAte(units, col("st"), col("tr") === 1, col("m"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((Option(r.get(r.fieldIndex("diff_e2"))),
+          Option(r.get(r.fieldIndex("contrib_e2")))))).toMap
+    assert(out("x") === ((Some(1500L), Some(642L))))  // 1500·3 div 7
+    assert(out("y") === ((Some(-1000L), Some(-428L)))) // trunc toward zero
+    assert(out("z") === ((None, None)))                // common support
+    assert(out("__ate__") === ((Some(214L), Some(214L))))
+  }
+
+  test("did: parallel-trends estimate; empty cell raises") {
+    import graft.operators.Experiment
+    val obs = Seq((1, 0, 10L), (1, 1, 30L), (0, 0, 10L), (0, 1, 20L))
+      .toDF("a", "p", "m")
+    val r = Experiment.did(obs, col("a") === 1, col("p") === 1, col("m"))
+      .collect().head
+    assert(r.getAs[Long]("did_e4") === 100000L) // (30−10) − (20−10) = 10
+    val e = intercept[Exception] {
+      Experiment.did(obs.where(col("p") === 0), col("a") === 1,
+        col("p") === 1, col("m")).collect()
+    }
+    assert(e.getMessage.contains("cells"))
+  }
+
+  test("compactionPlan: buckets cut at running-size multiples of target") {
+    import graft.operators.Layout
+    val mf = Seq(("g", 1L, 3L), ("g", 2L, 3L), ("g", 3L, 3L),
+      ("g", 4L, 3L), ("g", 5L, 10L)).toDF("grp0", "k0", "sz0")
+    val out = Layout.compactionPlan(mf, col("grp0"), col("k0"), col("sz0"), 5L)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("bucket")).toMap
+    // cum_before = 0,3,6,9,12 → buckets 0,0,1,1,2
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("harmonic centrality: per-seed hop rings, zero-reach seed visible") {
     import graft.operators.Bfs
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

@@ -553,6 +553,28 @@ class PlanSpec extends SparkSpec {
     assert(nWin === 1, s"exactly one window pass (got $nWin):\n$plan")
   }
 
+  test("interval coverage: both windows share one exchange + one sort") {
+    // the island sweep needs a per-group ordered pass twice (running
+    // max-end, then running island-sum); same partition key and
+    // ordering means Spark must reuse a single Exchange + a single
+    // data-sized Sort — a second sort would double the operator's cost
+    val plan = explain("q_interval_coverage")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one window exchange + the two aggregate exchanges downstream
+    assert(plan.contains("Window"), s"sweep must plan as windows:\n$plan")
+    val nSort = "^\\s*[+:]?-* ?\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).length
+    assert(nSort <= 1, s"windows must share one sort (got $nSort):\n$plan")
+    assert(nEx <= 3, s"expected <= 3 exchanges (window + 2 aggs), got $nEx:\n$plan")
+  }
+
+  test("skew audit: top-k is TakeOrdered, never a global sort") {
+    val plan = explain("q_skew_audit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as per-partition heaps + driver merge:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"1-row totals must broadcast:\n$plan")
+  }
+
   test("BPE vocab aggregate partial-aggregates over the checkpointed state") {
     // the per-round internals sit behind lazy checkpoints (each round
     // plans as Scan ExistingRDD — exactly the O(1)-lineage contract),
