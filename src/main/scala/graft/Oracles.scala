@@ -4133,6 +4133,54 @@ object Oracles {
        |    ELSE 0 END AS ndcg_ppm
        |FROM j""".stripMargin
 
+  /** Heaps-law twin of [[graft.operators.TextOps.heapsLaw]]: the same
+    * first-document trick — vocab(cut) = #terms whose min doc ≤ cut.
+    */
+  def textHeaps: String = {
+    val pcts = HeapsCutPcts.mkString(", ")
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+       |fdoc AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+       |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |cuts AS (SELECT CAST(p AS BIGINT) AS cut_pct,
+       |    CAST(max_id * p // 100 AS BIGINT) AS cut_doc
+       |  FROM mx CROSS JOIN (SELECT unnest([$pcts]) AS p)),
+       |ta AS (SELECT cut_pct, cut_doc, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM cuts JOIN pd ON doc_id <= cut_doc GROUP BY 1, 2),
+       |va AS (SELECT cut_pct, cut_doc, CAST(count(*) AS BIGINT) AS n_vocab
+       |  FROM cuts JOIN fdoc ON fd <= cut_doc GROUP BY 1, 2)
+       |SELECT ta.cut_pct, ta.cut_doc, n_tokens, n_vocab
+       |FROM ta JOIN va ON ta.cut_pct = va.cut_pct AND ta.cut_doc = va.cut_doc""".stripMargin
+  }
+
+  /** Zipf-fit twin of [[graft.operators.TextOps.zipfFit]]: per-rank
+    * rounded integer lns, exact OLS moments, HUGEINT truncating ratios
+    * (trunc-toward-zero parity with Spark's DECIMAL `div`).
+    */
+  def textZipf: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+       |fr AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS f FROM tok
+       |  GROUP BY 1 ORDER BY f DESC, w ASC LIMIT $ZipfTopN),
+       |rk AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS BIGINT) AS rnk
+       |  FROM fr),
+       |xy AS (SELECT
+       |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e4, 0) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(f AS DOUBLE)) * 1e4, 0) AS BIGINT) AS y
+       |  FROM rk),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |    CAST(sum(x*y) AS BIGINT) AS sxy FROM xy)
+       |SELECT n AS n_terms,
+       |  CAST(CAST(n*sxy - sx*sy AS HUGEINT) * 1000000
+       |    // CAST(n*sxx - sx*sx AS HUGEINT) AS BIGINT) AS slope_e6,
+       |  CAST((CAST(sy AS HUGEINT) * 1000000 -
+       |    CAST(n*sxy - sx*sy AS HUGEINT) * 1000000
+       |    // CAST(n*sxx - sx*sx AS HUGEINT) * sx) // (n * 1000000) AS BIGINT)
+       |    AS intercept_e4
+       |FROM m""".stripMargin
+
   /** Harmonic-centrality twin of
     * [[graft.operators.Bfs.harmonicCentrality]]: the qBfsReach
     * round-unrolled level BFS, generalized to (seed, node) keyed

@@ -203,6 +203,11 @@ object Params {
   val KllSalt = "qsk"
   val KllPs = Seq(25, 50, 75, 95)
 
+  // Heaps-law vocabulary growth checkpoints (% of max doc id) and
+  // Zipf rank-frequency fit width
+  val HeapsCutPcts = Seq(25, 50, 75, 100)
+  val ZipfTopN = 100
+
   // PMI collocations: score the top-N bigrams by count
   val PmiTopN = 50
 

@@ -2013,6 +2013,15 @@ object SparkEntry {
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)),
         Bm25K, RrfC)
     }),
+    "text_heaps" -> ((s, dir) =>
+      // vocabulary-growth curve at fixed corpus prefixes — one pass via
+      // term-first-document, no per-checkpoint count-distinct
+      TextOps.heapsLaw(t(s, dir, "documents"), "doc_id", "text",
+        HeapsCutPcts)),
+    "text_zipf" -> ((s, dir) =>
+      // rank-frequency power-law fit over the top vocabulary: OLS on
+      // per-rank-rounded integer lns, exact moments, truncating ratios
+      TextOps.zipfFit(t(s, dir, "documents"), "text", ZipfTopN)),
     "text_rank_metrics" -> ((s, dir) => {
       // retrieval evaluation: score the BM25 ranking against the exact
       // shingle-Jaccard top-k as the relevance set — P@k, R@k, MRR, AP,
@@ -2411,6 +2420,8 @@ object SparkEntry {
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_rrf_fuse" -> Oracles.textRrfFuse,
     "text_rank_metrics" -> Oracles.textRankMetrics,
+    "text_heaps" -> Oracles.textHeaps,
+    "text_zipf" -> Oracles.textZipf,
     "text_bpe_train" -> Oracles.textBpeTrain,
     "text_bpe_vocab" -> Oracles.textBpeVocab,
     "text_bpe_encode" -> Oracles.textBpeEncode,

@@ -641,6 +641,80 @@ object TextOps {
         col("pass_words") && col("pass_len") && col("pass_stop") && col("pass_alpha"))
   }
 
+  /** Heaps-law vocabulary-growth audit: distinct-term count vs tokens
+    * seen at fixed corpus prefixes (by doc id) — the curve that says
+    * whether a corpus is still contributing new vocabulary or has gone
+    * repetitive (its flattening is an early near-dup smell the dedup
+    * family then confirms). The trick that makes it ONE pass instead of
+    * a count-distinct per checkpoint: a term's contribution to every
+    * prefix is determined by its FIRST document — vocab(cut) = #terms
+    * with min(doc) ≤ cut — so one (term → min doc, count) aggregate +
+    * one (doc → tokens) aggregate answer all checkpoints via
+    * conditional sums against the broadcast cutoff list.
+    * Emits one row per checkpoint: (cut_pct, cut_doc, n_tokens, n_vocab).
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               cutPcts: Seq[Int]): DataFrame = {
+    require(cutPcts.nonEmpty && cutPcts.forall(p => p > 0 && p <= 100))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val firstDoc = toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val maxId = docs.agg(max(col(idCol)).as("max_id"))
+    val cuts = maxId.select(explode(array(
+        cutPcts.map(p => struct(lit(p.toLong).as("cut_pct"),
+          expr(s"max_id * $p div 100").as("cut_doc"))): _*)).as("c"))
+      .select(col("c.cut_pct"), col("c.cut_doc"))
+    val tokensAt = cuts.join(perDoc, perDoc("doc_id") <= cuts("cut_doc"))
+      .groupBy(col("cut_pct"), col("cut_doc"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val vocabAt = cuts.join(firstDoc, firstDoc("fd") <= cuts("cut_doc"))
+      .groupBy(col("cut_pct"), col("cut_doc"))
+      .agg(count(lit(1)).as("n_vocab"))
+    tokensAt.join(vocabAt, Seq("cut_pct", "cut_doc"))
+  }
+
+  /** Zipf rank–frequency fit over the top-N vocabulary: OLS slope of
+    * ln(freq) on ln(rank) — a healthy natural-language corpus sits near
+    * −1; a template/boilerplate-heavy crawl flattens, a truncated or
+    * over-dedup'd one steepens. Engine parity: each ln is rounded to
+    * integer e4 AT ITS RANK (the PMI discipline), the OLS moments are
+    * then exact int64 sums, and the slope/intercept are truncating
+    * DECIMAL(38,0) ratios — no float accumulates across rows. One
+    * frequency aggregate + TakeOrdered top-N + a marked bounded window
+    * for ranks; emits a single summary row
+    * (n_terms, slope_e6, intercept_e4).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 1)
+    val freqs = docs.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(topN)
+      // declared-bounded: topN rows by construction
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("f").desc, col("w").asc)).cast("long"))
+      .select(
+        expr("cast(round(ln(cast(rnk as double)) * 1e4, 0) as long)").as("x"),
+        expr("cast(round(ln(cast(f as double)) * 1e4, 0) as long)").as("y"))
+    freqs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_terms"),
+        // moment diffs fit int64 (topN ≤ thousands, e4 lns ≤ ~1.4e5);
+        // only the ×1e6 scale-up needs DECIMAL — its DuckDB twin is
+        // HUGEINT, the pairing with trunc-toward-zero parity on
+        // negatives (the DECIMAL// floor trap caught in qStratifiedAte)
+        expr("CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * 1000000" +
+          " div (n*sxx - sx*sx) AS BIGINT)").as("slope_e6"),
+        // intercept folds the already-truncated slope back in — chained
+        // truncation, deterministic in both engines
+        expr("CAST((CAST(sy AS DECIMAL(38,0)) * 1000000 - " +
+          "CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * 1000000" +
+          " div (n*sxx - sx*sx) * sx) div (n * 1000000) AS BIGINT)")
+          .as("intercept_e4"))
+  }
+
   /** Retrieval-quality readout: score a per-query ranking against a
     * binary relevance set with the standard IR metrics — P@k, R@k,
     * MRR, AP and nDCG@k — the evaluation loop that decides which

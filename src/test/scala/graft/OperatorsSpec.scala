@@ -2964,6 +2964,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("heapsLaw: vocab counted by first document, one pass") {
+    import graft.operators.TextOps
+    val docs = Seq((2L, "a b a"), (4L, "a c"), (8L, "d d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.heapsLaw(docs, "doc_id", "text", Seq(50, 100))
+      .collect().map(r => r.getAs[Long]("cut_pct") ->
+        ((r.getAs[Long]("cut_doc"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_vocab")))).toMap
+    assert(out(50L) === ((4L, 5L, 3L)))  // docs 2,4: tokens a,b,a,a,c
+    assert(out(100L) === ((8L, 7L, 4L))) // d first appears in doc 8
+  }
+
+  test("zipfFit: exact OLS over per-rank-rounded lns, slope near -1ish") {
+    import graft.operators.TextOps
+    // freqs 8,4,2,1 → a perfect power law with slope ln(1/2)/avg spacing
+    val words = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.zipfFit(docs, "text", topN = 10).collect().head
+    assert(r.getAs[Long]("n_terms") === 4L)
+    assert(r.getAs[Long]("slope_e6") === -1459010L)
+    assert(r.getAs[Long]("intercept_e4") === 21988L)
+  }
+
   test("harmonic centrality: per-seed hop rings, zero-reach seed visible") {
     import graft.operators.Bfs
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
