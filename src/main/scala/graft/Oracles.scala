@@ -4133,6 +4133,80 @@ object Oracles {
        |    ELSE 0 END AS ndcg_ppm
        |FROM j""".stripMargin
 
+  /** Markov removal-effect twin of
+    * [[graft.operators.EventOps.markovAttribution]]: journeys → ppm
+    * transition matrix, then one GENERATED unrolled fixed-point chain
+    * per variant (full + each removed channel) — the BPE-style
+    * per-step-CTE replay of the driver-side fold.
+    */
+  def eventsMarkov: String = {
+    val T = MarkovSteps
+    def chain(tag: String, removed: Option[String]): String = {
+      val remFilter = removed.map(c => s" AND c.src <> '$c'").getOrElse("")
+      val dstExpr = removed
+        .map(c => s"CASE WHEN c.dst = '$c' THEN 'NULL' ELSE c.dst END")
+        .getOrElse("c.dst")
+      val v0 = s"v${tag}0 AS MATERIALIZED (SELECT 'START' AS st, CAST(1000000 AS BIGINT) AS m)"
+      val stepsSql = (1 to T).map { k =>
+        s"""v$tag$k AS MATERIALIZED (SELECT st, CAST(sum(m) AS BIGINT) AS m FROM (
+           |  SELECT $dstExpr AS st, v.m * c.p // 1000000 AS m
+           |  FROM v$tag${k - 1} v JOIN p c ON c.src = v.st$remFilter
+           |  WHERE v.st NOT IN ('CONV', 'NULL')
+           |  UNION ALL
+           |  SELECT st, m FROM v$tag${k - 1} WHERE st IN ('CONV', 'NULL')
+           |) GROUP BY st)""".stripMargin
+      }.mkString(",\n")
+      s"$v0,\n$stepsSql"
+    }
+    val variants = (chain("full", None) +:
+      MarkovChannels.sorted.map(c => chain(c, Some(c)))).mkString(",\n")
+    val resRows = MarkovChannels.sorted.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  COALESCE((SELECT m FROM vfull$T WHERE st = 'CONV'), 0) AS pf,
+         |  COALESCE((SELECT m FROM v$c$T WHERE st = 'CONV'), 0) AS pr""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+       |  FROM events),
+       |x AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+       |      OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+       |f AS (SELECT *, min(CASE WHEN event_type = '$MarkovConv' THEN ts_ms END)
+       |    OVER (PARTITION BY user_id, sess) AS fc FROM s),
+       |k AS (SELECT * FROM f WHERE fc IS NULL OR ts_ms <= fc),
+       |t AS (SELECT user_id, sess, ts_ms, event_id, event_type,
+       |    lag(event_type) OVER ws AS prev, lead(event_type) OVER ws AS nxt
+       |  FROM k WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts_ms, event_id)),
+       |tr AS (
+       |  SELECT 'START' AS src,
+       |    CASE WHEN event_type = '$MarkovConv' THEN 'CONV' ELSE event_type END AS dst
+       |  FROM t WHERE prev IS NULL
+       |  UNION ALL
+       |  SELECT event_type,
+       |    CASE WHEN nxt = '$MarkovConv' THEN 'CONV' ELSE nxt END
+       |  FROM t WHERE nxt IS NOT NULL AND event_type <> '$MarkovConv'
+       |  UNION ALL
+       |  SELECT event_type, 'NULL'
+       |  FROM t WHERE nxt IS NULL AND event_type <> '$MarkovConv'),
+       |cnt AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM tr GROUP BY 1, 2),
+       |rs AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+       |p AS MATERIALIZED (SELECT c.src, c.dst,
+       |    CAST(c.n * 1000000 // r.tot AS BIGINT) AS p
+       |  FROM cnt c JOIN rs r ON r.src = c.src),
+       |$variants,
+       |res AS (
+       |$resRows),
+       |eff AS (SELECT channel, pf, pr, greatest(0, pf - pr) AS eff FROM res),
+       |te AS (SELECT CAST(sum(eff) AS BIGINT) AS te FROM eff)
+       |SELECT channel, CAST(pf AS BIGINT) AS p_full_ppm,
+       |  CAST(pr AS BIGINT) AS p_removed_ppm, CAST(eff AS BIGINT) AS effect_ppm,
+       |  CASE WHEN te > 0 THEN CAST(eff * 1000000 // te AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS share_ppm
+       |FROM eff CROSS JOIN te""".stripMargin
+  }
+
   /** Heaps-law twin of [[graft.operators.TextOps.heapsLaw]]: the same
     * first-document trick — vocab(cut) = #terms whose min doc ≤ cut.
     */

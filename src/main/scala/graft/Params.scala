@@ -243,6 +243,12 @@ object Params {
   val AsofMatch = "click"
   val FunnelSteps: Seq[String] = Seq("click", "view", "purchase")
 
+  // Markov removal-effect attribution: channel states, absorbing
+  // conversion type, fixed-point iteration depth
+  val MarkovChannels: Seq[String] = Seq("click", "view", "signup", "error")
+  val MarkovConv = "purchase"
+  val MarkovSteps = 6
+
   // randomized response: flip probability (ppm) and salt — shared by the
   // Spark release and the oracle's replay
   val RrFlipPpm = 250000L

@@ -2175,6 +2175,12 @@ object SparkEntry {
       // scans on one per-user sort, ties to the prior event
       EventOps.nearestEvent(t(s, dir, "events"), "user_id", "ts", "event_type",
         AsofTarget, AsofMatch)),
+    "events_attribution_markov" -> ((s, dir) =>
+      // removal-effect attribution: first-order session chain absorbed
+      // at the first purchase; channel credit = conversion-probability
+      // drop when the channel is removed (ppm fixed-point iteration)
+      EventOps.markovAttribution(t(s, dir, "events"), "user_id", "ts",
+        "event_type", SessionGapMs, MarkovConv, MarkovChannels, MarkovSteps)),
     "events_transitions" -> ((s, dir) =>
       // within-session Markov transition counts — one user-keyed window
       // pass, no session ids materialized
@@ -2434,6 +2440,7 @@ object SparkEntry {
     "events_pivot" -> Oracles.eventsPivot,
     "events_asof" -> Oracles.eventsAsof,
     "events_nearest" -> Oracles.eventsNearest,
+    "events_attribution_markov" -> Oracles.eventsMarkov,
     "events_transitions" -> Oracles.eventsTransitions,
     "events_attribution" -> Oracles.eventsAttribution,
     "events_attribution_decay" -> Oracles.eventsAttributionDecay,

@@ -571,4 +571,86 @@ object EventOps {
       .select(col("user_id"), col("conv_id"), col("touch_id"), col("w").as("w_ppm"),
         expr("(1000000L * w) div tw").as("credit_ppm"))
   }
+
+  /** Markov-chain (removal-effect) attribution, Anderl et al.: model
+    * session journeys as a first-order chain START → channels →
+    * CONV/NULL, absorbed at the first conversion; a channel's credit is
+    * how much the chain's conversion probability DROPS when every
+    * transition into it is redirected to NULL — the data-driven
+    * alternative to the positional heuristics
+    * ([[linearAttribution]]-family) that rewards channels lying on
+    * converting paths, not just near conversions.
+    *
+    * Exact/portable arithmetic: transition probabilities are truncating
+    * ppm (`n·10⁶ div rowtotal` — n can be trillions before overflow),
+    * and the `steps`-step absorption mass is an integer fixed-point
+    * iteration `v'_j = Σ_i v_i·p_ij div 10⁶` — every term ≤ 10¹², every
+    * sum commutative-exact, so any engine replaying the same matrix
+    * lands on identical ppm. Truncation leaks ≤ #states ppm of mass per
+    * step — deterministic, identical both engines.
+    *
+    * Scale shape: journeys and transition counts are two window passes
+    * + one keyed aggregate over the events (the [[transitionMatrix]]
+    * cost). The chain itself is (states+2)² counts — driver-side fold
+    * over that bounded state is the [[Similarity]] k-means-centroid
+    * precedent, NOT a data-sized collect. Emits one row per channel:
+    * (channel, p_full_ppm, p_removed_ppm, effect_ppm, share_ppm).
+    */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, gapMs: Long, convType: String,
+                        channels: Seq[String], steps: Int): DataFrame = {
+    require(steps >= 1 && channels.nonEmpty && !channels.contains(convType))
+    val wu = Window.partitionBy(col(userCol)).orderBy(col("ts_ms"), col("event_id"))
+    val sess = events.withColumn("ts_ms", unix_millis(col(tsCol)))
+      .withColumn("__ns", when(lag(col("ts_ms"), 1).over(wu).isNull ||
+        col("ts_ms") - lag(col("ts_ms"), 1).over(wu) > gapMs, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__ns")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wsPart = Window.partitionBy(col(userCol), col("__sess"))
+    val ws = wsPart.orderBy(col("ts_ms"), col("event_id"))
+    // absorb at the FIRST conversion: keep nothing after it
+    val kept = sess.withColumn("__fc",
+        min(when(col(typeCol) === convType, col("ts_ms"))).over(wsPart))
+      .where(col("__fc").isNull || col("ts_ms") <= col("__fc"))
+      .withColumn("__prev", lag(col(typeCol), 1).over(ws))
+      .withColumn("__next", lead(col(typeCol), 1).over(ws))
+    def absorb(c: Column) = when(c === convType, lit("CONV")).otherwise(c)
+    val trans = kept.where(col("__prev").isNull)
+        .select(lit("START").as("src"), absorb(col(typeCol)).as("dst"))
+      .unionAll(kept
+        .where(col("__next").isNotNull && col(typeCol) =!= convType)
+        .select(col(typeCol).as("src"), absorb(col("__next")).as("dst")))
+      .unionAll(kept
+        .where(col("__next").isNull && col(typeCol) =!= convType)
+        .select(col(typeCol).as("src"), lit("NULL").as("dst")))
+    val counts = trans.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rowTot = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val pPpm = counts.map { case ((s, d), n) => (s, d) -> n * 1000000L / rowTot(s) }
+    def absorbP(removed: Option[String]): Long = {
+      var v = Map("START" -> 1000000L).withDefaultValue(0L)
+      for (_ <- 1 to steps) {
+        val next = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        next("CONV") = v("CONV"); next("NULL") = v("NULL")
+        for (((s, d), p) <- pPpm if !removed.contains(s); m = v(s) if m > 0
+             if s != "CONV" && s != "NULL") {
+          val d2 = if (removed.contains(d)) "NULL" else d
+          next(d2) += m * p / 1000000L
+        }
+        v = next.toMap.withDefaultValue(0L)
+      }
+      v("CONV")
+    }
+    val pFull = absorbP(None)
+    val effects = channels.sorted.map { c =>
+      val pc = absorbP(Some(c)); (c, pc, math.max(0L, pFull - pc))
+    }
+    val totEff = effects.map(_._3).sum
+    val spark = events.sparkSession
+    import spark.implicits._
+    effects.map { case (c, pc, eff) =>
+      (c, pFull, pc, eff, if (totEff > 0) eff * 1000000L / totEff else 0L)
+    }.toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm", "share_ppm")
+  }
 }

@@ -2964,6 +2964,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("markovAttribution: removal effects on a hand-built chain") {
+    import graft.operators.EventOps
+    // journeys: (click→conv), (click→null), (view→click→conv), (view→null)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", "click"),
+      (2L, 1L, "2024-01-01 00:00:02", "purchase"),
+      (3L, 2L, "2024-01-01 00:00:01", "click"),
+      (4L, 3L, "2024-01-01 00:00:01", "view"),
+      (5L, 3L, "2024-01-01 00:00:02", "click"),
+      (6L, 3L, "2024-01-01 00:00:03", "purchase"),
+      (7L, 4L, "2024-01-01 00:00:01", "view")
+    ).toDF("event_id", "user_id", "ts0", "event_type")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val out = EventOps.markovAttribution(ev, "user_id", "ts", "event_type",
+        gapMs = 3600000L, convType = "purchase",
+        channels = Seq("click", "view"), steps = 6)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("p_full_ppm"), r.getAs[Long]("p_removed_ppm"),
+          r.getAs[Long]("effect_ppm"), r.getAs[Long]("share_ppm")))).toMap
+    // p(conv) = ½·⅔ + ½·½·⅔ = 499999 ppm after truncation;
+    // removing click kills every converting path, removing view only
+    // the two-hop one — click carries 3× the view credit
+    assert(out("click") === ((499999L, 0L, 499999L, 750000L)))
+    assert(out("view") === ((499999L, 333333L, 166666L, 249999L)))
+  }
+
   test("heapsLaw: vocab counted by first document, one pass") {
     import graft.operators.TextOps
     val docs = Seq((2L, "a b a"), (4L, "a c"), (8L, "d d"))
