@@ -353,6 +353,49 @@ object Oracles {
        |  FROM sc)
        |WHERE rnk <= $AnnK""".stripMargin
 
+  /** Recall-eval twin of [[graft.operators.Similarity.recallEval]]
+    * over the nprobe-IVF index vs the brute-force ground truth:
+    * composes the two ranking pipelines under fresh CTE names, then
+    * the same hit/size joins and the −1 micro-average row.
+    */
+  def annRecallEval: String =
+    s"""WITH $ivfAsgCtes,
+       |$ivfProbeCtes,
+       |ia AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM (SELECT query_id, neighbor_id,
+       |      ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |    FROM cand JOIN embeddings ea ON ea.vec_id = query_id
+       |    JOIN embeddings eb ON eb.vec_id = neighbor_id))
+       |  WHERE rnk <= $AnnK),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $AnnQueryMod = 0),
+       |be AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM (SELECT query_id, c.vec_id AS neighbor_id,
+       |      ${cosExpr("qv", "c.embedding")} AS cos
+       |    FROM bq, embeddings c WHERE c.vec_id <> query_id))
+       |  WHERE rnk <= $AnnK),
+       |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM be e JOIN ia a ON a.query_id = e.query_id
+       |    AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1),
+       |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM be GROUP BY 1),
+       |an AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx FROM ia GROUP BY 1),
+       |per AS (SELECT en.query_id, n_exact,
+       |    COALESCE(n_approx, 0) AS n_approx, COALESCE(n_hit, 0) AS n_hit,
+       |    CAST(COALESCE(n_hit, 0) * 1000000 // n_exact AS BIGINT) AS recall_ppm
+       |  FROM en LEFT JOIN an ON an.query_id = en.query_id
+       |  LEFT JOIN hits ON hits.query_id = en.query_id)
+       |SELECT query_id, n_exact, n_approx, n_hit, recall_ppm FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(sum(n_exact) AS BIGINT),
+       |  CAST(sum(n_approx) AS BIGINT), CAST(sum(n_hit) AS BIGINT),
+       |  CAST(sum(n_hit) * 1000000 // sum(n_exact) AS BIGINT)
+       |FROM per""".stripMargin
+
   /** One k-means update step over the IVF assignment: per-cell per-dim
     * mean. dims CTE drives the explode so the lateral syntax stays plain.
     */

@@ -1041,6 +1041,18 @@ object SparkEntry {
           "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
+    "ann_recall_eval" -> ((s, dir) => {
+      // index-quality readout: recall@k of the nprobe-IVF index against
+      // the exact brute-force ground truth, per query + micro-average —
+      // the number that justifies (or rejects) the cheap index
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      Similarity.recallEval(
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", AnnK, IvfCells,
+          EmbDims, IvfNprobe),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", AnnK),
+        AnnK)
+    }),
     "emb_kmeans_step" -> ((s, dir) => {
       // one distributed k-means update: map-side cell assignment against
       // literal centroids, then ONE hash aggregate with 64 per-dim sums —
@@ -2339,6 +2351,7 @@ object SparkEntry {
     "ann_mrl_topk" -> Oracles.annMrlTopK,
     "ann_ivf_topk" -> Oracles.annIvfTopK,
     "ann_ivf_nprobe" -> Oracles.annIvfNprobe,
+    "ann_recall_eval" -> Oracles.annRecallEval,
     "ann_ivf_trained" -> Oracles.annIvfTrained,
     "emb_pq_codes" -> Oracles.embPqCodes,
     "emb_sq8_codes" -> Oracles.embSq8Codes,

@@ -465,4 +465,40 @@ object Similarity {
       round(V.dotConst(col(vecCol), w), 4).as(s"d$j")
     }: _*)
   }
+
+  /** ANN recall evaluation: score an approximate top-k ranking against
+    * the exact (brute-force) ground truth — the accept/reject loop for
+    * every index knob (cells, nprobe, bands, PQ bits): a recall number,
+    * not a hunch, decides whether the cheap index is good enough. Both
+    * inputs need (query_id, neighbor_id, rnk). Emits one row per query
+    * (query_id, n_exact, n_approx, n_hit, recall_ppm — hits ÷ ground
+    * truth size) plus a `query_id = −1` micro-average row over all
+    * queries. Exact integers throughout; queries the approx index
+    * missed entirely still appear (n_approx = 0), so dropped queries
+    * can't inflate the average.
+    *
+    * Scale shape: two (query, neighbor)-keyed semi-structures and one
+    * equi-join on the pair key — the eval moves only id pairs
+    * (queries × k rows), never vectors.
+    */
+  def recallEval(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val a = approx.where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val per = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(a.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx")),
+        Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_approx", "n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_approx"), col("n_hit"),
+        expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+    per.unionByName(per.agg(sum(col("n_exact")).as("n_exact"),
+        sum(col("n_approx")).as("n_approx"), sum(col("n_hit")).as("n_hit"))
+      .select(lit(-1L).as("query_id"), col("n_exact"), col("n_approx"),
+        col("n_hit"), expr("n_hit * 1000000L div n_exact").as("recall_ppm")))
+  }
 }

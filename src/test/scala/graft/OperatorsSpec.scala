@@ -2964,6 +2964,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("recallEval: per-query hits vs ground truth + micro-average row") {
+    val approx = Seq((1L, 10L, 1L), (1L, 99L, 2L), (2L, 30L, 1L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val exact = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L), (2L, 40L, 2L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val out = Similarity.recallEval(approx, exact, k = 2)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(out(1L) === ((2L, 2L, 1L, 500000L)))
+    assert(out(2L) === ((2L, 1L, 1L, 500000L)))
+    assert(out(-1L) === ((4L, 3L, 2L, 500000L))) // micro average
+  }
+
   test("markovAttribution: removal effects on a hand-built chain") {
     import graft.operators.EventOps
     // journeys: (click→conv), (click→null), (view→click→conv), (view→null)
