@@ -4176,6 +4176,34 @@ object Oracles {
        |    ELSE 0 END AS ndcg_ppm
        |FROM j""".stripMargin
 
+  /** Louvain local-move twin of
+    * [[graft.operators.Louvain.localMove]]: exact-integer gains
+    * 2m·n_ij − k_i·k_j, argmax per node with smallest-neighbor
+    * tie-break.
+    */
+  def qLouvainMove: String =
+    s"""WITH pairs0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey + $PrCustOffset AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT sk AS src, ck AS dst FROM pairs0
+       |          UNION ALL SELECT ck, sk FROM pairs0),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+       |  FROM edges GROUP BY 1),
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+       |pr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_ij
+       |  FROM edges GROUP BY 1, 2),
+       |g AS (SELECT pr.src, pr.dst,
+       |    CAST(m2.m2 * n_ij - di.k * dj.k AS BIGINT) AS gain_x
+       |  FROM pr JOIN deg di ON di.node = pr.src
+       |  JOIN deg dj ON dj.node = pr.dst CROSS JOIN m2),
+       |b AS (SELECT src AS node, dst, gain_x,
+       |    row_number() OVER (PARTITION BY src ORDER BY gain_x DESC, dst ASC) AS rn
+       |  FROM g)
+       |SELECT node,
+       |  CASE WHEN gain_x > 0 THEN dst ELSE node END AS new_label,
+       |  greatest(gain_x, CAST(0 AS BIGINT)) AS gain_x
+       |FROM b WHERE rn = 1""".stripMargin
+
   /** Markov removal-effect twin of
     * [[graft.operators.EventOps.markovAttribution]]: journeys → ppm
     * transition matrix, then one GENERATED unrolled fixed-point chain

@@ -1762,6 +1762,18 @@ object SparkEntry {
         .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
       operators.LabelProp.labelPropagation(edges, LpIters)
     }),
+    "q_louvain_move" -> ((s, dir) => {
+      // greedy modularity agglomeration: one deterministic Louvain
+      // local-move round from singletons — each node joins the neighbor
+      // with the best strictly-positive exact-integer gain
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("ck") + lit(PrCustOffset)).as("dst"))
+        .union(pairs.select((col("ck") + lit(PrCustOffset)).as("src"), col("sk").as("dst")))
+      operators.Louvain.localMove(edges)
+    }),
     "q_bfs_reach" -> ((s, dir) => {
       // recursive-CTE-shaped reachability: min hop distance from the
       // seed suppliers over the trading graph, frontier-iterated
@@ -2383,6 +2395,7 @@ object SparkEntry {
     "etl_cdc_apply" -> Oracles.etlCdcApply,
     "etl_snapshot_diff" -> Oracles.etlSnapshotDiff,
     "q_label_prop" -> Oracles.qLabelProp,
+    "q_louvain_move" -> Oracles.qLouvainMove,
     "q_bfs_reach" -> Oracles.qBfsReach,
     "q_harmonic" -> Oracles.qHarmonic,
     "q_sssp" -> Oracles.qSssp,

@@ -2964,6 +2964,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("louvain localMove: triangles merge inward, the bridge never wins") {
+    import graft.operators.Louvain
+    // two triangles joined by bridge 3—4: CC would collapse everything;
+    // the modularity gain ranks in-triangle neighbors above the bridge
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Louvain.localMove(edges)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("new_label"), r.getAs[Long]("gain_x")))).toMap
+    assert(out === Map(
+      1L -> ((2L, 10L)), 2L -> ((1L, 10L)), 3L -> ((1L, 8L)),
+      4L -> ((5L, 8L)), 5L -> ((6L, 10L)), 6L -> ((5L, 10L))))
+  }
+
   test("recallEval: per-query hits vs ground truth + micro-average row") {
     val approx = Seq((1L, 10L, 1L), (1L, 99L, 2L), (2L, 30L, 1L))
       .toDF("query_id", "neighbor_id", "rnk")
