@@ -4278,6 +4278,53 @@ object Oracles {
        |FROM eff CROSS JOIN te""".stripMargin
   }
 
+  /** Entropy twin of [[graft.operators.Sketches.entropy]]: per-class
+    * e4-rounded log terms, integer weighted sum, truncating ratios.
+    */
+  def qEntropy: String =
+    s"""WITH per AS (SELECT source AS grp, lang AS c,
+       |    CAST(count(*) AS BIGINT) AS n_c FROM documents GROUP BY 1, 2),
+       |w AS (SELECT grp, c, n_c,
+       |    CAST(sum(n_c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM per),
+       |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(max(n) AS BIGINT) AS n,
+       |    CAST(sum(n_c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      * 1e4, 0) AS BIGINT)) AS BIGINT) AS h_num
+       |  FROM w GROUP BY 1)
+       |SELECT grp, n, n_classes, CAST(h_num // n AS BIGINT) AS entropy_e4,
+       |  CASE WHEN n_classes > 1 THEN CAST((h_num // n) * 1000000
+       |    // CAST(round(ln(CAST(n_classes AS DOUBLE)) * 1e4, 0) AS BIGINT) AS BIGINT)
+       |  ELSE 0 END AS evenness_ppm
+       |FROM a""".stripMargin
+
+  /** SRM twin of [[graft.operators.Experiment.srmGate]]. */
+  def qSrm: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (SELECT
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM u)
+       |SELECT n_a, n_b,
+       |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 10000
+       |    // (n_a + n_b) AS BIGINT) AS chi2_e4,
+       |  (CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 10000
+       |    // (n_a + n_b) AS BIGINT) > 38415) AS srm_flag
+       |FROM a""".stripMargin
+
+  /** Novelty twin of [[graft.operators.TextOps.noveltyPerDoc]]: the
+    * heapsLaw first-occurrence trick at per-doc grain.
+    */
+  def textNovelty: String =
+    s"""WITH $toksCte,
+       |${shingCteFor(2)},
+       |dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shing),
+       |f AS (SELECT g, min(doc_id) AS fd FROM dsh GROUP BY 1)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.fd = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.fd = d.doc_id THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS novelty_ppm
+       |FROM dsh d JOIN f ON f.g = d.g GROUP BY 1""".stripMargin
+
   /** Heaps-law twin of [[graft.operators.TextOps.heapsLaw]]: the same
     * first-document trick — vocab(cut) = #terms whose min doc ≤ cut.
     */

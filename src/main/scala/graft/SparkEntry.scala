@@ -355,6 +355,10 @@ object SparkEntry {
         o.where(col("y") > lit(DriftSplitYear)),
         expr(s"c div $DriftBucketCents"))
     }),
+    "q_entropy" -> ((s, dir) =>
+      // language-mix diversity per source: exact-integer Shannon
+      // entropy + evenness vs the uniform bound
+      Sketches.entropy(t(s, dir, "documents"), col("source"), col("lang"))),
     "q_jsd_drift" -> ((s, dir) => {
       // corpus-mix drift as LLM pipelines track it: Jensen–Shannon
       // divergence of the event-type distribution between the two
@@ -398,6 +402,11 @@ object SparkEntry {
       // __ate__ row, all exact truncating integers
       Experiment.stratifiedAte(t(s, dir, "orders"), col("o_orderpriority"),
         col("o_custkey") % 2 === 0, cents(col("o_totalprice")))),
+    "q_srm" -> ((s, dir) =>
+      // sample-ratio-mismatch gate on the hash assignment: distinct
+      // units per arm, chi-squared vs 50/50, 95% flag
+      Experiment.srmGate(t(s, dir, "events").select(col("user_id")).distinct(),
+        col("user_id") % 2 === 0)),
     "q_did" -> ((s, dir) =>
       // difference-in-differences launch readout: user-parity arms,
       // pre/post at the JSD split instant, per-event cents metric —
@@ -2037,6 +2046,10 @@ object SparkEntry {
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)),
         Bm25K, RrfC)
     }),
+    "text_novelty" -> ((s, dir) =>
+      // per-doc share of shingles first seen in THIS doc — the
+      // streaming-ingest novelty/re-crawl smell, digest-keyed
+      TextOps.noveltyPerDoc(t(s, dir, "documents"), "doc_id", "text")),
     "text_heaps" -> ((s, dir) =>
       // vocabulary-growth curve at fixed corpus prefixes — one pass via
       // term-first-document, no per-checkpoint count-distinct
@@ -2311,12 +2324,14 @@ object SparkEntry {
     "q_holt_winters" -> Oracles.qHoltWinters,
     "q_drift_chi2" -> Oracles.qDriftChi2,
     "q_jsd_drift" -> Oracles.qJsdDrift,
+    "q_entropy" -> Oracles.qEntropy,
     "q_random_walks" -> Oracles.qRandomWalks,
     "q_ab_ttest" -> Oracles.qAbTtest,
     "q_cuped" -> Oracles.qCuped,
     "q_wilson_ci" -> Oracles.qWilsonCi,
     "q_stratified_ate" -> Oracles.qStratifiedAte,
     "q_did" -> Oracles.qDid,
+    "q_srm" -> Oracles.qSrm,
     "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,
@@ -2453,6 +2468,7 @@ object SparkEntry {
     "text_rrf_fuse" -> Oracles.textRrfFuse,
     "text_rank_metrics" -> Oracles.textRankMetrics,
     "text_heaps" -> Oracles.textHeaps,
+    "text_novelty" -> Oracles.textNovelty,
     "text_zipf" -> Oracles.textZipf,
     "text_bpe_train" -> Oracles.textBpeTrain,
     "text_bpe_vocab" -> Oracles.textBpeVocab,

@@ -164,6 +164,23 @@ object Experiment {
     rows.unionByName(ate)
   }
 
+  /** Sample-ratio-mismatch gate: χ² of the observed arm counts against
+    * the intended 50/50 split — the FIRST check any experiment readout
+    * runs, because a biased assignment invalidates every downstream
+    * statistic. χ² = (n_a−n_b)²/(n_a+n_b) exact (DECIMAL square —
+    * safe to 10¹⁹ units), floor-scaled e4; the flag trips at the
+    * 1-df 95% critical value 3.8415. One row:
+    * (n_a, n_b, chi2_e4, srm_flag).
+    */
+  def srmGate(units: DataFrame, arm: Column): DataFrame =
+    units.select(when(arm, 1L).otherwise(0L).as("a"))
+      .agg(sum(when(col("a") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a") === 0, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 10000" +
+          " div (n_a + n_b) AS BIGINT)").as("chi2_e4"))
+      .withColumn("srm_flag", col("chi2_e4") > 38415L)
+
   /** Difference-in-differences IEEE fragment, shared verbatim with the
     * DuckDB twin: (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) over the
     * four exact (n, Σ) cell sums, floor-scaled 10⁴.

@@ -721,4 +721,34 @@ object Sketches {
             / (col("n") * col("total")).cast("double")))
           .cast("long").as("gini_ppm"))
   }
+
+  /** Per-group Shannon entropy of a categorical column, exact-portable:
+    * H = Σ_c n_c·round(ln(N/n_c)·10⁴) div N — each class's log term is
+    * rounded to integer e4 AT THE CLASS (IEEE ln of a rational of two
+    * int64s, identical in any engine), then the weighted sum is pure
+    * integer arithmetic — partition-order free. Evenness normalizes by
+    * the uniform bound ln(k): 10⁶ ppm = perfectly mixed, small = one
+    * class dominates; single-class groups emit evenness 0. The
+    * diversity gate for corpus mix monitoring (language share per
+    * source, event mix per cohort) — Gini's categorical sibling.
+    * Two stacked partial aggregates, nothing bigger than (group×class).
+    */
+  def entropy(df: DataFrame, group: Column, category: Column): DataFrame = {
+    val per = df.select(group.as("grp"), category.as("c"))
+      .groupBy(col("grp"), col("c")).agg(count(lit(1)).as("n_c"))
+      // class-count window per group: (group×class)-sized input only
+      .withColumn("N", sum(col("n_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    per.groupBy(col("grp")).agg(count(lit(1)).as("n_classes"),
+        max(col("N")).as("n"),
+        sum(col("n_c") *
+          expr("cast(round(ln(cast(N as double) / cast(n_c as double)) " +
+            "* 1e4, 0) as long)")).as("h_num"))
+      .select(col("grp"), col("n"), col("n_classes"),
+        expr("h_num div n").as("entropy_e4"),
+        when(col("n_classes") > 1,
+          expr("(h_num div n) * 1000000L div " +
+            "cast(round(ln(cast(n_classes as double)) * 1e4, 0) as long)"))
+          .otherwise(0L).as("evenness_ppm"))
+  }
 }

@@ -641,6 +641,30 @@ object TextOps {
         col("pass_words") && col("pass_len") && col("pass_stop") && col("pass_alpha"))
   }
 
+  /** Per-document n-gram novelty vs everything before it (by doc id):
+    * the share of a doc's distinct shingles whose FIRST corpus
+    * occurrence is this doc — the per-doc face of [[heapsLaw]]'s
+    * corpus curve, and the streaming-ingest dedup smell: a feed whose
+    * novelty collapses is re-crawling what the corpus already holds.
+    * Same first-occurrence trick (one min-aggregate decides every
+    * membership), shingles travel as 16-byte digests, and the
+    * first-doc join reuses the digest-keyed exchange the aggregate
+    * already built. Emits (doc_id, n_grams, n_novel, novelty_ppm).
+    */
+  def noveltyPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .localCheckpoint(false) // two consumers: first-doc agg + join back
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_grams"))
+  }
+
   /** Heaps-law vocabulary-growth audit: distinct-term count vs tokens
     * seen at fixed corpus prefixes (by doc id) — the curve that says
     * whether a corpus is still contributing new vocabulary or has gone

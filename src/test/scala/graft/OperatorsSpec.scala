@@ -2964,6 +2964,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("entropy: uniform group hits full evenness, single-class zeroes") {
+    val df = Seq(("s", "a"), ("s", "a"), ("s", "b"), ("s", "b"),
+      ("t", "c"), ("t", "c"), ("t", "c")).toDF("g", "c")
+    val out = Sketches.entropy(df, col("g"), col("c"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("entropy_e4"), r.getAs[Long]("evenness_ppm")))).toMap
+    assert(out("s") === ((6931L, 1000000L))) // ln 2, perfectly mixed
+    assert(out("t") === ((0L, 0L)))
+  }
+
+  test("srmGate: balanced passes, 6-0 split trips the 95% flag") {
+    import graft.operators.Experiment
+    val ok = Experiment.srmGate(Seq(1L, 2L, 3L, 4L).toDF("u"),
+      col("u") % 2 === 0).collect().head
+    assert(ok.getAs[Long]("chi2_e4") === 0L && !ok.getAs[Boolean]("srm_flag"))
+    val bad = Experiment.srmGate(Seq(0L, 2L, 4L, 6L, 8L, 10L).toDF("u"),
+      col("u") % 2 === 0).collect().head
+    assert(bad.getAs[Long]("chi2_e4") === 60000L) // 36e4/6
+    assert(bad.getAs[Boolean]("srm_flag"))
+  }
+
+  test("noveltyPerDoc: shingles credit their first document only") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextOps.noveltyPerDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm")))).toMap
+    assert(out(1L) === ((2L, 2L, 1000000L)))
+    assert(out(2L) === ((2L, 1L, 500000L))) // "a b" already seen in doc 1
+  }
+
   test("louvain localMove: triangles merge inward, the bridge never wins") {
     import graft.operators.Louvain
     // two triangles joined by bridge 3—4: CC would collapse everything;
