@@ -4408,4 +4408,93 @@ object Oracles {
        |  WHERE s_suppkey % $HarmonicSeedMod = 0) s
        |LEFT JOIN reached ON s.seed = reached.seed""".stripMargin
   }
+
+  /** WOE/IV twin of [[graft.operators.Quality.woeIv]]: same exact int64
+    * counts, same single-double ln() argument (exact products < 2⁵³),
+    * same truncating ppm divisions.
+    */
+  def qWoeIv: String = {
+    val woe = "CAST(floor(ln((CAST(n_good AS DOUBLE) * " +
+      "CAST(b_tot AS DOUBLE)) / (CAST(n_bad AS DOUBLE) * " +
+      "CAST(g_tot AS DOUBLE))) * 1e4) AS BIGINT)"
+    s"""WITH per AS (SELECT o_orderpriority AS grp,
+       |    CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+       |    CAST(sum(n_bad) AS BIGINT) AS b_tot FROM per),
+       |r AS (SELECT grp, n_good, n_bad,
+       |    CASE WHEN n_good = 0 OR n_bad = 0 THEN NULL ELSE $woe END AS woe_e4,
+       |    CASE WHEN n_good = 0 OR n_bad = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((n_good * 1000000 // g_tot - n_bad * 1000000 // b_tot)
+       |        * $woe AS BIGINT) END AS contrib_e10
+       |  FROM per CROSS JOIN tot)
+       |SELECT grp, n_good, n_bad, woe_e4, contrib_e10 FROM r
+       |UNION ALL
+       |SELECT '__iv__', g_tot, b_tot, NULL,
+       |  (SELECT CAST(sum(contrib_e10) AS BIGINT) FROM r) FROM tot""".stripMargin
+  }
+
+  /** Calibration twin of [[graft.operators.Quality.calibration]]: the
+    * score is floor(10×discount·10⁶) — ONE double product of the stored
+    * double, floored, so both engines bin identical int64s.
+    */
+  def qCalibration: String =
+    s"""WITH base AS (SELECT CAST(floor(l_discount * 10000000.0) AS BIGINT) AS p,
+       |    (l_returnflag = 'R') AS y FROM lineitem),
+       |per AS (SELECT CAST(least(${CalibBins - 1}, p * $CalibBins // 1000000) AS BIGINT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(p) AS BIGINT) AS sp
+       |  FROM base GROUP BY 1),
+       |r AS (SELECT bin, n, n_pos, CAST(sp // n AS BIGINT) AS avg_score_ppm,
+       |    CAST(n_pos * 1000000 // n AS BIGINT) AS pos_ppm,
+       |    CAST(sp // n - n_pos * 1000000 // n AS BIGINT) AS gap_ppm FROM per)
+       |SELECT bin, n, n_pos, avg_score_ppm, pos_ppm, gap_ppm FROM r
+       |UNION ALL
+       |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT), NULL, NULL,
+       |  CAST(sum(n * abs(gap_ppm)) // sum(n) AS BIGINT) FROM r""".stripMargin
+
+  /** Readability twin of the `text_readability` query: same whitespace
+    * tokens, same max(1, vowel-chars) syllable proxy, same `[.!?]+`
+    * sentence runs, same truncating integer Flesch formula.
+    */
+  def textReadability: String =
+    s"""WITH $toksCte,
+       |per AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(ts, w ->
+       |      greatest(CAST(1 AS BIGINT), CAST(length(w) -
+       |        length(regexp_replace(lower(w), '[aeiouy]', '', 'g')) AS BIGINT)))), 0)
+       |      AS BIGINT) AS n_syllables
+       |  FROM toks),
+       |sent AS (SELECT doc_id, greatest(CAST(1 AS BIGINT),
+       |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences
+       |  FROM documents)
+       |SELECT p.doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words = 0 THEN NULL
+       |    ELSE 206835 - (1015 * n_words) // n_sentences
+       |      - (84600 * n_syllables) // n_words END AS flesch_e3
+       |FROM per p JOIN sent s ON p.doc_id = s.doc_id""".stripMargin
+
+  /** Encoding-audit twin of [[graft.operators.TextOps.encodingAudit]]
+    * with the same deterministic corruption applied inline (chr(65533)
+    * = U+FFFD, chr(7) = BEL — spelled via chr() so the SQL text itself
+    * stays 7-bit clean).
+    */
+  def textEncodingAudit: String =
+    s"""WITH c AS (SELECT source,
+       |    text || (CASE WHEN doc_id % $EncReplMod = 0 THEN chr(65533) ELSE '' END)
+       |         || (CASE WHEN doc_id % $EncCtrlMod = 0 THEN chr(7) ELSE '' END) AS t
+       |  FROM documents),
+       |per AS (SELECT source,
+       |    CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS r,
+       |    CAST(length(t) - length(regexp_replace(t,
+       |      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT) AS k
+       |  FROM c)
+       |SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN r > 0 OR k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_docs,
+       |  CAST(sum(r) AS BIGINT) AS n_repl, CAST(sum(k) AS BIGINT) AS n_ctrl,
+       |  CAST((count(*) - sum(CASE WHEN r > 0 OR k > 0 THEN 1 ELSE 0 END))
+       |    * 1000000 // count(*) AS BIGINT) AS clean_ppm
+       |FROM per GROUP BY 1""".stripMargin
 }

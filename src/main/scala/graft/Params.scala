@@ -73,6 +73,14 @@ object Params {
   // assignment is independent of the per-doc split
   val GroupSplitSalt = "gspl"
 
+  // calibration reliability table over lineitem: score = 10×discount in
+  // exact ppm (a declared pseudo-model), outcome = returnflag 'R'
+  val CalibBins = 10
+  // encoding-audit synthetic corruption cadence (mirrored in the
+  // oracle): docs ≡0 mod 7 get a U+FFFD appended, ≡0 mod 11 a BEL
+  val EncReplMod = 7L
+  val EncCtrlMod = 11L
+
   // rolling-distinct (WAU-style) window, calendar days
   val SlidingWindowDays = 7
   // conversion-path census: top-K paths

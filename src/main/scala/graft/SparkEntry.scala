@@ -413,6 +413,18 @@ object SparkEntry {
       // the control arm nets out shared drift
       Experiment.did(t(s, dir, "events"), col("user_id") % 2 === 0,
         col("ts") >= ts(JsdSplitTs), cents(col("value")))),
+    "q_woe_iv" -> ((s, dir) =>
+      // weight-of-evidence / information-value feature screen: order
+      // priority vs the finalized-status target — exact int64 counts,
+      // broadcast totals, ln() over exact-product doubles
+      Quality.woeIv(t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_orderstatus") === "F")),
+    "q_calibration" -> ((s, dir) =>
+      // reliability table: ppm score (10×discount pseudo-model) vs the
+      // return outcome in equal-width bins; bin −1 = N/positives/ECE
+      Quality.calibration(t(s, dir, "lineitem"),
+        floor(col("l_discount") * lit(10000000.0)).cast("long"),
+        col("l_returnflag") === "R", CalibBins)),
     "q_random_walks" -> ((s, dir) => {
       // DeepWalk-style training corpus: hash-deterministic 4-step walks
       // over the undirected trading graph from every 100th supplier —
@@ -1973,6 +1985,28 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.tokenCount(col("text")).as("n_tokens"), T.qualityScore(col("text")).as("qscore"))),
+    "text_readability" -> ((s, dir) =>
+      // Flesch-style readability on the deterministic syllable proxy;
+      // integer-divided e3 score so every engine agrees bit-for-bit
+      t(s, dir, "documents").select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_words"),
+        T.sentenceCount(col("text")).as("n_sentences"),
+        T.syllableCount(col("text")).as("n_syllables"))
+        .withColumn("flesch_e3",
+          when(col("n_words") === 0, lit(null).cast("long"))
+            .otherwise(expr("206835 - (1015 * n_words) div n_sentences" +
+              " - (84600 * n_syllables) div n_words")))),
+    "text_encoding_audit" -> ((s, dir) =>
+      // per-source encoding health; deterministic corruption (U+FFFD on
+      // doc_id≡0 mod 7, BEL on ≡0 mod 11) is injected query-side so the
+      // audit has real positives to flag — the text_nfc synthesis pattern
+      TextOps.encodingAudit(
+        t(s, dir, "documents").withColumn("t", concat(col("text"),
+          when(col("doc_id") % EncReplMod === 0, lit("\uFFFD"))
+            .otherwise(lit("")),
+          when(col("doc_id") % EncCtrlMod === 0, lit("\u0007"))
+            .otherwise(lit("")))),
+        col("source"), col("t"))),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"), T.rollingHash(col("text")).as("roll"))),
@@ -2332,6 +2366,8 @@ object SparkEntry {
     "q_stratified_ate" -> Oracles.qStratifiedAte,
     "q_did" -> Oracles.qDid,
     "q_srm" -> Oracles.qSrm,
+    "q_woe_iv" -> Oracles.qWoeIv,
+    "q_calibration" -> Oracles.qCalibration,
     "q_modularity" -> Oracles.qModularity,
     "q_trend_fit" -> Oracles.qTrendFit,
     "sample_temperature" -> Oracles.sampleTemperature,
@@ -2456,6 +2492,8 @@ object SparkEntry {
     "text_token_count" -> Oracles.textTokenCount,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
+    "text_readability" -> Oracles.textReadability,
+    "text_encoding_audit" -> Oracles.textEncodingAudit,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_nfc" -> Oracles.textNfc,
     "text_winnow" -> Oracles.textWinnow,

@@ -90,6 +90,23 @@ object TextFunctions {
     element_at(array(langStopwords.map(p => lit(p._1)): _*), best + 1)
   }
 
+  /** Deterministic syllable proxy: Σ per word max(1, vowel-char count)
+    * over the whitespace tokens — the cheap cross-engine heuristic a
+    * readability gate needs (real hyphenation dictionaries aren't
+    * engine-portable). Pure higher-order-function fold, codegen'd.
+    */
+  def syllableCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (a, w) =>
+      a + greatest(lit(1L),
+        (length(w) - length(regexp_replace(lower(w), "[aeiouy]", "")))
+          .cast("long")))
+
+  /** Sentence count: non-overlapping `[.!?]+` runs, floored at 1 so a
+    * fragment without terminal punctuation still counts as one sentence.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long"))
+
   /** Quality score in [0,1]: length saturation + stopword ratio + alpha
     * ratio, the same shape of cheap heuristics used to pre-filter web text
     * for training corpora. Deterministic double arithmetic, rounded to 4dp.

@@ -325,6 +325,77 @@ object Quality {
     * window runs over the B bucket rows. The lift ratio rides
     * DECIMAL(38,0) (n_pos·n_tot·10³ overflows int64 past ~3·10⁹ rows).
     */
+  /** Weight-of-evidence / information-value screen for a categorical
+    * feature against a binary target — the classic credit-scoring
+    * feature audit, run here as a one-pass groupBy plus a broadcast of
+    * the two global totals. Per category:
+    * `woe_e4 = floor(ln((good_c·B)/(bad_c·G))·10⁴)` (NULL when either
+    * side is empty — WOE is undefined there) and the IV contribution
+    * `contrib_e10 = (good_c·10⁶ div G − bad_c·10⁶ div B) · woe_e4`,
+    * exact int64 throughout (counts·10⁶ and ppm·woe_e4 both fit). A
+    * final `__iv__` row carries the totals and ΣIV. The ln() argument
+    * is ONE double built from exact int64 products (< 2⁵³, so the
+    * doubles are exact), spelled with the same op tree in the DuckDB
+    * twin — the [[Experiment]] portability discipline.
+    */
+  def woeIv(df: DataFrame, category: Column, bad: Column): DataFrame = {
+    val per = df.select(category.as("grp"), bad.cast("boolean").as("b"))
+      .groupBy(col("grp"))
+      .agg(sum(when(!col("b"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_bad"))
+    val tot = broadcast(per.agg(sum(col("n_good")).as("g_tot"),
+      sum(col("n_bad")).as("b_tot")))
+    val woe = expr("CAST(floor(ln((CAST(n_good AS DOUBLE) * " +
+      "CAST(b_tot AS DOUBLE)) / (CAST(n_bad AS DOUBLE) * " +
+      "CAST(g_tot AS DOUBLE))) * 1e4) AS BIGINT)")
+    val degenerate = col("n_good") === 0L || col("n_bad") === 0L
+    val rows = per.crossJoin(tot).select(col("grp"),
+      col("n_good"), col("n_bad"),
+      when(degenerate, lit(null).cast("long")).otherwise(woe).as("woe_e4"),
+      when(degenerate, lit(0L)).otherwise(
+        (expr("n_good * 1000000 div g_tot") -
+          expr("n_bad * 1000000 div b_tot")) * woe).as("contrib_e10"))
+    rows.unionByName(rows
+      .agg(sum(col("n_good")).as("n_good"), sum(col("n_bad")).as("n_bad"),
+        sum(col("contrib_e10")).as("contrib_e10"))
+      .select(lit("__iv__").as("grp"), col("n_good"), col("n_bad"),
+        lit(null).cast("long").as("woe_e4"), col("contrib_e10")))
+  }
+
+  /** Reliability (calibration) table for a probability-like score in
+    * exact ppm against a binary outcome: equal-WIDTH score bins (the
+    * diagram convention — [[liftTable]] is the equal-COUNT dual), per
+    * bin the mean predicted ppm, observed positive rate ppm, and the
+    * signed gap; a final `bin = −1` row carries N, total positives, and
+    * expected calibration error (the n-weighted mean |gap|) in its
+    * gap_ppm slot. One groupBy over B+1 rows of state — the score stays
+    * an int64 the whole way, so the table is engine-exact.
+    */
+  def calibration(df: DataFrame, scorePpm: Column, label: Column,
+                  bins: Int): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val base = df.select(scorePpm.cast("long").as("p"),
+      label.cast("boolean").as("y"))
+    val per = base
+      .select(least(lit(bins - 1L), expr(s"p * $bins div 1000000")).as("bin"),
+        col("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("p")).as("__sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__sp div n").as("avg_score_ppm"),
+        expr("n_pos * 1000000 div n").as("pos_ppm"),
+        (expr("__sp div n") - expr("n_pos * 1000000 div n")).as("gap_ppm"))
+    per.unionByName(per
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("n") * abs(col("gap_ppm"))).as("__w"))
+      .select(lit(-1L).as("bin"), col("n"), col("n_pos"),
+        lit(null).cast("long").as("avg_score_ppm"),
+        lit(null).cast("long").as("pos_ppm"),
+        expr("__w div n").as("gap_ppm")))
+  }
+
   def liftTable(df: DataFrame, scoreInt: Column, label: Column,
                 tieBreak: Column, buckets: Int): DataFrame = {
     require(buckets >= 2, "need at least two buckets")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
@@ -797,5 +797,30 @@ object TextOps {
         col("dcg_e6"),
         when(col("idcg_e6") > 0, expr("dcg_e6 * 1000000L div idcg_e6"))
           .otherwise(0L).as("ndcg_ppm"))
+  }
+
+  /** Encoding-health census per group: documents carrying U+FFFD
+    * replacement characters (the indelible mark of a bad decode) or
+    * C0 control characters (binary bleed-through), counted exactly via
+    * length deltas — `replace` for the single literal char, one
+    * character-class regex for the control block. A corpus ingested
+    * from the web runs this per source/host to kick broken decoders
+    * out of the mix before they poison training text. One partial-agg
+    * shuffle of 5 int64s per group.
+    */
+  def encodingAudit(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val nRepl = (length(text) -
+      length(regexp_replace(text, lit("\uFFFD"), lit("")))).cast("long")
+    val nCtrl = (length(text) - length(regexp_replace(text,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit("")))).cast("long")
+    df.select(group.as("grp"), nRepl.as("__r"), nCtrl.as("__k"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__r") > 0 || col("__k") > 0, 1L).otherwise(0L))
+          .as("bad_docs"),
+        sum(col("__r")).as("n_repl"), sum(col("__k")).as("n_ctrl"))
+      .select(col("grp"), col("n_docs"), col("bad_docs"), col("n_repl"),
+        col("n_ctrl"),
+        expr("(n_docs - bad_docs) * 1000000 div n_docs").as("clean_ppm"))
   }
 }

@@ -3086,4 +3086,76 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === ((3L, 2500000L)))  // 3,5 at d1; 2 at d2
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
+
+  test("woeIv: hand-computed WOE, degenerate category nulled, __iv__ totals") {
+    // cat A: 3 good / 1 bad; cat B: 1 good / 3 bad; cat C: 2 good / 0 bad
+    val df = (Seq.fill(3)(("A", false)) ++ Seq(("A", true)) ++
+      Seq(("B", false)) ++ Seq.fill(3)(("B", true)) ++
+      Seq.fill(2)(("C", false))).toDF("cat", "bad")
+    val out = Quality.woeIv(df, col("cat"), col("bad")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    // G=6, B=4. A: ln((3·4)/(1·6))=ln 2 → floor(.6931·1e4)=6931
+    assert(out("A").getAs[Long]("woe_e4") === 6931L)
+    // A contrib: (3e6 div 6 − 1e6 div 4)·6931 = 250000·6931
+    assert(out("A").getAs[Long]("contrib_e10") === 250000L * 6931L)
+    // B mirrors A: ln((1·4)/(3·6))=ln(2/9) → floor(−1.504·1e4)
+    assert(out("B").getAs[Long]("woe_e4") === -15041L)
+    // C has zero bads: WOE undefined, zero IV contribution
+    assert(out("C").isNullAt(out("C").fieldIndex("woe_e4")))
+    assert(out("C").getAs[Long]("contrib_e10") === 0L)
+    val iv = out("__iv__")
+    assert(iv.getAs[Long]("n_good") === 6L && iv.getAs[Long]("n_bad") === 4L)
+    assert(iv.getAs[Long]("contrib_e10") ===
+      250000L * 6931L + (1000000L / 6L - 750000L) * -15041L)
+  }
+
+  test("calibration: equal-width bins, top-edge clamp, ECE summary row") {
+    // scores in ppm; outcome true for the two high scores
+    val df = Seq((100000L, false), (150000L, false), (950000L, true),
+      (1000000L, true)).toDF("p", "y")
+    val out = Quality.calibration(df, col("p"), col("y"), 10).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out(1L).getAs[Long]("n") === 2L &&
+      out(1L).getAs[Long]("n_pos") === 0L)
+    assert(out(1L).getAs[Long]("avg_score_ppm") === 125000L)
+    assert(out(1L).getAs[Long]("gap_ppm") === 125000L)
+    // 1000000 ppm would index bin 10 — clamped into the top bin
+    assert(out(9L).getAs[Long]("n") === 2L &&
+      out(9L).getAs[Long]("pos_ppm") === 1000000L)
+    assert(out(9L).getAs[Long]("gap_ppm") === 975000L - 1000000L)
+    // ECE = (2·125000 + 2·25000) / 4
+    assert(out(-1L).getAs[Long]("n") === 4L &&
+      out(-1L).getAs[Long]("gap_ppm") === 75000L)
+  }
+
+  test("readability counters: syllable proxy, sentence floor, Flesch arithmetic") {
+    val df = Seq((1L, "The quick brown fox jumps. It sleeps!"),
+      (2L, "hmm grr"), (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        T.tokenCount(col("text")).as("w"),
+        T.sentenceCount(col("text")).as("s"),
+        T.syllableCount(col("text")).as("y"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("w"), r.getAs[Long]("s"), r.getAs[Long]("y")))).toMap
+    // vowel chars: The=1 quick=2 brown=1 fox=1 jumps=1 It=1 sleeps=2 → 9
+    assert(out(1L) === ((7L, 2L, 9L)))
+    // zero-vowel words count one syllable each; no terminator → 1 sentence
+    assert(out(2L) === ((2L, 1L, 2L)))
+    assert(out(3L) === ((0L, 1L, 0L)))
+  }
+
+  test("encodingAudit: counts replacement/control chars, clean group is clean") {
+    import graft.operators.TextOps
+    val df = Seq(("s1", "ok text"), ("s1", "bad \uFFFD\uFFFD here"),
+      ("s1", "ctrl \u0007 one"), ("s2", "all clean")).toDF("src", "t")
+    val out = TextOps.encodingAudit(df, col("src"), col("t")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") === 3L)
+    assert(out("s1").getAs[Long]("bad_docs") === 2L)
+    assert(out("s1").getAs[Long]("n_repl") === 2L)
+    assert(out("s1").getAs[Long]("n_ctrl") === 1L)
+    assert(out("s1").getAs[Long]("clean_ppm") === 333333L)
+    assert(out("s2").getAs[Long]("bad_docs") === 0L &&
+      out("s2").getAs[Long]("clean_ppm") === 1000000L)
+  }
 }
