@@ -3539,6 +3539,65 @@ object Oracles {
        |${layout("linear", "x")}""".stripMargin
   }
 
+  /** Hilbert `list_reduce` fragment over a packed `d·2³² + x·2¹⁶ + y`
+    * BIGINT accumulator — token-for-token the integer arithmetic of
+    * [[graft.operators.Layout.hilbertValue]] (same mask-before-rotate
+    * variant, same scale list).
+    */
+  private def hilbertFrag(xSql: String, ySql: String): String = {
+    val slist = (HilbertBits - 1 to 0 by -1)
+      .map(i => s"CAST(${1L << i} AS BIGINT)").mkString(",")
+    val X = "((a // 65536) % 65536)"
+    val Y = "(a % 65536)"
+    val D = "(a // 4294967296)"
+    val RX = s"(CASE WHEN ($X & s) > 0 THEN 1 ELSE 0 END)"
+    val RY = s"(CASE WHEN ($Y & s) > 0 THEN 1 ELSE 0 END)"
+    val MX = s"($X & (s - 1))"
+    val MY = s"($Y & (s - 1))"
+    val NX = s"(CASE WHEN $RY = 1 THEN $MX ELSE " +
+      s"(CASE WHEN $RX = 1 THEN s - 1 - $MY ELSE $MY END) END)"
+    val NY = s"(CASE WHEN $RY = 1 THEN $MY ELSE " +
+      s"(CASE WHEN $RX = 1 THEN s - 1 - $MX ELSE $MX END) END)"
+    s"(list_reduce(list_prepend(CAST($xSql AS BIGINT) * 65536 + " +
+      s"CAST($ySql AS BIGINT), [$slist]), " +
+      s"(a, s) -> ($D + s * s * xor(3 * $RX, $RY)) * 4294967296 + " +
+      s"$NX * 65536 + $NY) // 4294967296)"
+  }
+
+  def qHilbert: String =
+    s"SELECT o_orderkey, CAST(${hilbertFrag(s"o_custkey % $HilbertMod",
+      s"o_orderkey % $HilbertMod")} AS BIGINT) AS hval FROM orders"
+
+  /** Three-layout audit twin: qSkippingAudit's machinery on the 15-bit
+    * grid with the Hilbert ordering as the third contender.
+    */
+  def qHilbertAudit: String = {
+    val zterms = (0 until HilbertBits).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    def layout(name: String, ord: String): String =
+      s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN max_y < $SkipYLo OR min_y > $SkipYHi THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+         |  CAST(sum(CASE WHEN max_y < $SkipYLo OR min_y > $SkipYHi THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
+         |  CAST(sum(CASE WHEN max_y < $SkipYLo OR min_y > $SkipYHi THEN n_match ELSE 0 END) AS BIGINT) AS matched_in_skipped
+         |FROM (SELECT file_id, count(*) AS n_rows, min(y) AS min_y, max(y) AS max_y,
+         |    sum(CASE WHEN y BETWEEN $SkipYLo AND $SkipYHi THEN 1 ELSE 0 END) AS n_match
+         |  FROM (SELECT y, ((row_number() OVER (ORDER BY $ord, k) - 1) * $SkipFiles) // nn AS file_id
+         |    FROM z CROSS JOIN n)
+         |  GROUP BY file_id)""".stripMargin
+    s"""WITH b AS (SELECT o_custkey % $HilbertMod AS x, o_orderkey % $HilbertMod AS y,
+       |    o_orderkey AS k FROM orders),
+       |n AS (SELECT count(*) AS nn FROM b),
+       |z AS (SELECT x, y, k, CAST($zterms AS BIGINT) AS zo,
+       |    CAST(${hilbertFrag("x", "y")} AS BIGINT) AS hv FROM b)
+       |${layout("hilbert", "hv")}
+       |UNION ALL
+       |${layout("zorder", "zo")}
+       |UNION ALL
+       |${layout("linear", "x")}""".stripMargin
+  }
+
   /** Profile census: one UNION ALL branch per profiled column, each
     * normalizing exactly like the Spark projection (cents / epoch-ms /
     * identity); min/max cast to VARCHAR after aggregating so ordering is

@@ -73,6 +73,12 @@ object Params {
   // assignment is independent of the per-doc split
   val GroupSplitSalt = "gspl"
 
+  // Hilbert layout grid: 15-bit coords keep the packed fold accumulator
+  // d·2³² + x·2¹⁶ + y under 2⁶²; audit reuses the Skip* y band (fits
+  // the 0..32767 range)
+  val HilbertBits = 15
+  val HilbertMod = 32768L
+
   // calibration reliability table over lineitem: score = 10×discount in
   // exact ppm (a declared pseudo-model), outcome = returnflag 'R'
   val CalibBins = 10

@@ -1643,6 +1643,19 @@ object SparkEntry {
       operators.Layout.skippingAudit(t(s, dir, "orders"),
         col("o_custkey") % 65536, col("o_orderkey") % 65536,
         col("o_orderkey"), SkipFiles, 16, SkipYLo, SkipYHi)),
+    "q_hilbert" -> ((s, dir) =>
+      // Hilbert index for 2-D layout clustering: the mapping itself is
+      // oracle-checked (one packed-int64 fold, replayed token-for-token
+      // by the DuckDB list_reduce twin); locality payoff in q_hilbert_audit
+      t(s, dir, "orders").select(col("o_orderkey"),
+        operators.Layout.hilbertValue(col("o_custkey") % HilbertMod,
+          col("o_orderkey") % HilbertMod, HilbertBits).as("hval"))),
+    "q_hilbert_audit" -> ((s, dir) =>
+      // hilbert vs zorder vs linear on the same 15-bit grid and y band:
+      // the curve choice as measured skip counts, not folklore
+      operators.Layout.hilbertAudit(t(s, dir, "orders"),
+        col("o_custkey") % HilbertMod, col("o_orderkey") % HilbertMod,
+        col("o_orderkey"), SkipFiles, HilbertBits, SkipYLo, SkipYHi)),
     "q_triangles" -> ((s, dir) => {
       // per-part triangle counts over the "parts bought together" graph;
       // degree orientation bounds the wedge fan-out (operators.Triangles)
@@ -2572,6 +2585,8 @@ object SparkEntry {
     "q_triangles" -> Oracles.qTriangles,
     "q_degree_hist" -> Oracles.qDegreeHist,
     "q_zorder" -> Oracles.qZorder,
+    "q_hilbert" -> Oracles.qHilbert,
+    "q_hilbert_audit" -> Oracles.qHilbertAudit,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
     "dedup_containment" -> Oracles.dedupContainment,

@@ -3087,6 +3087,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("hilbertValue: canonical 4x4 walk is a unit-step bijection; " +
+    "15-bit values match the reference implementation") {
+    import graft.operators.Layout
+    // every cell of the 4x4 grid (bits=2): d must be a bijection onto
+    // 0..15 and consecutive d cells must be grid neighbors — the
+    // defining property separating Hilbert from Z (Z jumps)
+    val grid = (for { x <- 0 to 3; y <- 0 to 3 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val walk = grid.select(Layout.hilbertValue(col("x"), col("y"), 2).as("d"),
+        col("x"), col("y")).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("x"), r.getAs[Long]("y"))))
+      .sortBy(_._1)
+    assert(walk.map(_._1).toSeq === (0L to 15L))
+    walk.map(_._2).sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert((x1 - x2).abs + (y1 - y2).abs === 1L,
+        s"non-unit step ($x1,$y1)->($x2,$y2)")
+    }
+    // pinned vectors from the unmasked Wikipedia xy2d at bits=15
+    val vecs = Seq((0L, 0L), (1L, 0L), (123L, 456L), (32767L, 32767L),
+      (20000L, 1L)).toDF("x", "y")
+    val got = vecs.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 15).as("d"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        r.getAs[Long]("d")).toMap
+    assert(got((0L, 0L)) === 0L)
+    assert(got((1L, 0L)) === 3L)
+    assert(got((123L, 456L)) === 94085L)
+    assert(got((32767L, 32767L)) === 715827882L)
+    assert(got((20000L, 1L)) === 989594627L)
+  }
+
   test("woeIv: hand-computed WOE, degenerate category nulled, __iv__ totals") {
     // cat A: 3 good / 1 bad; cat B: 1 good / 3 bad; cat C: 2 good / 0 bad
     val df = (Seq.fill(3)(("A", false)) ++ Seq(("A", true)) ++
