@@ -3564,6 +3564,16 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Jaro–Winkler linkage twin: DuckDB's builtin IS the reference the
+    * native kernel was fuzz-pinned against, so the twin is one line.
+    */
+  def qJaroPairs: String =
+    s"""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+       |  round(jaro_winkler_similarity(a.s_name, b.s_name), 4) AS jw
+       |FROM supplier a JOIN supplier b
+       |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+       |WHERE round(jaro_winkler_similarity(a.s_name, b.s_name), 4) >= $JaroMinSim""".stripMargin
+
   def qHilbert: String =
     s"SELECT o_orderkey, CAST(${hilbertFrag(s"o_custkey % $HilbertMod",
       s"o_orderkey % $HilbertMod")} AS BIGINT) AS hval FROM orders"

@@ -73,6 +73,9 @@ object Params {
   // assignment is independent of the per-doc split
   val GroupSplitSalt = "gspl"
 
+  // Jaro–Winkler linkage gate over nation-blocked supplier name pairs
+  val JaroMinSim = 0.97
+
   // Hilbert layout grid: 15-bit coords keep the packed fold accumulator
   // d·2³² + x·2¹⁶ + y under 2⁶²; audit reuses the Skip* y band (fits
   // the 0..32767 range)

@@ -1656,6 +1656,20 @@ object SparkEntry {
       operators.Layout.hilbertAudit(t(s, dir, "orders"),
         col("o_custkey") % HilbertMod, col("o_orderkey") % HilbertMod,
         col("o_orderkey"), SkipFiles, HilbertBits, SkipYLo, SkipYHi)),
+    "q_jaro_pairs" -> ((s, dir) => {
+      // transposition-tolerant name linkage: nation-blocked supplier
+      // pairs scored by the native graft_jaro_winkler expression
+      // (codegen'd static kernel — no UDF wall at the candidate scorer,
+      // the hot seat of any linkage job); DuckDB's builtin is the twin
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      sup.as("a").join(sup.as("b"),
+          col("a.s_nationkey") === col("b.s_nationkey") &&
+            col("a.s_suppkey") < col("b.s_suppkey"))
+        .select(col("a.s_suppkey").as("k1"), col("b.s_suppkey").as("k2"),
+          round(T.jaroWinkler(col("a.s_name"), col("b.s_name")), 4).as("jw"))
+        .where(col("jw") >= lit(JaroMinSim))
+    }),
     "q_triangles" -> ((s, dir) => {
       // per-part triangle counts over the "parts bought together" graph;
       // degree orientation bounds the wedge fan-out (operators.Triangles)
@@ -2587,6 +2601,7 @@ object SparkEntry {
     "q_zorder" -> Oracles.qZorder,
     "q_hilbert" -> Oracles.qHilbert,
     "q_hilbert_audit" -> Oracles.qHilbertAudit,
+    "q_jaro_pairs" -> Oracles.qJaroPairs,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
     "dedup_containment" -> Oracles.dedupContainment,

@@ -90,6 +90,16 @@ object TextFunctions {
     element_at(array(langStopwords.map(p => lit(p._1)): _*), best + 1)
   }
 
+  /** Jaro–Winkler similarity through the native codegen'd expression
+    * ([[graft.plans.JaroWinkler]]) — DuckDB-variant semantics, see the
+    * kernel doc.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.JaroWinkler(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Deterministic syllable proxy: Σ per word max(1, vowel-char count)
     * over the whitespace tokens — the cheap cross-engine heuristic a
     * readability gate needs (real hyphenation dictionaries aren't

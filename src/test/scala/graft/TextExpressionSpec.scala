@@ -53,4 +53,32 @@ class TextExpressionSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("string"))
   }
+
+  test("graft_jaro_winkler matches the DuckDB-pinned vectors through the plan") {
+    // vectors captured from duckdb jaro_winkler_similarity (the oracle
+    // engine): clamp-window, empty -> 0, boost only past jaro 0.7
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),
+      ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296),
+      ("abcdxxxx", "abcdyyyy", 0.666667), // jaro <= 0.7: NO prefix boost
+      ("crate", "trace", 0.733333),
+      ("a", "", 0.0),
+      ("", "", 0.0),                      // duck variant: both-empty = 0
+      ("a", "a", 1.0),                    // clamped window still matches
+      ("ab", "ba", 0.0),
+      ("a", "ab", 0.85),
+      ("abc", "abc", 1.0))
+    val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(round(T.jaroWinkler($"a", $"b"), 6).as("jw"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq === cases.map(_._3))
+    // null-safe and SQL-registered
+    TextExpressions.register(spark)
+    assert(spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS s")
+      .collect().head.getDouble(0) > 0.96)
+    val withNull = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(T.jaroWinkler($"a", $"b")).collect().head
+    assert(withNull.isNullAt(0))
+  }
 }
