@@ -3564,6 +3564,28 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** SCC twin: brute-force transitive closure (WITH RECURSIVE) over the
+    * same supplier hand-off edges, scc_id = min over the mutual-
+    * reachability cell — tractable at oracle scale, where the closure
+    * is bounded by (suppliers)².
+    */
+  def qScc: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT l_suppkey AS src, lead(l_suppkey) OVER
+       |      (PARTITION BY l_orderkey ORDER BY l_linenumber) AS dst
+       |    FROM lineitem)
+       |  WHERE dst IS NOT NULL AND src <> dst),
+       |r AS (SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |mutual AS (SELECT a.src AS v, a.dst AS u
+       |  FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src)
+       |SELECT n.node, CAST(least(n.node, coalesce(min(m.u), n.node)) AS BIGINT) AS scc_id
+       |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+       |GROUP BY n.node""".stripMargin
+
   /** Jaro–Winkler linkage twin: DuckDB's builtin IS the reference the
     * native kernel was fuzz-pinned against, so the twin is one line.
     */

@@ -1656,6 +1656,19 @@ object SparkEntry {
       operators.Layout.hilbertAudit(t(s, dir, "orders"),
         col("o_custkey") % HilbertMod, col("o_orderkey") % HilbertMod,
         col("o_orderkey"), SkipFiles, HilbertBits, SkipYLo, SkipYHi)),
+    "q_scc" -> ((s, dir) => {
+      // directed supplier hand-off graph: consecutive lineitems of each
+      // order pass work supplier→supplier (lead over the per-order line
+      // sequence — a partitioned window, never global); SCC groups =
+      // mutual-reachability cells, which undirected CC would over-merge
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val edges = li.withColumn("nxt", lead(col("l_suppkey"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("l_suppkey").as("src"), col("nxt").as("dst"))
+      operators.Scc.scc(edges)
+    }),
     "q_jaro_pairs" -> ((s, dir) => {
       // transposition-tolerant name linkage: nation-blocked supplier
       // pairs scored by the native graft_jaro_winkler expression
@@ -2602,6 +2615,7 @@ object SparkEntry {
     "q_hilbert" -> Oracles.qHilbert,
     "q_hilbert_audit" -> Oracles.qHilbertAudit,
     "q_jaro_pairs" -> Oracles.qJaroPairs,
+    "q_scc" -> Oracles.qScc,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
     "dedup_containment" -> Oracles.dedupContainment,

@@ -3087,6 +3087,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("scc: separates one-way-bridged cycles, singles out DAG nodes, " +
+    "drops self-loops, refuses non-convergence") {
+    import graft.operators.Scc
+    // two 3-cycles joined by a ONE-WAY bridge 3→4: undirected CC would
+    // merge everything; SCC must keep them apart
+    val g1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L), (7L, 7L)).toDF("src", "dst")
+    val r1 = Scc.scc(g1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
+    assert(r1 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L)) // 7 has only a self-loop: not a node of the cleaned graph
+    // pure DAG: every node its own component
+    val g2 = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val r2 = Scc.scc(g2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
+    assert(r2 === Map(10L -> 10L, 11L -> 11L, 12L -> 12L))
+    // descending-id SCC chain needs one outer round per link: a cap of 1
+    // must raise, not silently drop the unassigned tail
+    val e = intercept[IllegalArgumentException] {
+      Scc.scc(g1, maxOuterRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("unassigned"))
+  }
+
   test("hilbertValue: canonical 4x4 walk is a unit-step bijection; " +
     "15-bit values match the reference implementation") {
     import graft.operators.Layout
