@@ -3564,6 +3564,40 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Naive-Bayes twin of [[graft.operators.TextOps.naiveBayes]]: same
+    * exact counts, same single-double floor-scaled micro-nat logs, same
+    * int64 score sums and (score desc, class asc) argmax.
+    */
+  def textNbClassify: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT d.doc_id, d.lang AS lab, unnest(ts) AS term
+       |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+       |tf AS (SELECT doc_id, lab, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2, 3),
+       |nd AS (SELECT lang AS c, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_c
+       |  FROM documents GROUP BY 1),
+       |pri AS (SELECT c, CAST(floor(ln(CAST(n_c AS DOUBLE) /
+       |    CAST((SELECT sum(n_c) FROM nd) AS DOUBLE)) * 1e6) AS BIGINT) AS prior_e6
+       |  FROM nd),
+       |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+       |ct AS (SELECT lab AS c, term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS t_c FROM ct GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.lab, tot.c,
+       |    CAST(sum(tf.tf * CAST(floor(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
+       |      / CAST(tot.t_c + vv.v AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS ll
+       |  FROM tf CROSS JOIN tot CROSS JOIN vv
+       |    LEFT JOIN ct ON ct.c = tot.c AND ct.term = tf.term
+       |  GROUP BY 1, 2, 3),
+       |fin AS (SELECT sc.doc_id, sc.lab, sc.c,
+       |    sc.ll + pri.prior_e6 AS score_e6,
+       |    row_number() OVER (PARTITION BY sc.doc_id
+       |      ORDER BY sc.ll + pri.prior_e6 DESC, sc.c ASC) AS rk
+       |  FROM sc JOIN pri ON pri.c = sc.c)
+       |SELECT doc_id, lab AS label, c AS pred,
+       |  CAST(score_e6 AS BIGINT) AS score_e6
+       |FROM fin WHERE rk = 1""".stripMargin
+
   /** SCC twin: brute-force transitive closure (WITH RECURSIVE) over the
     * same supplier hand-off edges, scc_id = min over the mutual-
     * reachability cell — tractable at oracle scale, where the closure

@@ -2036,6 +2036,11 @@ object SparkEntry {
           when(col("n_words") === 0, lit(null).cast("long"))
             .otherwise(expr("206835 - (1015 * n_words) div n_sentences" +
               " - (84600 * n_syllables) div n_words")))),
+    "text_nb_classify" -> ((s, dir) =>
+      // Laplace-smoothed multinomial NB over the labeled lang column,
+      // trained + resubstitution-scored in one plan; micro-nat integer
+      // scores keep the argmax engine-exact
+      TextOps.naiveBayes(t(s, dir, "documents"), "doc_id", "text", "lang")),
     "text_encoding_audit" -> ((s, dir) =>
       // per-source encoding health; deterministic corruption (U+FFFD on
       // doc_id≡0 mod 7, BEL on ≡0 mod 11) is injected query-side so the
@@ -2533,6 +2538,7 @@ object SparkEntry {
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
     "text_readability" -> Oracles.textReadability,
+    "text_nb_classify" -> Oracles.textNbClassify,
     "text_encoding_audit" -> Oracles.textEncodingAudit,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_nfc" -> Oracles.textNfc,

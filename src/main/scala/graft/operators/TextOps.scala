@@ -799,6 +799,64 @@ object TextOps {
           .otherwise(0L).as("ndcg_ppm"))
   }
 
+  /** Multinomial Naive Bayes, trained on the corpus and scored back
+    * over it (resubstitution) — the classic cheap text classifier a
+    * curation pipeline uses for routing/source attribution when a
+    * labeled column exists. Laplace-smoothed:
+    * `score(c, d) = ln P(c) + Σ_w tf_d(w)·ln((cnt_c(w)+1)/(T_c+V))`,
+    * every log a floor-scaled micro-nat int64 derived from ONE double
+    * built out of exact int64 counts — so per-doc scores are exact
+    * integer SUMS (order-invariant across engines and partitionings,
+    * where double accumulation would not be).
+    *
+    * Scale shape: one (doc, term) tf shuffle; the model — class priors,
+    * per-(class, term) log-likelihoods, per-class totals — is bounded
+    * by classes × vocabulary and rides broadcast joins; scoring joins
+    * tf to the model term-keyed, aggregates per (doc, class), and takes
+    * the per-doc argmax with a doc-partitioned window (score desc, then
+    * label asc — a total deterministic order). Docs with zero tokens
+    * drop out, like the tokenizer would drop them.
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(labelCol).as("__lab"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val tf = base.groupBy(col(idCol), col("__lab"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // class priors from doc counts; vocab size V corpus-wide
+    val nDocs = docs.groupBy(col(labelCol).as("__c"))
+      .agg(count_distinct(col(idCol)).as("n_c"))
+    val priors = nDocs.crossJoin(broadcast(
+        nDocs.agg(sum(col("n_c")).as("n_tot"))))
+      .select(col("__c"), expr("CAST(floor(ln(CAST(n_c AS DOUBLE) / " +
+        "CAST(n_tot AS DOUBLE)) * 1e6) AS BIGINT)").as("prior_e6"))
+    val vocab = broadcast(base.agg(count_distinct(col("term")).as("v")))
+    // per-(class, term) token counts and per-class token totals
+    val ct = base.groupBy(col("__lab").as("__c"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = ct.groupBy(col("__c")).agg(sum(col("cnt")).as("t_c"))
+    // score every (doc, class): tf × classes, left-joined to the model
+    // (missing (class, term) pairs take the smoothed-zero likelihood)
+    val scored = tf
+      .crossJoin(broadcast(totals.select(col("__c"), col("t_c"))))
+      .join(ct, Seq("__c", "term"), "left")
+      .crossJoin(vocab)
+      .select(col(idCol), col("__lab"), col("__c"),
+        (col("tf") * expr("CAST(floor(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)" +
+          " / CAST(t_c + v AS DOUBLE)) * 1e6) AS BIGINT)")).as("__part"))
+      .groupBy(col(idCol), col("__lab"), col("__c"))
+      .agg(sum(col("__part")).as("__ll"))
+      .join(broadcast(priors), "__c")
+      .select(col(idCol), col("__lab"), col("__c"),
+        (col("__ll") + col("prior_e6")).as("score_e6"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("__c").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col(idCol), col("__lab").as("label"), col("__c").as("pred"),
+        col("score_e6"))
+  }
+
   /** Encoding-health census per group: documents carrying U+FFFD
     * replacement characters (the indelible mark of a bad decode) or
     * C0 control characters (binary bleed-through), counted exactly via

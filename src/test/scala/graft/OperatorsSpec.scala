@@ -3087,6 +3087,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("naiveBayes: content beats a wrong label, symmetric tie takes the " +
+    "smallest class, scores are negative log-space integers") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "spam spam offer deal", "s"),
+      (2L, "spam offer spam deal", "s"),
+      (3L, "hello dear friend greetings", "h"),
+      (4L, "dear greetings friend hello", "h"),
+      (5L, "spam deal offer spam", "h")).toDF("doc_id", "text", "lang")
+    val out = TextOps.naiveBayes(docs, "doc_id", "text", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("label"), r.getAs[String]("pred"),
+          r.getAs[Long]("score_e6")))).toMap
+    // doc 5 is labeled h but reads like s: prediction must follow content
+    assert(out(5L)._1 === "h" && out(5L)._2 === "s")
+    assert(Seq(1L, 2L).forall(out(_)._2 === "s"))
+    assert(Seq(3L, 4L).forall(out(_)._2 === "h"))
+    assert(out.values.forall(_._3 < 0L)) // log-probabilities: negative
+    // perfectly symmetric two-class corpus: every score ties, argmax
+    // must break to the lexicographically smallest class on BOTH docs
+    val sym = Seq((1L, "x", "a"), (2L, "x", "b")).toDF("doc_id", "text", "lang")
+    val tied = TextOps.naiveBayes(sym, "doc_id", "text", "lang").collect()
+      .map(_.getAs[String]("pred"))
+    assert(tied.toSeq === Seq("a", "a"))
+  }
+
   test("scc: separates one-way-bridged cycles, singles out DAG nodes, " +
     "drops self-loops, refuses non-convergence") {
     import graft.operators.Scc
