@@ -3564,6 +3564,67 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** k-fold twin: same hex8 salted-md5 fold draw, same ppm shares. */
+  def sampleKfold: String = {
+    val h = hex8Expr("('" + KfoldSalt + ":' || CAST(doc_id AS VARCHAR))")
+    s"""WITH a AS (SELECT CAST($h % $KfoldK AS BIGINT) AS fold, lang AS cls
+       |  FROM documents),
+       |per AS (SELECT fold, cls, CAST(count(*) AS BIGINT) AS n
+       |  FROM a GROUP BY 1, 2)
+       |SELECT fold, cls, n,
+       |  CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS n_fold,
+       |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY fold) AS BIGINT)
+       |    AS share_ppm
+       |FROM per""".stripMargin
+  }
+
+  /** Late-arriving-dim twin: placeholders = distinct missing FKs; the
+    * backfill replays upsert as arrivals ∪ (aug anti arrivals).
+    */
+  def etlLateDim: String =
+    s"""WITH dim AS (SELECT p_partkey, p_name FROM part
+       |  WHERE p_partkey % $LateDimHoldoutMod <> 0),
+       |missing AS (SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+       |  WHERE l_partkey NOT IN (SELECT p_partkey FROM dim)),
+       |aug AS (SELECT p_partkey, p_name, false AS inferred FROM dim
+       |  UNION ALL SELECT p_partkey, NULL, true FROM missing),
+       |arr AS (SELECT p_partkey, p_name, false AS inferred FROM part
+       |  WHERE p_partkey % $LateDimArriveMod = 0)
+       |SELECT p_partkey, p_name, inferred FROM arr
+       |UNION ALL
+       |SELECT p_partkey, p_name, inferred FROM aug
+       |WHERE p_partkey NOT IN (SELECT p_partkey FROM arr)""".stripMargin
+
+  /** Mutual-information twin of [[graft.operators.Sketches.mutualInfo]]:
+    * same exact cell/marginal counts, same round-e4 single-double logs,
+    * same truncating divisions (DuckDB `//` truncates toward zero like
+    * Spark `div`, including the negative near-zero-MI case).
+    */
+  def qMutualInfo: String =
+    s"""WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+       |    CAST(count(*) AS BIGINT) AS n_xy FROM orders GROUP BY 1, 2),
+       |nx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+       |ny AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+       |hx AS (SELECT CAST(sum(n_x * CAST(round(ln(CAST(n AS DOUBLE) /
+       |    CAST(n_x AS DOUBLE)) * 1e4, 0) AS BIGINT)) AS BIGINT) AS hx_num
+       |  FROM nx CROSS JOIN nn),
+       |hy AS (SELECT CAST(sum(n_y * CAST(round(ln(CAST(n AS DOUBLE) /
+       |    CAST(n_y AS DOUBLE)) * 1e4, 0) AS BIGINT)) AS BIGINT) AS hy_num
+       |  FROM ny CROSS JOIN nn),
+       |mi AS (SELECT CAST(sum(n_xy * CAST(round(ln(CAST(n_xy * n AS DOUBLE) /
+       |    CAST(n_x * n_y AS DOUBLE)) * 1e4, 0) AS BIGINT)) AS BIGINT) AS mi_num
+       |  FROM cells JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN nn)
+       |SELECT n, n_cells,
+       |  CAST(hx_num // n AS BIGINT) AS h_x_e4,
+       |  CAST(hy_num // n AS BIGINT) AS h_y_e4,
+       |  CAST(mi_num // n AS BIGINT) AS mi_e4,
+       |  CAST(CASE WHEN least(hx_num // n, hy_num // n) > 0
+       |    THEN (mi_num // n) * 1000000 // least(hx_num // n, hy_num // n)
+       |    ELSE 0 END AS BIGINT) AS nmi_ppm
+       |FROM nn CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi""".stripMargin
+
   /** Naive-Bayes twin of [[graft.operators.TextOps.naiveBayes]]: same
     * exact counts, same single-double floor-scaled micro-nat logs, same
     * int64 score sums and (score desc, class asc) argmax.

@@ -76,6 +76,15 @@ object Params {
   // Jaro–Winkler linkage gate over nation-blocked supplier name pairs
   val JaroMinSim = 0.97
 
+  // k-fold CV assignment (salted-md5 fold draw) over documents
+  val KfoldK = 5
+  val KfoldSalt = "kf"
+
+  // late-arriving dimension scenario: dim feed drops keys ≡0 (mod 10);
+  // the backfill batch delivers the ≡0 (mod 20) half of them
+  val LateDimHoldoutMod = 10L
+  val LateDimArriveMod = 20L
+
   // Hilbert layout grid: 15-bit coords keep the packed fold accumulator
   // d·2³² + x·2¹⁶ + y under 2⁶²; audit reuses the Skip* y band (fits
   // the 0..32767 range)

@@ -1656,6 +1656,27 @@ object SparkEntry {
       operators.Layout.hilbertAudit(t(s, dir, "orders"),
         col("o_custkey") % HilbertMod, col("o_orderkey") % HilbertMod,
         col("o_orderkey"), SkipFiles, HilbertBits, SkipYLo, SkipYHi)),
+    "q_mutual_info" -> ((s, dir) =>
+      // association screen between priority and status — near-zero MI on
+      // independent synthetic columns exercises the negative-rounding
+      // truncation path both engines must agree on
+      Sketches.mutualInfo(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"))),
+    "sample_kfold" -> ((s, dir) =>
+      // deterministic 5-fold assignment + per-fold class balance audit
+      Sampling.kfoldBalance(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), KfoldK, KfoldSalt)),
+    "etl_late_dim" -> ((s, dir) => {
+      // early-arriving facts: the part feed lags 10% of keys; inferred
+      // placeholders keep the star join total, then half the laggards
+      // land and replace their placeholders
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val dim = part.where(col("p_partkey") % LateDimHoldoutMod =!= 0)
+      val aug = Staging.inferredDim(t(s, dir, "lineitem"),
+        col("l_partkey"), dim, "p_partkey")
+      Staging.backfillDim(aug,
+        part.where(col("p_partkey") % LateDimArriveMod === 0), "p_partkey")
+    }),
     "q_scc" -> ((s, dir) => {
       // directed supplier hand-off graph: consecutive lineitems of each
       // order pass work supplier→supplier (lead over the per-order line
@@ -2622,6 +2643,9 @@ object SparkEntry {
     "q_hilbert_audit" -> Oracles.qHilbertAudit,
     "q_jaro_pairs" -> Oracles.qJaroPairs,
     "q_scc" -> Oracles.qScc,
+    "q_mutual_info" -> Oracles.qMutualInfo,
+    "sample_kfold" -> Oracles.sampleKfold,
+    "etl_late_dim" -> Oracles.etlLateDim,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
     "dedup_containment" -> Oracles.dedupContainment,

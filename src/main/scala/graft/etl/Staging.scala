@@ -62,6 +62,36 @@ object Staging {
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** Late-arriving dimension, step 1 (Kimball's early-arriving-fact
+    * pattern): every fact FK with no dimension row gets an INFERRED
+    * placeholder (attributes NULL, `inferred = true`) so the star join
+    * never drops or nulls out facts while the dimension feed lags.
+    * Placeholder keys come from the facts' distinct-FK anti-join —
+    * key-sized exchanges only; the fact table itself never reshuffles.
+    */
+  def inferredDim(facts: DataFrame, fk: Column, dim: DataFrame,
+                  pk: String): DataFrame = {
+    val missing = facts.select(fk.cast(dim.schema(pk).dataType).as(pk))
+      .where(col(pk).isNotNull).distinct()
+      .join(dim.select(col(pk)), Seq(pk), "left_anti")
+    val placeholders = dim.schema.fields.filterNot(_.name == pk)
+      .foldLeft(missing)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    dim.withColumn("inferred", lit(false))
+      .unionByName(placeholders.withColumn("inferred", lit(true))
+        .select(dim.columns.map(col) :+ col("inferred"): _*))
+  }
+
+  /** Late-arriving dimension, step 2: the real rows finally land.
+    * Arrivals REPLACE matching placeholders (and any stale real rows —
+    * [[upsert]] semantics on the key) with `inferred` cleared; arrivals
+    * for keys nobody inferred insert normally. The dimension converges
+    * to the same state as if nothing had ever been late.
+    */
+  def backfillDim(dimAug: DataFrame, arrivals: DataFrame,
+                  pk: String): DataFrame =
+    upsert(dimAug, arrivals.withColumn("inferred", lit(false)), Seq(pk))
+
   /** Dynamic partition overwrite (Hive/Spark
     * `INSERT OVERWRITE … PARTITION` semantics) as dataframe algebra:
     * every partition PRESENT in the batch is replaced WHOLESALE —

@@ -369,4 +369,26 @@ object Sampling {
         Window.partitionBy(lit(0)) // declared bounded: K rows
           .orderBy(col("score4").desc, col("doc_id").asc)).cast("long"))
   }
+
+  /** Deterministic k-fold CV assignment + balance audit: fold =
+    * hash32(key) mod k — the reshuffle-free, engine-replayable fold
+    * draw (same salted-md5 kernel as [[bernoulli]]/[[split]]) — then
+    * one row per (fold, class) with the class share of its fold in
+    * exact ppm. This is the leakage-free bookkeeping a pipeline checks
+    * BEFORE training k models: folds of roughly equal size whose class
+    * mix matches the corpus. Map-side assignment; the only shuffle is
+    * the (fold x class)-keyed count; the per-fold total is a window
+    * over fold x class rows, never data rows.
+    */
+  def kfoldBalance(df: DataFrame, key: Column, cls: Column, k: Int,
+                   salt: String): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    val h = H.hash32(coalesce(key.cast("string"), lit("\u0000<null-key>")), salt)
+    df.select((h % k).as("fold"), cls.as("cls"))
+      .groupBy(col("fold"), col("cls")).agg(count(lit(1)).as("n"))
+      .withColumn("n_fold", sum(col("n")).over(
+        Window.partitionBy(col("fold"))))
+      .select(col("fold"), col("cls"), col("n"), col("n_fold"),
+        expr("n * 1000000L div n_fold").as("share_ppm"))
+  }
 }

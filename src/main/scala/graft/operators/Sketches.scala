@@ -751,4 +751,46 @@ object Sketches {
             "cast(round(ln(cast(n_classes as double)) * 1e4, 0) as long)"))
           .otherwise(0L).as("evenness_ppm"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * association screen behind feature selection and leakage hunts
+    * (`MI ≈ 0` ⇒ independent; `MI ≈ min(H_x, H_y)` ⇒ one determines the
+    * other). Same integer discipline as [[entropy]]: each cell
+    * contributes `n_xy · round(ln((n_xy·N)/(n_x·n_y))·10⁴)` — one
+    * double from exact int64 products (< 2⁵³), so the total is an exact
+    * integer sum; the final `div n` truncates toward zero identically
+    * in both engines (verified on negatives, which near-zero MI can
+    * produce through rounding). Output one row:
+    * `(n, n_cells, h_x_e4, h_y_e4, mi_e4, nmi_ppm)` with
+    * `nmi_ppm = mi·10⁶ div min(H_x, H_y)` (0 when a marginal is
+    * constant). Shape: one (x, y) aggregate, two marginal re-aggregates
+    * of the CELL table (never the data), one broadcast combine.
+    */
+  def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.as("x"), y.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("n"),
+      count(lit(1)).as("n_cells"))
+    def hNum(marg: DataFrame, c: String): DataFrame =
+      marg.crossJoin(broadcast(n.select(col("n"))))
+        .agg(sum(col(s"n_$c") *
+          expr(s"cast(round(ln(cast(n as double) / cast(n_$c as double))" +
+            " * 1e4, 0) as long)")).as(s"h${c}_num"))
+    val mi = cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .crossJoin(broadcast(n.select(col("n"))))
+      .agg(sum(col("n_xy") *
+        expr("cast(round(ln(cast(n_xy * n as double) / " +
+          "cast(n_x * n_y as double)) * 1e4, 0) as long)")).as("mi_num"))
+    n.crossJoin(broadcast(hNum(nx, "x"))).crossJoin(broadcast(hNum(ny, "y")))
+      .crossJoin(broadcast(mi))
+      .select(col("n"), col("n_cells"),
+        expr("hx_num div n").as("h_x_e4"), expr("hy_num div n").as("h_y_e4"),
+        expr("mi_num div n").as("mi_e4"),
+        when(least(expr("hx_num div n"), expr("hy_num div n")) > 0L,
+          expr("(mi_num div n) * 1000000L div " +
+            "least(hx_num div n, hy_num div n)"))
+          .otherwise(0L).as("nmi_ppm"))
+  }
 }

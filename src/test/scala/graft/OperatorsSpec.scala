@@ -3087,6 +3087,60 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("mutualInfo: determined pair saturates NMI, independent pair is ~0") {
+    // y = f(x): MI = H(x) = H(y) → NMI = 1e6
+    val det = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"),
+      ("c", "r"), ("c", "r")).toDF("x", "y")
+    val d = Sketches.mutualInfo(det, col("x"), col("y")).collect().head
+    assert(d.getAs[Long]("n") === 6L && d.getAs[Long]("n_cells") === 3L)
+    assert(d.getAs[Long]("mi_e4") === d.getAs[Long]("h_x_e4"))
+    assert(d.getAs[Long]("nmi_ppm") === 1000000L)
+    // independent uniform pair: every cell equal → MI exactly 0
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("p", "q") }
+      yield (x, y)).toDF("x", "y")
+    val i = Sketches.mutualInfo(ind, col("x"), col("y")).collect().head
+    assert(i.getAs[Long]("mi_e4") === 0L && i.getAs[Long]("nmi_ppm") === 0L)
+    assert(i.getAs[Long]("h_x_e4") === 6931L) // ln 2 · 10⁴
+  }
+
+  test("kfoldBalance: folds partition the corpus, shares sum per fold") {
+    val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.kfoldBalance(docs, col("doc_id"), col("lang"), 4, "t")
+      .collect()
+    val folds = out.map(_.getAs[Long]("fold")).distinct.sorted
+    assert(folds.forall(f => f >= 0 && f < 4))
+    assert(out.map(_.getAs[Long]("n")).sum === 200L)
+    // per-fold class counts must sum to the fold total the row carries
+    out.groupBy(_.getAs[Long]("fold")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum === rows.head.getAs[Long]("n_fold"))
+    }
+    // determinism: a second run is identical
+    val again = Sampling.kfoldBalance(docs, col("doc_id"), col("lang"), 4, "t")
+      .collect().map(_.toString).sorted
+    assert(again.toSeq === out.map(_.toString).sorted.toSeq)
+  }
+
+  test("inferredDim/backfillDim: facts never dangle, arrivals clear flags") {
+    import graft.etl.Staging
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val facts = Seq(1L, 3L, 4L, 3L).toDF("fk")
+    val aug = Staging.inferredDim(facts, col("fk"), dim, "k")
+    val byKey = aug.collect().map(r => r.getAs[Long]("k") ->
+      ((r.getAs[String]("name"), r.getAs[Boolean]("inferred")))).toMap
+    assert(byKey === Map(1L -> (("one", false)), 2L -> (("two", false)),
+      3L -> ((null, true)), 4L -> ((null, true))))
+    // every fact FK now joins
+    assert(facts.join(aug, col("fk") === col("k"), "left_anti").count() === 0L)
+    // arrival for 3 replaces its placeholder; 5 is a plain insert
+    val done = Staging.backfillDim(aug,
+      Seq((3L, "three"), (5L, "five")).toDF("k", "name"), "k")
+    val fin = done.collect().map(r => r.getAs[Long]("k") ->
+      ((r.getAs[String]("name"), r.getAs[Boolean]("inferred")))).toMap
+    assert(fin(3L) === (("three", false)) && fin(5L) === (("five", false)))
+    assert(fin(4L) === ((null, true)) && fin.size === 5)
+  }
+
   test("naiveBayes: content beats a wrong label, symmetric tie takes the " +
     "smallest class, scores are negative log-space integers") {
     import graft.operators.TextOps
