@@ -3564,6 +3564,74 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Stress-centrality twin: replays the layered σ/ψ algorithm as a
+    * generated CTE chain (the qHarmonic per-hop technique) — forward
+    * layers f0..fH carry exact path counts, backward b(H)..b1 the
+    * DAG-path counts, contributions σ·ψ ride HUGEINT.
+    */
+  def qStress: String = {
+    val H = BfsHops
+    val fwd = (1 to H).map { h =>
+      s"""n$h AS MATERIALIZED (SELECT seed, node, CAST(sum(sigma) AS BIGINT) AS sigma
+         |  FROM (SELECT f.seed, e.dst AS node, f.sigma
+         |    FROM f${h - 1} f JOIN edges e ON f.node = e.src) x
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |    WHERE v.seed = x.seed AND v.node = x.node)
+         |  GROUP BY 1, 2),
+         |v$h AS MATERIALIZED (SELECT seed, node FROM v${h - 1}
+         |  UNION ALL SELECT seed, node FROM n$h),
+         |f$h AS MATERIALIZED (SELECT seed, node, sigma FROM n$h)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((H - 1) to 1 by -1).map { h =>
+      s"""b$h AS MATERIALIZED (SELECT f.seed, f.node, f.sigma,
+         |    CAST(coalesce(s.p, 0) AS BIGINT) AS psi
+         |  FROM f$h f LEFT JOIN (
+         |    SELECT f2.seed, f2.node, sum(b.psi + 1) AS p
+         |    FROM f$h f2 JOIN edges e ON f2.node = e.src
+         |      JOIN b${h + 1} b ON b.seed = f2.seed AND b.node = e.dst
+         |    GROUP BY 1, 2) s ON s.seed = f.seed AND s.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (1 to (H - 1)).map { h =>
+      s"SELECT node, CAST(sigma AS HUGEINT) * psi AS c FROM b$h WHERE psi > 0"
+    }.mkString(" UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey + $PrCustOffset AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT sk AS src, ck AS dst FROM pairs
+       |          UNION ALL SELECT ck, sk FROM pairs),
+       |f0 AS MATERIALIZED (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS seed, CAST(s_suppkey AS BIGINT) AS node,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM supplier WHERE s_suppkey % $HarmonicSeedMod = 0),
+       |v0 AS (SELECT seed, node FROM f0),
+       |$fwd,
+       |b$H AS (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS psi FROM f$H),
+       |$bwd,
+       |c AS ($contribs),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |st AS (SELECT node, CAST(sum(c) AS BIGINT) AS stress FROM c GROUP BY 1)
+       |SELECT n.node, coalesce(st.stress, 0) AS stress
+       |FROM nodes n LEFT JOIN st ON st.node = n.node""".stripMargin
+  }
+
+  /** Script-mix twin: RE2 spellings of the same script classes, same
+    * chr(1086) homoglyph injection (SQL text stays 7-bit clean).
+    */
+  def textScriptMix: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $HomoglyphMod = 0
+       |      THEN translate(text, 'o', chr(1086)) ELSE text END AS t
+       |  FROM documents),
+       |per AS (SELECT doc_id,
+       |    CAST(length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+       |    CAST(length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+       |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+       |  FROM c)
+       |SELECT doc_id, n_latin, n_cyrillic, n_digit,
+       |  (n_latin > 0 AND n_cyrillic > 0) AS mixed_script,
+       |  (n_cyrillic > 0 AND n_cyrillic * 10 < n_latin) AS homoglyph_suspect
+       |FROM per""".stripMargin
+
   /** k-fold twin: same hex8 salted-md5 fold draw, same ppm shares. */
   def sampleKfold: String = {
     val h = hex8Expr("('" + KfoldSalt + ":' || CAST(doc_id AS VARCHAR))")

@@ -76,6 +76,10 @@ object Params {
   // Jaro–Winkler linkage gate over nation-blocked supplier name pairs
   val JaroMinSim = 0.97
 
+  // homoglyph synthesis cadence: docs ≡0 (mod 13) get their 'o's swapped
+  // for Cyrillic о (U+043E) — the script-mix audit's real positives
+  val HomoglyphMod = 13L
+
   // k-fold CV assignment (salted-md5 fold draw) over documents
   val KfoldK = 5
   val KfoldSalt = "kf"

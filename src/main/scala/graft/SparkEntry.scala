@@ -1656,6 +1656,23 @@ object SparkEntry {
       operators.Layout.hilbertAudit(t(s, dir, "orders"),
         col("o_custkey") % HilbertMod, col("o_orderkey") % HilbertMod,
         col("o_orderkey"), SkipFiles, HilbertBits, SkipYLo, SkipYHi)),
+    "q_stress" -> ((s, dir) => {
+      // sampled hop-bounded stress centrality (integer betweenness
+      // family): shortest-path counts THROUGH each node of the trading
+      // graph from the harmonic seed sample — σ forward, ψ backward,
+      // exact integers end to end
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), (col("o_custkey") + lit(PrCustOffset)).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_suppkey") % HarmonicSeedMod === 0)
+        .select(col("s_suppkey").as("node"))
+      operators.Bfs.stressCentrality(edges, seeds, BfsHops)
+    }),
     "q_mutual_info" -> ((s, dir) =>
       // association screen between priority and status — near-zero MI on
       // independent synthetic columns exercises the negative-rounding
@@ -2057,6 +2074,22 @@ object SparkEntry {
           when(col("n_words") === 0, lit(null).cast("long"))
             .otherwise(expr("206835 - (1015 * n_words) div n_sentences" +
               " - (84600 * n_syllables) div n_words")))),
+    "text_script_mix" -> ((s, dir) => {
+      // Unicode script census + homoglyph smell: a tiny Cyrillic
+      // presence inside otherwise-Latin text is the lookalike-spoofing
+      // signature (pаypal); deterministic o→о injection supplies the
+      // positives, the text_nfc synthesis pattern
+      val d = t(s, dir, "documents").withColumn("t",
+        when(col("doc_id") % HomoglyphMod === 0,
+          translate(col("text"), "o", "\u043E")).otherwise(col("text")))
+      val lat = T.charClassCount(col("t"), "\\p{IsLatin}")
+      val cyr = T.charClassCount(col("t"), "\\p{IsCyrillic}")
+      d.select(col("doc_id"), lat.as("n_latin"), cyr.as("n_cyrillic"),
+          T.charClassCount(col("t"), "[0-9]").as("n_digit"))
+        .withColumn("mixed_script", col("n_latin") > 0 && col("n_cyrillic") > 0)
+        .withColumn("homoglyph_suspect",
+          col("n_cyrillic") > 0 && col("n_cyrillic") * 10 < col("n_latin"))
+    }),
     "text_nb_classify" -> ((s, dir) =>
       // Laplace-smoothed multinomial NB over the labeled lang column,
       // trained + resubstitution-scored in one plan; micro-nat integer
@@ -2560,6 +2593,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_readability" -> Oracles.textReadability,
     "text_nb_classify" -> Oracles.textNbClassify,
+    "text_script_mix" -> Oracles.textScriptMix,
     "text_encoding_audit" -> Oracles.textEncodingAudit,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_nfc" -> Oracles.textNfc,
@@ -2644,6 +2678,7 @@ object SparkEntry {
     "q_jaro_pairs" -> Oracles.qJaroPairs,
     "q_scc" -> Oracles.qScc,
     "q_mutual_info" -> Oracles.qMutualInfo,
+    "q_stress" -> Oracles.qStress,
     "sample_kfold" -> Oracles.sampleKfold,
     "etl_late_dim" -> Oracles.etlLateDim,
     "q_profile" -> Oracles.qProfile,

@@ -90,6 +90,13 @@ object TextFunctions {
     element_at(array(langStopwords.map(p => lit(p._1)): _*), best + 1)
   }
 
+  /** Exact count of characters matching a (Java-dialect) regex class —
+    * the length-delta trick; pair with the RE2 spelling of the same
+    * class in the DuckDB twin.
+    */
+  def charClassCount(text: Column, javaClass: String): Column =
+    (length(text) - length(regexp_replace(text, javaClass, ""))).cast("long")
+
   /** Jaro–Winkler similarity through the native codegen'd expression
     * ([[graft.plans.JaroWinkler]]) — DuckDB-variant semantics, see the
     * kernel doc.

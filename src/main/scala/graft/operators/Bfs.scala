@@ -94,4 +94,76 @@ object Bfs {
       .join(reached, Seq("seed"), "left")
       .na.fill(0L, Seq("n_reached", "harmonic_e6"))
   }
+
+  /** Hop-bounded stress centrality from sampled sources — the
+    * ALL-INTEGER member of the betweenness family (Shimbel's stress:
+    * COUNT of shortest paths through a node, where betweenness sums
+    * FRACTIONS whose addition order no engine replays exactly). For
+    * each seed s: forward BFS layers carry σ(s, v) = number of
+    * shortest s→v paths (sum over parents — all shortest parents sit
+    * exactly one layer up, so the frontier aggregate IS the path
+    * count); backward, ψ(s, v) = number of shortest-path-DAG paths
+    * leaving v within the horizon (ψ = Σ_succ (1 + ψ(w))); every
+    * shortest s→t path through interior v factors as σ·ψ, so
+    * stress(v) = Σ_s σ(s,v)·ψ(s,v) over layers 1..H−1 (layer 0 is the
+    * seed itself, layer H has ψ = 0 by truncation — the declared
+    * hop-bounded semantics). Products ride DECIMAL(38,0); the final
+    * cast to long is ANSI-loud on overflow.
+    *
+    * Scale shape: the [[perSeedHopDistances]] frontier discipline plus
+    * one σ-sum per layer forward and one ψ-sum per layer backward —
+    * all (seed, node)-keyed exchanges, O(Σ_seed edges reached) total;
+    * seeds are the caller's sampling budget.
+    */
+  def stressCentrality(edges: DataFrame, seeds: DataFrame,
+                       maxHops: Int): DataFrame = {
+    require(maxHops >= 2, "stress needs ≥ 2 hops: interior nodes only " +
+      "exist between layers 1 and maxHops−1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var visited = seeds.select(col("node").cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(false)
+    var frontier = visited
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxHops) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("dst", "node")
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      frontier = next
+      layers += next
+    }
+    var psiNext = layers(maxHops)
+      .select(col("seed"), col("node"), lit(0L).as("psi"))
+    var contribs = List.empty[DataFrame]
+    for (h <- (maxHops - 1) to 1 by -1) {
+      val pn = psiNext.select(col("seed").as("ps"), col("node").as("w"),
+        col("psi").as("wpsi"))
+      val succSums = layers(h).join(e, col("node") === col("src"))
+        .join(pn, col("seed") === col("ps") && col("dst") === col("w"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("wpsi") + 1L).as("psi0"))
+      val psiH = layers(h).join(succSums, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("psi0"), lit(0L)).as("psi"))
+        .localCheckpoint(false)
+      contribs ::= psiH.where(col("psi") > 0)
+        .select(col("node"),
+          (col("sigma").cast("decimal(38,0)") * col("psi")).as("c"))
+      psiNext = psiH.select(col("seed"), col("node"), col("psi"))
+    }
+    val stress = contribs.reduce(_.unionByName(_))
+      .groupBy(col("node")).agg(sum(col("c")).as("s"))
+    nodes.join(stress, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("s"), lit(0)).cast("decimal(38,0)").cast("long")
+          .as("stress"))
+  }
 }

@@ -3087,6 +3087,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("stressCentrality: path-graph and diamond hand counts, seeds sum") {
+    import graft.operators.Bfs
+    def sym(p: Seq[(Long, Long)]) = (p ++ p.map(_.swap)).toDF("src", "dst")
+    // path 1-2-3-4-5, seed 1, H=4: stress = how many of the 4 shortest
+    // paths from 1 pass THROUGH each node
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val r1 = Bfs.stressCentrality(path, Seq(1L).toDF("node"), 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("stress")).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 3L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // diamond 1-{2,3}-4: σ(1,4) = 2; with both far corners as seeds the
+    // middle nodes carry one path per seed
+    val diamond = sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val r2 = Bfs.stressCentrality(diamond, Seq(1L, 4L).toDF("node"), 2)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("stress")).toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L))
+  }
+
   test("mutualInfo: determined pair saturates NMI, independent pair is ~0") {
     // y = f(x): MI = H(x) = H(y) → NMI = 1e6
     val det = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"),

@@ -784,8 +784,12 @@ class PlanSpec extends SparkSpec {
     // dedup_overlap_matrix crosses the per-SOURCE size table with
     // itself (src_a < src_b) — sources are a handful by definition,
     // same group-level-tiny contract as the KMV pair algebra.
+    // text_nb_classify crosses tf with the per-CLASS totals table —
+    // classes are bounded by definition (a label column), and scoring
+    // every (doc, class) pair IS the classifier's contract.
     val bnljWhitelist = Map("q_kmv_diff" -> 1, "q_kmv_intersect" -> 1,
-      "q_tcloseness" -> 1, "dedup_overlap_matrix" -> 1)
+      "q_tcloseness" -> 1, "dedup_overlap_matrix" -> 1,
+      "text_nb_classify" -> 1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sfDir)
