@@ -3564,6 +3564,30 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Silhouette twin of [[graft.operators.Similarity.silhouette]]:
+    * replay the trained centroids (same kmeans CTEs), same
+    * left-associated per-dim distance sum, same (d, cell) rank-1/rank-2
+    * selection and floor-e6 scores.
+    */
+  def embSilhouette: String = {
+    val dterm = (0 until EmbDims).map(i =>
+      s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - m.c$i) * " +
+        s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - m.c$i)").mkString(" + ")
+    s"""WITH ${kmeansCtes(KmeansIters)},
+       |dd AS (SELECT e.vec_id, m.cell, sqrt($dterm) AS d
+       |  FROM embeddings e CROSS JOIN m$KmeansIters m),
+       |r AS (SELECT vec_id, cell, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM dd),
+       |s AS (SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |    CASE WHEN greatest(a.d, b.d) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(floor((b.d - a.d) / greatest(a.d, b.d) * 1e6) AS BIGINT) END AS s_e6
+       |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_sil_e6,
+       |  CAST(min(s_e6) AS BIGINT) AS min_sil_e6
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
   /** Stress-centrality twin: replays the layered σ/ψ algorithm as a
     * generated CTE chain (the qHarmonic per-hop technique) — forward
     * layers f0..fH carry exact path counts, backward b(H)..b1 the

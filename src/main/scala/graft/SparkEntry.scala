@@ -1134,6 +1134,14 @@ object SparkEntry {
           "vec_id", "embedding", AnnK, cents2, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
+    "emb_silhouette" -> ((s, dir) => {
+      // clustering-quality audit of the trained k-means fit: per-cell
+      // centroid silhouette (O(n·k) medoid form) — the gate before an
+      // IVF index built on these cells ships
+      val (cents, _, _) = Similarity.kmeansFit(t(s, dir, "embeddings"),
+        "embedding", H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
+      Similarity.silhouette(t(s, dir, "embeddings"), "embedding", cents, EmbDims)
+    }),
     "emb_kmeans_train" -> ((s, dir) => {
       // full Lloyd's training loop: KmeansIters rounds of (assign against
       // literal centroids → one hash aggregate → round-4 means back to the
@@ -2679,6 +2687,7 @@ object SparkEntry {
     "q_scc" -> Oracles.qScc,
     "q_mutual_info" -> Oracles.qMutualInfo,
     "q_stress" -> Oracles.qStress,
+    "emb_silhouette" -> Oracles.embSilhouette,
     "sample_kfold" -> Oracles.sampleKfold,
     "etl_late_dim" -> Oracles.etlLateDim,
     "q_profile" -> Oracles.qProfile,

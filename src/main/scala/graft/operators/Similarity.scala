@@ -501,4 +501,45 @@ object Similarity {
       .select(lit(-1L).as("query_id"), col("n_exact"), col("n_approx"),
         col("n_hit"), expr("n_hit * 1000000L div n_exact").as("recall_ppm")))
   }
+
+  /** Centroid-silhouette clustering audit: per point, a = L2 distance
+    * to the NEAREST centroid (= its cluster under min-distance
+    * assignment), b = distance to the runner-up;
+    * `s = (b − a) / max(a, b) ∈ [0, 1]` here (the medoid simplification
+    * of full silhouette — O(n·k) instead of O(n²), the only version
+    * that scales), floor-scaled e6 per point so per-cell means are
+    * exact integer sums. One row per non-empty cell:
+    * `(cell, n, mean_sil_e6, min_sil_e6)` — low mean = mushy cluster,
+    * low min = boundary points the assignment barely claims.
+    *
+    * Portability: centroid coordinates arrive as r4-rounded literals
+    * (the [[kmeansFit]] output contract), each distance is ONE
+    * left-associated IEEE sum replayed token-order-identical by the
+    * twin, and the (d, cell) argmin/runner-up come from ONE row-wise
+    * `array_sort` over struct entries — no shuffle before the final
+    * per-cell aggregate.
+    */
+  def silhouette(emb: DataFrame, vecCol: String, cents: Seq[Seq[Double]],
+                 dims: Int): DataFrame = {
+    require(cents.size >= 2, "silhouette needs at least two centroids")
+    val entries = array(cents.zipWithIndex.map { case (w, k) =>
+      val d2 = (0 until dims).map { i =>
+        val e = element_at(col(vecCol), i + 1).cast("double")
+        (e - lit(w(i))) * (e - lit(w(i)))
+      }.reduce(_ + _)
+      struct(sqrt(d2).as("d"), lit(k.toLong).as("k"))
+    }: _*)
+    emb.select(array_sort(entries).as("ds"))
+      .select(col("ds")(0).getField("k").as("cell"),
+        col("ds")(0).getField("d").as("a"), col("ds")(1).getField("d").as("b"))
+      .select(col("cell"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L)).otherwise(
+          floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * lit(1e6)).cast("long")).as("s_e6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("s_e6")).as("__ss"),
+        min(col("s_e6")).as("min_sil_e6"))
+      .select(col("cell"), col("n"), expr("__ss div n").as("mean_sil_e6"),
+        col("min_sil_e6"))
+  }
 }

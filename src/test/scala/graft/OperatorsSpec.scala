@@ -3087,6 +3087,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("silhouette: hand geometry — tight cell scores high, boundary " +
+    "point scores zero, on-centroid point maxes out") {
+    // centroids at (0,0) and (10,0) in 2-D
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)),   // ON centroid 0: a=0, b=10 → s=1
+      (2L, Seq(1.0f, 0.0f)),   // a=1, b=9 → s=8/9
+      (3L, Seq(5.0f, 0.0f)),   // equidistant boundary: s=0, ties to cell 0
+      (4L, Seq(9.0f, 0.0f))    // cell 1: a=1, b=9 → s=8/9
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.silhouette(emb, "embedding", cents, 2)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_sil_e6"),
+          r.getAs[Long]("min_sil_e6")))).toMap
+    val s89 = math.floor((9.0 - 1.0) / 9.0 * 1e6).toLong
+    assert(out(0L)._1 === 3L)
+    assert(out(0L)._3 === 0L) // the boundary point
+    assert(out(0L)._2 === (1000000L + s89 + 0L) / 3L)
+    assert(out(1L) === ((1L, s89, s89)))
+  }
+
   test("stressCentrality: path-graph and diamond hand counts, seeds sum") {
     import graft.operators.Bfs
     def sym(p: Seq[(Long, Long)]) = (p ++ p.map(_.swap)).toDF("src", "dst")
