@@ -3564,6 +3564,50 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Degree-assortativity twin: same symmetric edge list and degree
+    * census, corrMatrix's HUGEINT-moment + IEEE-fragment discipline.
+    */
+  def qAssortativity: String =
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk,
+       |    o_custkey + $PrCustOffset AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT sk AS src, ck AS dst FROM pairs
+       |  UNION ALL SELECT ck, sk FROM pairs),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |m AS (SELECT a.deg AS d_src, b.deg AS d_dst FROM edges e
+       |  JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst),
+       |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |  sum(CAST(d_src AS HUGEINT)) AS s_a, sum(CAST(d_dst AS HUGEINT)) AS s_b,
+       |  sum(CAST(d_src AS HUGEINT) * d_src) AS ss_a,
+       |  sum(CAST(d_dst AS HUGEINT) * d_dst) AS ss_b,
+       |  sum(CAST(d_src AS HUGEINT) * d_dst) AS sp FROM m)
+       |SELECT 'd_src' AS var_a, 'd_dst' AS var_b,
+       |  CASE WHEN sqrt(CAST(n * ss_a - s_a * s_a AS DOUBLE) *
+       |                 CAST(n * ss_b - s_b * s_b AS DOUBLE)) > 0
+       |    THEN round(CAST(n * sp - s_a * s_b AS DOUBLE) /
+       |      sqrt(CAST(n * ss_a - s_a * s_a AS DOUBLE) *
+       |           CAST(n * ss_b - s_b * s_b AS DOUBLE)), 4)
+       |    ELSE NULL END AS corr
+       |FROM g""".stripMargin
+
+  /** Langid confusion twin: textLangId's stopword vote joined back to
+    * the labeled column, counted per (label, prediction) cell.
+    */
+  def textLangidConfusion: String = {
+    val scoreCols = functions.TextFunctions.langStopwords
+      .map { case (l, ws) => s"CAST(${hits(ws)} AS BIGINT) AS s_$l" }.mkString(", ")
+    val langs = functions.TextFunctions.langStopwords.map(_._1)
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.dropRight(1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH $toksCte,
+       |sc AS (SELECT doc_id, $scoreCols FROM toks),
+       |p AS (SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS pred FROM sc)
+       |SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+       |FROM documents d JOIN p ON p.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Silhouette twin of [[graft.operators.Similarity.silhouette]]:
     * replay the trained centroids (same kmeans CTEs), same
     * left-associated per-dim distance sum, same (d, cell) rank-1/rank-2

@@ -1681,6 +1681,31 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"))
       operators.Bfs.stressCentrality(edges, seeds, BfsHops)
     }),
+    "q_assortativity" -> ((s, dir) => {
+      // degree assortativity of the trading graph: Pearson r of
+      // endpoint degrees over the symmetric edge list — negative =
+      // hub-to-leaf (the usual bipartite-projection shape); exact
+      // decimal moments through the corrMatrix fragment
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), (col("o_custkey") + lit(PrCustOffset)).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("sd")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+      Sketches.corrMatrix(withDeg,
+        Seq("d_src" -> col("sd"), "d_dst" -> col("dd")))
+    }),
+    "text_langid_confusion" -> ((s, dir) =>
+      // langid evaluation closed loop: confusion counts of the labeled
+      // lang column vs the stopword-vote prediction
+      t(s, dir, "documents")
+        .select(col("lang"), T.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))),
     "q_mutual_info" -> ((s, dir) =>
       // association screen between priority and status — near-zero MI on
       // independent synthetic columns exercises the negative-rounding
@@ -2688,6 +2713,8 @@ object SparkEntry {
     "q_mutual_info" -> Oracles.qMutualInfo,
     "q_stress" -> Oracles.qStress,
     "emb_silhouette" -> Oracles.embSilhouette,
+    "q_assortativity" -> Oracles.qAssortativity,
+    "text_langid_confusion" -> Oracles.textLangidConfusion,
     "sample_kfold" -> Oracles.sampleKfold,
     "etl_late_dim" -> Oracles.etlLateDim,
     "q_profile" -> Oracles.qProfile,
