@@ -697,4 +697,37 @@ class StreamingSpec extends SparkSpec {
       assert(nShard === 22L)
     } finally q.stop()
   }
+
+  test("streaming z-score alerts: spike flagged against prior stats, " +
+    "repetition never alerts, batch split preserves decisions") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10 calm events at 100±1, then a 500 spike, then calm again
+    def ev(i: Int, v: Double) =
+      Event(i, ts(f"2024-01-01 00:${i}%02d:00"), 1, "m", v)
+    val calm = (0 until 10).map(i => ev(i, if (i % 2 == 0) 100.0 else 101.0))
+    val spike = ev(10, 500.0)
+    val after = Seq(ev(11, 100.0), ev(12, 101.0))
+    def run(batches: Seq[Seq[Event]], name: String): Set[Long] = {
+      val stream = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.zAlerts(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).select("event_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
+    val oneBatch = run(Seq(calm ++ Seq(spike) ++ after), "anom1")
+    assert(oneBatch === Set(10L)) // only the spike; calm tail unflagged
+    // identical decisions when the stream arrives in three triggers
+    val split = run(Seq(calm, Seq(spike), after), "anom2")
+    assert(split === oneBatch)
+    // constant series: σ = 0, repetition never alerts
+    val const = run(Seq((0 until 12).map(i => ev(i, 100.0))), "anom3")
+    assert(const === Set.empty[Long])
+    // ...but under σ = 0 ANY deviation alerts (division-free degenerate)
+    val constSpike = run(Seq((0 until 8).map(i => ev(i, 100.0)) :+ ev(8, 100.01)),
+      "anom4")
+    assert(constSpike === Set(8L))
+  }
 }
