@@ -3564,6 +3564,56 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Calendar twin: inclusive generate_series; DuckDB's 0-based Sunday
+    * dayofweek +1 = Spark's convention; weekofyear is ISO in both.
+    */
+  def dimCalendar: String =
+    s"""SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS d,
+       |  CAST(year(d) AS BIGINT) AS y, CAST(quarter(d) AS BIGINT) AS q,
+       |  CAST(month(d) AS BIGINT) AS m, CAST(day(d) AS BIGINT) AS dom,
+       |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+       |  CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       |  dayofweek(d) IN (0, 6) AS is_weekend
+       |FROM (SELECT unnest(generate_series(DATE '$CalStart',
+       |  DATE '$CalStart' + INTERVAL ${CalDays - 1} DAY, INTERVAL 1 DAY)) AS d)""".stripMargin
+
+  /** Surrogate-assignment twin: row_number in natural-key order for the
+    * seed load, max(sk)+rank for the unseen batch keys.
+    */
+  def etlSurrogateAssign: String =
+    s"""WITH b AS (SELECT DISTINCT p_brand AS bkey FROM part),
+       |e AS (SELECT bkey, CAST(row_number() OVER (ORDER BY bkey) AS BIGINT) AS sk
+       |  FROM b WHERE bkey < '$SurrogateCut'),
+       |mx AS (SELECT coalesce(max(sk), 0) AS m FROM e),
+       |n AS (SELECT bkey, CAST(m + row_number() OVER (ORDER BY bkey) AS BIGINT) AS sk
+       |  FROM b CROSS JOIN mx WHERE bkey NOT IN (SELECT bkey FROM e))
+       |SELECT bkey, sk FROM e UNION ALL SELECT bkey, sk FROM n""".stripMargin
+
+  /** Change-point twin: same ordered series, same exact prefix sums and
+    * single-double split score, same (score desc, k asc) argmax.
+    */
+  def qChangepoint: String =
+    s"""WITH m AS (SELECT o_orderpriority AS grp,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS k,
+       |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM orders GROUP BY 1, 2),
+       |s AS (SELECT grp, list(v ORDER BY k) AS vs FROM m GROUP BY 1),
+       |b AS (SELECT grp, CAST(len(vs) AS BIGINT) AS n, vs,
+       |    CAST(list_sum(vs) AS BIGINT) AS tot FROM s WHERE len(vs) >= 2),
+       |sp AS (SELECT grp, n, vs, tot, unnest(range(1, n)) AS k FROM b),
+       |sc AS (SELECT grp, n, tot, k,
+       |    CAST(list_sum(vs[1:k]) AS BIGINT) AS s1l FROM sp),
+       |r AS (SELECT grp, n, tot, k, s1l,
+       |    row_number() OVER (PARTITION BY grp ORDER BY
+       |      (CAST(s1l AS DOUBLE) * CAST(s1l AS DOUBLE)) / CAST(k AS DOUBLE)
+       |      + (CAST(tot - s1l AS DOUBLE) * CAST(tot - s1l AS DOUBLE))
+       |        / CAST(n - k AS DOUBLE) DESC, k ASC) AS rk
+       |  FROM sc)
+       |SELECT grp, n, CAST(k AS BIGINT) AS split_k,
+       |  CAST(s1l // k AS BIGINT) AS mean_left,
+       |  CAST((tot - s1l) // (n - k) AS BIGINT) AS mean_right
+       |FROM r WHERE rk = 1""".stripMargin
+
   /** Degree-assortativity twin: same symmetric edge list and degree
     * census, corrMatrix's HUGEINT-moment + IEEE-fragment discipline.
     */

@@ -76,6 +76,14 @@ object Params {
   // Jaro–Winkler linkage gate over nation-blocked supplier name pairs
   val JaroMinSim = 0.97
 
+  // calendar dimension span (a conformed generated dim, not data-derived)
+  val CalStart = "1995-01-01"
+  val CalDays = 2922 // 8 years including two leap days
+
+  // surrogate assignment scenario: the pre-existing dim holds brands
+  // strictly below this cut; the batch delivers every brand
+  val SurrogateCut = "Brand#4"
+
   // homoglyph synthesis cadence: docs ≡0 (mod 13) get their 'o's swapped
   // for Cyrillic о (U+043E) — the script-mix audit's real positives
   val HomoglyphMod = 13L

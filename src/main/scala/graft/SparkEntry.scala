@@ -1716,6 +1716,30 @@ object SparkEntry {
       // deterministic 5-fold assignment + per-fold class balance audit
       Sampling.kfoldBalance(t(s, dir, "documents"), col("doc_id"),
         col("lang"), KfoldK, KfoldSalt)),
+    "dim_calendar" -> ((s, dir) =>
+      // generated conformed calendar dimension — spark.range, no driver
+      // loop; dow/iso_week conventions pinned cross-engine
+      Star.calendarDim(s, CalStart, CalDays)),
+    "etl_surrogate_assign" -> ((s, dir) => {
+      // incremental surrogate keys: the pre-existing dim keeps its sks
+      // verbatim, unseen brands extend from max(sk) in natural-key
+      // order through GlobalRank — no global-sort window
+      val brands = t(s, dir, "part").select(col("p_brand").as("bkey")).distinct()
+      val first = brands.where(col("bkey") < SurrogateCut)
+      val seed = first.limit(0).withColumn("sk", lit(0L))
+      val existing = Star.assignSurrogates(seed, first, "bkey", "sk")
+      Star.assignSurrogates(existing, brands, "bkey", "sk")
+    }),
+    "q_changepoint" -> ((s, dir) =>
+      // best single split of each priority's monthly revenue series
+      // (binary segmentation step): exact prefix sums, engine-exact
+      // argmax, truncating segment means
+      operators.TimeSeries.changePoint(
+        t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mkey"),
+          cents(col("o_totalprice")).as("c")),
+        col("grp"), col("mkey"), col("c"))),
     "etl_late_dim" -> ((s, dir) => {
       // early-arriving facts: the part feed lags 10% of keys; inferred
       // placeholders keep the star join total, then half the laggards
@@ -2717,6 +2741,9 @@ object SparkEntry {
     "text_langid_confusion" -> Oracles.textLangidConfusion,
     "sample_kfold" -> Oracles.sampleKfold,
     "etl_late_dim" -> Oracles.etlLateDim,
+    "dim_calendar" -> Oracles.dimCalendar,
+    "etl_surrogate_assign" -> Oracles.etlSurrogateAssign,
+    "q_changepoint" -> Oracles.qChangepoint,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
     "dedup_containment" -> Oracles.dedupContainment,

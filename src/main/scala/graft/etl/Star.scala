@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators
 
 /** Star-schema builders: dimensions, multi-valued bridge tables, facts.
   * (reference: etl_imdb.py:152–193 — dim_year / dim_title / dim_genre +
@@ -43,4 +44,50 @@ object Star {
   def fact(left: DataFrame, right: DataFrame, joinCols: Seq[String],
            projection: Seq[Column]): DataFrame =
     left.join(right, joinCols, "inner").select(projection: _*)
+
+  /** Calendar dimension: one row per day of `[start, start+days)` with
+    * the standard attributes — generated distributed (`spark.range`,
+    * no driver loop) and engine-portably (ISO week from `weekofyear`;
+    * `dow` 1=Sunday..7=Saturday, Spark's convention, which the twin
+    * derives from DuckDB's 0-based `dayofweek`+1). Every warehouse's
+    * first conformed dimension — generated, never loaded.
+    */
+  def calendarDim(spark: org.apache.spark.sql.SparkSession,
+                  startDate: String, days: Int): DataFrame = {
+    require(days >= 1)
+    spark.range(days.toLong)
+      .select(date_add(to_date(lit(startDate)), col("id").cast("int")).as("dd"))
+      // the date key travels as its ISO string — DATE values cross
+      // engine/pandas bridges with inconsistent dtypes, strings don't
+      .select(col("dd").cast("string").as("d"),
+        year(col("dd")).cast("long").as("y"),
+        quarter(col("dd")).cast("long").as("q"),
+        month(col("dd")).cast("long").as("m"),
+        dayofmonth(col("dd")).cast("long").as("dom"),
+        dayofweek(col("dd")).cast("long").as("dow"),
+        weekofyear(col("dd")).cast("long").as("iso_week"),
+        (dayofweek(col("dd")).isin(1, 7)).as("is_weekend"))
+  }
+
+  /** Incremental surrogate-key assignment: existing dimension rows keep
+    * their keys VERBATIM (facts already reference them — stability is
+    * the whole contract); unseen natural keys get `max(sk) + dense rank
+    * in natural-key order`, ranked through [[operators.GlobalRank]] so
+    * no global-sort window ever touches the batch. Re-running with the
+    * same batch is idempotent by construction (second pass finds no
+    * unseen keys).
+    */
+  def assignSurrogates(existing: DataFrame, incoming: DataFrame,
+                       keyCol: String, skCol: String): DataFrame = {
+    val fresh = incoming.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct()
+      .join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val maxSk = existing.agg(
+      coalesce(max(col(skCol)), lit(0L)).as("__mx"))
+    val ranked = operators.GlobalRank.globalRank(fresh,
+        Seq(col(keyCol).asc), "__rk")
+      .crossJoin(broadcast(maxSk))
+      .select(col(keyCol), (col("__mx") + col("__rk")).as(skCol))
+    existing.select(col(keyCol), col(skCol)).unionByName(ranked)
+  }
 }

@@ -37,6 +37,51 @@ object TimeSeries {
         "prefix recurrence; aggregate the fact table down to a bounded " +
         "(calendar-sized) series first")))).otherwise(series)
 
+  /** Single change-point detection by binary segmentation (the first
+    * split of the PELT/BinSeg family): per group, the boundary k that
+    * best explains the series as two constant segments — maximize
+    * `S1ₗ²/k + S1ᵣ²/(n−k)` (the SSE-reduction argmax after the constant
+    * Σx² cancels). Prefix sums are exact int64; each split's score is
+    * ONE double built from them with an op tree the twin replays
+    * token-for-token, so the argmax (ties → smallest k) is
+    * engine-exact. The O(n²) prefix fold rides the [[boundedSeries]]
+    * contract — series are post-aggregate calendar-sized rows, never
+    * fact rows. Output per group with ≥ 2 periods:
+    * `(grp, n, split_k, mean_left, mean_right)` — means exact
+    * truncating cents, split_k = size of the left segment.
+    */
+  def changePoint(df: DataFrame, group: Column, key: Column, value: Column,
+                  maxSeriesLen: Int = DefaultMaxSeriesLen): DataFrame = {
+    val series = df.select(group.as("grp"), key.as("k"),
+        value.cast("long").as("v"))
+      .groupBy(col("grp"), col("k")).agg(sum(col("v")).as("v"))
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("k"), col("v")))).as("s0"))
+      .select(col("grp"),
+        boundedSeries(transform(col("s0"), x => x.getField("v")),
+          "changePoint", maxSeriesLen).as("vs"))
+      .select(col("grp"), size(col("vs")).cast("long").as("n"), col("vs"))
+      .where(col("n") >= 2L)
+      .withColumn("tot", aggregate(col("vs"), lit(0L), (a, x) => a + x))
+    val scored = series.withColumn("best",
+      array_max(transform(sequence(lit(1), (col("n") - 1L).cast("int")), k => {
+        val s1l = aggregate(slice(col("vs"), lit(1), k), lit(0L), (a, x) => a + x)
+        val s1r = col("tot") - s1l
+        val score = (s1l.cast("double") * s1l.cast("double")) / k.cast("double") +
+          (s1r.cast("double") * s1r.cast("double")) /
+            (col("n") - k.cast("long")).cast("double")
+        struct(score.as("s"), (-k).cast("long").as("nk"))
+      })))
+    scored
+      .withColumn("split_k", -col("best").getField("nk"))
+      .withColumn("__s1l", aggregate(
+        slice(col("vs"), lit(1), col("split_k").cast("int")),
+        lit(0L), (a, x) => a + x))
+      .select(col("grp"), col("n"), col("split_k"),
+        expr("__s1l div split_k").as("mean_left"),
+        expr("(tot - __s1l) div (n - split_k)").as("mean_right"))
+  }
+
   /** Holt double exponential smoothing (α = β = 1/4), exact-integer:
     * `l' = (x + 3(l+b)) div 4`, `b' = (l' − l + 3b) div 4`, initialized
     * at (x₀, 0). Same bounded array-fold shape as the EWMA query: the

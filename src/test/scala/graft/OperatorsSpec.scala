@@ -3087,6 +3087,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("changePoint: step series splits at the step, ties take smallest k") {
+    import graft.operators.TimeSeries
+    // group a: 10,10,10,10,10 then 20,20,20,20 → split after period 5
+    val a = (1 to 5).map(i => ("a", i.toLong, 10L)) ++
+      (6 to 9).map(i => ("a", i.toLong, 20L))
+    // group b: perfectly constant — every split scores identically, the
+    // argmax must break to the smallest k
+    val b = (1 to 6).map(i => ("b", i.toLong, 7L))
+    val out = TimeSeries.changePoint((a ++ b).toDF("g", "k", "v"),
+        col("g"), col("k"), col("v")).collect()
+      .map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("split_k"),
+          r.getAs[Long]("mean_left"), r.getAs[Long]("mean_right")))).toMap
+    assert(out("a") === ((9L, 5L, 10L, 20L)))
+    assert(out("b") === ((6L, 1L, 7L, 7L)))
+  }
+
+  test("assignSurrogates: existing keys verbatim, new keys extend, idempotent") {
+    import graft.etl.Star
+    val existing = Seq(("b", 1L), ("d", 2L)).toDF("k", "sk")
+    val batch = Seq("a", "b", "c", "d", "e").toDF("k")
+    val out = Star.assignSurrogates(existing, batch, "k", "sk").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("sk")).toMap
+    // b, d keep their keys; a < c < e extend from max(sk) = 2
+    assert(out === Map("b" -> 1L, "d" -> 2L, "a" -> 3L, "c" -> 4L, "e" -> 5L))
+    val again = Star.assignSurrogates(
+      Star.assignSurrogates(existing, batch, "k", "sk"), batch, "k", "sk")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("sk")).toMap
+    assert(again === out) // re-delivery assigns nothing new
+  }
+
+  test("calendarDim: leap day present, weekend flags match dow convention") {
+    import graft.etl.Star
+    val cal = Star.calendarDim(spark, "1996-02-27", 5).collect()
+      .map(r => r.getAs[String]("d") ->
+        ((r.getAs[Long]("dow"), r.getAs[Boolean]("is_weekend")))).toMap
+    assert(cal.contains("1996-02-29")) // leap day generated
+    assert(cal("1996-03-02")._1 === 7L && cal("1996-03-02")._2) // Saturday
+    assert(cal("1996-02-29")._1 === 5L && !cal("1996-02-29")._2) // Thursday
+  }
+
   test("silhouette: hand geometry — tight cell scores high, boundary " +
     "point scores zero, on-centroid point maxes out") {
     // centroids at (0,0) and (10,0) in 2-D
