@@ -3564,6 +3564,61 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** PSI twin: same snapshot split/bucketing as qDriftChi2, same
+    * smoothed-ppm shares and round-e4 single-double logs.
+    */
+  def qPsiDrift: String =
+    s"""WITH o AS (SELECT year(o_orderdate) AS y,
+       |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) // $DriftBucketCents AS bucket
+       |  FROM orders),
+       |r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref FROM o
+       |  WHERE y <= $DriftSplitYear GROUP BY 1),
+       |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur FROM o
+       |  WHERE y > $DriftSplitYear GROUP BY 1),
+       |per AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+       |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+       |  FROM r FULL JOIN c ON r.bucket = c.bucket),
+       |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+       |    CAST(sum(n_cur) AS BIGINT) AS nc,
+       |    CAST(count(*) AS BIGINT) AS b FROM per),
+       |rows_ AS (SELECT bucket, n_ref, n_cur,
+       |    CAST(((n_ref + 1) * 1000000 // (nr + b)
+       |      - (n_cur + 1) * 1000000 // (nc + b))
+       |      * CAST(round(ln(CAST((n_ref + 1) * (nc + b) AS DOUBLE)
+       |        / CAST((n_cur + 1) * (nr + b) AS DOUBLE)) * 1e4, 0) AS BIGINT)
+       |      AS BIGINT) AS term_e10
+       |  FROM per CROSS JOIN tot)
+       |SELECT bucket, n_ref, n_cur, term_e10 FROM rows_
+       |UNION ALL
+       |SELECT -1, (SELECT nr FROM tot), (SELECT nc FROM tot),
+       |  (SELECT CAST(sum(term_e10) AS BIGINT) FROM rows_)""".stripMargin
+
+  /** Quantile-scale twin: same total order, same exact ppm division. */
+  def qQuantileScale: String =
+    s"""WITH b AS (SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+       |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+       |r AS (SELECT okey, lnum, c,
+       |    row_number() OVER (ORDER BY c, okey, lnum) AS grank,
+       |    count(*) OVER () AS n FROM b)
+       |SELECT okey, lnum, c,
+       |  CAST((grank - 1) * 1000000 // (n - 1) AS BIGINT) AS pct_ppm
+       |FROM r""".stripMargin
+
+  /** Mutual-best twin: same per-record (jw desc, key asc) champion, kept
+    * only when reciprocal.
+    */
+  def qMutualBest: String =
+    s"""WITH sc AS (SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+       |    round(jaro_winkler_similarity(a.s_name, b.s_name), 4) AS jw
+       |  FROM supplier a JOIN supplier b
+       |    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey),
+       |best AS (SELECT k1, k2, jw FROM (
+       |    SELECT k1, k2, jw,
+       |      row_number() OVER (PARTITION BY k1 ORDER BY jw DESC, k2) AS rk
+       |    FROM sc) WHERE rk = 1)
+       |SELECT x.k1, x.k2, x.jw FROM best x JOIN best y
+       |  ON x.k1 = y.k2 AND x.k2 = y.k1 AND x.k1 < x.k2""".stripMargin
+
   /** Calendar twin: inclusive generate_series; DuckDB's 0-based Sunday
     * dayofweek +1 = Spark's convention; weekofyear is ISO in both.
     */

@@ -1681,6 +1681,51 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"))
       operators.Bfs.stressCentrality(edges, seeds, BfsHops)
     }),
+    "q_psi_drift" -> ((s, dir) => {
+      // population stability index across the chi2 gate's snapshot
+      // split and bucketing — the credit-risk member of the drift family
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"),
+          cents(col("o_totalprice")).as("c"))
+      Sketches.psiDrift(
+        o.where(col("y") <= lit(DriftSplitYear)),
+        o.where(col("y") > lit(DriftSplitYear)),
+        expr(s"c div $DriftBucketCents"))
+    }),
+    "q_quantile_scale" -> ((s, dir) =>
+      // quantile feature normalization: each price mapped to its exact
+      // corpus percentile ppm under a total order (GlobalRank two-pass,
+      // never a global window) — the rank-uniformization step before
+      // models that want scale-free features
+      operators.GlobalRank.globalRank(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+          col("l_linenumber").cast("long").as("lnum"),
+          cents(col("l_extendedprice")).as("c")),
+        Seq(col("c").asc, col("okey").asc, col("lnum").asc), "grank")
+        .crossJoin(broadcast(t(s, dir, "lineitem")
+          .agg(count(lit(1)).as("n"))))
+        .select(col("okey"), col("lnum"), col("c"),
+          expr("(grank - 1) * 1000000 div (n - 1)").as("pct_ppm"))),
+    "q_mutual_best" -> ((s, dir) => {
+      // reciprocal best match (mutual nearest neighbor) — the ER
+      // pairing rule that kills asymmetric lookalikes: keep (a, b) only
+      // when each is the other's top Jaro–Winkler match in the block
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val scored = sup.as("a").join(sup.as("b"),
+          col("a.s_nationkey") === col("b.s_nationkey") &&
+            col("a.s_suppkey") =!= col("b.s_suppkey"))
+        .select(col("a.s_suppkey").as("k1"), col("b.s_suppkey").as("k2"),
+          round(T.jaroWinkler(col("a.s_name"), col("b.s_name")), 4).as("jw"))
+      val w = Window.partitionBy(col("k1"))
+        .orderBy(col("jw").desc, col("k2").asc)
+      val best = scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1).select(col("k1"), col("k2"), col("jw"))
+      best.as("x").join(best.as("y"),
+          col("x.k1") === col("y.k2") && col("x.k2") === col("y.k1") &&
+            col("x.k1") < col("x.k2"))
+        .select(col("x.k1").as("k1"), col("x.k2").as("k2"), col("x.jw").as("jw"))
+    }),
     "q_assortativity" -> ((s, dir) => {
       // degree assortativity of the trading graph: Pearson r of
       // endpoint degrees over the symmetric edge list — negative =
@@ -2744,6 +2789,9 @@ object SparkEntry {
     "dim_calendar" -> Oracles.dimCalendar,
     "etl_surrogate_assign" -> Oracles.etlSurrogateAssign,
     "q_changepoint" -> Oracles.qChangepoint,
+    "q_psi_drift" -> Oracles.qPsiDrift,
+    "q_quantile_scale" -> Oracles.qQuantileScale,
+    "q_mutual_best" -> Oracles.qMutualBest,
     "q_profile" -> Oracles.qProfile,
     "q_bloom_anti" -> Oracles.qBloomAnti,
     "dedup_containment" -> Oracles.dedupContainment,

@@ -752,6 +752,40 @@ object Sketches {
           .otherwise(0L).as("evenness_ppm"))
   }
 
+  /** Population stability index between a reference and current
+    * snapshot over a shared integer bucketing — the credit-risk drift
+    * gate (PSI < 0.1 stable, > 0.2 action), completing the drift family
+    * (χ² = q_drift_chi2, JSD = q_jsd_drift, KS = q_ks_test). Laplace
+    * +1 smoothing makes one-sided buckets finite. Per bucket:
+    * `term_e10 = (p_ppm − q_ppm) · round(ln((nᵣ+1)(N_c+B) /
+    * (n_c+1)(N_r+B))·10⁴)` — exact smoothed-ppm shares, ONE double per
+    * ln from exact int64 products; a `__psi__` summary row carries the
+    * totals and ΣPSI. Shape: two bucket aggregates + one broadcast
+    * combine — the bucket table is the only exchanged state.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, bucket: Column): DataFrame = {
+    def cnt(df: DataFrame, as: String) =
+      df.select(bucket.cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val per = cnt(ref, "n_ref").join(cnt(cur, "n_cur"), Seq("bucket"), "full")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = broadcast(per.agg(sum(col("n_ref")).as("nr"),
+      sum(col("n_cur")).as("nc"), count(lit(1)).as("b")))
+    val rows = per.crossJoin(tot).select(col("bucket"), col("n_ref"),
+      col("n_cur"),
+      (expr("(n_ref + 1) * 1000000 div (nr + b)") -
+        expr("(n_cur + 1) * 1000000 div (nc + b)")).as("__d"),
+      expr("cast(round(ln(cast((n_ref + 1) * (nc + b) as double) / " +
+        "cast((n_cur + 1) * (nr + b) as double)) * 1e4, 0) as long)").as("__l"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        (col("__d") * col("__l")).as("term_e10"))
+    rows.unionByName(rows
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        sum(col("term_e10")).as("term_e10"))
+      .select(lit(-1L).as("bucket"), col("n_ref"), col("n_cur"),
+        col("term_e10")))
+  }
+
   /** Mutual information between two categorical columns — the
     * association screen behind feature selection and leakage hunts
     * (`MI ≈ 0` ⇒ independent; `MI ≈ min(H_x, H_y)` ⇒ one determines the

@@ -3087,6 +3087,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("psiDrift: identical snapshots score 0, disjoint support large positive") {
+    val a = (1L to 100L).map(i => i % 4).toDF("b")
+    val same = Sketches.psiDrift(a, a, col("b")).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("term_e10")).toMap
+    assert(same(-1L) === 0L) // equal shares: every ln and delta is 0
+    // disjoint: ref lives in buckets {0,1}, cur in {8,9} → PSI >> 0.2e10
+    val ref = (1L to 100L).map(_ % 2).toDF("b")
+    val cur = (1L to 100L).map(i => 8L + i % 2).toDF("b")
+    val far = Sketches.psiDrift(ref, cur, col("b")).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("term_e10")).toMap
+    assert(far(-1L) > 2L * 1000000000L)
+    // every per-bucket term of a one-sided bucket is positive
+    assert(far.filter(_._1 >= 0L).values.forall(_ > 0L))
+  }
+
   test("changePoint: step series splits at the step, ties take smallest k") {
     import graft.operators.TimeSeries
     // group a: 10,10,10,10,10 then 20,20,20,20 → split after period 5
