@@ -3564,6 +3564,48 @@ object Oracles {
       s"$NX * 65536 + $NY) // 4294967296)"
   }
 
+  /** Batch z-alert twin: cumulative prior sums per key in (ts, id)
+    * order, same division-free HUGEINT test.
+    */
+  def eventsZscoreAlerts: String =
+    s"""WITH b AS (SELECT event_type, ts, event_id,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+       |c AS (SELECT event_type, event_id, cents,
+       |    CAST(coalesce(count(cents) OVER w, 0) AS BIGINT) AS n_prior,
+       |    CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS s1,
+       |    CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS s2
+       |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, event_id, cents, n_prior FROM c
+       |WHERE n_prior >= 5
+       |  AND CAST(cents * n_prior - s1 AS HUGEINT) * (cents * n_prior - s1)
+       |    * (n_prior - 1)
+       |  > CAST(9 AS HUGEINT) * n_prior
+       |    * (CAST(n_prior AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)""".stripMargin
+
+  /** Runs-test twin: same daily above-mean flags, same run counting via
+    * lag over the bounded day series, same IEEE z expression.
+    */
+  def qRunsTest: String =
+    s"""WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS k,
+       |    CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc,
+       |    CAST(count(*) AS BIGINT) AS nd FROM daily),
+       |f AS (SELECT k, (c * nd > tc) AS b FROM daily CROSS JOIN tot),
+       |g AS (SELECT b, lag(b) OVER (ORDER BY k) AS p FROM f),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN p IS NULL OR p <> b THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS runs FROM g)
+       |SELECT n, n1, n0, runs,
+       |  CASE WHEN n1 = 0 OR n0 = 0 OR n < 2 THEN NULL
+       |    ELSE CAST(floor((CAST(runs AS DOUBLE) -
+       |      (CAST(2 * n1 * n0 AS DOUBLE) / n + 1)) /
+       |      sqrt(CAST(2 * n1 * n0 AS DOUBLE) * (2 * n1 * n0 - n) /
+       |      (CAST(n AS DOUBLE) * n * (n - 1))) * 1e6) AS BIGINT) END AS z_e6
+       |FROM a""".stripMargin
+
   /** PSI twin: same snapshot split/bucketing as qDriftChi2, same
     * smoothed-ppm shares and round-e4 single-double logs.
     */

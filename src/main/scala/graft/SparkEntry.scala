@@ -1681,6 +1681,24 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"))
       operators.Bfs.stressCentrality(edges, seeds, BfsHops)
     }),
+    "events_zscore_alerts" -> ((s, dir) =>
+      // batch twin of the streaming z-alert: cumulative prior stats per
+      // type, division-free DECIMAL(38,0) test — backfill == live feed
+      EventOps.zscoreAlerts(t(s, dir, "events"), col("event_type"),
+        col("ts"), col("event_id"), cents(col("value")))),
+    "q_runs_test" -> ((s, dir) => {
+      // randomness audit of the daily order-count series: above/below
+      // the exact global mean, then the Wald–Wolfowitz run count
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val tot = broadcast(daily.agg(sum(col("c")).as("tc"),
+        count(lit(1)).as("nd")))
+      Sketches.runsTest(
+        daily.crossJoin(tot)
+          .select(col("k"), (col("c") * col("nd") > col("tc")).as("b")),
+        col("k"), col("b"))
+    }),
     "q_psi_drift" -> ((s, dir) => {
       // population stability index across the chi2 gate's snapshot
       // split and bucketing — the credit-risk member of the drift family
@@ -2790,6 +2808,8 @@ object SparkEntry {
     "etl_surrogate_assign" -> Oracles.etlSurrogateAssign,
     "q_changepoint" -> Oracles.qChangepoint,
     "q_psi_drift" -> Oracles.qPsiDrift,
+    "events_zscore_alerts" -> Oracles.eventsZscoreAlerts,
+    "q_runs_test" -> Oracles.qRunsTest,
     "q_quantile_scale" -> Oracles.qQuantileScale,
     "q_mutual_best" -> Oracles.qMutualBest,
     "q_profile" -> Oracles.qProfile,

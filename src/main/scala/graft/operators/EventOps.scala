@@ -653,4 +653,40 @@ object EventOps {
       (c, pFull, pc, eff, if (totEff > 0) eff * 1000000L / totEff else 0L)
     }.toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm", "share_ppm")
   }
+
+  /** Batch twin of [[graft.streaming.AnomalyStream.zAlerts]]: per key,
+    * flag events whose deviation from the statistics of everything
+    * BEFORE them (in (ts, id) order) exceeds z sample standard
+    * deviations — the same division-free cross-multiplied integer test
+    * `(x·n − S1)²·(n−1) > z²·n·(n·S2 − S1²)`, here over cumulative
+    * window sums with the wide products riding DECIMAL(38,0). The
+    * streaming operator must emit EXACTLY these rows on the same data
+    * (spec-pinned equivalence) — that is what makes the alert feed
+    * backfillable.
+    *
+    * Scale shape: one key-partitioned ordered window (never global);
+    * the three running sums are the only state.
+    */
+  def zscoreAlerts(events: DataFrame, key: Column, tsCol: Column,
+                   idCol: Column, cents: Column, z: Int = 3,
+                   minN: Long = 5): DataFrame = {
+    require(z >= 1 && minN >= 2)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__t").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(key.as("event_type"), tsCol.as("__t"),
+        idCol.as("event_id"), cents.cast("long").as("cents"))
+      .withColumn("n_prior", coalesce(count(col("cents")).over(w), lit(0L)))
+      .withColumn("__s1", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("__s2",
+        coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .where(col("n_prior") >= minN)
+      .where(expr("cast(cents * n_prior - __s1 as decimal(38,0)) * " +
+        "(cents * n_prior - __s1) * (n_prior - 1)") >
+        expr(s"cast(${z.toLong * z} as decimal(38,0)) * n_prior * " +
+          "(cast(n_prior as decimal(38,0)) * __s2 - " +
+          "cast(__s1 as decimal(38,0)) * __s1)"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        col("n_prior"))
+  }
 }

@@ -752,6 +752,37 @@ object Sketches {
           .otherwise(0L).as("evenness_ppm"))
   }
 
+  /** Wald–Wolfowitz runs test over a BOUNDED ordered binary series —
+    * the randomness audit that catches serial correlation neither
+    * Benford nor SRM can see (a metronome alternation and a long block
+    * both have balanced counts; their RUN counts give them away).
+    * Exact integers for (n, n1, n0, runs); z floor-scaled e6 from one
+    * IEEE expression over those integers, spelled identically in the
+    * twin; degenerate series (single-class or n < 2) yield NULL. The
+    * lag window runs on the PERIOD series (bounded by contract — the
+    * caller aggregates facts to periods first), carried on the
+    * declared-bounded `partitionBy(lit(0))` marker.
+    */
+  def runsTest(series: DataFrame, key: Column, flag: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)) // declared bounded: one row per period
+      .orderBy(col("__k").asc)
+    series.select(key.as("__k"), flag.cast("boolean").as("__b"))
+      .withColumn("__p", lag(col("__b"), 1).over(w))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__p").isNull || col("__p") =!= col("__b"), 1L)
+          .otherwise(0L)).as("runs"))
+      .select(col("n"), col("n1"), col("n0"), col("runs"),
+        expr("case when n1 = 0 or n0 = 0 or n < 2 then cast(null as bigint)" +
+          " else cast(floor((cast(runs as double) - " +
+          "(cast(2 * n1 * n0 as double) / n + 1)) / " +
+          "sqrt(cast(2 * n1 * n0 as double) * (2 * n1 * n0 - n) / " +
+          "(cast(n as double) * n * (n - 1))) * 1e6) as bigint) end")
+          .as("z_e6"))
+  }
+
   /** Population stability index between a reference and current
     * snapshot over a shared integer bucketing — the credit-risk drift
     * gate (PSI < 0.1 stable, > 0.2 action), completing the drift family

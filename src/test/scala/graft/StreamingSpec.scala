@@ -730,4 +730,31 @@ class StreamingSpec extends SparkSpec {
       "anom4")
     assert(constSpike === Set(8L))
   }
+
+  test("z-alerts: the batch twin emits exactly the streamed alert set") {
+    implicit val sqlCtx = spark.sqlContext
+    // two keys, drifting values with planted spikes — in-order feed
+    def ev(i: Int, typ: String, v: Double) =
+      Event(i, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), 1, typ, v)
+    val data = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 100.0 + (i % 7) else 50.0 + (i % 5)
+      val v = if (i == 25 || i == 38) base * 8 else base
+      ev(i, if (i % 2 == 0) "a" else "b", v)
+    }
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.AnomalyStream.zAlerts(stream.toDS())
+      .writeStream.format("memory").queryName("anom_eq")
+      .outputMode("append").start()
+    val streamed = try {
+      stream.addData(data.take(17): _*); q.processAllAvailable()
+      stream.addData(data.drop(17): _*); q.processAllAvailable()
+      spark.table("anom_eq").select("event_id").as[Long].collect().toSet
+    } finally q.stop()
+    val batch = graft.operators.EventOps.zscoreAlerts(data.toDF(),
+        col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0).cast("long"))
+      .select("event_id").as[Long].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+    assert(batch.contains(25L) && batch.contains(38L))
+  }
 }
