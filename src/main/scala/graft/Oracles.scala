@@ -3817,7 +3817,7 @@ object Oracles {
        |f0 AS MATERIALIZED (
        |  SELECT CAST(s_suppkey AS BIGINT) AS seed, CAST(s_suppkey AS BIGINT) AS node,
        |    CAST(1 AS BIGINT) AS sigma
-       |  FROM supplier WHERE s_suppkey % $HarmonicSeedMod = 0),
+       |  FROM supplier WHERE s_suppkey % $StressSeedMod = 0),
        |v0 AS (SELECT seed, node FROM f0),
        |$fwd,
        |b$H AS (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS psi FROM f$H),

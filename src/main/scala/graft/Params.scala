@@ -202,6 +202,9 @@ object Params {
 
   // truncated harmonic centrality: seed suppliers (key % mod = 0)
   val HarmonicSeedMod = 20
+  // stress centrality pays O(seeds × edges) TWICE (σ forward, ψ
+  // backward), so its sampling budget is leaner than harmonic's
+  val StressSeedMod = 50
 
   // BFS reachability: seed suppliers (key % mod = 0), max hop depth
   val BfsSeedMod = 100

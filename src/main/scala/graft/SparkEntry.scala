@@ -1677,7 +1677,7 @@ object SparkEntry {
       val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
         .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
       val seeds = t(s, dir, "supplier")
-        .where(col("s_suppkey") % HarmonicSeedMod === 0)
+        .where(col("s_suppkey") % StressSeedMod === 0)
         .select(col("s_suppkey").as("node"))
       operators.Bfs.stressCentrality(edges, seeds, BfsHops)
     }),
