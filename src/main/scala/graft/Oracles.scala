@@ -3779,6 +3779,62 @@ object Oracles {
        |FROM s GROUP BY 1""".stripMargin
   }
 
+  /** Label-silhouette twin: per-label round-4 centroid means, same
+    * left-assoc distance sums, own-label a vs min-other b, floor e6.
+    */
+  def embLabelSilhouette: String = {
+    val avgs = (0 until EmbDims).map(i =>
+      s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 4) AS c$i")
+      .mkString(", ")
+    val dterm = (0 until EmbDims).map(i =>
+      s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - m.c$i) * " +
+        s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - m.c$i)").mkString(" + ")
+    s"""WITH cents AS (SELECT CAST(label AS BIGINT) AS clab, $avgs
+       |  FROM embeddings GROUP BY 1),
+       |dd AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS lab, m.clab,
+       |    sqrt($dterm) AS d
+       |  FROM embeddings e CROSS JOIN cents m),
+       |a AS (SELECT vec_id, lab, d AS da FROM dd WHERE clab = lab),
+       |b AS (SELECT vec_id, min(d) AS db FROM dd WHERE clab <> lab GROUP BY 1),
+       |s AS (SELECT a.lab,
+       |    CASE WHEN greatest(da, db) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(floor((db - da) / greatest(da, db) * 1e6) AS BIGINT)
+       |    END AS s_e6
+       |  FROM a JOIN b ON a.vec_id = b.vec_id)
+       |SELECT lab, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_sil_e6,
+       |  CAST(min(s_e6) AS BIGINT) AS min_sil_e6,
+       |  CAST(sum(CASE WHEN s_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
+  /** Inter-arrival twin: same (user, type)-partitioned gap window. */
+  def eventsInterarrival: String =
+    s"""WITH b AS (SELECT user_id AS u, event_type, epoch_ms(ts) AS ms,
+       |    event_id AS id FROM events),
+       |g AS (SELECT event_type, ms - lag(ms) OVER
+       |    (PARTITION BY u, event_type ORDER BY ms, id) AS gap FROM b)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       |  CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_ms,
+       |  CAST(min(gap) AS BIGINT) AS min_gap_ms,
+       |  CAST(max(gap) AS BIGINT) AS max_gap_ms
+       |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Lorenz twin: same ascending revenue total order and decile cuts. */
+  def qLorenz: String =
+    s"""WITH cust AS (SELECT o_custkey,
+       |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS grank,
+       |    count(*) OVER () AS nc, sum(rev) OVER () AS trev FROM cust),
+       |d AS (SELECT (grank - 1) * 10 // nc AS decile,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS rev_cents,
+       |    CAST(max(trev) AS BIGINT) AS t FROM r GROUP BY 1)
+       |SELECT CAST(decile AS BIGINT) AS decile, n, rev_cents,
+       |  CAST(sum(rev_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |    * 1000000 // t AS BIGINT) AS cum_share_ppm
+       |FROM d""".stripMargin
+
   /** Stress-centrality twin: replays the layered σ/ψ algorithm as a
     * generated CTE chain (the qHarmonic per-hop technique) — forward
     * layers f0..fH carry exact path counts, backward b(H)..b1 the

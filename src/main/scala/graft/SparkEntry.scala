@@ -1134,6 +1134,11 @@ object SparkEntry {
           "vec_id", "embedding", AnnK, cents2, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
+    "emb_label_silhouette" -> ((s, dir) =>
+      // label-noise audit: silhouette anchored at the LABELED class
+      // centroid — negative scores mark points another class claims
+      Similarity.labelSilhouette(t(s, dir, "embeddings"), "label",
+        "embedding", EmbDims)),
     "emb_silhouette" -> ((s, dir) => {
       // clustering-quality audit of the trained k-means fit: per-cell
       // centroid silhouette (O(n·k) medoid form) — the gate before an
@@ -1680,6 +1685,35 @@ object SparkEntry {
         .where(col("s_suppkey") % StressSeedMod === 0)
         .select(col("s_suppkey").as("node"))
       operators.Bfs.stressCentrality(edges, seeds, BfsHops)
+    }),
+    "events_interarrival" -> ((s, dir) =>
+      // per-type cadence profile: exact millisecond gaps between each
+      // user's consecutive events — the evidence behind cooldown and
+      // session-gap thresholds
+      EventOps.interArrival(t(s, dir, "events"), col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))),
+    "q_lorenz" -> ((s, dir) => {
+      // Lorenz curve deciles: customers ranked by revenue ascending,
+      // cumulative revenue share per decile in exact ppm — the curve
+      // behind q_gini's scalar
+      val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val ranked = operators.GlobalRank.globalRank(cust,
+        Seq(col("rev").asc, col("o_custkey").asc), "grank")
+      val tot = broadcast(ranked.agg(count(lit(1)).as("nc"),
+        sum(col("rev")).as("trev")))
+      val perDec = ranked.crossJoin(tot)
+        .select(expr("(grank - 1) * 10 div nc").as("decile"), col("rev"),
+          col("trev"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("rev_cents"),
+          max(col("trev")).as("__t"))
+      // cumulative over the 10 decile rows (declared bounded HERE)
+      val w = Window.partitionBy(lit(0)).orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDec.withColumn("__cum", sum(col("rev_cents")).over(w))
+        .select(col("decile"), col("n"), col("rev_cents"),
+          expr("__cum * 1000000 div __t").as("cum_share_ppm"))
     }),
     "events_zscore_alerts" -> ((s, dir) =>
       // batch twin of the streaming z-alert: cumulative prior stats per
@@ -2809,6 +2843,9 @@ object SparkEntry {
     "q_changepoint" -> Oracles.qChangepoint,
     "q_psi_drift" -> Oracles.qPsiDrift,
     "events_zscore_alerts" -> Oracles.eventsZscoreAlerts,
+    "emb_label_silhouette" -> Oracles.embLabelSilhouette,
+    "events_interarrival" -> Oracles.eventsInterarrival,
+    "q_lorenz" -> Oracles.qLorenz,
     "q_runs_test" -> Oracles.qRunsTest,
     "q_quantile_scale" -> Oracles.qQuantileScale,
     "q_mutual_best" -> Oracles.qMutualBest,

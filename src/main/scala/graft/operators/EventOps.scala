@@ -654,6 +654,28 @@ object EventOps {
     }.toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm", "share_ppm")
   }
 
+  /** Inter-arrival census: per event type, the exact-integer summary of
+    * millisecond gaps between each user's consecutive events of that
+    * type — the cadence profile behind throttle cooldowns and session
+    * gap thresholds. One (user, type)-partitioned ordered window (never
+    * global), one partial-agg rollup of the gap rows.
+    */
+  def interArrival(events: DataFrame, userCol: Column, typeCol: Column,
+                   tsCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("u"), col("event_type"))
+      .orderBy(col("__ms").asc, col("id").asc)
+    events.select(userCol.as("u"), typeCol.as("event_type"),
+        unix_millis(tsCol).as("__ms"), idCol.as("id"))
+      .withColumn("__gap", col("__ms") - lag(col("__ms"), 1).over(w))
+      .where(col("__gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__sg"),
+        min(col("__gap")).as("min_gap_ms"), max(col("__gap")).as("max_gap_ms"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("__sg div n_gaps").as("mean_gap_ms"),
+        col("min_gap_ms"), col("max_gap_ms"))
+  }
+
   /** Batch twin of [[graft.streaming.AnomalyStream.zAlerts]]: per key,
     * flag events whose deviation from the statistics of everything
     * BEFORE them (in (ts, id) order) exceeds z sample standard

@@ -519,6 +519,51 @@ object Similarity {
     * `array_sort` over struct entries — no shuffle before the final
     * per-cell aggregate.
     */
+  /** Label-anchored silhouette: like [[silhouette]] but `a` is the
+    * distance to the point's LABELED class centroid (not the nearest),
+    * so scores go NEGATIVE for points sitting closer to another class —
+    * the label-noise / class-confusability audit run before training a
+    * classifier on the labels. Per label: n, mean/min silhouette e6,
+    * and `n_neg` — the count of points some other centroid claims.
+    * Label centroids are per-dim round-4 means (the [[kmeansFit]]
+    * portability contract); labels are bounded by definition, so the
+    * centroid table collects.
+    */
+  def labelSilhouette(emb: DataFrame, labelCol: String, vecCol: String,
+                      dims: Int): DataFrame = {
+    val avgCols = (0 until dims).map(i =>
+      round(avg(element_at(col(vecCol), i + 1)), 4).as(s"c$i"))
+    val cents = emb.groupBy(col(labelCol).cast("long").as("lab"))
+      .agg(avgCols.head, avgCols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until dims).map(i => r.getDouble(i + 1)))
+      .sortBy(_._1)
+    require(cents.size >= 2, "labelSilhouette needs at least two labels")
+    val entries = array(cents.map { case (lab, w) =>
+      val d2 = (0 until dims).map { i =>
+        val e = element_at(col(vecCol), i + 1).cast("double")
+        (e - lit(w(i))) * (e - lit(w(i)))
+      }.reduce(_ + _)
+      struct(sqrt(d2).as("d"), lit(lab).as("k"))
+    }: _*)
+    emb.select(col(labelCol).cast("long").as("lab"), entries.as("ds"))
+      .select(col("lab"),
+        element_at(filter(col("ds"), x => x.getField("k") === col("lab")), 1)
+          .getField("d").as("a"),
+        array_min(filter(col("ds"), x => x.getField("k") =!= col("lab")))
+          .getField("d").as("b"))
+      .select(col("lab"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L)).otherwise(
+          floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * lit(1e6)).cast("long")).as("s_e6"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n"), sum(col("s_e6")).as("__ss"),
+        min(col("s_e6")).as("min_sil_e6"),
+        sum(when(col("s_e6") < 0L, 1L).otherwise(0L)).as("n_neg"))
+      .select(col("lab"), col("n"), expr("__ss div n").as("mean_sil_e6"),
+        col("min_sil_e6"), col("n_neg"))
+  }
+
   def silhouette(emb: DataFrame, vecCol: String, cents: Seq[Seq[Double]],
                  dims: Int): DataFrame = {
     require(cents.size >= 2, "silhouette needs at least two centroids")
