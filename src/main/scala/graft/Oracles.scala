@@ -3820,6 +3820,43 @@ object Oracles {
        |  CAST(max(gap) AS BIGINT) AS max_gap_ms
        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** Fulfillment-latency twin: same first-shipment join and quartile
+    * rank selectors as qQuartiles.
+    */
+  def qFulfillmentLatency: String =
+    s"""WITH l AS (SELECT l_orderkey, min(l_shipdate) AS ship
+       |  FROM lineitem GROUP BY 1),
+       |j AS (SELECT o_orderpriority AS prio,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(ship AS DATE)) AS BIGINT) AS days, o_orderkey AS k
+       |  FROM orders JOIN l ON o_orderkey = l_orderkey),
+       |r AS (SELECT prio, days,
+       |    row_number() OVER (PARTITION BY prio ORDER BY days, k) AS rn,
+       |    count(*) OVER (PARTITION BY prio) AS cnt FROM j)
+       |SELECT prio,
+       |  CAST(min(CASE WHEN rn = (cnt + 3) // 4 THEN days END) AS BIGINT) AS p25,
+       |  CAST(min(CASE WHEN rn = (cnt + 1) // 2 THEN days END) AS BIGINT) AS p50,
+       |  CAST(min(CASE WHEN rn = (3 * cnt + 3) // 4 THEN days END) AS BIGINT) AS p75
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** ABC twin: same descending-revenue cumulative ppm and class cuts. */
+  def qAbcClass: String =
+    s"""WITH cust AS (SELECT o_custkey,
+       |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT o_custkey, rev,
+       |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+       |      ROWS UNBOUNDED PRECEDING) AS gcum,
+       |    sum(rev) OVER () AS trev FROM cust),
+       |c AS (SELECT rev, trev,
+       |    CASE WHEN gcum * 1000000 // trev <= 800000 THEN 'A'
+       |      WHEN gcum * 1000000 // trev <= 950000 THEN 'B'
+       |      ELSE 'C' END AS abc FROM r)
+       |SELECT abc, CAST(count(*) AS BIGINT) AS n_customers,
+       |  CAST(sum(rev) AS BIGINT) AS rev_cents,
+       |  CAST(sum(rev) * 1000000 // max(trev) AS BIGINT) AS share_ppm
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Lorenz twin: same ascending revenue total order and decile cuts. */
   def qLorenz: String =
     s"""WITH cust AS (SELECT o_custkey,

@@ -1692,6 +1692,40 @@ object SparkEntry {
       // session-gap thresholds
       EventOps.interArrival(t(s, dir, "events"), col("user_id"),
         col("event_type"), col("ts"), col("event_id"))),
+    "q_fulfillment_latency" -> ((s, dir) => {
+      // order→first-shipment latency quartiles per priority: exact day
+      // gaps through the exactQuartiles rank selector
+      val first = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).as("ship"))
+      Marts.exactQuartiles(
+        t(s, dir, "orders")
+          .join(first, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority").as("p"),
+            datediff(col("ship"), col("o_orderdate")).cast("long").as("days"),
+            col("o_orderkey")),
+        col("p"), "prio", col("days"), col("o_orderkey"))
+    }),
+    "q_abc_class" -> ((s, dir) => {
+      // ABC / Pareto classification: customers in descending-revenue
+      // order, class cut at 80% / 95% cumulative share (exact ppm via
+      // the distributed globalCumsum — never a global window)
+      val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val cum = operators.GlobalRank.globalCumsum(cust,
+        Seq(col("rev").desc, col("o_custkey").asc), col("rev"), "gcum")
+      val tot = broadcast(cust.agg(sum(col("rev")).as("trev")))
+      cum.crossJoin(tot)
+        .select(col("o_custkey"), col("rev"),
+          expr("gcum * 1000000 div trev").as("cum_ppm"))
+        .select(col("rev"),
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_cents"))
+        .crossJoin(tot)
+        .select(col("abc"), col("n_customers"), col("rev_cents"),
+          expr("rev_cents * 1000000 div trev").as("share_ppm"))
+    }),
     "q_lorenz" -> ((s, dir) => {
       // Lorenz curve deciles: customers ranked by revenue ascending,
       // cumulative revenue share per decile in exact ppm — the curve
@@ -2846,6 +2880,8 @@ object SparkEntry {
     "emb_label_silhouette" -> Oracles.embLabelSilhouette,
     "events_interarrival" -> Oracles.eventsInterarrival,
     "q_lorenz" -> Oracles.qLorenz,
+    "q_fulfillment_latency" -> Oracles.qFulfillmentLatency,
+    "q_abc_class" -> Oracles.qAbcClass,
     "q_runs_test" -> Oracles.qRunsTest,
     "q_quantile_scale" -> Oracles.qQuantileScale,
     "q_mutual_best" -> Oracles.qMutualBest,
