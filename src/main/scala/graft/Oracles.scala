@@ -1067,6 +1067,51 @@ object Oracles {
        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS pred_ppm
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** Boilerplate twin: same pseudo-lines as textDedupLines, distinct
+    * per-doc census, ≥ BoilerMinDocs cut, per-doc share ppm.
+    */
+  def textBoilerplate: String = {
+    val L = LineTokens
+    s"""WITH $toksCte,
+       |dims AS (SELECT unnest(range(0, (SELECT coalesce(max((len(ts) + ${L - 1}) // $L), 0) FROM toks))) AS i),
+       |lines AS (SELECT doc_id, array_to_string(ts[(i*$L+1):((i+1)*$L)], ' ') AS line
+       |  FROM toks CROSS JOIN dims WHERE i*$L < len(ts)),
+       |bp AS (SELECT line FROM (
+       |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+       |  WHERE nd >= $BoilerMinDocs)
+       |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN bp.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(sum(CASE WHEN bp.line IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS boiler_ppm
+       |FROM lines l LEFT JOIN bp ON bp.line = l.line
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Keyphrase twin: textPmi's corpus PMI over a min-count floor,
+    * joined to each doc's distinct bigrams, (pmi desc, g) top-k.
+    */
+  def textKeyphrases: String =
+    s"""WITH $toksCte, $shingCte,
+       |uni AS (SELECT t AS w, count(*) AS c
+       |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+       |ntk AS (SELECT sum(c) AS n_tok FROM uni),
+       |bg AS (SELECT g, count(*) AS n_ab
+       |  FROM (SELECT unnest(sh) AS g FROM shing) GROUP BY 1),
+       |nbg AS (SELECT sum(n_ab) AS n_bg FROM bg),
+       |pmi AS (SELECT g,
+       |    round(ln((CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE))
+       |      / (CAST(n_bg AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+       |  FROM bg JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
+       |    JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
+       |  CROSS JOIN ntk CROSS JOIN nbg
+       |  WHERE n_ab >= $KeyphraseMinCount),
+       |dg AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM shing),
+       |r AS (SELECT doc_id, g, pmi,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY pmi DESC, g ASC) AS BIGINT) AS rk
+       |  FROM dg JOIN pmi USING (g))
+       |SELECT doc_id, rk, g, pmi FROM r WHERE rk <= $KeyphraseK""".stripMargin
+
   def textPmi: String =
     s"""WITH $toksCte, $shingCte,
        |uni AS (SELECT t AS w, count(*) AS c

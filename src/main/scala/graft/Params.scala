@@ -84,6 +84,13 @@ object Params {
   // strictly below this cut; the batch delivers every brand
   val SurrogateCut = "Brand#4"
 
+  // boilerplate census: a pseudo-line in ≥ this many distinct docs is
+  // boilerplate; keyphrases: top-k doc bigrams by corpus PMI with a
+  // hapax-noise floor on corpus occurrences
+  val BoilerMinDocs = 3L
+  val KeyphraseK = 3
+  val KeyphraseMinCount = 3L
+
   // homoglyph synthesis cadence: docs ≡0 (mod 13) get their 'o's swapped
   // for Cyrillic о (U+043E) — the script-mix audit's real positives
   val HomoglyphMod = 13L

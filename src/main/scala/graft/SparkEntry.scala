@@ -2278,6 +2278,15 @@ object SparkEntry {
         .withColumn("homoglyph_suspect",
           col("n_cyrillic") > 0 && col("n_cyrillic") * 10 < col("n_latin"))
     }),
+    "text_boilerplate" -> ((s, dir) =>
+      // cross-doc line-frequency census: the text that survives
+      // page-level dedup because each page differs elsewhere
+      TextOps.boilerplate(t(s, dir, "documents"), "doc_id", "text",
+        LineTokens, BoilerMinDocs)),
+    "text_keyphrases" -> ((s, dir) =>
+      // per-doc top-k bigrams by corpus PMI over a hapax floor
+      TextOps.keyphrases(t(s, dir, "documents"), "doc_id", "text",
+        KeyphraseK, KeyphraseMinCount)),
     "text_nb_classify" -> ((s, dir) =>
       // Laplace-smoothed multinomial NB over the labeled lang column,
       // trained + resubstitution-scored in one plan; micro-nat integer
@@ -2781,6 +2790,8 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_readability" -> Oracles.textReadability,
     "text_nb_classify" -> Oracles.textNbClassify,
+    "text_boilerplate" -> Oracles.textBoilerplate,
+    "text_keyphrases" -> Oracles.textKeyphrases,
     "text_script_mix" -> Oracles.textScriptMix,
     "text_encoding_audit" -> Oracles.textEncodingAudit,
     "text_fingerprint" -> Oracles.textFingerprint,

@@ -799,6 +799,70 @@ object TextOps {
           .otherwise(0L).as("ndcg_ppm"))
   }
 
+  /** Cross-corpus boilerplate census: pseudo-lines occurring in at
+    * least `minDocs` DISTINCT documents are boilerplate (headers,
+    * navigation, legal footers — the text that survives page-level
+    * dedup because each page differs elsewhere); emits per doc the
+    * line count, boilerplate-line count, and share ppm. Lines travel
+    * as md5 digests (the [[dedupLines]] exchange discipline — the
+    * shuffle never carries line text); docs with zero lines drop out.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  lineTokens: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 2)
+    val lines = docs
+      .select(col(idCol), explode(pseudoLines(textCol, lineTokens)).as("line"))
+      .select(col(idCol), md5(col("line")).as("h"))
+    val bp = lines.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select(col("h"), lit(1L).as("__b"))
+    lines.join(bp, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col(idCol), col("n_lines"), col("n_boiler"),
+        expr("n_boiler * 1000000 div n_lines").as("boiler_ppm"))
+  }
+
+  /** Per-document keyphrases: the top-k bigrams of each doc ranked by
+    * corpus-level PMI (computed exactly as [[pmiBigrams]], restricted
+    * to bigrams with ≥ `minCount` corpus occurrences — hapax PMI is
+    * pure noise). One digest-keyed join of the doc's distinct bigrams
+    * to the corpus PMI table; ranking ties break on the bigram text so
+    * any engine replays the same top-k.
+    */
+  def keyphrases(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, minCount: Long): DataFrame = {
+    require(k >= 1 && minCount >= 1)
+    val uni = docs.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val bgAll = docs.select(explode(T.shingles(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_ab"))
+    val nBg = bgAll.agg(sum(col("n_ab")).as("n_bg"))
+    val pmi = bgAll.where(col("n_ab") >= minCount)
+      .select(col("g"), col("n_ab"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("g"),
+        round(log(
+          (col("n_ab").cast("double") * col("n_tok").cast("double")
+            * col("n_tok").cast("double")) /
+            (col("n_bg").cast("double") * col("c1").cast("double")
+              * col("c2").cast("double"))), 4).as("pmi"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("pmi").desc, col("g").asc)
+    docs.select(col(idCol), explode(T.shingles(col(textCol), 2)).as("g"))
+      .distinct()
+      .join(pmi, "g")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("g"), col("pmi"))
+  }
+
   /** Multinomial Naive Bayes, trained on the corpus and scored back
     * over it (resubstitution) — the classic cheap text classifier a
     * curation pipeline uses for routing/source attribution when a
