@@ -313,6 +313,33 @@ object Oracles {
        |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)
        |WHERE cos >= $EmbMinCos""".stripMargin
 
+  /** Sweep twin: same candidate pairs and cosine, 0.05 bands with a
+    * descending cumulative.
+    */
+  def dedupThresholdSweep: String =
+    s"""WITH ${embBandCtes},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |sc AS (SELECT CAST(floor(${cosExpr("ea.embedding", "eb.embedding")} * 20) AS BIGINT) AS band20
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+       |    JOIN embeddings eb ON eb.vec_id = id_b),
+       |per AS (SELECT band20, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM sc GROUP BY 1)
+       |SELECT band20 * 50000 AS thr_lo_ppm, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY band20 DESC ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS n_pairs_ge
+       |FROM per""".stripMargin
+
+  /** Bad-records twin: the corruption rule is deterministic, so the
+    * expected quarantine census recomputes from the base table.
+    */
+  def srcCsvBadrecords: String =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(coalesce(sum(CASE WHEN c_custkey % 97 = 0 THEN NULL
+       |    ELSE c_nationkey END), 0) AS BIGINT) AS natkey_sum
+       |FROM customer GROUP BY 1""".stripMargin
+
   def annBruteTopK: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $AnnQueryMod = 0),
        |sc AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosExpr("qv", "c.embedding")} AS cos

@@ -1017,6 +1017,31 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", EmbMinCos,
         EmbPlanes, EmbBands, EmbDims)),
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      // one-pass cosine-band census of the LSH candidates: the evidence
+      // for choosing EmbMinCos instead of guessing it
+      Dedup.nearDupSweep(t(s, dir, "embeddings"), "vec_id", "embedding",
+        EmbPlanes, EmbBands, EmbDims)),
+    "src_csv_badrecords" -> ((s, dir) => {
+      // malformed-row quarantine at the source: PERMISSIVE CSV read
+      // with a corrupt-record column; corruption is injected
+      // deterministically (custkey ≡0 mod 97 gets a non-numeric field)
+      // so the per-segment damage census is oracle-checkable
+      val tmp = tmpPath(s, "csv_bad")
+      t(s, dir, "customer").select(col("c_custkey"),
+          when(col("c_custkey") % 97 === 0, lit("not_a_number"))
+            .otherwise(col("c_nationkey").cast("string")).as("natkey_str"),
+          col("c_mktsegment"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("c_custkey LONG, natkey_str INT, c_mktsegment STRING, _corrupt STRING")
+        .csv(tmp)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          coalesce(sum(col("natkey_str").cast("long")), lit(0L)).as("natkey_sum"))
+    }),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup end-to-end: train the cell quantizer with the k-means
       // loop, then within-cell near-dup prune keeping each group's most
@@ -2791,6 +2816,8 @@ object SparkEntry {
     "text_readability" -> Oracles.textReadability,
     "text_nb_classify" -> Oracles.textNbClassify,
     "text_boilerplate" -> Oracles.textBoilerplate,
+    "dedup_threshold_sweep" -> Oracles.dedupThresholdSweep,
+    "src_csv_badrecords" -> Oracles.srcCsvBadrecords,
     "text_keyphrases" -> Oracles.textKeyphrases,
     "text_script_mix" -> Oracles.textScriptMix,
     "text_encoding_audit" -> Oracles.textEncodingAudit,

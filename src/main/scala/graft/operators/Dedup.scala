@@ -560,7 +560,17 @@ object Dedup {
     * verify at `minCos`. Only in-bucket pairs are ever scored.
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String, minCos: Double,
-                       planes: Int = 32, bands: Int = 8, dims: Int = 64): DataFrame = {
+                       planes: Int = 32, bands: Int = 8, dims: Int = 64): DataFrame =
+    scoredCandidatePairs(emb, idCol, vecCol, planes, bands, dims)
+      .where(col("cos") >= minCos)
+
+  /** LSH candidate pairs with their exact cosine, BEFORE any acceptance
+    * threshold — the shared kernel of [[embeddingNearDup]] and
+    * [[nearDupSweep]].
+    */
+  private def scoredCandidatePairs(emb: DataFrame, idCol: String,
+                                   vecCol: String, planes: Int, bands: Int,
+                                   dims: Int): DataFrame = {
     val cands = Similarity.hyperplaneBands(emb, idCol, vecCol, planes, bands, dims)
       .select(col(idCol), posexplode(col("bandvals")).as(Seq("band_id", "bv")))
     val a = cands.as("a")
@@ -575,7 +585,28 @@ object Dedup {
     pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(V.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
-      .where(col("cos") >= minCos)
+  }
+
+  /** Threshold-tuning sweep: the LSH candidate pairs bucketed into
+    * 0.05-wide cosine bands with a descending cumulative count — one
+    * pass answers "how many pairs would every candidate threshold
+    * accept", which is how the [[embeddingNearDup]] cutoff gets chosen
+    * instead of guessed. The cumulative window runs over ≤ 41 band
+    * rows (declared bounded).
+    */
+  def nearDupSweep(emb: DataFrame, idCol: String, vecCol: String,
+                   planes: Int = 32, bands: Int = 8,
+                   dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = scoredCandidatePairs(emb, idCol, vecCol, planes, bands, dims)
+      .select(floor(col("cos") * 20).cast("long").as("band20"))
+      .groupBy(col("band20")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(lit(0)) // declared bounded: ≤ 41 bands
+      .orderBy(col("band20").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+      .select((col("band20") * 50000L).as("thr_lo_ppm"), col("n_pairs"),
+        col("n_pairs_ge"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
