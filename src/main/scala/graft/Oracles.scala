@@ -4043,6 +4043,45 @@ object Oracles {
        |SELECT p_partkey, p_name, inferred FROM aug
        |WHERE p_partkey NOT IN (SELECT p_partkey FROM arr)""".stripMargin
 
+  /** Q10-shape SQL-surface twin: the same SQL text modulo view names. */
+  def qSqlSurface: String =
+    s"""SELECT c.c_custkey, n.n_name,
+       |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS lost_cents
+       |FROM customer c
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |GROUP BY 1, 2
+       |ORDER BY lost_cents DESC, c.c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Cramér's V twin: same zero-cell-free identity, same truncating e12
+    * cell terms and floor-ppm √.
+    */
+  def qCramersV: String =
+    s"""WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+       |    CAST(count(*) AS BIGINT) AS n_xy FROM orders GROUP BY 1, 2),
+       |nx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+       |ny AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+       |s AS (SELECT CAST(sum(CAST(n_xy AS HUGEINT) * n_xy * 1000000000000
+       |    // (CAST(n_x AS HUGEINT) * n_y)) AS HUGEINT) AS s_e12
+       |  FROM cells JOIN nx USING (x) JOIN ny USING (y)),
+       |shape AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT x) AS BIGINT) AS r,
+       |    CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
+       |g AS (SELECT n, r, c,
+       |    CAST(CAST(n AS HUGEINT) * (s_e12 - 1000000000000) // 1000000
+       |      AS BIGINT) AS chi2_e6
+       |  FROM shape CROSS JOIN s)
+       |SELECT n, r, c, chi2_e6,
+       |  CASE WHEN chi2_e6 <= 0 OR least(r, c) <= 1 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1e6)
+       |      / (CAST(n AS DOUBLE) * (least(r, c) - 1))) * 1e6) AS BIGINT) END
+       |    AS v_ppm
+       |FROM g""".stripMargin
+
   /** Mutual-information twin of [[graft.operators.Sketches.mutualInfo]]:
     * same exact cell/marginal counts, same round-e4 single-double logs,
     * same truncating divisions (DuckDB `//` truncates toward zero like

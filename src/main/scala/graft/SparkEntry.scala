@@ -1862,6 +1862,32 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("lang"), T.langId(col("text")).as("pred"))
         .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))),
+    "q_sql_surface" -> ((s, dir) => {
+      // the spark.sql(...) entrypoint exercised end-to-end: a Q10-shape
+      // returned-revenue ranking written as SQL TEXT over temp views —
+      // same Catalyst plan machinery, proving the library's tables
+      // compose with the declarative surface, not only the DSL
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      s.sql(s"""
+        SELECT c.c_custkey, n.n_name,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS lost_cents
+        FROM v_customer c
+        JOIN v_orders o ON o.o_custkey = c.c_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2
+        ORDER BY lost_cents DESC, c.c_custkey
+        LIMIT 20""")
+    }),
+    "q_cramers_v" -> ((s, dir) =>
+      // association strength companion to q_mutual_info: Cramér's V
+      // from exact chi-squared cell arithmetic
+      Sketches.cramersV(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"))),
     "q_mutual_info" -> ((s, dir) =>
       // association screen between priority and status — near-zero MI on
       // independent synthetic columns exercises the negative-rounding
@@ -2904,6 +2930,8 @@ object SparkEntry {
     "q_jaro_pairs" -> Oracles.qJaroPairs,
     "q_scc" -> Oracles.qScc,
     "q_mutual_info" -> Oracles.qMutualInfo,
+    "q_sql_surface" -> Oracles.qSqlSurface,
+    "q_cramers_v" -> Oracles.qCramersV,
     "q_stress" -> Oracles.qStress,
     "emb_silhouette" -> Oracles.embSilhouette,
     "q_assortativity" -> Oracles.qAssortativity,

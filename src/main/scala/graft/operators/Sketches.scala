@@ -752,6 +752,37 @@ object Sketches {
           .otherwise(0L).as("evenness_ppm"))
   }
 
+  /** Cramér's V — the [0, 1]-normalized association strength companion
+    * to [[mutualInfo]]. Uses the zero-cell-free identity
+    * `χ² = N·(Σ_observed n_xy²/(n_x·n_y) − 1)` so no (x × y) grid is
+    * ever materialized (absent cells contribute nothing to the sum):
+    * per-cell terms are exact truncating e12 integers riding
+    * DECIMAL(38,0), χ² lands in exact e6, and only the final
+    * `V = √(χ²/(N·(min(r,c)−1)))` is IEEE (one shared expression,
+    * floor-ppm). Degenerate tables (single row/col class) emit V = 0.
+    */
+  def cramersV(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.as("x"), y.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val s = cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .agg(sum(expr("cast(cast(n_xy as decimal(38,0)) * n_xy * " +
+        "1000000000000 div (cast(n_x as decimal(38,0)) * n_y) " +
+        "as decimal(38,0))")).as("s_e12"))
+    val shape = cells.agg(sum(col("n_xy")).as("n"),
+      count_distinct(col("x")).as("r"), count_distinct(col("y")).as("c"))
+    shape.crossJoin(broadcast(s))
+      .select(col("n"), col("r"), col("c"),
+        expr("cast(cast(n as decimal(38,0)) * (s_e12 - 1000000000000) " +
+          "div 1000000 as bigint)").as("chi2_e6"))
+      .select(col("n"), col("r"), col("c"), col("chi2_e6"),
+        when(col("chi2_e6") <= 0L || least(col("r"), col("c")) <= 1L, lit(0L))
+          .otherwise(expr("cast(floor(sqrt((cast(chi2_e6 as double) / 1e6)" +
+            " / (cast(n as double) * (least(r, c) - 1))) * 1e6) as bigint)"))
+          .as("v_ppm"))
+  }
+
   /** Wald–Wolfowitz runs test over a BOUNDED ordered binary series —
     * the randomness audit that catches serial correlation neither
     * Benford nor SRM can see (a metronome alternation and a long block
