@@ -3851,6 +3851,49 @@ object Oracles {
        |FROM s GROUP BY 1""".stripMargin
   }
 
+  /** Power-iteration twin of
+    * [[graft.operators.Similarity.topComponent]]: the same round-4
+    * mean centering, uniform init, per-round w-sums / normalize /
+    * round-4 snap as chained CTEs.
+    */
+  def embPcaTop: String = {
+    val D = EmbDims
+    val init = {
+      val x = BigDecimal(1.0 / math.sqrt(D))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0 until D).map(j => s"CAST($x AS DOUBLE) AS b$j").mkString(", ")
+    }
+    val muSel = (0 until D).map(i =>
+      s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 4) AS m$i").mkString(", ")
+    def dotTerms(vAlias: String) = (0 until D).map(j =>
+      s"(CAST(e.embedding[${j + 1}] AS DOUBLE) - m.m$j) * $vAlias.b$j")
+      .mkString(" + ")
+    def round(t: Int): String = {
+      val wSums = (0 until D).map(i =>
+        s"sum((CAST(embedding[${i + 1}] AS DOUBLE) - m.m$i) * dt) AS w$i")
+        .mkString(", ")
+      val nmExpr = (0 until D).map(i => s"w$i * w$i").mkString(" + ")
+      val vSel = (0 until D).map(i => s"round(w$i / nm, 4) AS b$i").mkString(", ")
+      s"""d$t AS (SELECT e.embedding, ${dotTerms(s"v${t - 1}")} AS dt
+         |  FROM embeddings e CROSS JOIN v${t - 1} v${t - 1} CROSS JOIN mu m),
+         |w$t AS (SELECT $wSums FROM d$t CROSS JOIN mu m),
+         |n$t AS (SELECT sqrt($nmExpr) AS nm FROM w$t),
+         |v$t AS (SELECT $vSel FROM w$t CROSS JOIN n$t)""".stripMargin
+    }
+    val rounds = (1 to PcaIters).map(round).mkString(",\n")
+    val vCase = (0 until D).map(i => s"WHEN $i THEN b$i").mkString(" ")
+    s"""WITH mu AS (SELECT $muSel FROM embeddings),
+       |v0 AS (SELECT $init),
+       |$rounds,
+       |dims AS (SELECT unnest(range(0, $D)) AS dim)
+       |SELECT CAST(d.dim AS BIGINT) AS dim,
+       |  CASE d.dim $vCase END AS value
+       |FROM v$PcaIters v CROSS JOIN dims d
+       |UNION ALL
+       |SELECT -1, round(nm / (SELECT count(*) FROM embeddings), 4)
+       |FROM n$PcaIters""".stripMargin
+  }
+
   /** Label-silhouette twin: per-label round-4 centroid means, same
     * left-assoc distance sums, own-label a vs min-other b, floor e6.
     */
@@ -4042,6 +4085,35 @@ object Oracles {
        |UNION ALL
        |SELECT p_partkey, p_name, inferred FROM aug
        |WHERE p_partkey NOT IN (SELECT p_partkey FROM arr)""".stripMargin
+
+  /** Odds-ratio twin: same 2×2 cells, truncating-ppm OR, shared Woolf
+    * IEEE interval.
+    */
+  def qOddsRatio: String = {
+    val cellFrag = "CAST(1.0 AS DOUBLE)/a + CAST(1.0 AS DOUBLE)/b + " +
+      "CAST(1.0 AS DOUBLE)/c + CAST(1.0 AS DOUBLE)/d"
+    def bound(sign: String) =
+      s"CAST(floor(exp(ln((CAST(a AS DOUBLE) * d) / " +
+        s"(CAST(b AS DOUBLE) * c)) $sign 1.96 * sqrt($cellFrag)) * 1e6) " +
+        "AS BIGINT)"
+    s"""WITH t AS (SELECT o_orderpriority AS grp,
+       |    (o_custkey % 2 = 0) AS e, (o_orderstatus = 'F') AS o FROM orders),
+       |g AS (SELECT grp,
+       |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM t GROUP BY 1)
+       |SELECT grp, a, b, c, d,
+       |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+       |    ELSE CAST(CAST(a AS HUGEINT) * d * 1000000
+       |      // (CAST(b AS HUGEINT) * c) AS BIGINT) END AS or_ppm,
+       |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+       |    ELSE ${bound("-")} END AS lo_e6,
+       |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+       |    ELSE ${bound("+")} END AS hi_e6
+       |FROM g""".stripMargin
+  }
 
   /** Q10-shape SQL-surface twin: the same SQL text modulo view names. */
   def qSqlSurface: String =

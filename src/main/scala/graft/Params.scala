@@ -41,6 +41,7 @@ object Params {
   val IvfNprobe = 2    // probed cells for the recall-tunable IVF query
   val KmeansIters = 3  // training iterations for the oracle-checked fit
   val PqSub = 8        // product-quantization subspaces (64 dims → 8×8)
+  val PcaIters = 3     // power-iteration rounds for the top component
   val PqK = 16         // codes per subspace (4-bit nibbles)
   val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
   val MrlDims = 16     // Matryoshka coarse-prefix width

@@ -390,6 +390,11 @@ object SparkEntry {
         coalesce(sum(when(col("ts") >= ts(JsdSplitTs), col("c"))), lit(0L)).as("y"))
       Experiment.cuped(u, col("user_id") % 2, col("x"), col("y"))
     }),
+    "q_odds_ratio" -> ((s, dir) =>
+      // per-priority 2×2 effect readout: parity-exposed × finalized
+      // outcome, exact-ppm OR + Woolf 95% interval
+      Experiment.oddsRatio(t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_custkey") % 2 === 0, col("o_orderstatus") === "F")),
     "q_wilson_ci" -> ((s, dir) =>
       // per-priority finalized-order rate with the Wilson 95% score
       // interval — the small-stratum-safe proportion gate; exact (n, k)
@@ -1158,6 +1163,16 @@ object SparkEntry {
       Similarity.ivfTopKWith(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
           "vec_id", "embedding", AnnK, cents2, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }),
+    "emb_pca_top" -> ((s, dir) => {
+      // top principal direction without the covariance matrix: one
+      // aggregate pass per power-iteration round, round-4-snapped
+      // trajectory (engine-replayable); dim −1 row carries λ̂
+      val (v, lam) = Similarity.topComponent(t(s, dir, "embeddings"),
+        "embedding", EmbDims, PcaIters)
+      import s.implicits._
+      (v.zipWithIndex.map { case (x, i) => (i.toLong, x) } :+ ((-1L, lam)))
+        .toDF("dim", "value")
     }),
     "emb_label_silhouette" -> ((s, dir) =>
       // label-noise audit: silhouette anchored at the LABELED class
@@ -2932,6 +2947,7 @@ object SparkEntry {
     "q_mutual_info" -> Oracles.qMutualInfo,
     "q_sql_surface" -> Oracles.qSqlSurface,
     "q_cramers_v" -> Oracles.qCramersV,
+    "q_odds_ratio" -> Oracles.qOddsRatio,
     "q_stress" -> Oracles.qStress,
     "emb_silhouette" -> Oracles.embSilhouette,
     "q_assortativity" -> Oracles.qAssortativity,
@@ -2944,6 +2960,7 @@ object SparkEntry {
     "q_psi_drift" -> Oracles.qPsiDrift,
     "events_zscore_alerts" -> Oracles.eventsZscoreAlerts,
     "emb_label_silhouette" -> Oracles.embLabelSilhouette,
+    "emb_pca_top" -> Oracles.embPcaTop,
     "events_interarrival" -> Oracles.eventsInterarrival,
     "q_lorenz" -> Oracles.qLorenz,
     "q_fulfillment_latency" -> Oracles.qFulfillmentLatency,

@@ -64,6 +64,45 @@ object Experiment {
     * Scale: a single groupBy with two int64 counters of state — the
     * cheapest shape Spark has; no window, no second pass.
     */
+  /** Per-stratum odds ratio with a 95% CI on the log scale — the 2×2
+    * effect readout (epidemiology's native tongue, equally at home on
+    * conversion tables): per group, cells a/b/c/d =
+    * (exposed ∧ outcome / exposed ∧ ¬ / ¬exposed ∧ / ¬ ∧ ¬),
+    * `OR = (a·d)/(b·c)` as exact-ppm truncating cross-multiplication,
+    * and the Woolf interval `ln OR ± 1.96·√(1/a+1/b+1/c+1/d)` as ONE
+    * IEEE expression over exact counts (shared with the twin), e6
+    * floor. Any empty cell NULLs the estimate (the standard refusal —
+    * a Haldane correction is a policy the caller can apply upstream).
+    */
+  def oddsRatio(df: DataFrame, group: Column, exposed: Column,
+                outcome: Column): DataFrame = {
+    val cellFrag = "cast(1.0 as double)/a + cast(1.0 as double)/b + " +
+      "cast(1.0 as double)/c + cast(1.0 as double)/d"
+    def bound(sign: String) =
+      s"cast(floor(exp(ln((cast(a as double) * d) / " +
+        s"(cast(b as double) * c)) $sign 1.96 * sqrt($cellFrag)) * 1e6) " +
+        "as bigint)"
+    df.select(group.as("grp"), exposed.cast("boolean").as("e"),
+        outcome.cast("boolean").as("o"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+      .select(col("grp"), col("a"), col("b"), col("c"), col("d"),
+        when(col("a") === 0L || col("b") === 0L || col("c") === 0L ||
+          col("d") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast(a as decimal(38,0)) * d * 1000000 div " +
+              "(cast(b as decimal(38,0)) * c)")).as("or_ppm"),
+        when(col("a") === 0L || col("b") === 0L || col("c") === 0L ||
+          col("d") === 0L, lit(null).cast("long"))
+          .otherwise(expr(bound("-"))).as("lo_e6"),
+        when(col("a") === 0L || col("b") === 0L || col("c") === 0L ||
+          col("d") === 0L, lit(null).cast("long"))
+          .otherwise(expr(bound("+"))).as("hi_e6"))
+  }
+
   def wilsonCI(df: DataFrame, group: Column, success: Column): DataFrame =
     df.select(group.as("grp"), success.cast("boolean").as("ok"))
       .groupBy(col("grp"))

@@ -519,6 +519,48 @@ object Similarity {
     * `array_sort` over struct entries — no shuffle before the final
     * per-cell aggregate.
     */
+  /** Top principal direction by distributed power iteration — the
+    * first step of PCA without ever materializing the d×d covariance:
+    * each round is ONE aggregate pass computing
+    * `w = Σ_rows (x − μ)·((x − μ)·v)` (64 codegen'd sums; v and the
+    * round-4 mean vector ride as literals), then the driver normalizes
+    * and ROUND-4-SNAPS v — the snap is what makes the whole trajectory
+    * engine-replayable (the [[kmeansFit]] portability contract: any
+    * ulp drift in the data-sized double sums is absorbed by the 4dp
+    * grid before it can compound across rounds). Deterministic uniform
+    * init. Returns (loadings, λ̂ = ‖w‖/n — the per-row variance along
+    * the direction, round-4).
+    */
+  def topComponent(emb: DataFrame, vecCol: String, dims: Int,
+                   iters: Int): (Seq[Double], Double) = {
+    require(dims >= 2 && iters >= 1)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val muAggs = (0 until dims).map(i =>
+      round(avg(element_at(col(vecCol), i + 1).cast("double")), 4).as(s"m$i"))
+    val muRow = emb.agg(muAggs.head, muAggs.tail: _*).collect().head
+    val mu = (0 until dims).map(muRow.getDouble)
+    val n = emb.count()
+    require(n > 0, "topComponent: empty input")
+    var v = Seq.fill(dims)(r4(1.0 / math.sqrt(dims)))
+    var nm = 0.0
+    for (_ <- 1 to iters) {
+      val dot = (0 until dims).map(j =>
+        (element_at(col(vecCol), j + 1).cast("double") - lit(mu(j))) *
+          lit(v(j))).reduce(_ + _)
+      val sums = (0 until dims).map(i =>
+        sum((element_at(col(vecCol), i + 1).cast("double") - lit(mu(i))) *
+          col("__dt")).as(s"w$i"))
+      val row = emb.select(col(vecCol), dot.as("__dt"))
+        .agg(sums.head, sums.tail: _*).collect().head
+      val w = (0 until dims).map(row.getDouble)
+      nm = math.sqrt(w.map(x => x * x).sum)
+      require(nm > 0, "topComponent: zero-variance data")
+      v = w.map(x => r4(x / nm))
+    }
+    (v, r4(nm / n))
+  }
+
   /** Label-anchored silhouette: like [[silhouette]] but `a` is the
     * distance to the point's LABELED class centroid (not the nearest),
     * so scores go NEGATIVE for points sitting closer to another class —
