@@ -4086,6 +4086,29 @@ object Oracles {
        |SELECT p_partkey, p_name, inferred FROM aug
        |WHERE p_partkey NOT IN (SELECT p_partkey FROM arr)""".stripMargin
 
+  /** WAP twin: the violation rule is deterministic, so the publish
+    * decision recomputes from the base table.
+    */
+  def etlWap: String =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+       |    CAST(sum(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM orders)
+       |SELECT 'broken' AS attempt, nn AS n_staged, nb AS n_violations,
+       |  false AS published, CAST(0 AS BIGINT) AS n_published FROM n
+       |UNION ALL
+       |SELECT 'fixed', nn, CAST(0 AS BIGINT), true, nn FROM n""".stripMargin
+
+  /** Bot-census twin: same integer minute buckets and rate cuts. */
+  def eventsBots: String =
+    s"""WITH m AS (SELECT user_id AS u, epoch_ms(ts) // 60000 AS mn FROM events),
+       |per AS (SELECT u, mn, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1, 2)
+       |SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_minutes,
+       |  CAST(max(c) AS BIGINT) AS peak_per_minute,
+       |  CAST(sum(CASE WHEN c >= $BotRate THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hot_minutes,
+       |  (sum(CASE WHEN c >= $BotRate THEN 1 ELSE 0 END) >= $BotMinutes) AS bot
+       |FROM per GROUP BY 1""".stripMargin
+
   /** Odds-ratio twin: same 2×2 cells, truncating-ppm OR, shared Woolf
     * IEEE interval.
     */

@@ -85,6 +85,10 @@ object Params {
   // strictly below this cut; the batch delivers every brand
   val SurrogateCut = "Brand#4"
 
+  // bot census: sustained per-minute event rate and minute count
+  val BotRate = 3L
+  val BotMinutes = 2L
+
   // boilerplate census: a pseudo-line in ≥ this many distinct docs is
   // boilerplate; keyphrases: top-k doc bigrams by corpus PMI with a
   // hapax-noise floor on corpus occurrences

@@ -1937,6 +1937,44 @@ object SparkEntry {
             .cast("long").as("mkey"),
           cents(col("o_totalprice")).as("c")),
         col("grp"), col("mkey"), col("c"))),
+    "etl_wap" -> ((s, dir) => {
+      // write-audit-publish: stage a batch, run the contract rules,
+      // publish ONLY an all-green batch. Attempt 1 carries injected
+      // violations (status corrupted for keys ≡0 mod 101) and must
+      // refuse; attempt 2 is the fixed batch and publishes. The
+      // decision, not just the counts, is the oracle-checked output.
+      val base = t(s, dir, "orders")
+      // publish-gate rules hold on clean data (unlike qcRules, whose
+      // price cap fires by design to prove nonzero reporting)
+      val wapRules = Seq(
+        "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+        "key_nonneg" -> (col("o_orderkey") >= lit(0L)),
+        "priority_wellformed" -> col("o_orderpriority").like("_-%"))
+      def attempt(name: String, batch: DataFrame): DataFrame = {
+        val staged = tmpPath(s, s"wap_$name")
+        batch.write.mode("overwrite").parquet(staged)
+        val audited = Quality.checkRules(s.read.parquet(staged), wapRules)
+        val bad = Quality.quarantined(audited).count()
+        val n = audited.count()
+        val publish = bad == 0L
+        if (publish)
+          Quality.valid(audited).write.mode("overwrite")
+            .parquet(tmpPath(s, s"wap_pub_$name"))
+        import s.implicits._
+        Seq((name, n, bad, publish,
+          if (publish) n else 0L)).toDF("attempt", "n_staged",
+          "n_violations", "published", "n_published")
+      }
+      val broken = base.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 101 === 0, lit("?"))
+          .otherwise(col("o_orderstatus")))
+      attempt("broken", broken).unionByName(attempt("fixed", base))
+    }),
+    "events_bots" -> ((s, dir) =>
+      // rate-based bot census: users sustaining ≥ BotRate events in a
+      // minute for ≥ BotMinutes distinct minutes — pure integer rates
+      EventOps.botCensus(t(s, dir, "events"), col("user_id"), col("ts"),
+        BotRate, BotMinutes)),
     "etl_late_dim" -> ((s, dir) => {
       // early-arriving facts: the part feed lags 10% of keys; inferred
       // placeholders keep the star join total, then half the laggards
@@ -2954,6 +2992,8 @@ object SparkEntry {
     "text_langid_confusion" -> Oracles.textLangidConfusion,
     "sample_kfold" -> Oracles.sampleKfold,
     "etl_late_dim" -> Oracles.etlLateDim,
+    "etl_wap" -> Oracles.etlWap,
+    "events_bots" -> Oracles.eventsBots,
     "dim_calendar" -> Oracles.dimCalendar,
     "etl_surrogate_assign" -> Oracles.etlSurrogateAssign,
     "q_changepoint" -> Oracles.qChangepoint,

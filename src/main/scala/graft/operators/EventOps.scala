@@ -654,6 +654,26 @@ object EventOps {
     }.toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm", "share_ppm")
   }
 
+  /** Rate-based bot census: per user, the count of distinct minutes
+    * with ≥ `ratePerMinute` events and the per-minute peak; `bot` flags
+    * users sustaining the rate in ≥ `minMinutes` minutes — the cheap
+    * integer-rate tier of abuse filtering (no model, no state). Two
+    * keyed aggregates: (user, minute) then user.
+    */
+  def botCensus(events: DataFrame, userCol: Column, tsCol: Column,
+                ratePerMinute: Long, minMinutes: Long): DataFrame = {
+    require(ratePerMinute >= 1 && minMinutes >= 1)
+    events.select(userCol.as("u"), unix_millis(tsCol).as("__ms"))
+      .select(col("u"), expr("__ms div 60000").as("__min"))
+      .groupBy(col("u"), col("__min")).agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_minutes"), max(col("c")).as("peak_per_minute"),
+        sum(when(col("c") >= ratePerMinute, 1L).otherwise(0L)).as("n_hot_minutes"))
+      .select(col("u").as("user_id"), col("n_minutes"),
+        col("peak_per_minute"), col("n_hot_minutes"),
+        (col("n_hot_minutes") >= minMinutes).as("bot"))
+  }
+
   /** Inter-arrival census: per event type, the exact-integer summary of
     * millisecond gaps between each user's consecutive events of that
     * type — the cadence profile behind throttle cooldowns and session
