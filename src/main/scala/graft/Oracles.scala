@@ -5146,7 +5146,11 @@ object Oracles {
     * round-unrolled level BFS, generalized to (seed, node) keyed
     * state; zero-reach seeds emit explicit 0 rows.
     */
-  def qHarmonic: String = {
+  /** Shared per-seed BFS CTE chain over the trading graph — ends in
+    * `v$BfsHops(seed, node, dist)`; consumed by [[qHarmonic]] and
+    * [[qEccentricity]].
+    */
+  private def perSeedBfsCtes: String = {
     val rounds = (1 to BfsHops).map { h =>
       s"""n$h AS MATERIALIZED (SELECT seed, node, CAST($h AS BIGINT) AS dist FROM (
          |  SELECT DISTINCT f.seed, e.dst AS node
@@ -5156,7 +5160,7 @@ object Oracles {
          |v$h AS MATERIALIZED (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h),
          |f$h AS MATERIALIZED (SELECT seed, node FROM n$h)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS MATERIALIZED (
+    s"""pairs AS MATERIALIZED (
        |  SELECT DISTINCT l_suppkey AS sk, o_custkey + $PrCustOffset AS ck
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |edges AS MATERIALIZED (SELECT sk AS src, ck AS dst FROM pairs
@@ -5166,7 +5170,11 @@ object Oracles {
        |    CAST(0 AS BIGINT) AS dist
        |  FROM supplier WHERE s_suppkey % $HarmonicSeedMod = 0),
        |f0 AS (SELECT seed, node FROM v0),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  def qHarmonic: String =
+    s"""WITH $perSeedBfsCtes,
        |reached AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
        |    CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
        |  FROM v$BfsHops WHERE dist > 0 GROUP BY 1)
@@ -5175,6 +5183,35 @@ object Oracles {
        |FROM (SELECT CAST(s_suppkey AS BIGINT) AS seed FROM supplier
        |  WHERE s_suppkey % $HarmonicSeedMod = 0) s
        |LEFT JOIN reached ON s.seed = reached.seed""".stripMargin
+
+  /** Eccentricity twin: same BFS chain, per-seed max hop + reach. */
+  def qEccentricity: String =
+    s"""WITH $perSeedBfsCtes
+       |SELECT seed, CAST(max(dist) AS BIGINT) AS ecc_capped,
+       |  CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+       |FROM v$BfsHops GROUP BY 1""".stripMargin
+
+  /** Burstiness twin: same tf table, (cf desc, term) top-N cut. */
+  def textBurstiness: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2),
+       |agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |top AS (SELECT * FROM agg ORDER BY cf DESC, term LIMIT ${TopNPerGroup * 4})
+       |SELECT term, df, cf, CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm
+       |FROM top""".stripMargin
+
+  /** Balanced-downsample twin: same salted-hash per-class rank, same
+    * minority-size cut.
+    */
+  def sampleBalance: String = {
+    val h = hex8Expr("('" + EpochSalt + ":' || CAST(doc_id AS VARCHAR))")
+    s"""WITH k AS (SELECT CAST(min(n) AS BIGINT) AS k FROM (
+       |    SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+       |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY CAST($h AS BIGINT), doc_id) AS rk FROM documents)
+       |SELECT doc_id, lang FROM r CROSS JOIN k WHERE rk <= k""".stripMargin
   }
 
   /** WOE/IV twin of [[graft.operators.Quality.woeIv]]: same exact int64

@@ -2180,6 +2180,25 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"))
       operators.Bfs.hopDistances(edges, seeds, BfsHops)
     }),
+    "q_eccentricity" -> ((s, dir) => {
+      // hop-bounded eccentricity census from the harmonic seed sample:
+      // per seed the farthest-reached hop and reach count — the cheap
+      // diameter lower-bound / disconnection smell
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), (col("o_custkey") + lit(PrCustOffset)).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_suppkey") % HarmonicSeedMod === 0)
+        .select(col("s_suppkey").as("node"))
+      operators.Bfs.perSeedHopDistances(edges, seeds, BfsHops)
+        .groupBy(col("seed"))
+        .agg(max(col("dist")).as("ecc_capped"),
+          sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_reached"))
+    }),
     "q_harmonic" -> ((s, dir) => {
       // sampled truncated harmonic centrality: Σ 1/hop-dist (exact e6)
       // per seed supplier over the trading graph — per-seed BFS keyed
@@ -2381,6 +2400,34 @@ object SparkEntry {
         .withColumn("mixed_script", col("n_latin") > 0 && col("n_cyrillic") > 0)
         .withColumn("homoglyph_suspect",
           col("n_cyrillic") > 0 && col("n_cyrillic") * 10 < col("n_latin"))
+    }),
+    "text_burstiness" -> ((s, dir) => {
+      // Church–Gale burstiness per term: mean occurrences per
+      // CONTAINING doc (cf·10⁶ div df) for the top corpus terms —
+      // separates topical words (bursty) from function words (flat)
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      perDoc.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .orderBy(col("cf").desc, col("term").asc).limit(TopNPerGroup * 4)
+        .select(col("term"), col("df"), col("cf"),
+          expr("cf * 1000000 div df").as("burst_ppm"))
+    }),
+    "sample_balance" -> ((s, dir) => {
+      // class-balanced downsample: every lang keeps exactly the
+      // minority-class count of docs, chosen by salted hash rank —
+      // deterministic, no RNG, no global sort (per-class windows)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val k = broadcast(d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("k")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("__h").asc, col("doc_id").asc)
+      d.withColumn("__h", H.hash32(col("doc_id").cast("string"), EpochSalt))
+        .withColumn("__rk", row_number().over(w))
+        .crossJoin(k)
+        .where(col("__rk") <= col("k"))
+        .select(col("doc_id"), col("lang"))
     }),
     "text_boilerplate" -> ((s, dir) =>
       // cross-doc line-frequency census: the text that survives
@@ -2994,6 +3041,9 @@ object SparkEntry {
     "etl_late_dim" -> Oracles.etlLateDim,
     "etl_wap" -> Oracles.etlWap,
     "events_bots" -> Oracles.eventsBots,
+    "q_eccentricity" -> Oracles.qEccentricity,
+    "text_burstiness" -> Oracles.textBurstiness,
+    "sample_balance" -> Oracles.sampleBalance,
     "dim_calendar" -> Oracles.dimCalendar,
     "etl_surrogate_assign" -> Oracles.etlSurrogateAssign,
     "q_changepoint" -> Oracles.qChangepoint,
