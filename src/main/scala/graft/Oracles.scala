@@ -4241,6 +4241,37 @@ object Oracles {
        |  CAST(score_e6 AS BIGINT) AS score_e6
        |FROM fin WHERE rk = 1""".stripMargin
 
+  /** Reciprocity twin: same hand-off edges, reverse-edge left join. */
+  def qReciprocity: String =
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT l_suppkey AS src, lead(l_suppkey) OVER
+       |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS dst
+       |    FROM lineitem)
+       |  WHERE dst IS NOT NULL AND src <> dst),
+       |j AS (SELECT e.src, e.dst, r.src AS rs FROM e
+       |  LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+       |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(sum(CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+       |  CAST(sum(CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS recip_ppm
+       |FROM j""".stripMargin
+
+  /** Negative-sampling twin: same unigram^(3/4) weights and A-ES
+    * priority order.
+    */
+  def sampleNegatives: String = {
+    val h = hex8Expr(s"('$NegSalt:' || term)")
+    s"""WITH $toksCte,
+       |tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS cf
+       |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+       |w AS (SELECT term, cf,
+       |    CAST(floor(pow(CAST(cf AS DOUBLE), 0.75) * 1e6) AS BIGINT) AS w34,
+       |    (CAST($h AS BIGINT) + 1) / 4294967296.0 AS u FROM tf),
+       |p AS (SELECT term, cf, w34,
+       |    row_number() OVER (ORDER BY ln(u) / w34 DESC, term) AS rn FROM w)
+       |SELECT term, cf, w34 FROM p WHERE rn <= $NegK""".stripMargin
+  }
+
   /** SCC twin: brute-force transitive closure (WITH RECURSIVE) over the
     * same supplier hand-off edges, scc_id = min over the mutual-
     * reachability cell — tractable at oracle scale, where the closure
@@ -4250,7 +4281,7 @@ object Oracles {
     s"""WITH RECURSIVE
        |e AS (SELECT DISTINCT src, dst FROM (
        |    SELECT l_suppkey AS src, lead(l_suppkey) OVER
-       |      (PARTITION BY l_orderkey ORDER BY l_linenumber) AS dst
+       |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS dst
        |    FROM lineitem)
        |  WHERE dst IS NOT NULL AND src <> dst),
        |r AS (SELECT src, dst FROM e

@@ -85,6 +85,10 @@ object Params {
   // strictly below this cut; the batch delivers every brand
   val SurrogateCut = "Brand#4"
 
+  // negative-sampling table: exactly-K terms by unigram^(3/4) weight
+  val NegK = 50
+  val NegSalt = "neg"
+
   // bot census: sustained per-minute event rate and minute count
   val BotRate = 3L
   val BotMinutes = 2L

@@ -1986,6 +1986,37 @@ object SparkEntry {
       Staging.backfillDim(aug,
         part.where(col("p_partkey") % LateDimArriveMod === 0), "p_partkey")
     }),
+    "q_reciprocity" -> ((s, dir) => {
+      // directed reciprocity of the supplier hand-off graph: share of
+      // edges whose reverse also exists — near 1 means the "direction"
+      // carries no information and SCC ≈ CC
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_suppkey"))  // value-total order: (okey, lnum) is NOT unique in the testdata
+      val e = li.withColumn("nxt", lead(col("l_suppkey"), 1).over(w))
+        .where(col("nxt").isNotNull && col("l_suppkey") =!= col("nxt"))
+        .select(col("l_suppkey").as("src"), col("nxt").as("dst")).distinct()
+      e.join(e.select(col("dst").as("src"), col("src").as("dst"))
+            .withColumn("__r", lit(1L)).distinct(),
+          Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("__r").isNotNull, 1L).otherwise(0L)).as("n_recip"))
+        .select(col("n_edges"), col("n_recip"),
+          expr("n_recip * 1000000 div n_edges").as("recip_ppm"))
+    }),
+    "sample_negatives" -> ((s, dir) =>
+      // word2vec-style negative-sampling table: exactly-K corpus terms
+      // drawn by the unigram^(3/4) distribution through the A-ES
+      // exactly-K machinery — deterministic, RNG-free
+      Sampling.weightedK(
+        t(s, dir, "documents")
+          .select(explode(T.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+          .withColumn("w34",
+            expr("cast(floor(pow(cast(cf as double), 0.75) * 1e6) as long)")),
+        Seq(lit("all")), col("term"), col("w34"), NegK, NegSalt)
+        .select(col("term"), col("cf"), col("w34"))),
     "q_scc" -> ((s, dir) => {
       // directed supplier hand-off graph: consecutive lineitems of each
       // order pass work supplier→supplier (lead over the per-order line
@@ -1993,7 +2024,8 @@ object SparkEntry {
       // mutual-reachability cells, which undirected CC would over-merge
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_suppkey"))  // value-total order: (okey, lnum) is NOT unique in the testdata
       val edges = li.withColumn("nxt", lead(col("l_suppkey"), 1).over(w))
         .where(col("nxt").isNotNull)
         .select(col("l_suppkey").as("src"), col("nxt").as("dst"))
@@ -3029,6 +3061,8 @@ object SparkEntry {
     "q_hilbert_audit" -> Oracles.qHilbertAudit,
     "q_jaro_pairs" -> Oracles.qJaroPairs,
     "q_scc" -> Oracles.qScc,
+    "q_reciprocity" -> Oracles.qReciprocity,
+    "sample_negatives" -> Oracles.sampleNegatives,
     "q_mutual_info" -> Oracles.qMutualInfo,
     "q_sql_surface" -> Oracles.qSqlSurface,
     "q_cramers_v" -> Oracles.qCramersV,
