@@ -2134,6 +2134,34 @@ object Oracles {
       |    lead(o_orderdate) OVER w AS effective_to, o_orderpriority
       |  FROM pr WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin
 
+  /** SCD2-audit twin: same history CTEs, same (from, to NULLS LAST) lag
+    * and per-key defect flags, clean + duplicated-slice variants.
+    */
+  def etlScd2Audit: String = {
+    def one(name: String, src: String) =
+      s"""SELECT '$name' AS variant, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(nr) AS BIGINT) AS n_rows,
+         |  CAST(sum(ov) AS BIGINT) AS keys_with_overlap,
+         |  CAST(sum(gp) AS BIGINT) AS keys_with_gap,
+         |  CAST(sum(CASE WHEN nc <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS keys_bad_current
+         |FROM (SELECT o_custkey, count(*) AS nr,
+         |    max(CASE WHEN pto IS NOT NULL AND effective_from < pto THEN 1 ELSE 0 END) AS ov,
+         |    max(CASE WHEN pto IS NOT NULL AND effective_from > pto THEN 1 ELSE 0 END) AS gp,
+         |    sum(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END) AS nc
+         |  FROM (SELECT o_custkey, effective_from, effective_to,
+         |      lag(effective_to) OVER (PARTITION BY o_custkey
+         |        ORDER BY effective_from ASC, effective_to ASC NULLS LAST) AS pto
+         |    FROM $src)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $scd2HistCtes,
+       |broken AS (SELECT o_custkey, effective_from, effective_to FROM hist
+       |  UNION ALL SELECT o_custkey, effective_from, effective_to FROM hist
+       |  WHERE o_custkey % 97 = 0)
+       |${one("clean", "hist")}
+       |UNION ALL
+       |${one("broken", "broken")}""".stripMargin
+  }
+
   def etlScd2: String =
     s"""WITH $scd2HistCtes
        |SELECT o_custkey, CAST(effective_from AS VARCHAR) AS effective_from,

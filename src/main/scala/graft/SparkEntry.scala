@@ -1937,6 +1937,24 @@ object SparkEntry {
             .cast("long").as("mkey"),
           cents(col("o_totalprice")).as("c")),
         col("grp"), col("mkey"), col("c"))),
+    "etl_scd2_audit" -> ((s, dir) => {
+      // history-invariant audit: the clean scd2 build must score zero
+      // defects; a deliberately duplicated slice (keys ≡0 mod 97) must
+      // light up overlaps and duplicate currents — both rows oracle-checked
+      val hist = Staging.scd2(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_orderkey")),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"),
+        Seq(col("o_orderkey")))
+      def audit(name: String, df: DataFrame) =
+        Staging.scd2Audit(df, Seq("o_custkey"), "effective_from",
+            "effective_to", "is_current")
+          .select(lit(name).as("variant"), col("n_keys"), col("n_rows"),
+            col("keys_with_overlap"), col("keys_with_gap"),
+            col("keys_bad_current"))
+      audit("clean", hist).unionByName(audit("broken",
+        hist.unionByName(hist.where(col("o_custkey") % 97 === 0))))
+    }),
     "etl_wap" -> ((s, dir) => {
       // write-audit-publish: stage a batch, run the contract rules,
       // publish ONLY an all-green batch. Attempt 1 carries injected
@@ -3074,6 +3092,7 @@ object SparkEntry {
     "sample_kfold" -> Oracles.sampleKfold,
     "etl_late_dim" -> Oracles.etlLateDim,
     "etl_wap" -> Oracles.etlWap,
+    "etl_scd2_audit" -> Oracles.etlScd2Audit,
     "events_bots" -> Oracles.eventsBots,
     "q_eccentricity" -> Oracles.qEccentricity,
     "text_burstiness" -> Oracles.textBurstiness,

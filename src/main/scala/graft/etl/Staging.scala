@@ -346,6 +346,38 @@ object Staging {
     untouched.unionByName(rebuilt)
   }
 
+  /** SCD-2 history integrity audit — the invariants every consumer of a
+    * history dimension silently assumes, made executable: per key, no
+    * version may OVERLAP its predecessor (from < previous to), no GAP
+    * may separate adjacent versions (from > previous to), and exactly
+    * one row may be current. Emits ONE corpus summary row
+    * `(n_keys, n_rows, keys_with_overlap, keys_with_gap,
+    * keys_bad_current)` — the numbers a load gate compares to zero.
+    * Versions are ordered (from asc, to asc NULLS LAST — the explicit
+    * spelling keeps the lag sequence engine-identical; open-ended
+    * current rows sort last in both engines); flags are value-derived,
+    * so full ties are order-insensitive. One key-partitioned window +
+    * two keyed aggregates.
+    */
+  def scd2Audit(hist: DataFrame, keys: Seq[String], fromCol: String,
+                toCol: String, currentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(fromCol).asc, col(toCol).asc_nulls_last)
+    val perKey = hist.withColumn("__pto", lag(col(toCol), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("nr"),
+        max(when(col("__pto").isNotNull && col(fromCol) < col("__pto"), 1L)
+          .otherwise(0L)).as("ov"),
+        max(when(col("__pto").isNotNull && col(fromCol) > col("__pto"), 1L)
+          .otherwise(0L)).as("gp"),
+        sum(when(col(currentCol).cast("boolean"), 1L).otherwise(0L)).as("nc"))
+    perKey.agg(count(lit(1)).as("n_keys"), sum(col("nr")).as("n_rows"),
+      sum(col("ov")).as("keys_with_overlap"),
+      sum(col("gp")).as("keys_with_gap"),
+      sum(when(col("nc") =!= 1L, 1L).otherwise(0L)).as("keys_bad_current"))
+  }
+
   def scd2(changes: DataFrame, keys: Seq[String], effectiveCol: String,
            tracked: Seq[String], order: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
