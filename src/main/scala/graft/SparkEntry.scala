@@ -2638,6 +2638,15 @@ object SparkEntry {
         SlideSizeMs, SlideHopMs)),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), "user_id", "ts", SessionGapMs)),
+    "events_sessionize_typed" -> ((s, dir) => {
+      // the SAME sessions through the typed Dataset[Event] surface —
+      // flatMapGroups closure instead of analytic windows; shares the
+      // untyped query's oracle, so typed-API parity is driver-checked
+      import s.implicits._
+      EventOps.sessionizeTyped(
+        t(s, dir, "events").as[graft.streaming.EventStreams.Event],
+        SessionGapMs)
+    }),
     "q_sliding_distinct" -> ((s, dir) =>
       // rolling 7-day distinct users (WAU), exact — ×7 window explode
       EventOps.slidingDistinct(t(s, dir, "events"),
@@ -3017,6 +3026,7 @@ object SparkEntry {
     "events_window_agg" -> Oracles.eventsWindowAgg,
     "events_sliding_window" -> Oracles.eventsSlidingWindow,
     "events_sessionize" -> Oracles.eventsSessionize,
+    "events_sessionize_typed" -> Oracles.eventsSessionize,
     "events_extract" -> Oracles.eventsExtract,
     "events_json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",

@@ -49,6 +49,44 @@ object EventOps {
         (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
   }
 
+  /** Typed twin of [[sessionize]]: the SAME gap semantics through the
+    * `Dataset[T]` / `KeyValueGroupedDataset.flatMapGroups` surface —
+    * per-user groups stream through a compile-time-typed closure
+    * instead of two analytic windows. Exists to prove (and spec-pin)
+    * that the typed API carries identical semantics: the group
+    * iterator is sorted in (ts, event_id) order, sessions cut on the
+    * same strict `gap > gapMs`, output rows equal [[sessionize]]'s
+    * bit-for-bit. Per-user volume must fit an executor (same bound a
+    * user's window partition already implies).
+    */
+  def sessionizeTyped(events: org.apache.spark.sql.Dataset[
+                        graft.streaming.EventStreams.Event],
+                      gapMs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var sid = 0L
+        var n = 0L
+        var start = 0L
+        var last = Long.MinValue
+        def close(): Unit =
+          if (n > 0) out += ((uid, sid, n, start, last - start))
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (last == Long.MinValue || t - last > gapMs) {
+            close(); sid += 1; n = 0L; start = t
+          }
+          n += 1; last = t
+        }
+        close()
+        out.iterator
+      }
+      .toDF("user_id", "session_id", "n_events", "start_ms", "duration_ms")
+  }
+
   /** Pivot: one column per event type with daily counts. The type values
     * are passed explicitly — with an explicit value list Spark skips the
     * extra distinct-collection job AND the output schema is static, which

@@ -3087,6 +3087,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("sessionizeTyped: bit-identical to the window-based sessionizer") {
+    import graft.operators.EventOps
+    import graft.streaming.EventStreams.Event
+    val ev = graft.Tables.events(spark, sfDir)
+    val untyped = EventOps.sessionize(ev, "user_id", "ts", Params.SessionGapMs)
+      .collect().map(_.toString).sorted
+    val typed = EventOps.sessionizeTyped(ev.as[Event], Params.SessionGapMs)
+      .collect().map(_.toString).sorted
+    assert(typed.nonEmpty && typed.toSeq === untyped.toSeq)
+  }
+
   test("psiDrift: identical snapshots score 0, disjoint support large positive") {
     val a = (1L to 100L).map(i => i % 4).toDF("b")
     val same = Sketches.psiDrift(a, a, col("b")).collect()
