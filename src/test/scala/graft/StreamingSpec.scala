@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark late-drop counter: operational visibility of discarded rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(stream.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hourly_drops")
+      .outputMode("append").start()
+    try {
+      stream.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // push the watermark far ahead, then deliver an event hours late:
+      // the state op must COUNT the drop (numRowsDroppedByWatermark) —
+      // the signal an ops dashboard alarms on; silent loss is the bug
+      stream.addData(Event(2, ts("2024-01-01 15:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(3, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, s"late row not counted as dropped (got $dropped)")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes a session on in-batch gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
