@@ -385,18 +385,13 @@ object Oracles {
     * composes the two ranking pipelines under fresh CTE names, then
     * the same hit/size joins and the −1 micro-average row.
     */
-  def annRecallEval: String =
-    s"""WITH $ivfAsgCtes,
-       |$ivfProbeCtes,
-       |ia AS (SELECT query_id, neighbor_id FROM (
-       |  SELECT query_id, neighbor_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM (SELECT query_id, neighbor_id,
-       |      ${cosExpr("ea.embedding", "eb.embedding")} AS cos
-       |    FROM cand JOIN embeddings ea ON ea.vec_id = query_id
-       |    JOIN embeddings eb ON eb.vec_id = neighbor_id))
-       |  WHERE rnk <= $AnnK),
-       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  /** Brute-force-vs-approx recall compare: consumes an `ia` CTE
+    * (query_id, neighbor_id) defined by the caller, emits per-query +
+    * micro-average recall. Shared by [[annRecallEval]] and
+    * [[embPqRecallEval]].
+    */
+  private def recallCompareSql: String =
+    s"""bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE vec_id % $AnnQueryMod = 0),
        |be AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
@@ -422,6 +417,37 @@ object Oracles {
        |  CAST(sum(n_approx) AS BIGINT), CAST(sum(n_hit) AS BIGINT),
        |  CAST(sum(n_hit) * 1000000 // sum(n_exact) AS BIGINT)
        |FROM per""".stripMargin
+
+  def annRecallEval: String =
+    s"""WITH $ivfAsgCtes,
+       |$ivfProbeCtes,
+       |ia AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM (SELECT query_id, neighbor_id,
+       |      ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |    FROM cand JOIN embeddings ea ON ea.vec_id = query_id
+       |    JOIN embeddings eb ON eb.vec_id = neighbor_id))
+       |  WHERE rnk <= $AnnK),
+       |$recallCompareSql""".stripMargin
+
+  /** PQ-ADC recall twin: the lossy-compression path scored against the
+    * same brute-force ground truth through [[recallCompareSql]].
+    */
+  def embPqRecallEval: String =
+    s"""WITH pqc AS (
+       |$embPqCodes),
+       |$pqLutCtes,
+       |pv AS (SELECT query_id, p.vec_id AS neighbor_id, min(CASE WHEN lut.m = 0 THEN part END) AS sp0, min(CASE WHEN lut.m = 1 THEN part END) AS sp1, min(CASE WHEN lut.m = 2 THEN part END) AS sp2, min(CASE WHEN lut.m = 3 THEN part END) AS sp3, min(CASE WHEN lut.m = 4 THEN part END) AS sp4, min(CASE WHEN lut.m = 5 THEN part END) AS sp5, min(CASE WHEN lut.m = 6 THEN part END) AS sp6, min(CASE WHEN lut.m = 7 THEN part END) AS sp7
+       |  FROM lut JOIN pqc p ON p.m = lut.m AND p.code = lut.code AND p.vec_id <> lut.query_id
+       |  GROUP BY query_id, p.vec_id),
+       |ia AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sp0 + sp1 + sp2 + sp3 + sp4 + sp5 + sp6 + sp7, 4) DESC,
+       |        neighbor_id) AS BIGINT) AS rnk FROM pv)
+       |  WHERE rnk <= $AnnK),
+       |$recallCompareSql""".stripMargin
 
   /** One k-means update step over the IVF assignment: per-cell per-dim
     * mean. dims CTE drives the explode so the lateral syntax stays plain.

@@ -1137,6 +1137,17 @@ object SparkEntry {
       // 32× embedding compression as a pure map-side projection
       Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
         PqSub, PqK, EmbDims)),
+    "emb_pq_recall_eval" -> ((s, dir) => {
+      // the question PQ compression must answer: how much recall does
+      // 8×4-bit lossy coding give up vs exact search
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", PqSub, PqK, EmbDims)
+      Similarity.recallEval(
+        Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", AnnK,
+          PqSub, PqK, EmbDims),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", AnnK), AnnK)
+    }),
     "emb_pq_adc" -> ((s, dir) => {
       // the search path PQ exists for: score the whole corpus from codes
       // only, no float vectors on the corpus side
@@ -3090,6 +3101,7 @@ object SparkEntry {
     "q_jaro_pairs" -> Oracles.qJaroPairs,
     "q_scc" -> Oracles.qScc,
     "q_reciprocity" -> Oracles.qReciprocity,
+    "emb_pq_recall_eval" -> Oracles.embPqRecallEval,
     "sample_negatives" -> Oracles.sampleNegatives,
     "q_mutual_info" -> Oracles.qMutualInfo,
     "q_sql_surface" -> Oracles.qSqlSurface,
