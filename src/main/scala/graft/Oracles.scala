@@ -449,6 +449,46 @@ object Oracles {
        |  WHERE rnk <= $AnnK),
        |$recallCompareSql""".stripMargin
 
+  /** MRL recall twin: the Matryoshka two-stage top-k as `ia`, shared
+    * recall tail.
+    */
+  def annMrlRecallEval: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+       |  WHERE vec_id % $AnnQueryMod = 0),
+       |co AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    ${cosExprN("q.e", "c.embedding", MrlDims)} AS ccos
+       |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ccos DESC, neighbor_id) AS rn
+       |    FROM co) WHERE rn <= $MrlPool),
+       |msc AS (SELECT query_id, neighbor_id,
+       |    ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM pool
+       |  JOIN embeddings ea ON ea.vec_id = query_id
+       |  JOIN embeddings eb ON eb.vec_id = neighbor_id),
+       |ia AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM msc) WHERE rnk <= $AnnK),
+       |$recallCompareSql""".stripMargin
+
+  /** LSH recall twin: bucket candidates as `ia`, shared recall tail. */
+  def annLshRecallEval: String =
+    s"""WITH ${embBandCtes},
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bl q JOIN bl c ON q.band_id = c.band_id AND q.bv = c.bv AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $AnnQueryMod = 0),
+       |lsc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id JOIN embeddings eb ON eb.vec_id = neighbor_id),
+       |ia AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM lsc) WHERE rnk <= $AnnK),
+       |$recallCompareSql""".stripMargin
+
   /** One k-means update step over the IVF assignment: per-cell per-dim
     * mean. dims CTE drives the explode so the lateral syntax stays plain.
     */

@@ -1137,6 +1137,25 @@ object SparkEntry {
       // 32× embedding compression as a pure map-side projection
       Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
         PqSub, PqK, EmbDims)),
+    "ann_mrl_recall_eval" -> ((s, dir) => {
+      // how much recall the 16-dim Matryoshka prefix + 30-pool rerank
+      // gives up vs exact search — the prefix-width tuning evidence
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      Similarity.recallEval(
+        Similarity.mrlTopK(q, emb, "vec_id", "embedding", MrlDims, MrlPool, AnnK),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", AnnK), AnnK)
+    }),
+    "ann_lsh_recall_eval" -> ((s, dir) => {
+      // the LSH bucket recall — completes the recall-eval family
+      // (IVF / PQ / MRL / LSH all scored against one ground truth)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      Similarity.recallEval(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", AnnK,
+          EmbPlanes, EmbBands, EmbDims),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", AnnK), AnnK)
+    }),
     "emb_pq_recall_eval" -> ((s, dir) => {
       // the question PQ compression must answer: how much recall does
       // 8×4-bit lossy coding give up vs exact search
@@ -3102,6 +3121,8 @@ object SparkEntry {
     "q_scc" -> Oracles.qScc,
     "q_reciprocity" -> Oracles.qReciprocity,
     "emb_pq_recall_eval" -> Oracles.embPqRecallEval,
+    "ann_mrl_recall_eval" -> Oracles.annMrlRecallEval,
+    "ann_lsh_recall_eval" -> Oracles.annLshRecallEval,
     "sample_negatives" -> Oracles.sampleNegatives,
     "q_mutual_info" -> Oracles.qMutualInfo,
     "q_sql_surface" -> Oracles.qSqlSurface,
