@@ -88,6 +88,31 @@ object Oracles {
   def dedupNgramJaccard: String =
     s"WITH $jaccardPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs"
 
+  /** LSH-recall twin: the verified LSH pairs vs the exact PPJoin truth
+    * at the same rational threshold. A rounded-boundary found-pair can
+    * legitimately miss the exact truth set; recall counts only the
+    * intersection, so the ratio stays honest.
+    */
+  def dedupLshRecall: String =
+    s"""WITH $jaccardPairsCtes,
+       |tsets AS (SELECT doc_id, list_distinct(sh) AS s, len(list_distinct(sh)) AS sz
+       |  FROM shing WHERE len(list_distinct(sh)) > 0),
+       |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
+       |    AND a.sz * $JaccardMinDen >= b.sz * $JaccardMinNum
+       |    AND b.sz * $JaccardMinDen >= a.sz * $JaccardMinNum
+       |  WHERE len(list_intersect(a.s, b.s)) * $JaccardMinDen
+       |    >= (a.sz + b.sz - len(list_intersect(a.s, b.s))) * $JaccardMinNum),
+       |f AS (SELECT doc_a, doc_b FROM pairs)
+       |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
+       |  CAST((SELECT count(*) FROM truth t JOIN f
+       |    ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b) AS BIGINT) AS n_hit,
+       |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+       |    ELSE (SELECT count(*) FROM truth t JOIN f
+       |      ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b) * 1000000
+       |      // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_ppm""".stripMargin
+
   /** Connected components of the verified near-dup graph: cluster id =
     * min doc_id reachable. Recursive CTE (DuckDB) ≡ the Spark side's
     * iterative min-label propagation.

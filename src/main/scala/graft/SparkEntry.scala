@@ -1022,6 +1022,23 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", EmbMinCos,
         EmbPlanes, EmbBands, EmbDims)),
+    "dedup_lsh_recall" -> ((s, dir) => {
+      // MinHash-LSH recall against the EXACT PPJoin ground truth at the
+      // same Jaccard threshold — the one number that justifies shipping
+      // the probabilistic path over the lossless one
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+        JaccardMinNum, JaccardMinDen).select(col("doc_a"), col("doc_b"))
+      val found = Dedup.ngramJaccard(docs, "doc_id", "text", JaccardMin,
+        MinhashK, MinhashBands).select(col("doc_a"), col("doc_b"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .crossJoin(broadcast(truth.join(found, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_true"), col("n_found"), col("n_hit"),
+          when(col("n_true") === 0L, lit(1000000L))
+            .otherwise(expr("n_hit * 1000000 div n_true")).as("recall_ppm"))
+    }),
     "dedup_threshold_sweep" -> ((s, dir) =>
       // one-pass cosine-band census of the LSH candidates: the evidence
       // for choosing EmbMinCos instead of guessing it
@@ -3032,6 +3049,7 @@ object SparkEntry {
     "text_nb_classify" -> Oracles.textNbClassify,
     "text_boilerplate" -> Oracles.textBoilerplate,
     "dedup_threshold_sweep" -> Oracles.dedupThresholdSweep,
+    "dedup_lsh_recall" -> Oracles.dedupLshRecall,
     "src_csv_badrecords" -> Oracles.srcCsvBadrecords,
     "text_keyphrases" -> Oracles.textKeyphrases,
     "text_script_mix" -> Oracles.textScriptMix,
