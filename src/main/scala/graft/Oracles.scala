@@ -1185,6 +1185,34 @@ object Oracles {
        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS pred_ppm
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** Set-cover twin: the same greedy rounds as chained CTEs — each
+    * round's gains exclude everything the previous picks covered.
+    */
+  def textSourceCover: String = {
+    val rounds = (1 to SourceCoverK).map { r =>
+      s"""g$r AS (SELECT source, CAST(count(*) AS BIGINT) AS gain
+         |  FROM st WHERE term NOT IN (SELECT term FROM c${r - 1})
+         |  GROUP BY 1),
+         |p$r AS (SELECT $r AS rank, source, gain FROM g$r
+         |  ORDER BY gain DESC, source LIMIT 1),
+         |c$r AS (SELECT term FROM c${r - 1}
+         |  UNION SELECT st.term FROM st JOIN p$r ON st.source = p$r.source)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to SourceCoverK)
+      .map(r => s"SELECT rank, source, gain FROM p$r").mkString(" UNION ALL ")
+    s"""WITH $toksCte,
+       |st AS (SELECT DISTINCT d.source, t.term FROM documents d
+       |  JOIN (SELECT doc_id, unnest(ts) AS term FROM toks) t
+       |    ON t.doc_id = d.doc_id),
+       |c0 AS (SELECT CAST(NULL AS VARCHAR) AS term WHERE false),
+       |$rounds,
+       |all_p AS ($unions)
+       |SELECT CAST(rank AS BIGINT) AS rank, source, gain,
+       |  CAST(sum(gain) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_covered
+       |FROM all_p WHERE gain > 0""".stripMargin
+  }
+
   /** Boilerplate twin: same pseudo-lines as textDedupLines, distinct
     * per-doc census, ≥ BoilerMinDocs cut, per-doc share ppm.
     */

@@ -85,6 +85,9 @@ object Params {
   // strictly below this cut; the batch delivers every brand
   val SurrogateCut = "Brand#4"
 
+  // greedy set-cover source selection rounds
+  val SourceCoverK = 5
+
   // negative-sampling table: exactly-K terms by unigram^(3/4) weight
   val NegK = 50
   val NegSalt = "neg"

@@ -2498,6 +2498,11 @@ object SparkEntry {
         .withColumn("homoglyph_suspect",
           col("n_cyrillic") > 0 && col("n_cyrillic") * 10 < col("n_latin"))
     }),
+    "text_source_cover" -> ((s, dir) =>
+      // which sources to take next, by marginal vocabulary coverage —
+      // greedy set cover with the classic (1−1/e) guarantee
+      TextOps.sourceCover(t(s, dir, "documents"), "source", "text",
+        SourceCoverK)),
     "text_burstiness" -> ((s, dir) => {
       // Church–Gale burstiness per term: mean occurrences per
       // CONTAINING doc (cf·10⁶ div df) for the top corpus terms —
@@ -3048,6 +3053,7 @@ object SparkEntry {
     "text_readability" -> Oracles.textReadability,
     "text_nb_classify" -> Oracles.textNbClassify,
     "text_boilerplate" -> Oracles.textBoilerplate,
+    "text_source_cover" -> Oracles.textSourceCover,
     "dedup_threshold_sweep" -> Oracles.dedupThresholdSweep,
     "dedup_lsh_recall" -> Oracles.dedupLshRecall,
     "src_csv_badrecords" -> Oracles.srcCsvBadrecords,

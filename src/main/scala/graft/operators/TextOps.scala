@@ -799,6 +799,47 @@ object TextOps {
           .otherwise(0L).as("ndcg_ppm"))
   }
 
+  /** Greedy set-cover source selection: pick `k` sources maximizing
+    * marginal VOCABULARY coverage — the coverage-driven answer to
+    * "which feeds do we license next" (uniform sampling buys duplicate
+    * mass; marginal coverage buys diversity). Classic greedy (1−1/e
+    * guarantee): each round scores every source by terms NOT yet
+    * covered (one anti-join + one aggregate over the (source, term)
+    * pair table, never the corpus) and takes the (gain desc, source)
+    * argmax. Output one row per pick:
+    * `(rank, source, gain, cum_covered)`. Driver-side loop of k
+    * bounded rounds — the [[Similarity.kmeansFit]] shape.
+    */
+  def sourceCover(docs: DataFrame, srcCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val st = docs.select(col(srcCol).as("source"),
+        explode(T.tokens(col(textCol))).as("term"))
+      .distinct().localCheckpoint(false)
+    var covered = spark.emptyDataset[String].toDF("term")
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    var cum = 0L
+    for (r <- 1 to k) {
+      val gains = st.join(covered, Seq("term"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source").asc).limit(1)
+        .collect()
+      if (gains.nonEmpty && gains.head.getAs[Long]("gain") > 0) {
+        val src = gains.head.getAs[String]("source")
+        val g = gains.head.getAs[Long]("gain")
+        cum += g
+        picks += ((r.toLong, src, g, cum))
+        covered = covered
+          .unionByName(st.where(col("source") === src).select(col("term")))
+          .distinct().localCheckpoint(false)
+      }
+    }
+    picks.toSeq.toDF("rank", "source", "gain", "cum_covered")
+  }
+
   /** Cross-corpus boilerplate census: pseudo-lines occurring in at
     * least `minDocs` DISTINCT documents are boilerplate (headers,
     * navigation, legal footers — the text that survives page-level

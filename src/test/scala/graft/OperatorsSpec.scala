@@ -3087,6 +3087,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(99L) === ((0L, 0L)))       // isolated seed: explicit zero
   }
 
+  test("sourceCover: greedy marginal-coverage picks, stops when dry") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      ("s1", "a b c d"), ("s2", "c d e"), ("s3", "e f"), ("s4", "a"))
+      .toDF("source", "text")
+    val out = TextOps.sourceCover(docs, "source", "text", 5).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("source"),
+        r.getAs[Long]("gain"), r.getAs[Long]("cum_covered")))
+    // s1 covers 4; s3 adds {e, f} = 2 (beats s2's marginal 1); then
+    // every remaining source adds nothing and the loop goes dry
+    assert(out.toSeq === Seq((1L, "s1", 4L, 4L), (2L, "s3", 2L, 6L)))
+  }
+
   test("sessionizeTyped: bit-identical to the window-based sessionizer") {
     import graft.operators.EventOps
     import graft.streaming.EventStreams.Event
