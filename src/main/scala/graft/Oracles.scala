@@ -3802,6 +3802,47 @@ object Oracles {
        |  > CAST(9 AS HUGEINT) * n_prior
        |    * (CAST(n_prior AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)""".stripMargin
 
+  /** Rolling-corr twin: same trailing-28-row HUGEINT moments and one
+    * shared IEEE corr per day.
+    */
+  def qRollingCorr: String =
+    s"""WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+       |    CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT d,
+       |    CAST(count(*) OVER w AS HUGEINT) AS n,
+       |    sum(CAST(c AS HUGEINT)) OVER w AS sc,
+       |    sum(CAST(r AS HUGEINT)) OVER w AS sr,
+       |    sum(CAST(c AS HUGEINT) * c) OVER w AS scc,
+       |    sum(CAST(r AS HUGEINT) * r) OVER w AS srr,
+       |    sum(CAST(c AS HUGEINT) * r) OVER w AS scr
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+       |SELECT d, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN sqrt(CAST(n * scc - sc * sc AS DOUBLE) *
+       |      CAST(n * srr - sr * sr AS DOUBLE)) > 0
+       |    THEN round(CAST(n * scr - sc * sr AS DOUBLE) /
+       |      sqrt(CAST(n * scc - sc * sc AS DOUBLE) *
+       |        CAST(n * srr - sr * sr AS DOUBLE)), 4)
+       |    ELSE NULL END AS corr
+       |FROM m""".stripMargin
+
+  /** Gap-partition twin: generated month axis minus observed months
+    * with the same suppressed 1996-06.
+    */
+  def etlGapPartitions: String =
+    s"""WITH b AS (SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
+       |    max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi FROM orders),
+       |expected AS (SELECT CAST((m // 12) * 100 + (m % 12 + 1) AS BIGINT) AS part_key
+       |  FROM (SELECT unnest(range(lo, hi + 1)) AS m FROM b)),
+       |observed AS (SELECT DISTINCT
+       |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS part_key
+       |  FROM orders
+       |  WHERE NOT (year(o_orderdate) = 1996 AND month(o_orderdate) = 6))
+       |SELECT part_key FROM expected
+       |WHERE part_key NOT IN (SELECT part_key FROM observed)""".stripMargin
+
   /** Runs-test twin: same daily above-mean flags, same run counting via
     * lag over the bounded day series, same IEEE z expression.
     */

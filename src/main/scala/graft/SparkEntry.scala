@@ -1841,6 +1841,50 @@ object SparkEntry {
       // type, division-free DECIMAL(38,0) test — backfill == live feed
       EventOps.zscoreAlerts(t(s, dir, "events"), col("event_type"),
         col("ts"), col("event_id"), cents(col("value")))),
+    "q_rolling_corr" -> ((s, dir) => {
+      // trailing-28-day correlation of daily order count vs revenue —
+      // the co-movement monitor; exact decimal window moments, one
+      // shared IEEE corr per row, over the bounded day series
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).cast("string").as("d"))
+        .agg(count(lit(1)).as("c"), sum(cents(col("o_totalprice"))).as("r"))
+      val w = Window.partitionBy(lit(0)) // declared bounded: day series
+        .orderBy(col("d").asc).rowsBetween(-27, Window.currentRow)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sc", sum(dec(col("c"))).over(w))
+        .withColumn("sr", sum(dec(col("r"))).over(w))
+        .withColumn("scc", sum(dec(col("c")) * col("c")).over(w))
+        .withColumn("srr", sum(dec(col("r")) * col("r")).over(w))
+        .withColumn("scr", sum(dec(col("c")) * col("r")).over(w))
+        .select(col("d"), col("n"),
+          when(expr("sqrt(cast(n * scc - sc * sc as double) * " +
+            "cast(n * srr - sr * sr as double))") > 0.0,
+            expr("round(cast(n * scr - sc * sr as double) / " +
+              "sqrt(cast(n * scc - sc * sc as double) * " +
+              "cast(n * srr - sr * sr as double)), 4)"))
+            .otherwise(lit(null).cast("double")).as("corr"))
+    }),
+    "etl_gap_partitions" -> ((s, dir) => {
+      // backfill planning: expected month partitions (generated axis)
+      // vs observed; a deterministically-suppressed month (1996-06) is
+      // the real positive the plan must list
+      val observed = t(s, dir, "orders")
+        .where(!(year(col("o_orderdate")) === 1996 &&
+          month(col("o_orderdate")) === 6))
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("part_key")).distinct()
+      val bounds = t(s, dir, "orders").agg(
+        min(year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("lo"),
+        max(year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("hi")).collect().head
+      val expected = s.range(bounds.getInt(0).toLong, bounds.getInt(1) + 1L)
+        .select(expr("(id div 12) * 100 + (id % 12 + 1)").as("part_key"))
+      expected.join(observed, Seq("part_key"), "left_anti")
+        .select(col("part_key"))
+    }),
     "q_runs_test" -> ((s, dir) => {
       // randomness audit of the daily order-count series: above/below
       // the exact global mean, then the Wald–Wolfowitz run count
@@ -3176,6 +3220,8 @@ object SparkEntry {
     "q_fulfillment_latency" -> Oracles.qFulfillmentLatency,
     "q_abc_class" -> Oracles.qAbcClass,
     "q_runs_test" -> Oracles.qRunsTest,
+    "q_rolling_corr" -> Oracles.qRollingCorr,
+    "etl_gap_partitions" -> Oracles.etlGapPartitions,
     "q_quantile_scale" -> Oracles.qQuantileScale,
     "q_mutual_best" -> Oracles.qMutualBest,
     "q_profile" -> Oracles.qProfile,
