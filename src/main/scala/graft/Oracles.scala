@@ -5284,6 +5284,25 @@ object Oracles {
        |  ELSE 0 END AS evenness_ppm
        |FROM a""".stripMargin
 
+  /** Per-user behavioral-entropy twin: qEntropy's integerization over
+    * (user, event_type).
+    */
+  def eventsUserEntropy: String =
+    s"""WITH per AS (SELECT user_id AS grp, event_type AS c,
+       |    CAST(count(*) AS BIGINT) AS n_c FROM events GROUP BY 1, 2),
+       |w AS (SELECT grp, c, n_c,
+       |    CAST(sum(n_c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM per),
+       |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(max(n) AS BIGINT) AS n,
+       |    CAST(sum(n_c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      * 1e4, 0) AS BIGINT)) AS BIGINT) AS h_num
+       |  FROM w GROUP BY 1)
+       |SELECT grp, n, n_classes, CAST(h_num // n AS BIGINT) AS entropy_e4,
+       |  CASE WHEN n_classes > 1 THEN CAST((h_num // n) * 1000000
+       |    // CAST(round(ln(CAST(n_classes AS DOUBLE)) * 1e4, 0) AS BIGINT) AS BIGINT)
+       |  ELSE 0 END AS evenness_ppm
+       |FROM a""".stripMargin
+
   /** SRM twin of [[graft.operators.Experiment.srmGate]]. */
   def qSrm: String =
     s"""WITH u AS (SELECT DISTINCT user_id FROM events),

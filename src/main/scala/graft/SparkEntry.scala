@@ -359,6 +359,12 @@ object SparkEntry {
       // language-mix diversity per source: exact-integer Shannon
       // entropy + evenness vs the uniform bound
       Sketches.entropy(t(s, dir, "documents"), col("source"), col("lang"))),
+    "events_user_entropy" -> ((s, dir) =>
+      // behavioral diversity: per-user Shannon entropy of the
+      // event-type mix — one-trick users score 0, the bot/browser
+      // separation feature (same exact-integer entropy operator)
+      Sketches.entropy(t(s, dir, "events"), col("user_id"),
+        col("event_type"))),
     "q_jsd_drift" -> ((s, dir) => {
       // corpus-mix drift as LLM pipelines track it: Jensen–Shannon
       // divergence of the event-type distribution between the two
@@ -2961,6 +2967,7 @@ object SparkEntry {
     "q_drift_chi2" -> Oracles.qDriftChi2,
     "q_jsd_drift" -> Oracles.qJsdDrift,
     "q_entropy" -> Oracles.qEntropy,
+    "events_user_entropy" -> Oracles.eventsUserEntropy,
     "q_random_walks" -> Oracles.qRandomWalks,
     "q_ab_ttest" -> Oracles.qAbTtest,
     "q_cuped" -> Oracles.qCuped,
