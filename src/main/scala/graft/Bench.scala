@@ -35,6 +35,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietDeclaredBoundedWindows()
+    val telemetry = ShuffleTelemetry.install(spark)
     // warm-up: touch every table once so no query's time includes
     // first-scan/codec/JVM initialization
     Tables.names.foreach { n =>
@@ -61,6 +63,10 @@ object Bench {
     // per-query min stays clean
     val passes = (1 to runs).map { _ =>
       qlist.map { case (name, fn) =>
+        // shuffle/spill bytes bracket the TIMED section but the settle
+        // (listener-bus drain) runs after the timer stops, so telemetry
+        // never inflates the reported seconds
+        val snapBefore = ShuffleTelemetry.settle(telemetry)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -68,6 +74,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val shuffle = ShuffleTelemetry.settle(telemetry).delta(snapBefore)
         // drop every cached/locally-checkpointed block the query left in
         // the block manager: operators persist() and localCheckpoint()
         // internally and those blocks are dead once the noop write
@@ -79,7 +86,7 @@ object Bench {
         // one query per job; per-query isolation is the honest timing.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        name -> ((elapsed, ok))
+        name -> ((elapsed, ok, shuffle))
       }.toMap
     }
     val results = qlist.map { case (name, _) =>
@@ -90,6 +97,15 @@ object Bench {
       val good = times.filter(_._2).map(_._1)
       (name, if (good.nonEmpty) good.min else times.map(_._1).max, times)
     }
+    // shuffle bytes from each query's FASTEST successful pass (bytes are
+    // plan-determined, but AQE can coalesce differently under memory
+    // pressure — the clean pass is the representative one)
+    val shuffles: Map[String, ShuffleTelemetry.Snap] = qlist.map { case (name, _) =>
+      val runsFor = passes.map(_(name))
+      val good = runsFor.filter(_._2)
+      val pick = (if (good.nonEmpty) good.minBy(_._1) else runsFor.maxBy(_._1))._3
+      name -> pick
+    }.toMap
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma decimal separator (de_DE, fr_FR, …) would make the printed
     // line and the sidecar invalid JSON
@@ -101,7 +117,13 @@ object Bench {
     // failed run's fast abort must be distinguishable from a fast run
     val ts = results.map { case (k, _, times) =>
       "\"" + k + "\":[" +
-        times.map { case (t, ok) => s"[$t,${if (ok) 1 else 0}]" }.mkString(",") + "]"
+        times.map { case (t, ok, _) => s"[$t,${if (ok) 1 else 0}]" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-query shuffle telemetry: [read, write, spill_mem, spill_disk]
+    // bytes from the representative pass — the scale audit column
+    val sh = results.map { case (k, _, _) =>
+      val s = shuffles(k)
+      "\"" + k + s"""\":[${s.read},${s.write},${s.spillMem},${s.spillDisk}]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadAfter = loadavg()
@@ -117,7 +139,7 @@ object Bench {
       s"${System.getProperty("user.dir")}/tools/bench_detail.json"))
     Option(detailFile.getParentFile).foreach(_.mkdirs())
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     finally pw.close()
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")

@@ -50,7 +50,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        // ??? real codec goes here; deterministic fake below.
+        // fallback path; the real codec is decodeImage/decodeMedia below —
+        // this stub keeps the plumbing testable with no codec installed.
         var crc = 1125899906842597L
         var i = 0
         while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
@@ -69,7 +70,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        // ??? real scaler goes here; deterministic fake below.
+        // fallback path; the real scaler is resizeImages below — this stub
+        // keeps the plumbing testable with no codec installed.
         val outLen = math.max(1, (targetW.toLong * targetH / 64L).toInt)
         // empty payloads must survive (the 'any input' contract a real
         // codec stage needs) — emit zero bytes instead of indexing into
@@ -161,7 +163,8 @@ object Multimodal {
   def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      // ??? real demuxer goes here; fixed-size chunks below.
+      // fallback path; the real demuxer is frameSample above — fixed-size
+      // chunks keep the plumbing testable with no codec installed.
       val nFrames = math.max(1, r.payload.length / math.max(1, frameBytes))
       (0 until nFrames by stride).map { f =>
         val from = f * frameBytes

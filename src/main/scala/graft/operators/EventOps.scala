@@ -739,7 +739,11 @@ object EventOps {
     * BEFORE them (in (ts, id) order) exceeds z sample standard
     * deviations — the same division-free cross-multiplied integer test
     * `(x·n − S1)²·(n−1) > z²·n·(n·S2 − S1²)`, here over cumulative
-    * window sums with the wide products riding DECIMAL(38,0). The
+    * window sums with S2 and the wide products riding DECIMAL(38,0)
+    * (the long path would wrap at n·x²max ≥ 2⁶³, e.g. |cents| = 3·10⁷
+    * at n = 10⁴ — so the accumulator is widened, not the input
+    * restricted; the streaming twin instead enforces the narrow
+    * envelope with a loud `require`). The
     * streaming operator must emit EXACTLY these rows on the same data
     * (spec-pinned equivalence) — that is what makes the alert feed
     * backfillable.
@@ -758,8 +762,11 @@ object EventOps {
         idCol.as("event_id"), cents.cast("long").as("cents"))
       .withColumn("n_prior", coalesce(count(col("cents")).over(w), lit(0L)))
       .withColumn("__s1", coalesce(sum(col("cents")).over(w), lit(0L)))
-      .withColumn("__s2",
-        coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      // s2 rides DECIMAL from the first multiply: n·x²max can pass 2⁶³
+      // well inside plausible cents ranges, so the long path would wrap
+      .withColumn("__s2", coalesce(
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).over(w),
+        lit(0L).cast("decimal(38,0)")))
       .where(col("n_prior") >= minN)
       .where(expr("cast(cents * n_prior - __s1 as decimal(38,0)) * " +
         "(cents * n_prior - __s1) * (n_prior - 1)") >

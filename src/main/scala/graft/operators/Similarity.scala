@@ -536,12 +536,14 @@ object Similarity {
     require(dims >= 2 && iters >= 1)
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the emptiness guard must run BEFORE the mean collect: on zero
+    // rows avg() is null and Row.getDouble would NPE past the require
+    val n = emb.count()
+    require(n > 0, "topComponent: empty input")
     val muAggs = (0 until dims).map(i =>
       round(avg(element_at(col(vecCol), i + 1).cast("double")), 4).as(s"m$i"))
     val muRow = emb.agg(muAggs.head, muAggs.tail: _*).collect().head
     val mu = (0 until dims).map(muRow.getDouble)
-    val n = emb.count()
-    require(n > 0, "topComponent: empty input")
     var v = Seq.fill(dims)(r4(1.0 / math.sqrt(dims)))
     var nm = 0.0
     for (_ <- 1 to iters) {

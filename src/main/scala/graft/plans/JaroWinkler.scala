@@ -11,7 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[NfcCodec]] pattern).
   *
   * Variant pinned to DuckDB's `jaro_winkler_similarity` (fuzz-tested
-  * bit-identical over 1500 random pairs + every supplier-name pair):
+  * bit-identical over 1500 random pairs + every supplier-name pair,
+  * plus captured non-BMP vectors — the kernel is UTF-8-byte-based,
+  * matching DuckDB on emoji/supplementary CJK, not just ASCII):
   *   - match window `max(⌊max(|a|,|b|)/2⌋ − 1, 0)` (the clamp makes
   *     single-char identity pairs score 1, unlike the unclamped paper
   *     formula);
@@ -24,8 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinklerKernel {
   def sim(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+    // UTF-8 BYTES, not UTF-16 units or code points: DuckDB's kernel
+    // scans raw bytes (pinned by the non-BMP vectors in
+    // TextExpressionSpec — e.g. 😀 vs 😁 scores 0.883333, the 4-byte
+    // computation with a 3-byte shared prefix). Working on the
+    // UTF8String's bytes also drops the per-call String decode the
+    // UTF-16 version paid.
+    val s1 = a.getBytes
+    val s2 = b.getBytes
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -40,7 +48,7 @@ object JaroWinklerKernel {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
+        if (!m2(j) && s2(j) == s1(i)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -54,7 +62,7 @@ object JaroWinklerKernel {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -64,7 +72,7 @@ object JaroWinklerKernel {
     if (j <= 0.7) return j
     var l = 0
     val maxL = math.min(4, math.min(l1, l2))
-    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    while (l < maxL && s1(l) == s2(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
 }

@@ -26,8 +26,11 @@ import EventStreams.Event
   * `minN` prior observations (a variance estimated from four points
   * pages nobody).
   *
-  * Bounds: |cents| ≤ 3·10⁷ and n ≤ 10⁸ keep S2 < 2⁶³; the state holds
-  * longs, only the comparison widens.
+  * Bounds: the long S2 accumulator needs n·x²max < 2⁶³, so the
+  * enforced envelope is |cents| ≤ 3·10⁵ at n ≤ 10⁸ per key (equally:
+  * |cents| ≤ 3·10⁷ at n ≤ 10⁴). Out-of-envelope input fails loudly
+  * (require below) instead of wrapping; the comparison itself rides
+  * BigInt and never overflows.
   */
 object AnomalyStream {
 
@@ -47,6 +50,9 @@ object AnomalyStream {
           val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val x = math.floor(e.value * 100.0).toLong
+            require(math.abs(x) <= 300000L && st.n < 100000000L,
+              s"zAlerts envelope exceeded (cents=$x, n=${st.n}): " +
+                "long S2 state would wrap; re-scale input or shard the key")
             if (st.n >= minN) {
               val n = BigInt(st.n)
               val s1 = BigInt(st.s1)

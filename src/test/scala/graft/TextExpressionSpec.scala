@@ -68,7 +68,15 @@ class TextExpressionSpec extends SparkSpec {
       ("a", "a", 1.0),                    // clamped window still matches
       ("ab", "ba", 0.0),
       ("a", "ab", 0.85),
-      ("abc", "abc", 1.0))
+      ("abc", "abc", 1.0),
+      // non-BMP vectors (captured from the same duckdb build): the
+      // kernel is UTF-8-BYTE-based — 😀/😁 are 4-byte sequences with a
+      // 3-byte shared prefix, scoring 0.883333, not the 0.0 a
+      // code-point kernel or 0.666667 a UTF-16 kernel would emit
+      ("😀", "😁", 0.883333),
+      ("x😀", "x😁", 0.92),
+      ("😀😀a", "😀😀b", 0.955556),
+      ("naïve𝒳", "naive𝒳", 0.917037)) // NFC ï = 2 bytes, boost stops at "na"
     val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
       .select(round(T.jaroWinkler($"a", $"b"), 6).as("jw"))
       .collect().map(_.getDouble(0))
