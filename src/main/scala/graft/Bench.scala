@@ -66,7 +66,7 @@ object Bench {
         // shuffle/spill bytes bracket the TIMED section but the settle
         // (listener-bus drain) runs after the timer stops, so telemetry
         // never inflates the reported seconds
-        val snapBefore = ShuffleTelemetry.settle(telemetry)
+        val snapBefore = ShuffleTelemetry.settle(telemetry, spark)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -74,7 +74,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        val shuffle = ShuffleTelemetry.settle(telemetry).delta(snapBefore)
+        val shuffle = ShuffleTelemetry.settle(telemetry, spark).delta(snapBefore)
         // drop every cached/locally-checkpointed block the query left in
         // the block manager: operators persist() and localCheckpoint()
         // internally and those blocks are dead once the noop write

@@ -52,20 +52,23 @@ object ShuffleTelemetry {
 
   /** Stage-completion events ride the async listener bus; drain it so a
     * snapshot taken right after a job returns sees that job's stages.
-    * The bus is private[spark], so this polls the public queue-size
-    * metric indirectly: a short bounded sleep-loop until two successive
-    * reads of the counters agree. Worst case adds `rounds·stepMs` to a
-    * query's bracketing (NOT its timed section — Bench snapshots after
-    * the timer stops).
+    * This is the deterministic drain (`listenerBus.waitUntilEmpty`, via
+    * the package-in shim [[org.apache.spark.graft.ListenerBusDrain]]) —
+    * the counters then provably reflect every event the just-finished
+    * job posted, with zero sleep on the common path. The prior
+    * "two reads agree 25 ms apart" heuristic could mis-attribute a
+    * query's trailing shuffle bytes to the next query's baseline under
+    * a GC pause and cost ≥50 ms per query (ADVICE r8). A timeout is
+    * logged loudly: the snapshot is then a lower bound, not garbage.
     */
-  def settle(t: ShuffleTelemetry, rounds: Int = 20, stepMs: Long = 25L): Snap = {
-    var prev = t.snapshot()
-    var i = 0
-    while (i < rounds) {
-      Thread.sleep(stepMs)
-      val cur = t.snapshot()
-      if (cur == prev) i = rounds else { prev = cur; i += 1 }
-    }
-    prev
+  def settle(t: ShuffleTelemetry, spark: SparkSession,
+             timeoutMs: Long = 10000L): Snap = {
+    val drained =
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, timeoutMs)
+    if (!drained)
+      System.err.println(
+        s"[BenchMetrics] listener bus did not drain in ${timeoutMs} ms; " +
+          "shuffle bytes for the bracketing query are a lower bound")
+    t.snapshot()
   }
 }

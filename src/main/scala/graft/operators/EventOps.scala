@@ -738,15 +738,18 @@ object EventOps {
     * flag events whose deviation from the statistics of everything
     * BEFORE them (in (ts, id) order) exceeds z sample standard
     * deviations — the same division-free cross-multiplied integer test
-    * `(x·n − S1)²·(n−1) > z²·n·(n·S2 − S1²)`, here over cumulative
-    * window sums with S2 and the wide products riding DECIMAL(38,0)
-    * (the long path would wrap at n·x²max ≥ 2⁶³, e.g. |cents| = 3·10⁷
-    * at n = 10⁴ — so the accumulator is widened, not the input
-    * restricted; the streaming twin instead enforces the narrow
-    * envelope with a loud `require`). The
-    * streaming operator must emit EXACTLY these rows on the same data
-    * (spec-pinned equivalence) — that is what makes the alert feed
-    * backfillable.
+    * `(x·n − S1)²·(n−1) > z²·n·(n·S2 − S1²)`. The running sums ride
+    * cumulative window aggregates (S1 long, S2 DECIMAL(38,0) — the
+    * long path would wrap at n·x²max ≥ 2⁶³); the comparison itself
+    * rides BigInt in a scalar function, because even the decimal(38,0)
+    * products cap at 10³⁸ (|cents| ~3·10⁷ at n ~10⁸ overflows
+    * (x·n−S1)²·(n−1), and under a non-ANSI session that overflow would
+    * silently NULL out true alerts — ADVICE r8). The only envelope is
+    * therefore the accumulators': per key, Σ|x| < 2⁶³ and Σx² < 10³⁸,
+    * both ANSI-loud on overflow and both enforced identically (by
+    * `require`) in the streaming twin, which must emit EXACTLY these
+    * rows on the same data (spec-pinned equivalence) — that is what
+    * makes the alert feed backfillable.
     *
     * Scale shape: one key-partitioned ordered window (never global);
     * the three running sums are the only state.
@@ -755,6 +758,17 @@ object EventOps {
                    idCol: Column, cents: Column, z: Int = 3,
                    minN: Long = 5): DataFrame = {
     require(z >= 1 && minN >= 2)
+    val zq = z.toLong * z
+    // exact-integer comparison: the cross-multiplied products exceed
+    // decimal(38,0) inside the accumulators' own envelope, so the test
+    // rides BigInt (a scalar function on post-window rows — off the
+    // codegen hot path by construction, the window sort dominates)
+    val exactTest = udf { (x: Long, n: Long, s1: Long, s2: java.math.BigDecimal) =>
+      val nB = BigInt(n); val s1B = BigInt(s1)
+      val d = BigInt(x) * nB - s1B
+      d * d * (nB - 1) >
+        BigInt(zq) * nB * (nB * BigInt(s2.toBigIntegerExact) - s1B * s1B)
+    }
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("__t").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -768,11 +782,7 @@ object EventOps {
         sum(col("cents").cast("decimal(38,0)") * col("cents")).over(w),
         lit(0L).cast("decimal(38,0)")))
       .where(col("n_prior") >= minN)
-      .where(expr("cast(cents * n_prior - __s1 as decimal(38,0)) * " +
-        "(cents * n_prior - __s1) * (n_prior - 1)") >
-        expr(s"cast(${z.toLong * z} as decimal(38,0)) * n_prior * " +
-          "(cast(n_prior as decimal(38,0)) * __s2 - " +
-          "cast(__s1 as decimal(38,0)) * __s1)"))
+      .where(exactTest(col("cents"), col("n_prior"), col("__s1"), col("__s2")))
       .select(col("event_type"), col("event_id"), col("cents"),
         col("n_prior"))
   }

@@ -26,15 +26,26 @@ import EventStreams.Event
   * `minN` prior observations (a variance estimated from four points
   * pages nobody).
   *
-  * Bounds: the long S2 accumulator needs n·x²max < 2⁶³, so the
-  * enforced envelope is |cents| ≤ 3·10⁵ at n ≤ 10⁸ per key (equally:
-  * |cents| ≤ 3·10⁷ at n ≤ 10⁴). Out-of-envelope input fails loudly
-  * (require below) instead of wrapping; the comparison itself rides
-  * BigInt and never overflows.
+  * Bounds: S2 rides BigInt in state (encoded as DECIMAL(38,0)), so the
+  * envelope is exactly the batch twin's
+  * ([[graft.operators.EventOps.zscoreAlerts]]): per key, Σ|x| < 2⁶³
+  * (S1 stays a long, folded with addExact) and Σx² < 10³⁸ (the
+  * decimal ceiling of the encoded state, required loudly below before
+  * the fold). Inside that envelope both twins are exact-integer and
+  * emit identical alert rows; outside it BOTH fail loudly — the stream
+  * at the require, the batch at its ANSI decimal/long window-sum
+  * overflow. (The r8 shape — long S2 with a |cents| ≤ 3·10⁵ box —
+  * made the stream crash on data the batch path accepted, breaking
+  * backfill equivalence; ADVICE r8.)
   */
 object AnomalyStream {
 
-  case class StatState(n: Long, s1: Long, s2: Long)
+  /** 10³⁸ − 1: the widest value a DECIMAL(38,0) — the encoding of the
+    * BigInt S2 state and of the batch twin's window sum — can carry.
+    */
+  val S2Ceiling: BigInt = BigInt(10).pow(38) - 1
+
+  case class StatState(n: Long, s1: Long, s2: BigInt)
   case class Alert(event_type: String, event_id: Long,
                    ts: java.sql.Timestamp, cents: Long, n_prior: Long)
 
@@ -46,21 +57,25 @@ object AnomalyStream {
       .flatMapGroupsWithState[StatState, Alert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, batch: Iterator[Event], state: GroupState[StatState]) =>
-          var st = state.getOption.getOrElse(StatState(0L, 0L, 0L))
+          var st = state.getOption.getOrElse(StatState(0L, 0L, BigInt(0)))
           val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val x = math.floor(e.value * 100.0).toLong
-            require(math.abs(x) <= 300000L && st.n < 100000000L,
-              s"zAlerts envelope exceeded (cents=$x, n=${st.n}): " +
-                "long S2 state would wrap; re-scale input or shard the key")
             if (st.n >= minN) {
               val n = BigInt(st.n)
               val s1 = BigInt(st.s1)
               val lhs = (BigInt(x) * n - s1).pow(2) * (n - 1)
-              val rhs = BigInt(z.toLong * z) * n * (n * BigInt(st.s2) - s1 * s1)
+              val rhs = BigInt(z.toLong * z) * n * (n * st.s2 - s1 * s1)
               if (lhs > rhs) out += Alert(key, e.event_id, e.ts, x, st.n)
             }
-            st = StatState(st.n + 1, st.s1 + x, st.s2 + x * x)
+            // same envelope as the batch twin, enforced on the ACTUAL
+            // accumulators (not a fixed |cents| box): S1 long-exact,
+            // S2 within the DECIMAL(38,0) the state encoder carries
+            val s2next = st.s2 + BigInt(x) * BigInt(x)
+            require(s2next <= S2Ceiling,
+              s"zAlerts S2 envelope exceeded (key=$key, n=${st.n}, cents=$x): " +
+                "Σx² passed 10^38; re-scale input or shard the key")
+            st = StatState(st.n + 1, math.addExact(st.s1, x), s2next)
           }
           state.update(st)
           out.iterator

@@ -759,10 +759,17 @@ class StreamingSpec extends SparkSpec {
     // two keys, drifting values with planted spikes — in-order feed
     def ev(i: Int, typ: String, v: Double) =
       Event(i, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), 1, typ, v)
+    // key "c" runs at |cents| ~2·10⁷ — inside the widened shared
+    // envelope (Σx² < 10³⁸) but far past the old 3·10⁵ streaming box,
+    // which crashed the stream on data the batch twin accepted
     val data = (0 until 40).map { i =>
-      val base = if (i % 2 == 0) 100.0 + (i % 7) else 50.0 + (i % 5)
+      val base = i % 3 match {
+        case 0 => 100.0 + (i % 7)
+        case 1 => 50.0 + (i % 5)
+        case _ => 200000.0 + (i % 11) * 1000.0
+      }
       val v = if (i == 25 || i == 38) base * 8 else base
-      ev(i, if (i % 2 == 0) "a" else "b", v)
+      ev(i, Seq("a", "b", "c")(i % 3), v)
     }
     val stream = MemoryStream[Event]
     val q = graft.streaming.AnomalyStream.zAlerts(stream.toDS())
@@ -779,5 +786,29 @@ class StreamingSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(streamed === batch && batch.nonEmpty)
     assert(batch.contains(25L) && batch.contains(38L))
+  }
+
+  test("z-alerts: Σx² past 10^38 fails loudly at the shared envelope") {
+    implicit val sqlCtx = spark.sqlContext
+    // floor(±3e16 dollars · 100) = ±3·10¹⁸ cents; alternating sign keeps
+    // S1 inside the long envelope while x² = 9·10³⁶ per event pushes
+    // Σx² over 10³⁸ at the 12th fold, where the require must fire
+    def ev(i: Int) =
+      Event(i, ts(f"2024-01-01 00:${i}%02d:00"), 1, "m",
+        (if (i % 2 == 0) 1 else -1) * 3.0e16)
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.AnomalyStream.zAlerts(stream.toDS())
+      .writeStream.format("memory").queryName("anom_env")
+      .outputMode("append").start()
+    try {
+      stream.addData((0 until 12).map(ev): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(chain.contains("S2 envelope"), chain)
+    } finally q.stop()
   }
 }
