@@ -1599,6 +1599,33 @@ object Oracles {
        |  max(ts_ms) - min(ts_ms) AS duration_ms
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Twin for the STREAMING sessionizer replay: identical session math
+    * to [[eventsSessionize]], minus the ordinal session_id the streaming
+    * form (by design) does not number. Rows stay unique because two
+    * sessions of one user cannot share start_ms.
+    */
+  def streamSessionizeReplay: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+       |f AS (SELECT user_id, event_id, ts_ms,
+       |  CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+       |       WHEN ts_ms - lag(ts_ms) OVER w > $SessionGapMs THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |s AS (SELECT user_id, ts_ms,
+       |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM f)
+       |SELECT user_id, count(*) AS n_events, min(ts_ms) AS start_ms,
+       |  max(ts_ms) - min(ts_ms) AS duration_ms
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Twin for the STREAMING exact-dedup replay: the stream saw every
+    * event twice (two staged micro-batches) and must emit each exactly
+    * once — i.e. the plain table, event_id being unique in the
+    * generator's layout (driver-checked here every round).
+    */
+  def streamDedupeReplay: String =
+    """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+      |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin
+
   def eventsPivot: String = {
     val cols = EventTypes
       .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")

@@ -2740,6 +2740,16 @@ object SparkEntry {
         SlideSizeMs, SlideHopMs)),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), "user_id", "ts", SessionGapMs)),
+    "stream_sessionize_replay" -> ((s, dir) =>
+      // the STREAMING sessionizer (fMGWS + event-time timeout) run to
+      // completion on the static table via Trigger.AvailableNow and
+      // sentinel-advanced watermark — its FINAL table must equal the
+      // batch twin's sessions (driver-oracle'd; VERDICT r7 task #4)
+      graft.streaming.StreamRun.sessionizeReplay(s, dir, SessionGapMs)),
+    "stream_dedupe_replay" -> ((s, dir) =>
+      // the STREAMING watermark-bounded dedup fed every event TWICE in
+      // two micro-batches; final table must be exactly one row per id
+      graft.streaming.StreamRun.dedupeReplay(s, dir)),
     "events_sessionize_typed" -> ((s, dir) => {
       // the SAME sessions through the typed Dataset[Event] surface —
       // flatMapGroups closure instead of analytic windows; shares the
@@ -3132,6 +3142,8 @@ object SparkEntry {
     "events_sliding_window" -> Oracles.eventsSlidingWindow,
     "events_sessionize" -> Oracles.eventsSessionize,
     "events_sessionize_typed" -> Oracles.eventsSessionize,
+    "stream_sessionize_replay" -> Oracles.streamSessionizeReplay,
+    "stream_dedupe_replay" -> Oracles.streamDedupeReplay,
     "events_extract" -> Oracles.eventsExtract,
     "events_json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import EventStreams.{Event, SessionOut}
+
+/** Run the stateful streaming operators TO COMPLETION over the static
+  * events table, so the driver's DuckDB oracle can check their final
+  * output exactly like any batch query (VERDICT r7 task #4: rows 33/33b
+  * graduate from spec-only to driver-oracle coverage).
+  *
+  * The replay discipline that makes streaming output == batch output:
+  *
+  *  - The watermark delay (45 days) exceeds the generator's 30-day data
+  *    span, so while real data flows the watermark stays BELOW every
+  *    real event: nothing is late, no state is evicted mid-replay, and
+  *    per-user ordering concerns vanish because the whole table rides
+  *    one micro-batch (the stateful closures sort each group by
+  *    (ts, event_id) in-batch).
+  *  - Event-time-timeout operators (the sessionizer) only emit their
+  *    last open session once the watermark passes `last + gap`; a
+  *    finite file never advances it that far. Two SENTINEL events on a
+  *    reserved key (user_id = −1) with far-future timestamps are staged
+  *    as separate parquet files with strictly later modification times:
+  *    the file source (`latestFirst=false` sorts by mod time) delivers
+  *    them as two trailing single-file micro-batches — the first jumps
+  *    the watermark past every real timeout, the second gives the
+  *    engine a batch in which those timeouts FIRE (timeouts use the
+  *    watermark computed from the PREVIOUS batch). Sentinel output is
+  *    filtered by key.
+  *
+  * The one-file staging of the real table is a property of this verify
+  * harness, not of the operators: the streaming ops themselves are
+  * watermark-bounded and run on unbounded multi-file feeds (StreamingSpec
+  * covers out-of-order and cross-batch arrival); this harness exists to
+  * pin their FINAL output against the batch twins' SQL on shared data.
+  */
+object StreamRun {
+
+  private val SentinelUser = -1L
+
+  /** Stage `events` as one real parquet file plus `sentinels` trailing
+    * single-row files with strictly increasing modification times.
+    * Returns the input directory for the file stream source.
+    */
+  private def stage(spark: SparkSession, dir: String,
+                    sentinels: Seq[java.sql.Timestamp]): String = {
+    val root = Files.createTempDirectory("graft_stream_replay")
+    root.toFile.deleteOnExit()
+    val in = root.resolve("in").toString
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    events.coalesce(1).write.parquet(in)
+    import scala.jdk.CollectionConverters._
+    def parts(): Set[Path] = {
+      val s = Files.list(Paths.get(in))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSet
+      finally s.close()
+    }
+    val realParts = parts()
+    val t0 = realParts.map(p => Files.getLastModifiedTime(p).toMillis).max
+    var seen = realParts
+    import spark.implicits._
+    sentinels.zipWithIndex.foreach { case (sts, i) =>
+      Seq((SentinelUser * (i + 2), sts, SentinelUser, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      val now = parts()
+      (now -- seen).foreach(p => Files.setLastModifiedTime(p,
+        FileTime.fromMillis(t0 + 60000L * (i + 1))))
+      seen = now
+    }
+    in
+  }
+
+  /** Drain a streaming DataFrame to parquet with Trigger.AvailableNow
+    * and return the materialized result.
+    */
+  private def drain(spark: SparkSession, out: DataFrame): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_out")
+    root.toFile.deleteOnExit()
+    val sink = root.resolve("sink").toString
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
+  /** Streaming sessionizer run to completion on the static events table:
+    * emits exactly the batch sessions (user_id, n_events, start_ms,
+    * duration_ms) — the driver checks it against the batch twin's SQL.
+    */
+  def sessionizeReplay(spark: SparkSession, dir: String, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    // sentinel1 jumps the watermark past every real timeout; sentinel2
+    // provides the batch in which they fire. 45-day delay > 30-day span.
+    val maxMs = graft.Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val delayMs = 45L * 86400000L
+    val s1 = new java.sql.Timestamp(maxMs + gapMs + delayMs + 3600000L)
+    val s2 = new java.sql.Timestamp(maxMs + gapMs + 2 * delayMs)
+    val in = stage(spark, dir, Seq(s1, s2))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val sessions = EventStreams.watermarkedSessions(
+      stream.as[Event], gapMs, watermark = "45 days")
+    drain(spark, sessions.filter(col("user_id") =!= SentinelUser).toDF())
+      .select("user_id", "n_events", "start_ms", "duration_ms")
+  }
+
+  /** Streaming watermark-bounded exact dedup run to completion: the
+    * table is staged TWICE (two micro-batches), the second pass is
+    * dropped entirely by per-key state, and the final output is exactly
+    * one row per event_id — checked against plain SQL over the table.
+    */
+  def dedupeReplay(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_dedup")
+    root.toFile.deleteOnExit()
+    val in = root.resolve("in").toString
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // two identical files = the same rows in two micro-batches; mtime
+    // order is irrelevant (copies are identical) and the 45-day horizon
+    // exceeds the data span, so no dedup state expires mid-replay
+    events.coalesce(1).write.parquet(in)
+    events.coalesce(1).write.mode("append").parquet(in)
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val deduped = EventStreams.dedupeStream(stream, watermark = "45 days")
+    drain(spark, deduped)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+  }
+}
