@@ -5567,4 +5567,75 @@ object Oracles {
        |  CAST((count(*) - sum(CASE WHEN r > 0 OR k > 0 THEN 1 ELSE 0 END))
        |    * 1000000 // count(*) AS BIGINT) AS clean_ppm
        |FROM per GROUP BY 1""".stripMargin
+
+  /** Twin for the binary-file ingestion query: DuckDB independently
+    * lists and measures the very PNG tree the query staged (read_blob
+    * over the same glob; `__GRAFT_BINSRC__` is resolved to the run's
+    * root by [[graft.Verify]]), cross-checking the binaryFile source's
+    * path parse and length metadata byte-for-byte, and the decoded
+    * dimensions against the generator's (id-derived) spec dims.
+    */
+  def srcBinaryfileIngest: String =
+    """WITH f AS (
+      |  SELECT CAST(regexp_extract(filename, 'media_(\d+)\.png$', 1) AS BIGINT) AS media_id,
+      |         CAST(octet_length(content) AS BIGINT) AS n_bytes
+      |  FROM read_blob('__GRAFT_BINSRC__/media_*.png'))
+      |SELECT media_id, n_bytes, media_id % 12 + 4 AS width,
+      |  media_id % 9 + 3 AS height FROM f""".stripMargin
+
+  /** Twin for the CDC chunk census: replays the rolling-hash cut rule
+    * over the exported (media_id, i, b) byte rows. The wrapping-64-bit
+    * window hash h_i = Σ_{k<W} b_{i−k}·B^k (mod 2⁶⁴) only feeds the
+    * test `h mod 2^maskBits = 0`, and 2^maskBits divides 2⁶⁴, so the
+    * check reduces EXACTLY to Σ b·(B^k mod 2^maskBits) mod 2^maskBits —
+    * plain BIGINT lag arithmetic. Cut placement (the minLen/maxLen
+    * staircase: next cut = least(first candidate ≥ start+minLen,
+    * start+maxLen, total)) rides a recursive CTE; chunk content is
+    * re-keyed per boundary via an ordered hex string_agg. Boundary
+    * placement, content keys, and census all independently recomputed.
+    */
+  def multimodalCdcChunks: String = {
+    val B = java.math.BigInteger.valueOf(0x100000001b3L)
+    val m64 = java.math.BigInteger.ONE.shiftLeft(64)
+    val mask = 1L << CdcMaskBits
+    val pows = Iterator.iterate(java.math.BigInteger.ONE)(p => p.multiply(B).mod(m64))
+      .take(CdcWindow).map(_.mod(java.math.BigInteger.valueOf(mask)).longValue).toSeq
+    val terms = pows.zipWithIndex.map { case (p, k) =>
+      s"COALESCE(lag(b,$k) OVER w, 0) * $p" }.mkString(" + ")
+    s"""WITH RECURSIVE
+       |h AS (
+       |  SELECT media_id, i, ($terms) % $mask AS hmod
+       |  FROM read_parquet('__GRAFT_CDC_BYTES__/*.parquet')
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY i)
+       |),
+       |n AS (SELECT media_id, max(i)+1 AS total FROM h GROUP BY media_id),
+       |cand AS (SELECT media_id, i+1 AS e FROM h WHERE i >= ${CdcWindow - 1} AND hmod = 0),
+       |cuts AS (
+       |  SELECT media_id, CAST(0 AS BIGINT) AS s FROM n
+       |  UNION ALL
+       |  SELECT c.media_id, LEAST(
+       |      COALESCE((SELECT min(e) FROM cand
+       |                WHERE cand.media_id = c.media_id AND cand.e >= c.s + $CdcMinLen),
+       |               9223372036854775807),
+       |      c.s + $CdcMaxLen,
+       |      (SELECT total FROM n WHERE n.media_id = c.media_id))
+       |  FROM cuts c
+       |  WHERE c.s < (SELECT total FROM n WHERE n.media_id = c.media_id)
+       |),
+       |chunks AS (
+       |  SELECT media_id, s AS off,
+       |    lead(s) OVER (PARTITION BY media_id ORDER BY s) - s AS len
+       |  FROM cuts QUALIFY len IS NOT NULL
+       |),
+       |hx AS (
+       |  SELECT c.media_id, c.off, c.len,
+       |    string_agg(printf('%02x', b.b), '' ORDER BY b.i) AS chunk_hex
+       |  FROM chunks c JOIN read_parquet('__GRAFT_CDC_BYTES__/*.parquet') b
+       |    ON b.media_id = c.media_id AND b.i >= c.off AND b.i < c.off + c.len
+       |  GROUP BY c.media_id, c.off, c.len
+       |)
+       |SELECT chunk_hex, count(*) AS n_copies,
+       |  count(DISTINCT media_id) AS n_media, max(len) AS chunk_bytes
+       |FROM hx GROUP BY chunk_hex""".stripMargin
+  }
 }

@@ -49,6 +49,26 @@ object SparkEntry {
   private def tmpPath(s: SparkSession, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${s.sparkContext.applicationId}"
 
+  /** Fixture roots keyed by the DATA dir (not the app id): the DuckDB
+    * twin of a fixture-backed query must find the very tree the query
+    * staged, so [[Verify]] substitutes these paths into the oracle SQL
+    * it dumps (`__GRAFT_BINSRC__` / `__GRAFT_CDC_BYTES__`).
+    */
+  def binsrcRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_binsrc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  def cdcBytesRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cdcbytes_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Replace fixture-path placeholders in oracle SQL with this run's
+    * actual roots (driver + check.py execute the SQL verbatim).
+    */
+  def substituteFixturePaths(sql: String, dir: String): String =
+    sql.replace("__GRAFT_BINSRC__", binsrcRoot(dir))
+      .replace("__GRAFT_CDC_BYTES__", cdcBytesRoot(dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 ETL core ----
@@ -2901,8 +2921,7 @@ object SparkEntry {
       import s.implicits._
       val media = Multimodal.mediaFromDocumentsPng(
         t(s, dir, "documents").where(col("doc_id") < BinSrcMaxId))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_binsrc_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val root = binsrcRoot(dir)
       Multimodal.materializeTree(media, root, "png")
       sources.Sources.readBinaryFiles(s, root, "media_*.png")
         .select(regexp_extract(col("path"), "media_(\\d+)\\.png$", 1)
@@ -2917,16 +2936,27 @@ object SparkEntry {
     }),
     "multimodal_cdc_chunks" -> ((s, dir) => {
       // chunk-level dedup census over real binary payloads (PNG/WAV/
-      // GIF): content-defined boundaries → md5 groupBy — how much
-      // payload mass dedups away without any pairwise byte compare
-      // (rows-only by design: a rolling byte hash has no SQL twin;
-      // chunking semantics are spec-pinned incl. the insertion-resync
-      // property)
+      // GIF): content-defined boundaries → content-key groupBy — how
+      // much payload mass dedups away without any pairwise byte
+      // compare. The census keys on the exact chunk bytes (hex) rather
+      // than their md5 so the DuckDB twin can replay it: the payloads
+      // are exported once as exploded (media_id, i, b) rows, and the
+      // twin recomputes the rolling-hash cut rule in modular
+      // arithmetic (h mod 2^maskBits is exact because 2^maskBits
+      // divides 2^64) plus a recursive cut staircase — boundary
+      // placement, not just aggregation, is oracle-checked. The md5
+      // form stays on the operator (CdcChunk) with its own spec.
       import s.implicits._
-      Multimodal.cdcChunks(
-          Multimodal.mediaFromDocumentsMixed(t(s, dir, "documents")),
-          CdcWindow, CdcMaskBits, CdcMinLen, CdcMaxLen).toDF()
-        .groupBy(col("chunk_md5"))
+      val media = Multimodal.mediaFromDocumentsMixed(t(s, dir, "documents"))
+      Multimodal.exportPayloadBytes(media, cdcBytesRoot(dir))
+      val chunks = Multimodal.cdcChunks(
+        media, CdcWindow, CdcMaskBits, CdcMinLen, CdcMaxLen).toDF()
+      chunks.join(media.toDF().select(col("media_id"), col("payload")), "media_id")
+        .select(col("media_id"), col("length"),
+          lower(hex(expr(
+            "substring(payload, cast(offset + 1 as int), cast(length as int))")))
+            .as("chunk_hex"))
+        .groupBy(col("chunk_hex"))
         .agg(count(lit(1)).as("n_copies"),
           countDistinct(col("media_id")).as("n_media"),
           max(col("length")).as("chunk_bytes"))
@@ -2948,6 +2978,8 @@ object SparkEntry {
     * codec) get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "src_binaryfile_ingest" -> Oracles.srcBinaryfileIngest,
+    "multimodal_cdc_chunks" -> Oracles.multimodalCdcChunks,
     "src_csv_roundtrip" -> Oracles.srcCsvRoundtrip,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text, n_chars FROM documents",
     "stage_clean" -> Oracles.stageClean,

@@ -377,6 +377,22 @@ object Multimodal {
   case class CdcChunk(media_id: Long, chunk_idx: Long, offset: Long,
                       length: Long, chunk_md5: String)
 
+  /** Export payloads as exploded (media_id, i, b) rows — the byte-level
+    * form a SQL engine with no blob-indexing functions (DuckDB 1.0) can
+    * replay rolling-hash arithmetic over. Oracle-support fixture, not a
+    * pipeline operator: the export is one narrow flatMap + write,
+    * overwritten per run so the twin always sees this run's bytes.
+    */
+  def exportPayloadBytes(media: Dataset[MediaRow], path: String): Unit = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.iterator.zipWithIndex.map { case (b, i) =>
+        (r.media_id, i.toLong, (b & 0xff).toLong)
+      }
+    }.toDF("media_id", "i", "b")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Content-defined chunking (the rsync/LBFS/FastCDC family): split
     * each payload at positions where a rolling hash of the LAST
     * `window` bytes has its low `maskBits` bits zero — so boundary
