@@ -168,7 +168,7 @@ object Dedup {
     // materialize the explode once, as in bm25TopK/dupSpans
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(T.shingles(col(textCol), shingleN))).as("tok"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // RANK-ENCODE the vocabulary: each shingle becomes its dense 1..V
     // rank in the global (df asc, token asc) rarity order, assigned by
@@ -188,7 +188,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("r"))).as("rs"))
       .select(col("doc_id"), col("rs"), size(col("rs")).cast("long").as("sz"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val prefix = sets.select(col("doc_id"), col("sz"),
       posexplode(slice(col("rs"), lit(1),
         (col("sz") - expr(s"(sz * $minNum + ${minDen - 1}) div $minDen") + lit(1)).cast("int")))
@@ -226,11 +226,22 @@ object Dedup {
     val needed = expr(s"((sza + szb) * $minNum + ${minNum + minDen - 1}) div ${minNum + minDen}")
     // probe side a = the (size, id)-larger doc, index side b = the
     // smaller: a strict total order, so each unordered pair still
-    // appears exactly once; output ids are re-normalized at the end
+    // appears exactly once; output ids are re-normalized at the end.
+    // The h-repartition carries an EXPLICIT partition count: the join's
+    // INPUTS are tiny (one prefix row per indexed token) but its OUTPUT
+    // fans out quadratically per posting, and AQE sizes reducer counts
+    // from input bytes — left to ENSURE_REQUIREMENTS it coalesces this
+    // join to ONE partition and runs the fan-out + partial aggregate
+    // single-threaded (measured: 70% of the query's wall clock at
+    // sf0.1). A user-specified count is exempt from AQE coalescing, so
+    // the fan-out keeps the session's full parallelism.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val cands = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
         col("pos").as("pa"), col("h"))
+      .repartition(nPart, col("h"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
-        col("pos").as("pb"), col("h")), "h")
+        col("pos").as("pb"), col("h"))
+        .repartition(nPart, col("h")), "h")
       .where((col("szb") < col("sza") ||
           (col("szb") === col("sza") && col("doc_b") < col("doc_a"))) &&
         col("sza") * lit(minDen) >= col("szb") * lit(minNum) &&
