@@ -166,7 +166,7 @@ object Dedup {
     // pair clears 0.5), shingles carry word order and discriminate
     // two consumers (document frequencies + the rank-encode join):
     // materialize the explode once, as in bm25TopK/dupSpans
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(array_distinct(T.shingles(col(textCol), shingleN))).as("tok"))
       .localCheckpoint(true)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -35,7 +35,7 @@ object TextOps {
     * as a broadcast 1-row aggregate, never a driver round-trip.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = docs
+    val tf = CpuStage.fanOut(docs)
       .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -324,7 +324,7 @@ object TextOps {
              salt: String): DataFrame = {
     require(k > 0 && w > 0, "gram size and window must be positive")
     import graft.functions.{HashFunctions => H}
-    val base = docs.select(col(idCol), T.tokens(col(textCol)).as("__ts"))
+    val base = CpuStage.fanOut(docs).select(col(idCol), T.tokens(col(textCol)).as("__ts"))
     // sequence(a,b) counts DOWN when b<a — guard the short-doc case to
     // an empty gram list explicitly
     val grams = when(size(col("__ts")) < k, array().cast("array<string>"))
@@ -411,7 +411,7 @@ object TextOps {
     require(queryMod > 1 && k > 0)
     // three consumers (sizes, query side, corpus side) — materialize the
     // shingle digests once per action, as in bm25TopK/prefixFilter
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
       .localCheckpoint(false)
@@ -492,14 +492,22 @@ object TextOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryMod: Int, k: Int): DataFrame = {
     require(queryMod > 1 && k > 0)
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(T.tokens(col(textCol))).as("term"))
     // the inverted index feeds FOUR consumers (scoring side, doc
     // lengths, document frequencies, query terms) — a lazy
     // localCheckpoint materializes the tokenize+count once per action
-    // instead of four times (the prefixFilter `sets` pattern)
+    // instead of four times (the prefixFilter `sets` pattern). The
+    // explicit doc_id repartition matters twice over: a checkpoint
+    // FREEZES whatever layout AQE left (coalescing a small aggregate to
+    // one partition serializes every downstream fan-out that reads the
+    // checkpointed RDD — measured 2.7 s single-task scoring on
+    // text_rrf_fuse), and hash(doc_id) is exactly the distribution the
+    // `dl` aggregate needs, so that consumer adds no exchange at all.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .repartition(nPart, col("doc_id"))
       .localCheckpoint(false)
     val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -653,7 +661,7 @@ object TextOps {
     */
   def noveltyPerDoc(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 2): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
       .localCheckpoint(false) // two consumers: first-doc agg + join back
