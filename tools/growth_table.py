@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Assemble the sf0.1 -> sf1 growth table from per-query bench captures.
+
+Inputs:
+  argv[1]: bench JSON for sf0.1 (one line, the Bench main's output)
+  argv[2]: directory of per-query sf1 JSONs (<query>.json each holding
+           either a Bench line or {"timeout": N})
+  argv[3]: optional directory of IDLE re-measures for flagged queries —
+           the first capture ran queries back-to-back, so a query whose
+           slot overlapped another query's JVM teardown (or a driver
+           cron) reads high; any query present here has its sf1 time
+           replaced by the idle value (first-pass value kept as
+           sf1_sec_firstpass) and its flag recomputed.
+Output: BENCH_sf1_r9.json artifact (combined) + a markdown table on
+stdout for SURVEY §5. Growth = sf1_sec / sf0.1_sec on 10x data; the
+flag column marks >12x (superlinear beyond noise, per VERDICT r7 #1).
+"""
+import sys, json, os, glob
+
+
+def load_dir(path):
+    out = {}
+    for p in glob.glob(os.path.join(path, "*.json")):
+        name = os.path.basename(p)[:-5]
+        try:
+            d = json.load(open(p))
+        except Exception:
+            d = {"timeout": -1}
+        if "timeout" in d:
+            out[name] = {"sec": None, "timeout": d["timeout"]}
+        else:
+            out[name] = {"sec": d["queries"][name], "load": d.get("load")}
+    return out
+
+
+sf01 = json.load(open(sys.argv[1]))
+q01 = sf01["queries"]
+perq = load_dir(sys.argv[2])
+idle = load_dir(sys.argv[3]) if len(sys.argv) > 3 else {}
+
+rows = []
+for name, d in sorted(perq.items()):
+    base = q01.get(name)
+    first = d["sec"]
+    re = idle.get(name, {}).get("sec")
+    sec = re if re is not None else first
+    if sec is None:
+        rows.append((name, base, None, None, None,
+                     "DNF(>%ds)" % d.get("timeout", 0)))
+        continue
+    g = sec / base if base else None
+    flag = ("SUPERLINEAR" if g and g > 12 else
+            ("sublinear" if g and g < 8 else "~linear"))
+    rows.append((name, base, sec, (first if re is not None else None), g, flag))
+
+art = {
+    "sf_base": "/root/testdata/sf0.1", "sf_big": "tmp/sf1 (ScaleUp 10x of sf0.1)",
+    "runs_base": sf01.get("runs"), "runs_big": 1,
+    "note": "sf1_sec_firstpass present => first capture adjudicated as "
+            "load-contaminated; sf1_sec is the idle re-measure",
+    "queries": {},
+}
+for n, b, s, fp, g, f in rows:
+    e = {"sf0.1_sec": b, "sf1_sec": s,
+         "growth": (round(g, 2) if g else None), "flag": f}
+    if fp is not None:
+        e["sf1_sec_firstpass"] = fp
+    art["queries"][n] = e
+json.dump(art, open(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_sf1_r9.json"), "w"), indent=1)
+
+print("| query | sf0.1 s | sf1 s (10x) | growth | verdict |")
+print("| --- | --- | --- | --- | --- |")
+for n, b, s, fp, g, f in sorted(rows, key=lambda r: -(r[4] or 99)):
+    star = "*" if fp is not None else ""
+    print(f"| {n} | {b} | {(str(s) + star) if s is not None else '—'} | "
+          f"{f'{g:.1f}x' if g else '—'} | {f} |")
+if any(fp is not None for _, _, _, fp, _, _ in rows):
+    print("\n`*` = idle re-measure (first back-to-back capture was "
+          "load-contaminated; original value in sf1_sec_firstpass)")
