@@ -1311,6 +1311,63 @@ object Oracles {
        |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
        |  FROM bmagg)""".stripMargin
 
+  /** Champion-list BM25 CTEs ending in `cbmr` — twin of
+    * [[graft.operators.TextOps.bm25TopK]] with `champM` set: per term
+    * only the top-M docs in exact impact order (tf desc, dl asc, doc_id)
+    * enter candidate generation; candidates are then rescored on their
+    * FULL query-term profile with the same exact-rational formula.
+    * Requires [[bm25Ctes]] upstream (reuses post/dl/dfreq/st/q; the
+    * exact chain's sc/bmagg/bmr stay unevaluated unless referenced).
+    */
+  private def champCtes: String =
+    s"""cpost AS (SELECT doc_id, term FROM (
+       |  SELECT p.doc_id, p.term,
+       |    row_number() OVER (PARTITION BY p.term
+       |      ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crk
+       |  FROM post p JOIN dl d USING (doc_id))
+       |  WHERE crk <= $Bm25ChampM),
+       |cand AS (SELECT DISTINCT q.query_id, p.doc_id
+       |  FROM q JOIN cpost p ON p.term = q.term AND p.doc_id <> q.query_id),
+       |csc AS (SELECT c.query_id, c.doc_id,
+       |    CAST(floor(1000000.0 *
+       |      (CAST(44 * p.tf * sum_dl * (2 * n_docs - 2 * f.df + 1) AS DOUBLE)
+       |       / CAST((20 * p.tf * sum_dl + 6 * sum_dl + 18 * d.dl * n_docs)
+       |              * (2 * f.df + 1) AS DOUBLE))) AS BIGINT) AS ppm
+       |  FROM cand c
+       |  JOIN post p ON p.doc_id = c.doc_id
+       |  JOIN q ON q.query_id = c.query_id AND q.term = p.term
+       |  JOIN dfreq f ON f.term = p.term
+       |  JOIN dl d ON d.doc_id = c.doc_id
+       |  CROSS JOIN st),
+       |cbmagg AS (SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |  FROM csc GROUP BY 1, 2),
+       |cbmr AS (SELECT query_id, doc_id, score_ppm,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM cbmagg)""".stripMargin
+
+  def textBm25Champion: String =
+    s"""WITH $toksCte,
+       |$bm25Ctes,
+       |$champCtes
+       |SELECT query_id, doc_id, score_ppm, rnk FROM cbmr
+       |WHERE rnk <= $Bm25K""".stripMargin
+
+  def textBm25ChampRecall: String =
+    s"""WITH $toksCte,
+       |$bm25Ctes,
+       |$champCtes,
+       |ex AS (SELECT query_id, doc_id FROM bmr WHERE rnk <= $Bm25K),
+       |ch AS (SELECT query_id, doc_id, 1 AS hit FROM cbmr WHERE rnk <= $Bm25K),
+       |pq AS (SELECT e.query_id,
+       |    CAST(sum(coalesce(ch.hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |  FROM ex e LEFT JOIN ch ON ch.query_id = e.query_id AND ch.doc_id = e.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
+       |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm
+       |FROM pq""".stripMargin
+
   /** Shingle-Jaccard ranking CTEs ending in `jr` (query_id, doc_id,
     * jac_ppm, rnk) — twin of [[graft.operators.TextOps.jaccardTopK]].
     * Requires [[toksCte]] upstream.

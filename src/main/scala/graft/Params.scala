@@ -277,6 +277,10 @@ object Params {
   val Bm25QueryMod = 50
   val Bm25K = 10
   val RrfC = 60L // reciprocal-rank-fusion damping constant (standard 60)
+  // champion-list posting cap (impact-ordered top-M docs per term) — the
+  // bounded-work retrieval path; 4×k keeps rare-term postings intact
+  // while cutting stopword-grade lists to a constant
+  val Bm25ChampM = 40
 
   // fuzzy lookup (record linkage): levenshtein budget
   val FuzzyMaxDist = 2

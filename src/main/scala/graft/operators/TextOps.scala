@@ -490,7 +490,7 @@ object TextOps {
     * window over per-query groups, never a global sort.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queryMod: Int, k: Int): DataFrame = {
+               queryMod: Int, k: Int, champM: Int = 0): DataFrame = {
     require(queryMod > 1 && k > 0)
     val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(T.tokens(col(textCol))).as("term"))
@@ -550,17 +550,68 @@ object TextOps {
            lit(18L).cast(d38) * col("dl") * lit(nDocs)) *
            (lit(2L) * col("df") + lit(1L)))
       }
-    // prune FIRST: the broadcast query-term semi-restriction cuts the
-    // postings to the query vocabulary before any wide join runs — at
-    // corpus scale the df join then moves only the pruned slice
-    val scored = postings
-      .join(broadcast(qterms), Seq("term"))
-      .where(col("doc_id") =!= col("query_id"))
-      .join(dfreq, "term")
-      .join(dl, "doc_id")
-      .select(col("query_id"), col("doc_id"),
-        floor(lit(1000000.0) * (num.cast("double") / den.cast("double")))
-          .cast("long").as("ppm"))
+    // champM > 0 = CHAMPION-LIST retrieval (Manning/Raghavan/Schütze
+    // §7.1.3): per term, only the top-champM docs in EXACT per-term
+    // impact order enter CANDIDATE GENERATION — with these BM25
+    // constants the per-term score is strictly increasing in tf and
+    // strictly decreasing in dl (num ∝ tf; den = a·tf + b with a,b > 0
+    // and b increasing in dl), so (tf desc, dl asc, doc_id asc) IS the
+    // impact order and the cap keeps each term's provably best champM
+    // docs, deterministically. Candidates are then scored on their FULL
+    // query-term profile (the textbook design — scoring only surviving
+    // champion postings would hand a candidate a partial score and
+    // wreck the ranking; measured 12% recall@10 on the degenerate
+    // ~31-term test vocabulary vs full-profile rescoring below).
+    // This is the LINEAR-SCALE twin of the exact path: exact
+    // query-by-document self-retrieval joins every query term against
+    // its FULL posting list, so with queries a corpus fraction the
+    // candidate volume grows ∝ N·df ~ N² (measured 19–21× wall on 10×
+    // data — work-bound, not an engine defect); the champion cap bounds
+    // work at |qterms|·champM candidates × their doc lengths per query,
+    // restoring ~K× wall on K× data, and `text_bm25_champ_recall`
+    // measures what the cap costs in top-k recall against the exact
+    // ranking (the dedup_lsh_recall pattern: ship the bounded path,
+    // keep the exact path as the truth harness). Rare terms — the ones
+    // that decide near-dup-style top-k — have postings shorter than
+    // champM and are never cut; only stopword-grade postings lose
+    // their candidate tail. The per-term window is one extra shuffle of
+    // postings on the term key at INDEX-BUILD time (linear); query-time
+    // work then never touches a full posting list.
+    val scored =
+      if (champM <= 0)
+        // exact path — prune FIRST: the broadcast query-term
+        // semi-restriction cuts the postings to the query vocabulary
+        // before any wide join runs — at corpus scale the df join then
+        // moves only the pruned slice
+        postings
+          .join(broadcast(qterms), Seq("term"))
+          .where(col("doc_id") =!= col("query_id"))
+          .join(dfreq, "term")
+          .join(dl, "doc_id")
+          .select(col("query_id"), col("doc_id"),
+            floor(lit(1000000.0) * (num.cast("double") / den.cast("double")))
+              .cast("long").as("ppm"))
+      else {
+        val cpost = postings.join(dl, "doc_id")
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("term"))
+              .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc)))
+          .where(col("crk") <= champM)
+          .select(col("doc_id"), col("term"))
+        val cands = cpost.join(broadcast(qterms), Seq("term"))
+          .where(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id")).distinct()
+        // full-profile exact rescore of the bounded candidate set: pull
+        // each candidate doc's postings (doc_id-keyed — the layout the
+        // postings checkpoint already has) and keep its query terms
+        cands.join(postings, "doc_id")
+          .join(broadcast(qterms), Seq("query_id", "term"))
+          .join(dfreq, "term")
+          .join(dl, "doc_id")
+          .select(col("query_id"), col("doc_id"),
+            floor(lit(1000000.0) * (num.cast("double") / den.cast("double")))
+              .cast("long").as("ppm"))
+      }
     val agg = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("score_ppm"))
     agg.withColumn("rnk", row_number().over(

@@ -2058,6 +2058,25 @@ class OperatorsSpec extends SparkSpec {
         "doc3 (no shared terms) and the query doc itself must be absent")
   }
 
+  test("bm25TopK champion cap: generous M is exact; M=1 keeps only the top-impact posting") {
+    import graft.operators.TextOps
+    val docs = Seq((5L, "rare common"), (1L, "rare common common"),
+      (2L, "common common common"), (3L, "other words here"))
+      .toDF("doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // champM ≥ every posting length → the cap removes nothing
+    assert(snap(TextOps.bm25TopK(docs, "doc_id", "text", 5, 2, champM = 10))
+      === snap(TextOps.bm25TopK(docs, "doc_id", "text", 5, 2)))
+    // champM=1: "common" keeps only doc2 (tf=3, the max); "rare" keeps
+    // doc5 (tf tie, shorter dl) = the query doc itself, excluded from
+    // scoring — so the only candidate left is doc2 at its common-term
+    // score, and doc1 (exact rank 1) is cut
+    val m1 = TextOps.bm25TopK(docs, "doc_id", "text", 5, 2, champM = 1)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(m1 === Map(2L -> ((660600L, 1L))))
+  }
+
   test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
