@@ -60,6 +60,20 @@ art = {
             "load-contaminated; sf1_sec is the idle re-measure",
     "queries": {},
 }
+
+# ship-path companion captures (the bounded-work twins of the flagged
+# exact paths, measured at the same scale step): fold in when present
+here = os.path.dirname(os.path.abspath(__file__))
+ship01 = os.path.join(here, "bench_ship_sf01_r9.json")
+ship1 = os.path.join(here, "bench_ship_sf1_r9.json")
+if os.path.exists(ship01) and os.path.exists(ship1):
+    s01 = json.load(open(ship01))["queries"]
+    s1 = json.load(open(ship1))["queries"]
+    art["ship_paths"] = {
+        n: {"sf0.1_sec": s01[n], "sf1_sec": s1[n],
+            "growth": round(s1[n] / s01[n], 2)}
+        for n in sorted(s01) if n in s1
+    }
 for n, b, s, fp, g, f in rows:
     e = {"sf0.1_sec": b, "sf1_sec": s,
          "growth": (round(g, 2) if g else None), "flag": f}
