@@ -1389,6 +1389,58 @@ object Oracles {
        |    ORDER BY jac_ppm DESC, doc_id) AS BIGINT) AS rnk
        |  FROM jac)""".stripMargin
 
+  /** Champion-list Jaccard CTEs ending in `cjr` — twin of
+    * [[graft.operators.TextOps.jaccardTopK]] with `champM` set: per
+    * shingle only the top-M docs in impact order (sz asc, doc_id)
+    * enter candidate generation; candidates are rescored on their full
+    * shingle sets. Requires [[jacCtes]] upstream (reuses dsh/jsz/jqs).
+    */
+  private def jacChampCtes: String =
+    s"""cjpost AS (SELECT doc_id, g FROM (
+       |  SELECT d.doc_id, d.g,
+       |    row_number() OVER (PARTITION BY d.g
+       |      ORDER BY s.sz ASC, d.doc_id ASC) AS crk
+       |  FROM dsh d JOIN jsz s USING (doc_id))
+       |  WHERE crk <= $Bm25ChampM),
+       |cjcand AS (SELECT DISTINCT q.query_id, p.doc_id
+       |  FROM jqs q JOIN cjpost p ON p.g = q.g AND p.doc_id <> q.query_id),
+       |cjit AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cjcand c
+       |  JOIN dsh d ON d.doc_id = c.doc_id
+       |  JOIN jqs q ON q.query_id = c.query_id AND q.g = d.g
+       |  GROUP BY 1, 2),
+       |cjac AS (SELECT j.query_id, j.doc_id,
+       |    CAST(j.inter * 1000000 // (sa.sz + sb.sz - j.inter) AS BIGINT) AS jac_ppm
+       |  FROM cjit j
+       |  JOIN jsz sa ON sa.doc_id = j.query_id
+       |  JOIN jsz sb ON sb.doc_id = j.doc_id),
+       |cjr AS (SELECT query_id, doc_id, jac_ppm,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY jac_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM cjac)""".stripMargin
+
+  def textJaccardChampion: String =
+    s"""WITH $toksCte,
+       |$jacCtes,
+       |$jacChampCtes
+       |SELECT query_id, doc_id, jac_ppm, rnk FROM cjr
+       |WHERE rnk <= $Bm25K""".stripMargin
+
+  def textJaccardChampRecall: String =
+    s"""WITH $toksCte,
+       |$jacCtes,
+       |$jacChampCtes,
+       |ex AS (SELECT query_id, doc_id FROM jr WHERE rnk <= $Bm25K),
+       |ch AS (SELECT query_id, doc_id, 1 AS hit FROM cjr WHERE rnk <= $Bm25K),
+       |pq AS (SELECT e.query_id,
+       |    CAST(sum(coalesce(ch.hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |  FROM ex e LEFT JOIN ch ON ch.query_id = e.query_id AND ch.doc_id = e.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
+       |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm
+       |FROM pq""".stripMargin
+
   def textBm25: String =
     s"""WITH $toksCte,
        |$bm25Ctes

@@ -2699,6 +2699,27 @@ object SparkEntry {
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)),
         Bm25K, RrfC)
     }),
+    "text_jaccard_champion" -> ((s, dir) =>
+      // bounded-work shingle-Jaccard: champion cap (sz asc = the exact
+      // per-shingle impact order) for candidate generation + exact
+      // full-set intersection rescore
+      TextOps.jaccardTopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25QueryMod, Bm25K, champM = Bm25ChampM)),
+    "text_jaccard_champ_recall" -> ((s, dir) => {
+      // recall@k of the champion Jaccard ranking vs the exact one
+      val docs = t(s, dir, "documents")
+      val exact = TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)
+        .select(col("query_id"), col("doc_id"))
+      val champ = TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          champM = Bm25ChampM)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
+      val perq = exact.join(champ, Seq("query_id", "doc_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(expr("sum(coalesce(hit, 0)) * 1000000L div count(1)").as("recall_ppm"))
+      perq.agg(count(lit(1)).as("n_queries"),
+        expr("sum(recall_ppm) div count(1)").as("mean_recall_ppm"),
+        min(col("recall_ppm")).as("min_recall_ppm"))
+    }),
     "text_bm25_champion" -> ((s, dir) =>
       // bounded-work BM25: champion-list posting cap (impact-ordered
       // top-M docs per term) — query-time candidates ≤ |qterms|·M, the
@@ -3185,6 +3206,8 @@ object SparkEntry {
     "text_bm25" -> Oracles.textBm25,
     "text_bm25_champion" -> Oracles.textBm25Champion,
     "text_bm25_champ_recall" -> Oracles.textBm25ChampRecall,
+    "text_jaccard_champion" -> Oracles.textJaccardChampion,
+    "text_jaccard_champ_recall" -> Oracles.textJaccardChampRecall,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_rrf_fuse" -> Oracles.textRrfFuse,
     "text_rank_metrics" -> Oracles.textRankMetrics,

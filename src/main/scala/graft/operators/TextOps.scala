@@ -407,7 +407,8 @@ object TextOps {
     * back on doc ids; similarity is exact floor-ppm (no doubles).
     */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
-                  queryMod: Int, k: Int, shingleN: Int = 2): DataFrame = {
+                  queryMod: Int, k: Int, shingleN: Int = 2,
+                  champM: Int = 0): DataFrame = {
     require(queryMod > 1 && k > 0)
     // three consumers (sizes, query side, corpus side) — materialize the
     // shingle digests once per action, as in bm25TopK/prefixFilter
@@ -418,10 +419,38 @@ object TextOps {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val q = sh.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("h"))
-    val inter = broadcast(q).join(sh, "h")
-      .where(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("inter"))
+    // champM > 0 = champion-list candidate generation (the bm25TopK
+    // pattern, set-overlap flavor): per shingle only the top-champM
+    // docs in exact impact order survive into candidate generation —
+    // for Jaccard a shared shingle is worth most to the SMALLEST doc
+    // (J = inter/(sza+szb−inter) is decreasing in szb at fixed inter),
+    // so the impact order is (sz asc, doc_id asc). Candidates are then
+    // rescored on their FULL shingle sets (exact intersection), so a
+    // candidate's score is its true Jaccard — the cap only bounds WHO
+    // gets scored: ≤ |q-shingles|·champM candidates × their set sizes
+    // per query, vs the exact path's Σ_shingle (q-postings × postings)
+    // which is quadratic under shared vocabulary.
+    val inter =
+      if (champM <= 0)
+        broadcast(q).join(sh, "h")
+          .where(col("doc_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("inter"))
+      else {
+        val champ = sh.join(sz, "doc_id")
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("h"))
+              .orderBy(col("sz").asc, col("doc_id").asc)))
+          .where(col("crk") <= champM)
+          .select(col("doc_id"), col("h"))
+        val cands = broadcast(q).join(champ, "h")
+          .where(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id")).distinct()
+        cands.join(sh, "doc_id")
+          .join(broadcast(q), Seq("query_id", "h"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(broadcast(sz.select(col("doc_id").as("query_id"), col("sz").as("sza"))),
         "query_id")

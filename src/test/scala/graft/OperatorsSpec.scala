@@ -2077,6 +2077,24 @@ class OperatorsSpec extends SparkSpec {
     assert(m1 === Map(2L -> ((660600L, 1L))))
   }
 
+  test("jaccardTopK champion cap: generous M is exact; M=1 keeps the smallest doc per shingle") {
+    import graft.operators.TextOps
+    // q = doc4 (id % 4 == 0). d1 is an exact clone (J=1); d2 shares one
+    // shingle "a b" but is larger (J=1/6); d3 shares nothing.
+    val docs = Seq((4L, "a b c"), (1L, "a b c"), (2L, "a b x y z w"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(snap(TextOps.jaccardTopK(docs, "doc_id", "text", 4, 2, champM = 10))
+      === snap(TextOps.jaccardTopK(docs, "doc_id", "text", 4, 2)))
+    // M=1: both of the query's shingles ("a b", "b c") champion d1
+    // (sz 2 < d2's 5), so d2 never becomes a candidate; d1 is rescored
+    // on its full set: inter=2, J = 2/(2+2-2) = 1 -> 1000000 ppm
+    val m1 = TextOps.jaccardTopK(docs, "doc_id", "text", 4, 2, champM = 1)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(m1 === Map(1L -> ((1000000L, 1L))))
+  }
+
   test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
