@@ -138,12 +138,22 @@ object Bench {
     val detailFile = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
       s"${System.getProperty("user.dir")}/tools/bench_detail.json"))
     Option(detailFile.getParentFile).foreach(_.mkdirs())
+    // queries with ZERO successful runs, named IN THE PRINTED LINE: the
+    // per-run ok flags live in the sidecar, but every artifact built
+    // from the printed line alone (per-query growth captures) would
+    // otherwise record a crashed run's abort time as a measurement —
+    // exactly how an OOM'd q_dbscan_cluster@sf1 run entered a growth
+    // table as "32.6 s" (r9). A failed query's time is still reported
+    // (slowest failure, above) but now carries a loud marker.
+    val failed = results.collect {
+      case (k, _, times) if !times.exists(_._2) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":$failed,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     finally pw.close()
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failed,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

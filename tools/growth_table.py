@@ -28,6 +28,11 @@ def load_dir(path):
             d = {"timeout": -1}
         if "timeout" in d:
             out[name] = {"sec": None, "timeout": d["timeout"]}
+        elif name in d.get("failed", []):
+            # Bench reports a crashed query's abort time (slowest
+            # failure) so it can't look fast — but it is NOT a
+            # measurement; treat like a DNF
+            out[name] = {"sec": None, "timeout": -2}
         else:
             out[name] = {"sec": d["queries"][name], "load": d.get("load")}
     return out
@@ -57,7 +62,10 @@ art = {
     "sf_base": "/root/testdata/sf0.1", "sf_big": "tmp/sf1 (ScaleUp 10x of sf0.1)",
     "runs_base": sf01.get("runs"), "runs_big": 1,
     "note": "sf1_sec_firstpass present => first capture adjudicated as "
-            "load-contaminated; sf1_sec is the idle re-measure",
+            "load-contaminated or a silently-failed run (q_dbscan_cluster: "
+            "its 32.6s first capture was an OOM abort at the runner's 8g "
+            "driver heap, detected r9 and re-measured idle at 16g); "
+            "sf1_sec is the idle re-measure",
     "queries": {},
 }
 
