@@ -145,15 +145,23 @@ object Bench {
     // exactly how an OOM'd q_dbscan_cluster@sf1 run entered a growth
     // table as "32.6 s" (r9). A failed query's time is still reported
     // (slowest failure, above) but now carries a loud marker.
-    val failed = results.collect {
-      case (k, _, times) if !times.exists(_._2) => "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val failedNames = results.collect {
+      case (k, _, times) if !times.exists(_._2) => k
+    }
+    def failedJson(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":$failed,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     finally pw.close()
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failed,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    // the PRINTED failed list is capped at 8 names: a mass-failure run
+    // (wrong sfDir, starved heap — every query fails) would otherwise
+    // blow the tail window and truncate the line into unparseable JSON
+    // precisely when the marker matters most; failed_count carries the
+    // true total and the sidecar the full list.
+    val failedShown = failedJson(failedNames.take(8))
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failedShown,"failed_count":${failedNames.size},"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -34,6 +34,20 @@ object SparkEntry {
     "priority_wellformed" -> col("o_orderpriority").like("_-%"),
     "key_positive" -> (col("o_orderkey") > lit(0L)))
 
+  /** Per-query recall@k of an approximate (query_id, doc_id) top-k
+    * against the exact one, reduced to one row (n_queries, mean/min
+    * recall in integer ppm) — shared by the champion-cap audits. */
+  private def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val perq = exact.select(col("query_id"), col("doc_id"))
+      .join(approx.select(col("query_id"), col("doc_id"), lit(1L).as("hit")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(expr("sum(coalesce(hit, 0)) * 1000000L div count(1)").as("recall_ppm"))
+    perq.agg(count(lit(1)).as("n_queries"),
+      expr("sum(recall_ppm) div count(1)").as("mean_recall_ppm"),
+      min(col("recall_ppm")).as("min_recall_ppm"))
+  }
+
   private def imdbRun(part: DataFrame): ImdbPipeline.Outputs =
     ImdbPipeline.run(ImdbSynthetic.titlesFromPart(part),
       ImdbSynthetic.ratingsFromPart(part), ImdbMinVotes, TopNPerGroup)
@@ -2708,17 +2722,10 @@ object SparkEntry {
     "text_jaccard_champ_recall" -> ((s, dir) => {
       // recall@k of the champion Jaccard ranking vs the exact one
       val docs = t(s, dir, "documents")
-      val exact = TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)
-        .select(col("query_id"), col("doc_id"))
-      val champ = TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = Bm25ChampM)
-        .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
-      val perq = exact.join(champ, Seq("query_id", "doc_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(expr("sum(coalesce(hit, 0)) * 1000000L div count(1)").as("recall_ppm"))
-      perq.agg(count(lit(1)).as("n_queries"),
-        expr("sum(recall_ppm) div count(1)").as("mean_recall_ppm"),
-        min(col("recall_ppm")).as("min_recall_ppm"))
+      recallAtK(
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          champM = Bm25ChampM))
     }),
     "text_bm25_champion" -> ((s, dir) =>
       // bounded-work BM25: champion-list posting cap (impact-ordered
@@ -2730,17 +2737,10 @@ object SparkEntry {
       // what the champion cap costs: per-query recall@k of the champion
       // ranking against the exact BM25 top-k (integer ppm; mean + min)
       val docs = t(s, dir, "documents")
-      val exact = TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K)
-        .select(col("query_id"), col("doc_id"))
-      val champ = TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = Bm25ChampM)
-        .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
-      val perq = exact.join(champ, Seq("query_id", "doc_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(expr("sum(coalesce(hit, 0)) * 1000000L div count(1)").as("recall_ppm"))
-      perq.agg(count(lit(1)).as("n_queries"),
-        expr("sum(recall_ppm) div count(1)").as("mean_recall_ppm"),
-        min(col("recall_ppm")).as("min_recall_ppm"))
+      recallAtK(
+        TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
+        TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          champM = Bm25ChampM))
     }),
     "text_novelty" -> ((s, dir) =>
       // per-doc share of shingles first seen in THIS doc — the

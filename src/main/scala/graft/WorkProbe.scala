@@ -37,9 +37,10 @@ object WorkProbe {
     spark.sparkContext.setLogLevel("ERROR")
     Logs.quietDeclaredBoundedWindows()
 
-    // the last completed QueryExecution for the noop write action —
-    // internal collect()s (corpus stats, trained models) also fire
-    // onSuccess, so keep them all and pick the one whose plan has joins
+    // EVERY QueryExecution the query fires — the noop write plus any
+    // internal collect()s (corpus stats, trained models): those are
+    // real per-query work, so the totals sum across all of them;
+    // shared physical nodes are deduped by identity below
     val qes = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
@@ -47,12 +48,17 @@ object WorkProbe {
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     })
 
-    // expand AQE wrappers so the walk sees the plan that actually ran
+    // expand AQE wrappers so the walk sees the plan that actually ran.
+    // A ReusedExchangeExec is a POINTER to a subtree that already ran
+    // (and was walked) under its original exchange — descending it
+    // would double-count every reused join's rows, and AQE reuses
+    // exchanges differently across scale factors, so the growth ratio
+    // would pick up a plan-shape artifact. Stop at the reuse node.
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
+        case _: ReusedExchangeExec => Seq.empty
         case other => other.children
       }
       p +: kids.flatMap(walk)
@@ -70,6 +76,7 @@ object WorkProbe {
           org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 10000L)
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           val nodes = qes.asScala.toSeq.flatMap(qe => walk(qe.executedPlan))
+            .distinctBy(System.identityHashCode(_))
           def rows(p: SparkPlan): Long =
             p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
           val interesting = nodes.filter { p =>

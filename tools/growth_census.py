@@ -19,11 +19,19 @@ import sys, json, os, glob
 
 sf01 = json.load(open(sys.argv[1]))
 sf1 = json.load(open(sys.argv[2]))
+# a crashed query still gets a time in the bench output (slowest
+# failure, so breakage can't look fast) — but it is NOT a measurement;
+# honor the failed arrays on every input, like growth_table.py does
+crashed = set(sf01.get("failed", [])) | set(sf1.get("failed", []))
 idle = {}
 if len(sys.argv) > 3:
     for p in glob.glob(os.path.join(sys.argv[3], "*.json")):
         d = json.load(open(p))
-        idle.update(d.get("queries", {}))
+        for n, s in d.get("queries", {}).items():
+            if n in d.get("failed", []):
+                crashed.add(n)
+            else:
+                idle[n] = s
 
 q01, q1 = sf01["queries"], sf1["queries"]
 art = {
@@ -36,6 +44,11 @@ art = {
 }
 bands = {}
 for n in sorted(q1):
+    if n in crashed and n not in idle:
+        art["queries"][n] = {"sf0.1_sec": q01.get(n), "sf1_sec": None,
+                             "growth": None, "flag": "CRASHED"}
+        bands["CRASHED"] = bands.get("CRASHED", 0) + 1
+        continue
     b = q01.get(n)
     if not b:
         continue
@@ -43,8 +56,10 @@ for n in sorted(q1):
     if n in idle:
         s, fp = idle[n], q1[n]
     g = s / b
+    # same band boundaries as growth_table.py: sublinear strictly
+    # below 8x, SUPERLINEAR strictly above 12x
     flag = ("SUPERLINEAR" if g > 12 else
-            "~linear" if g > 8 else "sublinear")
+            "sublinear" if g < 8 else "~linear")
     e = {"sf0.1_sec": b, "sf1_sec": s, "growth": round(g, 2), "flag": flag}
     if fp is not None:
         e["sf1_sec_firstpass"] = fp
@@ -54,7 +69,8 @@ for n in sorted(q1):
 out = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_sf1_census_r9.json")
 json.dump(art, open(out, "w"), indent=1)
-gs = sorted(((e["growth"], n) for n, e in art["queries"].items()), reverse=True)
+gs = sorted(((e["growth"], n) for n, e in art["queries"].items()
+             if e["growth"] is not None), reverse=True)
 print("census: %d queries paired; bands %s" % (len(gs), bands))
 print("top 12 growth:")
 for g, n in gs[:12]:

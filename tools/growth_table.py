@@ -50,12 +50,19 @@ for name, d in sorted(perq.items()):
     re = idle.get(name, {}).get("sec")
     sec = re if re is not None else first
     if sec is None:
-        rows.append((name, base, None, None, None,
-                     "DNF(>%ds)" % d.get("timeout", 0)))
+        t = d.get("timeout", 0)
+        verdict = ("CRASHED(failed-marker)" if t == -2 else
+                   "DNF(unparseable)" if t < 0 else "DNF(>%ds)" % t)
+        rows.append((name, base, None, None, None, verdict))
         continue
-    g = sec / base if base else None
-    flag = ("SUPERLINEAR" if g and g > 12 else
-            ("sublinear" if g and g < 8 else "~linear"))
+    if not base:
+        # a growth verdict needs BOTH sides measured — never fabricate
+        # a flag for a query missing its sf0.1 baseline
+        rows.append((name, None, sec, None, None, "no-baseline"))
+        continue
+    g = sec / base
+    flag = ("SUPERLINEAR" if g > 12 else
+            "sublinear" if g < 8 else "~linear")
     rows.append((name, base, sec, (first if re is not None else None), g, flag))
 
 art = {
