@@ -89,12 +89,18 @@ object Oracles {
     s"WITH $jaccardPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs"
 
   /** LSH-recall twin: the verified LSH pairs vs the exact PPJoin truth
-    * at the same rational threshold. A rounded-boundary found-pair can
-    * legitimately miss the exact truth set; recall counts only the
-    * intersection, so the ratio stays honest.
+    * at the same rational threshold, both restricted to pairs TOUCHING
+    * the fixed hash-order probe sample (`lsids` —
+    * [[graft.operators.Sampling.hashOrderIds]]'s SQL replay; at sf0.01
+    * the budget covers every doc, so this twin certifies the full
+    * audit). A rounded-boundary found-pair can legitimately miss the
+    * exact truth set; recall counts only the intersection, so the
+    * ratio stays honest.
     */
   def dedupLshRecall: String =
     s"""WITH $jaccardPairsCtes,
+       |lsids AS (SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $LshAuditProbeBudget),
        |tsets AS (SELECT doc_id, list_distinct(sh) AS s, len(list_distinct(sh)) AS sz
        |  FROM shing WHERE len(list_distinct(sh)) > 0),
        |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -102,8 +108,12 @@ object Oracles {
        |    AND a.sz * $JaccardMinDen >= b.sz * $JaccardMinNum
        |    AND b.sz * $JaccardMinDen >= a.sz * $JaccardMinNum
        |  WHERE len(list_intersect(a.s, b.s)) * $JaccardMinDen
-       |    >= (a.sz + b.sz - len(list_intersect(a.s, b.s))) * $JaccardMinNum),
-       |f AS (SELECT doc_a, doc_b FROM pairs)
+       |    >= (a.sz + b.sz - len(list_intersect(a.s, b.s))) * $JaccardMinNum
+       |    AND (a.doc_id IN (SELECT doc_id FROM lsids)
+       |      OR b.doc_id IN (SELECT doc_id FROM lsids))),
+       |f AS (SELECT doc_a, doc_b FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM lsids)
+       |    OR doc_b IN (SELECT doc_id FROM lsids))
        |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
        |  CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
        |  CAST((SELECT count(*) FROM truth t JOIN f
@@ -1285,7 +1295,7 @@ object Oracles {
     * rnk) — shared by the plain BM25 query and the RRF fusion.
     * Requires [[toksCte]] upstream.
     */
-  private def bm25Ctes: String =
+  private def bm25Ctes(budgeted: Boolean = false): String =
     s"""tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
        |post AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM tok GROUP BY 1, 2),
@@ -1293,7 +1303,8 @@ object Oracles {
        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-       |q AS (SELECT doc_id AS query_id, term FROM post WHERE doc_id % $Bm25QueryMod = 0),
+       |q AS (SELECT doc_id AS query_id, term FROM post WHERE doc_id % $Bm25QueryMod = 0${
+      if (budgeted) " AND doc_id IN (SELECT doc_id FROM sqids)" else ""}),
        |sc AS (SELECT q.query_id, p.doc_id,
        |    CAST(floor(1000000.0 *
        |      (CAST(44 * p.tf * sum_dl * (2 * n_docs - 2 * f.df + 1) AS DOUBLE)
@@ -1310,6 +1321,17 @@ object Oracles {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
        |  FROM bmagg)""".stripMargin
+
+  /** Fixed hash-order query-sample CTE (`sqids`) for the budgeted audit
+    * twins — the SQL replay of
+    * [[graft.operators.Sampling.hashOrderIds]] over the mod-selected
+    * query ids: the AuditQueryBudget ids with the smallest
+    * (md5(id), id). Referenced by [[bm25Ctes]]/[[jacCtes]] when
+    * `budgeted = true`.
+    */
+  private def sqidsCte: String =
+    s"""sqids AS (SELECT doc_id FROM documents WHERE doc_id % $Bm25QueryMod = 0
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $AuditQueryBudget)""".stripMargin
 
   /** Champion-list BM25 CTEs ending in `cbmr` — twin of
     * [[graft.operators.TextOps.bm25TopK]] with `champM` set: per term
@@ -1348,14 +1370,15 @@ object Oracles {
 
   def textBm25Champion: String =
     s"""WITH $toksCte,
-       |$bm25Ctes,
+       |${bm25Ctes()},
        |$champCtes
        |SELECT query_id, doc_id, score_ppm, rnk FROM cbmr
        |WHERE rnk <= $Bm25K""".stripMargin
 
   def textBm25ChampRecall: String =
     s"""WITH $toksCte,
-       |$bm25Ctes,
+       |$sqidsCte,
+       |${bm25Ctes(budgeted = true)},
        |$champCtes,
        |ex AS (SELECT query_id, doc_id FROM bmr WHERE rnk <= $Bm25K),
        |ch AS (SELECT query_id, doc_id, 1 AS hit FROM cbmr WHERE rnk <= $Bm25K),
@@ -1372,11 +1395,12 @@ object Oracles {
     * jac_ppm, rnk) — twin of [[graft.operators.TextOps.jaccardTopK]].
     * Requires [[toksCte]] upstream.
     */
-  private def jacCtes: String =
+  private def jacCtes(budgeted: Boolean = false): String =
     s"""${shingCteFor(2)},
        |dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shing),
        |jsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY 1),
-       |jqs AS (SELECT doc_id AS query_id, g FROM dsh WHERE doc_id % $Bm25QueryMod = 0),
+       |jqs AS (SELECT doc_id AS query_id, g FROM dsh WHERE doc_id % $Bm25QueryMod = 0${
+      if (budgeted) " AND doc_id IN (SELECT doc_id FROM sqids)" else ""}),
        |jit AS (SELECT query_id, d.doc_id, CAST(count(*) AS BIGINT) AS inter
        |  FROM jqs JOIN dsh d USING (g) WHERE d.doc_id <> query_id GROUP BY 1, 2),
        |jac AS (SELECT j.query_id, j.doc_id,
@@ -1421,14 +1445,14 @@ object Oracles {
 
   def textJaccardChampion: String =
     s"""WITH $toksCte,
-       |$jacCtes,
+       |${jacCtes()},
        |$jacChampCtes
        |SELECT query_id, doc_id, jac_ppm, rnk FROM cjr
        |WHERE rnk <= $Bm25K""".stripMargin
 
   def textJaccardChampRecall: String =
     s"""WITH $toksCte,
-       |$jacCtes,
+       |${jacCtes()},
        |$jacChampCtes,
        |ex AS (SELECT query_id, doc_id FROM jr WHERE rnk <= $Bm25K),
        |ch AS (SELECT query_id, doc_id, 1 AS hit FROM cjr WHERE rnk <= $Bm25K),
@@ -1443,13 +1467,13 @@ object Oracles {
 
   def textBm25: String =
     s"""WITH $toksCte,
-       |$bm25Ctes
+       |${bm25Ctes()}
        |SELECT query_id, doc_id, score_ppm, rnk FROM bmr
        |WHERE rnk <= $Bm25K""".stripMargin
 
   def textJaccardTopk: String =
     s"""WITH $toksCte,
-       |$jacCtes
+       |${jacCtes()}
        |SELECT query_id, doc_id, jac_ppm, rnk FROM jr
        |WHERE rnk <= $Bm25K""".stripMargin
 
@@ -1459,8 +1483,9 @@ object Oracles {
     */
   def textRrfFuse: String =
     s"""WITH $toksCte,
-       |$bm25Ctes,
-       |$jacCtes,
+       |$sqidsCte,
+       |${bm25Ctes(budgeted = true)},
+       |${jacCtes(budgeted = true)},
        |uni AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= $Bm25K
        |  UNION ALL SELECT query_id, doc_id, rnk FROM jr WHERE rnk <= $Bm25K),
        |fu AS (SELECT query_id, doc_id,
@@ -5258,8 +5283,9 @@ object Oracles {
     */
   def textRankMetrics: String =
     s"""WITH $toksCte,
-       |$bm25Ctes,
-       |$jacCtes,
+       |$sqidsCte,
+       |${bm25Ctes(budgeted = true)},
+       |${jacCtes(budgeted = true)},
        |sys AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= $Bm25K),
        |rel AS (SELECT query_id, doc_id FROM jr WHERE rnk <= $Bm25K),
        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel

@@ -282,6 +282,22 @@ object Params {
   // while cutting stopword-grade lists to a constant
   val Bm25ChampM = 40
 
+  // FIXED budgets for the exact-truth halves of the recall/ranking
+  // audits (dedup_lsh_recall, text_bm25_champ_recall, text_rrf_fuse,
+  // text_rank_metrics). The audits' exact paths score query×corpus: with
+  // queries a CORPUS FRACTION (doc_id % mod) their work grows ∝ N² —
+  // measured 15–52× wall on 10× data, with the prefix-filter truth
+  // spilling >80 GB at sf1. A fixed-COUNT deterministic sample (the
+  // `budget` ids with the smallest (md5(id), id) — a salted-hash total
+  // order both engines replay exactly) bounds the exact half to
+  // budget×corpus = LINEAR, the only audit shape that survives 100 TB.
+  // Budgets exceed the sf0.01 populations (10 queries / 500 docs), so
+  // the driver's correctness gate still certifies the FULL audit there;
+  // sampling bites from sf0.1 up, where it is a provably exact
+  // restriction (spec-pinned: sampled == full ∩ sampled-queries).
+  val AuditQueryBudget = 100
+  val LshAuditProbeBudget = 500
+
   // fuzzy lookup (record linkage): levenshtein budget
   val FuzzyMaxDist = 2
 

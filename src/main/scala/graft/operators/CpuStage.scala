@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
 
 /** Parallelism floor ahead of CPU-bound per-row stages.
   *
@@ -19,8 +20,28 @@ import org.apache.spark.sql.DataFrame
   * no exchange is added, so the 100 TB plan shape is untouched.
   */
 object CpuStage {
+  /** Width-floor `df` for a CPU-bound per-row stage.
+    *
+    * The partition count is consulted via `df.rdd`, which under AQE
+    * forces the final physical plan — on a shuffle-fed input that would
+    * eagerly EXECUTE the upstream stages and the real query would then
+    * recompute them (ADVICE r9). So the probe is gated on the plan
+    * being NARROW-ONLY (leaf scans under project/filter/alias): there
+    * `.rdd` builds lineage without running anything, and that is also
+    * exactly the case the floor exists for. Any plan containing a
+    * shuffle, union, or join already runs at session width downstream
+    * of its exchange, so the floor is correctly the identity — returned
+    * without ever touching `.rdd`.
+    */
   def fanOut(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    val narrowOnly = df.queryExecution.analyzed.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[SubqueryAlias] && !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+    if (!narrowOnly) df
+    else {
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    }
   }
 }

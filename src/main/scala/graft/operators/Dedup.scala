@@ -157,9 +157,22 @@ object Dedup {
     * against a brute-force oracle. Shuffles: token-df aggregate, per-doc
     * sort, prefix self-join (short postings), verify join keyed on doc
     * ids. Never all-pairs.
+    *
+    * `touchIds` (single column `doc_id`, same type as `idCol`, must be
+    * broadcast-sized — a fixed audit budget) restricts the output to
+    * pairs TOUCHING the sample: exactly `full-output ∩ {doc_a ∈ S ∨
+    * doc_b ∈ S}`, spec-pinned. This is the recall-audit shape: as the
+    * GROUND-TRUTH half of `dedup_lsh_recall` the full self-join grows
+    * ∝ N² (measured 96.8× candidates on 10× data, >80 GB of spill at
+    * sf1); restricting each side of the candidate join to the sample in
+    * turn (union) caps candidates at 2·|S|·postings = linear, and the
+    * positional filter stays sound because within each branch every
+    * (pa, pb) occurrence of a generated pair is still present — the
+    * min-aggregate sees the same minima the full run would.
     */
   def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
-                          minNum: Long, minDen: Long, shingleN: Int = 2): DataFrame = {
+                          minNum: Long, minDen: Long, shingleN: Int = 2,
+                          touchIds: Option[DataFrame] = None): DataFrame = {
     require(minNum > 0 && minDen >= minNum, "threshold must be in (0,1]")
     // shingle SETS, same similarity space as the MinHash family — raw
     // unigram sets are far too coarse on templated corpora (nearly every
@@ -236,12 +249,27 @@ object Dedup {
     // sf0.1). A user-specified count is exempt from AQE coalescing, so
     // the fan-out keeps the session's full parallelism.
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val cands = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
-        col("pos").as("pa"), col("h"))
-      .repartition(nPart, col("h"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
-        col("pos").as("pb"), col("h"))
-        .repartition(nPart, col("h")), "h")
+    val probe = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+      col("pos").as("pa"), col("h"))
+    val index = idx.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+      col("pos").as("pb"), col("h"))
+    val joined = touchIds match {
+      case None =>
+        probe.repartition(nPart, col("h"))
+          .join(index.repartition(nPart, col("h")), "h")
+      case Some(ids) =>
+        // pairs touching the sample = (probe∈S ⋈ full index) ∪
+        // (full probe ⋈ index∈S); a both-in-S pair appears in both
+        // branches with identical rows — collapsed by the min-aggregate
+        val sa = broadcast(ids.select(col("doc_id").as("doc_a")))
+        val sb = broadcast(ids.select(col("doc_id").as("doc_b")))
+        probe.join(sa, "doc_a").repartition(nPart, col("h"))
+          .join(index.repartition(nPart, col("h")), "h")
+          .unionByName(
+            probe.repartition(nPart, col("h"))
+              .join(index.join(sb, "doc_b").repartition(nPart, col("h")), "h"))
+    }
+    val cands = joined
       .where((col("szb") < col("sza") ||
           (col("szb") === col("sza") && col("doc_b") < col("doc_a"))) &&
         col("sza") * lit(minDen) >= col("szb") * lit(minNum) &&

@@ -15,6 +15,26 @@ import graft.functions.{HashFunctions => H}
   */
 object Sampling {
 
+  /** Deterministic FIXED-SIZE id sample: the `budget` ids with the
+    * smallest `(md5(id), id)` — a pseudo-random total order both Spark
+    * and any SQL engine replay exactly (`ORDER BY md5(CAST(id AS
+    * VARCHAR)), id LIMIT budget`). Unlike a rate-based draw, the sample
+    * SIZE is constant under corpus growth, which is what turns a
+    * quadratic query×corpus audit into a linear budget×corpus one —
+    * the exact-truth halves of the recall audits key on this. Plans as
+    * a distributed TakeOrderedAndProject (per-partition top-budget,
+    * merged on the driver — never a global sort), and the result is
+    * broadcast-sized by construction. Ids must be unique (no distinct
+    * is applied) and cast losslessly to long.
+    */
+  def hashOrderIds(df: DataFrame, idCol: String, budget: Int,
+                   outCol: String = "doc_id"): DataFrame = {
+    require(budget > 0)
+    df.select(col(idCol).cast("long").as(outCol))
+      .orderBy(md5(col(outCol).cast("string")), col(outCol))
+      .limit(budget)
+  }
+
   /** Bernoulli(rate) sample: keep rows whose salted 32-bit key hash falls
     * below rate·2³². Map-side only — no shuffle, composes with pushdown.
     */

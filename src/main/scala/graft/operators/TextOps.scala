@@ -408,7 +408,7 @@ object TextOps {
     */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   queryMod: Int, k: Int, shingleN: Int = 2,
-                  champM: Int = 0): DataFrame = {
+                  champM: Int = 0, queryBudget: Int = 0): DataFrame = {
     require(queryMod > 1 && k > 0)
     // three consumers (sizes, query side, corpus side) — materialize the
     // shingle digests once per action, as in bm25TopK/prefixFilter
@@ -417,8 +417,16 @@ object TextOps {
       .select(col("doc_id"), md5(col("g")).as("h"))
       .localCheckpoint(false)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val q = sh.where(col("doc_id") % queryMod === 0)
+    // fixed-count audit sampling — same contract as [[bm25TopK]]'s
+    // queryBudget: a deterministic hash-order SUBSET of the mod-selected
+    // query ids, turning the exact query×corpus half linear
+    val q0 = sh.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("h"))
+    val q =
+      if (queryBudget <= 0) q0
+      else q0.join(broadcast(
+        Sampling.hashOrderIds(docs.where(col(idCol) % queryMod === 0),
+          idCol, queryBudget, "query_id")), "query_id")
     // champM > 0 = champion-list candidate generation (the bm25TopK
     // pattern, set-overlap flavor): per shingle only the top-champM
     // docs in exact impact order survive into candidate generation —
@@ -519,7 +527,8 @@ object TextOps {
     * window over per-query groups, never a global sort.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queryMod: Int, k: Int, champM: Int = 0): DataFrame = {
+               queryMod: Int, k: Int, champM: Int = 0,
+               queryBudget: Int = 0): DataFrame = {
     require(queryMod > 1 && k > 0)
     val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(T.tokens(col(textCol))).as("term"))
@@ -549,8 +558,20 @@ object TextOps {
     val nDocs = statsRow.getLong(0)
     val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val maxDl = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
-    val qterms = postings.where(col("doc_id") % queryMod === 0)
+    // queryBudget > 0 = FIXED-COUNT query sampling for audit callers:
+    // queries are a corpus fraction, so the exact path's query×corpus
+    // work is ∝ N² — a deterministic hash-order budget (the smallest
+    // (md5(id), id) among the mod-selected ids, a SUBSET of the full
+    // query set, so per-query results are bit-identical to the full
+    // run) caps the exact half at budget×corpus = linear. The sample
+    // broadcasts; budget ≥ population degrades to the unsampled path.
+    val qterms0 = postings.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("term"))
+    val qterms =
+      if (queryBudget <= 0) qterms0
+      else qterms0.join(broadcast(
+        Sampling.hashOrderIds(docs.where(col(idCol) % queryMod === 0),
+          idCol, queryBudget, "query_id")), "query_id")
     // ADAPTIVE exact arithmetic: int64 products (fast, codegen longs)
     // whenever the worst case provably fits — tf ≤ max_dl and df ≤ N
     // bound num by 44·maxdl·Σdl·(2N+1) and den by

@@ -1,11 +1,8 @@
 #!/usr/bin/env python3
-"""Assemble the FULL-library sf0.1 -> sf1 growth census (round 9).
+"""Assemble the FULL-library sf0.1 -> sf1 growth census.
 
-Unlike growth_table.py (the slowest-20 deep-dive), this pairs the full
-per-query maps from two bench_detail captures — every query the library
-ships, minus the five known work-bound exact paths measured separately
-(dedup_prefix_filter, dedup_lsh_recall, text_bm25, text_rrf_fuse,
-text_rank_metrics; see BENCH_sf1_r9.json).
+Unlike growth_table.py (the slowest-N deep-dive), this pairs the full
+per-query maps from two bench_detail captures.
 
 Inputs:
   argv[1]: bench_detail JSON for sf0.1 (runs>=2)
@@ -13,7 +10,18 @@ Inputs:
   argv[3]: optional idle re-measure dir (<query>.json bench lines) —
            substitutes sf1 values for queries whose census slot was
            load-contaminated; firstpass kept in sf1_sec_firstpass.
-Output: BENCH_sf1_census_r9.json + a summary on stdout.
+  argv[4]: optional output artifact path (default BENCH_sf1_census.json
+           next to the repo root).
+
+Every row carries an explicit `status` field (the r9 OOM-as-timing
+incident was caught by hand; the DNF marker is structural now):
+  ok                 both sides are clean measurements
+  idle-remeasure     sf1 value is the idle re-measure (firstpass kept)
+  CRASHED-sf0.1      the BASELINE failed — growth undefined even if an
+                     idle sf1 measurement exists (a failed baseline's
+                     abort time is not a denominator)
+  CRASHED-sf1        the sf1 side failed and no idle re-measure exists
+  CRASHED-idle       the idle re-measure itself failed
 """
 import sys, json, os, glob
 
@@ -21,15 +29,17 @@ sf01 = json.load(open(sys.argv[1]))
 sf1 = json.load(open(sys.argv[2]))
 # a crashed query still gets a time in the bench output (slowest
 # failure, so breakage can't look fast) — but it is NOT a measurement;
-# honor the failed arrays on every input, like growth_table.py does
-crashed = set(sf01.get("failed", [])) | set(sf1.get("failed", []))
-idle = {}
-if len(sys.argv) > 3:
+# honor the failed arrays PER SIDE: an idle sf1 re-measure can rescue a
+# crashed sf1 slot, but nothing rescues a crashed sf0.1 BASELINE
+crashed01 = set(sf01.get("failed", []))
+crashed1 = set(sf1.get("failed", []))
+idle, idle_failed = {}, set()
+if len(sys.argv) > 3 and sys.argv[3] != "-":
     for p in glob.glob(os.path.join(sys.argv[3], "*.json")):
         d = json.load(open(p))
         for n, s in d.get("queries", {}).items():
             if n in d.get("failed", []):
-                crashed.add(n)
+                idle_failed.add(n)
             else:
                 idle[n] = s
 
@@ -37,37 +47,49 @@ q01, q1 = sf01["queries"], sf1["queries"]
 art = {
     "sf_base": "/root/testdata/sf0.1 (runs=%s, min)" % sf01.get("runs"),
     "sf_big": "tmp/sf1 (ScaleUp 10x; runs=%s)" % sf1.get("runs"),
-    "excluded": "dedup_prefix_filter dedup_lsh_recall text_bm25 "
-                "text_rrf_fuse text_rank_metrics (work-bound exact paths, "
-                "measured in BENCH_sf1_r9.json)",
     "queries": {},
 }
 bands = {}
+
+
+def emit(n, row, band):
+    art["queries"][n] = row
+    bands[band] = bands.get(band, 0) + 1
+
+
 for n in sorted(q1):
-    if n in crashed and n not in idle:
-        art["queries"][n] = {"sf0.1_sec": q01.get(n), "sf1_sec": None,
-                             "growth": None, "flag": "CRASHED"}
-        bands["CRASHED"] = bands.get("CRASHED", 0) + 1
+    if n in crashed01:
+        emit(n, {"sf0.1_sec": None, "sf1_sec": None, "growth": None,
+                 "flag": "CRASHED", "status": "CRASHED-sf0.1"}, "CRASHED")
+        continue
+    if n in idle_failed and n not in idle:
+        emit(n, {"sf0.1_sec": q01.get(n), "sf1_sec": None, "growth": None,
+                 "flag": "CRASHED", "status": "CRASHED-idle"}, "CRASHED")
+        continue
+    if n in crashed1 and n not in idle:
+        emit(n, {"sf0.1_sec": q01.get(n), "sf1_sec": None, "growth": None,
+                 "flag": "CRASHED", "status": "CRASHED-sf1"}, "CRASHED")
         continue
     b = q01.get(n)
     if not b:
         continue
-    s, fp = q1[n], None
+    s, fp, status = q1[n], None, "ok"
     if n in idle:
-        s, fp = idle[n], q1[n]
+        s, fp, status = idle[n], q1[n], "idle-remeasure"
     g = s / b
     # same band boundaries as growth_table.py: sublinear strictly
     # below 8x, SUPERLINEAR strictly above 12x
     flag = ("SUPERLINEAR" if g > 12 else
             "sublinear" if g < 8 else "~linear")
-    e = {"sf0.1_sec": b, "sf1_sec": s, "growth": round(g, 2), "flag": flag}
+    e = {"sf0.1_sec": b, "sf1_sec": s, "growth": round(g, 2),
+         "flag": flag, "status": status}
     if fp is not None:
         e["sf1_sec_firstpass"] = fp
-    art["queries"][n] = e
-    bands[flag] = bands.get(flag, 0) + 1
+    emit(n, e, flag)
 
-out = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "BENCH_sf1_census_r9.json")
+out = (sys.argv[4] if len(sys.argv) > 4 else
+       os.path.join(os.path.dirname(os.path.dirname(
+           os.path.abspath(__file__))), "BENCH_sf1_census.json"))
 json.dump(art, open(out, "w"), indent=1)
 gs = sorted(((e["growth"], n) for n, e in art["queries"].items()
              if e["growth"] is not None), reverse=True)

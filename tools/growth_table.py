@@ -47,7 +47,15 @@ rows = []
 for name, d in sorted(perq.items()):
     base = q01.get(name)
     first = d["sec"]
-    re = idle.get(name, {}).get("sec")
+    re_entry = idle.get(name)
+    if re_entry is not None and re_entry["sec"] is None:
+        # the idle re-measure ITSELF failed: the first-pass value was
+        # already adjudicated as contaminated, so silently reusing it
+        # would launder a non-measurement — emit an explicit DNF
+        rows.append((name, base, None, first, None,
+                     "DNF(idle-remeasure-failed)"))
+        continue
+    re = re_entry["sec"] if re_entry is not None else None
     sec = re if re is not None else first
     if sec is None:
         t = d.get("timeout", 0)
@@ -91,12 +99,16 @@ if os.path.exists(ship01) and os.path.exists(ship1):
     }
 for n, b, s, fp, g, f in rows:
     e = {"sf0.1_sec": b, "sf1_sec": s,
-         "growth": (round(g, 2) if g else None), "flag": f}
+         "growth": (round(g, 2) if g else None), "flag": f,
+         "status": ("idle-remeasure" if (fp is not None and s is not None)
+                    else "ok" if g is not None else f)}
     if fp is not None:
         e["sf1_sec_firstpass"] = fp
     art["queries"][n] = e
-json.dump(art, open(os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "BENCH_sf1_r9.json"), "w"), indent=1)
+outp = (sys.argv[4] if len(sys.argv) > 4 else
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_sf1_growth.json"))
+json.dump(art, open(outp, "w"), indent=1)
 
 print("| query | sf0.1 s | sf1 s (10x) | growth | verdict |")
 print("| --- | --- | --- | --- | --- |")
