@@ -5718,6 +5718,50 @@ object Oracles {
       |SELECT media_id, n_bytes, media_id % 12 + 4 AS width,
       |  media_id % 9 + 3 AS height FROM f""".stripMargin
 
+  /** Twin for `multimodal_features`: modality re-derived from the id
+    * scheme in SQL; byte length and content checksum from the
+    * expected-value fixture the query staged
+    * ([[graft.multimodal.Multimodal.exportExpectedFeatures]] — computed
+    * from the GENERATION arithmetic, never a decoder, so a matching
+    * checksum certifies the query's real encode→decode roundtrip).
+    */
+  def multimodalFeatures: String =
+    """SELECT d.doc_id AS media_id,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+      |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  f.n_bytes, f.checksum
+      |FROM documents d
+      |JOIN read_parquet('__GRAFT_EXPFEAT__/*.parquet') f
+      |  ON f.media_id = d.doc_id""".stripMargin
+
+  /** Twin for `multimodal_image_neardup`: re-derives the FULL
+    * pigeonhole pair table (4×16-bit block buckets, exact 64-bit
+    * hamming via per-half bit_count(xor)) from the expected-signature
+    * fixture ([[graft.multimodal.Multimodal.exportExpectedTwinSignatures]]
+    * — gray-raster arithmetic, no codec), the same pair algebra as the
+    * [[dedupSimhash]] twin. A hash match means the query's PNG
+    * decode→aHash produced exactly the independent signatures AND its
+    * candidate/verify join kept exactly the right pairs.
+    */
+  def multimodalImageNeardup: String = {
+    val blocks = Seq(
+      "sim_lo & 65535", "(sim_lo >> 16) & 65535",
+      "sim_hi & 65535", "(sim_hi >> 16) & 65535"
+    ).zipWithIndex.map { case (bv, k) =>
+      s"SELECT media_id, sim_lo, sim_hi, $k AS blk, $bv AS bv FROM s"
+    }.mkString(" UNION ALL ")
+    s"""WITH s AS (SELECT media_id, sim_lo, sim_hi
+       |  FROM read_parquet('__GRAFT_EXPAHASH__/*.parquet')),
+       |blk AS ($blocks)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+       |    CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+       |      + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+       |  FROM blk a JOIN blk b
+       |    ON a.blk = b.blk AND a.bv = b.bv AND a.media_id < b.media_id)
+       |WHERE hamming <= $SimhashMaxDist""".stripMargin
+  }
+
   /** Twin for the CDC chunk census: replays the rolling-hash cut rule
     * over the exported (media_id, i, b) byte rows. The wrapping-64-bit
     * window hash h_i = Σ_{k<W} b_{i−k}·B^k (mod 2⁶⁴) only feeds the

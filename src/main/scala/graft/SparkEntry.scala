@@ -72,8 +72,20 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_binsrc_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  // the `2` is a CONTENT VERSION: the export is idempotent-skip keyed
+  // on this path, so any change to the staged bytes (r10: encodeGif
+  // went non-interlaced) must bump it or a machine holding the previous
+  // round's fixture would feed the oracle stale bytes
   def cdcBytesRoot(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_cdcbytes_" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_cdcbytes2_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  def expFeatRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_expfeat_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  def expAhashRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_expahash_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
   /** Replace fixture-path placeholders in oracle SQL with this run's
@@ -82,6 +94,8 @@ object SparkEntry {
   def substituteFixturePaths(sql: String, dir: String): String =
     sql.replace("__GRAFT_BINSRC__", binsrcRoot(dir))
       .replace("__GRAFT_CDC_BYTES__", cdcBytesRoot(dir))
+      .replace("__GRAFT_EXPFEAT__", expFeatRoot(dir))
+      .replace("__GRAFT_EXPAHASH__", expAhashRoot(dir))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2981,8 +2995,18 @@ object SparkEntry {
         "event_type", FunnelSteps)),
 
     // ---- §2.7 multimodal ----
-    "multimodal_features" -> ((s, dir) =>
-      Multimodal.featuresFromDocuments(s, t(s, dir, "documents"))),
+    "multimodal_features" -> ((s, dir) => {
+      // binary columns + typed metadata through the REAL codecs: mixed
+      // PNG/WAV/GIF payloads, decode on the executor, per-media
+      // features. Hash-checked (r10): the twin compares against an
+      // expected-value fixture computed GENERATION-SIDE (raster/sample
+      // arithmetic, no decoder) — matching checksums prove the
+      // encode→decode roundtrip reproduced the content bit-exactly,
+      // not merely that the query ran twice.
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedFeatures(docs, expFeatRoot(dir))
+      Multimodal.featuresFromDocuments(s, docs)
+    }),
     "src_binaryfile_ingest" -> ((s, dir) => {
       // raw multimodal ingestion: materialize a deterministic PNG file
       // tree once (executor-side, idempotent) and read it back through
@@ -3037,22 +3061,29 @@ object SparkEntry {
     }),
     "multimodal_image_neardup" -> ((s, dir) => {
       // image near-dup over real PNG decode: every doc renders with a
-      // one-pixel-perturbed twin, aHash + pigeonhole pairs find them
-      // (rows-only by design: no PNG decode exists DuckDB-side; the
-      // hash/pair semantics are spec-pinned on constructed images)
-      import s.implicits._
+      // one-pixel-perturbed twin, aHash + pigeonhole pairs find them.
+      // Hash-checked (r10): expected signatures computed from the gray
+      // raster arithmetic (no codec) are staged as a fixture and the
+      // DuckDB twin re-derives the whole pigeonhole pair table from
+      // them — decode→aHash→pair is verified end-to-end, the PNG
+      // roundtrip included.
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedTwinSignatures(docs, 16, 12, expAhashRoot(dir))
       Multimodal.imageNearDup(
-        Multimodal.mediaFromDocumentsPngTwins(t(s, dir, "documents"), 16, 12),
+        Multimodal.mediaFromDocumentsPngTwins(docs, 16, 12),
         Params.SimhashMaxDist)
     }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (multimodal_features — stubbed
-    * codec) get the driver's weaker rows-only check.
+    * the same parquet tables. Omitted keys (q_msf, q_approx_distinct —
+    * no SQL twin exists for union-find tie-break order / HLL internals)
+    * get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "src_binaryfile_ingest" -> Oracles.srcBinaryfileIngest,
+    "multimodal_features" -> Oracles.multimodalFeatures,
+    "multimodal_image_neardup" -> Oracles.multimodalImageNeardup,
     "multimodal_cdc_chunks" -> Oracles.multimodalCdcChunks,
     "src_csv_roundtrip" -> Oracles.srcCsvRoundtrip,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text, n_chars FROM documents",

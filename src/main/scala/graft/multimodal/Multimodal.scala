@@ -380,16 +380,95 @@ object Multimodal {
   /** Export payloads as exploded (media_id, i, b) rows — the byte-level
     * form a SQL engine with no blob-indexing functions (DuckDB 1.0) can
     * replay rolling-hash arithmetic over. Oracle-support fixture, not a
-    * pipeline operator: the export is one narrow flatMap + write,
-    * overwritten per run so the twin always sees this run's bytes.
+    * pipeline operator: the export is one narrow flatMap + write.
+    * IDEMPOTENT-SKIP like [[materializeTree]]: payloads are a
+    * deterministic function of the source table and the path is keyed
+    * on the data dir, so a completed export (`_SUCCESS` present) is
+    * this run's bytes already — skipping keeps the fixture cost out of
+    * timed bench passes of the query that stages it (ADVICE r9).
     */
+  /** True when `path` already holds a completed parquet write — the
+    * idempotent-skip gate shared by the oracle-support fixtures (their
+    * contents are deterministic functions of the source table and the
+    * path is keyed on the data dir, so a completed export IS this
+    * run's values; skipping keeps fixture cost out of timed bench
+    * passes, ADVICE r9).
+    */
+  private def alreadyStaged(spark: SparkSession, path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
+  }
+
   def exportPayloadBytes(media: Dataset[MediaRow], path: String): Unit = {
     import media.sparkSession.implicits._
+    if (alreadyStaged(media.sparkSession, path)) return
     media.flatMap { r =>
       r.payload.iterator.zipWithIndex.map { case (b, i) =>
         (r.media_id, i.toLong, (b & 0xff).toLong)
       }
     }.toDF("media_id", "i", "b")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Expected-decode fixture for `multimodal_features`: per media row
+    * the container byte length and the EXPECTED content checksum,
+    * computed GENERATION-SIDE ([[ImageCodec.expectedFrameCrc]] /
+    * [[AudioCodec.expectedPcmCrc]] — raster/sample arithmetic, never a
+    * decoder), so the DuckDB twin hash-checks that the query's REAL
+    * encode→decode roundtrip reproduced the source content exactly.
+    * Map-only, idempotent-skip like the other oracle fixtures.
+    */
+  def exportExpectedFeatures(docs: DataFrame, path: String): Unit = {
+    import docs.sparkSession.implicits._
+    if (alreadyStaged(docs.sparkSession, path)) return
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        if (id % 3 == 0) {
+          val w = (id % 12 + 4).toInt
+          val h = (id % 9 + 3).toInt
+          (id, ImageCodec.encodePng(w, h, seed).length.toLong,
+            ImageCodec.expectedFrameCrc(w, h, seed, 0))
+        } else if (id % 3 == 1) {
+          val n = (id % 400 + 100).toInt
+          val pcm = AudioCodec.pcmFromSeed(seed, n)
+          (id, AudioCodec.encodeWav(8000f, pcm).length.toLong,
+            AudioCodec.expectedPcmCrc(pcm))
+        } else {
+          val w = (id % 10 + 4).toInt
+          val h = (id % 7 + 3).toInt
+          val nf = (id % 4 + 2).toInt
+          val crc = (0 until nf).foldLeft(1125899906842597L) { (acc, f) =>
+            acc * 31 + ImageCodec.expectedFrameCrc(w, h, seed, f)
+          }
+          (id, ImageCodec.encodeGif(w, h, nf, seed).length.toLong, crc)
+        }
+      }
+    }.toDF("media_id", "n_bytes", "checksum")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Expected-signature fixture for `multimodal_image_neardup`: the
+    * aHash of every [[mediaFromDocumentsPngTwins]] render computed from
+    * the gray raster arithmetic ([[ImageCodec.expectedAHashGray]] — no
+    * PNG encode, no ImageIO decode), so the DuckDB twin re-derives the
+    * full pigeonhole pair table from independent signatures and
+    * hash-checks the query's decode→aHash→pair pipeline end-to-end.
+    */
+  def exportExpectedTwinSignatures(docs: DataFrame, w: Int, h: Int,
+                                   path: String): Unit = {
+    import docs.sparkSession.implicits._
+    if (alreadyStaged(docs.sparkSession, path)) return
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val twin = seed.clone()
+        if (twin.nonEmpty) twin(0) = (twin(0) + 1).toByte
+        val (lo0, hi0) = ImageCodec.expectedAHashGray(w, h, seed)
+        val (lo1, hi1) = ImageCodec.expectedAHashGray(w, h, twin)
+        Seq((id * 2, lo0, hi0), (id * 2 + 1, lo1, hi1))
+      }
+    }.toDF("media_id", "sim_lo", "sim_hi")
       .write.mode("overwrite").parquet(path)
   }
 
@@ -534,8 +613,25 @@ object ImageCodec {
     writer.prepareWriteSequence(null)
     var f = 0
     while (f < nFrames) {
-      writer.writeToSequence(
-        new javax.imageio.IIOImage(frame(width, height, seed, f), null, null), null)
+      val img = frame(width, height, seed, f)
+      // write NON-interlaced: the JDK gif writer defaults to interlaced
+      // frames, and the JDK reader mis-orders interlace passes when
+      // height < 5 (decoded row 1 held row 3's pixels — found r10 when
+      // the generation-side expected-crc fixture refused to match every
+      // h∈{3,4} render; h ≥ 5 frames hid the bug). Plain scan order
+      // round-trips at every size and is what a real pipeline ships.
+      val meta = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val tree = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = tree.getElementsByTagName("ImageDescriptor")
+      if (kids.getLength > 0)
+        kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
       f += 1
     }
     writer.endWriteSequence()
@@ -638,6 +734,63 @@ object ImageCodec {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** EXPECTED pixel crc of [[frame]] computed from the generation
+    * arithmetic alone — no BufferedImage, no ImageIO: the independent
+    * twin of [[decodePng]]'s fold for oracle fixtures. A query that
+    * encodes with [[encodePng]] and decodes with [[decodePng]] matching
+    * this value proves the container ROUNDTRIP, not just that two calls
+    * of one code path agree.
+    */
+  def expectedFrameCrc(width: Int, height: Int, seed: Array[Byte],
+                       f: Int): Long = {
+    var crc = 1125899906842597L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val b = if (seed.isEmpty) 0 else seed((y * width + x + f) % seed.length) & 0xff
+        val rgb = (b << 16) | (((x * 31 + y + f * 7) & 0xff) << 8) |
+          ((b ^ (x + y + f)) & 0xff)
+        crc = crc * 31 + rgb
+        x += 1
+      }
+      y += 1
+    }
+    crc
+  }
+
+  /** EXPECTED 8×8 average-hash of an [[encodePngGray]] render, computed
+    * from the gray raster arithmetic alone (same sampling grid, ITU-R
+    * 601 luma and integer mean as [[aHashPng]], but never touching a
+    * codec) — the independent signature twin that lets a SQL oracle
+    * verify the decode→aHash path end-to-end.
+    */
+  def expectedAHashGray(width: Int, height: Int,
+                        seed: Array[Byte]): (Long, Long) = {
+    val s = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val x = (i % 8) * width / 8
+      val y = (i / 8) * height / 8
+      val b = if (seed.isEmpty) 0 else seed((y * width + x) % seed.length) & 0xff
+      s(i) = 1000L * b // 299b + 587b + 114b: gray luma is the byte itself
+      total += s(i)
+      i += 1
+    }
+    val mean = total / 64
+    var lo = 0L
+    var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (s(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
   /** PNG (or any ImageIO-readable) decode → (width, height, pixel crc);
     * None when the payload is not a decodable image.
     */
@@ -675,6 +828,18 @@ object AudioCodec {
       val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
       (((i * 257 + b * 131) % 65536) - 32768).toShort
     }
+
+  /** EXPECTED sample crc over a PCM buffer — the generation-side twin
+    * of [[decodeWav]]'s fold (same signed-16-bit values, same
+    * polynomial), for oracle fixtures: encode→decode matching this
+    * proves the WAV container roundtrip.
+    */
+  def expectedPcmCrc(samples: Array[Short]): Long = {
+    var crc = 1125899906842597L
+    var i = 0
+    while (i < samples.length) { crc = crc * 31 + samples(i); i += 1 }
+    crc
+  }
 
   /** 16-bit mono PCM samples → WAV container bytes. */
   def encodeWav(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
