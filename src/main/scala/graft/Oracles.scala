@@ -873,6 +873,81 @@ object Oracles {
        |UNION ALL
        |SELECT id, CAST(cluster AS BIGINT) AS cluster, 'border' AS role FROM border""".stripMargin
 
+  /** Probe twin of [[graft.operators.Spatial.densityProbe]]: per
+    * candidate ε the cell census, integer degree bound, cap rate, and
+    * recommendation — block sums via a correlated 3×3 cell-window sum
+    * (the cell table is tiny, the quadratic pair space is never
+    * touched, same as the Spark side).
+    */
+  def qDensityProbe: String = {
+    val perR = DbscanProbeLadder.map { r =>
+      s"""cr$r AS (SELECT x // $r AS cx, y // $r AS cy, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |sr$r AS (SELECT CAST($r AS BIGINT) AS r,
+         |  CAST(sum(n) AS BIGINT) AS n_points,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(max(n) AS BIGINT) AS max_cell_pts,
+         |  CAST(sum(n * (bn - 1)) AS BIGINT) AS nb_bound_sum
+         |  FROM (SELECT c.n, (SELECT sum(c2.n) FROM cr$r c2
+         |    WHERE abs(c2.cx - c.cx) <= 1 AND abs(c2.cy - c.cy) <= 1) AS bn
+         |    FROM cr$r c))""".stripMargin
+    }.mkString(",\n")
+    val u = DbscanProbeLadder.map(r => s"SELECT * FROM sr$r").mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT p_partkey AS id, p_partkey % 97 AS x,
+       |  (p_partkey // 97) % 89 AS y FROM part),
+       |$perR,
+       |u AS ($u),
+       |s AS (SELECT r, n_points, n_cells, max_cell_pts, nb_bound_sum,
+       |  CAST(nb_bound_sum // n_points AS BIGINT) AS mean_nb_ub,
+       |  CAST(least(1000000, ($DbscanTargetNb * 1000000)
+       |    // (nb_bound_sum // n_points + 1)) AS BIGINT) AS rate_ppm
+       |  FROM u),
+       |b AS (SELECT coalesce(max(CASE WHEN mean_nb_ub <= $DbscanTargetNb THEN r END),
+       |  min(r)) AS rec_r FROM s)
+       |SELECT s.*, s.r = b.rec_r AS recommended FROM s CROSS JOIN b""".stripMargin
+  }
+
+  /** Capped-DBSCAN twin of [[graft.operators.Spatial.dbscanCapped]]:
+    * the same exact-integer probe → rate → salted-hash sample chain
+    * (md5 hash32 replayed via [[hex8Expr]]), then brute all-points ×
+    * sample neighbor counts and the scaled core/border/noise rule. At
+    * sf0.01 the rate is genuinely < 1 (the target sits below the
+    * fixture's density), so the gate checks the SAMPLED path, not the
+    * saturated identity.
+    */
+  def qDbscanCapped: String = {
+    val h = hex8Expr(s"('$DbscanSampleSalt:' || CAST(p.id AS VARCHAR))")
+    s"""WITH p AS (SELECT p_partkey AS id, p_partkey % 97 AS x,
+       |  (p_partkey // 97) % 89 AS y FROM part),
+       |cr AS (SELECT x // $SpatialR AS cx, y // $SpatialR AS cy,
+       |  CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+       |st AS (SELECT CAST(sum(n) AS BIGINT) AS np,
+       |  CAST(sum(n * (bn - 1)) AS BIGINT) AS nb
+       |  FROM (SELECT c.n, (SELECT sum(c2.n) FROM cr c2
+       |    WHERE abs(c2.cx - c.cx) <= 1 AND abs(c2.cy - c.cy) <= 1) AS bn
+       |    FROM cr c)),
+       |k AS (SELECT least(1000000, ($DbscanTargetNb * 1000000) // (nb // np + 1)) AS rate_ppm
+       |  FROM st),
+       |k2 AS (SELECT rate_ppm,
+       |  greatest(1, ($DbscanMinPts * rate_ppm) // 1000000) AS minpts_eff,
+       |  (rate_ppm * 4294967296) // 1000000 AS thr FROM k),
+       |hv AS (SELECT p.id, p.x, p.y, CAST($h AS BIGINT) AS h FROM p),
+       |sam AS (SELECT hv.id, hv.x, hv.y FROM hv CROSS JOIN k2 WHERE hv.h < k2.thr),
+       |e AS (SELECT a.id AS id_a, b.id AS id_b FROM p a JOIN sam b
+       |  ON a.id <> b.id AND abs(a.x - b.x) <= $SpatialR AND abs(a.y - b.y) <= $SpatialR),
+       |c AS (SELECT p.id, p.id IN (SELECT id FROM sam) AS sampled,
+       |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_nb FROM p
+       |  LEFT JOIN (SELECT id_a AS id, count(*) AS n FROM e GROUP BY 1) cnt USING (id)),
+       |core AS (SELECT c.id FROM c CROSS JOIN k2
+       |  WHERE c.sampled AND c.n_nb >= k2.minpts_eff)
+       |SELECT c.id, c.sampled, c.n_nb,
+       |  CASE WHEN c.sampled AND c.n_nb >= k2.minpts_eff THEN 'core'
+       |       WHEN c.id IN (SELECT e.id_a FROM e JOIN core ON e.id_b = core.id)
+       |         THEN 'border'
+       |       ELSE 'noise' END AS label
+       |FROM c CROSS JOIN k2""".stripMargin
+  }
+
   /** Twin of [[graft.operators.LinkPredict.scores]] on the
     * supplier→part affiliation graph: same hub cap, same filtered-graph
     * degrees, same integer ppm Jaccard.

@@ -200,6 +200,13 @@ object Params {
   val SpatialR = 3L
   // DBSCAN density labeling: min in-radius neighbors for a core point
   val DbscanMinPts = 40
+  // density probe / capped DBSCAN: candidate ε ladder, mean-neighbor
+  // target (LOW enough that the sf0.01 gate exercises the sampled
+  // path — mean_nb_ub there is ~18, so rate < 1 and the oracle replays
+  // the hash sample, not just the saturated identity), and the salt
+  val DbscanProbeLadder = Seq(1L, 2L, 3L, 6L)
+  val DbscanTargetNb = 8L
+  val DbscanSampleSalt = "dbscap"
   // link prediction: hub-center degree cap, min shared centers per pair
   val CnMaxDeg = 50
   val CnMinCommon = 3L

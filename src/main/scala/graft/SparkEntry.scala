@@ -1358,13 +1358,37 @@ object SparkEntry {
 
     "q_dbscan_cluster" -> ((s, dir) =>
       // full DBSCAN assignment: CC over the core-core in-radius graph
-      // (checkpointed min-label loop), borders attach to their smallest
-      // core-neighbor cluster, noise dropped
+      // (checkpointed min-label loop, r10: connectivity-preserving
+      // cell-star + per-cellpair-witness sparsification — the quadratic
+      // pair stream collapses map-side, never crossing a shuffle into
+      // the CC rounds), borders attach to their smallest core-neighbor
+      // cluster, noise dropped
       operators.Spatial.dbscanCluster(
         t(s, dir, "part").select(col("p_partkey"),
           (col("p_partkey") % 97).as("x"),
           (expr("p_partkey div 97") % 89).as("y")),
         "p_partkey", "x", "y", SpatialR, DbscanMinPts)),
+    "q_density_probe" -> ((s, dir) =>
+      // the ε knob, measured before any pair join exists: exact
+      // integer degree bounds per candidate radius from cell counts
+      // alone, the deterministic cap rate each would need, and the
+      // recommendation under the mean-neighbor target
+      operators.Spatial.densityProbe(
+        t(s, dir, "part").select(col("p_partkey"),
+          (col("p_partkey") % 97).as("x"),
+          (expr("p_partkey div 97") % 89).as("y")),
+        "p_partkey", "x", "y", DbscanProbeLadder, DbscanTargetNb)),
+    "q_dbscan_capped" -> ((s, dir) =>
+      // bounded-work DBSCAN: probe-driven salted-hash cap holds the
+      // pair join at |pts|·target however dense the space grows — the
+      // ship path for densifying corpora, with fixed-ε q_dbscan_core
+      // kept as the exact semantic baseline
+      operators.Spatial.dbscanCapped(
+        t(s, dir, "part").select(col("p_partkey"),
+          (col("p_partkey") % 97).as("x"),
+          (expr("p_partkey div 97") % 89).as("y")),
+        "p_partkey", "x", "y", SpatialR, DbscanMinPts,
+        DbscanTargetNb, DbscanSampleSalt)),
     "q_salted_join" -> ((s, dir) => {
       // 10 hot keys over all of lineitem — the manual salt-replicate
       // join spreads each over SaltFactor partitions; the aggregate
@@ -3191,6 +3215,8 @@ object SparkEntry {
     "q_spatial_join" -> Oracles.qSpatialJoin,
     "q_dbscan_core" -> Oracles.qDbscanCore,
     "q_dbscan_cluster" -> Oracles.qDbscanCluster,
+    "q_density_probe" -> Oracles.qDensityProbe,
+    "q_dbscan_capped" -> Oracles.qDbscanCapped,
     "q_link_predict" -> Oracles.qLinkPredict,
     "q_quartiles" -> Oracles.qQuartiles,
     "q_gap_fill" -> Oracles.qGapFill,

@@ -132,4 +132,63 @@ object RangeJoin {
       .select(col("id_a"), col("id_b"),
         (col("xb") - col("xa")).as("dx"), (col("yb") - col("ya")).as("dy"))
   }
+
+  /** Asymmetric grid neighbor join: every (a ∈ ptsA, b ∈ ptsB, a ≠ b)
+    * pair within Chebyshev radius `r`, each ordered pair exactly once
+    * (B keys on its own cell, A replicates ×9 to its block — the same
+    * meet-once argument as [[gridNeighborJoin]] without the id order
+    * constraint). This is the probe/index split the density-capped
+    * DBSCAN needs: A = every point, B = the bounded sample, so the
+    * pair volume is |A|·(sampled density) — LINEAR in |A| at a fixed
+    * density target, however dense the raw space grows.
+    */
+  def gridNeighborJoinAB(ptsA: DataFrame, ptsB: DataFrame, idCol: String,
+                         xCol: String, yCol: String, r: Long): DataFrame = {
+    require(r >= 1)
+    val b = ptsB.select(col(idCol).cast("long").as("id_b"),
+      col(xCol).cast("long").as("xb"), col(yCol).cast("long").as("yb"))
+      .withColumn("cx", expr(s"xb div ${r}L"))
+      .withColumn("cy", expr(s"yb div ${r}L"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val a = ptsA.select(col(idCol).cast("long").as("id_a"),
+        col(xCol).cast("long").as("xa"), col(yCol).cast("long").as("ya"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (expr(s"xa div ${r}L") + col("o.ox")).as("cx"),
+        (expr(s"ya div ${r}L") + col("o.oy")).as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .where(col("id_a") =!= col("id_b") &&
+        abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** [[gridNeighborJoin]] variant that also emits both endpoints' cell
+    * ids — the input to connectivity-preserving edge sparsification
+    * (same-cell points are mutually in-radius at cell width r, so CC
+    * consumers can collapse in-cell cliques to stars and cross-cell
+    * edge bundles to one witness per cell pair; see
+    * [[graft.operators.Spatial.dbscanCluster]]).
+    */
+  def gridNeighborJoinWithCells(pts: DataFrame, idCol: String, xCol: String,
+                                yCol: String, r: Long): DataFrame = {
+    require(r >= 1)
+    val p = pts.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val right = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val left = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        expr(s"x div ${r}L").as("bx"), expr(s"y div ${r}L").as("by"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"), col("bx"), col("by"),
+        (col("bx") + col("o.ox")).as("cx"), (col("by") + col("o.oy")).as("cy"))
+    left.join(right, Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
+      .select(col("id_a"), col("id_b"),
+        col("bx").as("cax"), col("by").as("cay"),
+        col("cx").as("cbx"), col("cy").as("cby"))
+  }
 }

@@ -69,10 +69,10 @@ object Spatial {
   def dbscanCluster(pts: DataFrame, idCol: String, xCol: String,
                     yCol: String, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1)
-    // lazy localCheckpoint: the pair list feeds core detection, the
-    // core-core edge build AND border attachment — without a reuse
-    // point the grid join would recompute per branch (same tradeoff as
-    // Triangles; the CC loop inside keeps its own reliable checkpoints)
+    // lazy localCheckpoint: the pair list feeds core detection and
+    // border attachment — without a reuse point the grid join would
+    // recompute per branch (same tradeoff as Triangles; the CC loop
+    // inside keeps its own reliable checkpoints)
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
       .localCheckpoint(false)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
@@ -80,15 +80,40 @@ object Spatial {
     val coreIds = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
       .where(col("n_nb") >= minPts).select("id")
       .localCheckpoint(false)
-    // pair graph restricted to core×core: two long-keyed equi-joins
-    val corePairs = pairs
-      .join(coreIds.select(col("id").as("id_a")), Seq("id_a"))
-      .join(coreIds.select(col("id").as("id_b")), Seq("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // CONNECTIVITY-PRESERVING SPARSIFICATION of the core-core ε-graph
+    // (r10; was: the raw exploded core-core pair list, whose 10×-data
+    // census cost was a 19.9 GB shuffle REPEATED every CC round). At
+    // cell width r every two same-cell points are within Chebyshev r
+    // (|Δ| ≤ r−1), so a cell's cores form a TRUE clique — a star to the
+    // cell's min core spans it exactly; and because a whole cell is one
+    // component, every cross-cell edge bundle between two cells merges
+    // the same two components — ONE true witness edge per cell pair
+    // suffices. Components are provably identical (spec-pinned) while
+    // the CC loop's edge table drops from O(density·N) to
+    // O(N + cell pairs). The witness min-aggregate collapses the
+    // quadratic pair stream MAP-SIDE (partial agg per task) — the full
+    // pair volume never crosses a shuffle here.
+    val corePts = pts.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .join(coreIds, Seq("id"))
+    val coreCells = corePts.select(col("id"),
+      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+    val cellMin = coreCells.groupBy(col("cx"), col("cy"))
+      .agg(min(col("id")).as("m"))
+    val intraStar = coreCells.join(cellMin, Seq("cx", "cy"))
+      .where(col("id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("id").as("doc_b"))
+    val witness = RangeJoin
+      .gridNeighborJoinWithCells(corePts, "id", "x", "y", r)
+      .where(col("cax") =!= col("cbx") || col("cay") =!= col("cby"))
+      .groupBy(col("cax"), col("cay"), col("cbx"), col("cby"))
+      .agg(min(struct(col("id_a"), col("id_b"))).as("w"))
+      .select(col("w.id_a").as("doc_a"), col("w.id_b").as("doc_b"))
+    val coreEdges = intraStar.unionByName(witness)
     // doubling: a grid graph's core-core component diameter grows with
     // the grid, so one-hop propagation (diameter rounds) is the wrong
     // loop here — path halving converges in O(log diameter) rounds
-    val cc = Dedup.clusters(corePairs, doubling = true)
+    val cc = Dedup.clusters(coreEdges, doubling = true)
       .select(col("doc_id").as("id"), col("cluster_id").as("cluster"))
     val coreClusters = coreIds.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
@@ -98,5 +123,126 @@ object Spatial {
       .groupBy("id").agg(min(col("cluster")).as("cluster"))
     coreClusters.withColumn("role", lit("core"))
       .unionByName(borderClusters.withColumn("role", lit("border")))
+  }
+
+  /** Exact per-candidate-ε density statistics over the grid index — the
+    * knob probe a 100 TB DBSCAN run consults BEFORE paying for a pair
+    * join. A point's in-radius neighbors all live in its 3×3 cell block
+    * at cell width r, so `Σ_cell n_c·(block9_c − 1)` is a sound integer
+    * upper bound on the total neighbor count and `mean_nb_ub` bounds
+    * the mean degree the pair join would materialize. Per candidate the
+    * probe costs ONE cell-count aggregate plus a 9-way block sum on the
+    * (tiny) cell table — linear scan work, no pair is ever generated.
+    *
+    * Emits per r: cell census, `mean_nb_ub`, the deterministic sample
+    * rate `rate_ppm = min(1e6, target·1e6 div (mean_nb_ub+1))` that
+    * [[dbscanCapped]] would apply at this ε, and `recommended` marking
+    * the largest candidate whose bound meets the target (falling back
+    * to the smallest candidate when the space is under-resolved for N —
+    * the saturation signal that says "re-quantize finer or cap").
+    * All integer arithmetic: any SQL engine replays it bit-exactly.
+    */
+  def densityProbe(pts: DataFrame, idCol: String, xCol: String,
+                   yCol: String, ladder: Seq[Long],
+                   targetMeanNb: Long): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1) && targetMeanNb >= 1)
+    val p = pts.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint(false)
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val perR = ladder.distinct.sorted.map { r =>
+      val c = p.groupBy(expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+        .agg(count(lit(1)).as("n"))
+      val blk = c.select(col("n"), explode(array(offsets: _*)).as("o"),
+          col("cx"), col("cy"))
+        .groupBy((col("cx") + col("o.ox")).as("bx"), (col("cy") + col("o.oy")).as("by"))
+        .agg(sum(col("n")).as("bn"))
+      c.join(blk, col("cx") === col("bx") && col("cy") === col("by"))
+        .agg(sum(col("n")).as("n_points"),
+          count(lit(1)).as("n_cells"),
+          max(col("n")).as("max_cell_pts"),
+          sum(col("n") * (col("bn") - 1)).as("nb_bound_sum"))
+        .select(lit(r).as("r"), col("n_points"), col("n_cells"),
+          col("max_cell_pts"), col("nb_bound_sum"))
+    }.reduce(_ unionByName _)
+    val stats = perR
+      .withColumn("mean_nb_ub", expr("nb_bound_sum div n_points"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr(s"(${targetMeanNb}L * 1000000L) div (mean_nb_ub + 1L)")))
+    // the pick is a 1-row aggregate over ≤|ladder| rows — broadcast,
+    // never a wide window
+    val best = stats.agg(coalesce(
+      max(when(col("mean_nb_ub") <= targetMeanNb, col("r"))),
+      min(col("r"))).as("rec_r"))
+    stats.crossJoin(broadcast(best))
+      .withColumn("recommended", col("r") === col("rec_r"))
+      .drop("rec_r")
+  }
+
+  /** Density-CAPPED DBSCAN labeling: the bounded-work variant of
+    * [[dbscanLabel]] for spaces too dense for the exact pair join (on
+    * the bounded synthetic grid, 10× data = 10× density = ~100× pairs;
+    * at 100 TB an under-resolved quantizer does the same). One exact
+    * integer probe bounds the mean degree, a deterministic salted-hash
+    * Bernoulli sample caps it at `targetMeanNb` (rate = target/bound,
+    * exact ppm), and the pair join runs all-points × SAMPLE — |pts| ×
+    * target work, linear at any density. Core demands `minPts·rate`
+    * sampled neighbors (the unbiased threshold scale, floor, min 1);
+    * border = non-core with a sampled core in radius. When the probe
+    * says the density already meets the target the rate saturates at
+    * 1e6 and the output is EXACTLY [[dbscanLabel]]'s (spec-pinned) —
+    * the cap only ever engages where the exact operator would blow up.
+    *
+    * Everything downstream of the probe is driven by two integers
+    * (rate_ppm, minPts_eff) computed from exact counts — a SQL oracle
+    * replays the whole pipeline including the sample membership.
+    */
+  def dbscanCapped(pts: DataFrame, idCol: String, xCol: String,
+                   yCol: String, r: Long, minPts: Int,
+                   targetMeanNb: Long, salt: String): DataFrame = {
+    require(minPts >= 1 && targetMeanNb >= 1)
+    val p = pts.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint(false)
+    // exact degree bound (the densityProbe aggregate at this ε): one
+    // tiny collect — two scalars steer the plan, never data
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val c = p.groupBy(expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+      .agg(count(lit(1)).as("n"))
+    val blk = c.select(col("n"), explode(array(offsets: _*)).as("o"),
+        col("cx"), col("cy"))
+      .groupBy((col("cx") + col("o.ox")).as("bx"), (col("cy") + col("o.oy")).as("by"))
+      .agg(sum(col("n")).as("bn"))
+    val st = c.join(blk, col("cx") === col("bx") && col("cy") === col("by"))
+      .agg(sum(col("n")).as("np"), sum(col("n") * (col("bn") - 1)).as("nb"))
+      .collect()(0)
+    val nPoints = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val meanNbUb = if (nPoints == 0L) 0L else st.getLong(1) / nPoints
+    val ratePpm = math.min(1000000L, targetMeanNb * 1000000L / (meanNbUb + 1L))
+    val minPtsEff = math.max(1L, minPts * ratePpm / 1000000L)
+    // salted-hash membership (the Sampling.bernoulli draw, integer-ppm
+    // threshold so Spark and the oracle floor identically)
+    val thr = ratePpm * 4294967296L / 1000000L
+    val inSample = graft.functions.HashFunctions
+      .hash32(col("id").cast("string"), salt) < lit(thr)
+    val sampled = p.where(inSample)
+    val pairs = RangeJoin.gridNeighborJoinAB(p, sampled, "id", "x", "y", r)
+      .localCheckpoint(false)
+    val nnb = p.select(col("id"), inSample.as("sampled"))
+      .join(pairs.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("n_nb")),
+        Seq("id"), "left")
+      .select(col("id"), col("sampled"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
+    val coreIds = nnb.where(col("sampled") && col("n_nb") >= minPtsEff)
+      .select(col("id").as("id_b"))
+    val hasCoreNb = pairs.join(coreIds, Seq("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .withColumn("has_core_nb", lit(true))
+    nnb.join(hasCoreNb, Seq("id"), "left")
+      .select(col("id"), col("sampled"), col("n_nb"),
+        when(col("sampled") && col("n_nb") >= minPtsEff, lit("core"))
+          .when(col("has_core_nb"), lit("border"))
+          .otherwise(lit("noise")).as("label"))
   }
 }

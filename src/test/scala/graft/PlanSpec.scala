@@ -154,7 +154,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("spatial grid join and DBSCAN plan as cell equi-joins, never a nested loop") {
-    for (q <- Seq("q_spatial_join", "q_dbscan_core", "q_dbscan_cluster")) {
+    for (q <- Seq("q_spatial_join", "q_dbscan_core", "q_dbscan_cluster",
+        "q_dbscan_capped")) {
       val plan = explain(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q: the 3x3 grid block must make proximity an equi-join on (cx, cy):\n$plan")
