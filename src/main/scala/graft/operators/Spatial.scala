@@ -32,10 +32,17 @@ object Spatial {
   def dbscanLabel(pts: DataFrame, idCol: String, xCol: String,
                   yCol: String, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1)
-    // lazy localCheckpoint: the pair list is read by both the neighbor
-    // count and the border-detection join — one grid join, not two
+    // the pair list is read by both the neighbor count and the
+    // border-detection join but is NOT checkpointed: at high density
+    // it is the quadratic object in the query, and pinning it in
+    // MEMORY_AND_DISK blocks starved the unified region's execution
+    // pool — measured at sf1: the neighbor-count hash aggregate died
+    // on UNABLE_TO_ACQUIRE_MEMORY at 16 g with the checkpoint, runs
+    // clean without it. The grid join is a pure-codegen fan-out of two
+    // tiny inputs, so recomputing it per consumer trades cheap CPU for
+    // the memory that the aggregates actually need — the right trade
+    // wherever the intermediate dwarfs its inputs.
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
-      .localCheckpoint(false)
     // each undirected pair once from the join → both directions for
     // per-point counting (cheap select+union, no extra shuffle yet)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
@@ -69,12 +76,12 @@ object Spatial {
   def dbscanCluster(pts: DataFrame, idCol: String, xCol: String,
                     yCol: String, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1)
-    // lazy localCheckpoint: the pair list feeds core detection and
-    // border attachment — without a reuse point the grid join would
-    // recompute per branch (same tradeoff as Triangles; the CC loop
-    // inside keeps its own reliable checkpoints)
+    // the pair list feeds core detection and border attachment but is
+    // NOT checkpointed — same reasoning as [[dbscanLabel]]: pinning the
+    // quadratic object starves the aggregates' execution memory, while
+    // the grid join is cheap codegen to recompute. The SMALL derived
+    // tables (coreIds, the CC labels) are the reuse points.
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
-      .localCheckpoint(false)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val coreIds = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
