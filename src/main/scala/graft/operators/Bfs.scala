@@ -61,6 +61,14 @@ object Bfs {
       .localCheckpoint(false)
     var frontier: DataFrame = visited.select(col("seed"), col("node"))
     for (h <- 1 to maxHops) {
+      // Joins deliberately stay SORT-MERGE: shuffle-hash was measured
+      // at sf1 (r10) and REJECTED — hinting either side grew spill
+      // (disk 0.91 → 1.24 GB, mem 14.3 → 20.1 GB; the spillable hash
+      // builds of the per-round edge/visited partitions cost more than
+      // the sorts). The residual ~0.9 GB sf1 spill lives in the
+      // per-round distinct over the expanded frontier — seeds ×
+      // frontier fan-in, inherent to multi-source BFS and bounded by
+      // the visited set.
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(visited, Seq("seed", "node"), "left_anti")

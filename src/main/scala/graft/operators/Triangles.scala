@@ -60,10 +60,17 @@ object Triangles {
     // so collect_list is bounded regardless of true degrees
     val adj = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    // SHUFFLE_HASH, not sort-merge: the probe rows carry the adjacency
+    // ARRAYS, and SMJ must externally sort those fat rows — measured
+    // 2.9 GB of sf1 disk spill in exactly these two joins. A shuffled
+    // hash join builds on the (node, nbrs) side — one bounded hash map
+    // per partition — and streams the probe side unsorted; no order is
+    // needed downstream, so the sort was pure waste. (Broadcast is the
+    // wrong fix: adjacency grows with the graph.)
     val tri = oriented
-      .join(adj.select(col("s"), col("nbrs").as("au")), "s")
+      .join(adj.select(col("s"), col("nbrs").as("au")).hint("shuffle_hash"), "s")
       // endpoints with no out-edges close nothing: inner join prunes them
-      .join(adj.select(col("s").as("t"), col("nbrs").as("av")), "t")
+      .join(adj.select(col("s").as("t"), col("nbrs").as("av")).hint("shuffle_hash"), "t")
       .select(col("s").as("a"), col("t").as("b"),
         explode(array_intersect(col("au"), col("av"))).as("w"))
     tri.select(explode(array(col("a"), col("b"), col("w"))).as("node"))
