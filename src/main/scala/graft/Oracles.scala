@@ -232,6 +232,15 @@ object Oracles {
     (0 until 8).map(j => s"(instr('$hex', substr(md5($t), ${1 + 8 * half + j}, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
 
+  /** Fixed hash-order ANN query budget — the SQL replay of the Spark
+    * side's `annQueries` (Sampling.hashOrderIds over the mod-selected
+    * vec ids). Appended to every retrieval twin's query filter.
+    */
+  private def annQIn(idExpr: String): String =
+    s"$idExpr % $AnnQueryMod = 0 AND $idExpr IN (SELECT vec_id FROM embeddings " +
+    s"WHERE vec_id % $AnnQueryMod = 0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id " +
+    s"LIMIT $AnnQueryBudget)"
+
   /** SimHash candidate-pair CTEs with `p`-prefixed names so they compose
     * with the minhash CTE family (whose `tok` is shingle-level); ends in
     * `<p>pairs` (doc_a, doc_b). Requires `toks` upstream.
@@ -376,7 +385,7 @@ object Oracles {
        |FROM customer GROUP BY 1""".stripMargin
 
   def annBruteTopK: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $AnnQueryMod = 0),
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE ${annQIn("vec_id")}),
        |sc AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosExpr("qv", "c.embedding")} AS cos
        |  FROM q, embeddings c WHERE c.vec_id <> query_id)
        |SELECT query_id, neighbor_id, cos, rnk FROM (
@@ -405,7 +414,7 @@ object Oracles {
     s"""WITH $ivfAsgCtes,
        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id % $AnnQueryMod = 0),
+       |  WHERE ${annQIn("q.vec_id")}),
        |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id
        |  JOIN embeddings eb ON eb.vec_id = neighbor_id)
@@ -427,7 +436,7 @@ object Oracles {
     */
   private def recallCompareSql: String =
     s"""bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-       |  WHERE vec_id % $AnnQueryMod = 0),
+       |  WHERE ${annQIn("vec_id")}),
        |be AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
@@ -489,7 +498,7 @@ object Oracles {
     */
   def annMrlRecallEval: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
-       |  WHERE vec_id % $AnnQueryMod = 0),
+       |  WHERE ${annQIn("vec_id")}),
        |co AS (SELECT query_id, c.vec_id AS neighbor_id,
        |    ${cosExprN("q.e", "c.embedding", MrlDims)} AS ccos
        |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
@@ -515,7 +524,7 @@ object Oracles {
     s"""WITH ${embBandCtes},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM bl q JOIN bl c ON q.band_id = c.band_id AND q.bv = c.bv AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id % $AnnQueryMod = 0),
+       |  WHERE ${annQIn("q.vec_id")}),
        |lsc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id JOIN embeddings eb ON eb.vec_id = neighbor_id),
        |ia AS (SELECT query_id, neighbor_id FROM (
@@ -544,7 +553,7 @@ object Oracles {
   private def ivfProbeCtes: String = {
     val cellRows = (0 until IvfCells)
       .map(c => s"SELECT vec_id, $c AS cell, cd$c AS d FROM qc").mkString(" UNION ALL ")
-    s"""qc AS (SELECT * FROM cd WHERE vec_id % $AnnQueryMod = 0),
+    s"""qc AS (SELECT * FROM cd WHERE ${annQIn("vec_id")}),
        |pr AS (SELECT vec_id AS query_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
        |  FROM ($cellRows)) WHERE cr <= $IvfNprobe),
@@ -634,7 +643,7 @@ object Oracles {
        |${kmeansAsgCte(KmeansIters)},
        |pq AS (SELECT vec_id AS query_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
-       |  FROM d$KmeansIters WHERE vec_id % $AnnQueryMod = 0) WHERE cr <= $IvfNprobe),
+       |  FROM d$KmeansIters WHERE ${annQIn("vec_id")}) WHERE cr <= $IvfNprobe),
        |cand AS (SELECT pq.query_id, c.vec_id AS neighbor_id
        |  FROM pq JOIN asg$KmeansIters c ON c.cell = pq.cell AND c.vec_id <> pq.query_id),
        |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
@@ -773,7 +782,7 @@ object Oracles {
       s"WHEN ${m * PqK + ci} THEN ($dot - (${c.map(x => x * x).sum / 2}))"
     }).mkString(" ")
     s"""g AS (SELECT unnest(range(0, ${PqSub * PqK})) AS gi),
-       |lq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % $AnnQueryMod = 0),
+       |lq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE ${annQIn("vec_id")}),
        |lut AS (SELECT query_id, CAST(gi // $PqK AS BIGINT) AS m, CAST(gi % $PqK AS BIGINT) AS code,
        |  CASE gi $branches END AS part FROM lq CROSS JOIN g)""".stripMargin
   }
@@ -1014,7 +1023,7 @@ object Oracles {
     */
   def annMrlTopK: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
-       |  WHERE vec_id % $AnnQueryMod = 0),
+       |  WHERE ${annQIn("vec_id")}),
        |co AS (SELECT query_id, c.vec_id AS neighbor_id,
        |    ${cosExprN("q.e", "c.embedding", MrlDims)} AS ccos
        |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
@@ -1058,7 +1067,7 @@ object Oracles {
     s"""WITH ${embBandCtes},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM bl q JOIN bl c ON q.band_id = c.band_id AND q.bv = c.bv AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id % $AnnQueryMod = 0),
+       |  WHERE ${annQIn("q.vec_id")}),
        |sc AS (SELECT query_id, neighbor_id, ${cosExpr("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand JOIN embeddings ea ON ea.vec_id = query_id JOIN embeddings eb ON eb.vec_id = neighbor_id)
        |SELECT query_id, neighbor_id, cos, rnk FROM (

@@ -44,6 +44,12 @@ object Params {
   val PcaIters = 3     // power-iteration rounds for the top component
   val PqK = 16         // codes per subspace (4-bit nibbles)
   val AnnQueryMod = 50 // query set = vec_id % AnnQueryMod == 0
+  // FIXED query budget for the ANN retrieval demos (hash-order subset
+  // of the mod-selected ids; = the full sf0.1 population, so the gate
+  // and sf<=0.1 benches are unchanged). Queries as a corpus fraction
+  // made demo work grow N^2 — measured 99.7x wall at sf1->sf10 for
+  // emb_ivf_pq_adc; a fixed external workload is the honest contract.
+  val AnnQueryBudget = 40
   val MrlDims = 16     // Matryoshka coarse-prefix width
   val MrlPool = 30     // rerank pool per query
 

@@ -97,6 +97,22 @@ object SparkEntry {
       .replace("__GRAFT_EXPFEAT__", expFeatRoot(dir))
       .replace("__GRAFT_EXPAHASH__", expAhashRoot(dir))
 
+  /** ANN demo query set: the fixed hash-order budget over the
+    * mod-selected vec ids. Queries were a corpus FRACTION, so every
+    * retrieval demo's query×corpus work grew ∝ N² — measured at the
+    * second decade (sf1→sf10): emb_ivf_pq_adc 99.7×, ann_ivf_topk
+    * 31.5× wall on 10× data. A fixed budget models the real contract
+    * (an external query workload over a growing corpus) and caps the
+    * demos at budget×(N/cells) = linear; per-query cost at fixed cell
+    * count remains ∝ N/cells — the cell count is the documented 100 TB
+    * lever. Budget = the full sf0.1 population, so sf≤0.1 results are
+    * unchanged and the driver gate certifies the same queries as ever.
+    */
+  private def annQueries(emb: DataFrame): DataFrame =
+    emb.join(broadcast(Sampling.hashOrderIds(
+      emb.where(col("vec_id") % AnnQueryMod === 0), "vec_id",
+      AnnQueryBudget, "vec_id")), Seq("vec_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 ETL core ----
@@ -1146,7 +1162,7 @@ object SparkEntry {
     // ---- §2.4 similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.bruteForceTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
@@ -1154,19 +1170,19 @@ object SparkEntry {
       // Matryoshka two-stage: rank every corpus row in the 16-dim
       // prefix, exact-rerank a 30-candidate pool at full width
       val emb = t(s, dir, "embeddings")
-      Similarity.mrlTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.mrlTopK(annQueries(emb), emb,
           "vec_id", "embedding", MrlDims, MrlPool, AnnK)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.lshTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, EmbPlanes, EmbBands, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.ivfTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, IvfCells, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
@@ -1174,7 +1190,7 @@ object SparkEntry {
       // the recall knob: same inverted-file layout, each query probes its
       // IvfNprobe nearest cells instead of one
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.ivfTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
@@ -1183,7 +1199,7 @@ object SparkEntry {
       // the exact brute-force ground truth, per query + micro-average —
       // the number that justifies (or rejects) the cheap index
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      val q = annQueries(emb)
       Similarity.recallEval(
         Similarity.ivfTopK(q, emb, "vec_id", "embedding", AnnK, IvfCells,
           EmbDims, IvfNprobe),
@@ -1227,7 +1243,7 @@ object SparkEntry {
       // how much recall the 16-dim Matryoshka prefix + 30-pool rerank
       // gives up vs exact search — the prefix-width tuning evidence
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      val q = annQueries(emb)
       Similarity.recallEval(
         Similarity.mrlTopK(q, emb, "vec_id", "embedding", MrlDims, MrlPool, AnnK),
         Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", AnnK), AnnK)
@@ -1236,7 +1252,7 @@ object SparkEntry {
       // the LSH bucket recall — completes the recall-eval family
       // (IVF / PQ / MRL / LSH all scored against one ground truth)
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      val q = annQueries(emb)
       Similarity.recallEval(
         Similarity.lshTopK(q, emb, "vec_id", "embedding", AnnK,
           EmbPlanes, EmbBands, EmbDims),
@@ -1246,7 +1262,7 @@ object SparkEntry {
       // the question PQ compression must answer: how much recall does
       // 8×4-bit lossy coding give up vs exact search
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % AnnQueryMod === 0)
+      val q = annQueries(emb)
       val codes = Similarity.pqCodes(emb, "vec_id", "embedding", PqSub, PqK, EmbDims)
       Similarity.recallEval(
         Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", AnnK,
@@ -1258,7 +1274,7 @@ object SparkEntry {
       // only, no float vectors on the corpus side
       val emb = t(s, dir, "embeddings")
       val codes = Similarity.pqCodes(emb, "vec_id", "embedding", PqSub, PqK, EmbDims)
-      Similarity.pqAdcTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), codes,
+      Similarity.pqAdcTopK(annQueries(emb), codes,
           "vec_id", "embedding", AnnK, PqSub, PqK, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
     }),
@@ -1266,7 +1282,7 @@ object SparkEntry {
       // IVF+PQ: probe nprobe cells, ADC-score only their codes — float
       // vectors touched once at index build, never on the search path
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.ivfPqTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe, PqSub, PqK)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
     }),
@@ -1276,7 +1292,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val (cents2, _, _) = Similarity.kmeansFit(emb, "embedding",
         H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
-      Similarity.ivfTopKWith(emb.filter(col("vec_id") % AnnQueryMod === 0), emb,
+      Similarity.ivfTopKWith(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, cents2, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
