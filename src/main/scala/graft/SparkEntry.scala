@@ -695,7 +695,9 @@ object SparkEntry {
         .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
       g.crossJoin(broadcast(g.agg(sum(col("rev_cents")).as("__t"))))
         .select(col("o_orderpriority"), col("rev_cents"),
-          expr("rev_cents * 1000000L div __t").as("share_ppm"))
+          // per-priority cents reach ~7.5e13 at sf10 — DECIMAL(38,0)
+          // keeps the ppm product exact at any decade
+          expr("CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div __t").as("share_ppm"))
     }),
     "q_nested_explode" -> ((s, dir) => {
       // document-model roundtrip: orders nest into a per-customer sorted
@@ -1910,9 +1912,14 @@ object SparkEntry {
       val cum = operators.GlobalRank.globalCumsum(cust,
         Seq(col("rev").desc, col("o_custkey").asc), col("rev"), "gcum")
       val tot = broadcast(cust.agg(sum(col("rev")).as("trev")))
+      // DECIMAL(38,0) products: gcum tops out at trev (total revenue
+      // CENTS — 3.75e13 at sf1), so gcum·1e6 wraps int64 one decade up
+      // from the gate; found by the r10 sf1 census as a loud ANSI
+      // ARITHMETIC_OVERFLOW. div returns BIGINT, values identical
+      // wherever the long path fit.
       cum.crossJoin(tot)
         .select(col("o_custkey"), col("rev"),
-          expr("gcum * 1000000 div trev").as("cum_ppm"))
+          expr("CAST(gcum AS DECIMAL(38,0)) * 1000000 div trev").as("cum_ppm"))
         .select(col("rev"),
           when(col("cum_ppm") <= 800000L, "A")
             .when(col("cum_ppm") <= 950000L, "B").otherwise("C").as("abc"))
@@ -1920,7 +1927,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_cents"))
         .crossJoin(tot)
         .select(col("abc"), col("n_customers"), col("rev_cents"),
-          expr("rev_cents * 1000000 div trev").as("share_ppm"))
+          expr("CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div trev").as("share_ppm"))
     }),
     "q_lorenz" -> ((s, dir) => {
       // Lorenz curve deciles: customers ranked by revenue ascending,
@@ -1943,7 +1950,9 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perDec.withColumn("__cum", sum(col("rev_cents")).over(w))
         .select(col("decile"), col("n"), col("rev_cents"),
-          expr("__cum * 1000000 div __t").as("cum_share_ppm"))
+          // same int64 envelope as q_abc_class: cum cents × 1e6 wraps
+          // at sf1 — DECIMAL(38,0) product, div returns BIGINT
+          expr("CAST(__cum AS DECIMAL(38,0)) * 1000000 div __t").as("cum_share_ppm"))
     }),
     "events_zscore_alerts" -> ((s, dir) =>
       // batch twin of the streaming z-alert: cumulative prior stats per

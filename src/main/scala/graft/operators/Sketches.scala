@@ -713,12 +713,16 @@ object Sketches {
     val ranked = GlobalRank.globalRank(
       df.select(key.as("__k"), value.cast("long").as("__x")),
       Seq(col("__x").asc, col("__k").asc))
+    // DECIMAL(38,0) moments: Σ rank·x reaches n·total ≈ 5.6e18 at sf1
+    // and wraps int64 at sf10 (as does the n·total denominator) — the
+    // decimal sums stay exact and the ONE double divide at the end is
+    // value-identical wherever the long path fit (r10 envelope audit)
     ranked.agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
-        sum(col("grank") * col("__x")).as("__s1"))
+        sum(col("grank").cast("decimal(38,0)") * col("__x")).as("__s1"))
       .select(col("n"), col("total"),
         floor(lit(1000000.0) *
-          ((lit(2L) * col("__s1") - (col("n") + 1) * col("total")).cast("double")
-            / (col("n") * col("total")).cast("double")))
+          ((lit(2L) * col("__s1") - (col("n") + 1) * col("total").cast("decimal(38,0)")).cast("double")
+            / (col("n") * col("total").cast("decimal(38,0)")).cast("double")))
           .cast("long").as("gini_ppm"))
   }
 
