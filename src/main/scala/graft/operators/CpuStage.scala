@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
 
 /** Parallelism floor ahead of CPU-bound per-row stages.
@@ -34,10 +35,16 @@ object CpuStage {
     * without ever touching `.rdd`.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val narrowOnly = df.queryExecution.analyzed.collectFirst {
+    // narrow NODES only — and no subquery EXPRESSIONS either: a
+    // Project/Filter carrying a scalar subquery over a join/shuffle
+    // would pass the node walk yet make `.rdd` eagerly execute that
+    // subquery, the exact eager-execution problem this gate avoids
+    val analyzed = df.queryExecution.analyzed
+    val narrowOnly = analyzed.collectFirst {
       case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
         !p.isInstanceOf[SubqueryAlias] && !p.isInstanceOf[LeafNode] => p
-    }.isEmpty
+    }.isEmpty && !analyzed.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
     if (!narrowOnly) df
     else {
       val n = df.sparkSession.sessionState.conf.numShufflePartitions

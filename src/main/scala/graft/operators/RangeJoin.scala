@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** FLOOR-division grid cell id for an integer coordinate column —
+    * `floor(col / r)` in exact int64 arithmetic (`pmod` keeps the
+    * remainder non-negative, so the subtraction lands on an exact
+    * multiple of r and `div` never rounds). Truncating `div` alone is
+    * WRONG here for negative coordinates: it merges cells −0 and +0
+    * into one cell of width 2r−1, which silently breaks the
+    * "same-cell ⇒ within Chebyshev r" invariant the sparsified-CC
+    * consumers ([[graft.operators.Spatial.dbscanCluster]]) rely on —
+    * for r ≥ 3 two same-cell points could be 2(r−1) > r apart. With
+    * floor division every cell spans exactly r, any coordinate sign.
+    */
+  private[operators] def cell(colName: String, r: Long): Column =
+    expr(s"($colName - pmod($colName, ${r}L)) div ${r}L")
+
   /** Join each point row to every interval row whose [lo, hi) contains
     * its value. Columns are referenced by name; both inputs keep all
     * their columns in the output.
@@ -108,9 +122,9 @@ object RangeJoin {
     * on its own cell — each candidate pair meets exactly once (the
     * right side's cell is unique), then the exact |dx|,|dy| filter
     * decides. Work is bounded by points-per-cell density, never a
-    * cartesian; a hot cell is ordinary equi-join skew (AQE). Integer
-    * coordinates must be non-negative (floor-div cell ids stay exact);
-    * shift upstream if needed. Emits (id_a, id_b, dx, dy), id_a < id_b.
+    * cartesian; a hot cell is ordinary equi-join skew (AQE). Cell ids
+    * are exact-integer FLOOR division ([[cell]]), so coordinates of
+    * any sign are safe. Emits (id_a, id_b, dx, dy), id_a < id_b.
     */
   def gridNeighborJoin(pts: DataFrame, idCol: String, xCol: String,
                        yCol: String, r: Long): DataFrame = {
@@ -118,11 +132,11 @@ object RangeJoin {
     val p = pts.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     val right = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
-      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+      cell("x", r).as("cx"), cell("y", r).as("cy"))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
     val left = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
-        expr(s"x div ${r}L").as("bx"), expr(s"y div ${r}L").as("by"),
+        cell("x", r).as("bx"), cell("y", r).as("by"),
         explode(array(offsets: _*)).as("o"))
       .select(col("id_a"), col("xa"), col("ya"),
         (col("bx") + col("o.ox")).as("cx"), (col("by") + col("o.oy")).as("cy"))
@@ -147,16 +161,16 @@ object RangeJoin {
     require(r >= 1)
     val b = ptsB.select(col(idCol).cast("long").as("id_b"),
       col(xCol).cast("long").as("xb"), col(yCol).cast("long").as("yb"))
-      .withColumn("cx", expr(s"xb div ${r}L"))
-      .withColumn("cy", expr(s"yb div ${r}L"))
+      .withColumn("cx", cell("xb", r))
+      .withColumn("cy", cell("yb", r))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
     val a = ptsA.select(col(idCol).cast("long").as("id_a"),
         col(xCol).cast("long").as("xa"), col(yCol).cast("long").as("ya"),
         explode(array(offsets: _*)).as("o"))
       .select(col("id_a"), col("xa"), col("ya"),
-        (expr(s"xa div ${r}L") + col("o.ox")).as("cx"),
-        (expr(s"ya div ${r}L") + col("o.oy")).as("cy"))
+        (cell("xa", r) + col("o.ox")).as("cx"),
+        (cell("ya", r) + col("o.oy")).as("cy"))
     a.join(b, Seq("cx", "cy"))
       .where(col("id_a") =!= col("id_b") &&
         abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
@@ -176,11 +190,11 @@ object RangeJoin {
     val p = pts.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     val right = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
-      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+      cell("x", r).as("cx"), cell("y", r).as("cy"))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
     val left = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
-        expr(s"x div ${r}L").as("bx"), expr(s"y div ${r}L").as("by"),
+        cell("x", r).as("bx"), cell("y", r).as("by"),
         explode(array(offsets: _*)).as("o"))
       .select(col("id_a"), col("xa"), col("ya"), col("bx"), col("by"),
         (col("bx") + col("o.ox")).as("cx"), (col("by") + col("o.oy")).as("cy"))

@@ -89,13 +89,19 @@ object Spatial {
       .localCheckpoint(false)
     // CONNECTIVITY-PRESERVING SPARSIFICATION of the core-core ε-graph
     // (r10; was: the raw exploded core-core pair list, whose 10×-data
-    // census cost was a 19.9 GB shuffle REPEATED every CC round). At
-    // cell width r every two same-cell points are within Chebyshev r
-    // (|Δ| ≤ r−1), so a cell's cores form a TRUE clique — a star to the
-    // cell's min core spans it exactly; and because a whole cell is one
-    // component, every cross-cell edge bundle between two cells merges
-    // the same two components — ONE true witness edge per cell pair
-    // suffices. Components are provably identical (spec-pinned) while
+    // census cost was a 19.9 GB shuffle REPEATED every CC round). Cell
+    // ids are FLOOR division (RangeJoin.cell — truncating div would
+    // merge cells ±0 into a 2r−1-wide cell for negative coordinates and
+    // silently union non-adjacent clusters), so at cell width r every
+    // two same-cell points are within Chebyshev r (|Δ| ≤ r−1) for any
+    // coordinate sign: a cell's cores form a TRUE clique — a star to
+    // the cell's min core spans it exactly; and because a whole cell is
+    // one component, every cross-cell edge bundle between two cells
+    // merges the same two components — ONE witness edge per UNORDERED
+    // cell pair suffices (the key is normalized with least/greatest:
+    // the raw join orients (ca,cb) by id order, so one unordered cell
+    // pair can arrive under both orientations).
+    // Components are provably identical (spec-pinned) while
     // the CC loop's edge table drops from O(density·N) to
     // O(N + cell pairs). The witness min-aggregate collapses the
     // quadratic pair stream MAP-SIDE (partial agg per task) — the full
@@ -104,7 +110,7 @@ object Spatial {
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .join(coreIds, Seq("id"))
     val coreCells = corePts.select(col("id"),
-      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+      RangeJoin.cell("x", r).as("cx"), RangeJoin.cell("y", r).as("cy"))
     val cellMin = coreCells.groupBy(col("cx"), col("cy"))
       .agg(min(col("id")).as("m"))
     val intraStar = coreCells.join(cellMin, Seq("cx", "cy"))
@@ -113,7 +119,10 @@ object Spatial {
     val witness = RangeJoin
       .gridNeighborJoinWithCells(corePts, "id", "x", "y", r)
       .where(col("cax") =!= col("cbx") || col("cay") =!= col("cby"))
-      .groupBy(col("cax"), col("cay"), col("cbx"), col("cby"))
+      .withColumn("ca", struct(col("cax").as("u"), col("cay").as("v")))
+      .withColumn("cb", struct(col("cbx").as("u"), col("cby").as("v")))
+      .groupBy(least(col("ca"), col("cb")).as("c1"),
+        greatest(col("ca"), col("cb")).as("c2"))
       .agg(min(struct(col("id_a"), col("id_b"))).as("w"))
       .select(col("w.id_a").as("doc_a"), col("w.id_b").as("doc_b"))
     val coreEdges = intraStar.unionByName(witness)
@@ -159,7 +168,7 @@ object Spatial {
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
     val perR = ladder.distinct.sorted.map { r =>
-      val c = p.groupBy(expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+      val c = p.groupBy(RangeJoin.cell("x", r).as("cx"), RangeJoin.cell("y", r).as("cy"))
         .agg(count(lit(1)).as("n"))
       val blk = c.select(col("n"), explode(array(offsets: _*)).as("o"),
           col("cx"), col("cy"))
@@ -216,7 +225,7 @@ object Spatial {
     // tiny collect — two scalars steer the plan, never data
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
-    val c = p.groupBy(expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+    val c = p.groupBy(RangeJoin.cell("x", r).as("cx"), RangeJoin.cell("y", r).as("cy"))
       .agg(count(lit(1)).as("n"))
     val blk = c.select(col("n"), explode(array(offsets: _*)).as("o"),
         col("cx"), col("cy"))

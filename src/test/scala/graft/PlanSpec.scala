@@ -803,6 +803,27 @@ class PlanSpec extends SparkSpec {
         s"${offenders.toSeq.sortBy(_._1)}")
   }
 
+  test("CpuStage.fanOut: identity on plans carrying a scalar subquery (no eager exec)") {
+    // ADVICE r10: a Project/Filter over a leaf scan whose EXPRESSIONS
+    // hold a scalar subquery over a join/aggregate used to pass the
+    // narrow-node walk, and the `.rdd` width probe would eagerly run
+    // that subquery. The gate must treat such plans as non-narrow and
+    // return them untouched (no repartition appended, no job run).
+    val li = Tables.load(spark, sfDir, "lineitem")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    val df = li.select(col("l_orderkey"),
+      expr("(SELECT max(o_orderkey) FROM orders)").as("mx"))
+    val out = graft.operators.CpuStage.fanOut(df)
+    assert(out eq df, "plan with a subquery expression must be returned as-is")
+    // and a plain narrow projection still gets the width floor applied
+    // (or identity if already wide) — the normal path keeps working
+    val narrow = li.select(col("l_orderkey"))
+    val widened = graft.operators.CpuStage.fanOut(narrow)
+    assert(widened.rdd.getNumPartitions >=
+      math.min(narrow.rdd.getNumPartitions,
+        spark.sessionState.conf.numShufflePartitions))
+  }
+
   test("global-window detector catches a deliberately global fact-sized window") {
     // negative control: the detector the budget test relies on must
     // actually fire on the anti-pattern it polices

@@ -60,6 +60,46 @@ class SpatialDensitySpec extends SparkSpec {
     assert(multi, "fixture degenerated to single-cell components")
   }
 
+  test("negative coordinates: floor-div cells keep distant clusters apart (r=3)") {
+    // Regression for the truncating-div cell bug: trunc(x/3) maps both
+    // x=-2 and x=2 to cell 0 (a merged ±0 cell of width 2r-1), so the
+    // intra-cell star would union these two clusters even though their
+    // Chebyshev distance is 4 > r. Floor division puts them in cells
+    // -1 and 0 with no in-radius cross pair → two components.
+    val pts = Seq((1L, -2L, 0L), (2L, -2L, 1L), (3L, -2L, 2L),
+      (4L, 2L, 0L), (5L, 2L, 1L), (6L, 2L, 2L)).toDF("id", "x", "y")
+    val got = Spatial.dbscanCluster(pts, "id", "x", "y", r = 3L, minPts = 2)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(got.forall(_._3 == "core"))
+  }
+
+  test("negative coordinates: dbscanCluster == brute force on the shifted fixture") {
+    // Chebyshev distance is translation-invariant, so shifting every
+    // point by a negative offset must reproduce the unshifted result
+    // exactly (same ids, same min-id cluster labels, same roles).
+    val (wantCluster, wantRole) = bruteDbscan()
+    val shifted = ptsSeq.map { case (i, x, y) => (i, x - 11L, y - 9L) }
+    val got = Spatial.dbscanCluster(shifted.toDF("id", "x", "y"),
+        "id", "x", "y", r, minPts)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getString(2)))
+    assert(got.map(_._1).toSet === wantRole.keySet)
+    got.foreach { case (id, cl, role) =>
+      assert(cl === wantCluster(id), s"cluster for $id")
+      assert(role === wantRole(id), s"role for $id")
+    }
+    // and the capped labeler with a saturating target still degrades to
+    // the exact labeler on negative coordinates
+    val capped = Spatial.dbscanCapped(shifted.toDF("id", "x", "y"),
+        "id", "x", "y", r, minPts, targetMeanNb = 1000000L, salt = "t")
+      .select("id", "n_nb", "label").as[(Long, Long, String)].collect().toSet
+    val exact = Spatial.dbscanLabel(shifted.toDF("id", "x", "y"),
+        "id", "x", "y", r, minPts)
+      .as[(Long, Long, String)].collect().toSet
+    assert(capped === exact)
+  }
+
   test("densityProbe: exact integer bounds, rates, and the recommendation rule") {
     // 4 points in one r=2 cell + 1 far point: at r=2, cells {(0,0):4, (5,5):1};
     // no adjacent occupied cells → block9 = own cell.
