@@ -1498,8 +1498,11 @@ object SparkEntry {
       // independent, engine-identical), then each moment is derived ONCE
       // with IEEE double ops on those identical integers and floor-scaled
       // — floor of identical doubles is portable, round() is not.
-      // Sum magnitude bound: |x|≤1e5 whole units keeps Σx² < 2^53 up to
-      // ~9e5 rows/group (sf≲1); larger scales should widen units.
+      // The second moments accumulate on DECIMAL(38,0): the int64 Σx²
+      // over whole-unit prices measured 1.03× headroom at sf100 in the
+      // r11 envelope audit (tools/envelope_audit.py) — the DuckDB twin
+      // sums into HUGEINT natively, and both engines then CAST the
+      // identical exact integer to DOUBLE, so results are unchanged.
       t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           floor(col("l_quantity")).cast("long").as("y"),
@@ -1507,8 +1510,9 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("y")).as("sy"), sum(col("x")).as("sx"),
-          sum(col("y") * col("y")).as("syy"), sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("x")).as("sxy"))
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("x")).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           expr("CAST(floor(sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))) * 1e4) AS BIGINT)").as("sd_qty_e4"),
           expr("CAST(floor((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) * 1e4) AS BIGINT)").as("var_qty_e4"),

@@ -130,8 +130,13 @@ object Experiment {
         sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("nb"),
         sum(when(col("arm") === 0, col("m")).otherwise(0L)).as("s1a"),
         sum(when(col("arm") =!= 0, col("m")).otherwise(0L)).as("s1b"),
-        sum(when(col("arm") === 0, col("m") * col("m")).otherwise(0L)).as("s2a"),
-        sum(when(col("arm") =!= 0, col("m") * col("m")).otherwise(0L)).as("s2b"))
+        // Σm² over ~1e6 users × (1e6 cents)² brushes int64 at sf100 —
+        // DECIMAL(38,0) accumulators (envelope audit r11); the IEEE
+        // fragments CAST(... AS DOUBLE) downstream read decimal fine
+        sum(when(col("arm") === 0,
+          col("m").cast("decimal(38,0)") * col("m")).otherwise(lit(0L))).as("s2a"),
+        sum(when(col("arm") =!= 0,
+          col("m").cast("decimal(38,0)") * col("m")).otherwise(lit(0L))).as("s2b"))
     // IEEE fragments over the exact sums — spelled identically in the
     // DuckDB twin (Oracles.qAbTtest); sea/seb are variances OF THE MEAN
     val (sea, seb) = (SeaFrag, SebFrag)
@@ -273,7 +278,10 @@ object Experiment {
       pre.as("x"), post.as("y"))
     val pooled = u.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      // same envelope as welchT's s2a/s2b: Σx²/Σxy over per-user cents
+      // wrap int64 around sf100 — DECIMAL(38,0) accumulators
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
     val arms = u.groupBy(col("arm")).agg(count(lit(1)).as("n_arm"),
       sum(col("x")).as("sx_arm"), sum(col("y")).as("sy_arm"))
     val (tnum, tden) = (ThetaNumFrag, ThetaDenFrag)

@@ -135,6 +135,9 @@ object Frequency {
         expr("n_ab * 1000000L div n_baskets").as("supp_ppm"),
         expr("n_ab * 1000000L div n_a").as("conf_ab_ppm"),
         expr("n_ab * 1000000L div n_b").as("conf_ba_ppm"),
-        expr("(n_ab * n_baskets * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+        // n_ab·n_baskets ~ 2e16 at sf100 fits int64, ×1e6 wraps —
+        // DECIMAL(38,0) numerator (envelope audit r11)
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000 " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
   }
 }

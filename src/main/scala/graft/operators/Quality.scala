@@ -284,8 +284,10 @@ object Quality {
       .agg(sum(abs(col("ccum") * col("n_total") - col("gcum") * col("n")))
         .as("raw"))
       .select(names.map(col) :+ col("n") :+
+        // the int64 denominator n·n_total·bands brushes 2^63 at sf100
+        // (6e8·6e8·8 ≈ 3e18) — DECIMAL(38,0) product (envelope audit r11)
         expr("CAST(raw AS DECIMAL(38,0)) * 1000000 div " +
-          "(n * n_total * greatest(n_bands - 1, 1))").as("emd_ppm"): _*)
+          "(CAST(n AS DECIMAL(38,0)) * n_total * greatest(n_bands - 1, 1))").as("emd_ppm"): _*)
       .withColumn("close", col("emd_ppm") <= tPpm)
   }
 

@@ -554,7 +554,11 @@ object Sketches {
         when(col("n_a") === 0 || col("n_b") === 0,
           raise_error(lit("ksTest: both cohorts must be non-empty " +
             "(after dropping NULL group labels)")))
-          .otherwise(expr("__dmax * 1000000L div (n_a * n_b)")).as("ks_ppm"))
+          // __dmax ≤ n_a·n_b ~ 5e15 at sf100 cohorts — fine in int64 —
+          // but ×1e6 wraps, so the scale-up rides DECIMAL(38,0)
+          // (envelope audit r11; DuckDB twin is HUGEINT natively)
+          .otherwise(expr("CAST(CAST(__dmax AS DECIMAL(38,0)) * 1000000 " +
+            "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")).as("ks_ppm"))
   }
 
   /** Mann–Whitney U / exact AUC between two groups: `U/(n_A·n_B)` is
@@ -591,7 +595,10 @@ object Sketches {
         when(col("n_a") === 0 || col("n_b") === 0,
           raise_error(lit("mannWhitney: both cohorts must be non-empty " +
             "(after dropping NULL group labels)")))
-          .otherwise(expr("(u2 * 1000000L) div (2L * n_a * n_b)")).as("auc_ppm"))
+          // u2 ≤ 2·n_a·n_b fits int64 at sf100; u2×1e6 does not —
+          // DECIMAL(38,0) scale-up (envelope audit r11)
+          .otherwise(expr("CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000 " +
+            "div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")).as("auc_ppm"))
   }
 
   /** Two-sample chi-squared drift statistic between a reference and a

@@ -244,8 +244,13 @@ object TimeSeries {
       .withColumn("__ls", lag(col("__y"), lagShort).over(w))
       .withColumn("__lc", lag(col("__y"), lagCycle).over(w))
       .select(col(groupCol), col("__x").as(xCol), col("__y").as(yCol),
-        expr("(__y - __ls) * 1000000L div __ls").as("short_ppm"),
-        expr("(__y - __lc) * 1000000L div __lc").as("cycle_ppm"))
+        // per-period totals (monthly cents) reach ~2e13 at sf100 — the
+        // ×1e6 scale-up wraps int64, so it rides DECIMAL(38,0)
+        // (envelope audit r11); div returns BIGINT, ppm result is tiny
+        expr("CAST(CAST(__y - __ls AS DECIMAL(38,0)) * 1000000 " +
+          "div __ls AS BIGINT)").as("short_ppm"),
+        expr("CAST(CAST(__y - __lc AS DECIMAL(38,0)) * 1000000 " +
+          "div __lc AS BIGINT)").as("cycle_ppm"))
   }
 
   /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes
@@ -269,9 +274,12 @@ object TimeSeries {
     val b = a.select(col("grp"), col("x").as("x2"), col("y").as("y2"))
     val slopes = a.join(b, Seq("grp")).filter(col("x2") > col("x"))
       .select(col("grp"), col("x"), col("x2"),
-        ((col("y2") - col("y")) * lit(1000000L)).as("__num"),
+        // Δy ~ per-period totals (monthly cents ~2e13 at sf100): ×1e6
+        // wraps int64 — DECIMAL(38,0) numerator (envelope audit r11);
+        // the ppm slope itself is small, so div lands back in BIGINT
+        ((col("y2") - col("y")).cast("decimal(38,0)") * lit(1000000L)).as("__num"),
         (col("x2") - col("x")).as("__den"))
-      .withColumn("slope_ppm", expr("__num div __den"))
+      .withColumn("slope_ppm", expr("CAST(__num div __den AS BIGINT)"))
     // (x, x2) is unique per pair → a deterministic total order; ties in
     // slope value make the rank choice irrelevant to the median VALUE
     val w = Window.partitionBy(col("grp"))
