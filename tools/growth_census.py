@@ -22,8 +22,33 @@ incident was caught by hand; the DNF marker is structural now):
                      abort time is not a denominator)
   CRASHED-sf1        the sf1 side failed and no idle re-measure exists
   CRASHED-idle       the idle re-measure itself failed
+  excluded-work-bound  deliberately not run at sf1: a declared exact
+                     ground-truth operator whose WORK grows ~K^2 by
+                     semantics (its bounded twin is what ships); the
+                     row carries the last idle measurement so the
+                     exclusion is visible, never silent
+  missing-sf1-capture  present at sf0.1 but absent from the sf1 side
+                     and NOT declared excluded — a gap to fix, loudly
+
+Completeness contract (r11, VERDICT r10 #5): every query in the sf0.1
+capture gets a census row with an explicit status; row count ==
+sf0.1-side query count.
 """
 import sys, json, os, glob
+
+# Declared sf1-census exclusions. Keys absent from the sf1 capture but
+# NOT listed here are emitted as missing-sf1-capture. Carried numbers
+# are the last idle measurements (r9: BENCH_sf1_r9.json).
+EXCLUDED_WORK_BOUND = {
+    "dedup_prefix_filter":
+        "exact PPJoin all-pairs ground truth; work ~K^2 by semantics "
+        "(r9 idle: 3.59 -> 222.5 s, >80 GB /tmp spill - run alone). "
+        "Bounded twin: dedup_minhash_lsh + dedup_lsh_recall audit.",
+    "text_bm25":
+        "exact full-corpus BM25 baseline; queries x postings ~K^2 by "
+        "semantics (r9 idle: 4.73 -> 97.1 s). Bounded twin: "
+        "text_bm25_champion + text_bm25_champ_recall audit.",
+}
 
 sf01 = json.load(open(sys.argv[1]))
 sf1 = json.load(open(sys.argv[2]))
@@ -77,15 +102,33 @@ for n in sorted(q1):
     if n in idle:
         s, fp, status = idle[n], q1[n], "idle-remeasure"
     g = s / b
-    # same band boundaries as growth_table.py: sublinear strictly
-    # below 8x, SUPERLINEAR strictly above 12x
-    flag = ("SUPERLINEAR" if g > 12 else
-            "sublinear" if g < 8 else "~linear")
+    # same band boundaries as growth_table.py (r11): a 10x-data run is
+    # linear AT 10x, so "~linear" spans 7-10.5x (5% noise allowance)
+    # and anything above is SUPERLINEAR pending WorkProbe adjudication
+    flag = ("SUPERLINEAR" if g > 10.5 else
+            "sublinear" if g < 7 else "~linear")
     e = {"sf0.1_sec": b, "sf1_sec": s, "growth": round(g, 2),
          "flag": flag, "status": status}
     if fp is not None:
         e["sf1_sec_firstpass"] = fp
     emit(n, e, flag)
+
+# completeness: every sf0.1-side query gets a row with an explicit
+# status — declared exclusions carry their reason, anything else
+# missing from the sf1 side is flagged loudly
+for n in sorted(set(q01) - set(art["queries"])):
+    if n in EXCLUDED_WORK_BOUND:
+        emit(n, {"sf0.1_sec": q01.get(n), "sf1_sec": None, "growth": None,
+                 "flag": "excluded", "status": "excluded-work-bound",
+                 "note": EXCLUDED_WORK_BOUND[n]}, "excluded")
+    else:
+        emit(n, {"sf0.1_sec": q01.get(n), "sf1_sec": None, "growth": None,
+                 "flag": "MISSING", "status": "missing-sf1-capture"},
+             "MISSING")
+if bands.get("MISSING"):
+    print("WARNING: %d sf0.1 queries have no sf1 capture and no declared "
+          "exclusion" % bands["MISSING"])
+assert len(art["queries"]) >= len(q01), "census lost sf0.1-side rows"
 
 out = (sys.argv[4] if len(sys.argv) > 4 else
        os.path.join(os.path.dirname(os.path.dirname(

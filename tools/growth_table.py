@@ -12,8 +12,11 @@ Inputs:
            replaced by the idle value (first-pass value kept as
            sf1_sec_firstpass) and its flag recomputed.
 Output: BENCH_sf1_r9.json artifact (combined) + a markdown table on
-stdout for SURVEY §5. Growth = sf1_sec / sf0.1_sec on 10x data; the
-flag column marks >12x (superlinear beyond noise, per VERDICT r7 #1).
+stdout for SURVEY §5. Growth = sf1_sec / sf0.1_sec on 10x data.
+Bands (r11, tightened per VERDICT r10: 11.2x must never print
+"~linear"): sublinear < 7x, ~linear 7-10.5x (10x data + 5% noise),
+SUPERLINEAR > 10.5x — superlinear rows then get the WorkProbe
+adjudication (work-bound vs engine regression) in SURVEY §5.
 """
 import sys, json, os, glob
 
@@ -69,8 +72,8 @@ for name, d in sorted(perq.items()):
         rows.append((name, None, sec, None, None, "no-baseline"))
         continue
     g = sec / base
-    flag = ("SUPERLINEAR" if g > 12 else
-            "sublinear" if g < 8 else "~linear")
+    flag = ("SUPERLINEAR" if g > 10.5 else
+            "sublinear" if g < 7 else "~linear")
     rows.append((name, base, sec, (first if re is not None else None), g, flag))
 
 art = {
