@@ -1358,21 +1358,32 @@ object SparkEntry {
     "q_spatial_join" -> ((s, dir) =>
       // proximity self-join on a synthetic integer grid derived from
       // part keys: all pairs within Chebyshev radius SpatialR via the
-      // 3x3 grid-bucket equi-join (never a theta join)
-      operators.RangeJoin.gridNeighborJoin(
-        t(s, dir, "part").select(col("p_partkey"),
+      // 3x3 grid-bucket equi-join (never a theta join). This is the
+      // EXACT fixed-ε density baseline (work ∝ density²·N on densifying
+      // data by semantics) — the probe advisory announces when ε is too
+      // dense for the target and points at the capped twin; output
+      // unchanged (VERDICT r10 #8)
+      {
+        val pts = t(s, dir, "part").select(col("p_partkey"),
           (col("p_partkey") % 97).as("x"),
-          (expr("p_partkey div 97") % 89).as("y")),
-        "p_partkey", "x", "y", SpatialR)),
+          (expr("p_partkey div 97") % 89).as("y"))
+        operators.Spatial.probeAdvisory(pts, "p_partkey", "x", "y",
+          SpatialR, DbscanTargetNb, "q_spatial_join")
+        operators.RangeJoin.gridNeighborJoin(pts, "p_partkey", "x", "y", SpatialR)
+      }),
 
-    "q_dbscan_core" -> ((s, dir) =>
+    "q_dbscan_core" -> ((s, dir) => {
       // DBSCAN density split on the same synthetic grid: exact neighbor
-      // counts within Chebyshev SpatialR, then core/border/noise labels
-      operators.Spatial.dbscanLabel(
-        t(s, dir, "part").select(col("p_partkey"),
-          (col("p_partkey") % 97).as("x"),
-          (expr("p_partkey div 97") % 89).as("y")),
-        "p_partkey", "x", "y", SpatialR, DbscanMinPts)),
+      // counts within Chebyshev SpatialR, then core/border/noise labels.
+      // Exact fixed-ε baseline — probe advisory as in q_spatial_join
+      val pts = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_partkey") % 97).as("x"),
+        (expr("p_partkey div 97") % 89).as("y"))
+      operators.Spatial.probeAdvisory(pts, "p_partkey", "x", "y",
+        SpatialR, DbscanTargetNb, "q_dbscan_core")
+      operators.Spatial.dbscanLabel(pts, "p_partkey", "x", "y",
+        SpatialR, DbscanMinPts)
+    }),
 
     "q_dbscan_cluster" -> ((s, dir) =>
       // full DBSCAN assignment: CC over the core-core in-radius graph

@@ -196,6 +196,31 @@ object Spatial {
       .drop("rec_r")
   }
 
+  /** Consult [[densityProbe]] at one radius and LOG the recommendation
+    * before an exact fixed-ε pair join runs blind: the scale-safe twins
+    * (probe → [[dbscanCapped]]) ship in-library, so the exact demo
+    * baselines announce when their ε is too dense for the target
+    * instead of silently materializing density²·N pairs. The calling
+    * query's OUTPUT is unchanged — the advisory costs one cell-count
+    * aggregate (no pair is generated) plus a stderr line. At 100 TB
+    * the same probe is the gate a real run makes binding: probe first,
+    * then either the exact join (rate saturated) or the capped one.
+    */
+  def probeAdvisory(pts: DataFrame, idCol: String, xCol: String,
+                    yCol: String, r: Long, targetMeanNb: Long,
+                    queryTag: String): Unit = {
+    val row = densityProbe(pts, idCol, xCol, yCol, Seq(r), targetMeanNb)
+      .select(col("n_points"), col("mean_nb_ub"), col("rate_ppm"))
+      .collect()(0)
+    val (np, ub, rate) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val verdict =
+      if (rate >= 1000000L) "bound within target; exact join is the right plan"
+      else s"DENSE for the target: exact join materializes <=${ub}*N/2 " +
+        s"pairs; dbscanCapped at rate_ppm=$rate holds work to ~target*N"
+    System.err.println(s"[graft][density-probe] $queryTag r=$r n_points=$np " +
+      s"mean_nb_ub=$ub target=$targetMeanNb -> $verdict")
+  }
+
   /** Density-CAPPED DBSCAN labeling: the bounded-work variant of
     * [[dbscanLabel]] for spaces too dense for the exact pair join (on
     * the bounded synthetic grid, 10× data = 10× density = ~100× pairs;
