@@ -309,34 +309,32 @@ object Multimodal {
 
   /** Perceptual-hash signature table for image rows: decode → 8×8
     * average-hash ([[ImageCodec.aHashPng]]) → the (media_id, sim_lo,
-    * sim_hi, b0..b3) schema shared with the text simhash family, so
+    * sim_hi) schema shared with the text simhash family, so
     * [[graft.operators.Dedup.signaturePairs]] does the candidate
     * generation. Non-image and undecodable rows are DROPPED, not
     * byte-stubbed: a perceptual hash over non-pixel bytes would
     * manufacture fake near-dup pairs between unrelated payloads (the
     * opposite failure mode from the feature-extract stages, whose
     * any-input contract degrades to byte features). One mapPartitions
-    * decode pass; the only shuffle downstream is the pigeonhole
-    * block-key exchange.
+    * decode pass; the only shuffle downstream is the candidate-key
+    * exchange inside signaturePairs.
     */
   def imageAHash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    graft.operators.Dedup.pigeonholeBlocks(
-      media.mapPartitions { rows =>
-        rows.flatMap { r =>
-          if (r.modality != "image") None
-          else ImageCodec.aHashPng(r.payload).map { case (lo, hi) =>
-            (r.media_id, lo, hi)
-          }
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.modality != "image") None
+        else ImageCodec.aHashPng(r.payload).map { case (lo, hi) =>
+          (r.media_id, lo, hi)
         }
-      }.toDF("media_id", "sim_lo", "sim_hi"))
+      }
+    }.toDF("media_id", "sim_lo", "sim_hi")
   }
 
   /** Image near-duplicate pairs at hamming distance <= maxDist over the
     * aHash signature — the multimodal twin of the text simhash dedup:
-    * same 16-bit pigeonhole completeness bound (<=3), same bounded
-    * N/65536 bucket self-join, decode cost paid once in the signature
-    * pass.
+    * same 6-block triple-probe completeness bound (<=3), same ~2^38-key
+    * candidate join, decode cost paid once in the signature pass.
     */
   def imageNearDup(media: Dataset[MediaRow], maxDist: Int = 3): DataFrame =
     graft.operators.Dedup.signaturePairs(imageAHash(media), "media_id", maxDist)

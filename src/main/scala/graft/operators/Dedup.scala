@@ -529,12 +529,8 @@ object Dedup {
     * partial sums in ONE hash aggregate (map-side combine ⇒ the shuffle
     * carries (doc, 64 longs)), then sign → bit → two packed 32-bit longs
     * (`sim_lo` = bits 0..31, `sim_hi` = bits 32..63 — a single 64-bit pack
-    * would be sign/overflow-fragile across engines). Also emits the 4
-    * 16-bit pigeonhole blocks (65 536 bucket values each) used for
-    * candidate generation: expected bucket size is N/65536, so in-bucket
-    * self-joins stay bounded at corpus scale — the 8-bit design this
-    * replaces had only 256 bucket values per block, which is quadratic
-    * death at 10^9 docs.
+    * would be sign/overflow-fragile across engines). Candidate keys are
+    * derived inside [[signaturePairs]] (6-block triple probe).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(T.tokens(col(textCol))).as("t"))
@@ -547,44 +543,131 @@ object Dedup {
     def pack(from: Int): Column = (0 until 32).map { b =>
       when(col(s"w${from + b}") >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b)
     }.reduce(_ + _)
-    pigeonholeBlocks(agg.select(col(idCol), pack(0).as("sim_lo"), pack(32).as("sim_hi")))
+    agg.select(col(idCol), pack(0).as("sim_lo"), pack(32).as("sim_hi"))
   }
 
-  /** 4×16-bit pigeonhole block columns (b0..b3) from a packed
-    * (sim_lo, sim_hi) 64-bit signature — the candidate-generation keys
-    * [[signaturePairs]] buckets on. Shared by every 64-bit perceptual
-    * signature family (text simhash here, image average-hash in
-    * graft.multimodal).
-    */
-  def pigeonholeBlocks(sig: DataFrame): DataFrame =
-    sig.withColumn("b0", col("sim_lo").bitwiseAND(lit(65535L)))
-      .withColumn("b1", shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L)))
-      .withColumn("b2", col("sim_hi").bitwiseAND(lit(65535L)))
-      .withColumn("b3", shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L)))
-
   /** Near-dup pairs at hamming distance <= maxDist over ANY 64-bit
-    * signature table with the (idCol, sim_lo, sim_hi, b0..b3) schema
-    * (<=3 is complete under the 4-block pigeonhole: any pair within
-    * distance 3 shares at least one exact 16-bit block). The exchange
-    * is keyed on (block_id, block_value) — tiny keys, buckets bounded
-    * by N/65536 per block position.
+    * signature table with the (idCol, sim_lo, sim_hi) schema.
+    *
+    * Candidate generation is the Manku/WWW'07-style multi-block probe:
+    * the 64 bits split into SIX blocks (widths 11,11,11,11,10,10); a
+    * pair within distance 3 has its differing bits in at most 3 blocks,
+    * so at least 3 blocks match EXACTLY and the pair shares at least
+    * one of the C(6,3) = 20 block TRIPLES. The join key is one packed
+    * long (triple id + the 3 block values, ~2^38 distinct keys), so
+    * expected RANDOM collisions are ~20·C(N,2)/2^33 — vs the single
+    * 16-bit-block scheme this replaces, whose candidate stream carried
+    * the birthday bound 4·C(N,2)/2^16: quadratic in N regardless of how
+    * many near-dups exist, ~10^13 phantom candidates at 10^9 docs where
+    * the triple probe's random term stays ~10^9.
+    *
+    * Identical signatures are collapsed BEFORE the probe (the
+    * er_resolve collapse-exact-dups-first pattern): real corpora are
+    * full of exact-duplicate content, and a clique of c equal
+    * signatures costs every bucket-join scheme Θ(c²) hash-bucket
+    * iterations per probe key — measured here as 20·Σc² ≈ 980M
+    * join-condition evaluations (1343 CPU-s in one stage) on a fixture
+    * whose 100k aHashes held only ~5k distinct values. Decomposed as
+    *   intra: members self-join on the full 64-bit value
+    *          (distance 0 by definition — no probe, output-sized),
+    *   inter: triple probe over DISTINCT signatures only, then an
+    *          expansion join back to members (output-sized),
+    * the operator is output-optimal: candidate work is paid once per
+    * unique signature, never amplified by duplicate content. A matched
+    * signature pair can share up to all 20 triples, so instead of a
+    * distinct() the probe keeps each pair exactly once: both signatures
+    * ride the joined row, and the row whose triple id is the pair's
+    * FIRST matching triple is identified with 20 codegen'd key
+    * comparisons and kept map-side — no candidate ever crosses a second
+    * shuffle.
     */
   def signaturePairs(sig: DataFrame, idCol: String,
                      maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-block pigeonhole is only complete for distance <= 3")
-    val blocks = sig.select(col(idCol), col("sim_lo"), col("sim_hi"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "bv")))
+    require(maxDist <= 3, "6-block triple probe is only complete for distance <= 3")
+    // ONE explicit exchange on the signature value feeds every consumer
+    // below (intra both sides, the distinct, both expansion sides) as a
+    // ReusedExchange: the upstream signature computation (tokenize+agg /
+    // image decode) runs exactly once, and the (sim_lo, sim_hi) hash
+    // partitioning already satisfies every downstream join/agg key
+    val m = sig.select(col(idCol), col("sim_lo"), col("sim_hi"))
+      .repartition(col("sim_lo"), col("sim_hi"))
+      // shuffle_hash (not broadcast) so BOTH intra sides read the one
+      // reused exchange above — a broadcast build would re-evaluate the
+      // whole signature subtree (tokenize/decode) a second time
+      .hint("shuffle_hash")
+    // intra-clique: equal signatures are distance 0; the full 64-bit
+    // equi-join key admits no phantom collisions, so output IS work
+    val intra = m.as("ia").join(m.as("ib"),
+        col("ia.sim_lo") === col("ib.sim_lo") &&
+        col("ia.sim_hi") === col("ib.sim_hi") &&
+        col(s"ia.$idCol") < col(s"ib.$idCol"))
+      .select(col(s"ia.$idCol").as("doc_a"), col(s"ib.$idCol").as("doc_b"),
+        lit(0L).as("hamming"))
+    // lo/hi each hold 32 signature bits in their low halves; blocks are
+    // sliced from the reconstructed 64-bit value (arithmetic shiftright
+    // sign-extension is masked off, so the top block is exact too)
+    def blockCols(lo: Column, hi: Column): Seq[Column] = {
+      val full = lo.bitwiseOR(shiftleft(hi, 32))
+      Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)).map {
+        case (off, w) => shiftright(full, off).bitwiseAND(lit((1L << w) - 1L))
+      }
+    }
+    val triples = (0 until 6).combinations(3).toSeq
+    def keys(lo: Column, hi: Column): Seq[Column] = {
+      val bs = blockCols(lo, hi)
+      triples.zipWithIndex.map { case (t, ti) =>
+        t.foldLeft(lit(ti.toLong): Column)((acc, bi) => acc * lit(2048L) + bs(bi))
+      }
+    }
+    // distinct signatures as clique REPRESENTATIVES (min id per
+    // signature, a windowed filter rather than a distinct): the window
+    // genuinely consumes every column, so column pruning cannot narrow
+    // this consumer's schema and split it off the shared exchange the
+    // way a select(lo,hi).distinct() measurably did (tokenize/decode
+    // ran once per consumer schema).
+    // SHUFFLE_HASH, never broadcast: at real N the exploded key table
+    // (20 rows per distinct signature) must partition by key —
+    // broadcasting it is quadratic driver pressure (measured sf1: the
+    // auto-chosen broadcast build cost 159 s vs shuffled) — and the
+    // per-partition hash build is bounded by 20·U/partitions
+    import org.apache.spark.sql.expressions.Window
+    val uniq = m.withColumn("rep",
+        min(col(idCol)).over(Window.partitionBy(col("sim_lo"), col("sim_hi"))))
+      .where(col("rep") === col(idCol))
+    val blocks = uniq.select(col("sim_lo"), col("sim_hi"),
+      explode(array(keys(col("sim_lo"), col("sim_hi")): _*)).as("bk"))
+      .hint("shuffle_hash")
     val a = blocks.as("a")
     val b = blocks.as("b")
-    // per-half xor popcounts sum to the exact 64-bit hamming distance
+    // per-half xor popcounts sum to the exact 64-bit hamming distance;
+    // distinct signatures are ordered lexicographically so each
+    // unordered pair is probed exactly once
     val ham = (expr("bit_count(a.sim_lo ^ b.sim_lo)") +
       expr("bit_count(a.sim_hi ^ b.sim_hi)")).cast("long")
-    a.join(b,
-        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"), ham.as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
+    val sigOrder = col("a.sim_lo") < col("b.sim_lo") ||
+      (col("a.sim_lo") === col("b.sim_lo") && col("a.sim_hi") < col("b.sim_hi"))
+    val aKeys = keys(col("a.sim_lo"), col("a.sim_hi"))
+    val bKeys = keys(col("b.sim_lo"), col("b.sim_hi"))
+    val matches = array(aKeys.zip(bKeys).map { case (ka, kb) => ka === kb }: _*)
+    // this row's triple id (bk >> 33: three 11-bit value slots below it)
+    // == the pair's first matching triple ⇔ keep: exactly one emit per
+    // qualifying signature pair
+    val firstEmit =
+      array_position(matches, lit(true)) === shiftright(col("a.bk"), 33) + lit(1L)
+    val sigPairs = a.join(b, col("a.bk") === col("b.bk") && sigOrder)
+      .where(ham <= maxDist && firstEmit)
+      .select(col("a.sim_lo").as("alo"), col("a.sim_hi").as("ahi"),
+        col("b.sim_lo").as("blo"), col("b.sim_hi").as("bhi"), ham.as("hamming"))
+    // expansion: each qualifying signature pair fans back out to its
+    // members on both sides — output-sized by construction
+    val inter = sigPairs
+      .join(m.as("xa"),
+        col("xa.sim_lo") === col("alo") && col("xa.sim_hi") === col("ahi"))
+      .join(m.as("xb"),
+        col("xb.sim_lo") === col("blo") && col("xb.sim_hi") === col("bhi"))
+      .select(least(col(s"xa.$idCol"), col(s"xb.$idCol")).as("doc_a"),
+        greatest(col(s"xa.$idCol"), col(s"xb.$idCol")).as("doc_b"), col("hamming"))
+    intra.unionByName(inter)
   }
 
   /** SimHash near-dup pairs: [[simhash]] signatures through
