@@ -70,6 +70,42 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("signaturePairs == brute-force hamming<=3, each pair exactly once") {
+    // the r11 kernel's whole contract on one synthetic table: random
+    // 64-bit signatures + a 5-deep equal-signature clique + planted
+    // pairs at distances 1/2/3 (kept) and 4 (dropped). Brute force is
+    // the spec: completeness (6-block triple pigeonhole), exactness
+    // (per-half bit_count), and exactly-once emission (the
+    // first-matching-triple filter replaces distinct()).
+    val rnd = new scala.util.Random(7)
+    def flip(lo: Long, hi: Long, bits: Seq[Int]): (Long, Long) =
+      bits.foldLeft((lo, hi)) { case ((l, h), b) =>
+        if (b < 32) (l ^ (1L << b), h) else (l, h ^ (1L << (b - 32)))
+      }
+    val base = (0 until 200).map { i =>
+      (i.toLong, rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL)
+    }
+    val clique = (200 until 205).map(i => (i.toLong, base(0)._2, base(0)._3))
+    val planted = Seq(1, 2, 3, 4).zipWithIndex.map { case (d, k) =>
+      val (lo, hi) = flip(base(k)._2, base(k)._3,
+        rnd.shuffle((0 until 64).toList).take(d))
+      (300L + k, lo, hi)
+    }
+    val sig = (base ++ clique ++ planted).toDF("doc_id", "sim_lo", "sim_hi")
+    val got = Dedup.signaturePairs(sig, "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming")))
+    assert(got.map(_._1).distinct.length === got.length, "duplicate pair emitted")
+    val rows = (base ++ clique ++ planted)
+    val want = (for {
+      (ia, la, ha) <- rows; (ib, lb, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield ((ia, ib), d.toLong)).toSet
+    assert(got.toSet === want)
+    assert(want.count(_._2 == 0L) >= 10, "clique pairs missing from the spec itself")
+    assert(Seq(1L, 2L, 3L).forall(d => want.exists(_._2 == d)), "planted distances missing")
+  }
+
   test("simhash 16-bit blocks shrink candidate buckets ~2 orders vs 8-bit") {
     // scale probe (VERDICT r1 #1): with B-bit blocks a block position has
     // 2^B bucket values, so expected random in-bucket pairs scale as
