@@ -689,12 +689,61 @@ object Dedup {
   /** LSH candidate pairs with their exact cosine, BEFORE any acceptance
     * threshold — the shared kernel of [[embeddingNearDup]] and
     * [[nearDupSweep]].
+    *
+    * Bitwise-equal vectors are collapsed BEFORE the LSH join (the same
+    * er_resolve decomposition as [[signaturePairs]], and for the same
+    * measured reason: WorkProbe r11 read 1.87M → 187.8M join rows on
+    * 10× data — exactly 100×, because exact-duplicate vectors clique
+    * inside every band bucket and Θ(c²) amplifies both the candidate
+    * join and the distinct). Equal vectors share ALL bands, so they are
+    * candidates by definition (cos = 1.0 after the oracle's 4-dp
+    * round); distinct vectors keep the banded join; qualifying
+    * representative pairs expand back to members on integer rep keys.
+    * The candidate SET is provably identical — only the work changes:
+    * LSH is paid once per distinct vector, expansion is output-sized.
     */
   private def scoredCandidatePairs(emb: DataFrame, idCol: String,
                                    vecCol: String, planes: Int, bands: Int,
                                    dims: Int): DataFrame = {
-    val cands = Similarity.hyperplaneBands(emb, idCol, vecCol, planes, bands, dims)
+    val (mrep, repPairs) = repScoredPairs(emb, idCol, vecCol, planes, bands, dims)
+    // intra-clique on the integer rep key (same co-members ⇔ same
+    // bitwise vector); shuffle_hash so both sides reuse one exchange
+    val mm = mrep.hint("shuffle_hash")
+    val intra = mm.as("ia").join(mm.as("ib"),
+        col("ia.rep") === col("ib.rep") &&
+        col(s"ia.$idCol") < col(s"ib.$idCol"))
+      .select(col(s"ia.$idCol").as("id_a"), col(s"ib.$idCol").as("id_b"),
+        // dot(v,v)/(norm·norm) = x/(√x·√x) — 1.0 to well below the
+        // oracle's 4-dp round for any finite vector
+        lit(1.0).as("cos"))
+    val inter = repPairs
+      .join(mm.select(col(idCol).as("ma"), col("rep").as("ra")), "ra")
+      .join(mm.select(col(idCol).as("mb"), col("rep").as("rb")), "rb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cos"))
+    intra.unionByName(inter)
+  }
+
+  /** Clique representatives + rep-level LSH-scored pairs — the shared
+    * decomposition under [[scoredCandidatePairs]] and [[nearDupSweep]].
+    * Returns (members-with-rep, (ra, rb, cos) pairs over distinct
+    * vectors with 0 < angular distance, i.e. ra < rb reps that share at
+    * least one band).
+    */
+  private def repScoredPairs(emb: DataFrame, idCol: String, vecCol: String,
+                             planes: Int, bands: Int,
+                             dims: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // one exchange on the vector value feeds the rep window; downstream
+    // consumers key on the integer rep
+    val m = emb.select(col(idCol), col(vecCol))
+      .repartition(col(vecCol))
+    val mrep = m.withColumn("rep",
+      min(col(idCol)).over(Window.partitionBy(col(vecCol))))
+    val reps = mrep.where(col("rep") === col(idCol))
+    val cands = Similarity.hyperplaneBands(reps, idCol, vecCol, planes, bands, dims)
       .select(col(idCol), posexplode(col("bandvals")).as(Seq("band_id", "bv")))
+      .hint("shuffle_hash")
     val a = cands.as("a")
     val b = cands.as("b")
     val pairs = a.join(b,
@@ -702,11 +751,12 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"), V.norm(col(vecCol)).as("na"))
-    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"), V.norm(col(vecCol)).as("nb"))
-    pairs.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    val va = reps.select(col(idCol).as("id_a"), col(vecCol).as("va"), V.norm(col(vecCol)).as("na"))
+    val vb = reps.select(col(idCol).as("id_b"), col(vecCol).as("vb"), V.norm(col(vecCol)).as("nb"))
+    val repPairs = pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a").as("ra"), col("id_b").as("rb"),
         round(V.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+    (mrep.select(col(idCol), col("rep")), repPairs)
   }
 
   /** Threshold-tuning sweep: the LSH candidate pairs bucketed into
@@ -715,14 +765,29 @@ object Dedup {
     * accept", which is how the [[embeddingNearDup]] cutoff gets chosen
     * instead of guessed. The cumulative window runs over ≤ 41 band
     * rows (declared bounded).
+    *
+    * Counts are aggregated as clique WEIGHTS (ca·cb per rep pair,
+    * C(c,2) per clique at the 1.0 band) — the sweep never materializes
+    * a member pair, so its cost is independent of how duplicate-heavy
+    * the corpus is (the member expansion measured 82M rows at sf1
+    * before this; the counts are identical by multiplication).
     */
   def nearDupSweep(emb: DataFrame, idCol: String, vecCol: String,
                    planes: Int = 32, bands: Int = 8,
                    dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = scoredCandidatePairs(emb, idCol, vecCol, planes, bands, dims)
-      .select(floor(col("cos") * 20).cast("long").as("band20"))
-      .groupBy(col("band20")).agg(count(lit(1)).as("n_pairs"))
+    val (mrep, repPairs) = repScoredPairs(emb, idCol, vecCol, planes, bands, dims)
+    val cnt = mrep.groupBy(col("rep")).agg(count(lit(1)).as("c"))
+    val intraBands = cnt.where(col("c") > 1)
+      .select(lit(20L).as("band20"),
+        (col("c") * (col("c") - 1) / 2).cast("long").as("w"))
+    val interBands = repPairs
+      .join(cnt.select(col("rep").as("ra"), col("c").as("ca")), "ra")
+      .join(cnt.select(col("rep").as("rb"), col("c").as("cb")), "rb")
+      .select(floor(col("cos") * 20).cast("long").as("band20"),
+        (col("ca") * col("cb")).as("w"))
+    val per = intraBands.unionByName(interBands)
+      .groupBy(col("band20")).agg(sum(col("w")).as("n_pairs"))
     val w = Window.partitionBy(lit(0)) // declared bounded: ≤ 41 bands
       .orderBy(col("band20").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
