@@ -1844,6 +1844,17 @@ object Oracles {
     """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
       |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin
 
+  /** Twin for the STREAMING windowed-aggregate replay: Spark's
+    * window(ts, '1 hour') is epoch-aligned, so the window start is
+    * integer-division hour truncation of epoch millis (ts is always
+    * after 1970 here, so truncation == floor).
+    */
+  def streamWindowAggReplay: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_ms, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def eventsPivot: String = {
     val cols = EventTypes
       .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")

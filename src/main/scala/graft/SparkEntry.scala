@@ -2922,6 +2922,11 @@ object SparkEntry {
       // the STREAMING watermark-bounded dedup fed every event TWICE in
       // two micro-batches; final table must be exactly one row per id
       graft.streaming.StreamRun.dedupeReplay(s, dir)),
+    "stream_window_agg_replay" -> ((s, dir) =>
+      // the STREAMING watermarked 1h tumbling aggregate run to
+      // completion (sentinel-advanced watermark flushes every window);
+      // final table must equal the batch GROUP BY twin
+      graft.streaming.StreamRun.windowAggReplay(s, dir)),
     "events_sessionize_typed" -> ((s, dir) => {
       // the SAME sessions through the typed Dataset[Event] surface —
       // flatMapGroups closure instead of analytic windows; shares the
@@ -3351,6 +3356,7 @@ object SparkEntry {
     "events_sessionize_typed" -> Oracles.eventsSessionize,
     "stream_sessionize_replay" -> Oracles.streamSessionizeReplay,
     "stream_dedupe_replay" -> Oracles.streamDedupeReplay,
+    "stream_window_agg_replay" -> Oracles.streamWindowAggReplay,
     "events_extract" -> Oracles.eventsExtract,
     "events_json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",

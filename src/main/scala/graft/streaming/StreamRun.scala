@@ -119,6 +119,37 @@ object StreamRun {
       .select("user_id", "n_events", "start_ms", "duration_ms")
   }
 
+  /** Streaming watermarked 1-hour tumbling-window aggregate run to
+    * completion: the same sentinel discipline as [[sessionizeReplay]]
+    * (append-mode aggregation emits a window only in a batch whose
+    * START watermark has passed the window end, so sentinel1 advances
+    * the watermark past every real window and sentinel2's batch flushes
+    * them). Final table must equal the batch GROUP BY twin
+    * ([[EventStreams.hourlyCounts]] vs plain SQL over events) —
+    * graduating §2.6 row 32 from spec-only to driver-oracle coverage.
+    */
+  def windowAggReplay(spark: SparkSession, dir: String): DataFrame = {
+    val maxMs = graft.Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val delayMs = 45L * 86400000L
+    val s1 = new java.sql.Timestamp(maxMs + delayMs + 3600000L)
+    val s2 = new java.sql.Timestamp(maxMs + 2 * delayMs)
+    val in = stage(spark, dir, Seq(s1, s2))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    // NO sentinel filter inside the streaming query: a predicate on
+    // event_type — even above the aggregation, where it pushes back
+    // through the grouping key — reaches the parquet scan, row-group
+    // stats prune the sentinel file entirely, and the watermark never
+    // advances (measured: 0 windows ever emitted). Sentinel windows
+    // cannot emit anyway (their ends sit beyond the final watermark);
+    // the belt-and-braces filter runs on the drained BATCH result.
+    val agg = EventStreams.hourlyCounts(stream, watermark = "45 days")
+    drain(spark, agg)
+      .where(col("event_type") =!= "sentinel")
+      .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
   /** Streaming watermark-bounded exact dedup run to completion: the
     * table is staged TWICE (two micro-batches), the second pass is
     * dropped entirely by per-key state, and the final output is exactly
