@@ -9,8 +9,18 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: PlanDump <sfDir> <query1,query2,...>")
+      sys.exit(2)
+    }
     val dir = args(0)
     val names = args(1).split(",").toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")} " +
+        s"(${SparkEntry.queries.size} registered — see README index)")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3130,7 +3130,9 @@ object SparkEntry {
     }),
     "multimodal_image_neardup" -> ((s, dir) => {
       // image near-dup over real PNG decode: every doc renders with a
-      // one-pixel-perturbed twin, aHash + pigeonhole pairs find them.
+      // one-pixel-perturbed twin; aHash signatures feed the shared
+      // Dedup.signaturePairs kernel (equal-signature clique collapse +
+      // Manku C(6,3) block-triple probe) to find them.
       // Hash-checked (r10): expected signatures computed from the gray
       // raster arithmetic (no codec) are staged as a fixture and the
       // DuckDB twin re-derives the whole pigeonhole pair table from

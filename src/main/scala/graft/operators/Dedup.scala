@@ -713,9 +713,12 @@ object Dedup {
         col("ia.rep") === col("ib.rep") &&
         col(s"ia.$idCol") < col(s"ib.$idCol"))
       .select(col(s"ia.$idCol").as("id_a"), col(s"ib.$idCol").as("id_b"),
-        // dot(v,v)/(norm·norm) = x/(√x·√x) — 1.0 to well below the
-        // oracle's 4-dp round for any finite vector
-        lit(1.0).as("cos"))
+        // the clique-constant self-cos dot(v,v)/(norm·norm): 1.0 to the
+        // 4-dp round for any NONZERO finite vector, and NaN for the
+        // all-zero (or NaN-carrying) vector — exactly what the oracle's
+        // per-pair cosine computes, so degenerate vectors stay in
+        // lockstep instead of being promoted to cos=1.0
+        col("ia.selfcos").as("cos"))
     val inter = repPairs
       .join(mm.select(col(idCol).as("ma"), col("rep").as("ra")), "ra")
       .join(mm.select(col(idCol).as("mb"), col("rep").as("rb")), "rb")
@@ -739,7 +742,13 @@ object Dedup {
     val m = emb.select(col(idCol), col(vecCol))
       .repartition(col(vecCol))
     val mrep = m.withColumn("rep",
-      min(col(idCol)).over(Window.partitionBy(col(vecCol))))
+        min(col(idCol)).over(Window.partitionBy(col(vecCol))))
+      // clique-constant self-cosine (see scoredCandidatePairs' intra
+      // branch): 1.0 for any nonzero finite vector, NaN for degenerate
+      // ones — the same algebra the oracle applies to every pair
+      .withColumn("selfcos",
+        round(V.dot(col(vecCol), col(vecCol))
+          / (V.norm(col(vecCol)) * V.norm(col(vecCol))), 4))
     val reps = mrep.where(col("rep") === col(idCol))
     val cands = Similarity.hyperplaneBands(reps, idCol, vecCol, planes, bands, dims)
       .select(col(idCol), posexplode(col("bandvals")).as(Seq("band_id", "bv")))
@@ -756,7 +765,7 @@ object Dedup {
     val repPairs = pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a").as("ra"), col("id_b").as("rb"),
         round(V.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
-    (mrep.select(col(idCol), col("rep")), repPairs)
+    (mrep.select(col(idCol), col("rep"), col("selfcos")), repPairs)
   }
 
   /** Threshold-tuning sweep: the LSH candidate pairs bucketed into
@@ -777,9 +786,12 @@ object Dedup {
                    dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (mrep, repPairs) = repScoredPairs(emb, idCol, vecCol, planes, bands, dims)
-    val cnt = mrep.groupBy(col("rep")).agg(count(lit(1)).as("c"))
+    val cnt = mrep.groupBy(col("rep"))
+      .agg(count(lit(1)).as("c"), min(col("selfcos")).as("selfcos"))
     val intraBands = cnt.where(col("c") > 1)
-      .select(lit(20L).as("band20"),
+      // band from the clique's own cosine (20 for any nonzero vector,
+      // degenerate-vector parity with the oracle's per-pair floor)
+      .select(floor(col("selfcos") * 20).cast("long").as("band20"),
         (col("c") * (col("c") - 1) / 2).cast("long").as("w"))
     val interBands = repPairs
       .join(cnt.select(col("rep").as("ra"), col("c").as("ca")), "ra")

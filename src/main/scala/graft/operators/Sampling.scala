@@ -316,7 +316,7 @@ object Sampling {
   def epochShuffle(df: DataFrame, key: Column, epochs: Int, shards: Int,
                    salt: String): DataFrame = {
     require(epochs >= 1 && shards >= 1)
-    val k = coalesce(key.cast("string"), lit(" <null-key>"))
+    val k = coalesce(key.cast("string"), lit("\u0000<null-key>"))
     val exploded = df.select(key.as("doc_id"), k.as("__k"))
       .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
       .withColumn("__h", H.hash32(
