@@ -2394,6 +2394,71 @@ object Oracles {
       |SELECT o_orderkey + 10000000, 'I', CAST(FLOOR(o_totalprice * 100) AS BIGINT)
       |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
 
+  /** Borůvka-MSF round replay ([[graft.operators.Msf.msf]]): the
+    * per-round cheapest-outgoing-edge pick under the total (w, u, v)
+    * order is fully deterministic, so each round generates as three
+    * chained CTEs — pick (row_number over the exploded two-sided
+    * frontier), contraction labels (a nested WITH RECURSIVE min-label
+    * closure over the merge graph, which is component-sized, never
+    * data-sized), and the relabeled + collapsed next frontier (exactly
+    * the Spark side's least/greatest + min-struct contraction). Label
+    * VALUES differ from Spark's pointer-doubling roots, but the node
+    * partition they induce is identical, so picks and rounds match
+    * row-for-row. Rounds generated = 16 ≥ observed convergence (3 at
+    * sf0.001, 5 at sf0.01; components at least halve per round);
+    * post-convergence rounds have empty frontiers and cost nothing.
+    * A too-small bound fails LOUD (missing forest rows → row-count
+    * mismatch), never silently.
+    */
+  def qMsf: String = {
+    val w = hex8Expr("('msf:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR))")
+    val rounds = (1 to MsfOracleRounds).map { r =>
+      val p = r - 1
+      s"""pk$r AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, w, cu, cv FROM (
+         |    SELECT u, v, w, cu, cv,
+         |      row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+         |    FROM (SELECT cu AS c, u, v, w, cu, cv FROM e$p
+         |          UNION ALL SELECT cv, u, v, w, cu, cv FROM e$p) s) t
+         |  WHERE rn = 1),
+         |lb$r AS MATERIALIZED (
+         |  WITH RECURSIVE st(c, l) AS (
+         |    SELECT c, c FROM (SELECT cu AS c FROM pk$r UNION SELECT cv FROM pk$r) n
+         |    UNION
+         |    SELECT eg.b, st.l FROM st
+         |      JOIN (SELECT cu AS a, cv AS b FROM pk$r
+         |            UNION SELECT cv, cu FROM pk$r) eg ON eg.a = st.c)
+         |  SELECT c, min(l) AS l FROM st GROUP BY c),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v, w, ca AS cu, cb AS cv FROM (
+         |    SELECT u, v, w, least(lu, lv) AS ca, greatest(lu, lv) AS cb,
+         |      row_number() OVER (PARTITION BY least(lu, lv), greatest(lu, lv)
+         |                         ORDER BY w, u, v) AS rn
+         |    FROM (SELECT e.u, e.v, e.w,
+         |        coalesce(la.l, e.cu) AS lu, coalesce(lc.l, e.cv) AS lv
+         |      FROM e$p e LEFT JOIN lb$r la ON la.c = e.cu
+         |                  LEFT JOIN lb$r lc ON lc.c = e.cv) j
+         |    WHERE lu <> lv) k
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val forest = (1 to MsfOracleRounds)
+      .map(r => s"SELECT u, v, w, CAST($r AS BIGINT) AS round FROM pk$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH pp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |eg0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS src, y.p AS dst FROM pp x JOIN pp y
+       |    ON x.ok = y.ok AND x.p < y.p),
+       |e0 AS MATERIALIZED (
+       |  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v,
+       |    CAST($w AS BIGINT) AS w,
+       |    CAST(src AS BIGINT) AS cu, CAST(dst AS BIGINT) AS cv FROM eg0),
+       |$rounds
+       |$forest""".stripMargin
+  }
+
+  private val MsfOracleRounds = 16
+
   /** Label-propagation replay: per round, the in-neighbor majority vote
     * (count desc, label asc) with isolated nodes carrying their previous
     * label. MATERIALIZED like the BPE chain — l{t} is referenced twice

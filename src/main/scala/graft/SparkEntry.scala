@@ -2317,9 +2317,10 @@ object SparkEntry {
     }),
     "q_msf" -> ((s, dir) => {
       // Borůvka minimum spanning forest of the co-purchase graph under
-      // distinct md5 edge weights (rows-only by declared design: no
-      // SQL twin for iterative union–find; Kruskal-parity property
-      // specs pin correctness on random graphs)
+      // md5 edge weights; hash-checked against a generated per-round
+      // replay twin (the (w,u,v) total order makes every round's pick
+      // deterministic — Oracles.qMsf), plus Kruskal-parity property
+      // specs on random graphs
       val pairs = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
       val edges = pairs.as("x").join(pairs.as("y"),
@@ -3147,8 +3148,8 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (q_msf, q_approx_distinct —
-    * no SQL twin exists for union-find tie-break order / HLL internals)
+    * the same parquet tables. Omitted keys (q_approx_distinct —
+    * no SQL twin exists for HLL internals)
     * get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
@@ -3279,6 +3280,7 @@ object SparkEntry {
     "q_bfs_reach" -> Oracles.qBfsReach,
     "q_harmonic" -> Oracles.qHarmonic,
     "q_sssp" -> Oracles.qSssp,
+    "q_msf" -> Oracles.qMsf,
     "q_kmv_distinct" -> Oracles.qKmvDistinct,
     "q_kmv_union" -> Oracles.qKmvUnion,
     "q_kll_quantiles" -> Oracles.qKllQuantiles,

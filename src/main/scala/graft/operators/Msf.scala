@@ -36,10 +36,13 @@ import org.apache.spark.sql.functions._
   * SLOWER (lazy chains across two nested loops thrash recomputation),
   * so the reliable form is also the fast form here.
   *
-  * No SQL twin exists for iterative union–find, so the driver gate for
-  * this operator is rows-only by declared design; correctness is
-  * pinned by Kruskal-parity property specs (random graphs with
-  * distinct md5 weights → edge-set equality with a local union–find).
+  * Driver-oracle'd (r12): the (w, u, v) total order makes every
+  * round's pick deterministic, so the DuckDB twin replays the rounds
+  * as generated CTEs with a recursive min-label closure standing in
+  * for the pointer-doubling contraction ([[graft.Oracles.qMsf]] —
+  * label values differ, the induced partition is identical).
+  * Kruskal-parity property specs additionally pin edge-set
+  * correctness on random graphs against a local union–find.
   */
 object Msf {
 
