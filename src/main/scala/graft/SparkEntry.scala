@@ -972,11 +972,20 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
     "q_approx_distinct" -> ((s, dir) =>
-      // HLL sketch — approximate by design, so rows-only checked (no
-      // portable oracle); the exact twin is q_distinct_count
+      // HLL sketch, CERTIFIED against the exact count in one pass: the
+      // estimate itself isn't portable (HLL internals), so the output
+      // carries the exact distinct plus a within-band flag — the DuckDB
+      // twin asserts the flag TRUE, so an estimate drifting past 3σ
+      // (3·rsd=0.05 relative, floor 3 absolute for sparse-mode groups)
+      // hash-FAILS the driver gate instead of passing rows-only
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
-        .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx"))),
+        .agg(approx_count_distinct(col("o_custkey")).as("__est"),
+          countDistinct(col("o_custkey")).as("n_cust_exact"))
+        .select(col("yearkey"), col("n_cust_exact"),
+          (abs(col("__est") - col("n_cust_exact"))
+            <= greatest(lit(3L), (col("n_cust_exact") * 15L) / lit(100L)))
+            .as("est_within_band"))),
     "mart_top_salted" -> ((s, dir) =>
       Marts.topNPerGroupSalted(
           t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
@@ -3148,8 +3157,9 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (q_approx_distinct —
-    * no SQL twin exists for HLL internals)
+    * the same parquet tables. Every query key has a twin (r12; HLL and
+    * union-find, the two historic rows-only entries, are now gated via
+    * a band assertion and a generated round replay). Omitted keys
     * get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
@@ -3217,6 +3227,14 @@ object SparkEntry {
     "q_higher_moments" -> Oracles.qHigherMoments,
     "events_concurrency" -> Oracles.eventsConcurrency,
     "q_distinct_count" -> Oracles.qDistinctCount,
+    // the estimate is certified, not reproduced: the twin asserts the
+    // within-band flag TRUE next to the exact distinct, so HLL drift
+    // past the documented bound is a loud hash FAIL
+    "q_approx_distinct" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yearkey,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+        |  TRUE AS est_within_band
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_running_total" -> Oracles.qRunningTotal,
     "q_global_rank" -> Oracles.qGlobalRank,
     "mart_top_salted" -> Oracles.martTopPerGroup,
