@@ -1855,6 +1855,34 @@ object Oracles {
       |  CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Twin for the STREAMING interval-join replays: the plain batch
+    * interval join — each purchase against the same user's clicks in
+    * the preceding window. `inner = false` adds the LEFT-OUTER null
+    * rows for clicks no purchase ever lands on (the streaming side
+    * emits those at watermark eviction).
+    */
+  def streamJoinReplay(inner: Boolean): String = {
+    val jt = if (inner) "JOIN" else "LEFT JOIN"
+    s"""SELECT c.user_id, b.event_id AS buy_id, c.event_id AS click_id,
+       |  epoch_ms(b.ts) - epoch_ms(c.ts) AS gap_ms
+       |FROM (SELECT * FROM events WHERE event_type = '$AsofMatch') c
+       |$jt (SELECT * FROM events WHERE event_type = '$AsofTarget') b
+       |  ON b.user_id = c.user_id AND b.ts >= c.ts
+       |  AND b.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+  }
+
+  /** Twin for the STREAMING CDC ingestion replay: the staged log's
+    * batches partition it by seq range, so the foreachBatch fold equals
+    * ONE global latest-op-wins — recomputed here from orders directly
+    * (seq 2's %13 update outranks seq 1's %7; seq 3 deletes %11 keys).
+    */
+  def streamCdcReplay: String =
+    """SELECT o_orderkey,
+      |  CAST(FLOOR((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 500.0
+      |              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
+      |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
+
   def eventsPivot: String = {
     val cols = EventTypes
       .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")

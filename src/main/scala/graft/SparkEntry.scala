@@ -2937,6 +2937,23 @@ object SparkEntry {
       // completion (sentinel-advanced watermark flushes every window);
       // final table must equal the batch GROUP BY twin
       graft.streaming.StreamRun.windowAggReplay(s, dir)),
+    "stream_join_replay" -> ((s, dir) =>
+      // the STREAMING stream-stream interval join (inner) run to
+      // completion; matches emit in-batch, final table must equal the
+      // batch interval-join twin
+      graft.streaming.StreamRun.joinReplay(s, dir)),
+    "stream_left_join_replay" -> ((s, dir) =>
+      // the STREAMING LEFT-OUTER stream-stream join run to completion —
+      // including the null-row-at-eviction path: two two-sided sentinel
+      // files advance both watermarks then give eviction a batch to
+      // fire in; final table must equal the batch LEFT JOIN twin
+      graft.streaming.StreamRun.leftJoinReplay(s, dir)),
+    "stream_cdc_replay" -> ((s, dir) =>
+      // the STREAMING CDC ingestion loop (foreachBatch folds each
+      // micro-batch into the snapshot via cdcApply) run to completion
+      // over a three-seq change log staged as seq-ordered files; the
+      // final snapshot must equal one global latest-op-wins fold
+      graft.streaming.StreamRun.cdcReplay(s, dir)),
     "events_sessionize_typed" -> ((s, dir) => {
       // the SAME sessions through the typed Dataset[Event] surface —
       // flatMapGroups closure instead of analytic windows; shares the
@@ -3379,6 +3396,9 @@ object SparkEntry {
     "stream_sessionize_replay" -> Oracles.streamSessionizeReplay,
     "stream_dedupe_replay" -> Oracles.streamDedupeReplay,
     "stream_window_agg_replay" -> Oracles.streamWindowAggReplay,
+    "stream_join_replay" -> Oracles.streamJoinReplay(inner = true),
+    "stream_left_join_replay" -> Oracles.streamJoinReplay(inner = false),
+    "stream_cdc_replay" -> Oracles.streamCdcReplay,
     "events_extract" -> Oracles.eventsExtract,
     "events_json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",

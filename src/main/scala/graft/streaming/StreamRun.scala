@@ -44,19 +44,17 @@ object StreamRun {
 
   private val SentinelUser = -1L
 
-  /** Stage `events` as one real parquet file plus `sentinels` trailing
-    * single-row files with strictly increasing modification times.
-    * Returns the input directory for the file stream source.
+  /** Stage `frames` as one parquet directory where frame i's file(s)
+    * carry strictly increasing modification times — the file stream
+    * source (`latestFirst=false`, mod-time order) then delivers each
+    * frame as its own micro-batch under `maxFilesPerTrigger=1`.
+    * All frames must share a schema. Returns the input directory.
     */
-  private def stage(spark: SparkSession, dir: String,
-                    sentinels: Seq[java.sql.Timestamp]): String = {
+  private def stageFrames(frames: Seq[org.apache.spark.sql.DataFrame]): String = {
+    require(frames.nonEmpty)
     val root = Files.createTempDirectory("graft_stream_replay")
     root.toFile.deleteOnExit()
     val in = root.resolve("in").toString
-    val events = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-    events.coalesce(1).write.parquet(in)
     import scala.jdk.CollectionConverters._
     def parts(): Set[Path] = {
       val s = Files.list(Paths.get(in))
@@ -64,20 +62,33 @@ object StreamRun {
         .filter(_.getFileName.toString.startsWith("part-")).toSet
       finally s.close()
     }
-    val realParts = parts()
-    val t0 = realParts.map(p => Files.getLastModifiedTime(p).toMillis).max
-    var seen = realParts
-    import spark.implicits._
-    sentinels.zipWithIndex.foreach { case (sts, i) =>
-      Seq((SentinelUser * (i + 2), sts, SentinelUser, "sentinel", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(in)
+    frames.head.coalesce(1).write.parquet(in)
+    var seen = parts()
+    val t0 = seen.map(p => Files.getLastModifiedTime(p).toMillis).max
+    frames.drop(1).zipWithIndex.foreach { case (f, i) =>
+      f.coalesce(1).write.mode("append").parquet(in)
       val now = parts()
       (now -- seen).foreach(p => Files.setLastModifiedTime(p,
         FileTime.fromMillis(t0 + 60000L * (i + 1))))
       seen = now
     }
     in
+  }
+
+  /** Stage the events table as one real parquet file plus `sentinels`
+    * trailing single-row files with strictly increasing modification
+    * times. Returns the input directory for the file stream source.
+    */
+  private def stage(spark: SparkSession, dir: String,
+                    sentinels: Seq[java.sql.Timestamp]): String = {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    stageFrames(events +: sentinels.zipWithIndex.map { case (sts, i) =>
+      Seq((SentinelUser * (i + 2), sts, SentinelUser, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    })
   }
 
   /** Drain a streaming DataFrame to parquet with Trigger.AvailableNow
@@ -148,6 +159,116 @@ object StreamRun {
       .where(col("event_type") =!= "sentinel")
       .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"),
         col("n_events"), col("value_cents"))
+  }
+
+  /** Streaming stream-stream INTERVAL JOIN run to completion: each
+    * purchase joins the same user's clicks in the preceding
+    * `windowMinutes` ([[EventStreams.matchedPairs]], inner). Inner
+    * matches emit in the micro-batch where both sides hold the rows —
+    * no watermark advancement is needed for OUTPUT (only for state
+    * eviction), so the whole table rides one staged micro-batch with
+    * no sentinels, and the final table must equal the batch join twin.
+    * Graduates §2.6 row 33c from spec-only to driver-oracle coverage.
+    */
+  def joinReplay(spark: SparkSession, dir: String,
+                 windowMinutes: Int = 30): DataFrame = {
+    val in = stage(spark, dir, Seq.empty)
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val joined = EventStreams.matchedPairs(stream,
+      graft.Params.AsofMatch, graft.Params.AsofTarget,
+      watermark = "45 days", windowMinutes = windowMinutes)
+    drain(spark, joined)
+      .select(col("user_id"), col("buy_id"), col("click_id"), col("gap_ms"))
+  }
+
+  /** Streaming LEFT-OUTER stream-stream join run to completion: matched
+    * pairs emit in-batch like the inner form; an UNMATCHED click emits
+    * its null row only in a batch whose starting watermark has passed
+    * `click_ts + windowMinutes` — the moment the state store can prove
+    * no future buy lands in its window and evicts the row. The sentinel
+    * discipline therefore needs rows that pass BOTH sides' event_type
+    * filters (each side computes its own watermark; the global one is
+    * their min): each trailing file carries one far-future click and
+    * one far-future purchase on distinct reserved negative users (so
+    * they cannot match each other). Sentinel 1 advances both watermarks
+    * past every real click's window end; sentinel 2's batch is where
+    * those evictions FIRE. Sentinel output is filtered from the drained
+    * BATCH result — never inside the streaming query, where the
+    * predicate would reach the parquet scan, row-group stats would
+    * prune the sentinel file, and the watermark would never advance
+    * (the r11 stream_window_agg_replay trap). Graduates §2.6 row 33c2.
+    */
+  def leftJoinReplay(spark: SparkSession, dir: String,
+                     windowMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val maxMs = graft.Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val delayMs = 45L * 86400000L
+    def sentinelFile(ix: Int, ms: Long) = Seq(
+      (SentinelUser * (2 * ix + 2), new java.sql.Timestamp(ms),
+        SentinelUser, graft.Params.AsofMatch, 0.0),
+      (SentinelUser * (2 * ix + 3), new java.sql.Timestamp(ms),
+        SentinelUser - 1, graft.Params.AsofTarget, 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val in = stageFrames(Seq(events,
+      sentinelFile(1, maxMs + delayMs + 3600000L),
+      sentinelFile(2, maxMs + 2 * delayMs)))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val joined = EventStreams.matchedPairs(stream,
+      graft.Params.AsofMatch, graft.Params.AsofTarget,
+      watermark = "45 days", windowMinutes = windowMinutes,
+      joinType = "left_outer")
+    drain(spark, joined)
+      .where(col("user_id") >= 0) // sentinel users are negative
+      .select(col("user_id"), col("buy_id"), col("click_id"), col("gap_ms"))
+  }
+
+  /** Streaming CDC ingestion run to completion ([[StreamingSpec]] 33i's
+    * foreachBatch fold, driver-oracle'd): a deterministic change log
+    * derived from orders arrives as THREE seq-ordered micro-batches —
+    * updates at seq 1 (%7 keys, +1000) and seq 2 (%13 keys, +500) in
+    * the SAME batch (in-batch latest-op-wins via the seq window), then
+    * deletes at seq 3 (%11 keys) in a later batch (cross-batch fold
+    * order). Each micro-batch folds into the parquet snapshot via
+    * [[graft.etl.Staging.cdcApply]] with a materialize-then-swap (the
+    * fold must never overwrite what it still reads). Because batches
+    * partition the log by seq RANGE, the fold equals one global
+    * latest-op-wins — the twin recomputes it from orders directly.
+    */
+  def cdcReplay(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+    def logRows(mod: Int, bump: Double, op: String, seq: Long) =
+      orders.filter(col("o_orderkey") % mod === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + bump)
+        .withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val in = stageFrames(Seq(
+      logRows(7, 1000.0, "U", 1L).unionByName(logRows(13, 500.0, "U", 2L)),
+      logRows(11, 0.0, "D", 3L)))
+    val root = Files.createTempDirectory("graft_stream_cdc")
+    root.toFile.deleteOnExit()
+    val snap = root.resolve("snap").toString
+    orders.write.parquet(snap)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val next = graft.etl.Staging.cdcApply(
+          spark.read.parquet(snap), b, Seq("o_orderkey"), "op", Seq("seq"))
+        next.write.mode("overwrite").parquet(snap + "_tmp")
+        spark.read.parquet(snap + "_tmp")
+          .write.mode("overwrite").parquet(snap)
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(snap)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("price_cents"))
   }
 
   /** Streaming watermark-bounded exact dedup run to completion: the
