@@ -55,8 +55,10 @@ object StageProbe {
           val wall = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 10000L)
           println(f"== $name wall=$wall%.2f s")
-          stages.asScala.toSeq.sortBy(-_._2).take(6)
-            .filter(_._2 > 200L).foreach { case (id, w, run, nt, sr, sw) =>
+          val topN = sys.env.getOrElse("GRAFT_PROBE_TOP", "6").toInt
+          val minMs = sys.env.getOrElse("GRAFT_PROBE_MIN_MS", "200").toLong
+          stages.asScala.toSeq.sortBy(-_._2).take(topN)
+            .filter(_._2 > minMs).foreach { case (id, w, run, nt, sr, sw) =>
               val flag = if (nt <= 2 && w > 500L) "  <-- LOW-PARALLELISM HOT STAGE" else ""
               println(f"   stage $id%5d wall=${w / 1000.0}%6.2f s taskRun=${run / 1000.0}%7.2f s ntasks=$nt%3d srRec=$sr%9d swRec=$sw%9d$flag")
             }

@@ -588,8 +588,17 @@ object Dedup {
     // below (intra both sides, the distinct, both expansion sides) as a
     // ReusedExchange: the upstream signature computation (tokenize+agg /
     // image decode) runs exactly once, and the (sim_lo, sim_hi) hash
-    // partitioning already satisfies every downstream join/agg key
+    // partitioning already satisfies every downstream join/agg key.
+    // The isNotNull is LOAD-BEARING for that reuse, not a semantic
+    // filter: the intra equi-join null-rejects idCol, so Catalyst
+    // infers IsNotNull(idCol) and pushes it into THAT path's scan only
+    // — the window path's scan stays unfiltered, the two subtrees
+    // canonicalize differently, and exchange reuse silently fails
+    // (measured r12: the whole tokenize+agg ran twice, two 0.7 s
+    // single-task stages at sf0.1). Filtering here puts the same
+    // pushed predicate on every consumer's scan.
     val m = sig.select(col(idCol), col("sim_lo"), col("sim_hi"))
+      .where(col(idCol).isNotNull)
       .repartition(col("sim_lo"), col("sim_hi"))
       // shuffle_hash (not broadcast) so BOTH intra sides read the one
       // reused exchange above — a broadcast build would re-evaluate the
