@@ -37,7 +37,7 @@ object SparkEntry {
   /** Per-query recall@k of an approximate (query_id, doc_id) top-k
     * against the exact one, reduced to one row (n_queries, mean/min
     * recall in integer ppm) — shared by the champion-cap audits. */
-  private def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+  private[graft] def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val perq = exact.select(col("query_id"), col("doc_id"))
       .join(approx.select(col("query_id"), col("doc_id"), lit(1L).as("hit")),
         Seq("query_id", "doc_id"), "left")

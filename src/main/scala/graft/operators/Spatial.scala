@@ -43,17 +43,29 @@ object Spatial {
     // the memory that the aggregates actually need — the right trade
     // wherever the intermediate dwarfs its inputs.
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
-    // each undirected pair once from the join → both directions for
-    // per-point counting (cheap select+union, no extra shuffle yet)
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    // each undirected pair once from the join → both directions via a
+    // Generate (explode), NOT a union of two flipped selects: a union
+    // embeds the whole grid join in BOTH arms, so every consumer of
+    // sym recomputed it twice — WorkProbe r12 measured FOUR 109M-row
+    // join executions at sf1 where two suffice; the explode doubles
+    // rows inside one pass of a single join subtree
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb")),
+        struct(col("id_b").as("id"), col("id_a").as("nb")))).as("s"))
+      .select(col("s.id").as("id"), col("s.nb").as("nb"))
     val cnt = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
     val withCnt = pts.select(col(idCol).cast("long").as("id"))
       .join(cnt, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
     val coreIds = withCnt.where(col("n_nb") >= minPts)
       .select(col("id").as("nb"))
-    val hasCoreNb = sym.join(coreIds, Seq("nb")).select("id").distinct()
+    // shuffle_hash, deliberately: the probe side is the density-sized
+    // edge list (218M rows at sf1) — sort-merge pays a full sort of it,
+    // and a broadcast of coreIds dies at real N where the core set is
+    // data-sized; hash-building the small per-partition core slice is
+    // the only shape that survives both ends of the scale
+    val hasCoreNb = sym.join(coreIds.hint("shuffle_hash"), Seq("nb"))
+      .select("id").distinct()
       .withColumn("has_core_nb", lit(true))
     withCnt.join(hasCoreNb, Seq("id"), "left")
       .select(col("id"), col("n_nb"),
@@ -82,8 +94,12 @@ object Spatial {
     // the grid join is cheap codegen to recompute. The SMALL derived
     // tables (coreIds, the CC labels) are the reuse points.
     val pairs = RangeJoin.gridNeighborJoin(pts, idCol, xCol, yCol, r)
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    // explode-symmetrized like [[dbscanLabel]] — one join execution per
+    // consumer instead of two
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb")),
+        struct(col("id_b").as("id"), col("id_a").as("nb")))).as("s"))
+      .select(col("s.id").as("id"), col("s.nb").as("nb"))
     val coreIds = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
       .where(col("n_nb") >= minPts).select("id")
       .localCheckpoint(false)
