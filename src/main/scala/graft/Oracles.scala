@@ -5931,7 +5931,13 @@ object Oracles {
     * decode→aHash produced exactly the independent signatures AND its
     * candidate/verify join kept exactly the right pairs.
     */
-  def multimodalImageNeardup: String = {
+  def multimodalImageNeardup: String = multimodalImageNeardupFrom("__GRAFT_EXPAHASH__")
+
+  /** Same twin over the realistic-diversity fixture's signatures. */
+  def multimodalImageNeardupDiverse: String =
+    multimodalImageNeardupFrom("__GRAFT_EXPAHASHDIV__")
+
+  private def multimodalImageNeardupFrom(fixture: String): String = {
     val blocks = Seq(
       "sim_lo & 65535", "(sim_lo >> 16) & 65535",
       "sim_hi & 65535", "(sim_hi >> 16) & 65535"
@@ -5939,7 +5945,7 @@ object Oracles {
       s"SELECT media_id, sim_lo, sim_hi, $k AS blk, $bv AS bv FROM s"
     }.mkString(" UNION ALL ")
     s"""WITH s AS (SELECT media_id, sim_lo, sim_hi
-       |  FROM read_parquet('__GRAFT_EXPAHASH__/*.parquet')),
+       |  FROM read_parquet('$fixture/*.parquet')),
        |blk AS ($blocks)
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,

@@ -88,6 +88,10 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_expahash_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  def expAhashDivRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_expahashdiv_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   /** Replace fixture-path placeholders in oracle SQL with this run's
     * actual roots (driver + check.py execute the SQL verbatim).
     */
@@ -95,6 +99,7 @@ object SparkEntry {
     sql.replace("__GRAFT_BINSRC__", binsrcRoot(dir))
       .replace("__GRAFT_CDC_BYTES__", cdcBytesRoot(dir))
       .replace("__GRAFT_EXPFEAT__", expFeatRoot(dir))
+      .replace("__GRAFT_EXPAHASHDIV__", expAhashDivRoot(dir))
       .replace("__GRAFT_EXPAHASH__", expAhashRoot(dir))
 
   /** ANN demo query set: the fixed hash-order budget over the
@@ -3171,6 +3176,18 @@ object SparkEntry {
         Multimodal.mediaFromDocumentsPngTwins(docs, 16, 12),
         Params.SimhashMaxDist)
     }),
+    "multimodal_image_neardup_diverse" -> ((s, dir) => {
+      // the same decode→aHash→pair pipeline on the REALISTIC-DIVERSITY
+      // renders (md5-raster per doc — a uniform draw of the aHash
+      // space): the pair set is ~one twin pair per doc, OUTPUT-SPARSE
+      // and ~linear in N, so this census row measures the engine where
+      // the text-raster row measures its output-bound stress case
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedTwinSignaturesDiverse(docs, 16, 12, expAhashDivRoot(dir))
+      Multimodal.imageNearDup(
+        Multimodal.mediaFromDocumentsPngTwinsDiverse(docs, 16, 12),
+        Params.SimhashMaxDist)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3183,6 +3200,7 @@ object SparkEntry {
     "src_binaryfile_ingest" -> Oracles.srcBinaryfileIngest,
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_neardup" -> Oracles.multimodalImageNeardup,
+    "multimodal_image_neardup_diverse" -> Oracles.multimodalImageNeardupDiverse,
     "multimodal_cdc_chunks" -> Oracles.multimodalCdcChunks,
     "src_csv_roundtrip" -> Oracles.srcCsvRoundtrip,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text, n_chars FROM documents",
