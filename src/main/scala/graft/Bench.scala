@@ -23,7 +23,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's harness (local[32], shuffle
+    // partitions 32) so un-prefixed local runs measure the same mode
+    // the per-round BENCH artifacts record — the r12 decade-3 session
+    // burned hours benchmarking at a silent local[4]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -645,6 +645,14 @@ object Dedup {
       .where(col("rep") === col(idCol))
     val blocks = uniq.select(col("sim_lo"), col("sim_hi"),
       explode(array(keys(col("sim_lo"), col("sim_hi")): _*)).as("bk"))
+      // PIN the probe join's parallelism (fixed-N repartition on the
+      // join key): AQE coalesces this exchange by its INPUT bytes (the
+      // exploded key table is small) while the bucket join's work is
+      // condition evaluations — measured 2 tasks carrying the whole
+      // probe at sf0.1. Fixed-N opts the exchange out of coalescing;
+      // the join reads both sides from this one pinned exchange.
+      .transform(d => d.repartition(
+        d.sparkSession.sessionState.conf.numShufflePartitions, col("bk")))
       .hint("shuffle_hash")
     val a = blocks.as("a")
     val b = blocks.as("b")

@@ -126,6 +126,21 @@ object RangeJoin {
     * are exact-integer FLOOR division ([[cell]]), so coordinates of
     * any sign are safe. Emits (id_a, id_b, dx, dy), id_a < id_b.
     */
+  /** Pin a fan-out join input's partitioning at the session's configured
+    * shuffle parallelism. AQE's partition coalescing sizes partitions by
+    * INPUT bytes, but a grid join's output fans out ~density× its input
+    * — measured r12 at sf10: the 18 M-row probe side coalesced to 4
+    * tasks carrying a 10.9 B-row output, pinning a 32-thread machine at
+    * load 4 for the whole join. An explicit fixed-N repartition on the
+    * join key is the documented opt-out: the join sees both sides
+    * already distributed (no extra exchange) and AQE leaves the count
+    * alone. N is the session's shuffle.partitions — the knob the
+    * cluster owner already sizes to the hardware.
+    */
+  private def pinned(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys: _*)
+
   def gridNeighborJoin(pts: DataFrame, idCol: String, xCol: String,
                        yCol: String, r: Long): DataFrame = {
     require(r >= 1)
@@ -140,7 +155,9 @@ object RangeJoin {
         explode(array(offsets: _*)).as("o"))
       .select(col("id_a"), col("xa"), col("ya"),
         (col("bx") + col("o.ox")).as("cx"), (col("by") + col("o.oy")).as("cy"))
-    left.join(right, Seq("cx", "cy"))
+    pinned(left, col("cx"), col("cy"))
+      .join(pinned(right, col("cx"), col("cy")).hint("shuffle_hash"),
+        Seq("cx", "cy"))
       .where(col("id_a") < col("id_b") &&
         abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
       .select(col("id_a"), col("id_b"),
@@ -171,7 +188,9 @@ object RangeJoin {
       .select(col("id_a"), col("xa"), col("ya"),
         (cell("xa", r) + col("o.ox")).as("cx"),
         (cell("ya", r) + col("o.oy")).as("cy"))
-    a.join(b, Seq("cx", "cy"))
+    pinned(a, col("cx"), col("cy"))
+      .join(pinned(b, col("cx"), col("cy")).hint("shuffle_hash"),
+        Seq("cx", "cy"))
       .where(col("id_a") =!= col("id_b") &&
         abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
       .select(col("id_a"), col("id_b"))
@@ -198,7 +217,9 @@ object RangeJoin {
         explode(array(offsets: _*)).as("o"))
       .select(col("id_a"), col("xa"), col("ya"), col("bx"), col("by"),
         (col("bx") + col("o.ox")).as("cx"), (col("by") + col("o.oy")).as("cy"))
-    left.join(right, Seq("cx", "cy"))
+    pinned(left, col("cx"), col("cy"))
+      .join(pinned(right, col("cx"), col("cy")).hint("shuffle_hash"),
+        Seq("cx", "cy"))
       .where(col("id_a") < col("id_b") &&
         abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
       .select(col("id_a"), col("id_b"),
