@@ -2953,6 +2953,24 @@ object SparkEntry {
       // files advance both watermarks then give eviction a batch to
       // fire in; final table must equal the batch LEFT JOIN twin
       graft.streaming.StreamRun.leftJoinReplay(s, dir)),
+    "stream_idempotent_sink_replay" -> ((s, dir) =>
+      // merge-on-read idempotent sink run to completion: every batch
+      // APPENDED verbatim (the table is staged twice = a redelivery,
+      // and the replay asserts the sink holds both copies), read-side
+      // key dedup restores exactly-once; must equal the events table
+      graft.streaming.StreamRun.idempotentSinkReplay(s, dir)),
+    "stream_enrich_replay" -> ((s, dir) =>
+      // stream-static enrichment run to completion (broadcast dim per
+      // micro-batch, stateless; dim = event-type domain minus 'error'
+      // so both match and null-row paths carry data); final table must
+      // equal the batch LEFT JOIN twin
+      graft.streaming.StreamRun.enrichReplay(s, dir)),
+    "stream_topk_replay" -> ((s, dir) =>
+      // the custom TopK Aggregator inside a streaming aggregation run
+      // to completion over TWO parity-split micro-batches (cross-batch
+      // buffer MERGE exercised); final per-type top-K must equal the
+      // batch window twin
+      graft.streaming.StreamRun.topkReplay(s, dir, TopNPerGroup)),
     "stream_cdc_replay" -> ((s, dir) =>
       // the STREAMING CDC ingestion loop (foreachBatch folds each
       // micro-batch into the snapshot via cdcApply) run to completion
@@ -3417,6 +3435,20 @@ object SparkEntry {
     "stream_join_replay" -> Oracles.streamJoinReplay(inner = true),
     "stream_left_join_replay" -> Oracles.streamJoinReplay(inner = false),
     "stream_cdc_replay" -> Oracles.streamCdcReplay,
+    "stream_idempotent_sink_replay" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin,
+    "stream_enrich_replay" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type <> 'error' THEN 'cat_' || event_type END AS category
+        |FROM events""".stripMargin,
+    "stream_topk_replay" ->
+      s"""SELECT event_type, rnk, event_id, cents FROM (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+         |  FROM events) WHERE rnk <= ${Params.TopNPerGroup}""".stripMargin,
     "events_extract" -> Oracles.eventsExtract,
     "events_json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",

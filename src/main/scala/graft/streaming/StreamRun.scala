@@ -271,6 +271,92 @@ object StreamRun {
         floor(col("o_totalprice") * 100.0).cast("long").as("price_cents"))
   }
 
+  /** Stream-static enrichment run to completion ([[EventStreams.enrich]]
+    * — broadcast dim per micro-batch, stateless, left join keeps
+    * unmatched events): the dim is derived deterministically from the
+    * event-type domain MINUS 'error', so both the matched and the
+    * null-row path carry data. Final table must equal the batch LEFT
+    * JOIN twin. Graduates §2.6 row 33e.
+    */
+  def enrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    val in = stage(spark, dir, Seq.empty)
+    val dim = graft.Tables.events(spark, dir)
+      .select(col("event_type")).distinct()
+      .where(col("event_type") =!= "error")
+      .withColumn("category", concat(lit("cat_"), col("event_type")))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    drain(spark, EventStreams.enrich(stream, dim, "event_type")
+        .select(col("event_id"), col("user_id"), col("category")))
+      .select(col("event_id"), col("user_id"), col("category"))
+  }
+
+  /** Custom TopK Aggregator inside a streaming aggregation, run to
+    * completion: the events table is staged as TWO micro-batches split
+    * by event_id parity, so the buffer's zero/reduce/MERGE path runs
+    * across batches (a single batch would never exercise merge-into-
+    * existing-state). Complete-mode memory sink + AvailableNow; the
+    * final per-type top-K (value desc, id asc) must equal the batch
+    * window twin. Graduates §2.6 row 33f.
+    */
+  def topkReplay(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val in = stageFrames(Seq(
+      events.where(col("event_id") % 2 === 0),
+      events.where(col("event_id") % 2 =!= 0)))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val fn = org.apache.spark.sql.functions.udaf(
+      new graft.operators.TopKAggregator[Double, Long](k))
+    val name = "graft_stream_topk_replay"
+    val q = stream.groupBy(col("event_type"))
+      .agg(fn(col("value"), col("event_id")).as("top"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("event_type"), (col("pos") + 1).as("rnk"),
+        col("p._2").as("event_id"),
+        floor(col("p._1") * 100.0).cast("long").as("cents"))
+  }
+
+  /** Idempotent merge-on-read sink run to completion ([[StreamingSpec]]
+    * 33d): the events table is staged TWICE (a redelivered batch), the
+    * writer foreachBatch-APPENDS every micro-batch verbatim — so the
+    * sink parquet really holds each row twice — and the READ side
+    * dedups on the key, turning at-least-once delivery into
+    * exactly-once results with no table locks. Final read-side table
+    * must equal the plain events table. Graduates §2.6 row 33d.
+    */
+  def idempotentSinkReplay(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val in = stageFrames(Seq(events, events))
+    val root = Files.createTempDirectory("graft_stream_sink")
+    root.toFile.deleteOnExit()
+    val tbl = root.resolve("tbl").toString
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(tbl)
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(tbl)
+    require(sunk.count() == 2 * events.count(),
+      "idempotent-sink replay: the sink must hold BOTH deliveries verbatim")
+    sunk.dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+  }
+
   /** Streaming watermark-bounded exact dedup run to completion: the
     * table is staged TWICE (two micro-batches), the second pass is
     * dropped entirely by per-key state, and the final output is exactly
