@@ -65,6 +65,23 @@ object Oracles {
     */
   def dedupMinhashN3: String = s"WITH ${minhashCtesFor(3)} $candSelect"
 
+  /** Streaming MinHash-LSH first-claimant twin
+    * ([[graft.streaming.StreamRun.minhashReplay]]): docs arrive in
+    * doc_id order, so each band's claimant is its MIN doc_id and every
+    * later member emits one candidate row per shared band — per
+    * (band_id, bk), (min doc, other doc) for all others.
+    */
+  def streamMinhashReplay: String =
+    s"""WITH $minhashCtes,
+       |fc AS (SELECT band_id, bk, min(doc_id) AS doc_a
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT CAST(fc.doc_a AS BIGINT) AS doc_a,
+       |  CAST(b.doc_id AS BIGINT) AS doc_b,
+       |  CAST(b.band_id AS BIGINT) AS band_id, CAST(b.bk AS BIGINT) AS bk
+       |FROM fc JOIN bands b
+       |  ON b.band_id = fc.band_id AND b.bk = fc.bk
+       |  AND b.doc_id > fc.doc_a""".stripMargin
+
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the verified
     * near-dup pairs, reused by the jaccard, clustering, and cleaning
     * oracles.
@@ -1431,7 +1448,7 @@ object Oracles {
        |    row_number() OVER (PARTITION BY p.term
        |      ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crk
        |  FROM post p JOIN dl d USING (doc_id))
-       |  WHERE crk <= $Bm25ChampM),
+       |  WHERE crk <= (SELECT greatest($Bm25ChampMFloor, least($Bm25ChampMCap, count(*) * $Bm25ChampMPerMille // 1000)) FROM documents)),
        |cand AS (SELECT DISTINCT q.query_id, p.doc_id
        |  FROM q JOIN cpost p ON p.term = q.term AND p.doc_id <> q.query_id),
        |csc AS (SELECT c.query_id, c.doc_id,
@@ -1475,6 +1492,17 @@ object Oracles {
        |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm
        |FROM pq""".stripMargin
 
+  /** Champion recall FLOOR gate twin: the recall replay of
+    * [[textBm25ChampRecall]] plus a LITERAL `true` floor flag — the
+    * Spark side computes the flag from the measured min recall, so a
+    * scale where the derived champion M stops reaching the floor
+    * hash-fails the driver gate (the q_approx_distinct certification
+    * pattern).
+    */
+  def textChampRecallFloor: String =
+    s"""SELECT n_queries, mean_recall_ppm, min_recall_ppm,
+       |  true AS meets_floor FROM ($textBm25ChampRecall)""".stripMargin
+
   /** Shingle-Jaccard ranking CTEs ending in `jr` (query_id, doc_id,
     * jac_ppm, rnk) — twin of [[graft.operators.TextOps.jaccardTopK]].
     * Requires [[toksCte]] upstream.
@@ -1509,7 +1537,7 @@ object Oracles {
        |    row_number() OVER (PARTITION BY d.g
        |      ORDER BY s.sz ASC, d.doc_id ASC) AS crk
        |  FROM dsh d JOIN jsz s USING (doc_id))
-       |  WHERE crk <= $Bm25ChampM),
+       |  WHERE crk <= (SELECT greatest($Bm25ChampMFloor, least($Bm25ChampMCap, count(*) * $Bm25ChampMPerMille // 1000)) FROM documents)),
        |cjcand AS (SELECT DISTINCT q.query_id, p.doc_id
        |  FROM jqs q JOIN cjpost p ON p.g = q.g AND p.doc_id <> q.query_id),
        |cjit AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS inter
@@ -2485,7 +2513,10 @@ object Oracles {
        |$forest""".stripMargin
   }
 
-  private val MsfOracleRounds = 16
+  // shared with Msf.msf's default maxRounds via Params so the twin can
+  // never omit rounds the Spark side legitimately uses (r12 advice: a
+  // graph converging in rounds 17-20 would otherwise gate-FAIL spuriously)
+  private val MsfOracleRounds = graft.Params.MsfMaxRounds
 
   /** Label-propagation replay: per round, the in-neighbor majority vote
     * (count desc, label asc) with isolated nodes carrying their previous
@@ -2959,6 +2990,45 @@ object Oracles {
        |  CAST((CAST(t_cur*n_ref - t_ref*n_cur AS HUGEINT) * CAST(t_cur*n_ref - t_ref*n_cur AS HUGEINT) * 1000000)
        |    // (CAST(n_ref + n_cur AS HUGEINT) * t_ref * t_cur) AS BIGINT) AS contrib_ppm
        |FROM j CROSS JOIN t""".stripMargin
+
+  /** Streaming drift-guard twin
+    * ([[graft.streaming.StreamRun.driftReplay]]): the post-split order
+    * prices arrive as two parity micro-batches (batch_id = o_orderkey
+    * parity by staging order), each scored independently against the
+    * full pre-split reference with [[qDriftChi2]]'s exact-rational
+    * per-bucket contribution, then pooled to the guard's per-batch
+    * (chi2_ppm, n_buckets, n_rows) statistics.
+    */
+  def streamDriftReplay: String =
+    s"""WITH o AS (SELECT year(o_orderdate) AS y,
+       |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS c,
+       |    o_orderkey % 2 AS par FROM orders),
+       |r AS (SELECT c // ${Params.DriftBucketCents} AS bucket,
+       |    count(*) AS n_ref
+       |  FROM o WHERE y <= ${Params.DriftSplitYear} GROUP BY 1),
+       |cu AS (SELECT par, c // ${Params.DriftBucketCents} AS bucket,
+       |    count(*) AS n_cur
+       |  FROM o WHERE y > ${Params.DriftSplitYear} GROUP BY 1, 2),
+       |rp AS (SELECT p.par, r.bucket, r.n_ref
+       |  FROM (SELECT DISTINCT par FROM cu) p CROSS JOIN r),
+       |j AS (SELECT COALESCE(rp.par, cu.par) AS par,
+       |      COALESCE(rp.bucket, cu.bucket) AS bucket,
+       |      COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |    FROM rp FULL OUTER JOIN cu
+       |      ON rp.par = cu.par AND rp.bucket = cu.bucket),
+       |t AS (SELECT par, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+       |  FROM j GROUP BY par),
+       |contrib AS (SELECT j.par, j.n_cur,
+       |    CAST((CAST(t_cur*n_ref - t_ref*n_cur AS HUGEINT)
+       |          * CAST(t_cur*n_ref - t_ref*n_cur AS HUGEINT) * 1000000)
+       |      // (CAST(n_ref + n_cur AS HUGEINT) * t_ref * t_cur)
+       |      AS BIGINT) AS contrib_ppm
+       |  FROM j JOIN t ON t.par = j.par)
+       |SELECT CAST(par AS BIGINT) AS batch_id,
+       |  CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(n_cur) AS BIGINT) AS n_rows
+       |FROM contrib GROUP BY 1""".stripMargin
 
   /** jsdDrift twin: the float surfaces only inside round(ln·10⁴) (the
     * PMI discipline); HUGEINT where Spark uses DECIMAL(38,0); every
@@ -5921,6 +5991,28 @@ object Oracles {
       |FROM documents d
       |JOIN read_parquet('__GRAFT_EXPFEAT__/*.parquet') f
       |  ON f.media_id = d.doc_id""".stripMargin
+
+  /** Twin for `multimodal_resize`: the expected-resize fixture carries
+    * the floor-NN rescale's pixel crc computed from raster arithmetic
+    * alone ([[graft.multimodal.Multimodal.exportExpectedResize]]); the
+    * target dims are the shared Params constants.
+    */
+  def multimodalResize: String =
+    s"""SELECT media_id, CAST(${Params.ResizeTargetW} AS BIGINT) AS width,
+       |  CAST(${Params.ResizeTargetH} AS BIGINT) AS height, pix_crc
+       |FROM read_parquet('__GRAFT_EXPRESIZE__/*.parquet')""".stripMargin
+
+  /** Twin for `multimodal_frame_sample`: the expected-frame fixture
+    * carries every strided frame's dims + pixel crc from per-frame
+    * raster arithmetic
+    * ([[graft.multimodal.Multimodal.exportExpectedFrameSamples]]);
+    * `decoded` is ASSERTED true — a payload falling back to the chunking
+    * path hash-fails.
+    */
+  def multimodalFrameSample: String =
+    """SELECT media_id, frame_idx, width, height, frame_crc,
+      |  true AS decoded
+      |FROM read_parquet('__GRAFT_EXPFRAMES__/*.parquet')""".stripMargin
 
   /** Twin for `multimodal_image_neardup`: re-derives the FULL
     * pigeonhole pair table (4×16-bit block buckets, exact 64-bit

@@ -5,6 +5,12 @@ package graft
   * the two sides impossible.
   */
 object Params {
+  // Borůvka MSF round budget, shared by Msf.msf and the generated
+  // DuckDB twin so the two can never drift: the oracle replays exactly
+  // this many rounds, and msf refuses (rather than silently truncates)
+  // if a graph needs more. log2(components) ≈ 18 at sf1's ~200k
+  // partkeys, so 20 covers a decade beyond observed 5-7 rounds.
+  val MsfMaxRounds = 20
   // minhash / LSH over documents
   val MinhashK = 16
   val MinhashBands = 4
@@ -290,10 +296,35 @@ object Params {
   val Bm25QueryMod = 50
   val Bm25K = 10
   val RrfC = 60L // reciprocal-rank-fusion damping constant (standard 60)
-  // champion-list posting cap (impact-ordered top-M docs per term) — the
-  // bounded-work retrieval path; 4×k keeps rare-term postings intact
-  // while cutting stopword-grade lists to a constant
-  val Bm25ChampM = 40
+  // Champion-list posting cap (impact-ordered top-M docs per term) —
+  // the bounded-work retrieval path. M is PER-SCALE, not a constant
+  // (r12 §5.14: the sf0.01-only "100% recall at M=40" collapsed to 25%
+  // at sf1). The ship path derives M from corpus size, calibrated by
+  // RecallSweep (r13, audit query budget, 100% mean AND min recall@k):
+  //   500 docs  → M=80  (M=40 reads min 90% — the r12 constant was
+  //                      already below the floor on its own fixture)
+  //   5 000 docs → M=800 (M=400 reads min 90%)
+  //   50 000 docs → M=800 (r12 sweep, mark fixture)
+  // i.e. ~0.16·N until it SATURATES near 800 on this corpus family —
+  // near-ties in the impact order stop growing once common-term
+  // postings dwarf the top-k. The derivation is those measurements,
+  // nothing cleverer: max(80, min(800, N·160 div 1000)). Recall is
+  // monotone non-decreasing in M (candidates are a superset), so the
+  // derived M can only improve on the old constant; and because the
+  // saturation cap is EVIDENCE AT THREE SCALES, not a law, the driver
+  // gate `text_champ_recall_floor` + the ScaleContractSpec fixture pins
+  // hash-FAIL / go red the moment a new scale breaks it, instead of
+  // relying on operators re-running the sweep.
+  val Bm25ChampMFloor = 80
+  val Bm25ChampMCap = 800
+  val Bm25ChampMPerMille = 160 // M = max(floor, min(cap, N*160 div 1000))
+  def bm25ChampM(nDocs: Long): Int =
+    math.max(Bm25ChampMFloor.toLong,
+      math.min(Bm25ChampMCap.toLong,
+        nDocs * Bm25ChampMPerMille / 1000L)).toInt
+  // certified champion recall floor: 100% of the exact top-k on the
+  // audit query budget (what RecallSweep tunes M to)
+  val ChampRecallFloorPpm = 1000000L
 
   // FIXED budgets for the exact-truth halves of the recall/ranking
   // audits (dedup_lsh_recall, text_bm25_champ_recall, text_rrf_fuse,
@@ -456,6 +487,15 @@ object Params {
   val CdcMaskBits = 5
   val CdcMinLen = 16
   val CdcMaxLen = 128
+
+  // multimodal resize / frame-sample (oracle-gated r13): target dims
+  // chosen off the source ranges (w 4..15, h 3..11) so both up- and
+  // down-scaling paths run in one corpus pass; stride 2 keeps frame 0
+  // and every other frame of the 2..5-frame GIFs
+  val ResizeTargetW = 7
+  val ResizeTargetH = 5
+  val FrameSampleStride = 2
+  val FrameSampleBytes = 64
 
   // time-decay attribution: credit halves every 5 min of touch age
   // (inside the 30-min SessionGapMs window → up to 6 halvings)

@@ -88,6 +88,14 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_expahash_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  def expResizeRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_expresize_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  def expFramesRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_expframes_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   def expAhashDivRoot(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_expahashdiv_" +
       java.lang.Integer.toHexString(dir.hashCode)
@@ -101,6 +109,8 @@ object SparkEntry {
       .replace("__GRAFT_EXPFEAT__", expFeatRoot(dir))
       .replace("__GRAFT_EXPAHASHDIV__", expAhashDivRoot(dir))
       .replace("__GRAFT_EXPAHASH__", expAhashRoot(dir))
+      .replace("__GRAFT_EXPRESIZE__", expResizeRoot(dir))
+      .replace("__GRAFT_EXPFRAMES__", expFramesRoot(dir))
 
   /** ANN demo query set: the fixed hash-order budget over the
     * mod-selected vec ids. Queries were a corpus FRACTION, so every
@@ -981,7 +991,7 @@ object SparkEntry {
       // estimate itself isn't portable (HLL internals), so the output
       // carries the exact distinct plus a within-band flag — the DuckDB
       // twin asserts the flag TRUE, so an estimate drifting past 3σ
-      // (3·rsd=0.05 relative, floor 3 absolute for sparse-mode groups)
+      // (3·rsd = 3×0.05 = 0.15 relative, floor 3 absolute for sparse-mode groups)
       // hash-FAILS the driver gate instead of passing rows-only
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yearkey"))
@@ -1381,8 +1391,12 @@ object SparkEntry {
         val pts = t(s, dir, "part").select(col("p_partkey"),
           (col("p_partkey") % 97).as("x"),
           (expr("p_partkey div 97") % 89).as("y"))
+        // overrideDense: this query IS the declared exact ground-truth
+        // baseline — the binding probe must not refuse it (r12 §5.14:
+        // output-bound to the row at three decades); production callers
+        // leave the default and get the refuse-or-proceed gate
         operators.Spatial.probeAdvisory(pts, "p_partkey", "x", "y",
-          SpatialR, DbscanTargetNb, "q_spatial_join")
+          SpatialR, DbscanTargetNb, "q_spatial_join", overrideDense = true)
         operators.RangeJoin.gridNeighborJoin(pts, "p_partkey", "x", "y", SpatialR)
       }),
 
@@ -1393,8 +1407,9 @@ object SparkEntry {
       val pts = t(s, dir, "part").select(col("p_partkey"),
         (col("p_partkey") % 97).as("x"),
         (expr("p_partkey div 97") % 89).as("y"))
+      // overrideDense: declared exact baseline (see q_spatial_join)
       operators.Spatial.probeAdvisory(pts, "p_partkey", "x", "y",
-        SpatialR, DbscanTargetNb, "q_dbscan_core")
+        SpatialR, DbscanTargetNb, "q_dbscan_core", overrideDense = true)
       operators.Spatial.dbscanLabel(pts, "p_partkey", "x", "y",
         SpatialR, DbscanMinPts)
     }),
@@ -2828,26 +2843,32 @@ object SparkEntry {
           queryBudget = AuditQueryBudget)),
         Bm25K, RrfC)
     }),
-    "text_jaccard_champion" -> ((s, dir) =>
+    "text_jaccard_champion" -> ((s, dir) => {
       // bounded-work shingle-Jaccard: champion cap (sz asc = the exact
       // per-shingle impact order) for candidate generation + exact
-      // full-set intersection rescore
-      TextOps.jaccardTopK(t(s, dir, "documents"), "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = Bm25ChampM)),
+      // full-set intersection rescore; M derived from corpus size
+      // (Params.bm25ChampM — per-scale, r12 §5.14)
+      val docs = t(s, dir, "documents")
+      TextOps.jaccardTopK(docs, "doc_id", "text",
+        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()))
+    }),
     "text_jaccard_champ_recall" -> ((s, dir) => {
       // recall@k of the champion Jaccard ranking vs the exact one
       val docs = t(s, dir, "documents")
       recallAtK(
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = Bm25ChampM))
+          champM = bm25ChampM(docs.count())))
     }),
-    "text_bm25_champion" -> ((s, dir) =>
+    "text_bm25_champion" -> ((s, dir) => {
       // bounded-work BM25: champion-list posting cap (impact-ordered
       // top-M docs per term) — query-time candidates ≤ |qterms|·M, the
-      // linear-scale twin of the exact text_bm25 path
-      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = Bm25ChampM)),
+      // linear-scale twin of the exact text_bm25 path; M derived from
+      // corpus size (Params.bm25ChampM — per-scale, r12 §5.14)
+      val docs = t(s, dir, "documents")
+      TextOps.bm25TopK(docs, "doc_id", "text",
+        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()))
+    }),
     "text_bm25_champ_recall" -> ((s, dir) => {
       // what the champion cap costs: per-query recall@k of the champion
       // ranking against the exact BM25 top-k (integer ppm; mean + min)
@@ -2859,7 +2880,25 @@ object SparkEntry {
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           queryBudget = AuditQueryBudget),
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = Bm25ChampM, queryBudget = AuditQueryBudget))
+          champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget))
+    }),
+    "text_champ_recall_floor" -> ((s, dir) => {
+      // the champion recall FLOOR as a BINDING driver gate (the
+      // q_approx_distinct certification pattern): Spark computes the
+      // audit recall AND the meets_floor flag from the derived M; the
+      // twin recomputes the recall exactly but ASSERTS the flag TRUE —
+      // so a scale where the bm25ChampM calibration breaks hash-FAILS
+      // the gate instead of relying on operators re-running RecallSweep
+      // (r12 §5.14: the M=40 evidence silently collapsed at sf1)
+      val docs = t(s, dir, "documents")
+      recallAtK(
+        TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          queryBudget = AuditQueryBudget),
+        TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget))
+        .select(col("n_queries"), col("mean_recall_ppm"),
+          col("min_recall_ppm"),
+          (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
     }),
     "text_novelty" -> ((s, dir) =>
       // per-doc share of shingles first seen in THIS doc — the
@@ -2977,6 +3016,40 @@ object SparkEntry {
       // over a three-seq change log staged as seq-ordered files; the
       // final snapshot must equal one global latest-op-wins fold
       graft.streaming.StreamRun.cdcReplay(s, dir)),
+    "stream_kll_replay" -> ((s, dir) =>
+      // the STREAMING bottom-k quantile sketch run to completion over
+      // two parity micro-batches (cross-batch state MERGE exercised);
+      // exact mergeable state ⇒ final estimates must equal the batch
+      // q_kll_quantiles (shared oracle)
+      graft.streaming.StreamRun.kllReplay(s, dir)),
+    "stream_kmv_replay" -> ((s, dir) =>
+      // the STREAMING KMV distinct sketch run to completion over two
+      // parity micro-batches; final estimate must equal the batch
+      // q_kmv_distinct (shared oracle)
+      graft.streaming.StreamRun.kmvReplay(s, dir)),
+    "stream_heavy_hitters_replay" -> ((s, dir) =>
+      // the STREAMING Misra-Gries candidate summary run to completion
+      // (two micro-batches, cross-batch counter fold), then the
+      // documented exact-verify batch pass over the same corpus; the
+      // per-shard retention guarantee makes the verified set equal the
+      // batch q_heavy_hitters (shared oracle)
+      graft.streaming.StreamRun.heavyHittersReplay(s, dir)),
+    "stream_minhash_replay" -> ((s, dir) =>
+      // the STREAMING MinHash-LSH first-claimant detector run to
+      // completion over two id-ordered micro-batches; candidates must
+      // equal the per-band (min doc, later doc) twin
+      graft.streaming.StreamRun.minhashReplay(s, dir)),
+    "stream_drift_replay" -> ((s, dir) =>
+      // the STREAMING chi-squared ingestion guard run to completion:
+      // each parity micro-batch scored independently against the static
+      // pre-split reference; per-batch pooled stats vs the twin
+      graft.streaming.StreamRun.driftReplay(s, dir)),
+    "stream_zscore_replay" -> ((s, dir) =>
+      // the STREAMING exact-integer z-score alert detector run to
+      // completion over two time-split micro-batches (cross-batch state
+      // fold, global per-key order preserved); alert set must equal the
+      // batch events_zscore_alerts (shared oracle)
+      graft.streaming.StreamRun.zscoreReplay(s, dir)),
     "events_sessionize_typed" -> ((s, dir) => {
       // the SAME sessions through the typed Dataset[Event] surface —
       // flatMapGroups closure instead of analytic windows; shares the
@@ -3178,6 +3251,38 @@ object SparkEntry {
           countDistinct(col("media_id")).as("n_media"),
           max(col("length")).as("chunk_bytes"))
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      // REAL image resize, oracle-gated (r13, VERDICT r12 #5): PNG
+      // renders → ImageIO decode → DEFINED floor-NN rescale → PNG
+      // re-encode → ImageIO decode of the RESIZED payload; the twin
+      // compares the decoded pixel crc against the generation-side
+      // expected-resize fixture (raster arithmetic + the same integer
+      // sample map, no codec) — a hash match proves the whole
+      // decode→rescale→re-encode roundtrip, not that the query ran twice
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedResize(docs, ResizeTargetW, ResizeTargetH,
+        expResizeRoot(dir))
+      Multimodal.resizeImages(Multimodal.mediaFromDocumentsPng(docs),
+          ResizeTargetW, ResizeTargetH)
+        .map { r =>
+          val (w, h, crc) = multimodal.ImageCodec.decodePng(r.payload)
+            .map(t => (t._1.toLong, t._2.toLong, t._3)).getOrElse((-1L, -1L, -1L))
+          (r.media_id, w, h, crc)
+        }.toDF("media_id", "width", "height", "pix_crc")
+    }),
+    "multimodal_frame_sample" -> ((s, dir) => {
+      // REAL GIF frame sampling, oracle-gated (r13, VERDICT r12 #5):
+      // animated-GIF payloads → JVM demux → strided frames with decoded
+      // dims + pixel crc; the twin reads the generation-side
+      // expected-frame fixture (per-frame raster arithmetic, no
+      // demuxer) — every sampled frame's content is independently pinned
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedFrameSamples(docs, FrameSampleStride,
+        expFramesRoot(dir))
+      Multimodal.frameSample(Multimodal.mediaFromDocumentsGif(docs),
+        FrameSampleBytes, FrameSampleStride)
+    }),
     "multimodal_image_neardup" -> ((s, dir) => {
       // image near-dup over real PNG decode: every doc renders with a
       // one-pixel-perturbed twin; aHash signatures feed the shared
@@ -3217,6 +3322,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "src_binaryfile_ingest" -> Oracles.srcBinaryfileIngest,
     "multimodal_features" -> Oracles.multimodalFeatures,
+    "multimodal_resize" -> Oracles.multimodalResize,
+    "multimodal_frame_sample" -> Oracles.multimodalFrameSample,
     "multimodal_image_neardup" -> Oracles.multimodalImageNeardup,
     "multimodal_image_neardup_diverse" -> Oracles.multimodalImageNeardupDiverse,
     "multimodal_cdc_chunks" -> Oracles.multimodalCdcChunks,
@@ -3414,6 +3521,7 @@ object SparkEntry {
     "text_bm25" -> Oracles.textBm25,
     "text_bm25_champion" -> Oracles.textBm25Champion,
     "text_bm25_champ_recall" -> Oracles.textBm25ChampRecall,
+    "text_champ_recall_floor" -> Oracles.textChampRecallFloor,
     "text_jaccard_champion" -> Oracles.textJaccardChampion,
     "text_jaccard_champ_recall" -> Oracles.textJaccardChampRecall,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
@@ -3435,6 +3543,12 @@ object SparkEntry {
     "stream_join_replay" -> Oracles.streamJoinReplay(inner = true),
     "stream_left_join_replay" -> Oracles.streamJoinReplay(inner = false),
     "stream_cdc_replay" -> Oracles.streamCdcReplay,
+    "stream_kll_replay" -> Oracles.qKllQuantiles,
+    "stream_kmv_replay" -> Oracles.qKmvDistinct,
+    "stream_heavy_hitters_replay" -> Oracles.qHeavyHitters,
+    "stream_minhash_replay" -> Oracles.streamMinhashReplay,
+    "stream_drift_replay" -> Oracles.streamDriftReplay,
+    "stream_zscore_replay" -> Oracles.eventsZscoreAlerts,
     "stream_idempotent_sink_replay" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin,

@@ -493,6 +493,52 @@ object Multimodal {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Expected-resize fixture for `multimodal_resize`: per PNG media row
+    * the pixel crc of the floor-NN rescale, computed GENERATION-SIDE
+    * ([[ImageCodec.expectedResizeCrc]] — raster arithmetic + the same
+    * integer sample map, never a codec), so the DuckDB twin hash-checks
+    * the query's real decode → rescale → re-encode → decode pipeline.
+    */
+  def exportExpectedResize(docs: DataFrame, targetW: Int, targetH: Int,
+                           path: String): Unit = {
+    import docs.sparkSession.implicits._
+    if (alreadyStaged(docs.sparkSession, path)) return
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val w = (id % 12 + 4).toInt
+        val h = (id % 9 + 3).toInt
+        (id, ImageCodec.expectedResizeCrc(w, h, text.getBytes("UTF-8"),
+          targetW, targetH))
+      }
+    }.toDF("media_id", "pix_crc")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Expected-frame-sample fixture for `multimodal_frame_sample`: every
+    * strided frame's index, encoded dims and EXPECTED pixel crc
+    * ([[ImageCodec.expectedFrameCrc]] — per-frame raster arithmetic,
+    * never the gif demuxer), so the DuckDB twin hash-checks the query's
+    * real GIF demux against independently derived frames.
+    */
+  def exportExpectedFrameSamples(docs: DataFrame, stride: Int,
+                                 path: String): Unit = {
+    import docs.sparkSession.implicits._
+    if (alreadyStaged(docs.sparkSession, path)) return
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val w = (id % 10 + 4).toInt
+        val h = (id % 7 + 3).toInt
+        val nf = (id % 4 + 2).toInt
+        (0 until nf by stride).map { f =>
+          (id, f.toLong, w.toLong, h.toLong,
+            ImageCodec.expectedFrameCrc(w, h, seed, f))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "frame_crc")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Expected-signature fixture for `multimodal_image_neardup`: the
     * aHash of every [[mediaFromDocumentsPngTwins]] render computed from
     * the gray raster arithmetic ([[ImageCodec.expectedAHashGray]] — no
@@ -741,23 +787,63 @@ object ImageCodec {
     * Graphics2D (deterministic — no antialias/interpolation hints), PNG
     * re-encode. None when the payload is not a decodable image.
     */
+  /** Real decode → DEFINED nearest-neighbor rescale → PNG re-encode.
+    * The sample map is the explicit integer floor rule
+    * `src(dx·srcW div tw, dy·srcH div th)` — not Graphics2D's NN hint,
+    * whose sub-pixel rounding is implementation detail: a resize an
+    * oracle can gate must have a pixel map both engines can state
+    * (r13, VERDICT r12 #5; [[expectedResizeCrc]] is the generation-side
+    * twin). Every sample stays in-bounds down to 1×1 sources
+    * (dx ≤ tw−1 ⇒ dx·srcW div tw < srcW).
+    */
   def resizePng(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
     try {
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (src == null) None
       else {
+        val (sw, sh) = (src.getWidth, src.getHeight)
         val dst = new java.awt.image.BufferedImage(
           targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-        g.drawImage(src, 0, 0, targetW, targetH, null)
-        g.dispose()
+        var dy = 0
+        while (dy < targetH) {
+          var dx = 0
+          while (dx < targetW) {
+            dst.setRGB(dx, dy,
+              src.getRGB(dx * sw / targetW, dy * sh / targetH) & 0xffffff)
+            dx += 1
+          }
+          dy += 1
+        }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", bos)
         Some(bos.toByteArray)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** EXPECTED pixel crc of resizePng([[encodePng]](w,h,seed), tw, th)
+    * computed from the [[frame]] arithmetic plus the same floor NN map —
+    * no BufferedImage, no ImageIO: the generation-side twin that lets a
+    * SQL oracle gate decode → rescale → re-encode → decode end-to-end
+    * (the [[expectedFrameCrc]] pattern, one resample indirection added).
+    */
+  def expectedResizeCrc(width: Int, height: Int, seed: Array[Byte],
+                        targetW: Int, targetH: Int): Long = {
+    var crc = 1125899906842597L
+    var dy = 0
+    while (dy < targetH) {
+      var dx = 0
+      while (dx < targetW) {
+        val x = dx * width / targetW
+        val y = dy * height / targetH
+        val b = if (seed.isEmpty) 0 else seed((y * width + x) % seed.length) & 0xff
+        val rgb = (b << 16) | (((x * 31 + y) & 0xff) << 8) | ((b ^ (x + y)) & 0xff)
+        crc = crc * 31 + rgb
+        dx += 1
+      }
+      dy += 1
+    }
+    crc
+  }
 
   /** 8×8 average-hash (aHash) of a decodable image payload: sample a
     * fixed 8×8 grid (nearest-neighbor — every cell stays in-bounds down

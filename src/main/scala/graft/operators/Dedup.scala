@@ -14,7 +14,8 @@ import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions 
   *  - minhash+LSH: signatures map-side, 1 shuffle on (band, digest),
   *                 pair join only inside buckets
   *  - simhash:    1 explode+partial-agg shuffle on doc key, candidate
-  *                 pairs via byte-block pigeonhole
+  *                 pairs via the 6-block triple probe (C(6,3)=20 keys,
+  *                 equal-signature cliques collapsed first)
   *  - embedding:  random-hyperplane bands, in-bucket cosine only
   *
   * At 100 TB the bucket joins are the hot spot: bucket sizes are bounded

@@ -50,7 +50,7 @@ object Msf {
     * the min weight). Returns forest edges (u, v, w, round) with
     * u < v; `round` is the Borůvka round that admitted the edge.
     */
-  def msf(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def msf(edges: DataFrame, maxRounds: Int = graft.Params.MsfMaxRounds): DataFrame = {
     require(maxRounds >= 1)
     // frontier: cross-component edges only, labeled with their
     // endpoints' CURRENT components; initially every node is its own

@@ -287,7 +287,7 @@ object Sampling {
                  salt: String): DataFrame = {
     require(ratePpm > 0 && ratePpm <= 1000000L, "rate must be in (0, 1e6] ppm")
     val thr = ratePpm * 4294967296L / 1000000L
-    val k = coalesce(key.cast("string"), lit(" <null-key>"))
+    val k = coalesce(key.cast("string"), lit("\u0000<null-key>"))
     df.where(H.hash32(k, salt) < thr)
       .agg(count(lit(1)).as("n_sampled"),
         coalesce(sum(value.cast("long")), lit(0L)).as("sampled_sum"))

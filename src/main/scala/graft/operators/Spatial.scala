@@ -212,19 +212,27 @@ object Spatial {
       .drop("rec_r")
   }
 
-  /** Consult [[densityProbe]] at one radius and LOG the recommendation
-    * before an exact fixed-ε pair join runs blind: the scale-safe twins
-    * (probe → [[dbscanCapped]]) ship in-library, so the exact demo
-    * baselines announce when their ε is too dense for the target
-    * instead of silently materializing density²·N pairs. The calling
-    * query's OUTPUT is unchanged — the advisory costs one cell-count
-    * aggregate (no pair is generated) plus a stderr line. At 100 TB
-    * the same probe is the gate a real run makes binding: probe first,
-    * then either the exact join (rate saturated) or the capped one.
+  /** Consult [[densityProbe]] at one radius BEFORE an exact fixed-ε
+    * pair join runs blind — and by default make the verdict BINDING:
+    * when the probed rate says the space is too dense for the target
+    * (`rate_ppm < refuseBelowPpm`, default = refuse whenever the cap
+    * would engage at all), RAISE with the capped-twin recommendation
+    * instead of proceeding — a 100 TB run must not discover the
+    * density²·N shuffle from a stderr line (VERDICT r12 #6; the exact
+    * form's sf10 attempt was a ~350 GB disk refusal). The scale-safe
+    * twins (probe → [[dbscanCapped]]) ship in-library.
+    *
+    * `overrideDense = true` is the explicit opt-in for declared
+    * ground-truth baselines (they EXIST to materialize the exact pair
+    * set); with it the probe degrades to the advisory stderr line and
+    * the calling query's output is unchanged. Saturated rates
+    * (rate_ppm = 1e6) never refuse. The probe costs one cell-count
+    * aggregate — no pair is generated either way.
     */
   def probeAdvisory(pts: DataFrame, idCol: String, xCol: String,
                     yCol: String, r: Long, targetMeanNb: Long,
-                    queryTag: String): Unit = {
+                    queryTag: String, refuseBelowPpm: Long = 1000000L,
+                    overrideDense: Boolean = false): Unit = {
     val row = densityProbe(pts, idCol, xCol, yCol, Seq(r), targetMeanNb)
       .select(col("n_points"), col("mean_nb_ub"), col("rate_ppm"))
       .collect()(0)
@@ -235,6 +243,14 @@ object Spatial {
         s"pairs; dbscanCapped at rate_ppm=$rate holds work to ~target*N"
     System.err.println(s"[graft][density-probe] $queryTag r=$r n_points=$np " +
       s"mean_nb_ub=$ub target=$targetMeanNb -> $verdict")
+    if (rate < refuseBelowPpm && !overrideDense)
+      throw new IllegalStateException(
+        s"[graft][density-probe] $queryTag REFUSED: mean neighbor bound " +
+          s"$ub at r=$r exceeds target=$targetMeanNb (rate_ppm=$rate < " +
+          s"refuse threshold $refuseBelowPpm) — an exact fixed-radius " +
+          s"pair join would materialize ~$ub*N/2 pairs (N=$np). Run the " +
+          "bounded twin (densityProbe -> dbscanCapped) or pass " +
+          "overrideDense=true to run the exact join anyway.")
   }
 
   /** Density-CAPPED DBSCAN labeling: the bounded-work variant of

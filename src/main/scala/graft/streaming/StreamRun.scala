@@ -318,7 +318,7 @@ object StreamRun {
     q.awaitTermination()
     spark.table(name)
       .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("event_type"), (col("pos") + 1).as("rnk"),
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
         col("p._2").as("event_id"),
         floor(col("p._1") * 100.0).cast("long").as("cents"))
   }
@@ -355,6 +355,196 @@ object StreamRun {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("ts_ms"),
         floor(col("value") * 100.0).cast("long").as("cents"))
+  }
+
+  /** Stage arbitrary projections as mod-time-ordered single-file
+    * micro-batches and open a file stream over them — the generic form
+    * of [[stage]] for non-events tables (orders, documents, tokens).
+    */
+  private def streamFrames(spark: SparkSession,
+                           frames: Seq[DataFrame]): DataFrame = {
+    val in = stageFrames(frames)
+    spark.readStream.schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+  }
+
+  /** Streaming bottom-k quantile sketch ([[QuantileStream.sketchStream]])
+    * run to completion over TWO parity-split micro-batches of orders, so
+    * the aggregator's cross-batch MERGE path carries state between
+    * triggers. Because the sketch's merge is exact and order-independent,
+    * the final complete-mode state is bit-identical to the batch sketch,
+    * and the percentile estimates over it must equal the batch twin
+    * (`q_kll_quantiles` — same oracle). Graduates §2.6 row 33j.
+    */
+  def kllReplay(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val stream = streamFrames(spark, Seq(
+      o.where(col("o_orderkey") % 2 === 0),
+      o.where(col("o_orderkey") % 2 =!= 0)))
+    val name = "graft_stream_kll_replay"
+    val q = QuantileStream.sketchStream(stream,
+        year(col("o_orderdate")).cast("long"), "yearkey", col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0).cast("long"),
+        graft.Params.KllK, graft.Params.KllSalt)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.QuantileSketch.estimate(
+      spark.table(name), "qs", graft.Params.KllPs)
+  }
+
+  /** Streaming KMV distinct sketch ([[SketchStream.kmvDistinctStream]])
+    * run to completion over TWO parity-split micro-batches of orders.
+    * Any of the union's k smallest distinct hashes is in its own batch's
+    * bottom-k, so the final state equals the batch sketch and the
+    * emitted estimate must equal `q_kmv_distinct` (same oracle).
+    * Graduates §2.6 row 33k (KMV half).
+    */
+  def kmvReplay(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+    val stream = streamFrames(spark, Seq(
+      o.where(col("o_orderkey") % 2 === 0),
+      o.where(col("o_orderkey") % 2 =!= 0)))
+    val name = "graft_stream_kmv_replay"
+    val q = SketchStream.kmvDistinctStream(stream,
+        year(col("o_orderdate")).cast("long"), "yearkey", col("o_custkey"),
+        graft.Params.KmvK, graft.Params.KmvSalt)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).select(col("yearkey"), col("n_est"))
+  }
+
+  /** Streaming Misra–Gries heavy hitters
+    * ([[FrequencyStream.heavyHittersStream]]) run to completion over TWO
+    * doc-parity micro-batches of the documents token stream, then the
+    * documented sketch-then-verify split: the stream maintains the
+    * standing CANDIDATE summary (update-mode emissions; the driver keeps
+    * each shard's LATEST — ≤ nShards·k rows, a bounded sketch, so the
+    * collect is a summary not a table scan); a batch pass verifies
+    * candidates exactly against cold storage. Every true heavy hitter
+    * (n·HhDenom > n_total ⇒ n > n_shard/(k+1) since its whole count
+    * lands in one shard and k+1 = HhMgK+1 > HhDenom)
+    * ALWAYS survives its shard's counters, so the verified set must
+    * equal the batch twin `q_heavy_hitters` (same oracle). Graduates
+    * §2.6 row 33k (Misra–Gries half).
+    */
+  def heavyHittersReplay(spark: SparkSession, dir: String,
+                         nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val stream = streamFrames(spark, Seq(
+      toks.where(col("doc_id") % 2 === 0).select("tok"),
+      toks.where(col("doc_id") % 2 =!= 0).select("tok")))
+    val latest = scala.collection.mutable.HashMap.empty[Int, Seq[String]]
+    val root = Files.createTempDirectory("graft_stream_hh")
+    root.toFile.deleteOnExit()
+    val q = FrequencyStream.heavyHittersStream(stream, col("tok"),
+        nShards, graft.Params.HhMgK)
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[FrequencyStream.MgCandidate],
+         _: Long) =>
+          b.collect().groupBy(_.shard).foreach { case (s, rows) =>
+            latest.synchronized { latest(s) = rows.map(_.item).toSeq }
+          }
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cand = latest.synchronized { latest.values.flatten.toVector.distinct }
+    val counts = toks.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    counts.join(broadcast(cand.toDF("term")), "term")
+      .crossJoin(broadcast(total))
+      .where(col("n") * graft.Params.HhDenom > col("n_total"))
+      .select(col("term"), col("n"), col("n_total"))
+  }
+
+  /** Streaming MinHash-LSH near-dup detection
+    * ([[DedupStream.nearDupCandidates]]) run to completion over TWO
+    * doc-id-ordered micro-batches of documents (ids ≤ mid arrive first,
+    * so cross-batch claims are exercised and the per-band claimant is
+    * deterministically the band's MIN doc_id; ts is synthesized monotone
+    * in doc_id, the horizon exceeds the synthetic span so no claim
+    * expires mid-replay). Final candidates must equal the first-claimant
+    * twin: per (band_id, bk), pairs (min doc, every later doc).
+    * Graduates §2.6 row 33j (MinHash band state).
+    */
+  def minhashReplay(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"))
+    val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    val stream = streamFrames(spark, Seq(
+        docs.where(col("doc_id") <= mid), docs.where(col("doc_id") > mid)))
+      .withWatermark("ts", "3650 days")
+    val out = DedupStream.nearDupCandidates(stream, "doc_id", "text", "ts",
+      horizonMs = 3650L * 86400000L,
+      k = graft.Params.MinhashK, bands = graft.Params.MinhashBands)
+    drain(spark, out.toDF())
+      .select(col("doc_a"), col("doc_b"),
+        col("band_id").cast("long").as("band_id"), col("bk"))
+  }
+
+  /** Streaming chi-squared drift guard ([[DriftStream.chi2Guard]]) run
+    * to completion: the post-split order prices arrive as TWO
+    * parity-split micro-batches, each scored independently against the
+    * static pre-split reference (the guard is stateless by design —
+    * foreachBatch, a batch job per trigger). The per-batch pooled
+    * statistics (chi2_ppm, n_buckets, n_rows) must equal the twin's
+    * per-parity-cohort chi-squared aggregates. Graduates §2.6 row 33l
+    * (drift-guard half).
+    */
+  def driftReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("c"),
+        col("o_orderkey"))
+    val ref = o.where(col("y") <= lit(graft.Params.DriftSplitYear)).select("c")
+    val cur = o.where(col("y") > lit(graft.Params.DriftSplitYear))
+    val stream = streamFrames(spark, Seq(
+      cur.where(col("o_orderkey") % 2 === 0).select("c"),
+      cur.where(col("o_orderkey") % 2 =!= 0).select("c")))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = DriftStream.chi2Guard(stream, ref,
+      expr(s"c div ${graft.Params.DriftBucketCents}"),
+      (id, chi2, nb, nr) => buf.synchronized { buf += ((id, chi2, nb, nr)) })
+    try q.processAllAvailable() finally q.stop()
+    buf.synchronized { buf.sortBy(_._1).toVector }
+      .toDF("batch_id", "chi2_ppm", "n_buckets", "n_rows")
+  }
+
+  /** Streaming z-score anomaly alerts ([[AnomalyStream.zAlerts]]) run to
+    * completion over TWO time-split micro-batches of events (first half
+    * by timestamp arrives first, so per-key (ts, event_id) processing
+    * order is globally preserved and the exact integer state folds
+    * ACROSS batches). The alert set must equal the batch twin
+    * `events_zscore_alerts` (same oracle — backfill == live feed is the
+    * operator's contract). Graduates §2.6 row 33m.
+    */
+  def zscoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val b = events.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .head()
+    val midMs = (b.getLong(0) + b.getLong(1)) / 2
+    val in = stageFrames(Seq(
+      events.where(unix_millis(col("ts")) <= midMs),
+      events.where(unix_millis(col("ts")) > midMs)))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val alerts = AnomalyStream.zAlerts(stream.as[Event])
+    drain(spark, alerts.toDF())
+      .select(col("event_type"), col("event_id"), col("cents"), col("n_prior"))
   }
 
   /** Streaming watermark-bounded exact dedup run to completion: the

@@ -94,6 +94,31 @@ class ScaleContractSpec extends SparkSpec {
       assert(forest.map(_._3).sum === kruskalW, "forest total weight vs Kruskal")
     }
 
+  // the champion-M calibration contract (r12 §5.14: M is per-scale —
+  // the sf0.01-only M=40 evidence collapsed to 25% recall at sf1):
+  // at TWO scale fixtures a decade apart (500 docs → derived M=40,
+  // 5000 docs → M=80) the derived M must reach 100% recall@k of the
+  // exact BM25 top-k on the audit query budget — the spec half of the
+  // text_champ_recall_floor driver gate, so a calibration break is a
+  // red spec as well as a hash FAIL.
+  for (sf <- Seq(sfDir, "/root/testdata/sf0.1"))
+    test(s"champion recall floor: derived M reaches 100% recall@k ($sf)") {
+      import graft.operators.TextOps
+      val docs = Tables.load(spark, sf, "documents")
+      val m = Params.bm25ChampM(docs.count())
+      val r = SparkEntry.recallAtK(
+        TextOps.bm25TopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+          Params.Bm25K, queryBudget = Params.AuditQueryBudget),
+        TextOps.bm25TopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+          Params.Bm25K, champM = m, queryBudget = Params.AuditQueryBudget))
+        .collect()(0)
+      assert(r.getLong(0) > 0, "audit query set must be non-empty")
+      assert(r.getLong(2) >= Params.ChampRecallFloorPpm,
+        s"derived M=$m misses the recall floor at $sf: " +
+          s"mean=${r.getLong(1)}ppm min=${r.getLong(2)}ppm — " +
+          "re-run RecallSweep and re-calibrate Params.bm25ChampM")
+    }
+
   // ---- storage contract: CC per-round checkpoints are reclaimed ----
 
   test("Dedup.clusters reclaims per-round reliable checkpoint dirs via the " +

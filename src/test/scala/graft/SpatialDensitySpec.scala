@@ -122,6 +122,31 @@ class SpatialDensitySpec extends SparkSpec {
     assert(p2.forall(t => t._3 < 1000000L))
   }
 
+  test("probeAdvisory is BINDING by default: dense space raises, override or saturation proceeds") {
+    // the r=1 dense 8x8 grid from the probe spec: every bound above a
+    // target of 2 → rate < 1e6 → the default (binding) form must REFUSE
+    val dense = (0L until 64L).map(i => (i, i % 8, i / 8)).toDF("id", "x", "y")
+    val ex = intercept[IllegalStateException] {
+      Spatial.probeAdvisory(dense, "id", "x", "y", r = 1L,
+        targetMeanNb = 2L, queryTag = "spec-dense")
+    }
+    assert(ex.getMessage.contains("REFUSED") &&
+      ex.getMessage.contains("dbscanCapped") &&
+      ex.getMessage.contains("overrideDense"),
+      s"refusal must name the capped twin and the override: ${ex.getMessage}")
+    // explicit override: same dense space proceeds (advisory only)
+    Spatial.probeAdvisory(dense, "id", "x", "y", r = 1L,
+      targetMeanNb = 2L, queryTag = "spec-dense-override",
+      overrideDense = true)
+    // saturated rate (target >= bound): never refuses, no override needed
+    Spatial.probeAdvisory(dense, "id", "x", "y", r = 1L,
+      targetMeanNb = 1000000L, queryTag = "spec-saturated")
+    // a laxer refuse threshold also lets a mildly-dense space through
+    Spatial.probeAdvisory(dense, "id", "x", "y", r = 1L,
+      targetMeanNb = 2L, queryTag = "spec-lax-threshold",
+      refuseBelowPpm = 1L)
+  }
+
   test("dbscanCapped with a saturating target == dbscanLabel exactly") {
     val pts = ptsSeq.toDF("id", "x", "y")
     // target far above the fixture's mean degree → rate 1e6, every
