@@ -755,10 +755,24 @@ object Dedup {
                              planes: Int, bands: Int,
                              dims: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val nPart = emb.sparkSession.sessionState.conf.numShufflePartitions
     // one exchange on the vector value feeds the rep window; downstream
-    // consumers key on the integer rep
+    // consumers key on the integer rep. NOTE a user repartition on
+    // vecCol cannot pin this exchange: the window's required clustering
+    // is on the FLOAT-NORMALIZED vector (NormalizeNaNAndZero), which a
+    // raw-column repartition does not satisfy — EnsureRequirements adds
+    // a second exchange on top (measured r13), so the window exchange
+    // stays AQE-sized (bytes-proportional — correct at scale, 1 task on
+    // sub-MB fixtures).
     val m = emb.select(col(idCol), col(vecCol))
-      .repartition(col(vecCol))
+    // MATERIALIZE the rep table once (lazy local checkpoint, the
+    // mixtureSample pattern): it feeds SIX consumers (reps→bands, va,
+    // vb, intra ia/ib, the inter ma/mb expansions, and the sweep's
+    // count), whose differing column pruning splits exchange reuse —
+    // the r13 plan dump showed six full scan→exchange→window copies,
+    // each a single-task stage at sf0.1. One row per vector (the same
+    // size class as the input the kernel already shuffles once), so the
+    // checkpoint is the one-pass trade, not a new envelope.
     val mrep = m.withColumn("rep",
         min(col(idCol)).over(Window.partitionBy(col(vecCol))))
       // clique-constant self-cosine (see scoredCandidatePairs' intra
@@ -767,9 +781,15 @@ object Dedup {
       .withColumn("selfcos",
         round(V.dot(col(vecCol), col(vecCol))
           / (V.norm(col(vecCol)) * V.norm(col(vecCol))), 4))
+      .localCheckpoint(false)
     val reps = mrep.where(col("rep") === col(idCol))
+    // pin the probe join's parallelism on its key (the signaturePairs
+    // pattern): the exploded band table is input-small but the bucket
+    // join fans out ~26× (32k → 821k rows measured at sf0.1) — exactly
+    // the shape AQE starves by coalescing on input bytes
     val cands = Similarity.hyperplaneBands(reps, idCol, vecCol, planes, bands, dims)
       .select(col(idCol), posexplode(col("bandvals")).as(Seq("band_id", "bv")))
+      .repartition(nPart, col("band_id"), col("bv"))
       .hint("shuffle_hash")
     val a = cands.as("a")
     val b = cands.as("b")
