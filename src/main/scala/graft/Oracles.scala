@@ -1471,7 +1471,8 @@ object Oracles {
 
   def textBm25Champion: String =
     s"""WITH $toksCte,
-       |${bm25Ctes()},
+       |$sqidsCte,
+       |${bm25Ctes(budgeted = true)},
        |$champCtes
        |SELECT query_id, doc_id, score_ppm, rnk FROM cbmr
        |WHERE rnk <= $Bm25K""".stripMargin
@@ -1557,7 +1558,8 @@ object Oracles {
 
   def textJaccardChampion: String =
     s"""WITH $toksCte,
-       |${jacCtes()},
+       |$sqidsCte,
+       |${jacCtes(budgeted = true)},
        |$jacChampCtes
        |SELECT query_id, doc_id, jac_ppm, rnk FROM cjr
        |WHERE rnk <= $Bm25K""".stripMargin

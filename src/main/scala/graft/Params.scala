@@ -305,18 +305,22 @@ object Params {
   //                      already below the floor on its own fixture)
   //   5 000 docs → M=800 (M=400 reads min 90%)
   //   50 000 docs → M=800 (r12 sweep, mark fixture)
-  // i.e. ~0.16·N until it SATURATES near 800 on this corpus family —
-  // near-ties in the impact order stop growing once common-term
-  // postings dwarf the top-k. The derivation is those measurements,
-  // nothing cleverer: max(80, min(800, N·160 div 1000)). Recall is
-  // monotone non-decreasing in M (candidates are a superset), so the
-  // derived M can only improve on the old constant; and because the
-  // saturation cap is EVIDENCE AT THREE SCALES, not a law, the driver
-  // gate `text_champ_recall_floor` + the ScaleContractSpec fixture pins
+  //   500 000 docs → M=1600 (M=800 reads min 90% — the would-be "cap
+  //                      at 800" BROKE at its first unmeasured decade)
+  // i.e. ~0.16·N until growth slows sharply on this corpus family —
+  // near-ties in the impact order mostly stop growing once common-term
+  // postings dwarf the top-k, but not entirely. The derivation is those
+  // measurements, nothing cleverer:
+  // max(80, min(1600, N·160 div 1000)) — exact at 500/5k/500k docs and
+  // a 2× over-provision at 50k (the price of a monotone closed form).
+  // Recall is monotone non-decreasing in M (candidates are a superset),
+  // so the derived M can only improve on the old constant; and because
+  // the cap is EVIDENCE AT FOUR SCALES, not a law, the driver gate
+  // `text_champ_recall_floor` + the ScaleContractSpec fixture pins
   // hash-FAIL / go red the moment a new scale breaks it, instead of
   // relying on operators re-running the sweep.
   val Bm25ChampMFloor = 80
-  val Bm25ChampMCap = 800
+  val Bm25ChampMCap = 1600
   val Bm25ChampMPerMille = 160 // M = max(floor, min(cap, N*160 div 1000))
   def bm25ChampM(nDocs: Long): Int =
     math.max(Bm25ChampMFloor.toLong,

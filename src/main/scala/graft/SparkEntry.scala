@@ -2847,10 +2847,15 @@ object SparkEntry {
       // bounded-work shingle-Jaccard: champion cap (sz asc = the exact
       // per-shingle impact order) for candidate generation + exact
       // full-set intersection rescore; M derived from corpus size
-      // (Params.bm25ChampM — per-scale, r12 §5.14)
+      // (Params.bm25ChampM — per-scale, r12 §5.14). Queries ride the
+      // FIXED hash-order budget (the r10 ANN-demo contract): a corpus-
+      // fraction query set × a corpus-derived M made demo work ~N² —
+      // measured 774 s at sf10; ≤ sf0.1 populations fit the budget, so
+      // gate and small-SF benches are unchanged
       val docs = t(s, dir, "documents")
       TextOps.jaccardTopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()))
+        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()),
+        queryBudget = AuditQueryBudget)
     }),
     "text_jaccard_champ_recall" -> ((s, dir) => {
       // recall@k of the champion Jaccard ranking vs the exact one
@@ -2864,10 +2869,16 @@ object SparkEntry {
       // bounded-work BM25: champion-list posting cap (impact-ordered
       // top-M docs per term) — query-time candidates ≤ |qterms|·M, the
       // linear-scale twin of the exact text_bm25 path; M derived from
-      // corpus size (Params.bm25ChampM — per-scale, r12 §5.14)
+      // corpus size (Params.bm25ChampM — per-scale, r12 §5.14).
+      // Queries ride the FIXED hash-order budget (the r10 ANN-demo
+      // contract): a corpus-fraction query set × a corpus-derived M
+      // made demo work ~N² — measured 847 s at sf10; ≤ sf0.1
+      // populations fit the budget, so gate and small-SF benches are
+      // unchanged
       val docs = t(s, dir, "documents")
       TextOps.bm25TopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()))
+        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()),
+        queryBudget = AuditQueryBudget)
     }),
     "text_bm25_champ_recall" -> ((s, dir) => {
       // what the champion cap costs: per-query recall@k of the champion
