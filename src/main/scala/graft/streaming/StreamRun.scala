@@ -114,6 +114,7 @@ object StreamRun {
     * duration_ms) — the driver checks it against the batch twin's SQL.
     */
   def sessionizeReplay(spark: SparkSession, dir: String, gapMs: Long): DataFrame = {
+    withStatePartitions(spark, 4) {
     import spark.implicits._
     // sentinel1 jumps the watermark past every real timeout; sentinel2
     // provides the batch in which they fire. 45-day delay > 30-day span.
@@ -128,7 +129,7 @@ object StreamRun {
       stream.as[Event], gapMs, watermark = "45 days")
     drain(spark, sessions.filter(col("user_id") =!= SentinelUser).toDF())
       .select("user_id", "n_events", "start_ms", "duration_ms")
-  }
+  }}
 
   /** Streaming watermarked 1-hour tumbling-window aggregate run to
     * completion: the same sentinel discipline as [[sessionizeReplay]]
@@ -140,6 +141,7 @@ object StreamRun {
     * graduating §2.6 row 32 from spec-only to driver-oracle coverage.
     */
   def windowAggReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
     val maxMs = graft.Tables.events(spark, dir)
       .agg(max(unix_millis(col("ts")))).head().getLong(0)
     val delayMs = 45L * 86400000L
@@ -159,7 +161,7 @@ object StreamRun {
       .where(col("event_type") =!= "sentinel")
       .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"),
         col("n_events"), col("value_cents"))
-  }
+  }}
 
   /** Streaming stream-stream INTERVAL JOIN run to completion: each
     * purchase joins the same user's clicks in the preceding
@@ -172,6 +174,7 @@ object StreamRun {
     */
   def joinReplay(spark: SparkSession, dir: String,
                  windowMinutes: Int = 30): DataFrame = {
+    withStatePartitions(spark, 4) {
     val in = stage(spark, dir, Seq.empty)
     val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
     val joined = EventStreams.matchedPairs(stream,
@@ -179,7 +182,7 @@ object StreamRun {
       watermark = "45 days", windowMinutes = windowMinutes)
     drain(spark, joined)
       .select(col("user_id"), col("buy_id"), col("click_id"), col("gap_ms"))
-  }
+  }}
 
   /** Streaming LEFT-OUTER stream-stream join run to completion: matched
     * pairs emit in-batch like the inner form; an UNMATCHED click emits
@@ -200,6 +203,7 @@ object StreamRun {
     */
   def leftJoinReplay(spark: SparkSession, dir: String,
                      windowMinutes: Int = 30): DataFrame = {
+    withStatePartitions(spark, 4) {
     import spark.implicits._
     val maxMs = graft.Tables.events(spark, dir)
       .agg(max(unix_millis(col("ts")))).head().getLong(0)
@@ -224,7 +228,7 @@ object StreamRun {
     drain(spark, joined)
       .where(col("user_id") >= 0) // sentinel users are negative
       .select(col("user_id"), col("buy_id"), col("click_id"), col("gap_ms"))
-  }
+  }}
 
   /** Streaming CDC ingestion run to completion ([[StreamingSpec]] 33i's
     * foreachBatch fold, driver-oracle'd): a deterministic change log
@@ -299,6 +303,7 @@ object StreamRun {
     * window twin. Graduates §2.6 row 33f.
     */
   def topkReplay(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    withStatePartitions(spark, 4) {
     val events = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -321,7 +326,7 @@ object StreamRun {
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
         col("p._2").as("event_id"),
         floor(col("p._1") * 100.0).cast("long").as("cents"))
-  }
+  }}
 
   /** Idempotent merge-on-read sink run to completion ([[StreamingSpec]]
     * 33d): the events table is staged TWICE (a redelivered batch), the
@@ -368,6 +373,23 @@ object StreamRun {
       .option("maxFilesPerTrigger", 1).parquet(in)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the session value after. HARNESS tuning only: a
+    * streaming stateful operator creates one state store per shuffle
+    * partition per batch, and StageProbe measured ~4.6 s of fixed
+    * store open/commit CPU per task on state stages carrying SEVEN
+    * rows — 32 partitions × 2 batches of that dominated the replay
+    * walls. The replays' state is a handful of groups by construction,
+    * so they run at small fixed parallelism; production streams keep
+    * the session's setting (state scales with keys there).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming bottom-k quantile sketch ([[QuantileStream.sketchStream]])
     * run to completion over TWO parity-split micro-batches of orders, so
     * the aggregator's cross-batch MERGE path carries state between
@@ -377,6 +399,7 @@ object StreamRun {
     * (`q_kll_quantiles` — same oracle). Graduates §2.6 row 33j.
     */
   def kllReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
     val o = graft.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
     val stream = streamFrames(spark, Seq(
@@ -392,7 +415,7 @@ object StreamRun {
     q.awaitTermination()
     graft.operators.QuantileSketch.estimate(
       spark.table(name), "qs", graft.Params.KllPs)
-  }
+  }}
 
   /** Streaming KMV distinct sketch ([[SketchStream.kmvDistinctStream]])
     * run to completion over TWO parity-split micro-batches of orders.
@@ -402,6 +425,7 @@ object StreamRun {
     * Graduates §2.6 row 33k (KMV half).
     */
   def kmvReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
     val o = graft.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
     val stream = streamFrames(spark, Seq(
@@ -415,7 +439,7 @@ object StreamRun {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).select(col("yearkey"), col("n_est"))
-  }
+  }}
 
   /** Streaming Misra–Gries heavy hitters
     * ([[FrequencyStream.heavyHittersStream]]) run to completion over TWO
@@ -433,6 +457,7 @@ object StreamRun {
     */
   def heavyHittersReplay(spark: SparkSession, dir: String,
                          nShards: Int = 8): DataFrame = {
+    withStatePartitions(spark, 4) {
     import spark.implicits._
     val toks = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -464,7 +489,7 @@ object StreamRun {
       .crossJoin(broadcast(total))
       .where(col("n") * graft.Params.HhDenom > col("n_total"))
       .select(col("term"), col("n"), col("n_total"))
-  }
+  }}
 
   /** Streaming MinHash-LSH near-dup detection
     * ([[DedupStream.nearDupCandidates]]) run to completion over TWO
@@ -477,6 +502,7 @@ object StreamRun {
     * Graduates §2.6 row 33j (MinHash band state).
     */
   def minhashReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"))
@@ -491,7 +517,7 @@ object StreamRun {
     drain(spark, out.toDF())
       .select(col("doc_a"), col("doc_b"),
         col("band_id").cast("long").as("band_id"), col("bk"))
-  }
+  }}
 
   /** Streaming chi-squared drift guard ([[DriftStream.chi2Guard]]) run
     * to completion: the post-split order prices arrive as TWO
@@ -531,6 +557,7 @@ object StreamRun {
     * operator's contract). Graduates §2.6 row 33m.
     */
   def zscoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
     import spark.implicits._
     val events = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -545,7 +572,7 @@ object StreamRun {
     val alerts = AnomalyStream.zAlerts(stream.as[Event])
     drain(spark, alerts.toDF())
       .select(col("event_type"), col("event_id"), col("cents"), col("n_prior"))
-  }
+  }}
 
   /** Streaming watermark-bounded exact dedup run to completion: the
     * table is staged TWICE (two micro-batches), the second pass is
@@ -553,6 +580,7 @@ object StreamRun {
     * one row per event_id — checked against plain SQL over the table.
     */
   def dedupeReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
     val root = Files.createTempDirectory("graft_stream_dedup")
     root.toFile.deleteOnExit()
     val in = root.resolve("in").toString
@@ -570,5 +598,5 @@ object StreamRun {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("ts_ms"),
         floor(col("value") * 100.0).cast("long").as("cents"))
-  }
+  }}
 }
