@@ -1530,7 +1530,10 @@ object Oracles {
     * [[graft.operators.TextOps.jaccardTopK]] with `champM` set: per
     * shingle only the top-M docs in impact order (sz asc, doc_id)
     * enter candidate generation; candidates are rescored on their full
-    * shingle sets. Requires [[jacCtes]] upstream (reuses dsh/jsz/jqs).
+    * shingle sets. M is the JACCARD derivation
+    * ([[graft.Params.jaccardChampM]] — uncapped ∝N, its own r14 sweep
+    * calibration; the BM25 formula read min recall 10%/0% at sf1/sf10).
+    * Requires [[jacCtes]] upstream (reuses dsh/jsz/jqs).
     */
   private def jacChampCtes: String =
     s"""cjpost AS (SELECT doc_id, g FROM (
@@ -1538,7 +1541,7 @@ object Oracles {
        |    row_number() OVER (PARTITION BY d.g
        |      ORDER BY s.sz ASC, d.doc_id ASC) AS crk
        |  FROM dsh d JOIN jsz s USING (doc_id))
-       |  WHERE crk <= (SELECT greatest($Bm25ChampMFloor, least($Bm25ChampMCap, count(*) * $Bm25ChampMPerMille // 1000)) FROM documents)),
+       |  WHERE crk <= (SELECT greatest($JaccardChampMFloor, count(*) * $JaccardChampMPerMille // 1000) FROM documents)),
        |cjcand AS (SELECT DISTINCT q.query_id, p.doc_id
        |  FROM jqs q JOIN cjpost p ON p.g = q.g AND p.doc_id <> q.query_id),
        |cjit AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS inter
@@ -1577,6 +1580,33 @@ object Oracles {
        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
        |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
        |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm
+       |FROM pq""".stripMargin
+
+  /** Jaccard champion recall FLOOR gate twin — [[textChampRecallFloor]]
+    * for the set-overlap ranking: the budgeted recall replay of the
+    * champion Jaccard top-k vs the exact one plus a LITERAL `true`
+    * floor flag. The Spark side computes the flag from the measured min
+    * recall, so a corpus scale where the derived champion M stops
+    * reaching the floor ON THE JACCARD GEOMETRY hash-fails the driver
+    * gate — r13's M was fitted to BM25 sweeps and applied to Jaccard by
+    * analogy, the exact silent-collapse class that broke M twice
+    * (VERDICT r13 task #1).
+    */
+  def textJaccardRecallFloor: String =
+    s"""WITH $toksCte,
+       |$sqidsCte,
+       |${jacCtes(budgeted = true)},
+       |$jacChampCtes,
+       |ex AS (SELECT query_id, doc_id FROM jr WHERE rnk <= $Bm25K),
+       |ch AS (SELECT query_id, doc_id, 1 AS hit FROM cjr WHERE rnk <= $Bm25K),
+       |pq AS (SELECT e.query_id,
+       |    CAST(sum(coalesce(ch.hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |  FROM ex e LEFT JOIN ch ON ch.query_id = e.query_id AND ch.doc_id = e.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
+       |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm,
+       |  true AS meets_floor
        |FROM pq""".stripMargin
 
   def textBm25: String =
@@ -1873,6 +1903,46 @@ object Oracles {
   def streamDedupeReplay: String =
     """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
       |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin
+
+  /** Twin for the checkpoint-RESTART replay: the stream drained the
+    * backlog across two separately-started queries sharing one
+    * checkpoint, so exactly-once across restart means the final
+    * complete-mode state is just the batch GROUP BY over the whole
+    * table — a state loss undercounts, a file re-read double-counts,
+    * both hash-fail here.
+    */
+  def streamRestartReplay: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Twin for the STREAMING per-key throttle replay: the cooldown rule
+    * is deterministic in event time — within each (user, type) key,
+    * events in (ts, event_id) order pass iff ≥ cooldown elapsed since
+    * the last PASSED event's time (the passed event anchors the window,
+    * so this is a data-dependent fold, not a lag window) — replayed
+    * here as a per-key recursive step over the position-indexed events
+    * (the qHolt recursive-CTE pattern, all keys advancing in lockstep).
+    */
+  def streamThrottleReplay: String =
+    s"""WITH RECURSIVE ev AS (SELECT user_id, event_type, event_id,
+       |    epoch_ms(ts) AS t,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) AS pos
+       |  FROM events),
+       |rec AS (
+       |  SELECT user_id, event_type, pos, event_id, t, t AS last_t,
+       |    true AS passed
+       |  FROM ev WHERE pos = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.event_type, e.pos, e.event_id, e.t,
+       |    CASE WHEN e.t - r.last_t >= $ThrottleCooldownMs THEN e.t
+       |         ELSE r.last_t END,
+       |    e.t - r.last_t >= $ThrottleCooldownMs
+       |  FROM rec r JOIN ev e ON e.user_id = r.user_id
+       |    AND e.event_type = r.event_type AND e.pos = r.pos + 1)
+       |SELECT event_id, user_id, event_type, t AS ts_ms
+       |FROM rec WHERE passed""".stripMargin
 
   /** Twin for the STREAMING windowed-aggregate replay: Spark's
     * window(ts, '1 hour') is epoch-aligned, so the window start is

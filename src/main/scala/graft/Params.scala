@@ -154,6 +154,11 @@ object Params {
   // events
   val SessionGapMs = 1800000L
 
+  // per-key throttle (33l): pass ≤1 event per (user,type) per cooldown
+  // of event time — 1 day bites on this feed (~35% of same-key gaps are
+  // shorter), so the replay exercises both pass and suppress paths
+  val ThrottleCooldownMs = 86400000L
+
   // cleaning pipeline
   val CleanMinQuality = 0.3
 
@@ -326,6 +331,34 @@ object Params {
     math.max(Bm25ChampMFloor.toLong,
       math.min(Bm25ChampMCap.toLong,
         nDocs * Bm25ChampMPerMille / 1000L)).toInt
+  // Jaccard champion M — its OWN calibration (r14, VERDICT r13 #1: the
+  // BM25-fitted M was applied to the set-overlap ranking by analogy and
+  // the r14 `RecallSweep <dir> <ms> jaccard` sweeps showed the analogy
+  // broken at both unmeasured decades: bm25ChampM read min recall 10%
+  // at sf1 and 0% at sf10). Measured 100%-min-recall thresholds:
+  //   500 docs   → M ≤ 40 suffices
+  //   5 000 docs  → M = 400  (lowest tested; 100%)
+  //   50 000 docs → M = 3200 (1600 reads min 10%)
+  //   500 000 docs→ M = 25600 (12800 reads min 90%)
+  // i.e. M grows ∝ N (~5–6.4% of the corpus per champion list) — there
+  // is NO scale-bounded cap for Jaccard on this corpus family, because
+  // near-uniform doc sizes make the `sz asc` impact order nearly
+  // arbitrary: a true neighbor sharing only crowded shingles is cut
+  // from every list at any fixed M. The derivation is the measurements
+  // with margin, deliberately UNCAPPED (a cap is the exact bug class
+  // that broke twice): M = max(80, N·80 div 1000) — 8% of N, ≥25%
+  // margin over every measured threshold and exactly the measured pass
+  // at 5k. Consequence, documented honestly: the Jaccard champion is a
+  // CONSTANT-FACTOR (~12×) work reduction over the exact path, not an
+  // asymptotic one; the asymptotic near-dup path at corpus scale is
+  // MinHash-LSH (§2.3), and the floor gate hash-fails the first scale
+  // where this calibration stops holding.
+  val JaccardChampMFloor = 80
+  val JaccardChampMPerMille = 80 // M = max(floor, N*80 div 1000); NO cap
+  def jaccardChampM(nDocs: Long): Int =
+    math.max(JaccardChampMFloor.toLong,
+      nDocs * JaccardChampMPerMille / 1000L).toInt
+
   // certified champion recall floor: 100% of the exact top-k on the
   // audit query budget (what RecallSweep tunes M to)
   val ChampRecallFloorPpm = 1000000L

@@ -1,19 +1,28 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Champion-list recall sweep: recall@k of the champion BM25 ranking vs
-  * the exact ranking at several champion-list sizes M, on the same fixed
+/** Champion-list recall sweep: recall@k of the champion ranking vs the
+  * exact ranking at several champion-list sizes M, on the same fixed
   * hash-order query budget the audit query uses. The knob a deployment
   * turns BEFORE trusting the bounded path at a new corpus scale — r12
   * measured M=40 (100% recall@10 at sf0.01) collapsing to 25% mean
   * recall at sf1, so M is a per-corpus parameter, not a constant.
-  * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...>
+  *
+  * Sweeps either ranking family: `bm25` (impact order = per-term score
+  * desc) or `jaccard` (impact order = set size asc) — r13's M was
+  * fitted on BM25 sweeps only and applied to Jaccard by analogy, the
+  * exact bug class that broke M twice (VERDICT r13 task #1), so the
+  * Jaccard geometry gets its own sweep rather than an argument.
+  * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...> [bm25|jaccard]
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val ms = args(1).split(",").map(_.toInt).toSeq
+    val ranker = args.lift(2).getOrElse("bm25")
+    require(ranker == "bm25" || ranker == "jaccard",
+      s"ranker must be bm25|jaccard, got $ranker")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,14 +35,16 @@ object RecallSweep {
     Logs.quietDeclaredBoundedWindows()
     import Params._
     val docs = Tables.load(spark, dir, "documents")
-    val exact = operators.TextOps.bm25TopK(docs, "doc_id", "text",
-      Bm25QueryMod, Bm25K, queryBudget = AuditQueryBudget)
-      .localCheckpoint() // one exact pass shared by every M
-    ms.foreach { m =>
-      val champ = operators.TextOps.bm25TopK(docs, "doc_id", "text",
+    def rank(m: Int): DataFrame = ranker match {
+      case "bm25" => operators.TextOps.bm25TopK(docs, "doc_id", "text",
         Bm25QueryMod, Bm25K, champM = m, queryBudget = AuditQueryBudget)
-      val r = SparkEntry.recallAtK(exact, champ).collect()(0)
-      println(s"[recall-sweep] M=$m n_queries=${r.getLong(0)} " +
+      case _ => operators.TextOps.jaccardTopK(docs, "doc_id", "text",
+        Bm25QueryMod, Bm25K, champM = m, queryBudget = AuditQueryBudget)
+    }
+    val exact = rank(0).localCheckpoint() // one exact pass shared by every M
+    ms.foreach { m =>
+      val r = SparkEntry.recallAtK(exact, rank(m)).collect()(0)
+      println(s"[recall-sweep] ranker=$ranker M=$m n_queries=${r.getLong(0)} " +
         s"mean_recall_ppm=${r.getLong(1)} min_recall_ppm=${r.getLong(2)}")
     }
     spark.stop()

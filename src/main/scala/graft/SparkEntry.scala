@@ -2846,15 +2846,18 @@ object SparkEntry {
     "text_jaccard_champion" -> ((s, dir) => {
       // bounded-work shingle-Jaccard: champion cap (sz asc = the exact
       // per-shingle impact order) for candidate generation + exact
-      // full-set intersection rescore; M derived from corpus size
-      // (Params.bm25ChampM — per-scale, r12 §5.14). Queries ride the
+      // full-set intersection rescore; M derived from corpus size by
+      // Jaccard's OWN calibration (Params.jaccardChampM — r14 sweeps:
+      // the BM25 formula read min recall 10%/0% at sf1/sf10, so the
+      // set-overlap geometry needs ∝N uncapped M — a constant-factor
+      // work cut, with MinHash-LSH as the asymptotic path). Queries ride the
       // FIXED hash-order budget (the r10 ANN-demo contract): a corpus-
       // fraction query set × a corpus-derived M made demo work ~N² —
       // measured 774 s at sf10; ≤ sf0.1 populations fit the budget, so
       // gate and small-SF benches are unchanged
       val docs = t(s, dir, "documents")
       TextOps.jaccardTopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = bm25ChampM(docs.count()),
+        Bm25QueryMod, Bm25K, champM = jaccardChampM(docs.count()),
         queryBudget = AuditQueryBudget)
     }),
     "text_jaccard_champ_recall" -> ((s, dir) => {
@@ -2863,7 +2866,7 @@ object SparkEntry {
       recallAtK(
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = bm25ChampM(docs.count())))
+          champM = jaccardChampM(docs.count())))
     }),
     "text_bm25_champion" -> ((s, dir) => {
       // bounded-work BM25: champion-list posting cap (impact-ordered
@@ -2907,6 +2910,25 @@ object SparkEntry {
           queryBudget = AuditQueryBudget),
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget))
+        .select(col("n_queries"), col("mean_recall_ppm"),
+          col("min_recall_ppm"),
+          (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
+    }),
+    "text_jaccard_recall_floor" -> ((s, dir) => {
+      // the Jaccard champion's recall floor as a BINDING driver gate —
+      // the text_champ_recall_floor pattern on the set-overlap ranking.
+      // The r14 sweeps PROVED the BM25-by-analogy M broken (min recall
+      // 10% at sf1, 0% at sf10 under bm25ChampM) — exactly the silent-
+      // collapse class VERDICT r13 #1 predicted — so Jaccard derives
+      // its own M (Params.jaccardChampM, measured 100% min recall at
+      // four decades with ≥25% margin) and this gate hash-FAILS the
+      // first scale where that calibration stops holding
+      val docs = t(s, dir, "documents")
+      recallAtK(
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          queryBudget = AuditQueryBudget),
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          champM = jaccardChampM(docs.count()), queryBudget = AuditQueryBudget))
         .select(col("n_queries"), col("mean_recall_ppm"),
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
@@ -3061,6 +3083,17 @@ object SparkEntry {
       // fold, global per-key order preserved); alert set must equal the
       // batch events_zscore_alerts (shared oracle)
       graft.streaming.StreamRun.zscoreReplay(s, dir)),
+    "stream_restart_replay" -> ((s, dir) =>
+      // checkpoint-restart recovery as a hash gate: half the backlog
+      // drains, the query stops, the rest lands, a second query resumes
+      // on the SAME checkpoint — recovered state + exactly-once file
+      // offsets or the final per-type aggregate hash-fails the twin
+      graft.streaming.StreamRun.restartReplay(s, dir)),
+    "stream_throttle_replay" -> ((s, dir) =>
+      // the STREAMING per-key cooldown throttle run to completion over
+      // two time-split micro-batches (cross-batch last-passed anchors);
+      // passed set must equal the batch per-key recurrence twin
+      graft.streaming.StreamRun.throttleReplay(s, dir, ThrottleCooldownMs)),
     "events_sessionize_typed" -> ((s, dir) => {
       // the SAME sessions through the typed Dataset[Event] surface —
       // flatMapGroups closure instead of analytic windows; shares the
@@ -3536,6 +3569,7 @@ object SparkEntry {
     "text_jaccard_champion" -> Oracles.textJaccardChampion,
     "text_jaccard_champ_recall" -> Oracles.textJaccardChampRecall,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
+    "text_jaccard_recall_floor" -> Oracles.textJaccardRecallFloor,
     "text_rrf_fuse" -> Oracles.textRrfFuse,
     "text_rank_metrics" -> Oracles.textRankMetrics,
     "text_heaps" -> Oracles.textHeaps,
@@ -3560,6 +3594,8 @@ object SparkEntry {
     "stream_minhash_replay" -> Oracles.streamMinhashReplay,
     "stream_drift_replay" -> Oracles.streamDriftReplay,
     "stream_zscore_replay" -> Oracles.eventsZscoreAlerts,
+    "stream_restart_replay" -> Oracles.streamRestartReplay,
+    "stream_throttle_replay" -> Oracles.streamThrottleReplay,
     "stream_idempotent_sink_replay" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin,

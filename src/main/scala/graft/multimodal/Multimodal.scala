@@ -493,6 +493,63 @@ object Multimodal {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** WAV-only media table: every document synthesizes a deterministic
+    * PCM payload (same parameters as [[mediaFromDocumentsMixed]]'s
+    * audio branch, but for ALL ids) — the direct fixture table for the
+    * WAV codec gate.
+    */
+  def mediaFromDocumentsWav(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val n = (id % 400 + 100).toInt
+        MediaRow(id, "audio", n, 1,
+          AudioCodec.encodeWav(8000f, AudioCodec.pcmFromSeed(text.getBytes("UTF-8"), n)))
+      }
+    }
+  }
+
+  /** Expected PNG-codec fixture for `multimodal_png_codec` (§2.7 row 35
+    * as a DIRECT driver gate, r14): per doc the encoded dims and the
+    * expected pixel crc computed from the raster arithmetic
+    * ([[ImageCodec.expectedFrameCrc]] — never ImageIO), so the DuckDB
+    * twin hash-checks the real encode→decode roundtrip per row, dims
+    * included. Idempotent-skip like the other oracle fixtures.
+    */
+  def exportExpectedPng(docs: DataFrame, path: String): Unit = {
+    import docs.sparkSession.implicits._
+    if (alreadyStaged(docs.sparkSession, path)) return
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val w = (id % 12 + 4).toInt
+        val h = (id % 9 + 3).toInt
+        (id, w.toLong, h.toLong,
+          ImageCodec.expectedFrameCrc(w, h, text.getBytes("UTF-8"), 0))
+      }
+    }.toDF("media_id", "width", "height", "pix_crc")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Expected WAV-codec fixture for `multimodal_wav_codec` (§2.7 row
+    * 35c as a DIRECT driver gate, r14): per doc the synth parameters'
+    * sample rate/count and the expected sample crc
+    * ([[AudioCodec.expectedPcmCrc]] over the generated PCM — never the
+    * javax.sound decoder), so the twin hash-checks the real RIFF
+    * encode→decode roundtrip per row. Idempotent-skip.
+    */
+  def exportExpectedWav(docs: DataFrame, path: String): Unit = {
+    import docs.sparkSession.implicits._
+    if (alreadyStaged(docs.sparkSession, path)) return
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val n = (id % 400 + 100).toInt
+        val pcm = AudioCodec.pcmFromSeed(text.getBytes("UTF-8"), n)
+        (id, 8000L, n.toLong, AudioCodec.expectedPcmCrc(pcm))
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "pcm_crc")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Expected-resize fixture for `multimodal_resize`: per PNG media row
     * the pixel crc of the floor-NN rescale, computed GENERATION-SIDE
     * ([[ImageCodec.expectedResizeCrc]] — raster arithmetic + the same

@@ -55,6 +55,19 @@ object StreamRun {
     val root = Files.createTempDirectory("graft_stream_replay")
     root.toFile.deleteOnExit()
     val in = root.resolve("in").toString
+    frames.head.coalesce(1).write.parquet(in)
+    appendFrames(in, frames.drop(1))
+    in
+  }
+
+  /** Append `frames` to an already-staged directory, each with a
+    * modification time strictly AFTER everything present — so the file
+    * source delivers them as new trailing micro-batches. The staging
+    * half of the restart discipline: a backlog that keeps growing while
+    * the query is down.
+    */
+  private def appendFrames(in: String,
+                           frames: Seq[org.apache.spark.sql.DataFrame]): Unit = {
     import scala.jdk.CollectionConverters._
     def parts(): Set[Path] = {
       val s = Files.list(Paths.get(in))
@@ -62,17 +75,16 @@ object StreamRun {
         .filter(_.getFileName.toString.startsWith("part-")).toSet
       finally s.close()
     }
-    frames.head.coalesce(1).write.parquet(in)
     var seen = parts()
-    val t0 = seen.map(p => Files.getLastModifiedTime(p).toMillis).max
-    frames.drop(1).zipWithIndex.foreach { case (f, i) =>
+    var t = seen.map(p => Files.getLastModifiedTime(p).toMillis).max
+    frames.foreach { f =>
       f.coalesce(1).write.mode("append").parquet(in)
+      t += 60000L
       val now = parts()
       (now -- seen).foreach(p => Files.setLastModifiedTime(p,
-        FileTime.fromMillis(t0 + 60000L * (i + 1))))
+        FileTime.fromMillis(t)))
       seen = now
     }
-    in
   }
 
   /** Stage the events table as one real parquet file plus `sentinels`
@@ -572,6 +584,87 @@ object StreamRun {
     val alerts = AnomalyStream.zAlerts(stream.as[Event])
     drain(spark, alerts.toDF())
       .select(col("event_type"), col("event_id"), col("cents"), col("n_prior"))
+  }}
+
+  /** Checkpoint-restart recovery run as a driver-oracle query (§2.6 row
+    * 33h, VERDICT r13 task #3): HALF the events backlog is staged and
+    * drained by one AvailableNow run of a stateful per-type aggregation
+    * (complete mode, store-backed state), the query STOPS (the
+    * deploy/kill window), the rest of the backlog lands as later-mtime
+    * files, and a SECOND query starts on the SAME checkpoint. The
+    * restarted query must recover the aggregation state AND consult the
+    * checkpointed file-source offsets: a state loss undercounts, a
+    * re-read of already-committed files double-counts — either way the
+    * final table hash-fails against the batch GROUP BY twin over the
+    * whole table. A mid-point require pins that the first run really
+    * drained ONLY the first half (so the restart is load-bearing, not
+    * a single-run pass in disguise).
+    */
+  def restartReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def part(i: Int) = events.where(pmod(col("event_id"), lit(4)) === i)
+    val in = stageFrames(Seq(part(0), part(1)))
+    val root = Files.createTempDirectory("graft_stream_restart")
+    root.toFile.deleteOnExit()
+    val ckpt = root.resolve("ckpt").toString
+    val name = "graft_stream_restart_replay"
+    def run(): Unit = {
+      val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+      val q = stream.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100.0).cast("long")).as("value_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // drains the visible half, then terminates — the "kill"
+    val firstSeen = spark.table(name).agg(sum(col("n_events"))).head().getLong(0)
+    val firstHalf = part(0).count() + part(1).count()
+    require(firstSeen == firstHalf,
+      s"restart replay: first run must drain exactly the staged half " +
+        s"($firstHalf rows), saw $firstSeen")
+    appendFrames(in, Seq(part(2), part(3)))
+    run() // restart on the SAME checkpoint: recovered state + new files only
+    spark.table(name)
+      .select(col("event_type"), col("n_events"), col("value_cents"))
+  }}
+
+  /** Streaming per-key throttle ([[ThrottleStream.throttle]]) run to
+    * completion (§2.6 row 33l, VERDICT r13 task #3): events arrive as
+    * TWO time-split micro-batches (first half by timestamp first, so
+    * per-key event-time order is globally preserved and the last-passed
+    * anchor folds ACROSS batches — batch 2 suppressions against batch
+    * 1 anchors are exercised). Pass/suppress is deterministic in event
+    * time, so the final passed set must equal the batch recurrence twin
+    * (per-key recursive fold in the oracle). The 45-day watermark
+    * exceeds the data span: no state times out mid-replay, nothing is
+    * late — timeout semantics stay covered by StreamingSpec.
+    */
+  def throttleReplay(spark: SparkSession, dir: String,
+                     cooldownMs: Long): DataFrame = {
+    withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val b = events.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .head()
+    val midMs = (b.getLong(0) + b.getLong(1)) / 2
+    val in = stageFrames(Seq(
+      events.where(unix_millis(col("ts")) <= midMs),
+      events.where(unix_millis(col("ts")) > midMs)))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val passed = ThrottleStream.throttle(stream.as[Event], cooldownMs,
+      watermark = "45 days")
+    drain(spark, passed.toDF())
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
   }}
 
   /** Streaming watermark-bounded exact dedup run to completion: the

@@ -119,6 +119,32 @@ class ScaleContractSpec extends SparkSpec {
           "re-run RecallSweep and re-calibrate Params.bm25ChampM")
     }
 
+  // the Jaccard side of the same contract (VERDICT r13 task #1: M was
+  // fitted on BM25 sweeps and applied to Jaccard BY ANALOGY — the exact
+  // silent-collapse class that broke M twice, and the r14 sweeps showed
+  // it broken for real: bm25ChampM read min recall 10% at sf1, 0% at
+  // sf10). Jaccard now derives its OWN M (Params.jaccardChampM, ∝N,
+  // uncapped); the floor is pinned on the Jaccard ranking itself at two
+  // fixtures a decade apart — the spec half of text_jaccard_recall_floor.
+  for (sf <- Seq(sfDir, "/root/testdata/sf0.1"))
+    test(s"jaccard champion recall floor: derived M reaches 100% recall@k ($sf)") {
+      import graft.operators.TextOps
+      val docs = Tables.load(spark, sf, "documents")
+      val m = Params.jaccardChampM(docs.count())
+      val r = SparkEntry.recallAtK(
+        TextOps.jaccardTopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+          Params.Bm25K, queryBudget = Params.AuditQueryBudget),
+        TextOps.jaccardTopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+          Params.Bm25K, champM = m, queryBudget = Params.AuditQueryBudget))
+        .collect()(0)
+      assert(r.getLong(0) > 0, "audit query set must be non-empty")
+      assert(r.getLong(2) >= Params.ChampRecallFloorPpm,
+        s"derived M=$m misses the JACCARD recall floor at $sf: " +
+          s"mean=${r.getLong(1)}ppm min=${r.getLong(2)}ppm — " +
+          "re-run `RecallSweep <dir> <ms> jaccard` and split jaccardChampM " +
+          "from bm25ChampM in Params")
+    }
+
   // ---- storage contract: CC per-round checkpoints are reclaimed ----
 
   test("Dedup.clusters reclaims per-round reliable checkpoint dirs via the " +
