@@ -6069,6 +6069,22 @@ object Oracles {
     * alone ([[graft.multimodal.Multimodal.exportExpectedResize]]); the
     * target dims are the shared Params constants.
     */
+  /** PNG codec twin: the generation-side raster fixture IS the
+    * expectation (dims + pixel crc, computed without ImageIO) plus a
+    * literal TRUE decoded flag — the Spark side computes the flag from
+    * the real decode, so a silent fallback hash-fails.
+    */
+  def multimodalPngCodec: String =
+    """SELECT media_id, width, height, pix_crc, true AS decoded
+      |FROM read_parquet('__GRAFT_EXPPNG__/*.parquet')""".stripMargin
+
+  /** WAV codec twin: the synth-parameter fixture (rate, sample count,
+    * sample crc — no javax.sound) plus the asserted decoded flag.
+    */
+  def multimodalWavCodec: String =
+    """SELECT media_id, sample_rate, n_samples, pcm_crc, true AS decoded
+      |FROM read_parquet('__GRAFT_EXPWAV__/*.parquet')""".stripMargin
+
   def multimodalResize: String =
     s"""SELECT media_id, CAST(${Params.ResizeTargetW} AS BIGINT) AS width,
        |  CAST(${Params.ResizeTargetH} AS BIGINT) AS height, pix_crc

@@ -215,6 +215,11 @@ object Params {
 
   // spatial grid join: Chebyshev radius (= grid cell size)
   val SpatialR = 3L
+  // exact pair-join output budget for spatialAdvisory (r14, VERDICT
+  // r13 #7): the grid join's work is ∝ output, so this is a cost
+  // ceiling in pairs — 100 M keeps every ≤sf1 run free and refuses
+  // the measured 10.9 B-pair sf10 exact join unless overridden
+  val SpatialMaxPairs = 100000000L
   // DBSCAN density labeling: min in-radius neighbors for a core point
   val DbscanMinPts = 40
   // density probe / capped DBSCAN: candidate ε ladder, mean-neighbor

@@ -100,6 +100,14 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_expahashdiv_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  def expPngRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_exppng_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  def expWavRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_expwav_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   /** Replace fixture-path placeholders in oracle SQL with this run's
     * actual roots (driver + check.py execute the SQL verbatim).
     */
@@ -111,6 +119,8 @@ object SparkEntry {
       .replace("__GRAFT_EXPAHASH__", expAhashRoot(dir))
       .replace("__GRAFT_EXPRESIZE__", expResizeRoot(dir))
       .replace("__GRAFT_EXPFRAMES__", expFramesRoot(dir))
+      .replace("__GRAFT_EXPPNG__", expPngRoot(dir))
+      .replace("__GRAFT_EXPWAV__", expWavRoot(dir))
 
   /** ANN demo query set: the fixed hash-order budget over the
     * mod-selected vec ids. Queries were a corpus FRACTION, so every
@@ -1391,12 +1401,18 @@ object SparkEntry {
         val pts = t(s, dir, "part").select(col("p_partkey"),
           (col("p_partkey") % 97).as("x"),
           (expr("p_partkey div 97") % 89).as("y"))
-        // overrideDense: this query IS the declared exact ground-truth
-        // baseline — the binding probe must not refuse it (r12 §5.14:
-        // output-bound to the row at three decades); production callers
-        // leave the default and get the refuse-or-proceed gate
+        // overrideDense/overridePairs: this query IS the declared exact
+        // ground-truth baseline — the binding probes must not refuse it
+        // (r12 §5.14: output-bound to the row at three decades);
+        // production callers leave the defaults and get the
+        // refuse-or-proceed gates. spatialAdvisory (r14, VERDICT r13
+        // #7) speaks in TOTAL pairs — the join's cost forecast, since
+        // its work is provably ∝ output — where the density probe
+        // speaks in mean degree vs the DBSCAN target
         operators.Spatial.probeAdvisory(pts, "p_partkey", "x", "y",
           SpatialR, DbscanTargetNb, "q_spatial_join", overrideDense = true)
+        operators.Spatial.spatialAdvisory(pts, "p_partkey", "x", "y",
+          SpatialR, SpatialMaxPairs, "q_spatial_join", overridePairs = true)
         operators.RangeJoin.gridNeighborJoin(pts, "p_partkey", "x", "y", SpatialR)
       }),
 
@@ -3327,6 +3343,39 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.mediaFromDocumentsGif(docs),
         FrameSampleBytes, FrameSampleStride)
     }),
+    "multimodal_png_codec" -> ((s, dir) => {
+      // §2.7 row 35 as a DIRECT driver gate (r14, VERDICT r13 #5):
+      // every doc renders a PNG and the REAL ImageIO decode must
+      // reproduce dims AND pixel crc against the generation-side
+      // raster-arithmetic fixture; `decoded` is computed from the
+      // actual decode and asserted TRUE by the twin, so a silent
+      // codec fallback hash-fails instead of degrading quietly
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedPng(docs, expPngRoot(dir))
+      Multimodal.mediaFromDocumentsPng(docs).map { r =>
+        multimodal.ImageCodec.decodePng(r.payload) match {
+          case Some((w, h, crc)) => (r.media_id, w.toLong, h.toLong, crc, true)
+          case None => (r.media_id, -1L, -1L, -1L, false)
+        }
+      }.toDF("media_id", "width", "height", "pix_crc", "decoded")
+    }),
+    "multimodal_wav_codec" -> ((s, dir) => {
+      // §2.7 row 35c as a DIRECT driver gate (r14, VERDICT r13 #5):
+      // every doc synthesizes PCM, RIFF-encodes, and the REAL
+      // javax.sound decode must reproduce rate, sample count AND
+      // sample crc against the synth-parameter fixture; `decoded`
+      // asserted TRUE by the twin
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Multimodal.exportExpectedWav(docs, expWavRoot(dir))
+      Multimodal.mediaFromDocumentsWav(docs).map { r =>
+        multimodal.AudioCodec.decodeWav(r.payload) match {
+          case Some((rate, n, crc)) => (r.media_id, rate.toLong, n, crc, true)
+          case None => (r.media_id, -1L, -1L, -1L, false)
+        }
+      }.toDF("media_id", "sample_rate", "n_samples", "pcm_crc", "decoded")
+    }),
     "multimodal_image_neardup" -> ((s, dir) => {
       // image near-dup over real PNG decode: every doc renders with a
       // one-pixel-perturbed twin; aHash signatures feed the shared
@@ -3367,6 +3416,8 @@ object SparkEntry {
     "src_binaryfile_ingest" -> Oracles.srcBinaryfileIngest,
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_resize" -> Oracles.multimodalResize,
+    "multimodal_png_codec" -> Oracles.multimodalPngCodec,
+    "multimodal_wav_codec" -> Oracles.multimodalWavCodec,
     "multimodal_frame_sample" -> Oracles.multimodalFrameSample,
     "multimodal_image_neardup" -> Oracles.multimodalImageNeardup,
     "multimodal_image_neardup_diverse" -> Oracles.multimodalImageNeardupDiverse,

@@ -253,6 +253,51 @@ object Spatial {
           "overrideDense=true to run the exact join anyway.")
   }
 
+  /** Output-size advisory for an EXACT fixed-radius PAIR JOIN (VERDICT
+    * r13 #7): the same 3×3 cell-count closed form as [[densityProbe]],
+    * read as a TOTAL-pair bound — `Σ_cell n_c·(block9_c − 1) / 2` — and
+    * held against an absolute pair budget. A grid pair join's work is
+    * provably ∝ its output (measured output-bound at three decades,
+    * §5.14: 10.9 B pairs = 510 s at sf10), so the bound IS the join's
+    * cost forecast, available for one cell-count aggregate before any
+    * pair exists. When the bound exceeds `maxPairs` the advisory
+    * RAISES with the expected pair count and the sampled alternative —
+    * thin ONE side by the deterministic salted-hash rate
+    * `maxPairs·1e6 div (bound+1)` (the [[dbscanCapped]] cap pattern;
+    * pair output scales ∝ rate, unbiased under the hash sample) —
+    * unless the caller overrides as a declared ground-truth baseline.
+    * Like [[probeAdvisory]], the override degrades the raise to the
+    * stderr advisory line and never changes the query's output.
+    */
+  def spatialAdvisory(pts: DataFrame, idCol: String, xCol: String,
+                      yCol: String, r: Long, maxPairs: Long,
+                      queryTag: String,
+                      overridePairs: Boolean = false): Unit = {
+    require(maxPairs >= 1)
+    val row = densityProbe(pts, idCol, xCol, yCol, Seq(r), 1L)
+      .select(col("n_points"), col("nb_bound_sum"))
+      .collect()(0)
+    val (np, nbSum) = (row.getLong(0), row.getLong(1))
+    val pairBound = nbSum / 2
+    val ratePpm = math.min(1000000L, maxPairs * 1000000L / (pairBound + 1L))
+    val verdict =
+      if (pairBound <= maxPairs) "within pair budget; exact join is the right plan"
+      else s"OVER pair budget: expected <=$pairBound pairs vs budget " +
+        s"$maxPairs; sample one side at rate_ppm=$ratePpm (salted hash) " +
+        "or run the capped twin"
+    System.err.println(s"[graft][spatial-advisory] $queryTag r=$r " +
+      s"n_points=$np pair_bound=$pairBound max_pairs=$maxPairs -> $verdict")
+    if (pairBound > maxPairs && !overridePairs)
+      throw new IllegalStateException(
+        s"[graft][spatial-advisory] $queryTag REFUSED: the exact " +
+          s"fixed-radius pair join would materialize <=$pairBound pairs " +
+          s"(N=$np, r=$r), over the $maxPairs budget — work is ∝ output, " +
+          s"so this is the join's cost forecast. Thin one side with the " +
+          s"deterministic salted-hash sample at rate_ppm=$ratePpm (the " +
+          "dbscanCapped cap pattern) or pass overridePairs=true to run " +
+          "the exact join anyway.")
+  }
+
   /** Density-CAPPED DBSCAN labeling: the bounded-work variant of
     * [[dbscanLabel]] for spaces too dense for the exact pair join (on
     * the bounded synthetic grid, 10× data = 10× density = ~100× pairs;

@@ -147,6 +147,34 @@ class SpatialDensitySpec extends SparkSpec {
       refuseBelowPpm = 1L)
   }
 
+  test("spatialAdvisory is BINDING by default: over-budget pair bound raises " +
+    "with the forecast, override or in-budget proceeds") {
+    // the r=1 dense 8x8 grid: nb_bound_sum = Σ n_c·(block9−1) with every
+    // cell holding 1 point and interior blocks of 9 → pair bound ≫ 10
+    val dense = (0L until 64L).map(i => (i, i % 8, i / 8)).toDF("id", "x", "y")
+    val ex = intercept[IllegalStateException] {
+      Spatial.spatialAdvisory(dense, "id", "x", "y", r = 1L,
+        maxPairs = 10L, queryTag = "spec-pairs-dense")
+    }
+    assert(ex.getMessage.contains("REFUSED") &&
+      ex.getMessage.contains("pairs") &&
+      ex.getMessage.contains("rate_ppm=") &&
+      ex.getMessage.contains("overridePairs"),
+      s"refusal must carry the pair forecast, the sampled-rate " +
+        s"alternative, and the override: ${ex.getMessage}")
+    // the forecast in the raise is the exact closed form: interior 6x6
+    // blocks see 8 neighbors, edges 5, corners 3 → Σ = 6·6·8+6·4·5+4·3
+    // = 420 → 210 pairs
+    assert(ex.getMessage.contains("<=210 pairs"),
+      s"expected the exact 210-pair bound in: ${ex.getMessage}")
+    // explicit override: same space proceeds (advisory only)
+    Spatial.spatialAdvisory(dense, "id", "x", "y", r = 1L,
+      maxPairs = 10L, queryTag = "spec-pairs-override", overridePairs = true)
+    // within budget: proceeds with no override
+    Spatial.spatialAdvisory(dense, "id", "x", "y", r = 1L,
+      maxPairs = 1000L, queryTag = "spec-pairs-in-budget")
+  }
+
   test("dbscanCapped with a saturating target == dbscanLabel exactly") {
     val pts = ptsSeq.toDF("id", "x", "y")
     // target far above the fixture's mean degree → rate 1e6, every
