@@ -58,6 +58,13 @@ object Bench {
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val loadBefore = loadavg()
+    // noise canary (VERDICT r13 #4): a frozen CPU+shuffle workload
+    // stamped at capture start and end — cross-round query deltas are
+    // read against the canary ratio, and start-vs-end exposes drift
+    // WITHIN the capture. One discarded warm run first so the canary
+    // measures the machine, not codegen/JIT warmup.
+    Canary.run(spark)
+    val canaryStart = Canary.run(spark)
     // optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -130,6 +137,7 @@ object Bench {
       "\"" + k + s"""\":[${s.read},${s.write},${s.spillMem},${s.spillDisk}]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val canaryEnd = Canary.run(spark)
     val loadAfter = loadavg()
     // The driver captures only the last ~2000 chars of output, so the
     // printed line must stay SHORT or it is truncated mid-line and never
@@ -155,7 +163,7 @@ object Bench {
     def failedJson(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     finally pw.close()
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
@@ -165,7 +173,7 @@ object Bench {
     // precisely when the marker matters most; failed_count carries the
     // true total and the sidecar the full list.
     val failedShown = failedJson(failedNames.take(8))
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failedShown,"failed_count":${failedNames.size},"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failedShown,"failed_count":${failedNames.size},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
