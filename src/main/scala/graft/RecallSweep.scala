@@ -14,7 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fitted on BM25 sweeps only and applied to Jaccard by analogy, the
   * exact bug class that broke M twice (VERDICT r13 task #1), so the
   * Jaccard geometry gets its own sweep rather than an argument.
-  * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...> [bm25|jaccard]
+  * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...> [bm25|jaccard] [budget]
+  *
+  * `budget` (default Params.AuditQueryBudget) bounds the audit query
+  * sample. The exact half's intermediate stream is ~budget × Σ df of a
+  * query's terms; at sf100 (5M docs) the 100-query default spills past
+  * this box's 55 GB disk headroom (measured r14, twice) — decade-5
+  * sweeps run at a reduced budget, recorded with the result.
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,7 @@ object RecallSweep {
     val ranker = args.lift(2).getOrElse("bm25")
     require(ranker == "bm25" || ranker == "jaccard",
       s"ranker must be bm25|jaccard, got $ranker")
+    val budget = args.lift(3).map(_.toInt).getOrElse(Params.AuditQueryBudget)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,15 +44,16 @@ object RecallSweep {
     val docs = Tables.load(spark, dir, "documents")
     def rank(m: Int): DataFrame = ranker match {
       case "bm25" => operators.TextOps.bm25TopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = m, queryBudget = AuditQueryBudget)
+        Bm25QueryMod, Bm25K, champM = m, queryBudget = budget)
       case _ => operators.TextOps.jaccardTopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = m, queryBudget = AuditQueryBudget)
+        Bm25QueryMod, Bm25K, champM = m, queryBudget = budget)
     }
     val exact = rank(0).localCheckpoint() // one exact pass shared by every M
     ms.foreach { m =>
       val r = SparkEntry.recallAtK(exact, rank(m)).collect()(0)
-      println(s"[recall-sweep] ranker=$ranker M=$m n_queries=${r.getLong(0)} " +
-        s"mean_recall_ppm=${r.getLong(1)} min_recall_ppm=${r.getLong(2)}")
+      println(s"[recall-sweep] ranker=$ranker M=$m budget=$budget " +
+        s"n_queries=${r.getLong(0)} mean_recall_ppm=${r.getLong(1)} " +
+        s"min_recall_ppm=${r.getLong(2)}")
     }
     spark.stop()
   }

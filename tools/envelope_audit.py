@@ -104,6 +104,9 @@ def classes(m):
             "KMV sketch size k (<=65536) x 2^32"),
         "const_small": ("int64", False, 1e14,
             "compile-time / parameter-bounded constants"),
+        "canary_fixed": ("int64", False, 6.4e13,
+            "bench canary sum(n*n2): <= (8e6)^2 even if one md5-prefix "
+            "key held every row; input size is frozen, never grows"),
         "entropy_e4_x_1e6": ("int64", False, 1e6 * 1e6,
             "e4-scaled log quantity (<=~1e6) x 1e6"),
         "pct_double": ("int64", False, 1e7,
@@ -183,6 +186,8 @@ RULES = [
     ("SparkEntry.scala", "qualityScore(col(\"text\")) * 10000", "pct_double"),
     ("SparkEntry.scala", "dedup_source_stats", "count_x_1e6"),
     ("Audit.scala", "ratePpm * 4294967296L", "ppm_x_2e32"),
+    ("Canary.scala", "sum(col(\"n\") * col(\"n2\"))", "canary_fixed"),
+    ("Spatial.scala", "maxPairs * 1000000L", "const_small"),
     ("Audit.scala", "cast(sampled_rows as decimal(38,0)) * 4294967296", "dec38_small"),
     ("Audit.scala", "1000000L * n_orphan", "count_x_1e6"),
     ("Audit.scala", "1000000 * n div n_total", "count_x_1e6"),
