@@ -459,9 +459,15 @@ object TextOps {
           .groupBy(col("query_id"), col("doc_id"))
           .agg(count(lit(1)).as("inter"))
       }
+    // query-side sizes: restrict to the ACTUAL query ids BEFORE the
+    // broadcast — the unrestricted form broadcast the full per-doc size
+    // table, a CORPUS-sized broadcast (5M rows at sf100; measured r14:
+    // execution-memory OOM at 56 g where the restricted form runs).
+    // The restricted table is ≤ the query population by construction.
+    val qsz = sz.select(col("doc_id").as("query_id"), col("sz").as("sza"))
+      .join(broadcast(q.select(col("query_id")).distinct()), "query_id")
     inter
-      .join(broadcast(sz.select(col("doc_id").as("query_id"), col("sz").as("sza"))),
-        "query_id")
+      .join(broadcast(qsz), "query_id")
       .join(sz.select(col("doc_id"), col("sz").as("szb")), "doc_id")
       .select(col("query_id"), col("doc_id"),
         expr("inter * 1000000L div (sza + szb - inter)").as("jac_ppm"))
