@@ -459,13 +459,15 @@ object TextOps {
           .groupBy(col("query_id"), col("doc_id"))
           .agg(count(lit(1)).as("inter"))
       }
-    // query-side sizes: restrict to the ACTUAL query ids BEFORE the
-    // broadcast — the unrestricted form broadcast the full per-doc size
-    // table, a CORPUS-sized broadcast (5M rows at sf100; measured r14:
-    // execution-memory OOM at 56 g where the restricted form runs).
-    // The restricted table is ≤ the query population by construction.
-    val qsz = sz.select(col("doc_id").as("query_id"), col("sz").as("sza"))
-      .join(broadcast(q.select(col("query_id")).distinct()), "query_id")
+    // query-side sizes come from the QUERY table itself — q holds each
+    // query's distinct shingle digests, so a count per query_id IS sza.
+    // The original form broadcast the full per-doc size table keyed as
+    // query_id: a CORPUS-sized broadcast (5M rows at sf100; measured
+    // r14: execution-memory OOM at 56 g), and restricting it via a
+    // broadcast-subquery join re-ran the 5M-row size aggregate
+    // concurrently with the main stages — also OOM. The query-side
+    // count touches only the (budgeted) query shingles.
+    val qsz = q.groupBy(col("query_id")).agg(count(lit(1)).as("sza"))
     inter
       .join(broadcast(qsz), "query_id")
       .join(sz.select(col("doc_id"), col("sz").as("szb")), "doc_id")
