@@ -395,6 +395,61 @@ object TextOps {
         expr("sum(p_ppm) div count(1)").as("pred_ppm"))
   }
 
+  /** Work advisory for a champion-list retrieval run (the r14
+    * [[graft.operators.Spatial.spatialAdvisory]] pattern on the text
+    * side): the champion path's candidate-generation work is bounded by
+    * `n_queries × mean-terms-per-query × M` and its exact rescore by
+    * that × mean doc length — a closed-form forecast available from two
+    * tiny aggregates BEFORE any posting list is built. Measured
+    * motivation: the Jaccard champion's derived M grows ∝N
+    * ([[graft.Params.jaccardChampM]]), so at sf100 the certified-recall
+    * run costs ~20 min on one node — a 100 TB caller must get that
+    * number from a forecast, not from the wall. RAISES when the rescore
+    * bound exceeds `maxRescoreRows` unless overridden (declared
+    * baselines / gates override; production callers inherit the
+    * refusal with the MinHash-LSH recommendation — the asymptotic
+    * near-dup path when champion work stops being bounded).
+    */
+  def championAdvisory(docs: DataFrame, idCol: String, textCol: String,
+                       queryMod: Int, champM: Int, queryBudget: Int,
+                       maxRescoreRows: Long, queryTag: String,
+                       overrideWork: Boolean = false,
+                       shingleN: Int = 2): Unit = {
+    require(queryMod > 1 && champM > 0 && maxRescoreRows >= 1)
+    val row = docs
+      .select(col(idCol).as("id"),
+        size(array_distinct(T.shingles(col(textCol), shingleN))).as("n_sh"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("sum_sh"),
+        sum(when(col("id") % queryMod === 0, col("n_sh"))).as("q_sh"),
+        count(when(col("id") % queryMod === 0, lit(1))).as("q_n"))
+      .collect()(0)
+    val nDocs = row.getLong(0)
+    val meanSh = if (nDocs == 0) 0L else row.getLong(1) / math.max(1L, nDocs)
+    val qPop = row.getLong(3)
+    val nQueries = if (queryBudget > 0) math.min(queryBudget.toLong, qPop) else qPop
+    val meanQSh =
+      if (qPop == 0) 0L
+      else (if (row.isNullAt(2)) 0L else row.getLong(2)) / math.max(1L, qPop)
+    val candBound = nQueries * meanQSh * champM
+    val rescoreBound = candBound * math.max(1L, meanSh)
+    System.err.println(s"[graft][champion-advisory] $queryTag M=$champM " +
+      s"queries=$nQueries mean_q_shingles=$meanQSh mean_doc_shingles=$meanSh " +
+      s"cand_bound=$candBound rescore_bound=$rescoreBound " +
+      s"budget=$maxRescoreRows -> " +
+      (if (rescoreBound <= maxRescoreRows) "within work budget"
+       else "OVER work budget"))
+    if (rescoreBound > maxRescoreRows && !overrideWork)
+      throw new IllegalStateException(
+        s"[graft][champion-advisory] $queryTag REFUSED: champion rescore " +
+          s"bound $rescoreBound rows (= $nQueries queries × $meanQSh " +
+          s"shingles × M=$champM × ~$meanSh-shingle rescores) exceeds the " +
+          s"$maxRescoreRows budget. Lower the query budget, accept a " +
+          "smaller M with a measured recall floor (RecallSweep), use " +
+          "MinHash-LSH for near-dup retrieval at this scale, or pass " +
+          "overrideWork=true to run anyway.")
+  }
+
   /** Shingle-Jaccard top-k retrieval: rank corpus docs per query doc by
     * exact Jaccard similarity of their distinct shingle sets, computed
     * through the inverted shingle index — only docs SHARING a shingle are

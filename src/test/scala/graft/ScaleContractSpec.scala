@@ -232,6 +232,34 @@ class ScaleContractSpec extends SparkSpec {
         s"stats, Barrier's re-leaf may no longer be needed)")
   }
 
+  // ---- champion work advisory: binding raise/override (r14) ----
+
+  test("championAdvisory is BINDING by default: over-budget rescore bound " +
+    "raises with the forecast, override or in-budget proceeds") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    // a tiny work budget forces the raise on any real corpus
+    val ex = intercept[IllegalStateException] {
+      TextOps.championAdvisory(docs, "doc_id", "text", Params.Bm25QueryMod,
+        champM = 1000, queryBudget = Params.AuditQueryBudget,
+        maxRescoreRows = 10L, queryTag = "spec-champ-over")
+    }
+    assert(ex.getMessage.contains("REFUSED") &&
+      ex.getMessage.contains("rescore") &&
+      ex.getMessage.contains("MinHash-LSH") &&
+      ex.getMessage.contains("overrideWork"),
+      s"refusal must carry the forecast and the alternatives: ${ex.getMessage}")
+    // explicit override proceeds (advisory only)
+    TextOps.championAdvisory(docs, "doc_id", "text", Params.Bm25QueryMod,
+      champM = 1000, queryBudget = Params.AuditQueryBudget,
+      maxRescoreRows = 10L, queryTag = "spec-champ-override",
+      overrideWork = true)
+    // generous budget proceeds with no override
+    TextOps.championAdvisory(docs, "doc_id", "text", Params.Bm25QueryMod,
+      champM = 1000, queryBudget = Params.AuditQueryBudget,
+      maxRescoreRows = Long.MaxValue / 4, queryTag = "spec-champ-in-budget")
+  }
+
   // ---- loud-failure guard on the bounded series folds ----
 
   test("boundedSeries: an over-long series fails loudly, a bounded one passes") {
