@@ -36,14 +36,16 @@ object Oracles {
     */
   private def minhashCtes: String = minhashCtesFor(2)
 
-  private def minhashCtesFor(shingleN: Int): String = {
+  private def minhashCtesFor(shingleN: Int, k: Int = MinhashK,
+                             bands: Int = MinhashBands): String = {
+    val rows = k / bands
     val P = HashFunctions.MinhashP
     val hex15 = (0 until 15).map(j => s"(instr('$hex', substr(md5(t), ${j + 1}, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
-    val mhs = HashFunctions.minhashCoeffs(MinhashK).zipWithIndex
+    val mhs = HashFunctions.minhashCoeffs(k).zipWithIndex
       .map { case ((a, b), i) => s"min((hb * $a + $b) % $P) AS mh$i" }.mkString(", ")
-    val bandSel = (0 until MinhashBands).map { b =>
-      val bk = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}")
+    val bandSel = (0 until bands).map { b =>
+      val bk = (0 until rows).map(r => s"mh${b * rows + r}")
         .reduce((acc, m) => s"($acc * 31 + $m)")
       s"SELECT doc_id, $b AS band_id, $bk AS bk FROM sig"
     }.mkString(" UNION ALL ")
@@ -1608,6 +1610,90 @@ object Oracles {
        |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm,
        |  true AS meets_floor
        |FROM pq""".stripMargin
+
+  /** LSH-bucketed Jaccard retrieval CTE chain ending in `ljr`
+    * (query_id, doc_id, jac_ppm, rnk over the ≥τ candidates) — twin of
+    * [[graft.operators.TextOps.jaccardLshTopK]]: the minhash band CTEs
+    * at the RETRIEVAL scheme ([[graft.Params.LshTopkK]]/
+    * [[graft.Params.LshTopkBands]] — generated from the same
+    * coefficients as the Spark plan, like [[dedupMinhashLsh]]), budgeted
+    * query probes against the corpus buckets, exact full-shingle-set
+    * rescore of the candidates, threshold at
+    * [[graft.Params.LshTopkMinJacPpm]], per-query rank.
+    */
+  private def lshTopkCtes: String =
+    s"""${minhashCtesFor(2, LshTopkK, LshTopkBands)},
+       |$sqidsCte,
+       |dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shing),
+       |jsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY 1),
+       |jqs AS (SELECT doc_id AS query_id, g FROM dsh
+       |  WHERE doc_id % $Bm25QueryMod = 0
+       |    AND doc_id IN (SELECT doc_id FROM sqids)),
+       |lcand AS (SELECT DISTINCT qb.doc_id AS query_id, cb.doc_id
+       |  FROM bands qb JOIN bands cb
+       |    ON cb.band_id = qb.band_id AND cb.bk = qb.bk
+       |    AND cb.doc_id <> qb.doc_id
+       |  WHERE qb.doc_id % $Bm25QueryMod = 0
+       |    AND qb.doc_id IN (SELECT doc_id FROM sqids)),
+       |lint AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM lcand c
+       |  JOIN dsh d ON d.doc_id = c.doc_id
+       |  JOIN jqs q ON q.query_id = c.query_id AND q.g = d.g
+       |  GROUP BY 1, 2),
+       |ljac AS (SELECT i.query_id, i.doc_id,
+       |    CAST(i.inter * 1000000 // (sa.sz + sb.sz - i.inter) AS BIGINT) AS jac_ppm
+       |  FROM lint i
+       |  JOIN jsz sa ON sa.doc_id = i.query_id
+       |  JOIN jsz sb ON sb.doc_id = i.doc_id),
+       |ljr AS (SELECT query_id, doc_id, jac_ppm,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY jac_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM ljac WHERE jac_ppm >= $LshTopkMinJacPpm)""".stripMargin
+
+  def textJaccardLshTopk: String =
+    s"""WITH $lshTopkCtes
+       |SELECT query_id, doc_id, jac_ppm, rnk FROM ljr
+       |WHERE rnk <= $Bm25K""".stripMargin
+
+  /** LSH retrieval recall twin: the exact thresholded truth (the exact
+    * Jaccard ranking's top-k restricted to jac_ppm ≥ τ — equal to the
+    * top-k OF the ≥τ subset, since ties break identically) vs the LSH
+    * top-k, per-query recall aggregated like [[textJaccardChampRecall]].
+    */
+  def textJaccardLshRecall: String =
+    s"""WITH $lshTopkCtes,
+       |jit AS (SELECT query_id, d.doc_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM jqs JOIN dsh d USING (g) WHERE d.doc_id <> query_id
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT j.query_id, j.doc_id,
+       |    CAST(j.inter * 1000000 // (sa.sz + sb.sz - j.inter) AS BIGINT) AS jac_ppm
+       |  FROM jit j
+       |  JOIN jsz sa ON sa.doc_id = j.query_id
+       |  JOIN jsz sb ON sb.doc_id = j.doc_id),
+       |jr AS (SELECT query_id, doc_id, jac_ppm,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY jac_ppm DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM jac),
+       |ex AS (SELECT query_id, doc_id FROM jr
+       |  WHERE rnk <= $Bm25K AND jac_ppm >= $LshTopkMinJacPpm),
+       |ch AS (SELECT query_id, doc_id, 1 AS hit FROM ljr WHERE rnk <= $Bm25K),
+       |pq AS (SELECT e.query_id,
+       |    CAST(sum(coalesce(ch.hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |  FROM ex e LEFT JOIN ch ON ch.query_id = e.query_id AND ch.doc_id = e.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
+       |  CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm
+       |FROM pq""".stripMargin
+
+  /** LSH retrieval recall FLOOR gate twin — [[textChampRecallFloor]]
+    * for the bucketed retrieval path: the recall replay plus a LITERAL
+    * `true` floor flag, so a corpus scale where the band scheme stops
+    * reaching the calibrated floor hash-fails the driver gate.
+    */
+  def textJaccardLshFloor: String =
+    s"""SELECT n_queries, mean_recall_ppm, min_recall_ppm,
+       |  true AS meets_floor FROM ($textJaccardLshRecall)""".stripMargin
 
   def textBm25: String =
     s"""WITH $toksCte,

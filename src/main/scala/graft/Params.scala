@@ -368,6 +368,27 @@ object Params {
   // audit query budget (what RecallSweep tunes M to)
   val ChampRecallFloorPpm = 1000000L
 
+  // LSH-bucketed Jaccard top-k RETRIEVAL (VERDICT r14 #1) — its own
+  // band scheme, chosen for the retrieval threshold rather than reusing
+  // the dedup family's (MinhashK/MinhashBands = 16/4): a pair shares a
+  // bucket with prob 1−(1−j^rows)^bands, and this corpus family's
+  // near-dup band sits at ≥0.95 Jaccard with background 99.9th pct
+  // ≈0.10 (measured sf0.01/sf0.1; the dedup scheme's 4 bands would
+  // miss a j=0.95 truth pair at ~1.2e-3 per pair — flaky at the gate's
+  // ~1000 audit pairs). rows=4, bands=8: per-pair miss ~1.4e-6 at
+  // j=0.95, background candidate rate ~8e-4 of the corpus per query.
+  // τ = JaccardMin as exact ppm (the corpus' near-dup design
+  // threshold); the recall floor is CALIBRATED per decade by
+  // measurement (the jaccardChampM lesson: per-ranker, per-scale,
+  // never by analogy) and pinned by the text_jaccard_lsh_floor gate.
+  val LshTopkK = 32
+  val LshTopkBands = 8
+  val LshTopkRows: Int = LshTopkK / LshTopkBands
+  val LshTopkMinJacPpm = 500000L
+  require(LshTopkMinJacPpm == (JaccardMin * 1000000).toLong,
+    "LSH retrieval threshold must equal the corpus near-dup design threshold")
+  val JaccardLshRecallFloorPpm = 1000000L
+
   // FIXED budgets for the exact-truth halves of the recall/ranking
   // audits (dedup_lsh_recall, text_bm25_champ_recall, text_rrf_fuse,
   // text_rank_metrics). The audits' exact paths score query×corpus: with

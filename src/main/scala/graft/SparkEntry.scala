@@ -2949,6 +2949,51 @@ object SparkEntry {
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
     }),
+    "text_jaccard_lsh_topk" -> ((s, dir) =>
+      // the ASYMPTOTIC Jaccard retrieval path (VERDICT r14 #1): MinHash
+      // band buckets (recall-tuned scheme, Params.LshTopk*) probed per
+      // query, exact full-set rescore of bucket candidates, threshold
+      // at the corpus' near-dup design τ, top-k per query — what the
+      // binding championAdvisory hands a refused caller at the scale
+      // where the champion's M ∝ N rescore costs 1202 s (sf100)
+      TextOps.jaccardLshTopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25QueryMod, Bm25K, LshTopkMinJacPpm, LshTopkK, LshTopkBands,
+        queryBudget = AuditQueryBudget)),
+    "text_jaccard_lsh_recall" -> ((s, dir) => {
+      // what the band bucketing costs vs the exact THRESHOLDED truth
+      // (the exact top-k restricted to jac_ppm ≥ τ — the near-dup
+      // retrieval contract; sub-τ tail misses are the design, not a
+      // defect): per-query recall@k, mean + min in exact ppm
+      val docs = t(s, dir, "documents")
+      recallAtK(
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          queryBudget = AuditQueryBudget)
+          .where(col("jac_ppm") >= LshTopkMinJacPpm),
+        TextOps.jaccardLshTopK(docs, "doc_id", "text", Bm25QueryMod,
+          Bm25K, LshTopkMinJacPpm, LshTopkK, LshTopkBands,
+          queryBudget = AuditQueryBudget))
+    }),
+    "text_jaccard_lsh_floor" -> ((s, dir) => {
+      // the LSH retrieval recall floor as a BINDING driver gate (the
+      // text_jaccard_recall_floor pattern): Spark computes the audit
+      // recall AND the meets_floor flag; the twin recomputes the recall
+      // exactly but asserts the flag TRUE — the first corpus scale
+      // where the band scheme stops reaching the calibrated floor
+      // hash-FAILS instead of silently degrading (the jaccardChampM
+      // lesson: every bounded-candidate retrieval path gets its own
+      // per-scale floor gate)
+      val docs = t(s, dir, "documents")
+      recallAtK(
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          queryBudget = AuditQueryBudget)
+          .where(col("jac_ppm") >= LshTopkMinJacPpm),
+        TextOps.jaccardLshTopK(docs, "doc_id", "text", Bm25QueryMod,
+          Bm25K, LshTopkMinJacPpm, LshTopkK, LshTopkBands,
+          queryBudget = AuditQueryBudget))
+        .select(col("n_queries"), col("mean_recall_ppm"),
+          col("min_recall_ppm"),
+          (col("min_recall_ppm") >= JaccardLshRecallFloorPpm).as("meets_floor"))
+    }),
     "text_novelty" -> ((s, dir) =>
       // per-doc share of shingles first seen in THIS doc — the
       // streaming-ingest novelty/re-crawl smell, digest-keyed
@@ -3621,6 +3666,9 @@ object SparkEntry {
     "text_jaccard_champ_recall" -> Oracles.textJaccardChampRecall,
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_jaccard_recall_floor" -> Oracles.textJaccardRecallFloor,
+    "text_jaccard_lsh_topk" -> Oracles.textJaccardLshTopk,
+    "text_jaccard_lsh_recall" -> Oracles.textJaccardLshRecall,
+    "text_jaccard_lsh_floor" -> Oracles.textJaccardLshFloor,
     "text_rrf_fuse" -> Oracles.textRrfFuse,
     "text_rank_metrics" -> Oracles.textRankMetrics,
     "text_heaps" -> Oracles.textHeaps,

@@ -534,6 +534,101 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** LSH-bucketed shingle-Jaccard top-k RETRIEVAL (VERDICT r14 #1): the
+    * asymptotic near-dup retrieval path the binding [[championAdvisory]]
+    * recommends when champion rescore work goes over budget — before
+    * this operator existed, a refused caller had only the PAIR/dedup
+    * form ([[Dedup.minhashCandidates]]) to switch to, not a per-query
+    * top-k. MinHash band signatures ([[Dedup.bandTable]], the §2.3
+    * machinery with its own recall-tuned scheme) bucket the corpus
+    * once; each query doc probes ONLY its own bands' buckets, and the
+    * bucket candidates are rescored on their FULL shingle sets (exact
+    * integer Jaccard — a candidate's score is its true similarity),
+    * thresholded at `minJacPpm`, and ranked per query.
+    *
+    * The contract is NEAR-DUP retrieval, not full ranking: a pair
+    * shares a band bucket with probability 1−(1−j^r)^b, so the scheme
+    * is chosen for the threshold — with r = 4 rows/band and b = 8
+    * bands, a τ=0.5 corpus' actual near-dup band (measured ≥0.95
+    * Jaccard on this family at every decade) buckets with per-pair
+    * miss ~1.4e-6, while background pairs (99.9th pct ≈ 0.10) probe
+    * ~0.1% of the corpus per query. Work per query is Σ|bucket| over
+    * its b bands — at 10× data the buckets grow ~10× but the per-query
+    * candidate RATE stays the background collision rate, vs the
+    * champion's M ∝ N rescore ([[graft.Params.jaccardChampM]] — a
+    * constant-factor path, 1202 s at sf100 where MinHash-LSH dedup
+    * runs 49.7 s). `text_jaccard_lsh_recall` / the
+    * `text_jaccard_lsh_floor` gate measure and PIN what the bucketing
+    * costs vs the exact thresholded truth (the dedup_lsh_recall
+    * pattern, retrieval-shaped; the [[graft.Params]] floor is
+    * calibrated per decade, never assumed — the
+    * [[graft.Params.jaccardChampM]] lesson).
+    *
+    * Scale shape: signatures map-side; the band table localCheckpoints
+    * once for its two consumers (query probes, corpus buckets); the
+    * probe join keys on (band_id, bk) — compact ints, AQE splits the
+    * rare hot bucket; the rescore join keys on doc_id and the
+    * query-shingle join on (query_id, 16-byte digest). Query-side
+    * tables broadcast ONLY under a fixed budget — the unbudgeted query
+    * side is a corpus fraction and rides the shuffle (the r14
+    * jaccardTopK corpus-broadcast OOM class).
+    */
+  def jaccardLshTopK(docs: DataFrame, idCol: String, textCol: String,
+                     queryMod: Int, k: Int, minJacPpm: Long,
+                     lshK: Int, lshBands: Int,
+                     shingleN: Int = 2, queryBudget: Int = 0): DataFrame = {
+    require(queryMod > 1 && k > 0 && minJacPpm >= 0 && lshK % lshBands == 0)
+    val bounded = queryBudget > 0
+    def bcast(df: DataFrame): DataFrame = if (bounded) broadcast(df) else df
+    // fixed-count audit sampling — same contract as [[jaccardTopK]]'s
+    // queryBudget: a deterministic hash-order SUBSET of the mod-selected
+    // query ids (per-query output identical to the unbudgeted run)
+    lazy val qids = broadcast(Sampling.hashOrderIds(
+      docs.where(col(idCol) % queryMod === 0), idCol, queryBudget,
+      "query_id"))
+    def budgeted(df: DataFrame): DataFrame =
+      if (bounded) df.join(qids, "query_id") else df
+    // shingle digests feed three consumers (corpus rescore side, query
+    // rescore side, sizes) — materialize once per action
+    val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
+        explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .localCheckpoint(false)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // band table computed once, consumed twice (query probes + corpus
+    // buckets) — the checkpoint stops the signature aggregation from
+    // running on both sides of the probe join
+    val bt = Dedup.bandTable(docs, idCol, textCol, lshK, lshBands, shingleN)
+      .select(col(idCol).as("doc_id"), col("band_id"), col("bk"))
+      .localCheckpoint(false)
+    val qb = budgeted(bt.where(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("band_id"), col("bk")))
+    val cands = bcast(qb).join(bt, Seq("band_id", "bk"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    // exact full-set rescore of the bucket candidates (the jaccardTopK
+    // champion-branch shape): intersection via the corpus digests ⋈
+    // query digests, sizes from each side's own table — query sza from
+    // the (budgeted) query shingles, never a corpus-sized broadcast
+    val q = budgeted(sh.where(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("h")))
+    val inter = cands.join(sh, "doc_id")
+      .join(bcast(q), Seq("query_id", "h"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    val qsz = q.groupBy(col("query_id")).agg(count(lit(1)).as("sza"))
+    inter
+      .join(broadcast(qsz), "query_id")
+      .join(sz.select(col("doc_id"), col("sz").as("szb")), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        expr("inter * 1000000L div (sza + szb - inter)").as("jac_ppm"))
+      .where(col("jac_ppm") >= minJacPpm)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("jac_ppm").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.): merge any number of
     * per-query rankings into one hybrid ranking by summing 1/(c + rank)
     * per candidate — the standard lexical+semantic fusion step, here in

@@ -50,6 +50,24 @@ class AuditSamplingSpec extends SparkSpec {
     assert(sampled.nonEmpty && sampled.size < full.size)
   }
 
+  test("jaccardLshTopK queryBudget: sampled run == full run ∩ sampled queries") {
+    // queryMod=2 + a 40-of-250 budget: LSH candidates only exist where
+    // buckets collide, so the sample must be wide enough to catch some
+    // of the fixture's ~15 near-dup pairs; τ=0 keeps any background
+    // bucket collisions in play too
+    val sids = Sampling.hashOrderIds(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", 40, "query_id").as[Long].collect().toSet
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "jac_ppm", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val sampled = snap(TextOps.jaccardLshTopK(docs, "doc_id", "text",
+      2, 5, 0L, Params.LshTopkK, Params.LshTopkBands, queryBudget = 40))
+    val full = snap(TextOps.jaccardLshTopK(docs, "doc_id", "text",
+      2, 5, 0L, Params.LshTopkK, Params.LshTopkBands))
+    assert(sampled === full.filter(r => sids(r._1)))
+    assert(sampled.nonEmpty && sampled.size < full.size)
+  }
+
   test("prefixFilterJaccard touchIds: sampled truth == full truth ∩ pairs touching the sample") {
     val sids = Sampling.hashOrderIds(docs, "doc_id", 100)
     val sset = sids.as[Long].collect().toSet

@@ -2131,6 +2131,29 @@ class OperatorsSpec extends SparkSpec {
     assert(m1 === Map(1L -> ((1000000L, 1L))))
   }
 
+  test("jaccardLshTopK: band-bucket probe + exact rescore finds near-dups above τ") {
+    import graft.operators.TextOps
+    // q = doc4 (id % 4 == 0). d1 is an exact clone: J=1 → identical
+    // minhash signatures → EVERY band collides, so candidacy is
+    // guaranteed, not hash-luck. d2 shares one shingle of six
+    // (J=1/6 < τ=0.5): even if some band bucketed it, the exact
+    // full-set rescore cuts it at the threshold. d3 is disjoint.
+    val docs = Seq((4L, "a b c"), (1L, "a b c"), (2L, "a b x y z w"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val out = TextOps.jaccardLshTopK(docs, "doc_id", "text", 4, 3,
+        minJacPpm = 500000L, lshK = 32, lshBands = 8)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((1000000L, 1L))))
+    // τ=0: the sub-threshold candidates that DID bucket come back with
+    // their true Jaccard — never a partial/band-approximate score
+    val open = TextOps.jaccardLshTopK(docs, "doc_id", "text", 4, 3,
+        minJacPpm = 0L, lshK = 32, lshBands = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(open(1L) === 1000000L)
+    assert(open.get(2L).forall(_ === 166666L), "a bucketed low-sim " +
+      "candidate must carry its exact rescored Jaccard (1/6)")
+  }
+
   test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
