@@ -57,18 +57,36 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
-    val loadBefore = loadavg()
     // noise canary (VERDICT r13 #4): a frozen CPU+shuffle workload
     // stamped at capture start and end — cross-round query deltas are
     // read against the canary ratio, and start-vs-end exposes drift
     // WITHIN the capture. One discarded warm run first so the canary
-    // measures the machine, not codegen/JIT warmup.
-    Canary.run(spark)
-    val canaryStart = Canary.run(spark)
-    // optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2
+    // measures the machine, not codegen/JIT warmup. A broken canary
+    // must never void the capture it brackets (ADVICE r15): stamp a
+    // -1 sentinel and keep the measurements.
+    def canary(): Double =
+      try { Canary.run(spark) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed (stamping -1): ${e.getMessage}")
+        -1.0
+      }
+    canary()
+    val canaryStart = canary()
+    // load sampled AFTER the canary burns its ~6-12 s of full-width CPU
+    // (ADVICE r15: sampling before it recorded pre-canary machine state,
+    // not the conditions the first query actually starts under)
+    val loadBefore = loadavg()
+    // optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2;
+    // SPARK_GRAFT_SKIP excludes named queries (full-set captures on
+    // boxes without headroom for a known disk-bound query — the skipped
+    // names land in the sidecar so the capture declares its own gap)
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    if (skip.nonEmpty)
+      System.err.println(s"[bench] skipping by SPARK_GRAFT_SKIP: ${skip.toSeq.sorted.mkString(",")}")
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
     // interleaved passes: the FULL set once per pass, so a transient
     // load spike lands on different queries in each pass and the
     // per-query min stays clean
@@ -137,7 +155,7 @@ object Bench {
       "\"" + k + s"""\":[${s.read},${s.write},${s.spillMem},${s.spillDisk}]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val canaryEnd = Canary.run(spark)
+    val canaryEnd = canary()
     val loadAfter = loadavg()
     // The driver captures only the last ~2000 chars of output, so the
     // printed line must stay SHORT or it is truncated mid-line and never
@@ -163,7 +181,7 @@ object Bench {
     def failedJson(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"skipped":${failedJson(skip.toSeq.sorted)},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     finally pw.close()
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")

@@ -976,6 +976,38 @@ object Oracles {
        |FROM c CROSS JOIN k2""".stripMargin
   }
 
+  /** Sampled-pair twin of [[graft.operators.Spatial.sampledPairs]]:
+    * the same exact-integer cell probe → total-pair bound → salted-hash
+    * rate chain as [[qDbscanCapped]] (md5 hash32 via [[hex8Expr]]),
+    * then brute all-points × sample within Chebyshev r. DuckDB's
+    * 128-bit integer arithmetic makes the rate ratio exact without the
+    * Spark side's BigInt guard.
+    */
+  def qSpatialSampled: String = {
+    val h = hex8Expr(s"('$SpatialSampleSalt:' || CAST(p.id AS VARCHAR))")
+    s"""WITH p AS (SELECT p_partkey AS id, p_partkey % 97 AS x,
+       |  (p_partkey // 97) % 89 AS y FROM part),
+       |cr AS (SELECT x // $SpatialR AS cx, y // $SpatialR AS cy,
+       |  CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+       |st AS (SELECT CAST(sum(n * (bn - 1)) AS BIGINT) AS nb
+       |  FROM (SELECT c.n, (SELECT sum(c2.n) FROM cr c2
+       |    WHERE abs(c2.cx - c.cx) <= 1 AND abs(c2.cy - c.cy) <= 1) AS bn
+       |    FROM cr c)),
+       |k AS (SELECT least(1000000,
+       |    (CAST($SpatialSampledMaxPairs AS BIGINT) * 1000000)
+       |      // (nb // 2 + 1)) AS rate_ppm
+       |  FROM st),
+       |k2 AS (SELECT rate_ppm,
+       |  (rate_ppm * 4294967296) // 1000000 AS thr FROM k),
+       |hv AS (SELECT p.id, p.x, p.y, CAST($h AS BIGINT) AS h FROM p),
+       |sam AS (SELECT hv.id, hv.x, hv.y FROM hv CROSS JOIN k2 WHERE hv.h < k2.thr)
+       |SELECT a.id AS id_a, b.id AS id_b, CAST(k2.rate_ppm AS BIGINT) AS rate_ppm
+       |FROM p a JOIN sam b
+       |  ON a.id <> b.id AND abs(a.x - b.x) <= $SpatialR
+       |  AND abs(a.y - b.y) <= $SpatialR
+       |CROSS JOIN k2""".stripMargin
+  }
+
   /** Twin of [[graft.operators.LinkPredict.scores]] on the
     * supplier→part affiliation graph: same hub cap, same filtered-graph
     * degrees, same integer ppm Jaccard.
@@ -2001,6 +2033,20 @@ object Oracles {
     """SELECT event_type, count(*) AS n_events,
       |  CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1""".stripMargin
+
+  /** Twin for the watermark late-drop replay (§2.6 row 33n): the
+    * harness stages the deterministic `event_id % 37` slice of the
+    * events table AFTER a watermark-advancing sentinel, so the drop
+    * counter the stream surfaces must equal the slice's cardinality
+    * EXACTLY — and the flag must be literally true. A stream that
+    * admits late rows into state, or drops without accounting, breaks
+    * one of the three columns.
+    */
+  def streamLateDropReplay: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_late_staged,
+      |  CAST(count(*) AS BIGINT) AS n_dropped_by_watermark,
+      |  true AS all_late_dropped
+      |FROM events WHERE event_id % 37 = 0""".stripMargin
 
   /** Twin for the STREAMING per-key throttle replay: the cooldown rule
     * is deterministic in event time — within each (user, type) key,

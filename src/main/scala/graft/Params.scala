@@ -220,6 +220,14 @@ object Params {
   // ceiling in pairs — 100 M keeps every ≤sf1 run free and refuses
   // the measured 10.9 B-pair sf10 exact join unless overridden
   val SpatialMaxPairs = 100000000L
+  // sampled exact-pair spatial twin (VERDICT r14 #4): output budget +
+  // sampling salt. 20k sits BELOW the sf0.01 pair bound (70,156) so
+  // the driver gate certifies the ENGAGED sampled path, not the
+  // saturated identity (the q_dbscan_capped precedent); at sf10 — the
+  // 1.8e10-bound / 510 s exact join the advisory refuses — the same
+  // budget thins one side to ~1 ppm and holds output near 20k pairs.
+  val SpatialSampledMaxPairs = 20000L
+  val SpatialSampleSalt = "sps"
   // DBSCAN density labeling: min in-radius neighbors for a core point
   val DbscanMinPts = 40
   // density probe / capped DBSCAN: candidate ε ladder, mean-neighbor
@@ -388,6 +396,30 @@ object Params {
   require(LshTopkMinJacPpm == (JaccardMin * 1000000).toLong,
     "LSH retrieval threshold must equal the corpus near-dup design threshold")
   val JaccardLshRecallFloorPpm = 1000000L
+
+  // Binding champion-work budget (ADVICE r15: championAdvisory was
+  // spec-only — now wired INSIDE jaccardTopK/bm25TopK when champM > 0,
+  // so production callers inherit the refusal; declared gates pass
+  // overrideWork). Units = forecast rescore rows (n_queries ×
+  // mean-q-features × M × mean-doc-features). Measured bounds on this
+  // corpus family (meanSh ≈ 51, budget-100 queries):
+  //   sf0.1 (5k docs,  M=400)   ≈ 1.0e8
+  //   sf1   (50k,      M=4000)  ≈ 1.0e9
+  //   sf10  (500k,     M=40000) ≈ 1.0e10  (runs; minutes-scale)
+  //   sf100 (5M,       M=400k)  ≈ 1.0e11  (the measured 1202 s wall)
+  // 2e10 admits every decade through sf10 and refuses the sf100-class
+  // run, pointing at jaccardLshTopK (49.7 s-class on the same corpus).
+  val ChampRescoreBudget = 20000000000L
+
+  // Binding exact-audit work budget (VERDICT r14 #3): the exact
+  // query×corpus half of a recall audit streams Σ_q Σ_feature df rows;
+  // measured ≈ 1.4e6 per 100-query budget at sf0.1 growing ∝N (jaccard;
+  // bm25 ≈ 6×), and the r14 sf100 budget-100 sweep DIED on disk at
+  // ~1.4e9 rows (>55 GB spill, twice) while budgets 10/50 ran. 1e9
+  // (~40 GB forecast) admits every measured-safe configuration and
+  // refuses the two observed spill deaths with the reduced-budget
+  // recommendation.
+  val ExactAuditCandBudget = 1000000000L
 
   // FIXED budgets for the exact-truth halves of the recall/ranking
   // audits (dedup_lsh_recall, text_bm25_champ_recall, text_rrf_fuse,

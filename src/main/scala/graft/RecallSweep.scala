@@ -17,10 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...> [bm25|jaccard] [budget]
   *
   * `budget` (default Params.AuditQueryBudget) bounds the audit query
-  * sample. The exact half's intermediate stream is ~budget × Σ df of a
-  * query's terms; at sf100 (5M docs) the 100-query default spills past
-  * this box's 55 GB disk headroom (measured r14, twice) — decade-5
-  * sweeps run at a reduced budget, recorded with the result.
+  * sample. The exact half's intermediate stream is Σ_q Σ_feature df —
+  * at sf100 (5M docs) the 100-query default spills past this box's
+  * 55 GB disk headroom (measured r14, TWICE, before a human reduced
+  * the budget) — so the forecast is now a BINDING refusal
+  * ([[graft.operators.TextOps.exactAuditAdvisory]], VERDICT r14 #3):
+  * an over-budget sweep refuses up front with the reduced-budget
+  * recommendation instead of discovering the spill on disk. A 5th arg
+  * `force` overrides (the declared-ground-truth escape hatch, same as
+  * every other advisory's override flag).
+  * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...> [bm25|jaccard]
+  *        [budget] [force]
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -30,6 +37,7 @@ object RecallSweep {
     require(ranker == "bm25" || ranker == "jaccard",
       s"ranker must be bm25|jaccard, got $ranker")
     val budget = args.lift(3).map(_.toInt).getOrElse(Params.AuditQueryBudget)
+    val force = args.lift(4).contains("force")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,11 +50,21 @@ object RecallSweep {
     Logs.quietDeclaredBoundedWindows()
     import Params._
     val docs = Tables.load(spark, dir, "documents")
+    // BINDING pre-flight: forecast the exact half's candidate stream
+    // (Σ_q Σ_feature df) and refuse over-budget sweeps BEFORE any wide
+    // join spills — the r14 sf100 lesson, now a gate instead of a
+    // protocol. `force` is the declared-ground-truth override.
+    operators.TextOps.exactAuditAdvisory(docs, "doc_id", "text",
+      Bm25QueryMod, budget, ExactAuditCandBudget,
+      s"RecallSweep($ranker)", overrideWork = force, ranker = ranker)
     def rank(m: Int): DataFrame = ranker match {
+      // overrideWork: the sweep IS the champion-work calibration run
       case "bm25" => operators.TextOps.bm25TopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = m, queryBudget = budget)
+        Bm25QueryMod, Bm25K, champM = m, queryBudget = budget,
+        overrideWork = true)
       case _ => operators.TextOps.jaccardTopK(docs, "doc_id", "text",
-        Bm25QueryMod, Bm25K, champM = m, queryBudget = budget)
+        Bm25QueryMod, Bm25K, champM = m, queryBudget = budget,
+        overrideWork = true)
     }
     val exact = rank(0).localCheckpoint() // one exact pass shared by every M
     ms.foreach { m =>

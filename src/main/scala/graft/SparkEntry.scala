@@ -1416,6 +1416,20 @@ object SparkEntry {
         operators.RangeJoin.gridNeighborJoin(pts, "p_partkey", "x", "y", SpatialR)
       }),
 
+    "q_spatial_sampled" -> ((s, dir) => {
+      // the bounded twin the spatialAdvisory refusal recommends
+      // (VERDICT r14 #4): probe-derived salted-hash rate thins ONE side
+      // so pair output (= join work) is held at the budget however
+      // dense the space grows; rate saturates to the exact join where
+      // the bound already fits. The 20k budget engages the cap at
+      // sf0.01, so the oracle gate replays the sampled path itself.
+      val pts = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_partkey") % 97).as("x"),
+        (expr("p_partkey div 97") % 89).as("y"))
+      operators.Spatial.sampledPairs(pts, "p_partkey", "x", "y",
+        SpatialR, SpatialSampledMaxPairs, SpatialSampleSalt)
+    }),
+
     "q_dbscan_core" -> ((s, dir) => {
       // DBSCAN density split on the same synthetic grid: exact neighbor
       // counts within Chebyshev SpatialR, then core/border/noise labels.
@@ -2882,7 +2896,10 @@ object SparkEntry {
       recallAtK(
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = jaccardChampM(docs.count())))
+          champM = jaccardChampM(docs.count()),
+          // declared audit: it EXISTS to measure the champion ranking,
+          // so the binding work gate degrades to the advisory line
+          overrideWork = true))
     }),
     "text_bm25_champion" -> ((s, dir) => {
       // bounded-work BM25: champion-list posting cap (impact-ordered
@@ -2910,7 +2927,8 @@ object SparkEntry {
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           queryBudget = AuditQueryBudget),
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget))
+          champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget,
+          overrideWork = true)) // declared audit (see text_jaccard_champ_recall)
     }),
     "text_champ_recall_floor" -> ((s, dir) => {
       // the champion recall FLOOR as a BINDING driver gate (the
@@ -2925,7 +2943,8 @@ object SparkEntry {
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           queryBudget = AuditQueryBudget),
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget))
+          champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget,
+          overrideWork = true)) // declared CERTIFICATION gate
         .select(col("n_queries"), col("mean_recall_ppm"),
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
@@ -2944,7 +2963,8 @@ object SparkEntry {
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           queryBudget = AuditQueryBudget),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          champM = jaccardChampM(docs.count()), queryBudget = AuditQueryBudget))
+          champM = jaccardChampM(docs.count()), queryBudget = AuditQueryBudget,
+          overrideWork = true)) // declared CERTIFICATION gate
         .select(col("n_queries"), col("mean_recall_ppm"),
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
@@ -3155,6 +3175,13 @@ object SparkEntry {
       // two time-split micro-batches (cross-batch last-passed anchors);
       // passed set must equal the batch per-key recurrence twin
       graft.streaming.StreamRun.throttleReplay(s, dir, ThrottleCooldownMs)),
+    "stream_latedrop_replay" -> ((s, dir) =>
+      // watermark late-drop observability as a HASH gate (§2.6 row 33n,
+      // VERDICT r14 #7): a sentinel advances the watermark past every
+      // real timestamp, a deliberately late frame follows, and the
+      // windowed aggregation must drop AND COUNT exactly those rows —
+      // the twin recomputes the staged-late count and asserts equality
+      graft.streaming.StreamRun.lateDropReplay(s, dir)),
     "events_sessionize_typed" -> ((s, dir) => {
       // the SAME sessions through the typed Dataset[Event] surface —
       // flatMapGroups closure instead of analytic windows; shares the
@@ -3579,6 +3606,7 @@ object SparkEntry {
     "q_salted_join" -> Oracles.qSaltedJoin,
     "q_fuzzy_join" -> Oracles.qFuzzyJoin,
     "q_spatial_join" -> Oracles.qSpatialJoin,
+    "q_spatial_sampled" -> Oracles.qSpatialSampled,
     "q_dbscan_core" -> Oracles.qDbscanCore,
     "q_dbscan_cluster" -> Oracles.qDbscanCluster,
     "q_density_probe" -> Oracles.qDensityProbe,
@@ -3695,6 +3723,7 @@ object SparkEntry {
     "stream_zscore_replay" -> Oracles.eventsZscoreAlerts,
     "stream_restart_replay" -> Oracles.streamRestartReplay,
     "stream_throttle_replay" -> Oracles.streamThrottleReplay,
+    "stream_latedrop_replay" -> Oracles.streamLateDropReplay,
     "stream_idempotent_sink_replay" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""".stripMargin,

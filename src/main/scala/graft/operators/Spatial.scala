@@ -279,7 +279,11 @@ object Spatial {
       .collect()(0)
     val (np, nbSum) = (row.getLong(0), row.getLong(1))
     val pairBound = nbSum / 2
-    val ratePpm = math.min(1000000L, maxPairs * 1000000L / (pairBound + 1L))
+    // maxPairs is caller-supplied: ×1e6 silently wraps Long above
+    // ~9.2e12 and would print a negative/garbage sampling rate in the
+    // refusal (ADVICE r15) — exact BigInt ratio instead
+    val ratePpm = (BigInt(maxPairs) * 1000000 / BigInt(pairBound + 1L))
+      .min(BigInt(1000000L)).toLong
     val verdict =
       if (pairBound <= maxPairs) "within pair budget; exact join is the right plan"
       else s"OVER pair budget: expected <=$pairBound pairs vs budget " +
@@ -292,10 +296,60 @@ object Spatial {
         s"[graft][spatial-advisory] $queryTag REFUSED: the exact " +
           s"fixed-radius pair join would materialize <=$pairBound pairs " +
           s"(N=$np, r=$r), over the $maxPairs budget — work is ∝ output, " +
-          s"so this is the join's cost forecast. Thin one side with the " +
-          s"deterministic salted-hash sample at rate_ppm=$ratePpm (the " +
-          "dbscanCapped cap pattern) or pass overridePairs=true to run " +
-          "the exact join anyway.")
+          s"so this is the join's cost forecast. Run [[sampledPairs]] " +
+          s"(the oracle-gated bounded twin: one side thinned at " +
+          s"rate_ppm=$ratePpm by the deterministic salted hash) or pass " +
+          "overridePairs=true to run the exact join anyway.")
+  }
+
+  /** Sampled exact-pair proximity join (VERDICT r14 #4): the
+    * oracle-gated bounded twin of the raw fixed-radius pair join — the
+    * operator [[spatialAdvisory]] hands a refused caller, the way
+    * [[dbscanCapped]] backs the exact DBSCAN. The same exact-integer
+    * 3×3 cell probe bounds TOTAL pairs; one side is then thinned by the
+    * deterministic salted-hash rate `maxPairs·1e6 div (pairBound+1)`
+    * and the asymmetric grid join runs all-points × sample — output
+    * (and work, which is provably output-bound for a grid pair join)
+    * scales ∝ rate, unbiased under the hash sample. When the probe says
+    * the bound already fits the budget the rate saturates at 1e6 and
+    * the output is EXACTLY the full directed pair set (spec-pinned) —
+    * the cap only engages where the exact join would blow the budget.
+    * Output carries `rate_ppm` so callers can scale counts back up
+    * (pair-count estimate = n·1e6/rate — the [[dbscanCapped]]
+    * Horvitz–Thompson read).
+    *
+    * Directed (id_a, id_b ∈ sample) orientation, id_a ≠ id_b: per-point
+    * sampled-neighbor counts stay exact for EVERY point, which is what
+    * the downstream density/degree consumers read.
+    */
+  def sampledPairs(pts: DataFrame, idCol: String, xCol: String,
+                   yCol: String, r: Long, maxPairs: Long,
+                   salt: String): DataFrame = {
+    require(r >= 1 && maxPairs >= 1)
+    val p = pts.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint(false)
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val c = p.groupBy(RangeJoin.cell("x", r).as("cx"),
+        RangeJoin.cell("y", r).as("cy"))
+      .agg(count(lit(1)).as("n"))
+    val blk = c.select(col("n"), explode(array(offsets: _*)).as("o"),
+        col("cx"), col("cy"))
+      .groupBy((col("cx") + col("o.ox")).as("bx"),
+        (col("cy") + col("o.oy")).as("by"))
+      .agg(sum(col("n")).as("bn"))
+    val st = c.join(blk, col("cx") === col("bx") && col("cy") === col("by"))
+      .agg(sum(col("n") * (col("bn") - 1)).as("nb")).collect()(0)
+    val nbSum = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val pairBound = nbSum / 2
+    val ratePpm = (BigInt(maxPairs) * 1000000 / BigInt(pairBound + 1L))
+      .min(BigInt(1000000L)).toLong
+    val thr = ratePpm * 4294967296L / 1000000L
+    val sampled = p.where(graft.functions.HashFunctions
+      .hash32(col("id").cast("string"), salt) < lit(thr))
+    RangeJoin.gridNeighborJoinAB(p, sampled, "id", "x", "y", r)
+      .select(col("id_a"), col("id_b"), lit(ratePpm).as("rate_ppm"))
   }
 
   /** Density-CAPPED DBSCAN labeling: the bounded-work variant of

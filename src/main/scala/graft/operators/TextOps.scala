@@ -416,9 +416,13 @@ object TextOps {
                        overrideWork: Boolean = false,
                        shingleN: Int = 2): Unit = {
     require(queryMod > 1 && champM > 0 && maxRescoreRows >= 1)
+    // shingleN = 1 → forecast over distinct TERMS (the BM25 candidate
+    // unit; TextFunctions.shingles starts at n = 2)
+    val feat = if (shingleN <= 1) T.tokens(col(textCol))
+      else T.shingles(col(textCol), shingleN)
     val row = docs
       .select(col(idCol).as("id"),
-        size(array_distinct(T.shingles(col(textCol), shingleN))).as("n_sh"))
+        size(array_distinct(feat)).as("n_sh"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_sh")).as("sum_sh"),
         sum(when(col("id") % queryMod === 0, col("n_sh"))).as("q_sh"),
@@ -446,7 +450,73 @@ object TextOps {
           s"shingles × M=$champM × ~$meanSh-shingle rescores) exceeds the " +
           s"$maxRescoreRows budget. Lower the query budget, accept a " +
           "smaller M with a measured recall floor (RecallSweep), use " +
-          "MinHash-LSH for near-dup retrieval at this scale, or pass " +
+          "MinHash-LSH for near-dup retrieval at this scale " +
+          "(jaccardLshTopK — the bucketed per-query top-k), or pass " +
+          "overrideWork=true to run anyway.")
+  }
+
+  /** Work advisory for the EXACT query×corpus half of a recall audit
+    * (VERDICT r14 #3): the exact path streams one candidate row per
+    * (query feature, posting) — exactly `Σ_{q} Σ_{feature∈q} df(feature)`
+    * rows before the per-pair aggregate — so the spill forecast is a
+    * closed form over the document-frequency table and the (budgeted)
+    * query features, available BEFORE any wide join runs. Measured
+    * motivation: the r14 sf100 budget-100 Jaccard sweep spilled past
+    * this class of box's disk headroom TWICE (>55 GB ≈ 1.4e9 candidate
+    * rows × ~40 B) before a human reduced the budget — the repo's own
+    * advisory pattern ([[championAdvisory]], `probeAdvisory`,
+    * `spatialAdvisory`) says that discovery belongs in a forecast, not
+    * on the disk. RAISES when the bound exceeds `maxCandRows` with the
+    * REDUCED-BUDGET recommendation (bound scales linearly in the query
+    * budget, so `budget × max/bound` is the right knob), unless the
+    * caller overrides as a declared ground-truth run.
+    *
+    * `ranker = "bm25"` forecasts over distinct TERMS (the postings the
+    * exact BM25 join streams); anything else over distinct `shingleN`-
+    * gram shingles (the Jaccard intersection stream).
+    */
+  def exactAuditAdvisory(docs: DataFrame, idCol: String, textCol: String,
+                         queryMod: Int, queryBudget: Int,
+                         maxCandRows: Long, queryTag: String,
+                         overrideWork: Boolean = false,
+                         ranker: String = "jaccard",
+                         shingleN: Int = 2): Unit = {
+    require(queryMod > 1 && maxCandRows >= 1)
+    val feats = (if (ranker == "bm25")
+        docs.select(col(idCol).as("doc_id"),
+          explode(T.tokens(col(textCol))).as("g")).distinct()
+      else
+        docs.select(col(idCol).as("doc_id"),
+          explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g")))
+      .localCheckpoint(false) // two consumers: df table + query side
+    val dfr = feats.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val qf0 = feats.where(col("doc_id") % queryMod === 0)
+    val qf = if (queryBudget <= 0) qf0
+      else qf0.join(broadcast(Sampling.hashOrderIds(
+        docs.where(col(idCol) % queryMod === 0), idCol, queryBudget,
+        "doc_id")), "doc_id")
+    val row = qf.join(dfr, "g")
+      .agg(count(lit(1)).as("q_feats"), sum(col("df")).as("cand_bound"))
+      .collect()(0)
+    val qFeats = row.getLong(0)
+    val bound = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val recBudget =
+      if (bound <= maxCandRows || queryBudget <= 0) queryBudget.toLong
+      else math.max(1L, queryBudget * maxCandRows / bound)
+    System.err.println(s"[graft][exact-audit-advisory] $queryTag " +
+      s"ranker=$ranker budget=$queryBudget query_features=$qFeats " +
+      s"cand_bound=$bound max=$maxCandRows -> " +
+      (if (bound <= maxCandRows) "within work budget"
+       else s"OVER work budget; reduce the audit budget to ~$recBudget"))
+    if (bound > maxCandRows && !overrideWork)
+      throw new IllegalStateException(
+        s"[graft][exact-audit-advisory] $queryTag REFUSED: the exact " +
+          s"query×corpus half would stream ~$bound candidate rows (Σ df " +
+          s"over the ${if (queryBudget > 0) s"$queryBudget-query budget's"
+            else "full query set's"} features), over the $maxCandRows " +
+          "budget — at ~40 bytes/row that is the shuffle-spill forecast " +
+          "(r14: the sf100 budget-100 sweep spilled >55 GB at ~1.4e9 " +
+          s"rows). Reduce the audit budget to ~$recBudget, or pass " +
           "overrideWork=true to run anyway.")
   }
 
@@ -463,8 +533,16 @@ object TextOps {
     */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   queryMod: Int, k: Int, shingleN: Int = 2,
-                  champM: Int = 0, queryBudget: Int = 0): DataFrame = {
+                  champM: Int = 0, queryBudget: Int = 0,
+                  overrideWork: Boolean = false,
+                  rescoreBudget: Long = graft.Params.ChampRescoreBudget): DataFrame = {
     require(queryMod > 1 && k > 0)
+    // champion runs are work-bounded by a BINDING advisory (ADVICE r14:
+    // previously only spec-exercised — production callers now inherit
+    // the refusal; declared gates/baselines pass overrideWork = true)
+    if (champM > 0)
+      championAdvisory(docs, idCol, textCol, queryMod, champM, queryBudget,
+        rescoreBudget, "jaccardTopK", overrideWork, shingleN)
     // three consumers (sizes, query side, corpus side) — materialize the
     // shingle digests once per action, as in bm25TopK/prefixFilter
     val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
@@ -686,8 +764,14 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryMod: Int, k: Int, champM: Int = 0,
-               queryBudget: Int = 0): DataFrame = {
+               queryBudget: Int = 0, overrideWork: Boolean = false,
+               rescoreBudget: Long = graft.Params.ChampRescoreBudget): DataFrame = {
     require(queryMod > 1 && k > 0)
+    // binding champion-work gate (see [[jaccardTopK]]); shingleN = 1
+    // forecasts over distinct TERMS — the BM25 candidate unit
+    if (champM > 0)
+      championAdvisory(docs, idCol, textCol, queryMod, champM, queryBudget,
+        rescoreBudget, "bm25TopK", overrideWork, shingleN = 1)
     val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(T.tokens(col(textCol))).as("term"))
     // the inverted index feeds FOUR consumers (scoring side, doc

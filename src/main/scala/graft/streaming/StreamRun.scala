@@ -667,6 +667,72 @@ object StreamRun {
         unix_millis(col("ts")).as("ts_ms"))
   }}
 
+  /** Watermark late-drop observability as a DRIVER row (§2.6 row 33n,
+    * VERDICT r14 #7 — previously the only streaming signal never
+    * hash-checked): three staged micro-batches — the real events, a
+    * far-future sentinel that advances the watermark ONE DAY past every
+    * real timestamp, then a deliberately LATE frame (the deterministic
+    * event_id % 37 slice of the real events, re-keyed so dedup-free
+    * operators still see fresh rows). The watermarked windowed
+    * aggregation must DROP every late row and account for each one in
+    * `numRowsDroppedByWatermark`. Output is ONE row
+    * (n_late_staged, n_dropped_by_watermark, all_late_dropped); the
+    * twin recomputes the staged-late count from the events table and
+    * asserts the dropped count EQUAL — an engine that silently accepts
+    * late data (state-bound leak) or loses it without accounting
+    * (ops-blind loss) hash-fails either way.
+    */
+  def lateDropReplay(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxMs = events.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val delayMs = 45L * 86400000L
+    // sentinel ts − 45-day watermark delay = maxMs + 1 day: past every
+    // real hour window, so the whole late frame lands below the line.
+    // TWO sentinels, not one (the sessionizeReplay discipline, measured
+    // here too): the late-record filter runs on the watermark COMMITTED
+    // a batch earlier, so a late frame staged directly after a single
+    // sentinel is filtered against the PRE-sentinel watermark and
+    // silently admitted — the second sentinel's batch is what makes the
+    // advanced watermark effective for the frame after it.
+    val s1 = new java.sql.Timestamp(maxMs + delayMs + 86400000L)
+    val s2 = new java.sql.Timestamp(maxMs + delayMs + 2L * 86400000L)
+    def sentinel(i: Long, sts: java.sql.Timestamp) =
+      Seq((SentinelUser * (i + 2), sts, SentinelUser, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val late = events.where(col("event_id") % 37 === 0)
+      .select((col("event_id") + lit(1000000000L)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"))
+    val nLate = late.count()
+    val in = stageFrames(Seq(events, sentinel(0, s1), sentinel(1, s2), late))
+    val stream = EventStreams.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    val agg = stream
+      .withWatermark("ts", "45 days")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val root = Files.createTempDirectory("graft_stream_latedrop")
+    root.toFile.deleteOnExit()
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", root.resolve("sink").toString)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the operational counter the row certifies: every stateful op's
+    // per-batch numRowsDroppedByWatermark, summed across the run
+    val dropped = q.recentProgress
+      .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+    System.err.println(s"[graft][latedrop] batches=${q.recentProgress.length} " +
+      s"dropped=$dropped staged=$nLate")
+    Seq((nLate, dropped, dropped == nLate))
+      .toDF("n_late_staged", "n_dropped_by_watermark", "all_late_dropped")
+  }}
+
   /** Streaming watermark-bounded exact dedup run to completion: the
     * table is staged TWICE (two micro-batches), the second pass is
     * dropped entirely by per-key state, and the final output is exactly

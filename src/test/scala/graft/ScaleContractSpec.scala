@@ -165,18 +165,31 @@ class ScaleContractSpec extends SparkSpec {
             .map(_.toString).toSet
         } finally walk.close()
       }
-      // scope the result so no spec-level reference pins the final RDD
-      def run(): Set[String] = {
+      // scope the result so no spec-level reference pins the final RDD.
+      // The cleaner races the job (a GC between rounds can reclaim an
+      // early round's dir before the job even finishes — observed under
+      // suite load), so the "multiple rounds wrote dirs" precondition is
+      // sampled CONCURRENTLY and unioned, never from one post-hoc snapshot.
+      val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) { rddDirs().foreach(seen.put(_, true)); Thread.sleep(50) }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      def run(): Unit = {
         // a 9-node path needs several doubling rounds => several
         // per-round checkpoint dirs
         val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
         val out = operators.Dedup.clusters(pairs, doubling = true)
         assert(out.collect().forall(_.getLong(1) == 1L))
-        rddDirs()
+        rddDirs().foreach(seen.put(_, true))
       }
-      val written = run()
-      assert(written.size >= 2,
-        s"expected multiple per-round checkpoint dirs, saw $written")
+      run()
+      sampling = false
+      sampler.join(2000)
+      assert(seen.size >= 2,
+        s"expected multiple per-round checkpoint dirs, saw ${seen.keySet}")
       // reclamation is asynchronous: the cleaner acts on GC'd RDD refs;
       // generous deadline — under a loaded suite JVM one GC cycle can
       // lag tens of seconds, and a slow pass must not read as a leak
@@ -258,6 +271,67 @@ class ScaleContractSpec extends SparkSpec {
     TextOps.championAdvisory(docs, "doc_id", "text", Params.Bm25QueryMod,
       champM = 1000, queryBudget = Params.AuditQueryBudget,
       maxRescoreRows = Long.MaxValue / 4, queryTag = "spec-champ-in-budget")
+  }
+
+  // ---- exact-audit work advisory: binding raise/override (r15) ----
+
+  test("exactAuditAdvisory is BINDING by default: over-budget candidate " +
+    "stream raises with the reduced-budget recommendation, override or " +
+    "in-budget proceeds") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    // a tiny candidate budget forces the raise on any real corpus
+    val ex = intercept[IllegalStateException] {
+      TextOps.exactAuditAdvisory(docs, "doc_id", "text",
+        Params.Bm25QueryMod, Params.AuditQueryBudget, maxCandRows = 10L,
+        queryTag = "spec-audit-over")
+    }
+    assert(ex.getMessage.contains("REFUSED") &&
+      ex.getMessage.contains("Reduce the audit budget") &&
+      ex.getMessage.contains("overrideWork"),
+      s"refusal must carry the forecast and the budget knob: ${ex.getMessage}")
+    // the recommendation scales the budget by max/bound — a 10-row cap
+    // on a >>10-row stream must recommend the floor budget of 1
+    assert(ex.getMessage.contains("~1"),
+      s"reduced-budget recommendation missing: ${ex.getMessage}")
+    // explicit override proceeds (advisory only)
+    TextOps.exactAuditAdvisory(docs, "doc_id", "text",
+      Params.Bm25QueryMod, Params.AuditQueryBudget, maxCandRows = 10L,
+      queryTag = "spec-audit-override", overrideWork = true)
+    // generous budget proceeds with no override, both rankers
+    TextOps.exactAuditAdvisory(docs, "doc_id", "text",
+      Params.Bm25QueryMod, Params.AuditQueryBudget,
+      maxCandRows = Long.MaxValue / 4, queryTag = "spec-audit-in-budget")
+    TextOps.exactAuditAdvisory(docs, "doc_id", "text",
+      Params.Bm25QueryMod, Params.AuditQueryBudget,
+      maxCandRows = Long.MaxValue / 4, queryTag = "spec-audit-bm25",
+      ranker = "bm25")
+  }
+
+  test("champion work gate is wired into the champion paths: an " +
+    "over-budget champM run refuses from inside jaccardTopK/bm25TopK") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    // rescoreBudget=1 forces the raise before any posting list is built
+    val exJ = intercept[IllegalStateException] {
+      TextOps.jaccardTopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+        Params.Bm25K, champM = 1000,
+        queryBudget = Params.AuditQueryBudget, rescoreBudget = 1L)
+    }
+    assert(exJ.getMessage.contains("champion-advisory") &&
+      exJ.getMessage.contains("jaccardTopK"))
+    val exB = intercept[IllegalStateException] {
+      TextOps.bm25TopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+        Params.Bm25K, champM = 1000,
+        queryBudget = Params.AuditQueryBudget, rescoreBudget = 1L)
+    }
+    assert(exB.getMessage.contains("champion-advisory") &&
+      exB.getMessage.contains("bm25TopK"))
+    // overrideWork threads through: the same over-budget run proceeds
+    // to a plan (composition only — no action executed here)
+    TextOps.jaccardTopK(docs, "doc_id", "text", Params.Bm25QueryMod,
+      Params.Bm25K, champM = 1000, queryBudget = Params.AuditQueryBudget,
+      rescoreBudget = 1L, overrideWork = true)
   }
 
   // ---- loud-failure guard on the bounded series folds ----

@@ -175,6 +175,41 @@ class SpatialDensitySpec extends SparkSpec {
       maxPairs = 1000L, queryTag = "spec-pairs-in-budget")
   }
 
+  test("sampledPairs saturated budget == the full directed pair set; " +
+    "engaged budget == full set restricted to sampled id_b") {
+    import graft.operators.RangeJoin
+    val pts = ptsSeq.toDF("id", "x", "y")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = snap(RangeJoin.gridNeighborJoinAB(pts, pts, "id", "x", "y", r))
+    // budget >= pair bound: rate saturates, output IS the exact join
+    val sat = Spatial.sampledPairs(pts, "id", "x", "y", r,
+      maxPairs = 10000000L, salt = "spec")
+    assert(sat.select("rate_ppm").distinct().as[Long].collect().toSeq
+      === Seq(1000000L))
+    assert(snap(sat) === full)
+    // engaged budget: id_b restricted to the salted-hash sample, id_a
+    // side untouched — the output is exactly the full set filtered to
+    // sampled right endpoints (deterministic, oracle-replayable)
+    val capped = Spatial.sampledPairs(pts, "id", "x", "y", r,
+      maxPairs = 50L, salt = "spec")
+    val rate = capped.select("rate_ppm").distinct().as[Long].collect()
+    assert(rate.length === 1 && rate(0) < 1000000L && rate(0) > 0L)
+    val thr = rate(0) * 4294967296L / 1000000L
+    val sampledIds = pts.select(col("id"))
+      .where(graft.functions.HashFunctions
+        .hash32(col("id").cast("string"), "spec") < lit(thr))
+      .as[Long].collect().toSet
+    assert(snap(capped) === full.filter(p => sampledIds(p._2)))
+    assert(snap(capped).nonEmpty && snap(capped).size < full.size,
+      "the engaged cap must bite on the fixture")
+    // overflow guard: a near-Long.Max budget must saturate, not wrap
+    val big = Spatial.sampledPairs(pts, "id", "x", "y", r,
+      maxPairs = Long.MaxValue / 2, salt = "spec")
+    assert(big.select("rate_ppm").distinct().as[Long].collect().toSeq
+      === Seq(1000000L))
+  }
+
   test("dbscanCapped with a saturating target == dbscanLabel exactly") {
     val pts = ptsSeq.toDF("id", "x", "y")
     // target far above the fixture's mean degree → rate 1e6, every

@@ -44,13 +44,18 @@ sec = open(SURVEY).read()
 s2 = sec.split("## §2", 1)[1].split("\n## ", 1)[0]
 cited = set()
 spec_gates = set()
+labels = []
 for row in re.finditer(r"^\| *[\w.,+-]+ *\|.*$", s2, re.M):
     # cells split on unescaped pipes (descriptions carry \|-escaped ones)
     cells = [c.strip() for c in re.split(r"(?<!\\)\|", row.group(0))]
     if len(cells) < 5 or cells[1] in ("#", "---"):
         continue
+    labels.append(cells[1])
     for key in re.findall(r"`([\w.]+)`", cells[3]):
         (spec_gates if key.endswith("Spec") else cited).add(key)
+# row labels must be UNIQUE (VERDICT r14 #8): a colliding label makes
+# row citations ("see §2 row 17a7") ambiguous
+label_dups = sorted({l for l in labels if labels.count(l) > 1})
 # a cited token only counts as a (possibly stale) query reference when it
 # shares a name prefix with the registry — `done`, file names etc. don't
 prefixes = {k.split("_")[0] for k in queries}
@@ -68,6 +73,8 @@ for s in sorted(spec_gates - specs):
     errs.append(f"SURVEY §2 cites spec gate `{s}` but no such test file exists")
 for q in sorted((queries - oracles) - ROWS_ONLY):
     errs.append(f"query `{q}` has no oracleSql entry and no rows-only declaration")
+for l in label_dups:
+    errs.append(f"SURVEY §2 row label `{l}` is used by more than one row")
 
 print(f"queries={len(queries)} oracles={len(oracles)} "
       f"rows_only_declared={sorted(ROWS_ONLY)} "
