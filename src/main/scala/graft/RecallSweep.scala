@@ -14,6 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fitted on BM25 sweeps only and applied to Jaccard by analogy, the
   * exact bug class that broke M twice (VERDICT r13 task #1), so the
   * Jaccard geometry gets its own sweep rather than an argument.
+  * A third family `jaccardlsh` measures the LSH-bucketed RETRIEVAL
+  * path (VERDICT r14 #1) against the exact THRESHOLDED truth (top-k
+  * restricted to jac_ppm ≥ τ — the near-dup retrieval contract): no M
+  * knob (the band scheme is fixed, Params.LshTopk*), so the m-list is
+  * ignored and one recall line prints per run. This is how the
+  * per-decade `text_jaccard_lsh_floor` calibration is produced at
+  * scales the sf0.01 driver gate never sees.
   * Usage: runMain graft.RecallSweep <sfDir> <m1,m2,...> [bm25|jaccard] [budget]
   *
   * `budget` (default Params.AuditQueryBudget) bounds the audit query
@@ -34,8 +41,8 @@ object RecallSweep {
     val dir = args(0)
     val ms = args(1).split(",").map(_.toInt).toSeq
     val ranker = args.lift(2).getOrElse("bm25")
-    require(ranker == "bm25" || ranker == "jaccard",
-      s"ranker must be bm25|jaccard, got $ranker")
+    require(Set("bm25", "jaccard", "jaccardlsh")(ranker),
+      s"ranker must be bm25|jaccard|jaccardlsh, got $ranker")
     val budget = args.lift(3).map(_.toInt).getOrElse(Params.AuditQueryBudget)
     val force = args.lift(4).contains("force")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,12 +73,30 @@ object RecallSweep {
         Bm25QueryMod, Bm25K, champM = m, queryBudget = budget,
         overrideWork = true)
     }
-    val exact = rank(0).localCheckpoint() // one exact pass shared by every M
-    ms.foreach { m =>
-      val r = SparkEntry.recallAtK(exact, rank(m)).collect()(0)
-      println(s"[recall-sweep] ranker=$ranker M=$m budget=$budget " +
+    if (ranker == "jaccardlsh") {
+      // fixed band scheme, no M sweep: one recall read of the LSH
+      // retrieval vs the exact thresholded truth (the near-dup
+      // retrieval contract — sub-τ tail misses are the design)
+      val exact = rank(0)
+        .where(org.apache.spark.sql.functions.col("jac_ppm")
+          >= LshTopkMinJacPpm)
+        .localCheckpoint()
+      val lsh = operators.TextOps.jaccardLshTopK(docs, "doc_id", "text",
+        Bm25QueryMod, Bm25K, LshTopkMinJacPpm, LshTopkK, LshTopkBands,
+        queryBudget = budget)
+      val r = SparkEntry.recallAtK(exact, lsh).collect()(0)
+      println(s"[recall-sweep] ranker=$ranker k=$LshTopkK/" +
+        s"bands=$LshTopkBands tau_ppm=$LshTopkMinJacPpm budget=$budget " +
         s"n_queries=${r.getLong(0)} mean_recall_ppm=${r.getLong(1)} " +
         s"min_recall_ppm=${r.getLong(2)}")
+    } else {
+      val exact = rank(0).localCheckpoint() // one exact pass shared by every M
+      ms.foreach { m =>
+        val r = SparkEntry.recallAtK(exact, rank(m)).collect()(0)
+        println(s"[recall-sweep] ranker=$ranker M=$m budget=$budget " +
+          s"n_queries=${r.getLong(0)} mean_recall_ppm=${r.getLong(1)} " +
+          s"min_recall_ppm=${r.getLong(2)}")
+      }
     }
     spark.stop()
   }

@@ -1,124 +1,70 @@
 #!/usr/bin/env python3
-"""Assemble the sf0.1 -> sf1 growth table from per-query bench captures.
+"""Cross-scale growth table (VERDICT r14 #2): per-query wall ratio
+between two Bench detail captures taken at DIFFERENT scale factors on
+the SAME build — the adjudication input for "which queries grow
+superlinearly on 10x data".
 
-Inputs:
-  argv[1]: bench JSON for sf0.1 (one line, the Bench main's output)
-  argv[2]: directory of per-query sf1 JSONs (<query>.json each holding
-           either a Bench line or {"timeout": N})
-  argv[3]: optional directory of IDLE re-measures for flagged queries —
-           the first capture ran queries back-to-back, so a query whose
-           slot overlapped another query's JVM teardown (or a driver
-           cron) reads high; any query present here has its sf1 time
-           replaced by the idle value (first-pass value kept as
-           sf1_sec_firstpass) and its flag recomputed.
-Output: BENCH_sf1_r9.json artifact (combined) + a markdown table on
-stdout for SURVEY §5. Growth = sf1_sec / sf0.1_sec on 10x data.
-Bands (r11, tightened per VERDICT r10: 11.2x must never print
-"~linear"): sublinear < 7x, ~linear 7-10.5x (10x data + 5% noise),
-SUPERLINEAR > 10.5x — superlinear rows then get the WorkProbe
-adjudication (work-bound vs engine regression) in SURVEY §5.
+Unlike ab_compare.py (same-scale A/B, canary-normalized), growth is a
+property of the operator, so the canary is reported but NOT divided
+out — instead each capture's own drift rule applies (a capture whose
+machine changed mid-run can't adjudicate growth either).
+
+Usage: python3 tools/growth_table.py <small_detail.json> <big_detail.json>
+       [scale_ratio] [growth_flag_threshold]
+Defaults: scale_ratio=10, flag queries whose wall ratio > 2x per 10x
+data (the VERDICT r14 #2 adjudication bar). Queries under 1s at the
+small scale are listed but never flagged (fixed-cost floor dominates).
 """
-import sys, json, os, glob
+import json, sys
 
+DRIFT_MAX = 1.25
 
-def load_dir(path):
-    out = {}
-    for p in glob.glob(os.path.join(path, "*.json")):
-        name = os.path.basename(p)[:-5]
-        try:
-            d = json.load(open(p))
-        except Exception:
-            d = {"timeout": -1}
-        if "timeout" in d:
-            out[name] = {"sec": None, "timeout": d["timeout"]}
-        elif name in d.get("failed", []):
-            # Bench reports a crashed query's abort time (slowest
-            # failure) so it can't look fast — but it is NOT a
-            # measurement; treat like a DNF
-            out[name] = {"sec": None, "timeout": -2}
-        else:
-            out[name] = {"sec": d["queries"][name], "load": d.get("load")}
-    return out
+def load(p):
+    with open(p) as f:
+        return json.load(f)
 
+small, big = load(sys.argv[1]), load(sys.argv[2])
+scale_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+flag_at = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
 
-sf01 = json.load(open(sys.argv[1]))
-q01 = sf01["queries"]
-perq = load_dir(sys.argv[2])
-idle = load_dir(sys.argv[3]) if len(sys.argv) > 3 else {}
+def drift_check(d, name):
+    c = d.get("canary")
+    if not c or len(c) < 2 or any(v <= 0 for v in c):
+        print(f"WARNING: {name} canary missing/void ({c})")
+        return
+    r = max(c) / min(c)
+    if r > DRIFT_MAX:
+        print(f"WARNING: {name} mid-capture canary drift {r:.2f}x "
+              f"(stamps {c}) — growth ratios unreliable")
 
+drift_check(small, "small")
+drift_check(big, "big")
+
+qs, qb = small["queries"], big["queries"]
+shared = sorted(set(qs) & set(qb))
+fail_s, fail_b = set(small.get("failed", [])), set(big.get("failed", []))
 rows = []
-for name, d in sorted(perq.items()):
-    base = q01.get(name)
-    first = d["sec"]
-    re_entry = idle.get(name)
-    if re_entry is not None and re_entry["sec"] is None:
-        # the idle re-measure ITSELF failed: the first-pass value was
-        # already adjudicated as contaminated, so silently reusing it
-        # would launder a non-measurement — emit an explicit DNF
-        rows.append((name, base, None, first, None,
-                     "DNF(idle-remeasure-failed)"))
+for q in shared:
+    if q in fail_s or q in fail_b:
         continue
-    re = re_entry["sec"] if re_entry is not None else None
-    sec = re if re is not None else first
-    if sec is None:
-        t = d.get("timeout", 0)
-        verdict = ("CRASHED(failed-marker)" if t == -2 else
-                   "DNF(unparseable)" if t < 0 else "DNF(>%ds)" % t)
-        rows.append((name, base, None, None, None, verdict))
-        continue
-    if not base:
-        # a growth verdict needs BOTH sides measured — never fabricate
-        # a flag for a query missing its sf0.1 baseline
-        rows.append((name, None, sec, None, None, "no-baseline"))
-        continue
-    g = sec / base
-    flag = ("SUPERLINEAR" if g > 10.5 else
-            "sublinear" if g < 7 else "~linear")
-    rows.append((name, base, sec, (first if re is not None else None), g, flag))
+    ratio = qb[q] / qs[q] if qs[q] > 0 else float("inf")
+    rows.append((ratio, q, qs[q], qb[q]))
+rows.sort(reverse=True)
 
-art = {
-    "sf_base": "/root/testdata/sf0.1", "sf_big": "tmp/sf1 (ScaleUp 10x of sf0.1)",
-    "runs_base": sf01.get("runs"), "runs_big": 1,
-    "note": "sf1_sec_firstpass present => first capture adjudicated as "
-            "load-contaminated or a silently-failed run (q_dbscan_cluster: "
-            "its 32.6s first capture was an OOM abort at the runner's 8g "
-            "driver heap, detected r9 and re-measured idle at 16g); "
-            "sf1_sec is the idle re-measure",
-    "queries": {},
-}
-
-# ship-path companion captures (the bounded-work twins of the flagged
-# exact paths, measured at the same scale step): fold in when present
-here = os.path.dirname(os.path.abspath(__file__))
-ship01 = os.path.join(here, "bench_ship_sf01_r9.json")
-ship1 = os.path.join(here, "bench_ship_sf1_r9.json")
-if os.path.exists(ship01) and os.path.exists(ship1):
-    s01 = json.load(open(ship01))["queries"]
-    s1 = json.load(open(ship1))["queries"]
-    art["ship_paths"] = {
-        n: {"sf0.1_sec": s01[n], "sf1_sec": s1[n],
-            "growth": round(s1[n] / s01[n], 2)}
-        for n in sorted(s01) if n in s1
-    }
-for n, b, s, fp, g, f in rows:
-    e = {"sf0.1_sec": b, "sf1_sec": s,
-         "growth": (round(g, 2) if g else None), "flag": f,
-         "status": ("idle-remeasure" if (fp is not None and s is not None)
-                    else "ok" if g is not None else f)}
-    if fp is not None:
-        e["sf1_sec_firstpass"] = fp
-    art["queries"][n] = e
-outp = (sys.argv[4] if len(sys.argv) > 4 else
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_sf1_growth.json"))
-json.dump(art, open(outp, "w"), indent=1)
-
-print("| query | sf0.1 s | sf1 s (10x) | growth | verdict |")
-print("| --- | --- | --- | --- | --- |")
-for n, b, s, fp, g, f in sorted(rows, key=lambda r: -(r[4] or 99)):
-    star = "*" if fp is not None else ""
-    print(f"| {n} | {b} | {(str(s) + star) if s is not None else '—'} | "
-          f"{f'{g:.1f}x' if g else '—'} | {f} |")
-if any(fp is not None for _, _, _, fp, _, _ in rows):
-    print("\n`*` = idle re-measure (first back-to-back capture was "
-          "load-contaminated; original value in sf1_sec_firstpass)")
+flagged = [(r, q, a, b) for r, q, a, b in rows if r > flag_at and a >= 1.0]
+print(f"shared={len(shared)} small_total={small['value']:.1f}s "
+      f"big_total={big['value']:.1f}s data_ratio={scale_ratio:g}x "
+      f"flag_bar={flag_at:g}x")
+print(f"\n== flagged (> {flag_at:g}x wall on {scale_ratio:g}x data, "
+      f">=1s at small scale): {len(flagged)} ==")
+print(f"{'query':<34} {'small_s':>9} {'big_s':>9} {'ratio':>7}")
+for r, q, a, b in flagged:
+    print(f"{q:<34} {a:>9.2f} {b:>9.2f} {r:>6.2f}x")
+print(f"\n== top 30 by ratio (all) ==")
+for r, q, a, b in rows[:30]:
+    print(f"{q:<34} {a:>9.2f} {b:>9.2f} {r:>6.2f}x")
+only_s = sorted(set(qs) - set(qb))
+only_b = sorted(set(qb) - set(qs))
+if only_s: print(f"\nonly in small: {only_s}")
+if only_b: print(f"only in big: {only_b}")
+if fail_s | fail_b: print(f"failed: small={sorted(fail_s)} big={sorted(fail_b)}")
