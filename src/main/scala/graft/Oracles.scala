@@ -1727,6 +1727,22 @@ object Oracles {
     s"""SELECT n_queries, mean_recall_ppm, min_recall_ppm,
        |  true AS meets_floor FROM ($textJaccardLshRecall)""".stripMargin
 
+  /** Exact prefix-filter retrieval twin of
+    * [[graft.operators.TextOps.jaccardPrefixTopK]]: because the PPJoin
+    * kernel is EXACT, the twin does not replay the prefix filter — it
+    * is the plain brute-force thresholded Jaccard ranking over the
+    * budgeted queries (rank over all candidates ≡ rank over the ≥τ
+    * subset, since ≥τ rows sort strictly first), which makes the hash
+    * gate ALGORITHM-INDEPENDENT: any prefix/positional-filter bug that
+    * drops or resurrects a candidate mismatches here.
+    */
+  def textJaccardPrefixTopk: String =
+    s"""WITH $toksCte,
+       |$sqidsCte,
+       |${jacCtes(budgeted = true)}
+       |SELECT query_id, doc_id, jac_ppm, rnk FROM jr
+       |WHERE rnk <= $Bm25K AND jac_ppm >= $PrefixTopkMinJacPpm""".stripMargin
+
   def textBm25: String =
     s"""WITH $toksCte,
        |${bm25Ctes()}

@@ -378,24 +378,50 @@ object Params {
 
   // LSH-bucketed Jaccard top-k RETRIEVAL (VERDICT r14 #1) — its own
   // band scheme, chosen for the retrieval threshold rather than reusing
-  // the dedup family's (MinhashK/MinhashBands = 16/4): a pair shares a
-  // bucket with prob 1−(1−j^rows)^bands, and this corpus family's
-  // near-dup band sits at ≥0.95 Jaccard with background 99.9th pct
-  // ≈0.10 (measured sf0.01/sf0.1; the dedup scheme's 4 bands would
-  // miss a j=0.95 truth pair at ~1.2e-3 per pair — flaky at the gate's
-  // ~1000 audit pairs). rows=4, bands=8: per-pair miss ~1.4e-6 at
-  // j=0.95, background candidate rate ~8e-4 of the corpus per query.
-  // τ = JaccardMin as exact ppm (the corpus' near-dup design
-  // threshold); the recall floor is CALIBRATED per decade by
-  // measurement (the jaccardChampM lesson: per-ranker, per-scale,
-  // never by analogy) and pinned by the text_jaccard_lsh_floor gate.
-  val LshTopkK = 32
-  val LshTopkBands = 8
+  // the dedup family's (MinhashK/MinhashBands = 16/4). A pair shares a
+  // bucket with prob 1−(1−j^rows)^bands; the scheme must put that
+  // S-curve's certifiable region AT the retrieval threshold.
+  //
+  // r15 RECALIBRATION, measured: the operator first shipped rows=4 /
+  // bands=8 / τ = the 0.5 design threshold, floor-green at sf0.01 and
+  // sf0.1 — and the first `RecallSweep jaccardlsh` at the next decades
+  // read mean recall 92%, MIN RECALL 0% at sf10 (one query lost all 9
+  // of its truth pairs). Diagnosis (78-pair truth at sf10): the scaled
+  // corpus has a sibling band at j = 0.50–0.59 — BELOW that scheme's
+  // S-curve midpoint (1/8)^(1/4) ≈ 0.595 — so every such truth pair
+  // was a ~50/50 coin flip. And no within-k=32 rescheme fixes it: with
+  // background at j≈0.10, rows=2 collides with 1−(1−0.01)^16 ≈ 15% of
+  // the corpus per query — the champion's M∝N cost again, no
+  // asymptotic win. LSH fundamentally cannot hold a ~100% min-recall
+  // floor at τ=0.5 over a j=0.1 background at sub-champion candidate
+  // rates; the mid-τ contract belongs to the EXACT prefix-filter
+  // retrieval (TextOps.jaccardPrefixTopK, 100% recall by
+  // construction).
+  //
+  // The LSH path's honest contract is therefore the HIGH near-dup
+  // band, and the scheme is sized for a certifiable floor there:
+  // rows=4, bands=24 (k=96), τ=0.8 → per-pair miss (1−0.8^4)^24 =
+  // 3.2e-6 at exactly τ (≈3e-18 at the corpus' measured ≥0.95 twin
+  // band), background candidate rate 1−(1−1e-4)^24 ≈ 2.4e-3 of the
+  // corpus per query — at sf100 ~12k candidates/query vs the champion
+  // M≈400k. Signatures are 3× the old scheme (96 affine hashes/doc),
+  // map-side linear — the right coin to pay for a floor that is
+  // probability ~1, not ~0.5, at the contract boundary. The floor
+  // stays CALIBRATED per decade by measurement (the jaccardChampM
+  // lesson: per-ranker, per-scale, never by analogy) and pinned by the
+  // text_jaccard_lsh_floor gate.
+  val LshTopkK = 96
+  val LshTopkBands = 24
   val LshTopkRows: Int = LshTopkK / LshTopkBands
-  val LshTopkMinJacPpm = 500000L
-  require(LshTopkMinJacPpm == (JaccardMin * 1000000).toLong,
-    "LSH retrieval threshold must equal the corpus near-dup design threshold")
+  val LshTopkMinJacPpm = 800000L
+  require(LshTopkMinJacPpm >= (JaccardMin * 1000000).toLong,
+    "LSH retrieval threshold must sit at or above the design threshold " +
+      "(the sub-LSH mid-τ band is jaccardPrefixTopK's exact contract)")
   val JaccardLshRecallFloorPpm = 1000000L
+  // Exact prefix-filter per-query retrieval (the mid-τ contract): τ is
+  // the corpus design threshold itself — PPJoin candidates are exact,
+  // so there is no floor to calibrate, only work to forecast.
+  val PrefixTopkMinJacPpm: Long = JaccardMinNum * 1000000L / JaccardMinDen
 
   // Binding champion-work budget (ADVICE r15: championAdvisory was
   // spec-only — now wired INSIDE jaccardTopK/bm25TopK when champM > 0,

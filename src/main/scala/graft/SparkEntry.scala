@@ -3014,6 +3014,17 @@ object SparkEntry {
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= JaccardLshRecallFloorPpm).as("meets_floor"))
     }),
+    "text_jaccard_prefix_topk" -> ((s, dir) =>
+      // the EXACT mid-τ retrieval path (r15): PPJoin prefix-filter
+      // candidates touching the budgeted queries, verified on full
+      // rank-encoded sets, per-query top-k at the 0.5 design τ —
+      // 100% recall by construction at the τ where the r15 decade
+      // sweeps proved NO LSH scheme holds a floor over this corpus'
+      // j≈0.1 background (min recall 0% at sf10 under the first
+      // band scheme) and the champion's certified M grows ∝N
+      TextOps.jaccardPrefixTopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25QueryMod, Bm25K, JaccardMinNum, JaccardMinDen,
+        queryBudget = AuditQueryBudget)),
     "text_novelty" -> ((s, dir) =>
       // per-doc share of shingles first seen in THIS doc — the
       // streaming-ingest novelty/re-crawl smell, digest-keyed
@@ -3695,6 +3706,7 @@ object SparkEntry {
     "text_jaccard_topk" -> Oracles.textJaccardTopk,
     "text_jaccard_recall_floor" -> Oracles.textJaccardRecallFloor,
     "text_jaccard_lsh_topk" -> Oracles.textJaccardLshTopk,
+    "text_jaccard_prefix_topk" -> Oracles.textJaccardPrefixTopk,
     "text_jaccard_lsh_recall" -> Oracles.textJaccardLshRecall,
     "text_jaccard_lsh_floor" -> Oracles.textJaccardLshFloor,
     "text_rrf_fuse" -> Oracles.textRrfFuse,

@@ -450,9 +450,11 @@ object TextOps {
           s"shingles × M=$champM × ~$meanSh-shingle rescores) exceeds the " +
           s"$maxRescoreRows budget. Lower the query budget, accept a " +
           "smaller M with a measured recall floor (RecallSweep), use " +
-          "MinHash-LSH for near-dup retrieval at this scale " +
-          "(jaccardLshTopK — the bucketed per-query top-k), or pass " +
-          "overrideWork=true to run anyway.")
+          "MinHash-LSH for HIGH-band near-dup retrieval at this scale " +
+          "(jaccardLshTopK — bucketed per-query top-k, certified at " +
+          "its τ), use the EXACT prefix-filter retrieval at the design " +
+          "τ (jaccardPrefixTopK — 100% recall by construction, " +
+          "df-bounded work), or pass overrideWork=true to run anyway.")
   }
 
   /** Work advisory for the EXACT query×corpus half of a recall audit
@@ -624,13 +626,18 @@ object TextOps {
     * integer Jaccard — a candidate's score is its true similarity),
     * thresholded at `minJacPpm`, and ranked per query.
     *
-    * The contract is NEAR-DUP retrieval, not full ranking: a pair
-    * shares a band bucket with probability 1−(1−j^r)^b, so the scheme
-    * is chosen for the threshold — with r = 4 rows/band and b = 8
-    * bands, a τ=0.5 corpus' actual near-dup band (measured ≥0.95
-    * Jaccard on this family at every decade) buckets with per-pair
-    * miss ~1.4e-6, while background pairs (99.9th pct ≈ 0.10) probe
-    * ~0.1% of the corpus per query. Work per query is Σ|bucket| over
+    * The contract is HIGH-BAND near-dup retrieval, not full ranking: a
+    * pair shares a band bucket with probability 1−(1−j^r)^b, and the
+    * scheme must put that S-curve's certifiable region AT τ. The r15
+    * `RecallSweep jaccardlsh` decade sweeps caught the first scheme
+    * (r=4, b=8, τ=0.5) reading MIN RECALL 0% at sf10 — the scaled
+    * corpus has a sibling band at j=0.50–0.59, below that scheme's
+    * S-curve midpoint ≈0.595, so those truth pairs were coin flips;
+    * see [[graft.Params]] (LshTopk*) for why no k=32 rescheme fixes
+    * mid-τ over a j≈0.1 background and the shipped answer: r=4, b=24,
+    * τ=0.8 (per-pair miss 3.2e-6 at exactly τ, background candidate
+    * rate ≈2.4e-3 of the corpus per query), with the mid-τ contract on
+    * the EXACT [[jaccardPrefixTopK]]. Work per query is Σ|bucket| over
     * its b bands — at 10× data the buckets grow ~10× but the per-query
     * candidate RATE stays the background collision rate, vs the
     * champion's M ∝ N rescore ([[graft.Params.jaccardChampM]] — a
@@ -701,6 +708,59 @@ object TextOps {
       .select(col("query_id"), col("doc_id"),
         expr("inter * 1000000L div (sza + szb - inter)").as("jac_ppm"))
       .where(col("jac_ppm") >= minJacPpm)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("jac_ppm").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** EXACT prefix-filter per-query Jaccard retrieval (the mid-τ
+    * contract [[jaccardLshTopK]] cannot certify): top-k corpus docs per
+    * query doc at jac ≥ minNum/minDen, computed through the PPJoin
+    * prefix-filter pair kernel ([[Dedup.prefixFilterJaccard]]) with the
+    * budgeted query set as `touchIds` — candidates are every pair
+    * sharing at least one rarity-prefix token with a query, verified on
+    * full rank-encoded sets, so recall is 100% BY CONSTRUCTION at any
+    * τ: no band scheme, no floor to calibrate, no probabilistic tail.
+    * The r15 decade sweeps proved why this operator must exist: over a
+    * j≈0.1 background no LSH scheme holds a ~100% min-recall floor at
+    * the 0.5 design τ at sub-champion candidate rates (the S-curve
+    * midpoint lands ON the truth band), while the champion's certified
+    * M grows ∝N — the exact prefix path is the asymptotic mid-τ
+    * answer, work-bounded by prefix-token document frequencies instead
+    * of N·|q|.
+    *
+    * Scale shape: one corpus-linear shingle→rank-encode pipeline (the
+    * PPJoin kernel's own stages), a prefix join on the rank key where
+    * the query side is budget-bounded and the corpus side streams
+    * shuffle-partitioned (never a corpus broadcast), positional + size
+    * filters cut candidates before the sorted-intersect verify. Output
+    * orientation: a surviving pair feeds EVERY query side it touches
+    * (a pair of two query docs ranks in both lists).
+    */
+  def jaccardPrefixTopK(docs: DataFrame, idCol: String, textCol: String,
+                        queryMod: Int, k: Int, minNum: Long, minDen: Long,
+                        shingleN: Int = 2, queryBudget: Int = 0): DataFrame = {
+    require(queryMod > 1 && k > 0)
+    val qids =
+      if (queryBudget > 0)
+        Sampling.hashOrderIds(docs.where(col(idCol) % queryMod === 0),
+          idCol, queryBudget, "doc_id")
+      else docs.where(col(idCol) % queryMod === 0)
+        .select(col(idCol).as("doc_id"))
+    val pairs = Dedup.prefixFilterJaccard(docs, idCol, textCol,
+      minNum, minDen, shingleN, touchIds = Some(qids))
+      .localCheckpoint(false) // two consumers: the two orientations
+    val q = broadcast(qids)
+    val oriented = pairs
+      .join(q.select(col("doc_id").as("doc_a")), "doc_a")
+      .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"),
+        col("jac_ppm"))
+      .unionByName(pairs
+        .join(q.select(col("doc_id").as("doc_b")), "doc_b")
+        .select(col("doc_b").as("query_id"), col("doc_a").as("doc_id"),
+          col("jac_ppm")))
+    oriented
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("jac_ppm").desc, col("doc_id").asc)).cast("long"))

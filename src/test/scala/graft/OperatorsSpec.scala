@@ -2154,6 +2154,40 @@ class OperatorsSpec extends SparkSpec {
       "candidate must carry its exact rescored Jaccard (1/6)")
   }
 
+  test("jaccardPrefixTopK: exact thresholded retrieval == brute-force truth") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    // synthetic: q=4 has a clone (J=1), a mid-τ sibling sharing 3 of 5
+    // bigram shingles (J=3/7 < 1/2), and a disjoint doc — the prefix
+    // kernel must keep the clone, cut the sub-τ sibling EXACTLY at the
+    // threshold arithmetic (never a bucketing coin flip), and never
+    // emit the disjoint doc
+    val docs = Seq((4L, "a b c d e f"), (1L, "a b c d e f"),
+      (2L, "a b c d x y"), (3L, "p q r")).toDF("doc_id", "text")
+    val out = TextOps.jaccardPrefixTopK(docs, "doc_id", "text", 4, 5, 1L, 2L)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((1000000L, 1L))))
+    // at τ=3/7 the sibling enters with its exact ppm (3/7 = 428571)
+    val open = TextOps.jaccardPrefixTopK(docs, "doc_id", "text", 4, 5, 3L, 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(open === Map(1L -> 1000000L, 2L -> 428571L))
+    // corpus fixture: per-query result must equal the brute-force
+    // inverted-index ranking thresholded at the same τ (the oracle
+    // identity, checked engine-side too: rank over all candidates ≡
+    // rank over the ≥τ subset)
+    val corpus = Tables.load(spark, sfDir, "documents")
+    import graft.Params._
+    val exact = TextOps.jaccardTopK(corpus, "doc_id", "text",
+        Bm25QueryMod, Bm25K, queryBudget = AuditQueryBudget)
+      .where(col("jac_ppm") >= PrefixTopkMinJacPpm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pref = TextOps.jaccardPrefixTopK(corpus, "doc_id", "text",
+        Bm25QueryMod, Bm25K, JaccardMinNum, JaccardMinDen,
+        queryBudget = AuditQueryBudget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pref === exact)
+  }
+
   test("snapshotDiff emits the minimal log; cdcApply round-trips it") {
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (4L, null.asInstanceOf[String], 40L)).toDF("k", "v", "w")
