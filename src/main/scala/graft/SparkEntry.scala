@@ -19,6 +19,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
 
+  /** Embeddings load with a CPU-stage width floor: every ANN/PQ/k-means
+    * consumer runs dot-product/codebook arithmetic fused into the scan
+    * stage, which is ONE task on the single-split bench table (measured
+    * r15: a 1.2 s one-task cosine stage inside ann_lsh_recall_eval at
+    * sf0.1/32 cores). [[operators.CpuStage.fanOut]] is the identity on
+    * production-width scans, so the 100 TB plan shape is untouched.
+    */
+  private def embT(s: SparkSession, dir: String): DataFrame =
+    operators.CpuStage.fanOut(t(s, dir, "embeddings"))
+
   /** money/metric doubles → exact integer cents (portable across engines). */
   private def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
 
@@ -1126,7 +1136,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SimhashMaxDist)),
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", EmbMinCos,
+      Dedup.embeddingNearDup(embT(s, dir), "vec_id", "embedding", EmbMinCos,
         EmbPlanes, EmbBands, EmbDims)),
     "dedup_lsh_recall" -> ((s, dir) => {
       // MinHash-LSH recall against the EXACT PPJoin ground truth at the
@@ -1163,7 +1173,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, dir) =>
       // one-pass cosine-band census of the LSH candidates: the evidence
       // for choosing EmbMinCos instead of guessing it
-      Dedup.nearDupSweep(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Dedup.nearDupSweep(embT(s, dir), "vec_id", "embedding",
         EmbPlanes, EmbBands, EmbDims)),
     "src_csv_badrecords" -> ((s, dir) => {
       // malformed-row quarantine at the source: PERMISSIVE CSV read
@@ -1189,7 +1199,7 @@ object SparkEntry {
       // SemDeDup end-to-end: train the cell quantizer with the k-means
       // loop, then within-cell near-dup prune keeping each group's most
       // prototypical member — the full semantic-dedup composition
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val (cents2, _, _) = Similarity.kmeansFit(emb, "embedding",
         H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
       Dedup.semanticDedup(emb, "vec_id", "embedding", cents2, SemMinCos)
@@ -1197,7 +1207,7 @@ object SparkEntry {
 
     // ---- §2.4 similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       Similarity.bruteForceTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
@@ -1205,19 +1215,19 @@ object SparkEntry {
     "ann_mrl_topk" -> ((s, dir) => {
       // Matryoshka two-stage: rank every corpus row in the 16-dim
       // prefix, exact-rerank a 30-candidate pool at full width
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       Similarity.mrlTopK(annQueries(emb), emb,
           "vec_id", "embedding", MrlDims, MrlPool, AnnK)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       Similarity.lshTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, EmbPlanes, EmbBands, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       Similarity.ivfTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, IvfCells, EmbDims)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
@@ -1225,7 +1235,7 @@ object SparkEntry {
     "ann_ivf_nprobe" -> ((s, dir) => {
       // the recall knob: same inverted-file layout, each query probes its
       // IvfNprobe nearest cells instead of one
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       Similarity.ivfTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
@@ -1234,7 +1244,7 @@ object SparkEntry {
       // index-quality readout: recall@k of the nprobe-IVF index against
       // the exact brute-force ground truth, per query + micro-average —
       // the number that justifies (or rejects) the cheap index
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val q = annQueries(emb)
       Similarity.recallEval(
         Similarity.ivfTopK(q, emb, "vec_id", "embedding", AnnK, IvfCells,
@@ -1251,7 +1261,7 @@ object SparkEntry {
       // 64 rows per vector instead of 8 cells × 65 partials per mapper
       val sums = (0 until EmbDims).map(i =>
         sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
-      val agg = t(s, dir, "embeddings")
+      val agg = embT(s, dir)
         .groupBy(Similarity.ivfCell(col("embedding"), IvfCells, EmbDims)
           .cast("long").as("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -1264,21 +1274,21 @@ object SparkEntry {
     "emb_rand_proj" -> ((s, dir) =>
       // JL random projection 64→8: fixed md5-derived matrix, one
       // codegen'd dotConst per output coordinate, map-side only
-      Similarity.randProject(t(s, dir, "embeddings"), "vec_id",
+      Similarity.randProject(embT(s, dir), "vec_id",
         "embedding", EmbDims, JlDims)),
     "emb_sq8_codes" -> ((s, dir) =>
       // 4x scalar quantization: global per-dim min/max broadcast, pure
       // map-side coding
-      Similarity.sq8Codes(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.sq8Codes(embT(s, dir), "vec_id", "embedding",
         EmbDims)),
     "emb_pq_codes" -> ((s, dir) =>
       // 32× embedding compression as a pure map-side projection
-      Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.pqCodes(embT(s, dir), "vec_id", "embedding",
         PqSub, PqK, EmbDims)),
     "ann_mrl_recall_eval" -> ((s, dir) => {
       // how much recall the 16-dim Matryoshka prefix + 30-pool rerank
       // gives up vs exact search — the prefix-width tuning evidence
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val q = annQueries(emb)
       Similarity.recallEval(
         Similarity.mrlTopK(q, emb, "vec_id", "embedding", MrlDims, MrlPool, AnnK),
@@ -1287,7 +1297,7 @@ object SparkEntry {
     "ann_lsh_recall_eval" -> ((s, dir) => {
       // the LSH bucket recall — completes the recall-eval family
       // (IVF / PQ / MRL / LSH all scored against one ground truth)
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val q = annQueries(emb)
       Similarity.recallEval(
         Similarity.lshTopK(q, emb, "vec_id", "embedding", AnnK,
@@ -1297,7 +1307,7 @@ object SparkEntry {
     "emb_pq_recall_eval" -> ((s, dir) => {
       // the question PQ compression must answer: how much recall does
       // 8×4-bit lossy coding give up vs exact search
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val q = annQueries(emb)
       val codes = Similarity.pqCodes(emb, "vec_id", "embedding", PqSub, PqK, EmbDims)
       Similarity.recallEval(
@@ -1308,7 +1318,7 @@ object SparkEntry {
     "emb_pq_adc" -> ((s, dir) => {
       // the search path PQ exists for: score the whole corpus from codes
       // only, no float vectors on the corpus side
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val codes = Similarity.pqCodes(emb, "vec_id", "embedding", PqSub, PqK, EmbDims)
       Similarity.pqAdcTopK(annQueries(emb), codes,
           "vec_id", "embedding", AnnK, PqSub, PqK, EmbDims)
@@ -1317,7 +1327,7 @@ object SparkEntry {
     "emb_ivf_pq_adc" -> ((s, dir) => {
       // IVF+PQ: probe nprobe cells, ADC-score only their codes — float
       // vectors touched once at index build, never on the search path
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       Similarity.ivfPqTopK(annQueries(emb), emb,
           "vec_id", "embedding", AnnK, IvfCells, EmbDims, IvfNprobe, PqSub, PqK)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
@@ -1325,7 +1335,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, dir) => {
       // the production IVF shape: train the coarse quantizer with the
       // k-means loop, then search with the trained centroids + nprobe
-      val emb = t(s, dir, "embeddings")
+      val emb = embT(s, dir)
       val (cents2, _, _) = Similarity.kmeansFit(emb, "embedding",
         H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
       Similarity.ivfTopKWith(annQueries(emb), emb,
@@ -1336,7 +1346,7 @@ object SparkEntry {
       // top principal direction without the covariance matrix: one
       // aggregate pass per power-iteration round, round-4-snapped
       // trajectory (engine-replayable); dim −1 row carries λ̂
-      val (v, lam) = Similarity.topComponent(t(s, dir, "embeddings"),
+      val (v, lam) = Similarity.topComponent(embT(s, dir),
         "embedding", EmbDims, PcaIters)
       import s.implicits._
       (v.zipWithIndex.map { case (x, i) => (i.toLong, x) } :+ ((-1L, lam)))
@@ -1345,15 +1355,15 @@ object SparkEntry {
     "emb_label_silhouette" -> ((s, dir) =>
       // label-noise audit: silhouette anchored at the LABELED class
       // centroid — negative scores mark points another class claims
-      Similarity.labelSilhouette(t(s, dir, "embeddings"), "label",
+      Similarity.labelSilhouette(embT(s, dir), "label",
         "embedding", EmbDims)),
     "emb_silhouette" -> ((s, dir) => {
       // clustering-quality audit of the trained k-means fit: per-cell
       // centroid silhouette (O(n·k) medoid form) — the gate before an
       // IVF index built on these cells ships
-      val (cents, _, _) = Similarity.kmeansFit(t(s, dir, "embeddings"),
+      val (cents, _, _) = Similarity.kmeansFit(embT(s, dir),
         "embedding", H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
-      Similarity.silhouette(t(s, dir, "embeddings"), "embedding", cents, EmbDims)
+      Similarity.silhouette(embT(s, dir), "embedding", cents, EmbDims)
     }),
     "emb_kmeans_train" -> ((s, dir) => {
       // full Lloyd's training loop: KmeansIters rounds of (assign against
@@ -1362,7 +1372,7 @@ object SparkEntry {
       // last-assignment cell sizes — tiny by construction, so the local
       // result DataFrame is the honest shape (the corpus-side work already
       // ran as distributed aggregates inside kmeansFit).
-      val (cents2, counts, _) = Similarity.kmeansFit(t(s, dir, "embeddings"),
+      val (cents2, counts, _) = Similarity.kmeansFit(embT(s, dir),
         "embedding", H.centroidWeights(IvfCells, EmbDims), EmbDims, KmeansIters)
       import s.implicits._
       cents2.zipWithIndex.flatMap { case (cw, c) =>

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Width-floor for the CPU-bound codec passes below
+    * ([[graft.operators.CpuStage.fanOut]]): the documents table lands
+    * as one parquet split at bench scale, so without it every
+    * encode/decode mapPartitions runs on ONE thread (measured r15:
+    * multimodal_frame_sample was a single 4.4 s task at sf0.1 on 32
+    * cores). Identity on inputs already at session width — the
+    * production corpus with thousands of splits is untouched.
+    */
+  private def fanned(df: DataFrame): DataFrame =
+    graft.operators.CpuStage.fanOut(df)
+
   /** One media row: payload + typed metadata. */
   case class MediaRow(media_id: Long, modality: String, width: Int, height: Int,
                       payload: Array[Byte])
@@ -145,7 +156,7 @@ object Multimodal {
     */
   def mediaFromDocumentsGif(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val w = (id % 10 + 4).toInt
         val h = (id % 7 + 3).toInt
@@ -181,7 +192,7 @@ object Multimodal {
     */
   def mediaFromDocumentsPng(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val w = (id % 12 + 4).toInt
         val h = (id % 9 + 3).toInt
@@ -246,7 +257,7 @@ object Multimodal {
     */
   def mediaFromDocumentsMixed(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val seed = text.getBytes("UTF-8")
         if (id % 3 == 0) {
@@ -350,7 +361,7 @@ object Multimodal {
     */
   def mediaFromDocumentsPngTwins(docs: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
         val twin = seed.clone()
@@ -376,7 +387,7 @@ object Multimodal {
   def mediaFromDocumentsPngTwinsDiverse(docs: DataFrame, w: Int,
                                         h: Int): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"))).as[Long].mapPartitions { rows =>
       rows.flatMap { id =>
         val seed = ImageCodec.md5Raster(id, w * h)
         val twin = seed.clone()
@@ -396,7 +407,7 @@ object Multimodal {
                                           path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id")).as[Long].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"))).as[Long].mapPartitions { rows =>
       rows.flatMap { id =>
         val seed = ImageCodec.md5Raster(id, w * h)
         val twin = seed.clone()
@@ -466,7 +477,7 @@ object Multimodal {
   def exportExpectedFeatures(docs: DataFrame, path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val seed = text.getBytes("UTF-8")
         if (id % 3 == 0) {
@@ -500,7 +511,7 @@ object Multimodal {
     */
   def mediaFromDocumentsWav(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val n = (id % 400 + 100).toInt
         MediaRow(id, "audio", n, 1,
@@ -519,7 +530,7 @@ object Multimodal {
   def exportExpectedPng(docs: DataFrame, path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val w = (id % 12 + 4).toInt
         val h = (id % 9 + 3).toInt
@@ -540,7 +551,7 @@ object Multimodal {
   def exportExpectedWav(docs: DataFrame, path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val n = (id % 400 + 100).toInt
         val pcm = AudioCodec.pcmFromSeed(text.getBytes("UTF-8"), n)
@@ -560,7 +571,7 @@ object Multimodal {
                            path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val w = (id % 12 + 4).toInt
         val h = (id % 9 + 3).toInt
@@ -581,7 +592,7 @@ object Multimodal {
                                  path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
         val w = (id % 10 + 4).toInt
@@ -607,7 +618,7 @@ object Multimodal {
                                    path: String): Unit = {
     import docs.sparkSession.implicits._
     if (alreadyStaged(docs.sparkSession, path)) return
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    fanned(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { rows =>
       rows.flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
         val twin = seed.clone()
@@ -694,6 +705,17 @@ object Multimodal {
   * external dependency, safe on headless executors.
   */
 object ImageCodec {
+
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // call materializes a temp file (FileCache*Stream), which is invisible
+  // single-threaded but serializes hard under concurrency — measured
+  // r15: width-flooring the codec passes to 32 tasks made
+  // multimodal_resize 3.7× SLOWER (2.3 s → 8.5 s) until this switch;
+  // with the memory cache the same query runs 0.27 s. Payloads here are
+  // tiny (≤ a few KB), so the in-memory stream is strictly better at
+  // any parallelism. JVM-global, set once when the codec classloads on
+  // each executor.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic grayscale byte-raster from seed bytes, PNG-encoded:
     * pixel (x,y) = seed[(y·w+x) mod len] in all three channels. Unlike

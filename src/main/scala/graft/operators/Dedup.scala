@@ -45,7 +45,11 @@ object Dedup {
                    k: Int, bands: Int, shingleN: Int = 2): DataFrame = {
     val rows = k / bands
     val coeffs = H.minhashCoeffs(k)
-    val hashed = docs
+    // width-floor: shingle+md5+k affine mins run fused into the scan
+    // stage, which is ONE task on a single-split corpus (measured r15:
+    // a 0.95 s one-task signature stage inside dedup_lsh_recall at
+    // sf0.1/32 cores); identity on already-wide production scans
+    val hashed = CpuStage.fanOut(docs)
       .select(col(idCol), explode(T.shingles(col(textCol), shingleN)).as("t"))
       .select(col(idCol), H.shingleHash(col("t")).as("hb"))
     val sig = hashed.groupBy(col(idCol))
@@ -534,7 +538,11 @@ object Dedup {
     * derived inside [[signaturePairs]] (6-block triple probe).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(T.tokens(col(textCol))).as("t"))
+    // width-floor before the tokenize+64-weight aggregate (see
+    // [[minhashBands]]): map-side CPU otherwise runs single-task on a
+    // single-split corpus; identity at production width
+    val tok = CpuStage.fanOut(docs)
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("t"))
       .select(col(idCol), H.tokenHalf(col("t"), 0).as("vlo"), H.tokenHalf(col("t"), 1).as("vhi"))
     val weights = (0 until 64).map { b =>
       val v = if (b < 32) col("vlo") else col("vhi")

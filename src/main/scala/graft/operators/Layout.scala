@@ -121,8 +121,15 @@ object Layout {
                            layouts: Seq[(String, Int => Column)],
                            bits: Int): DataFrame = {
     require(files > 0 && yLo <= yHi && layouts.nonEmpty)
-    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
-      keyCol.cast("long").as("k"))
+    // width-floor BEFORE the per-layout curve expressions: the input
+    // lands as one split at bench scale and the hilbert fold (15
+    // case-when rounds per row) would otherwise run single-task in the
+    // scan stage (measured r15: two 1.5 s one-task stages were 60% of
+    // q_hilbert_audit). The identical repartition subtree feeds every
+    // layout, so one exchange is shared via ReusedExchange; identity on
+    // already-wide production scans.
+    val base = CpuStage.fanOut(df.select(xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"), keyCol.cast("long").as("k")))
     // one bounded scalar: file boundaries need the total row count (the
     // same O(1) driver-side action globalRank itself performs)
     val n = base.count()

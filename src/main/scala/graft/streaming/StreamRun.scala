@@ -520,8 +520,17 @@ object StreamRun {
         timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"))
     val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
       .cast("long")).head().getLong(0)
+    // width-floor per micro-batch: the replay stages each frame as ONE
+    // file (the mod-time batch-boundary contract of stageFrames), so the
+    // CPU-heavy map-side signature expression inside nearDupCandidates
+    // would run as a single task per batch (measured r15: two 3 s
+    // one-task stages were 75% of this query at sf0.1/32 cores). A
+    // production feed arrives as many files per trigger and never needs
+    // this; the repartition carries only the raw doc rows, once, and the
+    // stateful operator's own exchange (4 state partitions) is unchanged.
     val stream = streamFrames(spark, Seq(
         docs.where(col("doc_id") <= mid), docs.where(col("doc_id") > mid)))
+      .repartition(spark.sparkContext.defaultParallelism)
       .withWatermark("ts", "3650 days")
     val out = DedupStream.nearDupCandidates(stream, "doc_id", "text", "ts",
       horizonMs = 3650L * 86400000L,
