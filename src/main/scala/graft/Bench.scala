@@ -33,6 +33,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalesces post-shuffle partitions by BYTES and is blind to
+      // CPU density: the audit/graph families' per-pair aggregates are
+      // a few MB of shuffle carrying 5-10 CPU-seconds, and the default
+      // 1 MB floor coalesced them to 1-5 tasks on 32 cores (measured
+      // r15: the text_bm25_champ_recall scoring aggregate ran 3-wide at
+      // 4.9 CPU-s). A smaller floor is scale-ADAPTIVE, not a local
+      // tune: any data-sized shuffle partition is far above 64k, so
+      // production plans are untouched; env-overridable for parity
+      // experiments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

@@ -2903,13 +2903,17 @@ object SparkEntry {
     "text_jaccard_champ_recall" -> ((s, dir) => {
       // recall@k of the champion Jaccard ranking vs the exact one
       val docs = t(s, dir, "documents")
+      // one shingle build for both rankings (r15: the two jaccardTopK
+      // calls each materialized an identical digest checkpoint)
+      val sh = Some(TextOps.shingleDigests(docs, "doc_id", "text"))
       recallAtK(
-        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K),
+        TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
+          digests = sh),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           champM = jaccardChampM(docs.count()),
           // declared audit: it EXISTS to measure the champion ranking,
           // so the binding work gate degrades to the advisory line
-          overrideWork = true))
+          overrideWork = true, digests = sh))
     }),
     "text_bm25_champion" -> ((s, dir) => {
       // bounded-work BM25: champion-list posting cap (impact-ordered
@@ -2933,12 +2937,15 @@ object SparkEntry {
       // champion half restricted to the SAME queries — recall is
       // per-query, so the sampled audit is the full audit's restriction)
       val docs = t(s, dir, "documents")
+      // one tokenize/postings build for both rankings (r15)
+      val idx = Some(TextOps.bm25Postings(docs, "doc_id", "text"))
       recallAtK(
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          queryBudget = AuditQueryBudget),
+          queryBudget = AuditQueryBudget, index = idx),
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget,
-          overrideWork = true)) // declared audit (see text_jaccard_champ_recall)
+          overrideWork = true, // declared audit (see text_jaccard_champ_recall)
+          index = idx))
     }),
     "text_champ_recall_floor" -> ((s, dir) => {
       // the champion recall FLOOR as a BINDING driver gate (the
@@ -2949,12 +2956,15 @@ object SparkEntry {
       // the gate instead of relying on operators re-running RecallSweep
       // (r12 §5.14: the M=40 evidence silently collapsed at sf1)
       val docs = t(s, dir, "documents")
+      // one tokenize/postings build for both rankings (r15)
+      val idx = Some(TextOps.bm25Postings(docs, "doc_id", "text"))
       recallAtK(
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          queryBudget = AuditQueryBudget),
+          queryBudget = AuditQueryBudget, index = idx),
         TextOps.bm25TopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           champM = bm25ChampM(docs.count()), queryBudget = AuditQueryBudget,
-          overrideWork = true)) // declared CERTIFICATION gate
+          overrideWork = true, // declared CERTIFICATION gate
+          index = idx))
         .select(col("n_queries"), col("mean_recall_ppm"),
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
@@ -2969,12 +2979,15 @@ object SparkEntry {
       // four decades with ≥25% margin) and this gate hash-FAILS the
       // first scale where that calibration stops holding
       val docs = t(s, dir, "documents")
+      // one shingle build for both rankings (r15)
+      val sh = Some(TextOps.shingleDigests(docs, "doc_id", "text"))
       recallAtK(
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          queryBudget = AuditQueryBudget),
+          queryBudget = AuditQueryBudget, digests = sh),
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
           champM = jaccardChampM(docs.count()), queryBudget = AuditQueryBudget,
-          overrideWork = true)) // declared CERTIFICATION gate
+          overrideWork = true, // declared CERTIFICATION gate
+          digests = sh))
         .select(col("n_queries"), col("mean_recall_ppm"),
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= ChampRecallFloorPpm).as("meets_floor"))
@@ -2995,13 +3008,15 @@ object SparkEntry {
       // retrieval contract; sub-τ tail misses are the design, not a
       // defect): per-query recall@k, mean + min in exact ppm
       val docs = t(s, dir, "documents")
+      // one shingle build for the exact truth AND the LSH rescore (r15)
+      val sh = Some(TextOps.shingleDigests(docs, "doc_id", "text"))
       recallAtK(
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          queryBudget = AuditQueryBudget)
+          queryBudget = AuditQueryBudget, digests = sh)
           .where(col("jac_ppm") >= LshTopkMinJacPpm),
         TextOps.jaccardLshTopK(docs, "doc_id", "text", Bm25QueryMod,
           Bm25K, LshTopkMinJacPpm, LshTopkK, LshTopkBands,
-          queryBudget = AuditQueryBudget))
+          queryBudget = AuditQueryBudget, digests = sh))
     }),
     "text_jaccard_lsh_floor" -> ((s, dir) => {
       // the LSH retrieval recall floor as a BINDING driver gate (the
@@ -3013,13 +3028,15 @@ object SparkEntry {
       // lesson: every bounded-candidate retrieval path gets its own
       // per-scale floor gate)
       val docs = t(s, dir, "documents")
+      // one shingle build for the exact truth AND the LSH rescore (r15)
+      val sh = Some(TextOps.shingleDigests(docs, "doc_id", "text"))
       recallAtK(
         TextOps.jaccardTopK(docs, "doc_id", "text", Bm25QueryMod, Bm25K,
-          queryBudget = AuditQueryBudget)
+          queryBudget = AuditQueryBudget, digests = sh)
           .where(col("jac_ppm") >= LshTopkMinJacPpm),
         TextOps.jaccardLshTopK(docs, "doc_id", "text", Bm25QueryMod,
           Bm25K, LshTopkMinJacPpm, LshTopkK, LshTopkBands,
-          queryBudget = AuditQueryBudget))
+          queryBudget = AuditQueryBudget, digests = sh))
         .select(col("n_queries"), col("mean_recall_ppm"),
           col("min_recall_ppm"),
           (col("min_recall_ppm") >= JaccardLshRecallFloorPpm).as("meets_floor"))

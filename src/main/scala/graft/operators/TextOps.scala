@@ -533,11 +533,28 @@ object TextOps {
     * and the (broadcast) query-side join share the digest key. Sizes join
     * back on doc ids; similarity is exact floor-ppm (no doubles).
     */
+  /** Materialized (doc_id, h) distinct-shingle digest table — the
+    * shared prefix of every Jaccard ranker. Public so a caller running
+    * SEVERAL rankings over one corpus in one action (the recall audits:
+    * exact + champion, exact + LSH) can tokenize/shingle/digest ONCE
+    * and pass the table to each ranker via their `digests` parameter —
+    * measured r15: each audit query paid the full shingle build twice
+    * (two separate localCheckpoints of an identical subtree; lazy
+    * checkpoints are opaque to Catalyst subtree reuse).
+    */
+  def shingleDigests(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 2): DataFrame =
+    CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
+        explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .localCheckpoint(false)
+
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   queryMod: Int, k: Int, shingleN: Int = 2,
                   champM: Int = 0, queryBudget: Int = 0,
                   overrideWork: Boolean = false,
-                  rescoreBudget: Long = graft.Params.ChampRescoreBudget): DataFrame = {
+                  rescoreBudget: Long = graft.Params.ChampRescoreBudget,
+                  digests: Option[DataFrame] = None): DataFrame = {
     require(queryMod > 1 && k > 0)
     // champion runs are work-bounded by a BINDING advisory (ADVICE r14:
     // previously only spec-exercised — production callers now inherit
@@ -546,11 +563,9 @@ object TextOps {
       championAdvisory(docs, idCol, textCol, queryMod, champM, queryBudget,
         rescoreBudget, "jaccardTopK", overrideWork, shingleN)
     // three consumers (sizes, query side, corpus side) — materialize the
-    // shingle digests once per action, as in bm25TopK/prefixFilter
-    val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
-        explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
-      .localCheckpoint(false)
+    // shingle digests once per action, as in bm25TopK/prefixFilter;
+    // audit callers pass one [[shingleDigests]] table for BOTH rankings
+    val sh = digests.getOrElse(shingleDigests(docs, idCol, textCol, shingleN))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // fixed-count audit sampling — same contract as [[bm25TopK]]'s
     // queryBudget: a deterministic hash-order SUBSET of the mod-selected
@@ -661,7 +676,8 @@ object TextOps {
   def jaccardLshTopK(docs: DataFrame, idCol: String, textCol: String,
                      queryMod: Int, k: Int, minJacPpm: Long,
                      lshK: Int, lshBands: Int,
-                     shingleN: Int = 2, queryBudget: Int = 0): DataFrame = {
+                     shingleN: Int = 2, queryBudget: Int = 0,
+                     digests: Option[DataFrame] = None): DataFrame = {
     require(queryMod > 1 && k > 0 && minJacPpm >= 0 && lshK % lshBands == 0)
     val bounded = queryBudget > 0
     def bcast(df: DataFrame): DataFrame = if (bounded) broadcast(df) else df
@@ -674,11 +690,9 @@ object TextOps {
     def budgeted(df: DataFrame): DataFrame =
       if (bounded) df.join(qids, "query_id") else df
     // shingle digests feed three consumers (corpus rescore side, query
-    // rescore side, sizes) — materialize once per action
-    val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
-        explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
-      .localCheckpoint(false)
+    // rescore side, sizes) — materialize once per action; audit callers
+    // share one [[shingleDigests]] table with the exact ranker
+    val sh = digests.getOrElse(shingleDigests(docs, idCol, textCol, shingleN))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // band table computed once, consumed twice (query probes + corpus
     // buckets) — the checkpoint stops the signature aggregation from
@@ -822,33 +836,44 @@ object TextOps {
     * query-term set (N/queryMod docs) broadcasts. Top-k per query is a
     * window over per-query groups, never a global sort.
     */
+  /** Materialized (doc_id, term, tf) inverted index — the shared prefix
+    * of the BM25 rankers. The explicit doc_id repartition matters twice
+    * over: a checkpoint FREEZES whatever layout AQE left (coalescing a
+    * small aggregate to one partition serializes every downstream
+    * fan-out that reads the checkpointed RDD — measured 2.7 s
+    * single-task scoring on text_rrf_fuse), and hash(doc_id) is exactly
+    * the distribution the `dl` aggregate needs, so that consumer adds
+    * no exchange at all. Public for the same reason as
+    * [[shingleDigests]]: the recall audits run exact + champion BM25
+    * over one corpus in one action and should tokenize once.
+    */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(nPart, col("doc_id"))
+      .localCheckpoint(false)
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryMod: Int, k: Int, champM: Int = 0,
                queryBudget: Int = 0, overrideWork: Boolean = false,
-               rescoreBudget: Long = graft.Params.ChampRescoreBudget): DataFrame = {
+               rescoreBudget: Long = graft.Params.ChampRescoreBudget,
+               index: Option[DataFrame] = None): DataFrame = {
     require(queryMod > 1 && k > 0)
     // binding champion-work gate (see [[jaccardTopK]]); shingleN = 1
     // forecasts over distinct TERMS — the BM25 candidate unit
     if (champM > 0)
       championAdvisory(docs, idCol, textCol, queryMod, champM, queryBudget,
         rescoreBudget, "bm25TopK", overrideWork, shingleN = 1)
-    val toks = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
-      explode(T.tokens(col(textCol))).as("term"))
     // the inverted index feeds FOUR consumers (scoring side, doc
     // lengths, document frequencies, query terms) — a lazy
     // localCheckpoint materializes the tokenize+count once per action
-    // instead of four times (the prefixFilter `sets` pattern). The
-    // explicit doc_id repartition matters twice over: a checkpoint
-    // FREEZES whatever layout AQE left (coalescing a small aggregate to
-    // one partition serializes every downstream fan-out that reads the
-    // checkpointed RDD — measured 2.7 s single-task scoring on
-    // text_rrf_fuse), and hash(doc_id) is exactly the distribution the
-    // `dl` aggregate needs, so that consumer adds no exchange at all.
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val postings = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .repartition(nPart, col("doc_id"))
-      .localCheckpoint(false)
+    // instead of four times (the prefixFilter `sets` pattern); audit
+    // callers pass one [[bm25Postings]] table for BOTH rankings
+    val postings = index.getOrElse(bm25Postings(docs, idCol, textCol))
     val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus stats collected EAGERLY (one tiny aggregate; it doubles as
