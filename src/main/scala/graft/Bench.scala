@@ -33,17 +33,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE coalesces post-shuffle partitions by BYTES and is blind to
-      // CPU density: the audit/graph families' per-pair aggregates are
-      // a few MB of shuffle carrying 5-10 CPU-seconds, and the default
-      // 1 MB floor coalesced them to 1-5 tasks on 32 cores (measured
-      // r15: the text_bm25_champ_recall scoring aggregate ran 3-wide at
-      // 4.9 CPU-s). A smaller floor is scale-ADAPTIVE, not a local
-      // tune: any data-sized shuffle partition is far above 64k, so
-      // production plans are untouched; env-overridable for parity
-      // experiments.
+      // AQE coalescing floor, env-overridable for experiments; default
+      // is Spark's own 1m. A 64k floor was tried (the audit families'
+      // per-pair aggregates are a few MB of shuffle carrying 5-10
+      // CPU-seconds, and byte-based coalescing ran them 1-5 wide on 32
+      // cores) and MEASURED A NET LOSS r15: every iterative graph query
+      // pays per-round shuffles whose un-coalesced tiny tasks cost more
+      // in scheduling + localCheckpoint width than the extra audit
+      // parallelism earns (14-query A/B: 133.3 s at 64k vs 95.5 s at
+      // 1m — q_hits +7.8 s, q_scc +4.6 s, q_pagerank +4.1 s, while the
+      // intended beneficiary text_champ_recall_floor moved -0.7 s).
+      // CPU-dense narrow stages get their width from the targeted
+      // [[operators.CpuStage.fanOut]] floor instead.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

@@ -19,15 +19,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
 
-  /** Embeddings load with a CPU-stage width floor: every ANN/PQ/k-means
-    * consumer runs dot-product/codebook arithmetic fused into the scan
-    * stage, which is ONE task on the single-split bench table (measured
-    * r15: a 1.2 s one-task cosine stage inside ann_lsh_recall_eval at
-    * sf0.1/32 cores). [[operators.CpuStage.fanOut]] is the identity on
-    * production-width scans, so the 100 TB plan shape is untouched.
+  /** Embeddings load. A [[operators.CpuStage.fanOut]] width floor was
+    * tried here r15 (the ANN dot products run fused into a one-task
+    * scan stage at sf0.1) and MEASURED A NET LOSS across the family
+    * (+9.4 s over 23 queries at sf0.1: repartitioning the 64-dim array
+    * payload costs more than the parallelism buys — ann_lsh_recall_eval
+    * 2.9 -> 4.4 s in a clean A/B), so the plain scan stands.
     */
   private def embT(s: SparkSession, dir: String): DataFrame =
-    operators.CpuStage.fanOut(t(s, dir, "embeddings"))
+    t(s, dir, "embeddings")
 
   /** money/metric doubles → exact integer cents (portable across engines). */
   private def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")

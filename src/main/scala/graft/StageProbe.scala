@@ -20,10 +20,11 @@ object StageProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // mirror Bench's CPU-density coalescing floor so probed stage
-      // widths match what the bench actually runs (see Bench.scala)
+      // mirror Bench's AQE coalescing floor so probed stage widths
+      // match what the bench actually runs (see Bench.scala — default
+      // is Spark's own 1m; 64k measured a net loss on the graph family)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

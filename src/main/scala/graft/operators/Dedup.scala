@@ -45,11 +45,13 @@ object Dedup {
                    k: Int, bands: Int, shingleN: Int = 2): DataFrame = {
     val rows = k / bands
     val coeffs = H.minhashCoeffs(k)
-    // width-floor: shingle+md5+k affine mins run fused into the scan
-    // stage, which is ONE task on a single-split corpus (measured r15:
-    // a 0.95 s one-task signature stage inside dedup_lsh_recall at
-    // sf0.1/32 cores); identity on already-wide production scans
-    val hashed = CpuStage.fanOut(docs)
+    // NO width floor here: a CpuStage.fanOut was tried r15 (the
+    // shingle+md5+k affine mins run fused into a one-task scan stage on
+    // a single-split corpus) and MEASURED A NET LOSS in a clean A/B —
+    // repartitioning the document payload costs more than the extra
+    // width earns (dedup_consensus 6.9 -> 8.5 s, dedup_lsh_recall
+    // 5.4 -> 6.0 s at sf0.1/32 cores)
+    val hashed = docs
       .select(col(idCol), explode(T.shingles(col(textCol), shingleN)).as("t"))
       .select(col(idCol), H.shingleHash(col("t")).as("hb"))
     val sig = hashed.groupBy(col(idCol))
@@ -538,10 +540,9 @@ object Dedup {
     * derived inside [[signaturePairs]] (6-block triple probe).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // width-floor before the tokenize+64-weight aggregate (see
-    // [[minhashBands]]): map-side CPU otherwise runs single-task on a
-    // single-split corpus; identity at production width
-    val tok = CpuStage.fanOut(docs)
+    // no width floor — same r15 A/B verdict as [[minhashBands]]: the
+    // payload repartition cost exceeds the parallelism gain here
+    val tok = docs
       .select(col(idCol), explode(T.tokens(col(textCol))).as("t"))
       .select(col(idCol), H.tokenHalf(col("t"), 0).as("vlo"), H.tokenHalf(col("t"), 1).as("vhi"))
     val weights = (0 until 64).map { b =>
