@@ -29,6 +29,15 @@ object Barrier {
 
   /** Reliable (checkpoint-dir-backed) checkpoint + stats reset — the
     * executor-loss-tolerant form for corpus-scale CC loops.
+    *
+    * Deliberately NOT persisted across the checkpoint: an eager
+    * `checkpoint()` runs two jobs (materializing count, then the
+    * checkpoint-file write) and the second recomputes the round plan —
+    * but every caller's round plan is one join+agg over an already
+    * persisted/checkpointed input, and a persist-before-checkpoint was
+    * MEASURED r15 a net loss (q_dbscan_cluster 7.6 -> 11.2 s,
+    * dedup_semantic +1.1 s, er_resolve +0.7 s at sf0.1: the per-round
+    * cache write costs more than the recompute it saves).
     */
   def reliable(df: DataFrame): DataFrame =
     DatasetBridge.freshLeaf(df.checkpoint())

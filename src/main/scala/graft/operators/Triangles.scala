@@ -42,13 +42,33 @@ object Triangles {
     * both lazily checkpointed so each computes once per action.
     */
   def perNodeCounts(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
-    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+    val e = canonical(edges)
+    countsOnCanonical(e, degrees(e))
+  }
+
+  /** Canonical undirected edge set (u < v, self-loops dropped, duplicates
+    * collapsed), lazily checkpointed: the shared base of both public
+    * entry points.
+    */
+  private def canonical(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+    .where(col("u") =!= col("v"))
+    .distinct()
+    .localCheckpoint(false)
+
+  /** Degree per node `(n, d)` over a canonical edge set. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** Triangle counting core over an ALREADY-canonical edge set and its
+    * degree table — split out so [[clusteringCoef]], which needs the
+    * canonical edges and degrees for its own frame anyway, builds them
+    * ONCE (the previous nesting re-canonicalized, re-distincted and
+    * re-aggregated degrees behind the checkpoint boundary, where
+    * Catalyst subtree reuse cannot see the duplication).
+    */
+  private def countsOnCanonical(e: DataFrame, deg: DataFrame): DataFrame = {
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val oriented = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
@@ -86,21 +106,19 @@ object Triangles {
     * absence. Degree-1 nodes have no defined coefficient and are
     * excluded rather than nulled.
     *
-    * Cost on top of the triangle pass: one more degree aggregate over
-    * the canonical edge set and a node-keyed join — both bounded by
-    * edges, and the triangle side is the O(√m)-oriented counter, so
-    * the scale posture is [[perNodeCounts]]'s.
+    * Cost on top of the triangle pass: one node-keyed join — the
+    * canonical edge set and the degree aggregate are the SAME builds
+    * the triangle counter needs and are shared with it (r15: the
+    * earlier nesting rebuilt both behind the checkpoint boundary).
+    * Both sides are bounded by edges, and the triangle side is the
+    * O(√m)-oriented counter, so the scale posture is
+    * [[perNodeCounts]]'s.
     */
   def clusteringCoef(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
-    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    deg.where(col("d") >= 2)
-      .join(perNodeCounts(e.select(col("u").as("src"), col("v").as("dst"))),
+    val e = canonical(edges)
+    val deg = degrees(e)
+    deg.select(col("n").as("node"), col("d")).where(col("d") >= 2)
+      .join(countsOnCanonical(e, deg),
         Seq("node"), "left")
       .na.fill(0L, Seq("n_tri"))
       .select(col("node"), col("d"), col("n_tri"),
