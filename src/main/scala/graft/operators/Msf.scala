@@ -73,7 +73,7 @@ object Msf {
     // materializes every partition exactly once
     var remaining = ec.count()
     val dbg = sys.env.contains("GRAFT_MSF_DEBUG")
-    while (remaining > 0 && round <= maxRounds) {
+    while (remaining > graft.Params.MsfLocalTailEdges && round <= maxRounds) {
       val tR0 = System.nanoTime()
       // each component nominates its cheapest outgoing edge: emit the
       // edge once per side (single pass — explode, not a self-union
@@ -122,6 +122,90 @@ object Msf {
         f"pick=${(tPick - tR0) / 1e9}%.2f cc=${(tCc - tPick) / 1e9}%.2f " +
         f"rest=${(System.nanoTime() - tCc) / 1e9}%.2f")
       round += 1
+    }
+    // bounded driver-local tail (see [[graft.Params.MsfLocalTailEdges]]):
+    // the last ~16 rounds of ANY run fit under the cutover (components at
+    // least halve per round), and each cost a fixed ~1 s of scheduler +
+    // barrier overhead on data far too small to parallelize. One capped
+    // collect replays the remaining rounds with the SAME pick/contract
+    // rules — per round: each component's (w,u,v)-min incident edge,
+    // distinct; contract along picks (label values are free: picks and
+    // collapses compare only (w,u,v), which is unique per edge, and the
+    // output carries no labels — the same argument the DuckDB twin
+    // relies on); relabel, drop internal, collapse parallel pairs to
+    // their (w,u,v)-min. Output rows are bit-equal to the distributed
+    // rounds'.
+    if (remaining > 0 && remaining <= graft.Params.MsfLocalTailEdges) {
+      val rows = ec.select(col("u"), col("v"), col("w"), col("cu"), col("cv"))
+        .collect()
+      var local = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      // (w, u, v) total order — the struct-min order with c fixed and
+      // (cu, cv) unreachable behind the unique (w, u, v)
+      def lt(a: (Long, Long, Long, Long, Long),
+             b: (Long, Long, Long, Long, Long)): Boolean =
+        a._3 < b._3 || (a._3 == b._3 &&
+          (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+      val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      while (local.nonEmpty) {
+        require(round <= maxRounds,
+          s"Msf.msf: not converged after $maxRounds rounds — raise maxRounds")
+        val tR0 = System.nanoTime()
+        // pick: per component the (w,u,v)-min incident edge, deduped
+        val byComp = scala.collection.mutable.HashMap
+          .empty[Long, (Long, Long, Long, Long, Long)]
+        def offer(c: Long, e: (Long, Long, Long, Long, Long)): Unit =
+          byComp.get(c) match {
+            case Some(cur) => if (lt(e, cur)) byComp(c) = e
+            case None => byComp(c) = e
+          }
+        local.foreach { e => offer(e._4, e); offer(e._5, e) }
+        val picked = byComp.values.toSet
+        picked.foreach(e => outRows += ((e._1, e._2, e._3, round.toLong)))
+        // contract: components of the pick graph, labeled by class min
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        picked.foreach { e =>
+          val (ra, rb) = (find(e._4), find(e._5))
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        // relabel + drop internal + collapse parallel pairs to (w,u,v)-min
+        val best = scala.collection.mutable.HashMap
+          .empty[(Long, Long), (Long, Long, Long, Long, Long)]
+        local.foreach { case (u, v, w, cu, cv) =>
+          val (a, b) = (find(cu), find(cv))
+          if (a != b) {
+            val key = (math.min(a, b), math.max(a, b))
+            val e = (u, v, w, key._1, key._2)
+            best.get(key) match {
+              case Some(cur) => if (lt(e, cur)) best(key) = e
+              case None => best(key) = e
+            }
+          }
+        }
+        local = best.values.toArray
+        if (dbg) println(f"[msf] round $round rem=${local.length} " +
+          f"local=${(System.nanoTime() - tR0) / 1e9}%.2f")
+        round += 1
+      }
+      remaining = 0
+      if (outRows.nonEmpty) {
+        val spark = edges.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("round", org.apache.spark.sql.types.LongType)))
+        import scala.jdk.CollectionConverters._
+        pieces += spark.createDataFrame(
+          outRows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).asJava, schema)
+      }
     }
     // components at least halve per round, so hitting the bound with
     // frontier edges left means maxRounds < log2(components) — a
@@ -202,6 +286,11 @@ object Msf {
             col("x.l") === col("__lc"))
           .select(col("x.c").as("c"), col("__ll").as("l"))
       cur = Barrier.local(cur, eager = true)
+      // the probe join tests flatness of THIS batch directly; a
+      // changed?-flag on the last hop (the clusters pattern) was tried
+      // r15 and measured SLOWER (cc 4.0 -> 6.1 s warm at sf0.1): it can
+      // only certify the PRE-hop table flat, so every round whose chains
+      // outlive hop 2 pays a full extra batch — dearer than the probe
       converged = cur.as("x")
         .join(cur.select(col("c").as("__lc"), col("l").as("__ll")),
           col("x.l") === col("__lc"))
