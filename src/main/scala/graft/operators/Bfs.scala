@@ -18,12 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** The loop-static edge table, width-pinned once for the per-SEED
+    * loops' CPU-dense expansion joins — see [[StaticTable.pinned]] for
+    * the measured scope (win here, net loss on the cheap-per-row
+    * rank-propagation loops, and no exchange elimination under AQE).
+    */
+  private def prepEdges(edges: DataFrame): DataFrame =
+    StaticTable.pinned(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      col("src"))
+
   /** `edges` must have long columns (`src`, `dst`; directed — symmetrize
     * for undirected), `seeds` a `node` column. Returns (node, dist) for
     * every node within `maxHops` of any seed; seeds are dist 0.
     */
   def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
+    // plain checkpoint, no [[prepEdges]]: the single-source frontier is
+    // tiny, and the one-time repartition+sort costs more than the
+    // per-round edge exchanges it removes (measured r15 twice:
+    // q_bfs_reach +0.2/+0.5 s with the pinned layout)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(false)
     var visited = seeds.select(col("node").cast("long"), lit(0L).as("dist"))
@@ -53,8 +67,7 @@ object Bfs {
   def perSeedHopDistances(edges: DataFrame, seeds: DataFrame,
                           maxHops: Int): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+    val e = prepEdges(edges)
     var visited = seeds.select(col("node").cast("long").as("seed"))
       .distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
@@ -127,8 +140,8 @@ object Bfs {
                        maxHops: Int): DataFrame = {
     require(maxHops >= 2, "stress needs ≥ 2 hops: interior nodes only " +
       "exist between layers 1 and maxHops−1")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(false)
+    val e = prepEdges(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var visited = seeds.select(col("node").cast("long").as("seed")).distinct()
