@@ -1150,11 +1150,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sids = Sampling.hashOrderIds(docs, "doc_id",
         LshAuditProbeBudget)
+      // truth and found each feed TWO consumers (their count aggregate
+      // + the hit join) and foundAll feeds two semi-joins — without a
+      // materialization the PPJoin/LSH pipelines re-execute per
+      // consumer (lazy plans share nothing across aggregate subtrees);
+      // the pair lists are audit-budget-sized, so the checkpoints are
+      // cheap (r15)
       val truth = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
         JaccardMinNum, JaccardMinDen, touchIds = Some(sids))
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(false)
       val foundAll = Dedup.ngramJaccard(docs, "doc_id", "text", JaccardMin,
         MinhashK, MinhashBands).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(false)
       val found = foundAll
         .join(broadcast(sids.select(col("doc_id").as("doc_a"))),
           Seq("doc_a"), "left_semi")
@@ -1162,6 +1170,7 @@ object SparkEntry {
           broadcast(sids.select(col("doc_id").as("doc_b"))),
           Seq("doc_b"), "left_semi").select(col("doc_a"), col("doc_b")))
         .distinct()
+        .localCheckpoint(false)
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
         .crossJoin(broadcast(truth.join(found, Seq("doc_a", "doc_b"))

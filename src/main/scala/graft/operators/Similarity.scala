@@ -492,10 +492,17 @@ object Similarity {
     */
   def recallEval(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0)
+    // each ranking feeds TWO consumers (the hit join + its own count
+    // aggregate) and `per` feeds two more (the per-query half + the
+    // micro-average) — without materialization the ranking pipelines
+    // (including the brute-force ground truth) re-execute per consumer;
+    // the checkpointed tables are only queries×k id pairs (r15)
     val a = approx.where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
     val e = exact.where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
     val hits = e.join(a, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     val per = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
@@ -505,6 +512,7 @@ object Similarity {
       .na.fill(0L, Seq("n_approx", "n_hit"))
       .select(col("query_id"), col("n_exact"), col("n_approx"), col("n_hit"),
         expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+      .localCheckpoint(false)
     per.unionByName(per.agg(sum(col("n_exact")).as("n_exact"),
         sum(col("n_approx")).as("n_approx"), sum(col("n_hit")).as("n_hit"))
       .select(lit(-1L).as("query_id"), col("n_exact"), col("n_approx"),
