@@ -1224,8 +1224,13 @@ object TextOps {
     */
   def rankMetrics(system: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k > 0)
+    // rel feeds TWO consumers (the n_rel aggregate + the labeling
+    // join) and `relevant` is typically a full exact ranking — without
+    // a materialization that ranking pipeline executes twice (the
+    // recallEval lesson, r15); the table is queries × k id pairs
     val rel = relevant.select(col("query_id"), col("doc_id"),
       lit(1L).as("rel"))
+      .localCheckpoint(false)
     val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     val labeled = system.where(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk"))

@@ -45,7 +45,10 @@ object Walks {
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
       .localCheckpoint(false)
+    // deg is consumed once per STEP — materialize the aggregate once
+    // instead of replaying it from the adj checkpoint every step
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     var frontier = seeds.select(col("node").as("walk_id"),
       lit(0L).as("step"), col("node"))
     var acc = frontier
@@ -55,9 +58,14 @@ object Walks {
         .select(col("walk_id"), col("node").as("cur"),
           (H.hash32(concat_ws(":", col("walk_id"), lit(i), col("node")), salt)
             % col("deg")).as("pick"))
+      // per-step checkpoint: frontier_i feeds BOTH the acc union branch
+      // and step i+1's lineage — unmaterialized, step 1's subtree
+      // re-executes once per LATER step (plan was 1113 lines at 8
+      // steps; the iterated-loop contract of Bfs/PageRank)
       frontier = picked
         .join(adj, picked("cur") === adj("src") && picked("pick") === adj("rnk"))
         .select(col("walk_id"), lit(i.toLong).as("step"), col("dst").as("node"))
+        .localCheckpoint(false)
       acc = acc.unionAll(frontier)
     }
     acc
