@@ -590,17 +590,8 @@ object TextOps {
     // which is quadratic under shared vocabulary.
     val inter =
       if (champM <= 0)
-        // fixed-N pin on the intersect aggregate's exchange: its reduce
-        // (final count + the fused downstream arithmetic) ran 5 tasks
-        // wide on 32 cores under byte-based coalescing (11 CPU-s in one
-        // 2.8 s stage). Map-side partial aggregation only collapsed
-        // ~2x here (788k -> 406k rows at sf0.1), so shuffling the raw
-        // matches at full width wins
         broadcast(q).join(sh, "h")
           .where(col("doc_id") =!= col("query_id"))
-          .transform(d => d.repartition(
-            d.sparkSession.sessionState.conf.numShufflePartitions,
-            col("query_id"), col("doc_id")))
           .groupBy(col("query_id"), col("doc_id"))
           .agg(count(lit(1)).as("inter"))
       else {
@@ -613,13 +604,7 @@ object TextOps {
         val cands = broadcast(q).join(champ, "h")
           .where(col("doc_id") =!= col("query_id"))
           .select(col("query_id"), col("doc_id")).distinct()
-        // fixed-N pin on the rescore join key: the digest side re-enters
-        // an exchange here (checkpoint layout is not advertised under
-        // AQE) and byte-based coalescing ran the CPU-dense full-set
-        // intersection a few tasks wide on 32 cores; the explicit
-        // repartition opts the join out of coalescing at session width
-        val nP = docs.sparkSession.sessionState.conf.numShufflePartitions
-        cands.join(sh.repartition(nP, col("doc_id")), "doc_id")
+        cands.join(sh, "doc_id")
           .join(broadcast(q), Seq("query_id", "h"))
           .groupBy(col("query_id"), col("doc_id"))
           .agg(count(lit(1)).as("inter"))
@@ -638,11 +623,6 @@ object TextOps {
       .join(sz.select(col("doc_id"), col("sz").as("szb")), "doc_id")
       .select(col("query_id"), col("doc_id"),
         expr("inter * 1000000L div (sza + szb - inter)").as("jac_ppm"))
-      // fixed-N pin on the ranking window's exchange (see the rescore
-      // pin above — same AQE byte-blindness on a CPU-dense stage)
-      .transform(d => d.repartition(
-        d.sparkSession.sessionState.conf.numShufflePartitions,
-        col("query_id")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("jac_ppm").desc, col("doc_id").asc)).cast("long"))
@@ -1011,13 +991,7 @@ object TextOps {
       }
     val agg = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("score_ppm"))
-    // fixed-N pin on the ranking window's exchange (the jaccardTopK
-    // rescore-pin rationale: AQE coalesces by bytes, this stage is
-    // CPU-dense per byte)
-    agg.transform(d => d.repartition(
-        d.sparkSession.sessionState.conf.numShufflePartitions,
-        col("query_id")))
-      .withColumn("rnk", row_number().over(
+    agg.withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_ppm").desc, col("doc_id").asc)).cast("long"))
       .where(col("rnk") <= k)
