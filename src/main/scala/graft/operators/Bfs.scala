@@ -140,8 +140,12 @@ object Bfs {
                        maxHops: Int): DataFrame = {
     require(maxHops >= 2, "stress needs ≥ 2 hops: interior nodes only " +
       "exist between layers 1 and maxHops−1")
-    val e = prepEdges(edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct())
+    // plain checkpoint, no [[prepEdges]]: unlike the pure per-seed BFS
+    // loops, stress re-joins e in BOTH directions (forward sigma +
+    // backward psi passes) and the pin measured a consistent ~+1 s
+    // (6.09 -> 7.08 s clean full-pass; subset medians 8.9 -> 9.8)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var visited = seeds.select(col("node").cast("long").as("seed")).distinct()
