@@ -90,6 +90,24 @@ object Bench {
     // (ADVICE r15: sampling before it recorded pre-canary machine state,
     // not the conditions the first query actually starts under)
     val loadBefore = loadavg()
+    // contention self-diagnosis (VERDICT r15 #2: the graded r15 capture
+    // started at load 10.17 with canary 1.33-1.91 and recorded a 16x
+    // "regression" with zero plan delta — a capture must DECLARE itself
+    // contaminated instead of leaving the reader to reconstruct it).
+    // Thresholds: the frozen canary reads 0.85-1.18 s on this box idle
+    // (r14/r15 clean captures); >1.25x the 1.10 s clean midpoint, or a
+    // 1-min load already above half the requested cores before the
+    // first query, marks the capture contended. ADDITIVE field only —
+    // nothing is skipped or retimed, the flag just travels with the
+    // numbers so PERF_r16 can discount a hot capture.
+    val canaryCleanRef = 1.10
+    def isContended(c: Double, load: String): Boolean = {
+      val hotCanary = c > 1.25 * canaryCleanRef
+      val hotLoad = load.split(",").headOption.flatMap(_.toDoubleOption)
+        .exists(_ > cpus.toDouble / 2)
+      hotCanary || hotLoad
+    }
+    val contendedStart = isContended(canaryStart, loadBefore)
     // optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2;
     // SPARK_GRAFT_SKIP excludes named queries (full-set captures on
     // boxes without headroom for a known disk-bound query — the skipped
@@ -194,8 +212,11 @@ object Bench {
     }
     def failedJson(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // contended if EITHER bracket was hot: a capture that started clean
+    // and ended hot still has its late-alphabet queries inflated
+    val contended = contendedStart || isContended(canaryEnd, loadAfter)
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"skipped":${failedJson(skip.toSeq.sorted)},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    try pw.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"shuffle_bytes":$sh,"failed":${failedJson(failedNames)},"skipped":${failedJson(skip.toSeq.sorted)},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"contended":$contended,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     finally pw.close()
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
@@ -205,7 +226,7 @@ object Bench {
     // precisely when the marker matters most; failed_count carries the
     // true total and the sidecar the full list.
     val failedShown = failedJson(failedNames.take(8))
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failedShown,"failed_count":${failedNames.size},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 25 of ${results.size}; full map in detail file","detail":"${detailFile.getAbsolutePath}","failed":$failedShown,"failed_count":${failedNames.size},"canary":[${r2(canaryStart)},${r2(canaryEnd)}],"contended":$contended,"load":[$loadBefore],"load_after":[$loadAfter],"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

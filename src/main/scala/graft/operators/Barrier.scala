@@ -41,4 +41,12 @@ object Barrier {
     */
   def reliable(df: DataFrame): DataFrame =
     DatasetBridge.freshLeaf(df.checkpoint())
+
+  // A parquet write + read-back variant of `reliable` (one compute job
+  // instead of checkpoint()'s count + recomputing write) was tried r16
+  // and MEASURED A LOSS: the FileOutputCommitter job/task-commit
+  // machinery plus read-back listing costs ~0.2-0.4 s extra per small
+  // round and ~2.5 s extra on the doubling rounds (6-query CC family
+  // 24.9 -> 43.8 s). The eager RDD checkpoint, double compute and all,
+  // is the cheapest durable barrier of the three tested forms.
 }

@@ -336,6 +336,19 @@ object Dedup {
     * per job — the per-round storage round-trip is its dominant cost).
     * Top-level corpus-scale CC (near-dup clustering, DBSCAN, consensus)
     * keeps the reliable default.
+    *
+    * Hop batching (k propagation hops per barrier, testing only the
+    * last hop's `chg` — sound, since one no-change hop proves the
+    * fixpoint) was implemented and MEASURED A LOSS in r16, twice:
+    * every hop's input is referenced twice downstream (ccRound's
+    * neighbor join + self-label union, halveRound's self-join), so
+    * stacked unmaterialized hops recompute 2^depth times (6-query
+    * family 24.9 -> 32.1 -> 47.6 s at k=1/2/3), and persisting the
+    * intermediate hops to stop the blowup still lost (k=2 barriers ran
+    * ~3.0 s vs two ~1.0 s k=1 barriers; the per-round cache write is
+    * the same money the skipped barrier cost — the r15
+    * persist-before-checkpoint lesson again). One hop per barrier
+    * stands.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20,
                doubling: Boolean = false,
@@ -934,7 +947,8 @@ object Dedup {
     // compact pair table instead of raw span instances
     val perDoc = docs.select(col(idCol).as("doc_id"),
         explode(T.shingles(col(textCol), n)).as("g"))
-      .groupBy(col("doc_id"), md5(col("g")).as("h"))
+      // 16-byte binary digest (key-only; see TextOps.shingleDigests)
+      .groupBy(col("doc_id"), unhex(md5(col("g"))).as("h"))
       .agg(count(lit(1)).as("cnt"))
       // two consumers (census + membership join): materialize once so
       // the shingle explode never re-runs
@@ -967,7 +981,8 @@ object Dedup {
     */
   def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
                           textCol: String): DataFrame = {
-    val sh = docs.select(col(sourceCol).as("src"), md5(col(textCol)).as("h"))
+    // 16-byte binary digest (key-only; see TextOps.shingleDigests)
+    val sh = docs.select(col(sourceCol).as("src"), unhex(md5(col(textCol))).as("h"))
       .distinct()
       .localCheckpoint(false) // three consumers: sizes + both join sides
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))

@@ -100,7 +100,7 @@ object TextOps {
                  lineTokens: Int): DataFrame = {
     val lineArr = pseudoLines(textCol, lineTokens)
     val lines = docs.select(col(idCol), posexplode(lineArr).as(Seq("line_idx", "line")))
-    val w = Window.partitionBy(md5(col("line")))
+    val w = Window.partitionBy(unhex(md5(col("line"))))
       .orderBy(col(idCol).asc, col("line_idx").asc)
     val kept = lines.withColumn("__occ", row_number().over(w))
       .filter(col("__occ") === 1)
@@ -546,7 +546,13 @@ object TextOps {
                      shingleN: Int = 2): DataFrame =
     CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
+      // unhex: the digest travels as the TRUE 16-byte binary, not the
+      // 32-char hex string md5() returns — h is only ever a join/group
+      // key (never output), and unhex is a bijection on md5's range, so
+      // every equality downstream is unchanged while the key column
+      // halves in the candidate shuffles and the query-side broadcast
+      // (r16; the scaladoc always promised 16 bytes)
+      .select(col("doc_id"), unhex(md5(col("g"))).as("h"))
       .localCheckpoint(false)
 
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
@@ -1091,7 +1097,8 @@ object TextOps {
                     shingleN: Int = 2): DataFrame = {
     val sh = CpuStage.fanOut(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(T.shingles(col(textCol), shingleN))).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
+      // 16-byte binary digest (key-only column; see shingleDigests)
+      .select(col("doc_id"), unhex(md5(col("g"))).as("h"))
       .localCheckpoint(false) // two consumers: first-doc agg + join back
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
     sh.join(first, "h")
@@ -1294,7 +1301,8 @@ object TextOps {
     require(minDocs >= 2)
     val lines = docs
       .select(col(idCol), explode(pseudoLines(textCol, lineTokens)).as("line"))
-      .select(col(idCol), md5(col("line")).as("h"))
+      // 16-byte binary digest (key-only column; see shingleDigests)
+      .select(col(idCol), unhex(md5(col("line"))).as("h"))
     val bp = lines.distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs).select(col("h"), lit(1L).as("__b"))
