@@ -171,9 +171,16 @@ object Bfs {
     for (h <- (maxHops - 1) to 1 by -1) {
       val pn = psiNext.select(col("seed").as("ps"), col("node").as("w"),
         col("psi").as("wpsi"))
-      val succSums = layers(h).join(e, col("node") === col("src"))
-        .join(pn, col("seed") === col("ps") && col("dst") === col("w"))
-        .groupBy(col("seed"), col("node"))
+      // ψ contributions aggregated from the SUCCESSOR side alone: expand
+      // layer h+1's (seed, w, ψ) rows backward over in-edges and sum per
+      // (seed, src) — one join where the previous shape ran a 3-way
+      // (layers(h) ⋈ e ⋈ pn) whose first join re-shuffled the full layer
+      // + σ payload per layer and whose output needed a THIRD exchange
+      // into the aggregate. Keys aggregated here that are not layer-h
+      // nodes are dropped by the left join below, so psiH is row-for-row
+      // identical (e is distinct, pn unique per (seed, w)).
+      val succSums = pn.join(e, col("w") === col("dst"))
+        .groupBy(col("ps").as("seed"), col("src").as("node"))
         .agg(sum(col("wpsi") + 1L).as("psi0"))
       val psiH = layers(h).join(succSums, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
